@@ -1,13 +1,223 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{LogQueries, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2): each entry is a
+  * pure `(spark, sfDir) => DataFrame` over the driver's parquet tables;
+  * `oracleSql` holds the DuckDB-equivalent SQL for hash comparison.
+  * Column names AND types are aligned between both engines (computed
+  * integers are BIGINT on both sides; float aggregates are rounded on
+  * both sides so partial-aggregation order can't flip low bits).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the star-join revenue rollup (scan+filter+3 joins+agg in one plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q4StarJoinRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2B relational inventory
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
+    "q2_filter_project"   -> (Relational.q2FilterProject _),
+    "q3_topn_orders"      -> (Relational.q3TopNOrders _),
+    "q4_star_join"        -> (Relational.q4StarJoinRevenue _),
+    "q5_left_join"        -> (Relational.q5LeftJoin _),
+    "q6_semi_anti_join"   -> (Relational.q6SemiAntiJoin _),
+    "q7_agg_distinct"     -> (Relational.q7AggDistinct _),
+    "q8_window_funcs"     -> (Relational.q8WindowFuncs _),
+    "q9_rollup"           -> (Relational.q9Rollup _),
+    "q10_cube"            -> (Relational.q10Cube _),
+    "q11_setops"          -> (Relational.q11SetOps _),
+    "q12_scalar_funcs"    -> (Relational.q12ScalarFuncs _),
+    "q13_range_join"      -> (Relational.q13RangeJoin _),
+    "q14_date_funcs"      -> (Relational.q14DateFuncs _),
+    "q15_join_aggregate"  -> (Relational.q15JoinAggregate _),
+    // §2B log-surface queries (reference's documented ClickHouse ops)
+    "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
+    "logs_latest"         -> (LogQueries.logsLatest _),
+    "logs_timerange"      -> (LogQueries.logsTimeRange _),
+    // event-time analytics
+    "events_tumbling"     -> (LogQueries.eventsTumblingWindow _),
+    "events_sessionize"   -> (LogQueries.eventsSessionize _),
+    "events_asof_orders"  -> (LogQueries.eventsAsofOrders _),
+    "events_json_extract" -> (LogQueries.eventsJsonExtract _),
+  )
+
+  /** DuckDB-runnable oracle SQL, one per `queries` key (same column
+    * names, same ordering, same rounding).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS net_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+           AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_topn_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10""",
+    "q4_star_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q5_left_join" ->
+      """SELECT c_custkey, c_mktsegment,
+         count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""",
+    "q6_semi_anti_join" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY kind""",
+    "q7_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q8_window_funcs" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             lag(l_quantity, 1) OVER w AS prev_qty,
+             round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+           FROM lineitem WHERE l_suppkey <= 10
+           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ) t WHERE rn <= 20 ORDER BY l_suppkey, rn""",
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q11_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+              b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         SELECT 'union' AS op, count(*) AS n FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+         UNION ALL
+         SELECT 'intersect' AS op, count(*) AS n FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+         UNION ALL
+         SELECT 'except' AS op, count(*) AS n FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+         ORDER BY op""",
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey,
+         upper(p_brand) AS brand_up,
+         lower(p_type) AS type_lo,
+         substr(p_name, 1, 8) AS name8,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+         round(sqrt(p_retailprice), 4) AS price_sqrt,
+         round(fmod(p_retailprice, 7.0), 4) AS price_mod,
+         CAST(p_size * 2 + 1 AS BIGINT) AS size2,
+         concat_ws('-', p_brand, p_type) AS brand_type
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+    "q13_range_join" ->
+      """SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+         FROM part JOIN (VALUES
+           ('b1_budget', 0.0, 925.0), ('b2_mid', 925.0, 950.0),
+           ('b3_high', 950.0, 975.0), ('b4_premium', 975.0, 100000.0)
+         ) AS bands(band, lo, hi)
+         ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band ORDER BY band""",
+    "q14_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY y, q ORDER BY y, q""",
+    "q15_join_aggregate" ->
+      """SELECT o_orderpriority, count(*) AS n_above
+         FROM orders o JOIN (
+           SELECT o_custkey AS ck, avg(o_totalprice) AS cust_avg
+           FROM orders GROUP BY o_custkey
+         ) ca ON o.o_custkey = ca.ck
+         WHERE o.o_totalprice > ca.cust_avg * 1.5
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "logs_count_minmax" ->
+      """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",
+    "logs_latest" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+         ORDER BY ts DESC, event_id ASC LIMIT 10""",
+    "logs_timerange" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+    "events_tumbling" ->
+      """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "events_sessionize" ->
+      """WITH gaps AS (
+           SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM gaps
+         ), sessions AS (
+           SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+             ts
+           FROM flagged
+         ), per_session AS (
+           SELECT user_id, session_id, count(*) AS n_events
+           FROM sessions GROUP BY user_id, session_id
+         )
+         SELECT user_id, count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events_per_sess,
+           max(n_events) AS max_events
+         FROM per_session GROUP BY user_id ORDER BY user_id""",
+    "events_asof_orders" ->
+      """SELECT event_id, user_id, ts, max(o_orderdate) AS last_order_date
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 200) e
+         LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
+         GROUP BY event_id, user_id, ts ORDER BY event_id""",
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
 }

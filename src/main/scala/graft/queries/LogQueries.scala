@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The query surface the reference delegates to ClickHouse
+  * (SURVEY.md §2B Q1–Q8: count/min/max, latest-N, time-range, projection),
+  * exercised over the `events` table, plus the event-time analytics the
+  * north star mandates (tumbling windows, sessionization, as-of join,
+  * JSON extraction — reference: logs land time-partitioned and
+  * time-ordered, clickhouse-init/init.sql:20-23).
+  */
+object LogQueries {
+
+  /** Q1+Q2 of the reference's documented ops: count / min / max timestamp
+    * (README.md:419-424). One partial+final aggregate, no data movement
+    * beyond 1 row per partition.
+    */
+  def logsCountMinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("min_ts"),
+           max(col("ts")).as("max_ts"))
+
+  /** Q3+Q5: latest-N projection — ORDER BY ts DESC LIMIT 10
+    * (README.md:521-522). Lowered to TakeOrderedAndProject: per-partition
+    * top-k heap, driver merge, no shuffle, no full sort.
+    */
+  def logsLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(10)
+
+  /** Q4: time-range filter (README.md:525-526). The predicate reaches the
+    * parquet scan (PushedFilters) → row-group min/max skipping, the Spark
+    * analogue of ClickHouse's sparse primary index on timestamp.
+    */
+  def logsTimeRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-15 00:00:00") &&
+              col("ts") <  lit("2024-01-16 00:00:00"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling-window aggregation (batch form of the streaming op; the
+    * streaming twin with watermark lives in graft.streaming.EventsStream).
+    * Scale: group keys are (window, type) — partial aggregation collapses
+    * each partition to one row per window before the shuffle.
+    */
+  def eventsTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Sessionization: gap>30min starts a new session (batch twin of
+    * session_window). Expressed with lag + cumulative sum — two window
+    * passes over the same (user_id, ts) shuffle, so Spark reuses one
+    * exchange. Fully deterministic: ts ties broken by event_id.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             (col("ts") - col("prev_ts")) > expr("INTERVAL 30 MINUTE"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("sess_start"),
+           max(col("ts")).as("sess_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           round(avg(col("n_events")), 4).as("avg_events_per_sess"),
+           max(col("n_events")).as("max_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: for each event, the user's most recent order date at or
+    * before the event time. Implemented as equi-join on user + max-filter —
+    * one shuffle on the join key; the 100 TB path replaces this with a
+    * range-partitioned sort-merge (both sides time-sorted within user).
+    */
+  def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_id") < lit(200))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey") &&
+              col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(col("o_orderdate")).as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  /** JSON extraction from the semi-structured props column — the
+    * schema-on-read pattern the reference's raw_json column exists for
+    * (init.sql:18; SURVEY §1.2).
+    */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("k")), 4).as("avg_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}
