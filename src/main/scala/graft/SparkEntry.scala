@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LogQueries, Relational}
+import graft.queries.{IngestQueries, LogQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,10 @@ object SparkEntry {
     "events_sessionize"   -> (LogQueries.eventsSessionize _),
     "events_asof_orders"  -> (LogQueries.eventsAsofOrders _),
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
+    // §2A ingestion operators (reference wire formats, inline fixtures)
+    "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
+    "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
+    "ingest_array_parse"      -> (IngestQueries.arrayParse _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -219,5 +223,34 @@ object SparkEntry {
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Ingest oracles are golden rows: expected outputs derived from the
+    // reference's documented semantics (main.go:255-516), literal so
+    // DuckDB needs no JSON machinery.
+    "ingest_bulk_normalize" ->
+      """SELECT * FROM (VALUES
+         (TIMESTAMP '2025-12-04 10:00:00', 'app log line', 'app', 'server1', '', '', 'filebeat', '8.11.0', '/var/lib/docker/containers/abc/abc-json.log', '{"@timestamp":"2025-12-04T10:00:00Z","message":"app log line","container":{"name":"app"},"host":{"name":"server1"},"agent":{"name":"filebeat","version":"8.11.0"},"log":{"file":{"path":"/var/lib/docker/containers/abc/abc-json.log"}}}'),
+         (TIMESTAMP '2025-12-04 10:02:03', 'naked doc', 'c42', '', '', '', '', '', '', '{"@timestamp":"2025-12-04 10:02:03","message":"naked doc","container":{"id":"c42"}}'),
+         (TIMESTAMP '2025-12-04 10:05:06', 'nano ts', '', '', '', '', '', '', '', '{"@timestamp":"2025-12-04T10:05:06.123456789Z","message":"nano ts"}'),
+         (TIMESTAMP '2025-12-05 00:00:00', 'no ts', '', '', '', '', '', '', '', '{"message":"no ts","custom_field":"kept-only-in-raw","service":{"name":"api"}}'),
+         (TIMESTAMP '2025-12-04 10:30:00', 'offset ts', '', '', '', '', '', '', '', '{"@timestamp":"2025-12-04T18:30:00+08:00","message":"offset ts"}'),
+         (TIMESTAMP '2025-12-04 10:01:00', 'second line', '', '', 'abc123', 'app', '', '', '', '{"@timestamp":"2025-12-04T10:01:00.123Z","message":"second line","docker":{"container":{"id":"abc123","name":"app"}}}')
+         ) AS t("timestamp", message, container, host_name, docker_container_id, docker_container_name, agent_name, agent_version, log_file_path, raw_json)
+         ORDER BY message""",
+    "ingest_timestamp_coerce" ->
+      """SELECT * FROM (VALUES
+         (CAST(1 AS BIGINT), TIMESTAMP '2025-12-04 10:00:00'),
+         (CAST(2 AS BIGINT), TIMESTAMP '2025-12-04 02:00:00'),
+         (CAST(3 AS BIGINT), TIMESTAMP '2025-12-04 10:00:00'),
+         (CAST(4 AS BIGINT), TIMESTAMP '2025-12-04 10:00:00'),
+         (CAST(5 AS BIGINT), TIMESTAMP '2025-12-04 10:00:00'),
+         (CAST(6 AS BIGINT), TIMESTAMP '2025-12-05 00:00:00'),
+         (CAST(7 AS BIGINT), TIMESTAMP '2025-12-05 00:00:00')
+         ) AS t(id, ts) ORDER BY id""",
+    "ingest_array_parse" ->
+      """SELECT * FROM (VALUES
+         (TIMESTAMP '2025-12-04 10:00:00', 'one', 'h1'),
+         (TIMESTAMP '2025-12-04 10:00:02', 'three', ''),
+         (TIMESTAMP '2025-12-04 10:00:01', 'two', '')
+         ) AS t("timestamp", message, host_name) ORDER BY message""",
   )
 }
