@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.queries.{IngestQueries, LogQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +53,19 @@ object SparkEntry {
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
     "ingest_array_parse"      -> (IngestQueries.arrayParse _),
+    // §2C extensions: dedup / similarity / text analysis
+    "x_dedup_exact"     -> (Dedup.exactProfile _),
+    "x_dedup_ngram"     -> (Dedup.ngramJaccardPairs _),
+    "x_dedup_minhash"   -> (Dedup.minhashLshPairs _),
+    "x_dedup_simhash"   -> (Dedup.simhashQuery _),          // rows-only
+    "x_fingerprint"     -> (Dedup.fingerprint _),
+    "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "x_text_stats"      -> (TextAnalysis.corpusStats _),
+    "x_text_quality"    -> (TextAnalysis.qualityScores _),
+    "x_lang_scores"     -> (TextAnalysis.langScores _),
+    "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -252,5 +266,121 @@ object SparkEntry {
          (TIMESTAMP '2025-12-04 10:00:02', 'three', ''),
          (TIMESTAMP '2025-12-04 10:00:01', 'two', '')
          ) AS t("timestamp", message, host_name) ORDER BY message""",
+    // §2C extensions. x_dedup_ngram and x_dedup_minhash share one oracle:
+    // the LSH path verifies candidates with exact Jaccard, and at 128
+    // hashes / 32 bands the miss probability at J≥0.8 is < 6e-8, so both
+    // must produce the rare-shingle (df≤100) Jaccard≥0.8 pair set.
+    "x_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "x_dedup_ngram" -> ngramJaccardOracle,
+    "x_dedup_minhash" -> ngramJaccardOracle,
+    "x_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
+         FROM documents ORDER BY doc_id""",
+    "x_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
+         ORDER BY query_id, rk""",
+    "x_sim_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM e, q WHERE e.bucket = q.qb AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    "x_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+         ORDER BY v1, v2""",
+    "x_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+         round(avg(n_chars), 4) AS avg_chars,
+         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "x_text_quality" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS len,
+         round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS avg_tok_len,
+         round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS type_token_ratio,
+         round((length(text) - length(replace(text, ' ', ''))) / length(text), 4) AS space_ratio
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "x_lang_scores" ->
+      """WITH s AS (
+           SELECT doc_id, lang AS labelled_lang, lower(text) AS t FROM documents WHERE doc_id < 100)
+         SELECT doc_id, labelled_lang,
+           (length(t) - length(replace(t, ' the ', ''))) / 5 AS s_en,
+           (length(t) - length(replace(t, ' der ', ''))) / 5 AS s_de,
+           (length(t) - length(replace(t, ' el ', ''))) / 4 AS s_es,
+           (length(t) - length(replace(t, ' le ', ''))) / 4 AS s_fr,
+           CASE
+             WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' der ', ''))) / 5
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'en'
+             WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'de'
+             WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'es'
+             ELSE 'fr'
+           END AS predicted
+         FROM s ORDER BY doc_id""",
+    "x_token_bpe" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
   )
+
+  /** Rare-shingle (8-gram, df≤100) Jaccard ≥ 0.8 pair set — the shared
+    * contract for the exact inverted-index path and the MinHash-LSH path.
+    */
+  private val ngramJaccardOracle: String =
+    """WITH g0 AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+         FROM documents),
+       rare AS (SELECT ng FROM g0 GROUP BY ng HAVING count(*) <= 100),
+       g AS (SELECT doc_id, g0.ng FROM g0 JOIN rare ON g0.ng = rare.ng),
+       n AS (SELECT doc_id, count(*) AS n_ng FROM g GROUP BY doc_id),
+       s AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh
+         FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d1, d2, sh / (n1.n_ng + n2.n_ng - sh) AS jac
+       FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8
+       ORDER BY d1, d2"""
 }

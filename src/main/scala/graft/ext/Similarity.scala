@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Vector similarity search over the `embeddings` table
+  * (SURVEY.md §2C). 64-dim unit-norm float vectors.
+  *
+  * Tiers:
+  *   - brute-force cosine top-k: broadcast the (small) query set against
+  *     the full corpus — the corpus side streams with no shuffle; only
+  *     the per-query top-k window shuffles (k rows per query);
+  *   - sign-bit LSH buckets: deterministic axis-hyperplane bucketing;
+  *     candidate set shrinks by ~2^bits, the scale path for ANN;
+  *   - all-pairs near-dup: threshold-filtered pair join (quadratic —
+  *     kept for oracle parity at sf scale; at 100 TB use the LSH bucket
+  *     join instead).
+  *
+  * Determinism contract with the DuckDB oracle: cosine is computed in
+  * double, rounded to 6 dp, and every ranking orders by the ROUNDED
+  * value with vec_id tiebreak — so a 1-ulp accumulation difference
+  * between engines cannot flip a rank.
+  */
+object Similarity {
+
+  /** dot(a, b) in double over float arrays (sequential fold — same
+    * evaluation order as DuckDB's list_dot_product loop).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-5 cosine neighbors for query vectors vec_id < 10. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Sign-bit LSH bucket id from the first `bits` dimensions (axis-
+    * aligned hyperplanes — deterministic, engine-portable).
+    */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { j =>
+      when(element_at(v, j + 1) >= 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: top-3 neighbors per query, searched only
+    * within the query's bucket (~1/256 of the corpus per probe).
+    */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", signBucket(col("embedding")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket").as("qb"))
+    val scored = e.join(broadcast(queries),
+        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold. Quadratic
+    * all-pairs at oracle scale; the LSH bucket equality join is the
+    * 100 TB variant (same output for thresholds the bucketing recalls).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2C): corpus
+  * statistics, per-document quality scoring, marker-based language
+  * scoring, and a BPE-ish regex tokenizer. All pure built-in
+  * expressions — one narrow scan, fully codegen'd, no UDFs.
+  */
+object TextAnalysis {
+
+  private def nTokens(text: Column): Column =
+    size(split(text, " ")).cast("long")
+
+  /** Corpus stats per language. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), nTokens(col("text")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_tok")), 4).as("avg_tokens"),
+           round(avg(col("n_chars")), 4).as("avg_chars"),
+           max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality signals (doc_id < 50 for a bounded sample):
+    * token count, mean token length, type-token ratio, whitespace ratio.
+    * The quality-score shape a pretraining filter would threshold on.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        nTokens(col("text")).as("n_tok"),
+        length(col("text")).cast("long").as("len"),
+        round(length(regexp_replace(col("text"), " ", "")) / size(split(col("text"), " ")), 4).as("avg_tok_len"),
+        round(size(array_distinct(split(col("text"), " "))) / size(split(col("text"), " ")), 4).as("type_token_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) / length(col("text")), 4).as("space_ratio"))
+      .orderBy(col("doc_id"))
+
+  private def markerHits(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, marker, ""))) / lit(marker.length))
+
+  /** Marker-frequency language scoring: counts of per-language stopword
+    * markers (an n-gram-frequency heuristic; for the synthetic corpus
+    * the marker *scores* are the contract, plus a deterministic argmax
+    * with a fixed priority chain for ties).
+    */
+  def langScores(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"), col("lang").as("labelled_lang"),
+        markerHits(t, " the ").as("s_en"),
+        markerHits(t, " der ").as("s_de"),
+        markerHits(t, " el ").as("s_es"),
+        markerHits(t, " le ").as("s_fr"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-ish regex token count: alpha runs, digit runs, single
+    * punctuation — the pre-tokenizer split GPT-style BPE vocabularies
+    * assume. Portable regex subset (works in both Java regex and RE2).
+    */
+  def regexTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("n_alpha"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"))
+      .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** §2C semantics on controlled inputs: planted near-duplicates, LSH
+  * recall against brute force, SimHash Hamming behavior.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
+  private val nearDup = base.replace("lazy", "hazy") // one token differs
+  private val unrelated = "completely different content about spark catalyst optimizer rules and physical plans " * 4
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base) // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("ngram jaccard finds planted near-dup and exact-dup pairs only") {
+    // high maxDf: tiny corpus, no stop-shingles
+    val g = Dedup.shingles(docs, maxDf = 1000)
+    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
+    val shared = g.as("a").join(g.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    val pairs = shared
+      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
+      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
+      .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jac") >= 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash signature: identical docs identical sigs; near-dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    assert(agree01 > 100, s"near-dup sigs agree on $agree01/128")  // J≈0.95 ⇒ E[agree]≈122
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree02 < 30, s"unrelated sigs agree on $agree02/128")
+  }
+
+  test("simhash: exact dups equal; near-dups close; unrelated far (Hamming)") {
+    val hs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(3L)) == 0)
+    assert(hamming(hs(0L), hs(1L)) < 16, s"near-dup hamming ${hamming(hs(0L), hs(1L))}")
+    assert(hamming(hs(0L), hs(2L)) > 16, s"unrelated hamming ${hamming(hs(0L), hs(2L))}")
+  }
+
+  test("LSH top-k ⊆ brute-force ranking for the same bucket queries") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.bruteForceTopK(spark, dir, k = 500)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val lsh = Similarity.lshTopK(spark, dir, k = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) =>
+      assert(brute(q).get(n).contains(c), s"LSH pair ($q,$n,$c) disagrees with brute force")
+    }
+  }
+
+  test("cosine: self-similarity is 1, symmetry holds") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val self = a.join(b, col("v1") === col("v2"))
+      .select(round(Similarity.cosine(col("e1"), col("e2")), 6).as("c"))
+      .as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+    val cross = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        Similarity.cosine(col("e1"), col("e2")).as("ab"),
+        Similarity.cosine(col("e2"), col("e1")).as("ba"))
+      .select((col("ab") - col("ba")).as("d")).as[Double].collect()
+    assert(cross.forall(d => math.abs(d) < 1e-12))
+  }
+}
