@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{IngestQueries, LogQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,7 @@ object SparkEntry {
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
+    "x_multimodal_features" -> (Multimodal.featureQuery _),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -362,6 +363,20 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "x_multimodal_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
+         c AS (SELECT media_id, text,
+           list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes FROM m),
+         h AS (SELECT media_id, text, codes,
+           list_transform(range(0, 16), b -> len(list_filter(codes, cp -> cp % 256 // 16 = b))) AS hist FROM c),
+         n AS (SELECT media_id, text, hist,
+           sqrt(list_sum(list_transform(hist, x -> CAST(x AS DOUBLE) * x))) AS nrm FROM h)
+         SELECT media_id,
+           (['image', 'audio', 'video'])[CAST(media_id % 3 AS INT) + 1] AS kind,
+           CAST(floor(length(text) / 32.0) + 1 AS INT) AS n_frames,
+           round(hist[1] / nrm, 6) AS f0,
+           round(hist[2] / nrm, 6) AS f1
+         FROM n ORDER BY media_id""",
   )
 
   /** Rare-shingle (8-gram, df≤100) Jaccard ≥ 0.8 pair set — the shared

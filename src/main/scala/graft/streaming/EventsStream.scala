@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the `events` schema
+  * (SURVEY.md §2B streaming row + §2C streaming dedup).
+  *
+  * The reference has NO event-time logic (late/invalid timestamps just
+  * become now(), main.go:88-110) — these are the north-star operators:
+  * watermarked tumbling windows, session windows, dedup-within-
+  * watermark, and custom per-key running state.
+  *
+  * Every transform here is a pure Dataset function usable on both a
+  * streaming and a batch frame (Spark's unified API), so the specs
+  * cross-check streaming output against the batch twin.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Replay a directory of events parquet files as a stream (file
+    * source; the source requires a DIRECTORY — stage single files into
+    * one; each new file = one micro-batch).
+    */
+  def replay(spark: SparkSession, eventsDir: String): DataFrame = {
+    // same TIMESTAMP(NANOS) handling as Tables.load — the streaming
+    // source reads the raw schema, so ts arrives as a nanosecond Long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Watermarked tumbling-window aggregation (batch twin:
+    * LogQueries.eventsTumblingWindow). 10-minute lateness bound: later
+    * rows are dropped and their window state is reclaimed — bounded
+    * state at any scale.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap (batch twin:
+    * LogQueries.eventsSessionize computes the same sessions with lag +
+    * cumulative sum).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"),
+              col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark
+    * (the §2C "streaming dedup" operator).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state: running per-user count/total via
+    * flatMapGroupsWithState — the escape hatch for state machines the
+    * built-in windows can't express. Emits one updated row per user per
+    * micro-batch.
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserStat(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Multimodal plumbing: schema shape, deterministic decode stub, frame
+  * sampling geometry, resize contract.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("synthetic media schema: binary payload + typed metadata") {
+    val m = Multimodal.syntheticMedia(spark, dir)
+    val f = m.schema.fields.map(x => x.name -> x.dataType.simpleString).toMap
+    assert(f("payload") == "binary")
+    assert(f("kind") == "string")
+    assert(f("meta").startsWith("struct<width:int,height:int,sample_rate:int,n_frames:int"))
+    assert(m.select("kind").distinct().as[String].collect().toSet == Set("image", "audio", "video"))
+  }
+
+  test("feature decode stub: unit-norm, deterministic across runs") {
+    val feats = Multimodal.decodeToFeatures(Multimodal.syntheticMedia(spark, dir).limit(20))
+    val norms = feats.select(
+      aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    val a = feats.select("media_id", "features").as[(Long, Seq[Double])].collect().toMap
+    val b = Multimodal.decodeToFeatures(Multimodal.syntheticMedia(spark, dir).limit(20))
+      .select("media_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(a == b)
+  }
+
+  test("frame sampling: stride-4 keeps every 4th fixed-size frame") {
+    val media = Multimodal.syntheticMedia(spark, dir).filter(col("kind") === "video").limit(5)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+    val byMedia = frames.groupBy("media_id").agg(
+        count(lit(1)).as("n"), collect_list("frame_idx").as("idxs"))
+      .as[(Long, Long, Seq[Int])].collect()
+    assert(byMedia.nonEmpty)
+    byMedia.foreach { case (_, _, idxs) =>
+      assert(idxs.forall(_ % 4 == 0), s"non-stride frame kept: $idxs")
+    }
+    val lens = frames.select(length(col("frame"))).as[Int].collect()
+    assert(lens.forall(_ <= 32))
+  }
+
+  test("resize: every frame exactly target size, truncation or zero-pad") {
+    val media = Multimodal.syntheticMedia(spark, dir).filter(col("kind") === "video").limit(3)
+    val resized = Multimodal.resizeFrames(Multimodal.sampleFrames(media), targetBytes = 16)
+    val lens = resized.select(length(col("resized"))).as[Int].collect()
+    assert(lens.nonEmpty && lens.forall(_ == 16), s"lens: ${lens.toSeq.distinct}")
+  }
+}
