@@ -27,17 +27,29 @@ import graft.Tables
 object Similarity {
 
   /** dot(a, b) in double over float arrays (sequential fold — same
-    * evaluation order as DuckDB's list_dot_product loop).
+    * evaluation order as DuckDB's list_dot_product loop). Reference
+    * formulation; the hot path uses the fused codegen expression.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Interpreted higher-order-function cosine — kept as the semantic
+    * reference for [[graft.functions.CosineSim]] (bit-equal results,
+    * asserted in ExtSpec). 179 s vs 3 s at sf0.1 for the all-pairs query.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Fused single-pass codegen cosine (graft.functions.CosineSim);
+    * the session must have called GraftFunctions.register.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force top-5 cosine neighbors for query vectors vec_id < 10. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -62,6 +74,7 @@ object Similarity {
     * within the query's bucket (~1/256 of the corpus per probe).
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).withColumn("bucket", signBucket(col("embedding")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket").as("qb"))
@@ -80,6 +93,7 @@ object Similarity {
     * 100 TB variant (same output for thresholds the bucketing recalls).
     */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))

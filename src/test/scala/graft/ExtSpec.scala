@@ -68,7 +68,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("fused codegen cosine is bit-equal to the HOF reference formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val diffs = a.join(b, col("v1") < col("v2")).limit(5000)
+      .select(Similarity.cosine(col("e1"), col("e2")).as("fused"),
+              Similarity.cosineHof(col("e1"), col("e2")).as("hof"))
+      .filter(col("fused") =!= col("hof"))   // bitwise-exact for doubles
+      .count()
+    assert(diffs == 0L)
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
