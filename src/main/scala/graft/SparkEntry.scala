@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{IngestQueries, LogQueries, Relational}
+import graft.queries.{IngestQueries, LogQueries, Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,12 @@ object SparkEntry {
     "q13_range_join"      -> (Relational.q13RangeJoin _),
     "q14_date_funcs"      -> (Relational.q14DateFuncs _),
     "q15_join_aggregate"  -> (Relational.q15JoinAggregate _),
+    "q16_percentiles"     -> (Relational2.q16Percentiles _),
+    "q17_stats_aggs"      -> (Relational2.q17StatsAggs _),
+    "q18_grouping_sets"   -> (Relational2.q18GroupingSets _),
+    "q19_sql_surface"     -> (Relational2.q19SqlSurface _),
+    "q20_array_agg"       -> (Relational2.q20ArrayAgg _),
+    "q21_approx_distinct" -> (Relational2.q21ApproxDistinct _),  // rows-only
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -189,6 +195,44 @@ object SparkEntry {
          ) ca ON o.o_custkey = ca.ck
          WHERE o.o_totalprice > ca.cust_avg * 1.5
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q17_stats_aggs" ->
+      """SELECT l_linestatus,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_extendedprice), 2) AS var_price,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q18_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q19_sql_surface" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q20_array_agg" ->
+      """SELECT o_orderstatus,
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+         count(DISTINCT o_orderpriority) AS n_priorities,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "logs_count_minmax" ->
       """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",
     "logs_latest" ->

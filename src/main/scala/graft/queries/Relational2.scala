@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second batch of relational coverage (SURVEY.md §2B general classes):
+  * ordered-set/statistical aggregates, explicit GROUPING SETS with
+  * grouping_id, the spark.sql TEXT surface over registered views, and
+  * array aggregation. Same determinism conventions as [[Relational]].
+  */
+object Relational2 {
+
+  /** Q16 — percentiles: exact linear-interpolation percentile (the
+    * `percentile` exact aggregate; both engines interpolate the same
+    * way). Scale note: exact percentile is a sort-based aggregate — at
+    * 100 TB swap in approx_percentile (t-digest) and drop the oracle to
+    * tolerance-based.
+    */
+  def q16Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q17 — statistical aggregates: stddev/variance (sample), Pearson
+    * correlation, covariance. Numerically stable one-pass algorithms in
+    * both engines; rounded to absorb update-order epsilon.
+    */
+  def q17StatsAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev(col("l_quantity")), 4).as("sd_qty"),
+        round(variance(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"))
+      .orderBy(col("l_linestatus"))
+
+  /** Q18 — explicit GROUPING SETS with grouping_id disambiguation
+    * (rollup/cube's general form).
+    */
+  def q18GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  /** Q19 — the SQL-text surface end-to-end: a TPC-H Q3-shaped query
+    * submitted as text over the registered views (parser → analyzer →
+    * optimizer path, not the DataFrame DSL).
+    */
+  def q19SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+  }
+
+  /** Q20 — array aggregation: per-group sorted distinct collections,
+    * joined to a stable string (collect_set order is nondeterministic;
+    * array_sort + array_join pins it).
+    */
+  def q20ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
+    * sketch implementations differ — so the driver records rows-only;
+    * the ScalaTest spec asserts relative error against the exact count.
+    */
+  def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+}

@@ -81,6 +81,15 @@ class ExtSpec extends SparkSpec {
     assert(diffs == 0L)
   }
 
+  test("approx_count_distinct within 5% of exact (HLL default rsd)") {
+    val rows = graft.queries.Relational2.q21ApproxDistinct(spark, "/root/testdata/sf0.01")
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+    }
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
