@@ -54,6 +54,7 @@ object SparkEntry {
     "events_tumbling"     -> (LogQueries.eventsTumblingWindow _),
     "events_sessionize"   -> (LogQueries.eventsSessionize _),
     "events_asof_orders"  -> (LogQueries.eventsAsofOrders _),
+    "events_asof_merge"   -> (LogQueries.eventsAsofOrdersMerge _),
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
@@ -272,11 +273,8 @@ object SparkEntry {
            round(avg(n_events), 4) AS avg_events_per_sess,
            max(n_events) AS max_events
          FROM per_session GROUP BY user_id ORDER BY user_id""",
-    "events_asof_orders" ->
-      """SELECT event_id, user_id, ts, max(o_orderdate) AS last_order_date
-         FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 200) e
-         LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
-         GROUP BY event_id, user_id, ts ORDER BY event_id""",
+    "events_asof_orders" -> asofOracle,
+    "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
@@ -422,6 +420,15 @@ object SparkEntry {
            round(hist[2] / nrm, 6) AS f1
          FROM n ORDER BY media_id""",
   )
+
+  /** As-of semantics shared by the join+aggregate and sort-merge
+    * formulations: each event's most recent order date at or before it.
+    */
+  private val asofOracle: String =
+    """SELECT event_id, user_id, ts, max(o_orderdate) AS last_order_date
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 200) e
+       LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
+       GROUP BY event_id, user_id, ts ORDER BY event_id"""
 
   /** Rare-shingle (8-gram, df≤100) Jaccard ≥ 0.8 pair set — the shared
     * contract for the exact inverted-index path and the MinHash-LSH path.

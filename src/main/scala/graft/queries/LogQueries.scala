@@ -103,6 +103,32 @@ object LogQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join, sort-merge formulation: union both sides tagged, one
+    * shuffle+sort on (user, time), and a running last-non-null carries
+    * each user's most recent order date onto every event row. Same
+    * contract as [[eventsAsofOrders]] (shared oracle) but ONE exchange
+    * and no join blowup — the 100 TB-preferred shape.
+    */
+  def eventsAsofOrdersMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(0).as("kind"),                                // orders sort first at equal t → <= stays inclusive
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderdate").as("od"))
+    val e = Tables.events(spark, dir).filter(col("event_id") < lit(200)).select(
+      col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+      col("event_id"), lit(null).cast("timestamp_ntz").as("od"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("last_order_date", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("kind") === lit(1))
+      .select(col("event_id"), col("user_id"), col("t").as("ts"), col("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).
