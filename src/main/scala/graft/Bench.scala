@@ -35,7 +35,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Ingest throughput — the reference's headline metric (EPS, defined
+    // but never measured there, README.md:387): replay the sf events as
+    // JSON lines through decode+normalize at full width.
+    val eps = {
+      import org.apache.spark.sql.functions._
+      val lines = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(to_json(struct(col("*"))).as("value"))
+      val n = lines.count()
+      val t0 = System.nanoTime()
+      graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
+        .write.format("noop").mode("overwrite").save()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ingest_eps":${eps.round},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
