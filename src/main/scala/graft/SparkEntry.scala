@@ -68,6 +68,7 @@ object SparkEntry {
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
@@ -353,6 +354,27 @@ object SparkEntry {
            SELECT q.query_id, e.vec_id AS neighbor_id,
              round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
            FROM e, q WHERE e.bucket = q.qb AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    "x_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent) t WHERE cell_rank = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+           FROM assigned a, q WHERE a.cell_id = q.qcell AND a.vec_id <> q.query_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk

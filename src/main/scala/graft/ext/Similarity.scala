@@ -88,6 +88,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into K cells by
+    * nearest centroid, search a query only within its own cell. Here
+    * centroids are the first K vectors (deterministic — engine-portable
+    * for the oracle; a production build k-means-refines them, which
+    * only changes cell quality, not the operator shape). Complements
+    * [[lshTopK]] as the second scale path: cell assignment is one
+    * broadcast pass, per-query work drops ~K-fold.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    def assign(df: DataFrame, vecCol: String): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(cosine(col(vecCol), col("cv")), 6).desc, col("cell_id").asc)
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") === 1)
+        .drop("cv", "cell_rank")
+    }
+    val assigned = assign(e, "embedding")
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell_id").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Quadratic
     * all-pairs at oracle scale; the LSH bucket equality join is the
     * 100 TB variant (same output for thresholds the bucketing recalls).

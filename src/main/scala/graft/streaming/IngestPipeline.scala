@@ -25,13 +25,27 @@ object IngestPipeline {
   case object Events   extends WireFormat  // JSON-array body (S2)
   case object Logstash extends WireFormat  // fallback chain  (S4)
 
+  /** Source selection — built-in Structured Streaming sources covering
+    * the reference's declared-but-stubbed inputs (main.go:612-665):
+    * file-tail (S10) is the tested default; Kafka (S8) and raw TCP
+    * socket (S11) are first-class wiring with identical downstream
+    * stages (no broker/listener exists in this environment to drive
+    * them); Redis and Lumberjack stay unsupported exactly like the
+    * reference ("当前版本暂不支持").
+    */
+  sealed trait Source
+  final case class FileSource(dir: String) extends Source
+  final case class KafkaSource(bootstrapServers: String, topic: String) extends Source
+  final case class SocketSource(host: String, port: Int) extends Source
+
   final case class Config(
       inputDir: String,
       parquetDir: String,
       checkpointDir: String,
       format: WireFormat = Bulk,
       jdbc: Option[JdbcConfig] = None,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      source: Option[Source] = None)  // default: FileSource(inputDir)
 
   /** Decode stage — pure DataFrame transform, shared batch/streaming. */
   def decode(lines: DataFrame, format: WireFormat): DataFrame = format match {
@@ -46,8 +60,25 @@ object IngestPipeline {
   def runBatch(lines: DataFrame, format: WireFormat = Bulk): DataFrame =
     Normalize.normalize(decode(lines, format))
 
+  /** One raw-line column from whichever source is configured. */
+  def readLines(spark: SparkSession, cfg: Config): DataFrame =
+    cfg.source.getOrElse(FileSource(cfg.inputDir)) match {
+      case FileSource(dir) =>
+        spark.readStream.text(dir)
+      case KafkaSource(servers, topic) =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic)
+          .load()
+          .selectExpr("CAST(value AS STRING) AS value")
+      case SocketSource(host, port) =>
+        spark.readStream.format("socket")
+          .option("host", host).option("port", port)
+          .load()
+    }
+
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val lines = spark.readStream.text(cfg.inputDir)
+    val lines = readLines(spark, cfg)
     val normalized = runBatch(lines, cfg.format)
     val writer = normalized.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

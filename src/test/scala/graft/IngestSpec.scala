@@ -99,6 +99,34 @@ class IngestSpec extends SparkSpec {
     assert(ts == Set("2025-12-04 10:00:00"))
   }
 
+  test("property: 500 randomized semi-structured events normalize totally and faithfully") {
+    val rnd = new scala.util.Random(42)
+    def maybe(s: => String): String = if (rnd.nextBoolean()) s else ""
+    val tsPool = Seq("2025-12-04T10:00:00Z", "2025-12-04 10:00:00", "garbage-ts", "", "12345")
+    val lines = (0 until 500).map { i =>
+      val parts = Seq(
+        maybe(s""""@timestamp":"${tsPool(rnd.nextInt(tsPool.length))}""""),
+        maybe(s""""message":"msg-$i""""),
+        maybe(s""""container":{"name":"c$i"}"""),
+        maybe(s""""container":"not-an-object""""),
+        maybe(s""""host":{"name":"h${rnd.nextInt(10)}"}"""),
+        maybe(s""""junk_${rnd.nextInt(100)}":[1,2,{"deep":true}]""")
+      ).filter(_.nonEmpty)
+      s"{${parts.mkString(",")}}"
+    }
+    val df = Normalize.normalize(lines.toDF("value"), ingestTs = fixedTs)
+    val rows = df.collect()
+    assert(rows.length == 500)                      // total: nothing dropped or duplicated
+    rows.foreach(r => assert(!r.anyNull))           // complete 10-column rows
+    // raw_json is the verbatim input line for every row
+    val raws = df.select("raw_json").as[String].collect().toSet
+    assert(raws == lines.toSet)
+    // any parsed message matches its source line
+    df.select("message", "raw_json").as[(String, String)].collect().foreach {
+      case (m, raw) => if (m.nonEmpty) assert(raw.contains(s""""message":"$m""""))
+    }
+  }
+
   test("array parse keeps element-level raw_json fidelity") {
     val payload = Seq("""[{"message":"m1","extra_key":"preserved"},{"message":"m2"}]""").toDF("value")
     val docs = EventParser.parseJsonArray(payload).as[String].collect()
