@@ -27,6 +27,10 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // isolate queries from each other's heap garbage: measured 4x
+      // swings on the all-pairs query when it followed the 256M-row
+      // minhash stage without a GC in between
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
