@@ -46,6 +46,8 @@ object SparkEntry {
     "q19_sql_surface"     -> (Relational2.q19SqlSurface _),
     "q20_array_agg"       -> (Relational2.q20ArrayAgg _),
     "q21_approx_distinct" -> (Relational2.q21ApproxDistinct _),  // rows-only
+    "q22_window_ranking"  -> (Relational2.q22WindowRanking _),
+    "q23_conditional_agg" -> (Relational2.q23ConditionalAgg _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -234,6 +236,23 @@ object SparkEntry {
          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
          count(DISTINCT o_orderpriority) AS n_priorities,
          count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q22_window_ranking" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders WHERE o_orderkey < 2000
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+    "q23_conditional_agg" ->
+      """SELECT o_orderstatus,
+         count(CASE WHEN o_totalprice > 300000 THEN 1 END) AS n_big,
+         round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_revenue,
+         round(avg(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN o_totalprice END), 4) AS hi_prio_avg,
+         round(sum((CASE o_orderpriority
+             WHEN '1-URGENT' THEN 5.0 WHEN '2-HIGH' THEN 4.0 WHEN '3-MEDIUM' THEN 3.0
+             WHEN '4-NOT SPECIFIED' THEN 2.0 WHEN '5-LOW' THEN 1.0 END) * o_totalprice), 2) AS weighted_revenue
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "logs_count_minmax" ->
       """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",

@@ -88,6 +88,41 @@ object Relational2 {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Q22 — ranking-window battery: ntile buckets, percent_rank,
+    * cume_dist (exact rationals — identical doubles in both engines).
+    * Unique (totalprice, orderkey) ordering keeps every rank stable.
+    */
+  def q22WindowRanking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  /** Q23 — conditional aggregation (FILTER-style) + map-literal lookup
+    * scoring (Spark map functions; oracle expresses the same lookup as
+    * a CASE — scalar outputs keep it engine-portable).
+    */
+  def q23ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val weight = map(
+      lit("1-URGENT"), lit(5.0), lit("2-HIGH"), lit(4.0), lit("3-MEDIUM"), lit(3.0),
+      lit("4-NOT SPECIFIED"), lit(2.0), lit("5-LOW"), lit(1.0))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2).as("urgent_revenue"),
+        round(avg(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), col("o_totalprice"))), 4).as("hi_prio_avg"),
+        round(sum(element_at(weight, col("o_orderpriority")) * col("o_totalprice")), 2).as("weighted_revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
     * sketch implementations differ — so the driver records rows-only;
     * the ScalaTest spec asserts relative error against the exact count.
