@@ -72,6 +72,7 @@ object SparkEntry {
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
@@ -405,6 +406,23 @@ object SparkEntry {
          SELECT a.vec_id AS v1, b.vec_id AS v2,
            round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+         ORDER BY v1, v2""",
+    "x_embed_neardup_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
          ORDER BY v1, v2""",
     "x_text_stats" ->

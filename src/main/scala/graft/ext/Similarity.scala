@@ -88,6 +88,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Near-dup pairs at scale: the bucket-equality join promised as the
+    * 100 TB replacement for the quadratic [[embeddingNearDup]] — pairs
+    * only materialize within a sign-bit bucket (an equi-join Catalyst
+    * shuffles on the bucket key), trading recall for linearithmic cost.
+    * Deterministic, so fully oracle-checkable as its own contract.
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", signBucket(col("embedding")))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cos"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into K cells by
     * nearest centroid, search a query only within its own cell. Here
     * centroids are the first K vectors (deterministic — engine-portable

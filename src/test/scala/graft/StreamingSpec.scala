@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 5, s"only ${streamed.size}/${batch.size} windows finalized")
   }
 
+  test("streaming session_window sessions agree with the batch lag/cumsum sessionization") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = tmp("graft-events-sess")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val q = EventsStream.sessions(EventsStream.replay(spark, staged))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch twin aggregates the same per-user session counts
+    val streamedPerUser = spark.table("sess_out")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val batchPerUser = LogQueries.eventsSessionize(spark, dir)
+      .select(col("user_id"), col("n_sessions")).as[(Long, Long)].collect().toMap
+    assert(streamedPerUser.nonEmpty)
+    // AvailableNow finalizes all but possibly each user's last open
+    // session: streamed counts must match batch within that last-session
+    // tolerance and never exceed it
+    batchPerUser.foreach { case (u, n) =>
+      val s = streamedPerUser.getOrElse(u, 0L)
+      assert(s == n || s == n - 1, s"user $u: streamed $s vs batch $n")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     val input = MemoryStream[EventsStream.Event](spark)
     val deduped = EventsStream.dedup(input.toDF())
