@@ -57,6 +57,7 @@ object SparkEntry {
     "events_sessionize"   -> (LogQueries.eventsSessionize _),
     "events_asof_orders"  -> (LogQueries.eventsAsofOrders _),
     "events_asof_merge"   -> (LogQueries.eventsAsofOrdersMerge _),
+    "events_asof_exec"    -> (LogQueries.eventsAsofOrdersExec _),
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
@@ -296,6 +297,7 @@ object SparkEntry {
          FROM per_session GROUP BY user_id ORDER BY user_id""",
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
+    "events_asof_exec"   -> asofOracle,   // same contract, custom physical op
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
          round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,

@@ -84,6 +84,7 @@ object PushNanosTimestampPredicate extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushNanosTimestampPredicate)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

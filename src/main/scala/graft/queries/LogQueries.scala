@@ -129,6 +129,23 @@ object LogQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join via the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): co-partitioned sorted streaming
+    * merge — O(n+m) per partition, one buffered row of state, no join
+    * blowup, no window buffering. Third formulation of the same oracle
+    * contract; requires the GraftExtensions planner strategy.
+    */
+  def eventsAsofOrdersExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_id") < lit(200))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderdate"))
+    graft.plans.AsOf.join(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("o_orderdate").as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).

@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("custom AsOfJoinExec plans via the injected strategy and matches the other formulations") {
+    val df = LogQueries.eventsAsofOrdersExec(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix, so the node prints as
+    // "AsOfJoin" in the PHYSICAL plan (with the hash exchanges + sorts
+    // EnsureRequirements added around it)
+    assert(physical.contains("AsOfJoin"), s"custom exec not planned:\n$physical")
+    assert(physical.contains("Exchange hashpartitioning"), "expected co-partitioning exchanges")
+    val exec = df.select(col("event_id"), col("last_order_date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val merge = LogQueries.eventsAsofOrdersMerge(spark, dir)
+      .select(col("event_id"), col("last_order_date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(exec == merge)
+  }
+
   test("merge as-of join matches the join+aggregate formulation") {
     val a = LogQueries.eventsAsofOrders(spark, dir)
       .select(col("event_id"), col("last_order_date").cast("string"))
