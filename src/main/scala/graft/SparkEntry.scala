@@ -48,6 +48,7 @@ object SparkEntry {
     "q21_approx_distinct" -> (Relational2.q21ApproxDistinct _),  // rows-only
     "q22_window_ranking"  -> (Relational2.q22WindowRanking _),
     "q23_conditional_agg" -> (Relational2.q23ConditionalAgg _),
+    "q24_fuzzy_strings"   -> (Relational2.q24FuzzyStrings _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -256,6 +257,13 @@ object SparkEntry {
              WHEN '1-URGENT' THEN 5.0 WHEN '2-HIGH' THEN 4.0 WHEN '3-MEDIUM' THEN 3.0
              WHEN '4-NOT SPECIFIED' THEN 2.0 WHEN '5-LOW' THEN 1.0 END) * o_totalprice), 2) AS weighted_revenue
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q24_fuzzy_strings" ->
+      """SELECT p_partkey, p_name,
+         CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist_widget,
+         lpad(p_brand, 12, '*') AS brand_padded,
+         translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+         reverse(p_brand) AS brand_rev
+         FROM part WHERE p_partkey < 50 ORDER BY p_partkey""",
     "logs_count_minmax" ->
       """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",
     "logs_latest" ->

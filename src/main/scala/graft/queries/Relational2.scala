@@ -123,6 +123,20 @@ object Relational2 {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Q24 — fuzzy/string battery: edit distance (exact integers — fully
+    * portable), padding, character translation, title-casing.
+    */
+  def q24FuzzyStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 50)
+      .select(
+        col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit("red widget")).cast("long").as("dist_widget"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        reverse(col("p_brand")).as("brand_rev"))  // initcap missing in DuckDB 1.0
+      .orderBy(col("p_partkey"))
+
   /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
     * sketch implementations differ — so the driver records rows-only;
     * the ScalaTest spec asserts relative error against the exact count.
