@@ -79,6 +79,7 @@ object SparkEntry {
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
+    "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
   )
 
@@ -474,6 +475,23 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "x_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id < 100),
+         t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY token),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(100.0 / df.df), 6) AS tfidf
+           FROM tf JOIN df ON tf.token = df.token),
+         ranked AS (
+           SELECT doc_id, token, tf, df, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT doc_id, rk, token, tf, df, tfidf FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "x_multimodal_features" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
          c AS (SELECT media_id, text,

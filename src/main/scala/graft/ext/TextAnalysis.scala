@@ -68,6 +68,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF over a bounded document sample (doc_id < 100): token
+    * explode → term frequency per doc → document frequency per token →
+    * tfidf = tf·ln(N/df), top-3 terms per doc. Two hash aggregates and
+    * one window — every stage partial-aggregates before its shuffle,
+    * the standard scalable shape for corpus-level term weighting.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 100
+    val tokens = Tables.documents(spark, dir)
+      .filter(col("doc_id") < n)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** BPE-ish regex token count: alpha runs, digit runs, single
     * punctuation — the pre-tokenizer split GPT-style BPE vocabularies
     * assume. Portable regex subset (works in both Java regex and RE2).
