@@ -17,6 +17,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce tiny shuffles by data size, not cluster parallelism
+      // (the doc-recommended setting): per-task fixed overhead dominates
+      // KB-sized shuffle partitions, locally AND on a 1000-executor
+      // cluster where 200 near-empty tasks per stage waste scheduler
+      // round-trips
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -27,9 +33,11 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // isolate queries from each other's heap garbage: measured 4x
-      // swings on the all-pairs query when it followed the 256M-row
-      // minhash stage without a GC in between
+      // isolate queries from each other: drop any frame the previous
+      // query persisted (the dedup queries cache their shingle frame),
+      // then GC — measured 4x swings on the all-pairs query when it
+      // followed the minhash stage without a GC in between
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

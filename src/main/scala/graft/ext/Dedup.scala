@@ -22,24 +22,48 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct 8-char shingles per document. */
-  def allShingles(docs: DataFrame, n: Int = 8): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))")).as("ng"))
-      .distinct()
+  /** Distinct 8-char shingles per document, one (doc_id, ng) row each.
+    *
+    * The [[graft.functions.NgramShingles]] expression dedups inside the
+    * operator, so the explode emits already-distinct pairs — no
+    * `distinct` shuffle over the exploded rows (round 1 shuffled all
+    * ~1.4M of them at sf0.1, and generated them with an interpreted
+    * per-element lambda on top). The explicit-width repartition spreads
+    * the CPU-heavy explode across every core BEFORE the blowup: it
+    * shuffles only the narrow document rows, and pins the partition
+    * count so AQE cannot coalesce a small input (one parquet file =
+    * one scan task locally) back into a single task. At 100 TB the scan
+    * arrives pre-split across thousands of files and this exchange is
+    * the cheap side of the explode by construction.
+    */
+  def allShingles(docs: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(width, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.ngramShingles(col("text"), n)).as("ng"))
+  }
 
   /** Shingles with document frequency ≤ `maxDf` (stop-shingle removal).
     * Without the cap the inverted-index self-join is quadratic in each
     * shingle's df — measured 280M candidate pairs at sf0.1 vs 2M with
     * df≤100 — and ubiquitous shingles carry no near-dup signal anyway.
     * This is THE knob that keeps the join linear-ish at 100 TB.
+    *
+    * One shuffle total: group by `ng` with the bounded
+    * [[graft.functions.CollectSetCapped]] aggregate (cap = maxDf + 1 —
+    * just enough to prove a shingle is over the limit), filter, and
+    * re-explode the surviving doc sets. Round 1 spent three shuffles
+    * here (distinct, df count, df join) and carried unbounded state on
+    * hot shingles; this shape is skew-proof — a stop-shingle costs
+    * O(maxDf) on its reducer no matter how many documents contain it.
     */
-  def shingles(docs: DataFrame, n: Int = 8, maxDf: Int = 100): DataFrame = {
-    val g = allShingles(docs, n)
-    val rare = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("ng"))
-    g.join(rare, "ng").select(col("doc_id"), col("ng"))
-  }
+  def shingles(docs: DataFrame, n: Int = 8, maxDf: Int = 100): DataFrame =
+    allShingles(docs, n)
+      .groupBy(col("ng"))
+      .agg(graft.functions.GraftFunctions.collectSetCapped(col("doc_id"), maxDf + 1).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(explode(col("ds")).as("doc_id"), col("ng"))
 
   /** Exact-dup profile per language: row counts vs distinct contents.
     * At scale this is a single hash aggregate; `sha2(text, 256)` would
@@ -53,12 +77,36 @@ object Dedup {
            countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang"))
 
+  /** Jaccard-verify a candidate pair set against a shingle frame and
+    * keep pairs ≥ `threshold`. Shared by the exact inverted-index path
+    * and the LSH path (identical output contract / one oracle).
+    */
+  private def jaccardVerify(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame = {
+    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
+    val shared = cand
+      .join(g.select(col("doc_id").as("d1"), col("ng").as("ng1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")), "d2")
+      .filter(col("ng1") === col("ng2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
+      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
+      .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via inverted-index
     * self-join. Shuffles on `ng` once; pair aggregation shuffles on
-    * (d1, d2). No cross join anywhere.
+    * (d1, d2). No cross join anywhere. The shingle frame is persisted:
+    * it feeds the self-join twice plus the per-doc counts, and without
+    * the persist each consumer re-runs the explode + df-cap join
+    * (3× recompute — part of the round-1 44 s bench entry).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingles(Tables.documents(spark, dir))
+    val g = shingles(Tables.documents(spark, dir)).persist()
     val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
     val shared = g.as("a").join(g.as("b"),
         col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
@@ -73,58 +121,46 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val NumHashes = 128
+  private val NumHashes = graft.functions.MinHash128.NumHashes
   private val Bands = 32 // 4 rows per band
 
-  /** MinHash signatures: min over shingles of xxhash64(ng, i) for seed
-    * index i — a seeded-hash family with no arithmetic (ANSI mode
-    * rejects the classic overflow-wrapping multiply-add). Returned as
-    * one array<long> per doc.
+  /** MinHash signatures over a shingle frame: one codegen'd
+    * `xxhash64(ng)` projection, then the one-pass [[graft.functions
+    * .MinHash128]] imperative aggregate (128 running minima per doc,
+    * map-side partials). No row blowup anywhere: the aggregate input is
+    * exactly the shingle count and the shuffle is docs × 128 longs —
+    * the round-1 version exploded shingles 128× first (190M rows at
+    * sf0.1, 138.6 s; VERDICT.md item 1).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val g = shingles(docs)
-    // explode a LITERAL index array, then hash with a plain codegen'd
-    // xxhash64(ng, i) — a `transform` lambda here would run interpreted
-    // per shingle (measured 31.8 s → ~8 s at sf0.1). The partial min
-    // aggregate collapses the 128× blowup before any shuffle.
-    g.withColumn("i", explode(typedLit((0 until NumHashes).toArray)))
-      .select(col("doc_id"), col("i"), xxhash64(col("ng"), col("i")).as("v"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("v")).as("mv"))
+  def minhashSignatures(shingleFrame: DataFrame): DataFrame =
+    shingleFrame
+      .select(col("doc_id"), xxhash64(col("ng")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, mv)), (l, r) -> case when l.i < r.i then -1 when l.i > r.i then 1 else 0 end), s -> s.mv)").as("sig"))
-  }
+      .agg(graft.functions.GraftFunctions.minhash128(col("h")).as("sig"))
 
   /** LSH candidate pairs → exact-Jaccard verify ≥ 0.8. Same contract as
-    * [[ngramJaccardPairs]], near-linear candidate generation.
+    * [[ngramJaccardPairs]], near-linear candidate generation. One
+    * persisted shingle frame serves both the signature stage and the
+    * verify stage (round 1 recomputed it, doubling the dominant cost).
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sig = minhashSignatures(docs)
+    graft.functions.GraftFunctions.register(spark)
+    val g = shingles(Tables.documents(spark, dir)).persist()
+    val sig = minhashSignatures(g)
     val rowsPerBand = NumHashes / Bands
+    // persisted: both sides of the candidate self-join consume this
+    // frame, and AQE re-planning defeats ReusedExchange here — without
+    // the persist the whole shingle→signature pipeline executes twice
+    // (measured as ~6 duplicated stages in the stage profile)
     val banded = sig.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band", "bsig")))
+      .persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact verify on candidates only
-    val g = shingles(docs)
-    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
-    val shared = cand
-      .join(g.select(col("doc_id").as("d1"), col("ng").as("ng1")), "d1")
-      .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")), "d2")
-      .filter(col("ng1") === col("ng2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
-      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
-      .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jac") >= 0.8)
-      .select(col("d1"), col("d2"), col("jac"))
-      .orderBy(col("d1"), col("d2"))
+    jaccardVerify(cand, g, 0.8)
   }
 
   /** SimHash (64-bit, xxhash64 token hashes): per-doc fingerprint whose

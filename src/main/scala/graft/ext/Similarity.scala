@@ -117,15 +117,25 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids = e.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    // Centroids are a bounded K-row dimension (16 × 64 floats); fetch
+    // them once and inline as literals so cell assignment is a pure
+    // per-row argmax — zero shuffle, stays in whole-stage codegen. The
+    // round-1 plan (broadcast NLJ against `lit(true)` + a corpus-wide
+    // row_number window on vec_id) K×-inflated the corpus and shuffled
+    // all of it just to pick a max (VERDICT.md item 5). struct ordering
+    // (−cos asc, cell_id asc) reproduces the window's
+    // (cos desc, cell_id asc) tie-break exactly.
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
     def assign(df: DataFrame, vecCol: String): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(cosine(col(vecCol), col("cv")), 6).desc, col("cell_id").asc)
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") === 1)
-        .drop("cv", "cell_rank")
+      val scoredCells = array(centroids.map { case (cellId, cv) =>
+        struct(
+          (-round(cosine(col(vecCol), typedLit(cv)), 6)).as("neg_cos"),
+          lit(cellId).as("cell_id"))
+      }: _*)
+      df.withColumn("cell_id", array_min(scoredCells).getField("cell_id"))
     }
     val assigned = assign(e, "embedding")
     val queries = assigned.filter(col("vec_id") < 10)

@@ -81,10 +81,46 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   * through the FunctionRegistry + call_function (the supported route).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  /** Idempotent per-session registration: skips names already present
+    * (either from a previous call or injected via GraftExtensions), so
+    * repeated calls from query builders don't log replace warnings.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("minhash128")))
+      reg.createOrReplaceTempFunction(
+        "minhash128", exprs => MinHash128(exprs(0)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("ngram_shingles")))
+      reg.createOrReplaceTempFunction(
+        "ngram_shingles", exprs => NgramShingles(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("collect_set_capped")))
+      reg.createOrReplaceTempFunction(
+        "collect_set_capped", exprs => CollectSetCapped(exprs(0), intLit(exprs(1))), "scala_udf")
+  }
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal argument, got $other")
+    }
 
   /** Requires [[register]] to have been called on the owning session. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Aggregate: 128-long MinHash signature over pre-hashed shingles. */
+  def minhash128(h: Column): Column = call_function("minhash128", h)
+
+  /** Distinct n-gram shingle array of a string column. */
+  def ngramShingles(s: Column, n: Int): Column =
+    call_function("ngram_shingles", s, org.apache.spark.sql.functions.lit(n))
+
+  /** Bounded-state distinct-collect: at most `cap` bigints per group. */
+  def collectSetCapped(v: Column, cap: Int): Column =
+    call_function("collect_set_capped", v, org.apache.spark.sql.functions.lit(cap))
 }

@@ -89,5 +89,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash128"),
+      new ExpressionInfo(classOf[graft.functions.MinHash128].getName, "minhash128"),
+      (exprs: Seq[Expression]) => graft.functions.MinHash128(exprs(0))))
+    def intLit(ex: Expression): Int = ex match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_shingles"),
+      new ExpressionInfo(classOf[graft.functions.NgramShingles].getName, "ngram_shingles"),
+      (exprs: Seq[Expression]) => graft.functions.NgramShingles(exprs(0), intLit(exprs(1)))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("collect_set_capped"),
+      new ExpressionInfo(classOf[graft.functions.CollectSetCapped].getName, "collect_set_capped"),
+      (exprs: Seq[Expression]) => graft.functions.CollectSetCapped(exprs(0), intLit(exprs(1)))))
   }
 }

@@ -36,7 +36,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("minhash signature: identical docs identical sigs; near-dups mostly agree") {
-    val sigs = Dedup.minhashSignatures(docs)
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs, maxDf = 1000))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) == sigs(3L))
     val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
