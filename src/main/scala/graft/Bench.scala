@@ -17,12 +17,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // coalesce tiny shuffles by data size, not cluster parallelism
-      // (the doc-recommended setting): per-task fixed overhead dominates
-      // KB-sized shuffle partitions, locally AND on a 1000-executor
-      // cluster where 200 near-empty tasks per stage waste scheduler
-      // round-trips
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE coalescing stays at parallelism-first (the Spark default):
+      // measured A/B at sf0.1 showed size-based coalescing
+      // (parallelismFirst=false, 64MB advisory) serializing mid-size
+      // CPU-heavy shuffles to 1 task — q16 exact percentile 3.2→5.2 s,
+      // minhash 5.2→7.5 s — a net loss on every probe query
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

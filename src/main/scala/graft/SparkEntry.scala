@@ -68,7 +68,8 @@ object SparkEntry {
     "x_dedup_exact"     -> (Dedup.exactProfile _),
     "x_dedup_ngram"     -> (Dedup.ngramJaccardPairs _),
     "x_dedup_minhash"   -> (Dedup.minhashLshPairs _),
-    "x_dedup_simhash"   -> (Dedup.simhashQuery _),          // rows-only
+    "x_dedup_simhash"   -> (Dedup.simhashMd5Query _),       // md5-bit portable variant; xxhash64 fast path is spec-checked
+    "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -351,6 +352,30 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
+    // SimHash, engine-portable: token bits from the md5 hex digest,
+    // fingerprint rendered as a 16-char hex string (BIGINT assembly
+    // would need 1<<63 — checked overflow in DuckDB, wraps in Spark).
+    "x_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, md5(t.tok) AS h
+           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+           WHERE length(t.tok) > 0
+         ), bits AS (
+           SELECT doc_id, r.j,
+             CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1 >> (r.j % 4)) & 1) = 1
+                  THEN 1 ELSE -1 END AS contrib
+           FROM toks, range(64) AS r(j)
+         ), sums AS (
+           SELECT doc_id, j, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS b
+           FROM bits GROUP BY doc_id, j
+         ), digits AS (
+           SELECT doc_id, j // 4 AS k, sum(b * (1 << (j % 4))) AS dv
+           FROM sums GROUP BY doc_id, j // 4
+         )
+         SELECT doc_id, string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1), '' ORDER BY k) AS fp
+         FROM digits GROUP BY doc_id ORDER BY doc_id""",
+    "logs_health" ->
+      "SELECT 'ok' AS status, 'filebeat-to-clickhouse' AS service, CAST(1 AS BIGINT) AS ready",
     "x_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep

@@ -192,6 +192,47 @@ object Dedup {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir))
 
+  /** Engine-portable SimHash: token bits come from the md5 hex digest
+    * (identical in DuckDB), and the 64-bit fingerprint is rendered as a
+    * 16-char hex STRING — assembling it as a signed BIGINT would need
+    * `1 << 63`, which DuckDB rejects as checked overflow while Spark
+    * wraps. Same majority-vote semantics as [[simhash]] (which stays as
+    * the fast path: one xxhash64 per token vs an md5 + hex-digit
+    * extraction here); this variant exists so the driver gate can
+    * hash-compare the fingerprints cross-engine instead of rows-only.
+    *
+    * Bit j of a token = bit (j%4) of hex digit (j div 4) of md5(tok).
+    * Per doc: s_j = Σ over token OCCURRENCES of ±1 by that bit;
+    * fingerprint digit k = Σ_m (s_{4k+m} > 0) << m, hex-rendered.
+    */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val bits = tokens
+      // literal-array explode (codegen) — not an interpreted lambda
+      .withColumn("j", explode(typedLit((0 until 64).toArray)))
+      .select(col("doc_id"), col("j"),
+        when(expr("shiftright(CAST(conv(substring(h, (j div 4) + 1, 1), 16, 10) AS INT), j % 4) % 2") === 1,
+          lit(1L)).otherwise(lit(-1L)).as("contrib"))
+    bits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), col("j"),
+        when(col("s") > 0, lit(1L)).otherwise(lit(0L)).as("b"))
+      .groupBy(col("doc_id"), expr("j div 4").as("k"))
+      .agg(sum(expr("b * shiftleft(1L, j % 4)")).as("dv"))
+      .groupBy(col("doc_id"))
+      // 16 digits per doc: the sort+transform lambda is interpreted but
+      // touches 16 elements, not the token stream
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(k, dv))), s -> substring('0123456789abcdef', CAST(s.dv AS INT) + 1, 1)), '')").as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def simhashMd5Query(spark: SparkSession, dir: String): DataFrame =
+    simhashMd5(Tables.documents(spark, dir))
+
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully
     * oracle-checkable) with a keep/drop verdict per exact-dup group.
     */

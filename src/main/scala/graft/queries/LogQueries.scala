@@ -15,6 +15,18 @@ import graft.Tables
   */
 object LogQueries {
 
+  /** S5/Q6 — liveness: the reference's health endpoint payload
+    * (main.go:246-252 returns status/service) and its `SELECT 1`
+    * ClickHouse ping (README.md:173). Constant-folded, zero I/O.
+    */
+  def health(spark: SparkSession, dir: String): DataFrame = {
+    val _ = dir
+    spark.range(1).select(
+      lit("ok").as("status"),
+      lit("filebeat-to-clickhouse").as("service"),
+      lit(1L).as("ready"))
+  }
+
   /** Q1+Q2 of the reference's documented ops: count / min / max timestamp
     * (README.md:419-424). One partial+final aggregate, no data movement
     * beyond 1 row per partition.

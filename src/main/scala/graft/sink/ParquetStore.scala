@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object ParquetStore {
 
   val PartitionCol = "ym"
+  val BatchCol = "bid"
 
   def append(df: DataFrame, path: String): Unit =
     df.withColumn(PartitionCol, date_format(col("timestamp"), "yyyyMM"))
@@ -25,11 +26,30 @@ object ParquetStore {
       .partitionBy(PartitionCol)
       .parquet(path)
 
+  /** Exactly-once leg for `foreachBatch` (SURVEY §7.3 trap 4): each
+    * micro-batch lands in its own `bid=<batchId>` directory with
+    * `overwrite` semantics, so a replayed batch REWRITES its directory
+    * instead of appending beside the first attempt — at-least-once
+    * replay plus an idempotent write = exactly-once store contents.
+    * Readers treat `bid` as one more discovered partition column and
+    * drop it; `ym` partition pruning still applies underneath (Spark
+    * discovers both levels). Directory-per-batch is the standard
+    * idempotent-sink pattern and needs no commit log or read-side
+    * dedup at any scale.
+    */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn(PartitionCol, date_format(col("timestamp"), "yyyyMM"))
+      .sortWithinPartitions(col("timestamp"))
+      .write.mode("overwrite")
+      .partitionBy(PartitionCol)
+      .parquet(s"$path/$BatchCol=$batchId")
+
   /** Register the store as `logs_table` for spark.sql querying (the
     * reference's query surface, README.md:419-424,516-527).
     */
   def registerView(spark: SparkSession, path: String, view: String = "logs_table"): DataFrame = {
-    val df = spark.read.parquet(path).drop(PartitionCol)
+    val df = spark.read.parquet(path)
+      .drop(PartitionCol).drop(BatchCol)
     df.createOrReplaceTempView(view)
     df
   }

@@ -83,10 +83,11 @@ object IngestPipeline {
     val writer = normalized.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Parquet append is idempotent enough under replay for the
-        // at-least-once contract the reference also has (main.go:333-338);
-        // the JDBC leg inherits the same replay semantics.
-        ParquetStore.append(batch, cfg.parquetDir)
+        // Parquet leg is exactly-once: overwrite-by-batch-id makes a
+        // replayed micro-batch rewrite its own directory (no dupes).
+        // The JDBC leg stays at-least-once — the reference's own
+        // contract (Filebeat re-posts on 500, main.go:333-338).
+        ParquetStore.appendBatch(batch, cfg.parquetDir, batchId)
         cfg.jdbc.foreach(j => JdbcLogsSink.append(batch, j))
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

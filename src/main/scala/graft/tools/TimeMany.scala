@@ -1,0 +1,24 @@
+package graft.tools
+
+/** Dev tool: time several queries once each in one JVM (mirrors the
+  * bench loop, including cache clearing). Usage:
+  *   runMain graft.tools.TimeMany <q1,q2,...> [sfDir]
+  */
+object TimeMany {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Smoke.session("32")
+    // same warmup as Bench
+    graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    names.foreach { q =>
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[timemany] $q: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
