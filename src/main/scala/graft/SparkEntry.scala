@@ -69,6 +69,7 @@ object SparkEntry {
     "x_dedup_ngram"     -> (Dedup.ngramJaccardPairs _),
     "x_dedup_minhash"   -> (Dedup.minhashLshPairs _),
     "x_dedup_simhash"   -> (Dedup.simhashMd5Query _),       // md5-bit portable variant; xxhash64 fast path is spec-checked
+    "x_dedup_clusters"  -> (Dedup.dedupClusters _),         // pair graph -> connected components
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -352,6 +353,7 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
+    "x_dedup_clusters" -> dedupClustersOracle,
     // SimHash, engine-portable: token bits from the md5 hex digest,
     // fingerprint rendered as a 16-char hex string (BIGINT assembly
     // would need 1<<63 — checked overflow in DuckDB, wraps in Spark).
@@ -545,8 +547,12 @@ object SparkEntry {
   /** Rare-shingle (8-gram, df≤100) Jaccard ≥ 0.8 pair set — the shared
     * contract for the exact inverted-index path and the MinHash-LSH path.
     */
-  private val ngramJaccardOracle: String =
-    """WITH g0 AS (
+  /** Shared CTE prefix: the df≤100 8-gram shingle frame and pairwise
+    * shared-shingle counts (the pair-set contract every near-dup oracle
+    * builds on).
+    */
+  private val ngramPairCtes: String =
+    """g0 AS (
          SELECT DISTINCT doc_id,
            unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
          FROM documents),
@@ -556,9 +562,29 @@ object SparkEntry {
        s AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $ngramPairCtes
        SELECT d1, d2, sh / (n1.n_ng + n2.n_ng - sh) AS jac
        FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
        WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8
        ORDER BY d1, d2"""
+
+  /** Connected components of the pair graph via recursive transitive
+    * closure — per-doc min reachable id = the cluster label the Spark
+    * side derives by min-label propagation.
+    */
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       pairs AS (
+         SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+       edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       reach(a, b) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
+       SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep
+       FROM reach GROUP BY a ORDER BY doc_id"""
 }

@@ -233,6 +233,51 @@ object Dedup {
   def simhashMd5Query(spark: SparkSession, dir: String): DataFrame =
     simhashMd5(Tables.documents(spark, dir))
 
+  /** Cluster assignment over the near-dup pair graph — the step that
+    * turns pairwise Jaccard matches into actionable dedup decisions:
+    * every document gets the min doc_id of its connected component as
+    * `cluster`, and `keep` marks the canonical representative.
+    *
+    * Algorithm: min-label propagation (Pregel-style) on the undirected
+    * pair graph, iterated to a fixpoint. Each round is two hash
+    * shuffles (join labels to edges, re-min per doc); the driver only
+    * orchestrates rounds and checks a scalar convergence count —
+    * no row data crosses the driver. Rounds = component diameter:
+    * near-dup clusters are shallow (dozens of docs, diameter ≤ a few),
+    * so this converges in 2–4 rounds at any corpus size; for graphs
+    * with genuinely long chains the alternating large-star/small-star
+    * variant (O(log n) rounds) is the drop-in upgrade.
+    *
+    * Oracle: the same component minima via DuckDB's recursive CTE
+    * transitive closure over the identical pair set.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.select(col("doc_id"), col("cluster")).union(msgs)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .withColumn("keep", col("cluster") === col("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully
     * oracle-checkable) with a keep/drop verdict per exact-dup group.
     */

@@ -47,6 +47,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosineSim(a, b)
 
+  /** Shared ranking tail: per-query top-k via the bounded
+    * [[graft.functions.TopKByScore]] aggregate instead of a
+    * `row_number` window. The window form funnels every scored row
+    * onto its query's one reducer (all scored rows land on ≤10
+    * reducers here — the round-1 design note); the aggregate's
+    * map-side partials bound the shuffle to k rows per (partition,
+    * query) whatever the corpus size. Input `cos` is pre-rounded, so
+    * the (cos DESC, vec_id ASC) ranking is identical to the window's.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("neighbor_id"), col("s.score").as("cos"))
+      .orderBy(col("query_id"), col("rk"))
+
   /** Brute-force top-5 cosine neighbors for query vectors vec_id < 10. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -55,11 +72,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Sign-bit LSH bucket id from the first `bits` dimensions (axis-
@@ -81,11 +94,7 @@ object Similarity {
     val scored = e.join(broadcast(queries),
         col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Near-dup pairs at scale: the bucket-equality join promised as the
@@ -143,11 +152,7 @@ object Similarity {
     val scored = assigned.join(broadcast(queries),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(rankW).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs above a threshold. Quadratic

@@ -101,6 +101,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("collect_set_capped")))
       reg.createOrReplaceTempFunction(
         "collect_set_capped", exprs => CollectSetCapped(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("topk_by_score")))
+      reg.createOrReplaceTempFunction(
+        "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), intLit(exprs(2))), "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -123,4 +126,8 @@ object GraftFunctions {
   /** Bounded-state distinct-collect: at most `cap` bigints per group. */
   def collectSetCapped(v: Column, cap: Int): Column =
     call_function("collect_set_capped", v, org.apache.spark.sql.functions.lit(cap))
+
+  /** Aggregate: k best (score, id) pairs, (score DESC, id ASC). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
 }

@@ -105,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("collect_set_capped"),
       new ExpressionInfo(classOf[graft.functions.CollectSetCapped].getName, "collect_set_capped"),
       (exprs: Seq[Expression]) => graft.functions.CollectSetCapped(exprs(0), intLit(exprs(1)))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => graft.functions.TopKByScore(exprs(0), exprs(1), intLit(exprs(2)))))
   }
 }

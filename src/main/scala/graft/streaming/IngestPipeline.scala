@@ -45,7 +45,10 @@ object IngestPipeline {
       format: WireFormat = Bulk,
       jdbc: Option[JdbcConfig] = None,
       availableNow: Boolean = false,
-      source: Option[Source] = None)  // default: FileSource(inputDir)
+      source: Option[Source] = None,  // default: FileSource(inputDir)
+      // K4 ack hook: called per micro-batch with (batchId, ack JSON in
+      // the reference's {"took","errors","items"} shape, main.go:340-344)
+      onAck: Option[(Long, String) => Unit] = None)
 
   /** Decode stage — pure DataFrame transform, shared batch/streaming. */
   def decode(lines: DataFrame, format: WireFormat): DataFrame = format match {
@@ -87,8 +90,15 @@ object IngestPipeline {
         // replayed micro-batch rewrite its own directory (no dupes).
         // The JDBC leg stays at-least-once — the reference's own
         // contract (Filebeat re-posts on 500, main.go:333-338).
+        // With an ack hook the batch is persisted so the count and the
+        // sink writes share one evaluation.
+        cfg.onAck.foreach(_ => batch.persist())
         ParquetStore.appendBatch(batch, cfg.parquetDir, batchId)
         cfg.jdbc.foreach(j => JdbcLogsSink.append(batch, j))
+        cfg.onAck.foreach { cb =>
+          cb(batchId, Metrics.ack(batch.count()))
+          batch.unpersist()
+        }
       }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -68,6 +68,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("TopKBuffer: ordering, capacity compaction, merge, serde round-trip") {
+    import graft.functions.TopKBuffer
+    val b = new TopKBuffer(3)
+    // > 2k inserts to force mid-stream compaction; ties broken by id asc
+    Seq(0.5 -> 10L, 0.9 -> 7L, 0.9 -> 3L, 0.1 -> 1L, 0.7 -> 2L,
+        0.9 -> 5L, 0.3 -> 4L, 0.8 -> 6L, 0.2 -> 9L, 0.6 -> 8L)
+      .foreach { case (s, i) => b.insert(s, i) }
+    assert(b.sortedEntries.toSeq == Seq((0.9, 3L), (0.9, 5L), (0.9, 7L)))
+    val other = new TopKBuffer(3)
+    other.insert(1.0, 99L)
+    other.mergeIn(TopKBuffer.fromBytes(3, b.toBytes))
+    assert(other.sortedEntries.toSeq == Seq((1.0, 99L), (0.9, 3L), (0.9, 5L)))
+    // fewer entries than k: all retained
+    val small = new TopKBuffer(5)
+    small.insert(0.4, 2L); small.insert(0.6, 1L)
+    assert(small.sortedEntries.toSeq == Seq((0.6, 1L), (0.4, 2L)))
+    // empty buffer survives serde
+    assert(TopKBuffer.fromBytes(5, new TopKBuffer(5).toBytes).sortedEntries.isEmpty)
+  }
+
+  test("dedup clusters: pair graph components get min-id labels") {
+    val out = Dedup.dedupClusters(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2").as[(Long, Long)].collect()
+    // every near-dup pair ends up in one cluster
+    pairs.foreach { case (a, c) => assert(byDoc(a) == byDoc(c), s"pair ($a,$c) split") }
+    // labels are component minima; keep marks exactly the label holder
+    out.foreach { case (d, cl, keep) =>
+      assert(cl <= d)
+      assert(keep == (cl == d))
+    }
+  }
+
   test("fused codegen cosine is bit-equal to the HOF reference formulation") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

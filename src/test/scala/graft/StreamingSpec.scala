@@ -28,9 +28,17 @@ class StreamingSpec extends SparkSpec {
         |{"@timestamp":"2025-12-01T00:00:00Z","message":"december","host":{"name":"h2"}}
         |garbage line
         |""".stripMargin)
+    val acks = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val q = IngestPipeline.start(spark, IngestPipeline.Config(
-      inputDir = in, parquetDir = out, checkpointDir = ck, availableNow = true))
+      inputDir = in, parquetDir = out, checkpointDir = ck, availableNow = true,
+      onAck = Some((id, json) => acks.synchronized { acks += ((id, json)) })))
     q.awaitTermination(60000)
+    // K4 ack: the reference's {"took","errors","items"} shape per batch
+    assert(acks.map(_._2).toSeq == Seq("""{"took":2,"errors":false,"items":2}"""))
+    // K4 metrics: per-batch progress counts surface as a DataFrame
+    val prog = graft.streaming.Metrics.progress(spark, q)
+    assert(prog.columns.contains("num_input_rows"))
+    assert(prog.select(sum(col("num_input_rows"))).as[Long].head() == 4) // raw lines incl action + garbage
     // month partitioning (the MergeTree toYYYYMM parity) under the
     // exactly-once batch directory
     val parts = new java.io.File(s"$out/bid=0").listFiles().map(_.getName).filter(_.startsWith("ym=")).toSet
