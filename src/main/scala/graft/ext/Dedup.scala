@@ -206,15 +206,25 @@ object Dedup {
     * fingerprint digit k = Σ_m (s_{4k+m} > 0) << m, hex-rendered.
     */
   def simhashMd5(docs: DataFrame): DataFrame = {
+    // The digest's first 16 hex digits, pre-packed into two 32-bit
+    // halves BEFORE the 64× explode: the per-(token, j) hot stage then
+    // runs pure integer shift/mask codegen instead of re-slicing a
+    // 33-char string 64 times per token. Bit semantics are identical
+    // to the oracle's hex-digit form: digit i is the i-th hex char,
+    // i.e. nibble (7 − i mod 8) of its packed half, so
+    // bit j = (half >> (4·(7 − (j div 4) mod 8) + j mod 4)) & 1.
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("h2"))
     val bits = tokens
       // literal-array explode (codegen) — not an interpreted lambda
       .withColumn("j", explode(typedLit((0 until 64).toArray)))
       .select(col("doc_id"), col("j"),
-        when(expr("shiftright(CAST(conv(substring(h, (j div 4) + 1, 1), 16, 10) AS INT), j % 4) % 2") === 1,
+        when(expr("shiftright(IF(j < 32, h1, h2), 4 * (7 - (j div 4) % 8) + j % 4) % 2") === 1,
           lit(1L)).otherwise(lit(-1L)).as("contrib"))
     bits
       .groupBy(col("doc_id"), col("j"))
@@ -238,43 +248,93 @@ object Dedup {
     * every document gets the min doc_id of its connected component as
     * `cluster`, and `keep` marks the canonical representative.
     *
-    * Algorithm: min-label propagation (Pregel-style) on the undirected
-    * pair graph, iterated to a fixpoint. Each round is two hash
-    * shuffles (join labels to edges, re-min per doc); the driver only
-    * orchestrates rounds and checks a scalar convergence count —
-    * no row data crosses the driver. Rounds = component diameter:
-    * near-dup clusters are shallow (dozens of docs, diameter ≤ a few),
-    * so this converges in 2–4 rounds at any corpus size; for graphs
-    * with genuinely long chains the alternating large-star/small-star
-    * variant (O(log n) rounds) is the drop-in upgrade.
-    *
-    * Oracle: the same component minima via DuckDB's recursive CTE
-    * transitive closure over the identical pair set.
+    * The pair graph is orders of magnitude smaller than the corpus (only
+    * docs with a verified near-dup survive), so the component solve is
+    * SIZE-ADAPTIVE, the same stats-based choice Spark makes between
+    * broadcast and shuffle joins:
+    *   - pair count ≤ [[DriverCcMaxEdges]] → exact union-find on the
+    *     driver (one collect of (d1, d2) longs — ~16 B/pair, so the
+    *     threshold is ~150 MB — then one broadcast-joined label map);
+    *   - larger graphs → [[distributedCc]]: min-label propagation with
+    *     pointer jumping over the vertex set only, O(log diameter)
+    *     rounds of three small hash shuffles, driver sees one scalar
+    *     per round.
+    * Both paths produce identical labels (component minima); the
+    * distributed path is cross-checked against the driver path in
+    * ExtSpec and both against the DuckDB recursive-CTE closure oracle.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2"))
+    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")).persist()
+    if (pairs.count() <= DriverCcMaxEdges) driverCc(docs, pairs)
+    else distributedCc(docs, pairs)
+  }
+
+  /** Edge-count bound for the driver-side union-find (~150 MB of pairs). */
+  val DriverCcMaxEdges: Long = 10L * 1000 * 1000
+
+  /** Exact union-find over a collected pair list; labels broadcast back. */
+  private def driverCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = parent.keys.map(d => (d, find(d))).toSeq.toDF("doc_id", "cluster")
+    docs.select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keep", col("cluster") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed components: min-label propagation + pointer jumping
+    * over the pair graph's vertex set. Each round every vertex takes
+    * the min label over itself and its neighbors, then adopts its
+    * label's own label (halving remaining pointer depth) — O(log
+    * diameter) rounds. Convergence check is join-free: updates only
+    * ever lower labels, so sum(cluster) strictly decreases until the
+    * fixpoint.
+    */
+  private[graft] def distributedCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).persist()
-    var changed = 1L
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("cluster"))).head().getLong(0)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (curSum < prevSum && rounds < 50) {
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster"))
-      val next = labels.select(col("doc_id"), col("cluster")).union(msgs)
+      val minNbr = labels.select(col("doc_id"), col("cluster")).union(msgs)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+      val next = minNbr.as("x")
+        .join(minNbr.select(col("doc_id").as("ldoc"), col("cluster").as("lcluster")),
+          col("x.cluster") === col("ldoc"))
+        .select(col("x.doc_id").as("doc_id"), col("lcluster").as("cluster"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") < col("prev")).count()
+      prevSum = curSum
+      curSum = next.agg(sum(col("cluster"))).head().getLong(0)
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keep", col("cluster") === col("doc_id"))
-      .select(col("doc_id"), col("cluster"), col("keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -104,6 +104,17 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("distributed CC agrees with the driver union-find path") {
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = graft.Tables.documents(spark, dir)
+    val pairsDf = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
+    val dist = Dedup.distributedCc(docsDf, pairsDf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val driver = Dedup.dedupClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(dist == driver)
+  }
+
   test("fused codegen cosine is bit-equal to the HOF reference formulation") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
