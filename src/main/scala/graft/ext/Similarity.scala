@@ -162,7 +162,13 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    // the theta-join plans as a broadcast nested-loop whose stream side
+    // is the raw scan — one task for a one-file table. Pre-spreading
+    // the stream side parallelizes the O(n²/2) cosine loop across all
+    // cores; the shuffled rows are just the narrow (id, vector) pairs.
+    val width = spark.sparkContext.defaultParallelism
+    val a = e.repartition(width, col("vec_id"))
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
     a.join(b, col("v1") < col("v2"))
       .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))

@@ -41,30 +41,42 @@ object Normalize {
     date_trunc("second", coalesce((attempts :+ fallback): _*))
   }
 
-  private def js(raw: Column, path: String): Column =
-    coalesce(get_json_object(raw, path), lit(""))
+  private def js(sub: Column, path: String): Column =
+    coalesce(get_json_object(sub, path), lit(""))
 
   /** Raw JSON line column → full 10-column logs frame.
     * Field mapping table per reference main.go:452-516 (checked against
     * the reference's own review doc, 代码检查报告.md:19-30).
+    *
+    * One `json_tuple` parse pulls all seven top-level fields out of the
+    * full line; the nested extracts then run over the (small) sub-object
+    * strings. The previous formulation called `get_json_object` on the
+    * whole line once per output column — ten full Jackson parses per
+    * event — and normalize dominated ingest (58k → 16k EPS measured at
+    * sf0.1). Same null/missing semantics: both forms yield null for
+    * absent fields and raw JSON text for object-valued ones.
     */
   def normalize(df: DataFrame, column: String = "value",
                 ingestTs: Column = current_timestamp()): DataFrame = {
     val raw = col(column)
-    df.select(
-      coerceTimestamp(get_json_object(raw, "$['@timestamp']"), ingestTs)
-        .cast("timestamp_ntz").as("timestamp"),
-      js(raw, "$.message").as("message"),
-      // T3 — container := container.name ?? container.id (main.go:462-468)
-      coalesce(get_json_object(raw, "$.container.name"),
-               get_json_object(raw, "$.container.id"), lit("")).as("container"),
-      js(raw, "$.host.name").as("host_name"),                    // T4 (main.go:471-475)
-      js(raw, "$.docker.container.id").as("docker_container_id"),   // T5 (main.go:478-487)
-      js(raw, "$.docker.container.name").as("docker_container_name"),
-      js(raw, "$.agent.name").as("agent_name"),                  // T6 (main.go:490-497)
-      js(raw, "$.agent.version").as("agent_version"),
-      js(raw, "$.log.file.path").as("log_file_path"),            // T7 (main.go:500-506)
-      raw.as("raw_json"))                                        // T8 (main.go:508-511)
+    df.select(raw.as("raw_json"),                                // T8 (main.go:508-511)
+        json_tuple(raw, "@timestamp", "message", "container", "host",
+          "docker", "agent", "log")
+          .as(Seq("ts0", "msg0", "cont0", "host0", "docker0", "agent0", "log0")))
+      .select(
+        coerceTimestamp(col("ts0"), ingestTs)
+          .cast("timestamp_ntz").as("timestamp"),
+        coalesce(col("msg0"), lit("")).as("message"),
+        // T3 — container := container.name ?? container.id (main.go:462-468)
+        coalesce(get_json_object(col("cont0"), "$.name"),
+                 get_json_object(col("cont0"), "$.id"), lit("")).as("container"),
+        js(col("host0"), "$.name").as("host_name"),              // T4 (main.go:471-475)
+        js(col("docker0"), "$.container.id").as("docker_container_id"), // T5 (main.go:478-487)
+        js(col("docker0"), "$.container.name").as("docker_container_name"),
+        js(col("agent0"), "$.name").as("agent_name"),            // T6 (main.go:490-497)
+        js(col("agent0"), "$.version").as("agent_version"),
+        js(col("log0"), "$.file.path").as("log_file_path"),      // T7 (main.go:500-506)
+        col("raw_json"))
   }
 
   /** T2 — render at second precision for sink-string parity
