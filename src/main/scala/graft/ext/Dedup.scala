@@ -206,37 +206,23 @@ object Dedup {
     * fingerprint digit k = Σ_m (s_{4k+m} > 0) << m, hex-rendered.
     */
   def simhashMd5(docs: DataFrame): DataFrame = {
-    // The digest's first 16 hex digits, pre-packed into two 32-bit
-    // halves BEFORE the 64× explode: the per-(token, j) hot stage then
-    // runs pure integer shift/mask codegen instead of re-slicing a
-    // 33-char string 64 times per token. Bit semantics are identical
-    // to the oracle's hex-digit form: digit i is the i-th hex char,
-    // i.e. nibble (7 − i mod 8) of its packed half, so
-    // bit j = (half >> (4·(7 − (j div 4) mod 8) + j mod 4)) & 1.
-    val tokens = docs
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // The digest's first 16 hex digits, packed once per TOKEN into two
+    // 32-bit halves; the one-pass [[graft.functions.SimHashAgg]] then
+    // folds all 64 ±1 votes per token into a 64-int buffer per doc —
+    // no 64× row explode, no per-(doc, bit) shuffle (the round-2a
+    // explode formulation pushed 16M rows through two shuffle
+    // aggregates at sf0.1). Same bit semantics as the DuckDB oracle's
+    // hex-digit form.
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("h1"),
         expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("h2"))
-    val bits = tokens
-      // literal-array explode (codegen) — not an interpreted lambda
-      .withColumn("j", explode(typedLit((0 until 64).toArray)))
-      .select(col("doc_id"), col("j"),
-        when(expr("shiftright(IF(j < 32, h1, h2), 4 * (7 - (j div 4) % 8) + j % 4) % 2") === 1,
-          lit(1L)).otherwise(lit(-1L)).as("contrib"))
-    bits
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .select(col("doc_id"), col("j"),
-        when(col("s") > 0, lit(1L)).otherwise(lit(0L)).as("b"))
-      .groupBy(col("doc_id"), expr("j div 4").as("k"))
-      .agg(sum(expr("b * shiftleft(1L, j % 4)")).as("dv"))
       .groupBy(col("doc_id"))
-      // 16 digits per doc: the sort+transform lambda is interpreted but
-      // touches 16 elements, not the token stream
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(k, dv))), s -> substring('0123456789abcdef', CAST(s.dv AS INT) + 1, 1)), '')").as("fp"))
+      .agg(graft.functions.GraftFunctions.simhashMd5Agg(col("h1"), col("h2")).as("fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -104,6 +104,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("topk_by_score")))
       reg.createOrReplaceTempFunction(
         "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), intLit(exprs(2))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("simhash_md5")))
+      reg.createOrReplaceTempFunction(
+        "simhash_md5", exprs => SimHashAgg(exprs(0), exprs(1)), "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -130,4 +133,10 @@ object GraftFunctions {
   /** Aggregate: k best (score, id) pairs, (score DESC, id ASC). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Aggregate: SimHash-64 majority fingerprint (hex string) over
+    * packed md5 halves.
+    */
+  def simhashMd5Agg(h1: Column, h2: Column): Column =
+    call_function("simhash_md5", h1, h2)
 }
