@@ -55,6 +55,7 @@ object SparkEntry {
     "logs_timerange"      -> (LogQueries.logsTimeRange _),
     // event-time analytics
     "events_tumbling"     -> (LogQueries.eventsTumblingWindow _),
+    "events_sliding"      -> (LogQueries.eventsSlidingWindow _),
     "events_sessionize"   -> (LogQueries.eventsSessionize _),
     "events_asof_orders"  -> (LogQueries.eventsAsofOrders _),
     "events_asof_merge"   -> (LogQueries.eventsAsofOrdersMerge _),
@@ -281,6 +282,15 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "events_sliding" ->
+      """WITH w AS (
+           SELECT make_timestamp((epoch_us(ts) // 10800000000 - k.k) * 10800000000) AS win_start,
+                  event_type, value
+           FROM events, range(2) AS k(k)
+         )
+         SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM w GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
     "events_sessionize" ->
       """WITH gaps AS (

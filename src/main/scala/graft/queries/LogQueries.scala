@@ -71,6 +71,19 @@ object LogQueries {
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** Sliding windows: 6 h length, 3 h slide — every event lands in two
+    * overlapping windows. Spark's `window(ts, len, slide)` expands each
+    * row to its windows BEFORE the partial aggregate, so the shuffle
+    * carries per-(window, type) partials, not the event stream ×2.
+    * Oracle expands the same two epoch-aligned starts per event.
+    */
+  def eventsSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Sessionization: gap>30min starts a new session (batch twin of
     * session_window). Expressed with lag + cumulative sum — two window
     * passes over the same (user_id, ts) shuffle, so Spark reuses one

@@ -68,6 +68,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("MinHash128 aggregate equals a local fold of the seeded re-hashes") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val g = Dedup.shingles(docs, maxDf = 1000)
+    val hashed = g.select(col("doc_id"), xxhash64(col("ng")).as("h"))
+      .as[(Long, Long)].collect()
+    val expected = hashed.groupBy(_._1).view.mapValues { rows =>
+      val sig = Array.fill(128)(Long.MaxValue)
+      rows.foreach { case (_, h) =>
+        var i = 0
+        while (i < 128) {
+          val v = XXH64.hashLong(h, i)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig.toSeq
+    }.toMap
+    val got = Dedup.minhashSignatures(g)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == expected)
+  }
+
+  test("collect_set_capped: exact and sorted under cap, bounded above it") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 11L), (1L, 10L), (1L, 10L), (2L, 23L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("k", "v")
+    val r = df.groupBy("k")
+      .agg(graft.functions.GraftFunctions.collectSetCapped(col("v"), 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(r(1L) == Seq(10L, 11L))
+    assert(r(2L).size == 3 && r(2L) == r(2L).sorted)
+    assert(r(2L).toSet.subsetOf(Set(20L, 21L, 22L, 23L)))
+  }
+
   test("TopKBuffer: ordering, capacity compaction, merge, serde round-trip") {
     import graft.functions.TopKBuffer
     val b = new TopKBuffer(3)
