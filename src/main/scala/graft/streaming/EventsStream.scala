@@ -49,6 +49,17 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 6h/3h windows (batch twin: LogQueries.eventsSlidingWindow).
+    * Same watermark bound; each event contributes to two overlapping
+    * windows, expanded before the stateful aggregation.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Session windows with a 30-minute gap (batch twin:
     * LogQueries.eventsSessionize computes the same sessions with lag +
     * cumulative sum).

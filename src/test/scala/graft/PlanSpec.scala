@@ -65,4 +65,42 @@ class PlanSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("bucketed tables join with zero pre-join shuffle (the fact-fact 100 TB story)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '$wh'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join decision so bucketing is what's on trial
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(spark, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bucketdemo.orders_b")
+      Tables.lineitem(spark, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bucketdemo.lineitem_b")
+      val joined = spark.table("bucketdemo.orders_b")
+        .join(spark.table("bucketdemo.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // bucketing satisfies the join's distribution requirement on both
+      // sides: the ONLY exchange left is the post-join aggregation's
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (agg only), got $exchanges:\n$plan")
+      // same result as the plain (shuffled) join
+      val bucketed = joined.as[(String, Long)].collect().toMap
+      val plain = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(bucketed == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+      spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+    }
+  }
 }

@@ -152,6 +152,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 5, s"only ${streamed.size}/${batch.size} windows finalized")
   }
 
+  test("streaming sliding window agrees with its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = tmp("graft-events-slide")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$staged/events.parquet"))
+    val q = EventsStream.sliding(EventsStream.replay(spark, staged))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_out")
+      .select(col("win_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = LogQueries.eventsSlidingWindow(spark, dir)
+      .select(col("win_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed.subsetOf(batch), "streamed sliding windows must match batch twins")
+    // append mode holds back windows still open at the watermark; two
+    // slides can overlap the stream end, so allow that tail
+    assert(streamed.size >= batch.size - 10, s"only ${streamed.size}/${batch.size} finalized")
+  }
+
   test("streaming session_window sessions agree with the batch lag/cumsum sessionization") {
     val dir = "/root/testdata/sf0.001"
     val staged = tmp("graft-events-sess")
