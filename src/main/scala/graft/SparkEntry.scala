@@ -49,6 +49,9 @@ object SparkEntry {
     "q22_window_ranking"  -> (Relational2.q22WindowRanking _),
     "q23_conditional_agg" -> (Relational2.q23ConditionalAgg _),
     "q24_fuzzy_strings"   -> (Relational2.q24FuzzyStrings _),
+    "q25_subqueries"      -> (Relational2.q25Subqueries _),
+    "q26_pivot"           -> (Relational2.q26Pivot _),
+    "q27_gap_fill"        -> (Relational2.q27GapFill _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -283,6 +286,28 @@ object SparkEntry {
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
+    "q25_subqueries" ->
+      """SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         ORDER BY c_custkey LIMIT 50""",
+    "q26_pivot" ->
+      """SELECT o_orderstatus,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+           round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+           round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q27_gap_fill" ->
+      """WITH c AS (
+           SELECT date_trunc('minute', ts) AS m, count(*) AS cnt FROM events GROUP BY 1
+         ), b AS (SELECT min(m) AS mn, max(m) AS mx FROM c),
+         g AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS m FROM b)
+         SELECT g.m, coalesce(c.cnt, 0) AS n
+         FROM g LEFT JOIN c ON g.m = c.m ORDER BY g.m""",
     "events_sliding" ->
       """WITH w AS (
            SELECT make_timestamp((epoch_us(ts) // 10800000000 - k.k) * 10800000000) AS win_start,

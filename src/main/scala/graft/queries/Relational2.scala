@@ -147,6 +147,53 @@ object Relational2 {
         reverse(col("p_brand")).as("brand_rev"))  // initcap missing in DuckDB 1.0
       .orderBy(col("p_partkey"))
 
+  /** Q25 — subquery battery over the SQL-text surface: correlated
+    * scalar subquery (per-customer order count) + correlated EXISTS
+    * filter. Catalyst decorrelates both into joins — the plan shows an
+    * aggregate-join for the scalar and a left-semi for EXISTS, not
+    * per-row re-execution.
+    */
+  def q25Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         ORDER BY c_custkey LIMIT 50""")
+  }
+
+  /** Q26 — pivot: one column per order priority, summed revenue per
+    * status. Explicit pivot values pin the output schema (and make the
+    * plan a single groupBy with conditional aggregates — no second
+    * pass to discover distinct values).
+    */
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderstatus"))
+
+  /** Q27 — time-series gap filling (ClickHouse `WITH FILL` / Grafana
+    * zero-fill): per-minute event counts with empty minutes restored
+    * via a generated minute spine left-joined to the counts. The spine
+    * explodes from a single bounds row — ~0.5M rows/year however big
+    * the fact table is — and the join broadcasts the spine side.
+    */
+  def q27GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(date_trunc("minute", col("ts")).as("m"))
+    val counts = e.groupBy(col("m")).agg(count(lit(1)).as("n"))
+    val spine = e.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 minute)")).as("m"))
+    spine.join(counts, Seq("m"), "left")
+      .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("m"))
+  }
+
   /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
     * sketch implementations differ — so the driver records rows-only;
     * the ScalaTest spec asserts relative error against the exact count.
