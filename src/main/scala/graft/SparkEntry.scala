@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.queries.{IngestQueries, LogQueries, Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,6 +87,7 @@ object SparkEntry {
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
+    "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -286,6 +287,13 @@ object SparkEntry {
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY win_start, event_type
          ORDER BY win_start, event_type""",
+    // Salted join is result-identical to the plain join — the oracle IS
+    // the plain join; only the physical shuffle layout differs.
+    "x_skew_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
     "q25_subqueries" ->
       """SELECT c_custkey, c_name,
            (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders

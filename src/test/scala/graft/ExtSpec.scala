@@ -102,6 +102,18 @@ class ExtSpec extends SparkSpec {
     assert(r(2L).toSet.subsetOf(Set(20L, 21L, 22L, 23L)))
   }
 
+  test("salted join equals the plain join under a manufactured hot key") {
+    // key 7 holds half of the big side — the shape salting exists for
+    val big = spark.range(20000).select(
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(50).select(col("id").as("k"), (col("id") * 10).as("w"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(agg(graft.ext.Skew.saltedJoin(big, dim, "k", 8)) == agg(big.join(dim, "k")))
+  }
+
   test("TopKBuffer: ordering, capacity compaction, merge, serde round-trip") {
     import graft.functions.TopKBuffer
     val b = new TopKBuffer(3)
