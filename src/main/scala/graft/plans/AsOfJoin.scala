@@ -28,9 +28,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *     shape with the smallest memory and shuffle footprint of the
   *     three formulations.
   *
-  * Restriction (round 1): key and time expressions must evaluate to
-  * Long-backed types (integral keys; timestamps evaluate to epoch
-  * micros internally) — true for every testdata key/time column.
+  * Key/time types: any ordering-capable Catalyst type (round 1 was
+  * restricted to Long-backed columns; round 2 compares through the
+  * type's interpreted ordering). Rows with a null key or time never
+  * match — null-key left rows emit null-padded output, null-key right
+  * rows are skipped — mirroring SQL join-key null semantics.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -71,16 +73,20 @@ case class AsOfJoinExec(
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
         private val rBuf = rIter.buffered
-        // latest right row seen for `matchKey` (rows are reused by the
-        // upstream sort iterator, so the match is copied)
-        private var matchKey = 0L
-        private var matchTime = 0L
+        // latest matching right row; COPIED because the upstream sort
+        // iterator reuses row objects — its key/time are re-evaluated
+        // from the copy, so no raw values (possibly buffer-backed, e.g.
+        // UTF8String) are cached across rows
         private var hasMatch = false
         private var matchRow: InternalRow = _
 
@@ -88,24 +94,31 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val key = lk.eval(lRow).asInstanceOf[Long]
-          val time = lt.eval(lRow).asInstanceOf[Long]
+          val key = lk.eval(lRow)
+          val time = lt.eval(lRow)
+          if (key == null || time == null) return joined(lRow, nullRight)
           // advance the right side up to (key, time]
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
-            val hKey = rk.eval(head).asInstanceOf[Long]
-            val hTime = rt.eval(head).asInstanceOf[Long]
-            if (hKey < key || (hKey == key && hTime <= time)) {
-              if (hKey == key) {
-                matchKey = hKey; matchTime = hTime
-                matchRow = rBuf.next().copy(); hasMatch = true
-              } else {
+            val hKey = rk.eval(head)
+            if (hKey == null) { rBuf.next() } // null keys never match
+            else {
+              val kc = keyOrd.compare(hKey, key)
+              if (kc < 0) {
                 rBuf.next() // skip rows for smaller keys entirely
-              }
-            } else advancing = false
+              } else if (kc == 0) {
+                val hTime = rt.eval(head)
+                if (hTime != null && timeOrd.compare(hTime, time) <= 0) {
+                  matchRow = rBuf.next().copy(); hasMatch = true
+                } else if (hTime == null) {
+                  rBuf.next() // null times never match
+                } else advancing = false
+              } else advancing = false
+            }
           }
-          if (hasMatch && matchKey == key && matchTime <= time)
+          if (hasMatch && keyOrd.compare(rk.eval(matchRow), key) == 0 &&
+              timeOrd.compare(rt.eval(matchRow), time) <= 0)
             joined(lRow, matchRow)
           else
             joined(lRow, nullRight)

@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("as-of join handles string keys and timestamp times (widened from Long-only)") {
+    import graft.plans.AsOf
+    val left = Seq(
+      ("a", "2024-01-01 10:00:00", 1L),
+      ("b", "2024-01-01 11:00:00", 2L),
+      ("c", "2024-01-01 12:00:00", 3L))
+      .toDF("k", "t", "lid").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq(
+      ("a", "2024-01-01 09:00:00", 10L),
+      ("a", "2024-01-01 09:30:00", 11L),
+      ("b", "2024-01-01 11:30:00", 12L))
+      .toDF("rk", "rt", "rid").withColumn("rt", col("rt").cast("timestamp"))
+    val out = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    // a: latest right at-or-before 10:00 is 09:30; b: only right row is
+    // LATER than the left time; c: no right rows at all
+    assert(out == Map(1L -> Some(11L), 2L -> None, 3L -> None))
+  }
+
   test("bucketed tables join with zero pre-join shuffle (the fact-fact 100 TB story)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '$wh'")
