@@ -52,6 +52,7 @@ object SparkEntry {
     "q25_subqueries"      -> (Relational2.q25Subqueries _),
     "q26_pivot"           -> (Relational2.q26Pivot _),
     "q27_gap_fill"        -> (Relational2.q27GapFill _),
+    "q28_range_frame"     -> (Relational2.q28RangeFrame _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -316,6 +317,14 @@ object SparkEntry {
          g AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS m FROM b)
          SELECT g.m, coalesce(c.cnt, 0) AS n
          FROM g LEFT JOIN c ON g.m = c.m ORDER BY g.m""",
+    "q28_range_frame" ->
+      """SELECT o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(o_totalprice) OVER w, 2) AS rev_7d
+         FROM orders WHERE o_orderkey < 500
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "events_sliding" ->
       """WITH w AS (
            SELECT make_timestamp((epoch_us(ts) // 10800000000 - k.k) * 10800000000) AS win_start,

@@ -194,6 +194,24 @@ object Relational2 {
       .orderBy(col("m"))
   }
 
+  /** Q28 — RANGE-frame windows: trailing-7-day counts and revenue per
+    * status, frame bounds in event TIME rather than row counts (the
+    * moving-aggregate shape dashboards want). RANGE frames include all
+    * order-key peers, so the result is tie-order independent —
+    * deterministic without a unique sort key.
+    */
+  def q28RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(o_totalprice) OVER w, 2) AS rev_7d
+         FROM orders WHERE o_orderkey < 500
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""")
+  }
+
   /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
     * sketch implementations differ — so the driver records rows-only;
     * the ScalaTest spec asserts relative error against the exact count.
