@@ -53,6 +53,7 @@ object SparkEntry {
     "q26_pivot"           -> (Relational2.q26Pivot _),
     "q27_gap_fill"        -> (Relational2.q27GapFill _),
     "q28_range_frame"     -> (Relational2.q28RangeFrame _),
+    "q29_lateral_explode" -> (Relational2.q29LateralExplode _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -317,6 +318,12 @@ object SparkEntry {
          g AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS m FROM b)
          SELECT g.m, coalesce(c.cnt, 0) AS n
          FROM g LEFT JOIN c ON g.m = c.m ORDER BY g.m""",
+    "q29_lateral_explode" ->
+      """SELECT t.word, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+         FROM part, unnest(string_split(p_name, ' ')) AS t(word)
+         WHERE p_partkey < 200
+         GROUP BY t.word HAVING count(*) >= 3
+         ORDER BY t.word""",
     "q28_range_frame" ->
       """SELECT o_orderkey,
            CAST(count(*) OVER w AS BIGINT) AS n_7d,

@@ -212,6 +212,19 @@ object Relational2 {
          ORDER BY o_orderkey""")
   }
 
+  /** Q29 — generator in the SQL-text surface: LATERAL VIEW explode over
+    * split tokens (the Hive/Spark idiom; DuckDB's twin is unnest).
+    */
+  def q29LateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT word, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+         FROM part LATERAL VIEW explode(split(p_name, ' ')) t AS word
+         WHERE p_partkey < 200
+         GROUP BY word HAVING count(*) >= 3
+         ORDER BY word""")
+  }
+
   /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
     * sketch implementations differ — so the driver records rows-only;
     * the ScalaTest spec asserts relative error against the exact count.

@@ -174,6 +174,19 @@ class ExtSpec extends SparkSpec {
     assert(diffs == 0L)
   }
 
+  test("approx_percentile within tolerance of exact percentile (the q16 scale swap)") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val r = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact"),
+           expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx"))
+      .select(col("exact"), col("approx").cast("double"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (exact, approx) =>
+      assert(math.abs(exact - approx) <= math.max(1.0, exact * 0.05),
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (HLL default rsd)") {
     val rows = graft.queries.Relational2.q21ApproxDistinct(spark, "/root/testdata/sf0.01")
       .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
