@@ -252,15 +252,19 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")).persist()
-    if (pairs.count() <= DriverCcMaxEdges) driverCc(docs, pairs)
+    // one bounded action decides the path AND delivers the small-graph
+    // data: collect at most max+1 pairs — a row over the bound proves
+    // the graph is large without counting it all
+    val sample = pairs.limit(DriverCcMaxEdges + 1).collect()
+    if (sample.length <= DriverCcMaxEdges) driverCc(docs, sample)
     else distributedCc(docs, pairs)
   }
 
   /** Edge-count bound for the driver-side union-find (~150 MB of pairs). */
-  val DriverCcMaxEdges: Long = 10L * 1000 * 1000
+  val DriverCcMaxEdges: Int = 10 * 1000 * 1000
 
   /** Exact union-find over a collected pair list; labels broadcast back. */
-  private def driverCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private def driverCc(docs: DataFrame, pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -269,7 +273,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { row =>
+    pairRows.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
