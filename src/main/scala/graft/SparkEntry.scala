@@ -41,6 +41,7 @@ object SparkEntry {
     "q14_date_funcs"      -> (Relational.q14DateFuncs _),
     "q15_join_aggregate"  -> (Relational.q15JoinAggregate _),
     "q16_percentiles"     -> (Relational2.q16Percentiles _),
+    "q16b_approx_pct"     -> (Relational2.q16bApproxPercentiles _), // rows-only: sketches differ cross-engine
     "q17_stats_aggs"      -> (Relational2.q17StatsAggs _),
     "q18_grouping_sets"   -> (Relational2.q18GroupingSets _),
     "q19_sql_surface"     -> (Relational2.q19SqlSurface _),

@@ -22,13 +22,51 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct 8-char shingles per document, one (doc_id, ng) row each.
+  /** Per-process memo of the expensive dedup frames (shingles, banded
+    * signatures, verified pairs), keyed by (session, kind, data dir).
     *
-    * The [[graft.functions.NgramShingles]] expression dedups inside the
-    * operator, so the explode emits already-distinct pairs — no
-    * `distinct` shuffle over the exploded rows (round 1 shuffled all
-    * ~1.4M of them at sf0.1, and generated them with an interpreted
-    * per-element lambda on top). The explicit-width repartition spreads
+    * Session contract: the memo hands every caller the SAME persisted
+    * DataFrame instance, so repeated calls in one process never
+    * re-persist a duplicate plan (the round-2 "Asked to cache already
+    * cached data" warnings) and the pair graph is computed ONCE per
+    * corpus no matter how many consumers ask — `x_dedup_clusters` after
+    * `x_dedup_ngram` costs only the component solve. If the caller
+    * evicts the data (`spark.catalog.clearCache()`), the next access
+    * re-arms the persist and recomputes lazily; [[releaseCaches]] drops
+    * everything explicitly for long-lived sessions.
+    */
+  private object Frames {
+    private val memo =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+    def getOrCompute(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+      val df = memo.getOrElseUpdate((spark, key), build.persist())
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+
+    def release(): Unit = {
+      memo.values.foreach(_.unpersist(blocking = false))
+      memo.clear()
+    }
+  }
+
+  /** Unpersist and forget every memoized dedup frame (see [[Frames]]).
+    * Long-lived sessions call this when done with a corpus; Bench and
+    * Verify call it at the end of a run.
+    */
+  def releaseCaches(): Unit = Frames.release()
+
+  /** Distinct 8-char shingles per document, pre-hashed to 64-bit longs,
+    * one (doc_id, ng) row each.
+    *
+    * The [[graft.functions.NgramShingles]] expression dedups AND hashes
+    * inside the operator, so the explode emits already-distinct 8-byte
+    * rows — no `distinct` shuffle over the exploded rows (round 1
+    * shuffled all ~1.4M of them at sf0.1 as strings, and generated them
+    * with an interpreted per-element lambda on top; round 2 still
+    * materialized and shuffled the shingle TEXT, the dedup trio's
+    * dominant constant factor). The explicit-width repartition spreads
     * the CPU-heavy explode across every core BEFORE the blowup: it
     * shuffles only the narrow document rows, and pins the partition
     * count so AQE cannot coalesce a small input (one parquet file =
@@ -98,43 +136,61 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via inverted-index
-    * self-join. Shuffles on `ng` once; pair aggregation shuffles on
-    * (d1, d2). No cross join anywhere. The shingle frame is persisted:
-    * it feeds the self-join twice plus the per-doc counts, and without
+  /** The memoized persisted df≤100 shingle frame for a corpus dir: it
+    * feeds the inverted-index self-join (twice), the per-doc counts,
+    * the MinHash signature stage, and the LSH verify stage — without
     * the persist each consumer re-runs the explode + df-cap join
     * (3× recompute — part of the round-1 44 s bench entry).
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingles(Tables.documents(spark, dir)).persist()
-    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
-    val shared = g.as("a").join(g.as("b"),
-        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
-      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
-      .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jac") >= 0.8)
-      .select(col("d1"), col("d2"), col("jac"))
-      .orderBy(col("d1"), col("d2"))
-  }
+  private def shingleFrame(spark: SparkSession, dir: String): DataFrame =
+    Frames.getOrCompute(spark, s"shingles:$dir")(
+      shingles(Tables.documents(spark, dir)))
+
+  /** The memoized verified near-dup pair set (d1, d2, jac — unordered):
+    * computed once per corpus and shared by [[ngramJaccardPairs]] and
+    * [[dedupClusters]], so clustering costs only the component solve on
+    * top of a pair scan (round 2 re-ran the whole shingle→self-join→
+    * verify pipeline inside the clusters query — VERDICT.md item 2).
+    */
+  private def pairFrame(spark: SparkSession, dir: String): DataFrame =
+    Frames.getOrCompute(spark, s"pairs:$dir") {
+      val g = shingleFrame(spark, dir)
+      val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
+      val shared = g.as("a").join(g.as("b"),
+          col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
+        .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
+        .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
+        .filter(col("jac") >= 0.8)
+        .select(col("d1"), col("d2"), col("jac"))
+    }
+
+  /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via inverted-index
+    * self-join. Shuffles on `ng` once; pair aggregation shuffles on
+    * (d1, d2). No cross join anywhere.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    pairFrame(spark, dir).orderBy(col("d1"), col("d2"))
 
   private val NumHashes = graft.functions.MinHash128.NumHashes
   private val Bands = 32 // 4 rows per band
 
-  /** MinHash signatures over a shingle frame: one codegen'd
-    * `xxhash64(ng)` projection, then the one-pass [[graft.functions
-    * .MinHash128]] imperative aggregate (128 running minima per doc,
-    * map-side partials). No row blowup anywhere: the aggregate input is
-    * exactly the shingle count and the shuffle is docs × 128 longs —
-    * the round-1 version exploded shingles 128× first (190M rows at
-    * sf0.1, 138.6 s; VERDICT.md item 1).
+  /** MinHash signatures over a shingle frame: the shingle column is
+    * already a 64-bit hash ([[graft.functions.NgramShingles]] emits
+    * `xxhash64(ng)` in-operator), so it feeds the one-pass
+    * [[graft.functions.MinHash128]] imperative aggregate directly
+    * (128 running minima per doc, map-side partials). No row blowup
+    * anywhere: the aggregate input is exactly the shingle count and the
+    * shuffle is docs × 128 longs — the round-1 version exploded
+    * shingles 128× first (190M rows at sf0.1, 138.6 s; VERDICT.md
+    * item 1).
     */
   def minhashSignatures(shingleFrame: DataFrame): DataFrame =
     shingleFrame
-      .select(col("doc_id"), xxhash64(col("ng")).as("h"))
+      .select(col("doc_id"), col("ng").as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.GraftFunctions.minhash128(col("h")).as("sig"))
 
@@ -145,16 +201,15 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val g = shingles(Tables.documents(spark, dir)).persist()
-    val sig = minhashSignatures(g)
+    val g = shingleFrame(spark, dir)
     val rowsPerBand = NumHashes / Bands
-    // persisted: both sides of the candidate self-join consume this
+    // memo-persisted: both sides of the candidate self-join consume this
     // frame, and AQE re-planning defeats ReusedExchange here — without
     // the persist the whole shingle→signature pipeline executes twice
     // (measured as ~6 duplicated stages in the stage profile)
-    val banded = sig.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band", "bsig")))
-      .persist()
+    val banded = Frames.getOrCompute(spark, s"banded:$dir")(
+      minhashSignatures(g).select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band", "bsig"))))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -251,7 +306,9 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = ngramJaccardPairs(spark, dir).select(col("d1"), col("d2")).persist()
+    // the memoized pair frame: already materialized if ngramJaccardPairs
+    // ran in this process, so clustering pays only the component solve
+    val pairs = pairFrame(spark, dir).select(col("d1"), col("d2"))
     // one bounded action decides the path AND delivers the small-graph
     // data: collect at most max+1 pairs — a row over the bound proves
     // the graph is large without counting it all
@@ -294,18 +351,32 @@ object Dedup {
     * label's own label (halving remaining pointer depth) — O(log
     * diameter) rounds. Convergence check is join-free: updates only
     * ever lower labels, so sum(cluster) strictly decreases until the
-    * fixpoint.
+    * fixpoint. The sum runs in DECIMAL(38,0): a Long sum can overflow
+    * on large id domains, which ANSI mode turns into a runtime error
+    * (ADVICE r2), while 38 digits hold any realistic vertex-count ×
+    * max-id product exactly — the strict-decrease probe stays exact.
+    *
+    * Pointer jumping halves pointer-chain depth every round, so 50
+    * rounds covers graphs of diameter ~2⁵⁰; hitting the cap means the
+    * probe itself is broken, and silently returning partial labels
+    * would corrupt downstream dedup decisions — fail loudly instead.
     */
   private[graft] def distributedCc(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val MaxRounds = 50
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // sum over an empty graph is NULL
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster")).persist()
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(labels)
     var rounds = 0
-    while (curSum < prevSum && rounds < 50) {
+    while ((prevSum == null || curSum.compareTo(prevSum) < 0) && rounds < MaxRounds) {
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster"))
       val minNbr = labels.select(col("doc_id"), col("cluster")).union(msgs)
@@ -316,11 +387,17 @@ object Dedup {
         .select(col("x.doc_id").as("doc_id"), col("lcluster").as("cluster"))
         .persist()
       prevSum = curSum
-      curSum = next.agg(sum(col("cluster"))).head().getLong(0)
+      curSum = labelSum(next)
       labels.unpersist()
       labels = next
       rounds += 1
     }
+    if (curSum.compareTo(prevSum) < 0)
+      throw new IllegalStateException(
+        s"distributedCc did not converge within $MaxRounds rounds — " +
+          "pointer jumping bounds rounds at log2(diameter), so this " +
+          "indicates a broken fixpoint probe, not a large graph")
+    edges.unpersist(blocking = false)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

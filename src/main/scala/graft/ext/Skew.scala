@@ -33,12 +33,20 @@ object Skew {
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Two-phase salted aggregation for NON-decomposable aggregates
-    * (exact percentile, collect_*) where map-side partials cannot
-    * shrink a hot group: phase 1 computes the aggregate per (key,
-    * salt); the caller combines the `salts` partials per key in phase
-    * 2. For decomposable aggregates plain partial aggregation already
-    * handles skew — use this only when it can't.
+  /** Two-phase salted aggregation: phase 1 computes the aggregate per
+    * (key, salt); the caller merges the `salts` partials per key in
+    * phase 2 (a second, now-unskewed groupBy on key alone).
+    *
+    * ONLY for aggregates whose per-salt partials the caller can merge
+    * exactly: sums/counts/min/max (re-sum), collect_list/collect_set
+    * (flatten), avg via (sum, count) pairs. Holistic aggregates — exact
+    * percentile, median, exact distinct counts — are NOT recombinable
+    * from per-salt partials; use a mergeable sketch (approx_percentile,
+    * HLL) or a full shuffle for those. For aggregates Spark already
+    * partial-aggregates map-side, plain groupBy handles skew; this
+    * helper exists for buffer-heavy mergeable state (e.g. collect_*)
+    * where one hot key would otherwise build its entire state on a
+    * single reducer. Spec: ExtSpec "salted groupBy partials".
     */
   def saltedGroupBy(df: DataFrame, key: Column, salts: Int, aggs: Column*): DataFrame =
     df.withColumn("_salt",

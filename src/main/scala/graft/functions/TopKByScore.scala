@@ -92,15 +92,21 @@ final class TopKBuffer(k: Int) {
   private var scores = new Array[Double](cap)
   private var ids = new Array[Long](cap)
   private var size = 0
+  // kth-best bound from the last compaction that saw ≥ k entries: any
+  // entry not strictly better than it can never enter the final top-k
+  // (entries only ever get evicted, never resurrected), so the hot path
+  // drops it without touching the arrays
+  private var hasBound = false
+  private var boundScore = 0.0
+  private var boundId = 0L
 
   /** (score DESC, id ASC) — true when (s1, i1) ranks strictly better. */
   @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def insert(s: Double, i: Long): Unit = {
+    if (hasBound && !better(s, i, boundScore, boundId)) return
     if (size == cap) compact()
-    // once k entries are known, skip anything not better than the
-    // current kth-best upper bound established at last compact
     scores(size) = s; ids(size) = i; size += 1
   }
 
@@ -112,6 +118,7 @@ final class TopKBuffer(k: Int) {
     var j = 0
     while (j < n) { ns(j) = scores(idx(j)); ni(j) = ids(idx(j)); j += 1 }
     scores = ns; ids = ni; size = n
+    if (n == k) { hasBound = true; boundScore = ns(k - 1); boundId = ni(k - 1) }
   }
 
   def mergeIn(other: TopKBuffer): Unit = {

@@ -28,6 +28,25 @@ object Relational2 {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Q16b — the 100 TB substitution for [[q16Percentiles]]: one-pass
+    * mergeable-sketch percentiles (`approx_percentile`, accuracy 10000 ≈
+    * 0.01% rank error) instead of the exact sort-based aggregate. At
+    * scale the exact form materializes every group's values on one
+    * reducer; the sketch is fixed-size per group and partial-aggregates
+    * map-side. No cross-engine oracle — sketch implementations differ by
+    * design — so the driver records a rows-only check; ExtSpec bounds
+    * the sketch against the exact answer at 5% tolerance.
+    */
+  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").cast("double").as("p25_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Q17 — statistical aggregates: stddev/variance (sample), Pearson
     * correlation, covariance. Numerically stable one-pass algorithms in
     * both engines; rounded to absorb update-order epsilon.

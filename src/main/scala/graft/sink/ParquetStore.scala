@@ -17,14 +17,8 @@ import org.apache.spark.sql.functions._
 object ParquetStore {
 
   val PartitionCol = "ym"
+  val DayCol = "d"
   val BatchCol = "bid"
-
-  def append(df: DataFrame, path: String): Unit =
-    df.withColumn(PartitionCol, date_format(col("timestamp"), "yyyyMM"))
-      .sortWithinPartitions(col("timestamp"))
-      .write.mode("append")
-      .partitionBy(PartitionCol)
-      .parquet(path)
 
   /** Exactly-once leg for `foreachBatch` (SURVEY §7.3 trap 4): each
     * micro-batch lands in its own `bid=<batchId>` directory with
@@ -32,24 +26,37 @@ object ParquetStore {
     * instead of appending beside the first attempt — at-least-once
     * replay plus an idempotent write = exactly-once store contents.
     * Readers treat `bid` as one more discovered partition column and
-    * drop it; `ym` partition pruning still applies underneath (Spark
-    * discovers both levels). Directory-per-batch is the standard
+    * drop it; time partition pruning still applies underneath (Spark
+    * discovers all levels). Directory-per-batch is the standard
     * idempotent-sink pattern and needs no commit log or read-side
     * dedup at any scale.
+    *
+    * `daily = true` adds a day level under the month (`ym=.../d=...`,
+    * SURVEY §7.3 trap 7): at 100 TB a month partition is ~terabytes,
+    * far too coarse for the reference's typical day-window queries —
+    * day dirs keep pruning proportional to the queried window. A store
+    * path must use ONE layout exclusively: mixing monthly and daily
+    * dirs under one root breaks Spark's partition discovery (it
+    * requires a consistent directory schema).
     */
-  def appendBatch(df: DataFrame, path: String, batchId: Long): Unit =
-    df.withColumn(PartitionCol, date_format(col("timestamp"), "yyyyMM"))
+  def appendBatch(df: DataFrame, path: String, batchId: Long, daily: Boolean = false): Unit = {
+    val ym = df.withColumn(PartitionCol, date_format(col("timestamp"), "yyyyMM"))
+    val parted =
+      if (daily) ym.withColumn(DayCol, date_format(col("timestamp"), "yyyyMMdd"))
+      else ym
+    parted
       .sortWithinPartitions(col("timestamp"))
       .write.mode("overwrite")
-      .partitionBy(PartitionCol)
+      .partitionBy((if (daily) Seq(PartitionCol, DayCol) else Seq(PartitionCol)): _*)
       .parquet(s"$path/$BatchCol=$batchId")
+  }
 
   /** Register the store as `logs_table` for spark.sql querying (the
     * reference's query surface, README.md:419-424,516-527).
     */
   def registerView(spark: SparkSession, path: String, view: String = "logs_table"): DataFrame = {
     val df = spark.read.parquet(path)
-      .drop(PartitionCol).drop(BatchCol)
+      .drop(PartitionCol).drop(DayCol).drop(BatchCol)
     df.createOrReplaceTempView(view)
     df
   }

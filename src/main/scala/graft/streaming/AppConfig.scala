@@ -132,12 +132,15 @@ object AppConfig {
     }
 
     private def stripComment(l: String): String = {
-      // a '#' outside quotes starts a comment
-      var inQ = false; var i = 0
+      // a '#' outside quotes starts a comment; track WHICH quote char
+      // opened the string so an apostrophe inside a double-quoted value
+      // (or vice versa) cannot flip the state (ADVICE r2)
+      var quote: Char = 0; var i = 0
       while (i < l.length) {
         val c = l.charAt(i)
-        if (c == '"' || c == '\'') inQ = !inQ
-        else if (c == '#' && !inQ) return l.substring(0, i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '#') return l.substring(0, i)
         i += 1
       }
       l

@@ -23,7 +23,7 @@ object ProfileMicro {
     time("allShingles 32-task again")(rawPar.count())
     val g = graft.ext.Dedup.shingles(docs.repartition(32)).persist()
     time("df-capped shingles")(g.count())
-    val g2 = g.select(col("doc_id"), xxhash64(col("ng")).as("h"))
+    val g2 = g.select(col("doc_id"), col("ng").as("h")) // ng is already the shingle hash
     time("builtin count agg")(g2.groupBy(col("doc_id")).agg(count(lit(1))).count())
     time("builtin min agg")(g2.groupBy(col("doc_id")).agg(min(col("h"))).count())
     time("minhash128 agg")(g2.groupBy(col("doc_id")).agg(graft.functions.GraftFunctions.minhash128(col("h"))).count())

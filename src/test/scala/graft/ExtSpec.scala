@@ -71,7 +71,9 @@ class ExtSpec extends SparkSpec {
   test("MinHash128 aggregate equals a local fold of the seeded re-hashes") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val g = Dedup.shingles(docs, maxDf = 1000)
-    val hashed = g.select(col("doc_id"), xxhash64(col("ng")).as("h"))
+    // ng is already the 64-bit shingle hash — minhashSignatures feeds it
+    // to the aggregate unmodified
+    val hashed = g.select(col("doc_id"), col("ng").as("h"))
       .as[(Long, Long)].collect()
     val expected = hashed.groupBy(_._1).view.mapValues { rows =>
       val sig = Array.fill(128)(Long.MaxValue)
@@ -112,6 +114,26 @@ class ExtSpec extends SparkSpec {
       df.groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
         .as[(Long, Long, Long)].collect().toSet
     assert(agg(graft.ext.Skew.saltedJoin(big, dim, "k", 8)) == agg(big.join(dim, "k")))
+  }
+
+  test("salted groupBy partials merge to the plain aggregate (mergeable aggs only)") {
+    val df = spark.range(10000).select(
+      when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    // phase 1: per-(key, salt) partials of MERGEABLE aggregates
+    val partials = graft.ext.Skew.saltedGroupBy(df, col("k"), 8,
+      sum(col("v")).as("s"), count(lit(1)).as("n"),
+      collect_set(col("v") % 10).as("vals"))
+    // phase 2: caller merges partials per key (re-sum / flatten+distinct)
+    val merged = partials.groupBy("k")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"),
+           array_sort(array_distinct(flatten(collect_list(col("vals"))))).as("vals"))
+      .as[(Long, Long, Long, Seq[Long])].collect().toSet
+    val plain = df.groupBy("k")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+           array_sort(collect_set(col("v") % 10)).as("vals"))
+      .as[(Long, Long, Long, Seq[Long])].collect().toSet
+    assert(merged == plain)
   }
 
   test("TopKBuffer: ordering, capacity compaction, merge, serde round-trip") {

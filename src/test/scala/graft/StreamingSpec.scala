@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("daily partition layout: ym/d two-level dirs, pruning, view intact") {
+    val out = tmp("graft-daily")
+    val batch = IngestPipeline.runBatch(
+      Seq(
+        """{"@timestamp":"2025-12-01T10:00:00Z","message":"day-one"}""",
+        """{"@timestamp":"2025-12-02T10:00:00Z","message":"day-two"}""",
+        """{"@timestamp":"2025-11-30T10:00:00Z","message":"november"}""").toDF("value"),
+      IngestPipeline.Logstash)
+    ParquetStore.appendBatch(batch, out, batchId = 0, daily = true)
+    // two-level layout: ym=... containing d=...
+    val ymDirs = new java.io.File(s"$out/bid=0").listFiles()
+      .map(_.getName).filter(_.startsWith("ym=")).toSet
+    assert(ymDirs == Set("ym=202511", "ym=202512"))
+    val dayDirs = new java.io.File(s"$out/bid=0/ym=202512").listFiles()
+      .map(_.getName).filter(_.startsWith("d=")).toSet
+    assert(dayDirs == Set("d=20251201", "d=20251202"))
+    // a day filter prunes to that day's directory only (partition pruning)
+    val pruned = spark.read.parquet(out).where(col("d") === 20251202)
+    assert(pruned.collect().map(_.getAs[String]("message")).toSeq == Seq("day-two"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    assert(scan.get.metrics("numFiles").value < spark.read.parquet(out).inputFiles.length,
+      "day predicate must prune partition directories, not scan all files")
+    // registerView drops all partition cols and sees every row
+    val view = ParquetStore.registerView(spark, out, "daily_logs")
+    assert(view.count() == 3)
+    assert(!view.columns.contains("d") && !view.columns.contains("ym"))
+  }
+
   test("socket source end-to-end: TCP NDJSON -> normalize -> store (S11)") {
     val out = tmp("graft-sock-store"); val ck = tmp("graft-sock-ck")
     val server = new java.net.ServerSocket(0)
