@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.queries.{IngestQueries, LogQueries, Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,6 +91,10 @@ object SparkEntry {
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
+    // corpus assembly: splits / decontamination / packing
+    "x_sample_split" -> (Corpus.sampleSplit _),
+    "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -593,7 +597,43 @@ object SparkEntry {
            round(hist[1] / nrm, 6) AS f0,
            round(hist[2] / nrm, 6) AS f1
          FROM n ORDER BY media_id""",
-  )
+  ) ++ corpusOracles
+
+  private val corpusOracles: Map[String, String] = Map(
+    // Deterministic md5-bucket split: bucket = first 4 hex digits of
+    // md5(doc_id) mod 100 (hex → int spelled out digit-by-digit; DuckDB
+    // has no conv()).
+    "x_sample_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    // Eval-set 8-gram overlap (docs 0-19 stand in for the benchmark).
+    "x_decontam" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+           FROM documents),
+         ev AS (SELECT DISTINCT ng FROM g0 WHERE doc_id < 20),
+         ov AS (SELECT doc_id, count(*) AS n_shared FROM g0 JOIN ev ON g0.ng = ev.ng GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ov.n_shared, 0) AS n_shared,
+           coalesce(ov.n_shared, 0) >= 10 AS contaminated
+         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         ORDER BY d.doc_id""",
+    // Greedy sequential packing: a doc's bin = floor(prefix token sum
+    // before it / 2048). The oracle's single global cumsum is the
+    // semantics; the Spark side computes it as a distributed prefix sum.
+    "x_pack_bins" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
+         SELECT doc_id, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""")
 
   /** As-of semantics shared by the join+aggregate and sort-merge
     * formulations: each event's most recent order date at or before it.

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-assembly operators for a training-data pipeline — the steps
+  * that come AFTER cleaning/dedup and turn a document collection into
+  * training input: deterministic splits, benchmark decontamination,
+  * and context-window packing. Each has an exact DuckDB oracle.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment by md5 hash bucket
+    * (80/10/10). The split is a pure function of `doc_id`: stable under
+    * reruns, cluster layout, and corpus growth (a doc never changes
+    * split when others are added — the property random shuffles lack).
+    * md5 is engine-portable, so the oracle hash-checks the exact
+    * assignment. 100 TB shape: one narrow projection, no shuffle at
+    * all until the final presentation sort.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // first 4 hex digits of md5(doc_id) → 0..65535, mod 100
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minShared` distinct 8-char shingles with an evaluation set (here:
+    * doc_id < 20 stands in for the benchmark). The industry-standard
+    * n-gram-overlap check for train/eval contamination.
+    *
+    * 100 TB shape: the eval set is tiny by construction, so its
+    * (hashed, distinct) shingle set BROADCASTS and the corpus streams
+    * past it — no shuffle of the big side, no pair blowup beyond
+    * matching shingle hits. Reuses [[graft.functions.NgramShingles]]
+    * (in-operator dedup + xxhash64), so the joined key is 8 bytes.
+    */
+  def decontaminate(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = Dedup.allShingles(docs) // uncapped: exact-match semantics
+    val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
+    val overlap = g
+      .join(broadcast(evalSet), "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // g is distinct per (doc, ng)
+    docs.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window packing: assign documents (in doc_id order) to
+    * fixed-budget token bins — the greedy sequential packing used to
+    * assemble training batches. `bin = floor(tokens_before / budget)`,
+    * where `tokens_before` is the running token count of all earlier
+    * docs: a document starts in the bin its prefix sum lands in.
+    *
+    * A global running sum is the textbook driver-side/single-reducer
+    * funnel (`Window.orderBy` with no partition = ONE task for the
+    * whole corpus), so this computes the classic DISTRIBUTED prefix
+    * sum instead:
+    *   1. bucket docs into `parts` contiguous doc_id ranges (pure
+    *      function of doc_id — no sampling, so the bucketing is
+    *      deterministic and re-derivable);
+    *   2. one tiny aggregate gives each bucket's token total (`parts`
+    *      rows to the driver — bounded like a broadcast threshold);
+    *   3. each bucket's rows get local prefix sums in parallel
+    *      (window PARTITIONED by bucket) plus the broadcast offset of
+    *      all earlier buckets.
+    * Wall-clock is two narrow passes; no stage sees more than one
+    * bucket's rows in order.
+    */
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val span = maxId / parts + 1 // contiguous ranges: deterministic, no sampling
+    // integer div, not `/` (which is double division on longs in Spark)
+    val bucketed = docs.withColumn("bkt", expr(s"CAST(doc_id div $span AS INT)"))
+    // one bounded collect: `parts` (bucket, total) rows — the offsets
+    val totals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to parts).scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L))
+    val offsetCol = element_at(typedLit(offsets.toArray), col("bkt") + 1)
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offsetCol)
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"tokens_before div $budget").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -27,11 +27,13 @@ object IngestPipeline {
 
   /** Source selection — built-in Structured Streaming sources covering
     * the reference's declared-but-stubbed inputs (main.go:612-665):
-    * file-tail (S10) is the tested default; Kafka (S8) and raw TCP
-    * socket (S11) are first-class wiring with identical downstream
-    * stages (no broker/listener exists in this environment to drive
-    * them); Redis and Lumberjack stay unsupported exactly like the
-    * reference ("当前版本暂不支持").
+    * file-tail (S10) is the tested default; raw TCP socket (S11) is
+    * driven by a real ServerSocket in StreamingSpec. Kafka (S8) is
+    * option-plumbing only and UNSUPPORTED in this environment — no
+    * broker and no spark-sql-kafka connector jar exist here, so the
+    * branch has never executed (the reference stubs Kafka the same
+    * way, main.go:628-635); Redis and Lumberjack stay unsupported
+    * exactly like the reference ("当前版本暂不支持").
     */
   sealed trait Source
   final case class FileSource(dir: String) extends Source

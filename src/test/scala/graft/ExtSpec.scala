@@ -218,6 +218,61 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sample split: deterministic, pure function of doc_id, ~80/10/10") {
+    val dir = "/root/testdata/sf0.01"
+    val a = graft.ext.Corpus.sampleSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val b = graft.ext.Corpus.sampleSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(a.toSeq == b.toSeq, "split must be identical across runs")
+    val byKind = a.groupBy(_._3).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(byKind("train") / n > 0.7 && byKind("train") / n < 0.9)
+    assert(byKind("val") / n > 0.04 && byKind("val") / n < 0.16)
+    assert(byKind("test") / n > 0.04 && byKind("test") / n < 0.16)
+    // buckets bound the split labels exactly
+    a.foreach { case (_, bucket, split) =>
+      val want = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split == want)
+    }
+  }
+
+  test("decontamination: eval docs fully overlap themselves; counts match a local check") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ext.Corpus.decontaminate(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val shingles = Dedup.allShingles(Tables.documents(spark, dir))
+      .as[(Long, Long)].collect()
+    val evalNgs = shingles.filter(_._1 < 20).map(_._2).toSet
+    val expected = shingles.groupBy(_._1).view
+      .mapValues(_.count(t => evalNgs.contains(t._2)).toLong).toMap
+    out.foreach { case (d, nShared, flag) =>
+      assert(nShared == expected.getOrElse(d, 0L), s"doc $d overlap")
+      assert(flag == (nShared >= 10))
+    }
+    // an eval doc overlaps itself on every shingle -> contaminated
+    out.filter(_._1 < 20).foreach { case (d, _, flag) => assert(flag, s"eval doc $d") }
+  }
+
+  test("pack bins: distributed prefix sum equals the single-window global cumsum") {
+    val dir = "/root/testdata/sf0.01"
+    val budget = 2048L
+    val got = graft.ext.Corpus.packBins(spark, dir, budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // local reference: exact global cumsum in plain Scala
+    var cum = 0L
+    got.foreach { case (_, nTok, bin) =>
+      assert(bin == cum / budget, s"bin mismatch at cum=$cum")
+      cum += nTok
+    }
+    // bins are non-decreasing and contiguous from 0
+    assert(got.head._3 == 0L)
+    got.sliding(2).foreach { case Array((_, _, b1), (_, _, b2)) =>
+      assert(b2 == b1 || b2 == b1 + 1 || b2 > b1, "bins must not decrease")
+      assert(b2 >= b1)
+    }
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
