@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -68,16 +68,106 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** Catalyst types physically stored as a primitive long (or int,
+    * widened for free) whose SQL ordering equals the numeric ordering
+    * of that representation — eligible for the boxing-free merge path.
+    */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType
+       | org.apache.spark.sql.types.TimestampType
+       | org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** True when [[doExecute]] takes the boxing-free primitive merge:
+    * attribute key/time columns whose types are all long-backed.
+    * (An Attribute always binds to a BoundReference.)
+    */
+  private[graft] def primitiveEligible: Boolean =
+    Seq(leftKey, rightKey, leftTime, rightTime).forall(_.isInstanceOf[Attribute]) &&
+      longBacked(leftKey.dataType) && longBacked(rightKey.dataType) &&
+      longBacked(leftTime.dataType) && longBacked(rightTime.dataType)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
+    val primitive = Seq(lk, lt, rk, rt).forall(_.isInstanceOf[BoundReference]) &&
+      longBacked(leftKey.dataType) && longBacked(rightKey.dataType) &&
+      longBacked(leftTime.dataType) && longBacked(rightTime.dataType)
+    val rightWidth = right.output.size
+    if (primitive) {
+      // Fast path (the production shape: bigint keys, timestamp times —
+      // both raw longs in the row): ordinal access + primitive compares,
+      // zero boxing per row. The generic path below evaluates
+      // expressions to boxed values and compares through the type's
+      // interpreted ordering — correct for any orderable type, but a
+      // per-row allocation + virtual-call tax that dominates at 100×.
+      val (lkOrd, ltOrd) = (lk.asInstanceOf[BoundReference].ordinal,
+        lt.asInstanceOf[BoundReference].ordinal)
+      val (rkOrd, rtOrd) = (rk.asInstanceOf[BoundReference].ordinal,
+        rt.asInstanceOf[BoundReference].ordinal)
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        new Iterator[InternalRow] {
+          private val nullRight = new GenericInternalRow(rightWidth)
+          private val joined = new JoinedRow
+          private val rBuf = rIter.buffered
+          // latest matching right row, copied (sort iterators reuse row
+          // objects); its key/time are cached as primitives
+          private var hasMatch = false
+          private var matchRow: InternalRow = _
+          private var matchKey = 0L
+          private var matchTime = 0L
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val lRow = lIter.next()
+            if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd))
+              return joined(lRow, nullRight)
+            val key = lRow.getLong(lkOrd)
+            val time = lRow.getLong(ltOrd)
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              if (head.isNullAt(rkOrd)) { rBuf.next() } // null keys never match
+              else {
+                val hKey = head.getLong(rkOrd)
+                if (hKey < key) {
+                  rBuf.next() // skip rows for smaller keys entirely
+                } else if (hKey == key) {
+                  if (head.isNullAt(rtOrd)) { rBuf.next() } // null times never match
+                  else {
+                    val hTime = head.getLong(rtOrd)
+                    if (hTime <= time) {
+                      matchRow = rBuf.next().copy()
+                      matchKey = hKey; matchTime = hTime; hasMatch = true
+                    } else advancing = false
+                  }
+                } else advancing = false
+              }
+            }
+            if (hasMatch && matchKey == key && matchTime <= time)
+              joined(lRow, matchRow)
+            else
+              joined(lRow, nullRight)
+          }
+        }
+      }
+    } else genericMerge(lk, lt, rk, rt, rightWidth)
+  }
+
+  /** Generic merge for any ordering-capable key/time type (interpreted
+    * orderings, boxed eval) — string keys, decimals, nested orderables.
+    */
+  private def genericMerge(
+      lk: Expression, lt: Expression, rk: Expression, rt: Expression,
+      rightWidth: Int): RDD[InternalRow] = {
     val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftKey.dataType)
     val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftTime.dataType)
-    val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)

@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     // EnsureRequirements added around it)
     assert(physical.contains("AsOfJoin"), s"custom exec not planned:\n$physical")
     assert(physical.contains("Exchange hashpartitioning"), "expected co-partitioning exchanges")
+    // bigint key + timestamp times take the boxing-free primitive merge
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asofNode = root.collectFirst { case e: graft.plans.AsOfJoinExec => e }
+    assert(asofNode.exists(_.primitiveEligible), "long-backed as-of should use the primitive path")
     val exec = df.select(col("event_id"), col("last_order_date").cast("string"))
       .as[(Long, String)].collect().toMap
     val merge = LogQueries.eventsAsofOrdersMerge(spark, dir)
