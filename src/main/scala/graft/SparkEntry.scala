@@ -88,6 +88,7 @@ object SparkEntry {
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
+    "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
@@ -600,6 +601,27 @@ object SparkEntry {
   ) ++ corpusOracles
 
   private val corpusOracles: Map[String, String] = Map(
+    // Gopher-style repetition signals: consecutive-token-pair dup ratio
+    // (built via list_transform over the token list — identical pairs to
+    // Spark's per-doc lead window) and top-token share.
+    "x_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gs,
+                 toks
+               FROM t WHERE len(toks) > 1),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tc AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY doc_id, tk),
+         ts AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_tok FROM tc GROUP BY doc_id)
+         SELECT g.doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams,
+           round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) AS dup2_ratio,
+           round(top_n / CAST(n_tok AS DOUBLE), 4) AS top_tok_ratio,
+           (round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) <= 0.9
+            AND round(top_n / CAST(n_tok AS DOUBLE), 4) <= 0.2) AS keep
+         FROM g JOIN ts ON g.doc_id = ts.doc_id
+         ORDER BY g.doc_id""",
     // Deterministic md5-bucket split: bucket = first 4 hex digits of
     // md5(doc_id) mod 100 (hex → int spelled out digit-by-digit; DuckDB
     // has no conv()).

@@ -26,6 +26,43 @@ object TextAnalysis {
            max(col("n_tok")).as("max_tokens"))
       .orderBy(col("lang"))
 
+  /** Repetition filter (the Gopher/C4-style quality gate): per document,
+    * the duplicate word-bigram ratio (1 − distinct/total consecutive
+    * token pairs) and the most-frequent-token share. Highly repetitive
+    * machine-generated text scores near 1 on both and gets dropped.
+    *
+    * Shape: one explode, one per-doc window (`lead` partitioned BY
+    * doc_id — windows parallelize across documents; no global ordering
+    * anywhere), two hash aggregates. At 100 TB every stage partitions
+    * by doc_id and nothing is driver-side.
+    */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoresFor(Tables.documents(spark, dir))
+
+  def repetitionScoresFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    val gramStats = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           countDistinct(col("g")).as("n_distinct_grams"))
+    val tokStats = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_tok"))
+    gramStats.join(tokStats, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        round(lit(1) - col("n_distinct_grams") / col("n_grams"), 4).as("dup2_ratio"),
+        round(col("top_n") / col("n_tok"), 4).as("top_tok_ratio"))
+      .withColumn("keep", col("dup2_ratio") <= 0.9 && col("top_tok_ratio") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality signals (doc_id < 50 for a bounded sample):
     * token count, mean token length, type-token ratio, whitespace ratio.
     * The quality-score shape a pretraining filter would threshold on.

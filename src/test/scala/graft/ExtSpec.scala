@@ -273,6 +273,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("repetition filter: degenerate doc flagged, varied doc kept") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.repetitionScoresFor(docs)
+      .select("doc_id", "dup2_ratio", "top_tok_ratio", "keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 7 bigrams, all "spam spam": dup ratio 6/7, top token share 1.0
+    assert(out(1L)._1 > 0.8 && out(1L)._2 == 1.0 && !out(1L)._3)
+    // all bigrams and tokens distinct
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.1 && out(2L)._3)
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
