@@ -80,6 +80,19 @@ object EventsStream {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Two-tier streaming dedup for a rolling ingest: drop events whose
+    * id already exists in a STATIC store (the previous corpus — e.g. a
+    * `ParquetStore` read), then watermark-dedup within the stream
+    * itself. The stream-static leg is a left-anti join re-planned per
+    * micro-batch, so Catalyst broadcasts a small store and
+    * shuffle-joins a large one; the in-stream leg keeps only
+    * watermark-bounded state. This is the "dedup the new crawl against
+    * what we already have" pattern a training-data pipeline runs on
+    * every ingest cycle.
+    */
+  def dedupAgainstStore(events: DataFrame, known: DataFrame): DataFrame =
+    dedup(events.join(known.select(col("event_id")), Seq("event_id"), "left_anti"))
+
   /** Custom keyed state: running per-user count/total via
     * flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express. Emits one updated row per user per

@@ -244,6 +244,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static dedup drops ids already in the store, then dedups the stream") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    val known = Seq(1L, 5L).toDF("event_id") // the "previous corpus"
+    val deduped = EventsStream.dedupAgainstStore(input.toDF(), known)
+    val q = deduped.writeStream.format("memory").queryName("store_dedup_out")
+      .outputMode("append").start()
+    def ev(id: Long, t: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:00:01"))
+    q.processAllAvailable()
+    input.addData(ev(2, "2024-01-01 10:00:01"), // in-stream replay
+                  ev(5, "2024-01-01 10:00:02"), // known in store
+                  ev(3, "2024-01-01 10:00:03"))
+    q.processAllAvailable()
+    val ids = spark.table("store_dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(2L, 3L), s"got $ids")
+    q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals across batches") {
     val input = MemoryStream[EventsStream.Event](spark)
     val stats = EventsStream.runningUserStats(input.toDS())
