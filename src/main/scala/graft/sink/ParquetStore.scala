@@ -51,6 +51,39 @@ object ParquetStore {
       .parquet(s"$path/$BatchCol=$batchId")
   }
 
+  /** Compaction — the analogue of MergeTree's background merges
+    * (clickhouse-init/init.sql:20-23 relies on ClickHouse doing this
+    * continuously): the exactly-once `bid=<id>` layout accrues one
+    * directory per micro-batch, so a long-running ingest builds up many
+    * small files — the classic small-files problem that degrades scan
+    * planning and read throughput at scale. `compact` rewrites all
+    * accumulated batches into a fresh generation root with
+    * `filesPerPartition` files per time partition, re-sorted by
+    * timestamp so parquet row-group min/max stats stay tight (the
+    * ORDER BY parity). Two-generation pattern: readers swap to
+    * `destPath`, then the old root is dropped.
+    *
+    * File-count control: hash-repartitioning on the partition columns
+    * sends each time partition to exactly one task → one file per dir;
+    * `filesPerPartition > 1` adds a hash salt for that many files.
+    */
+  def compact(spark: SparkSession, path: String, destPath: String,
+              filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val df = spark.read.parquet(path).drop(BatchCol)
+    val partCols = Seq(PartitionCol, DayCol).filter(df.columns.contains)
+    val keyCols = partCols.map(col)
+    val parted =
+      if (filesPerPartition == 1) df.repartition(keyCols: _*)
+      else df.repartition(keyCols :+
+        pmod(xxhash64(col("timestamp")), lit(filesPerPartition.toLong)): _*)
+    parted
+      .sortWithinPartitions(col("timestamp"))
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(destPath)
+  }
+
   /** Register the store as `logs_table` for spark.sql querying (the
     * reference's query surface, README.md:419-424,516-527).
     */

@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(!view.columns.contains("d") && !view.columns.contains("ym"))
   }
 
+  test("compaction merges per-batch dirs into one file per partition, rows intact") {
+    val out = tmp("graft-compact-src"); val dest = tmp("graft-compact-dst") + "/gen1"
+    def batch(msgs: String*) = IngestPipeline.runBatch(
+      msgs.map(m => s"""{"@timestamp":"2025-1${1 + msgs.indexOf(m) % 2}-05T10:00:00Z","message":"$m"}""")
+        .toDF("value"),
+      IngestPipeline.Logstash)
+    // three micro-batches -> three bid dirs, each with its own ym files
+    ParquetStore.appendBatch(batch("a1", "a2"), out, batchId = 0)
+    ParquetStore.appendBatch(batch("b1", "b2"), out, batchId = 1)
+    ParquetStore.appendBatch(batch("c1", "c2"), out, batchId = 2)
+    val before = spark.read.parquet(out)
+    val beforeFiles = before.inputFiles.length
+    ParquetStore.compact(spark, out, dest)
+    val after = spark.read.parquet(dest)
+    // same rows, no bid level, fewer files: exactly one per ym dir
+    assert(after.count() == before.count())
+    assert(!after.columns.contains("bid"))
+    val ymDirs = new java.io.File(dest).listFiles().map(_.getName).filter(_.startsWith("ym=")).toSeq
+    assert(ymDirs.nonEmpty)
+    ymDirs.foreach { d =>
+      val files = new java.io.File(s"$dest/$d").listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+    assert(after.inputFiles.length < beforeFiles)
+    // view still registers and reads every row
+    val view = ParquetStore.registerView(spark, dest, "compacted_logs")
+    assert(view.count() == 6)
+  }
+
   test("socket source end-to-end: TCP NDJSON -> normalize -> store (S11)") {
     val out = tmp("graft-sock-store"); val ck = tmp("graft-sock-ck")
     val server = new java.net.ServerSocket(0)
