@@ -39,15 +39,9 @@ object Bench {
       graft.ext.Dedup.releaseCaches()
       spark.catalog.clearCache()
     }
-    // Deterministic (sorted) order, with one deliberate exception:
-    // x_dedup_clusters runs immediately after x_dedup_ngram WITHOUT the
-    // cache flush in between, so it consumes the memoized pair frame the
-    // ngram entry just built and measures the incremental component-
-    // solve cost — the production shape (pairs are computed once per
-    // corpus, then clustered in the same job; VERDICT.md r2 item 2).
-    val ordered = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "x_dedup_clusters")
-      .flatMap(n => if (n == "x_dedup_ngram") Seq(n, "x_dedup_clusters") else Seq(n))
+    // Deterministic order with the clusters-after-ngram keep-warm rule —
+    // shared with Verify/TimeMany and name-asserted (SparkEntry).
+    val ordered = SparkEntry.orderedQueryNames
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       // isolate queries from each other: drop any frame the previous

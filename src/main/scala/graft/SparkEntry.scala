@@ -98,6 +98,26 @@ object SparkEntry {
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
   )
 
+  /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
+    * one deliberate exception — `x_dedup_clusters` runs immediately after
+    * `x_dedup_ngram` WITHOUT a cache flush in between, so it consumes the
+    * memoized pair frame the ngram entry just built and measures only the
+    * incremental component-solve cost (the production shape: pairs are
+    * computed once per corpus, then clustered in the same job).
+    *
+    * The `require` makes a rename of either query a loud failure instead
+    * of silently dropping clusters from every runner (ADVICE r3: the
+    * filterNot/flatMap pair is keyed on the literal names).
+    */
+  def orderedQueryNames: Seq[String] = {
+    require(queries.contains("x_dedup_ngram") && queries.contains("x_dedup_clusters"),
+      "ordered-run contract expects x_dedup_ngram and x_dedup_clusters in SparkEntry.queries " +
+        "(rename both here and in the keep-warm pairing)")
+    queries.keys.toSeq.sorted
+      .filterNot(_ == "x_dedup_clusters")
+      .flatMap(n => if (n == "x_dedup_ngram") Seq(n, "x_dedup_clusters") else Seq(n))
+  }
+
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
     * names, same ordering, same rounding).
     */

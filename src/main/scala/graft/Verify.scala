@@ -18,9 +18,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Same ordering contract as Bench: x_dedup_clusters right after
     // x_dedup_ngram, keeping the memoized pair frame warm between them.
-    val ordered = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "x_dedup_clusters")
-      .flatMap(n => if (n == "x_dedup_ngram") Seq(n, "x_dedup_clusters") else Seq(n))
+    val ordered = SparkEntry.orderedQueryNames
     ordered.foreach { name =>
       val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -84,7 +84,10 @@ object Corpus {
   def packBins(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val maxIdRow = docs.agg(max(col("doc_id"))).head()
+    if (maxIdRow.isNullAt(0)) // empty corpus: max is NULL — return the empty frame, same schema
+      return docs.select(col("doc_id"), col("n_tok"), lit(0L).as("bin"))
+    val maxId = maxIdRow.getLong(0)
     val span = maxId / parts + 1 // contiguous ranges: deterministic, no sampling
     // integer div, not `/` (which is double division on longs in Spark)
     val bucketed = docs.withColumn("bkt", expr(s"CAST(doc_id div $span AS INT)"))

@@ -34,19 +34,58 @@ object Dedup {
     * evicts the data (`spark.catalog.clearCache()`), the next access
     * re-arms the persist and recomputes lazily; [[releaseCaches]] drops
     * everything explicitly for long-lived sessions.
+    *
+    * Staleness + lifetime (ADVICE r3): each entry is stamped with a
+    * fingerprint of the corpus file listing (name:length:mtime per
+    * file), taken on every access — one cheap FS LIST. A write to the
+    * dir between queries changes the fingerprint, which unpersists the
+    * stale entry and rebuilds from the NEW file listing (the round-3
+    * memo captured the parquet footer list once and silently served
+    * pre-write data forever). Entries whose SparkContext has stopped
+    * are dropped on access, so the memo cannot pin dead sessions.
+    * Access is serialized on the memo (build-once guarantee — TrieMap
+    * `getOrElseUpdate` could run two concurrent `persist()` builds and
+    * discard one with its registration side effect already fired).
     */
   private object Frames {
     private val memo =
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+      scala.collection.mutable.HashMap.empty[(SparkSession, String), (String, DataFrame)]
 
-    def getOrCompute(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-      val df = memo.getOrElseUpdate((spark, key), build.persist())
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      df
+    /** Fingerprint of the table files backing a dedup frame: the
+      * documents.parquet listing (works for both a single file and a
+      * directory of part files — one level, which any parquet write
+      * touches).
+      */
+    private def fingerprint(spark: SparkSession, dir: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) "absent"
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString("|")
     }
 
-    def release(): Unit = {
-      memo.values.foreach(_.unpersist(blocking = false))
+    def getOrCompute(spark: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame =
+      memo.synchronized {
+        // a stopped context holds no cached blocks — just drop the entry
+        memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+        val fp = fingerprint(spark, dir)
+        memo.get((spark, key)) match {
+          case Some((oldFp, df)) if oldFp == fp =>
+            if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+            df
+          case stale =>
+            stale.foreach(_._2.unpersist(blocking = false)) // corpus changed under the memo
+            val df = build.persist()
+            memo.put((spark, key), (fp, df))
+            df
+        }
+      }
+
+    def release(): Unit = memo.synchronized {
+      memo.values.foreach { case (_, df) =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
       memo.clear()
     }
   }
@@ -143,7 +182,7 @@ object Dedup {
     * (3× recompute — part of the round-1 44 s bench entry).
     */
   private def shingleFrame(spark: SparkSession, dir: String): DataFrame =
-    Frames.getOrCompute(spark, s"shingles:$dir")(
+    Frames.getOrCompute(spark, s"shingles:$dir", dir)(
       shingles(Tables.documents(spark, dir)))
 
   /** The memoized verified near-dup pair set (d1, d2, jac — unordered):
@@ -153,7 +192,7 @@ object Dedup {
     * verify pipeline inside the clusters query — VERDICT.md item 2).
     */
   private def pairFrame(spark: SparkSession, dir: String): DataFrame =
-    Frames.getOrCompute(spark, s"pairs:$dir") {
+    Frames.getOrCompute(spark, s"pairs:$dir", dir) {
       val g = shingleFrame(spark, dir)
       val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
       val shared = g.as("a").join(g.as("b"),
@@ -207,7 +246,7 @@ object Dedup {
     // frame, and AQE re-planning defeats ReusedExchange here — without
     // the persist the whole shingle→signature pipeline executes twice
     // (measured as ~6 duplicated stages in the stage profile)
-    val banded = Frames.getOrCompute(spark, s"banded:$dir")(
+    val banded = Frames.getOrCompute(spark, s"banded:$dir", dir)(
       minhashSignatures(g).select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band", "bsig"))))
     val cand = banded.as("a").join(banded.as("b"),

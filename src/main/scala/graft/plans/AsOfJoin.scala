@@ -68,16 +68,31 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  /** Catalyst types physically stored as a primitive long (or int,
-    * widened for free) whose SQL ordering equals the numeric ordering
-    * of that representation — eligible for the boxing-free merge path.
+  /** Catalyst types physically stored as a primitive long — or as a
+    * primitive int (IntegerType, DateType), widened to long at read
+    * time — whose SQL ordering equals the numeric ordering of that
+    * representation: eligible for the boxing-free merge path.
+    * (ADVICE r3: int-backed columns previously fell through to the
+    * generic boxed path despite the doc claiming free widening.)
     */
   private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.LongType
        | org.apache.spark.sql.types.TimestampType
-       | org.apache.spark.sql.types.TimestampNTZType => true
+       | org.apache.spark.sql.types.TimestampNTZType
+       | org.apache.spark.sql.types.IntegerType
+       | org.apache.spark.sql.types.DateType => true
     case _ => false
   }
+
+  /** Primitive accessor for a long-backed column: raw long, or int
+    * widened (sign-extension preserves ordering).
+    */
+  private def longGetter(dt: org.apache.spark.sql.types.DataType, ordinal: Int): InternalRow => Long =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType =>
+        row => row.getInt(ordinal).toLong
+      case _ => row => row.getLong(ordinal)
+    }
 
   /** True when [[doExecute]] takes the boxing-free primitive merge:
     * attribute key/time columns whose types are all long-backed.
@@ -108,6 +123,8 @@ case class AsOfJoinExec(
         lt.asInstanceOf[BoundReference].ordinal)
       val (rkOrd, rtOrd) = (rk.asInstanceOf[BoundReference].ordinal,
         rt.asInstanceOf[BoundReference].ordinal)
+      val (lkGet, ltGet) = (longGetter(leftKey.dataType, lkOrd), longGetter(leftTime.dataType, ltOrd))
+      val (rkGet, rtGet) = (longGetter(rightKey.dataType, rkOrd), longGetter(rightTime.dataType, rtOrd))
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         new Iterator[InternalRow] {
           private val nullRight = new GenericInternalRow(rightWidth)
@@ -126,20 +143,20 @@ case class AsOfJoinExec(
             val lRow = lIter.next()
             if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd))
               return joined(lRow, nullRight)
-            val key = lRow.getLong(lkOrd)
-            val time = lRow.getLong(ltOrd)
+            val key = lkGet(lRow)
+            val time = ltGet(lRow)
             var advancing = true
             while (advancing && rBuf.hasNext) {
               val head = rBuf.head
               if (head.isNullAt(rkOrd)) { rBuf.next() } // null keys never match
               else {
-                val hKey = head.getLong(rkOrd)
+                val hKey = rkGet(head)
                 if (hKey < key) {
                   rBuf.next() // skip rows for smaller keys entirely
                 } else if (hKey == key) {
                   if (head.isNullAt(rtOrd)) { rBuf.next() } // null times never match
                   else {
-                    val hTime = head.getLong(rtOrd)
+                    val hTime = rtGet(head)
                     if (hTime <= time) {
                       matchRow = rBuf.next().copy()
                       matchKey = hKey; matchTime = hTime; hasMatch = true

@@ -92,6 +92,29 @@ class PlanSpec extends SparkSpec {
     assert(out == Map(1L -> Some(11L), 2L -> None, 3L -> None))
   }
 
+  test("int and date columns take the primitive as-of merge (widened to long)") {
+    import graft.plans.AsOf
+    val left = Seq((1, "2024-01-10", 1L), (2, "2024-01-20", 2L), (1, "2024-01-05", 3L))
+      .toDF("k", "d", "lid")
+      .withColumn("d", col("d").cast("date"))
+    val right = Seq((1, "2024-01-08", 10L), (1, "2024-01-09", 11L), (2, "2024-02-01", 12L))
+      .toDF("rk", "rd", "rid")
+      .withColumn("rd", col("rd").cast("date"))
+    val out = AsOf.join(left, right, "k", "rk", "d", "rd")
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asofNode = root.collectFirst { case e: graft.plans.AsOfJoinExec => e }
+    assert(asofNode.exists(_.primitiveEligible),
+      "int key + date time should be primitive-eligible (ADVICE r3)")
+    val got = out.select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    // lid=1 (k=1 @ Jan 10): latest right ≤ Jan 10 is rid=11 (Jan 9);
+    // lid=3 (k=1 @ Jan 5): both right rows are later; lid=2 (k=2 @ Jan
+    // 20): the only k=2 right row is Feb 1 — later
+    assert(got == Map(1L -> Some(11L), 2L -> None, 3L -> None))
+  }
+
   test("bucketed tables join with zero pre-join shuffle (the fact-fact 100 TB story)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '$wh'")
