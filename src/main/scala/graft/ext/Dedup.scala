@@ -10,15 +10,20 @@ import graft.Tables
   *
   * Three tiers, by cost:
   *   1. exact — hash group-by on content (or `dropDuplicates`);
-  *   2. near-dup exact verify — shingle inverted-index self-join +
-  *      Jaccard (no cross join: candidates only materialize for pairs
-  *      that share ≥1 shingle);
+  *   2. near-dup exact verify — prefix-filtered set-similarity self-join
+  *      (Bayardo et al. WWW'07 / Xiao et al. PPJoin): only each doc's
+  *      ~20%+1 smallest shingle hashes are indexed, which provably finds
+  *      every Jaccard ≥ 0.8 pair; candidates verify with one
+  *      `array_intersect` per pair over per-doc shingle-set arrays;
   *   3. near-dup at scale — banded MinHash LSH generating candidates,
-  *      then exact Jaccard verify on candidates only. With 128 hashes in
-  *      32 bands × 4 rows, P(candidate | J=0.8) ≈ 1 − (1−0.8⁴)³² > 1−6e-8,
-  *      so the verified output equals tier 2's at the 0.8 threshold while
-  *      the candidate-generation cost is linear in docs instead of
-  *      quadratic in shared-shingle pairs — the 100 TB path.
+  *      then the same exact verify. With 128 hashes in 32 bands × 4
+  *      rows, P(candidate | J=0.8) ≈ 1 − (1−0.8⁴)³² > 1−6e-8, so the
+  *      verified output equals tier 2's at the 0.8 threshold while
+  *      candidate generation is one expression call per document.
+  *
+  * Both near-dup tiers sit on ONE memoized per-document shingle-set
+  * frame ([[docSetFrame]]) built in two narrow shuffles — the dedup
+  * family's only data movement proportional to total shingle count.
   */
 object Dedup {
 
@@ -154,62 +159,105 @@ object Dedup {
            countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang"))
 
-  /** Jaccard-verify a candidate pair set against a shingle frame and
-    * keep pairs ≥ `threshold`. Shared by the exact inverted-index path
-    * and the LSH path (identical output contract / one oracle).
+  /** The memoized per-document shingle-SET frame: ONE row per doc with
+    * its sorted df≤100 shingle-hash array and set size. Two narrow
+    * shuffles build it (the df-cap groupBy(ng) in [[shingles]], then a
+    * groupBy(doc_id) re-collect); everything downstream in the dedup
+    * family is per-row work on top:
+    *   - prefix-filter candidates = explode of an array slice;
+    *   - banded MinHash signatures = one expression call per row;
+    *   - exact Jaccard verify = one `array_intersect` per candidate pair.
+    * The round-3 pipelines instead kept shingles EXPLODED end-to-end
+    * (~17 stages for the trio: per-doc count aggregates, a three-way
+    * verify join re-shuffling all shingle rows, a separate signature
+    * aggregate) — at ~1.4M shingle rows at sf0.1 the cost was stage
+    * orchestration, not compute, and every extra stage is another point
+    * of superlinear degradation on a loaded machine (54 s driver vs
+    * 3.5 s idle in BENCH_r03). Rows here are bounded by corpus size and
+    * arrays by document length, so the frame scales to 100 TB exactly
+    * like the corpus itself.
+    *
+    * Docs whose every shingle is a stop-shingle (df > 100) vanish: their
+    * capped set is empty, so they cannot join any pair — identical
+    * semantics to the exploded form.
     */
-  private def jaccardVerify(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame = {
-    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
-    val shared = cand
-      .join(g.select(col("doc_id").as("d1"), col("ng").as("ng1")), "d1")
-      .join(g.select(col("doc_id").as("d2"), col("ng").as("ng2")), "d2")
-      .filter(col("ng1") === col("ng2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
-      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
+  private def docSetFrame(spark: SparkSession, dir: String): DataFrame =
+    Frames.getOrCompute(spark, s"docsets:$dir", dir)(
+      shingles(Tables.documents(spark, dir))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("ng"))).as("ngs"))
+        .withColumn("n_ng", size(col("ngs")).cast("long")))
+
+  /** Exact-Jaccard verification of candidate pairs against the doc-set
+    * frame: two hash joins bring in each side's sorted array, then one
+    * `array_intersect` per pair counts shared shingles (elements are
+    * distinct by construction). Shared by the prefix-filter path and
+    * the LSH path — identical output contract, one oracle.
+    */
+  private def verifyPairs(cand: DataFrame, ds: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(ds.select(col("doc_id").as("d1"), col("ngs").as("ngs1"), col("n_ng").as("n1")), "d1")
+      .join(ds.select(col("doc_id").as("d2"), col("ngs").as("ngs2"), col("n_ng").as("n2")), "d2")
+      .withColumn("shared", expr("CAST(cardinality(array_intersect(ngs1, ngs2)) AS BIGINT)"))
       .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
-      .orderBy(col("d1"), col("d2"))
-  }
-
-  /** The memoized persisted df≤100 shingle frame for a corpus dir: it
-    * feeds the inverted-index self-join (twice), the per-doc counts,
-    * the MinHash signature stage, and the LSH verify stage — without
-    * the persist each consumer re-runs the explode + df-cap join
-    * (3× recompute — part of the round-1 44 s bench entry).
-    */
-  private def shingleFrame(spark: SparkSession, dir: String): DataFrame =
-    Frames.getOrCompute(spark, s"shingles:$dir", dir)(
-      shingles(Tables.documents(spark, dir)))
 
   /** The memoized verified near-dup pair set (d1, d2, jac — unordered):
     * computed once per corpus and shared by [[ngramJaccardPairs]] and
     * [[dedupClusters]], so clustering costs only the component solve on
-    * top of a pair scan (round 2 re-ran the whole shingle→self-join→
-    * verify pipeline inside the clusters query — VERDICT.md item 2).
+    * top of a pair scan.
+    *
+    * Candidate generation is EXACT prefix filtering (the set-similarity
+    * join technique of Chaudhuri et al. SSJoin / Bayardo et al. WWW'07 /
+    * Xiao et al. PPJoin): under any fixed total order on shingles (here:
+    * the sorted hash order of `ngs`), two sets with |A∩B| ≥ α must share
+    * an element among their first |·|−α+1 elements — if the smallest
+    * common element sat deeper in either set, the ≥α−1 common elements
+    * above it wouldn't fit. J(A,B) ≥ 0.8 forces |A∩B| ≥ ⌈0.8·max(|A|,
+    * |B|)⌉, so indexing only each doc's first n−⌈4n/5⌉+1 shingles
+    * (~20% + 1) finds every qualifying pair — a guarantee, not a
+    * probability. The prefix length uses integer arithmetic
+    * (⌈4n/5⌉ = (4n+4) div 5): floating-point 0.8·n can land above the
+    * true ceiling (0.8·5 = 4.000…01 → prefix one short → missed pairs).
+    * The self-join input shrinks ~5× vs indexing every shingle, and the
+    * df≤100 cap already bounds per-shingle join fan-out, so candidate
+    * count stays near-linear in corpus size at 100 TB.
     */
   private def pairFrame(spark: SparkSession, dir: String): DataFrame =
     Frames.getOrCompute(spark, s"pairs:$dir", dir) {
-      val g = shingleFrame(spark, dir)
-      val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
-      val shared = g.as("a").join(g.as("b"),
-          col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
-        .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
-        .withColumn("jac", col("shared") / (col("n1") + col("n2") - col("shared")))
-        .filter(col("jac") >= 0.8)
-        .select(col("d1"), col("d2"), col("jac"))
+      val ds = docSetFrame(spark, dir)
+      val prefix = ds.select(col("doc_id"), col("n_ng"),
+        posexplode(expr("slice(ngs, 1, CAST(n_ng - (n_ng * 4 + 4) div 5 + 1 AS INT))"))
+          .as(Seq("pos", "ng")))
+      // Candidate join with PPJoin's two extra exact pruning rules, both
+      // applied INSIDE the join before any pair row survives:
+      //   - length filter: J ≥ 0.8 forces 4·max(n1,n2) ≤ 5·min(n1,n2)
+      //     (overlap is capped by the smaller set yet must reach 0.8 of
+      //     the larger);
+      //   - positional filter: a shared element at 0-based positions
+      //     (pa, pb) bounds the overlap by 1 + min(n1−pa−1, n2−pb−1),
+      //     which must reach the pairwise requirement α = ⌈(4/9)·(n1+n2)⌉
+      //     (from overlap ≥ t/(1+t)·(n1+n2) at t = 4/5). The smallest
+      //     common element of a true pair always passes: every other
+      //     common element sits after it in BOTH sorted sets.
+      // Without these, every pair sharing one common prefix hash
+      // materializes two ~2 KB arrays through the verify join — measured
+      // 2× slower than the round-3 exploded pipeline at sf0.1; with
+      // them, the verify join is a near-empty residue.
+      val cand = prefix.as("a").join(prefix.as("b"),
+          expr("""a.ng = b.ng AND a.doc_id < b.doc_id
+                  AND greatest(a.n_ng, b.n_ng) * 4 <= least(a.n_ng, b.n_ng) * 5
+                  AND 1 + least(a.n_ng - a.pos - 1, b.n_ng - b.pos - 1)
+                      >= (4 * (a.n_ng + b.n_ng) + 8) div 9"""))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifyPairs(cand, ds, 0.8)
     }
 
-  /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via inverted-index
-    * self-join. Shuffles on `ng` once; pair aggregation shuffles on
-    * (d1, d2). No cross join anywhere.
+  /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via prefix-filtered
+    * self-join over the doc-set frame (see [[pairFrame]] — exact by the
+    * prefix-filter theorem, no cross join, no LSH miss probability).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     pairFrame(spark, dir).orderBy(col("d1"), col("d2"))
@@ -234,27 +282,30 @@ object Dedup {
       .agg(graft.functions.GraftFunctions.minhash128(col("h")).as("sig"))
 
   /** LSH candidate pairs → exact-Jaccard verify ≥ 0.8. Same contract as
-    * [[ngramJaccardPairs]], near-linear candidate generation. One
-    * persisted shingle frame serves both the signature stage and the
-    * verify stage (round 1 recomputed it, doubling the dominant cost).
+    * [[ngramJaccardPairs]], near-linear candidate generation: one
+    * [[graft.functions.MinHashBands]] call per doc-set row computes all
+    * 128 minima AND folds them into 32 band signatures — no signature
+    * aggregate, no shuffle until the (docs × 32)-row band self-join.
+    * The banding miss-probability at J ≥ 0.8 with 128 hashes in 32
+    * bands × 4 rows is < 6e-8, so the verified output equals the exact
+    * prefix-filter path's at this threshold.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val g = shingleFrame(spark, dir)
-    val rowsPerBand = NumHashes / Bands
+    val ds = docSetFrame(spark, dir)
     // memo-persisted: both sides of the candidate self-join consume this
     // frame, and AQE re-planning defeats ReusedExchange here — without
-    // the persist the whole shingle→signature pipeline executes twice
-    // (measured as ~6 duplicated stages in the stage profile)
+    // the persist the signature projection executes twice
     val banded = Frames.getOrCompute(spark, s"banded:$dir", dir)(
-      minhashSignatures(g).select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band", "bsig"))))
+      ds.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhashBands(col("ngs"), NumHashes, Bands))
+          .as(Seq("band", "bsig"))))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    jaccardVerify(cand, g, 0.8)
+    verifyPairs(cand, ds, 0.8).orderBy(col("d1"), col("d2"))
   }
 
   /** SimHash (64-bit, xxhash64 token hashes): per-doc fingerprint whose

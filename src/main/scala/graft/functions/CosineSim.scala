@@ -107,6 +107,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("simhash_md5")))
       reg.createOrReplaceTempFunction(
         "simhash_md5", exprs => SimHashAgg(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("minhash_bands")))
+      reg.createOrReplaceTempFunction(
+        "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -139,4 +142,10 @@ object GraftFunctions {
     */
   def simhashMd5Agg(h1: Column, h2: Column): Column =
     call_function("simhash_md5", h1, h2)
+
+  /** Per-row banded MinHash signatures over a shingle-hash array. */
+  def minhashBands(ngs: Column, numHashes: Int, bands: Int): Column =
+    call_function("minhash_bands", ngs,
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(bands))
 }

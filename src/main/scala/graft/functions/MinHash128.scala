@@ -103,3 +103,72 @@ case class MinHash128(
 object MinHash128 {
   val NumHashes = 128
 }
+
+/** Per-row banded MinHash: the whole signature + banding stage as ONE
+  * narrow projection over a document's (distinct, pre-hashed) shingle
+  * array — no aggregate, no shuffle, no intermediate 128-long signature
+  * row. Output is `bands` band signatures; two documents land in the
+  * same LSH bucket for band `b` iff their `b`-th outputs are equal.
+  *
+  * Same hash family as [[MinHash128]] (`XXH64.hashLong(h, seed = i)`
+  * running minima), so the per-band minima are IDENTICAL to banding the
+  * aggregate's signature; the band fold is an XXH64 chain over the
+  * band's minima (vs `hash(slice(sig, …))` before) — any deterministic
+  * injective-up-to-collision fold yields the same candidate set modulo
+  * a ~2⁻⁶⁴ chain collision, and candidates are exact-verified anyway.
+  *
+  * Why per-row beats the aggregate shape here: the input row already IS
+  * the per-document shingle set ([[graft.ext.Dedup]]'s doc-set frame),
+  * so a groupBy would shuffle docs × 128 longs only to recombine rows
+  * that were never split. At 100 TB the doc-set frame is the thing that
+  * scales (rows bounded by corpus size, arrays bounded by doc length),
+  * and this expression keeps signature generation embarrassingly
+  * parallel on top of it.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bands > 0 && numHashes % bands == 0,
+    s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (pre-hashed shingles), got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val hi = XXH64.hashLong(h, i)
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      j += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rows) { acc = XXH64.hashLong(mins(b * rows + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}

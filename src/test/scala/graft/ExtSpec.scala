@@ -92,6 +92,45 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("MinHashBands expression equals banding the MinHash128 signature per doc") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    graft.functions.GraftFunctions.register(spark)
+    val g = Dedup.shingles(docs, maxDf = 1000)
+    // expected: aggregate signature, then the same XXH64 chain fold per
+    // 4-row band the expression applies internally
+    val expected = Dedup.minhashSignatures(g)
+      .collect().map { r =>
+        val sig = r.getSeq[Long](1)
+        r.getLong(0) -> (0 until 32).map { b =>
+          var acc = 0L
+          (0 until 4).foreach(j => acc = XXH64.hashLong(sig(b * 4 + j), acc))
+          acc
+        }
+      }.toMap
+    val got = g.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("ng"))).as("ngs"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashBands(col("ngs"), 128, 32).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(got == expected)
+  }
+
+  test("prefix-filtered pair set equals brute-force Jaccard over capped doc sets") {
+    val dir = "/root/testdata/sf0.001"
+    val sets = Dedup.shingles(Tables.documents(spark, dir))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (d1, s1) <- sets.toSeq; (d2, s2) <- sets.toSeq if d1 < d2
+      inter = (s1 & s2).size
+      if inter.toDouble / (s1.size + s2.size - inter) >= 0.8
+    } yield (d1, d2)).toSet
+    val got = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, "prefix filtering must be candidate-complete (exact, not probabilistic)")
+    Dedup.releaseCaches()
+  }
+
   test("collect_set_capped: exact and sorted under cap, bounded above it") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq((1L, 11L), (1L, 10L), (1L, 10L), (2L, 23L), (2L, 20L), (2L, 21L), (2L, 22L))
