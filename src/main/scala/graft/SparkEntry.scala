@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Profiling, Similarity, Skew, TextAnalysis}
 import graft.queries.{IngestQueries, LogQueries, Relational, Relational2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -96,6 +96,9 @@ object SparkEntry {
     "x_sample_split" -> (Corpus.sampleSplit _),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
+    // data profiling + privacy scrub
+    "x_profile_columns" -> (Profiling.columnProfile _),
+    "x_pii_redact"      -> (TextAnalysis.piiRedact _),
   )
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
@@ -621,6 +624,20 @@ object SparkEntry {
   ) ++ corpusOracles
 
   private val corpusOracles: Map[String, String] = Map(
+    // Single-pass column profile; the oracle spells the same stats as a
+    // UNION ALL of per-column aggregates (DuckDB has no stack()).
+    "x_profile_columns" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_non_null,
+            count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_val,
+            CAST(max($c) AS DOUBLE) AS max_val, round(avg($c), 4) AS avg_val
+            FROM lineitem""").mkString(" UNION ALL ") + " ORDER BY column_name"),
+    "x_pii_redact" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
+         regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     // Gopher-style repetition signals: consecutive-token-pair dup ratio
     // (built via list_transform over the token list — identical pairs to
     // Spark's per-doc lead window) and top-token share.

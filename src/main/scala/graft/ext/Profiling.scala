@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-profiling operators — the ANALYZE/summary pass a pipeline runs
+  * before trusting a new corpus drop: per-column row/null/distinct
+  * counts and value ranges, computed in ONE scan of the table.
+  */
+object Profiling {
+
+  /** Single-pass multi-column profile of the lineitem measures: for each
+    * column its non-null count, exact distinct count, min/max/avg. All
+    * statistics for all columns come out of one wide aggregate over one
+    * scan (Spark plans the multiple DISTINCT aggregates as one Expand —
+    * rows × #distinct-columns — with partial aggregation on both sides,
+    * the same plan ClickHouse/DuckDB use for multi-distinct), then a
+    * `stack` unpivots the single wide row into one row per column. At
+    * 100 TB this is the textbook profile job: no shuffle carries more
+    * than the aggregation state, and the unpivot is one row.
+    *
+    * Exact distinct is the point at this granularity (row counts are
+    * the driver's gate); swap `countDistinct` for
+    * `approx_count_distinct` when profiling every column of a wide
+    * fact table (the q21 HLL entry shows that route).
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          round(avg(col(c)), 4).as(s"${c}_avg"))
+      }
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nd, ${c}_min, ${c}_max, ${c}_avg").mkString(", ") +
+      ") AS (column_name, n_non_null, n_distinct, min_val, max_val, avg_val)"
+    wide.select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_non_null"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("avg_val"))
+      .orderBy(col("column_name"))
+  }
+}

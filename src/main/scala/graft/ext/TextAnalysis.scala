@@ -144,4 +144,29 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"))
       .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
       .orderBy(col("doc_id"))
+
+  /** Email-address pattern, restricted to the regex subset that behaves
+    * identically in Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Runs of 6+ digits — phone numbers, SSN-ish ids, account numbers. */
+  private val LongNumRe = "[0-9]{6,}"
+
+  /** PII scrubbing pass: count and redact email addresses and long digit
+    * runs per document — the standard pre-training privacy scrub.
+    * Counts come from `regexp_count`, redaction from two nested
+    * `regexp_replace` (global on both engines). Pure codegen'd row-local
+    * expressions: one narrow scan, zero shuffle until the presentation
+    * sort, so the pass scales exactly like the scan at 100 TB.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_long_nums"),
+        regexp_replace(regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(LongNumRe), lit("<NUM>")).as("redacted"))
+      .orderBy(col("doc_id"))
 }

@@ -93,6 +93,46 @@ object EventsStream {
   def dedupAgainstStore(events: DataFrame, known: DataFrame): DataFrame =
     dedup(events.join(known.select(col("event_id")), Seq("event_id"), "left_anti"))
 
+  final case class DocBand(doc_id: Long, band: Int, bsig: Long)
+  final case class DupCandidate(doc_id: Long, dup_of: Long)
+
+  /** Streaming NEAR-duplicate detection: the batch LSH pipeline's
+    * per-row expressions ([[graft.functions.NgramShingles]] →
+    * [[graft.functions.MinHashBands]]) run unchanged inside the stream,
+    * and each (band, bsig) LSH bucket keeps ONE stateful owner — the
+    * first document that ever hashed there. A later document colliding
+    * with an owned bucket is emitted as a near-dup candidate of that
+    * owner (once per colliding band; callers `distinct` or aggregate).
+    *
+    * Contracts vs the batch path: no df-cap (document frequency is a
+    * global statistic a stream cannot see) and no exact-Jaccard verify
+    * (the owner's shingles are not retained — only 8 bytes per bucket).
+    * This is the candidate tier: route candidates to the batch verifier
+    * over the store for exactness. State is one long per distinct
+    * bucket, so memory grows with corpus novelty, not stream length;
+    * production runs bound it with a state-store TTL.
+    */
+  def nearDupCandidates(docs: DataFrame, n: Int = 8,
+      numHashes: Int = 128, bands: Int = 32): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val banded = docs.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhashBands(
+          graft.functions.GraftFunctions.ngramShingles(col("text"), n), numHashes, bands))
+          .as(Seq("band", "bsig")))
+      .as[DocBand]
+    banded.groupByKey(b => (b.band, b.bsig))
+      .flatMapGroupsWithState[Long, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[DocBand], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toSeq.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(owner)
+          ids.filter(_ != owner).distinct.map(d => DupCandidate(d, owner)).iterator
+      }
+  }
+
   /** Custom keyed state: running per-user count/total via
     * flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express. Emits one updated row per user per

@@ -312,6 +312,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup candidates: LSH bucket state flags a later near-dup of an earlier doc") {
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cands = EventsStream.nearDupCandidates(docs)
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
+    val nearDup = base.replace("lazy", "hazy")
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical plans " * 4
+    input.addData((0L, base))
+    q.processAllAvailable()
+    input.addData((1L, nearDup), (2L, unrelated))
+    q.processAllAvailable()
+    val out = spark.table("neardup_out").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    // doc 1 shares most MinHash bands with doc 0 (J ≈ 0.95); doc 2 shares
+    // none (J ≈ 0 ⇒ per-band collision odds ~2⁻⁶⁴)
+    assert(out.contains((1L, 0L)), s"near-dup not flagged: $out")
+    assert(!out.exists(_._1 == 2L), s"unrelated doc flagged: $out")
+    q.stop()
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
