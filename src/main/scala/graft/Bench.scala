@@ -48,7 +48,7 @@ object Bench {
       // query persisted (the dedup queries cache their shingle frame),
       // then GC — measured 4x swings on the all-pairs query when it
       // followed the minhash stage without a GC in between
-      if (name != "x_dedup_clusters") {
+      if (!SparkEntry.keepWarmQueries(name)) {
         spark.catalog.clearCache()
         System.gc()
       }

@@ -99,7 +99,20 @@ object SparkEntry {
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
     "x_pii_redact"      -> (TextAnalysis.piiRedact _),
+    "x_token_hist"      -> (Profiling.tokenHistogram _),
+    "x_domain_stats"    -> (Profiling.domainStats _),
+    // the capstone: dedup + repetition + length verdicts per document
+    "x_dedup_apply"     -> (Dedup.applyVerdicts _),
   )
+
+  /** Queries that run WITHOUT the runners' pre-query cache flush so they
+    * consume the memoized frames the preceding dedup query built:
+    * `x_dedup_clusters` reuses `x_dedup_ngram`'s pair frame, and
+    * `x_dedup_apply` reuses it again plus the cluster labels — the
+    * production shape, where pairs are computed once per corpus and
+    * every downstream decision prices only its own increment.
+    */
+  val keepWarmQueries: Set[String] = Set("x_dedup_clusters", "x_dedup_apply")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -113,12 +126,13 @@ object SparkEntry {
     * filterNot/flatMap pair is keyed on the literal names).
     */
   def orderedQueryNames: Seq[String] = {
-    require(queries.contains("x_dedup_ngram") && queries.contains("x_dedup_clusters"),
-      "ordered-run contract expects x_dedup_ngram and x_dedup_clusters in SparkEntry.queries " +
-        "(rename both here and in the keep-warm pairing)")
+    val warmChain = Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply")
+    require(warmChain.forall(queries.contains),
+      s"ordered-run contract expects ${warmChain.mkString(", ")} in SparkEntry.queries " +
+        "(rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
-      .filterNot(_ == "x_dedup_clusters")
-      .flatMap(n => if (n == "x_dedup_ngram") Seq(n, "x_dedup_clusters") else Seq(n))
+      .filterNot(keepWarmQueries)
+      .flatMap(n => if (n == "x_dedup_ngram") warmChain else Seq(n))
   }
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -442,6 +456,7 @@ object SparkEntry {
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
+    "x_dedup_apply" -> dedupApplyOracle,
     // SimHash, engine-portable: token bits from the md5 hex digest,
     // fingerprint rendered as a 16-char hex string (BIGINT assembly
     // would need 1<<63 — checked overflow in DuckDB, wraps in Spark).
@@ -638,6 +653,17 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
          regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "x_token_hist" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+         SELECT CAST(least(n_tok // 10, 10) AS BIGINT) AS bucket,
+           CAST(least(n_tok // 10, 10) * 10 AS BIGINT) AS lo_tokens,
+           count(*) AS n_docs
+         FROM t GROUP BY 1, 2 ORDER BY bucket""",
+    "x_domain_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(1 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+         FROM documents GROUP BY source ORDER BY source""",
     // Gopher-style repetition signals: consecutive-token-pair dup ratio
     // (built via list_transform over the token list — identical pairs to
     // Spark's per-doc lead window) and top-token share.
@@ -746,4 +772,42 @@ object SparkEntry {
          SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
        SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep
        FROM reach GROUP BY a ORDER BY doc_id"""
+
+  /** The capstone verdict: cluster-canonical AND repetition-pass AND
+    * 5–10,000 tokens. Cluster labels come from the same recursive
+    * closure as [[dedupClustersOracle]]; the repetition gate mirrors
+    * `x_repetition`'s thresholds with the same rounding; token counts
+    * include empty split tokens on both engines.
+    */
+  private val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       pairs AS (
+         SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+       edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       reach(a, b) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+       clus AS (SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep_dedup
+                FROM reach GROUP BY a),
+       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       gr AS (SELECT doc_id,
+                list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gs
+              FROM t WHERE len(toks) > 1),
+       tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       tc AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),
+       tsx AS (SELECT doc_id, max(cnt) AS top_n, sum(cnt) AS n_tok FROM tc GROUP BY doc_id),
+       rep AS (SELECT gr.doc_id,
+                 (round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) <= 0.9
+                  AND round(top_n / CAST(n_tok AS DOUBLE), 4) <= 0.2) AS keep_rep
+               FROM gr JOIN tsx ON gr.doc_id = tsx.doc_id)
+       SELECT c.doc_id, c.cluster, c.keep_dedup,
+         coalesce(rep.keep_rep, TRUE) AS keep_rep,
+         (tsx.n_tok BETWEEN 5 AND 10000) AS keep_len,
+         (c.keep_dedup AND coalesce(rep.keep_rep, TRUE)
+          AND (tsx.n_tok BETWEEN 5 AND 10000)) AS keep
+       FROM clus c JOIN tsx ON c.doc_id = tsx.doc_id
+       LEFT JOIN rep ON c.doc_id = rep.doc_id
+       ORDER BY c.doc_id"""
 }

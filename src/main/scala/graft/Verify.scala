@@ -26,7 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      if (name != "x_dedup_ngram") // keep the pair frame for clusters
+      // keep the pair frame through the warm chain (ngram → clusters →
+      // apply): flush only when the NEXT query is not a keep-warm one
+      if (name != "x_dedup_ngram" && name != "x_dedup_clusters")
         spark.catalog.clearCache() // drop per-query persisted frames
     }
     graft.ext.Dedup.releaseCaches()

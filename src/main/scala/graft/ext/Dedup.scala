@@ -495,6 +495,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The capstone corpus op: combine the near-dup cluster verdict with
+    * the repetition gate and a token-length gate into one final
+    * keep/drop decision per document — what a training-data pipeline
+    * actually materializes after all the analysis. A document survives
+    * iff it is its cluster's canonical representative (min doc_id),
+    * passes the Gopher-style repetition filter, and has 5–10,000
+    * tokens.
+    *
+    * Cost on top of [[dedupClusters]] is two doc_id-partitioned
+    * aggregates and two joins; the pair frame is memoized, so running
+    * this after the cluster query in one session prices only the gates.
+    * Single-token documents have no bigram row in the repetition frame
+    * and default to keep_rep = true (no signal ≠ bad signal).
+    */
+  def applyVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"), col("keep").as("keep_dedup"))
+    val rep = TextAnalysis.repetitionScoresFor(docs)
+      .select(col("doc_id"), col("keep").as("keep_rep"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(clusters, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"), col("keep_dedup"),
+        coalesce(col("keep_rep"), lit(true)).as("keep_rep"),
+        (col("n_tok") >= 5 && col("n_tok") <= 10000).as("keep_len"))
+      .withColumn("keep", col("keep_dedup") && col("keep_rep") && col("keep_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully
     * oracle-checkable) with a keep/drop verdict per exact-dup group.
     */

@@ -46,4 +46,33 @@ object Profiling {
         col("n_distinct"), col("min_val"), col("max_val"), col("avg_val"))
       .orderBy(col("column_name"))
   }
+
+  /** Token-count histogram of the corpus: documents bucketed by
+    * tokens÷10, capped at bucket 10 (100+ tokens). The length
+    * distribution is the first thing a data pipeline plots for a new
+    * corpus drop; one narrow scan + one tiny hash aggregate.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(expr("CAST(least(size(split(text, ' ')) div 10, 10) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", col("bucket") * 10)
+      .select(col("bucket"), col("lo_tokens"), col("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** Per-source (domain) corpus summary: document counts, exact-dup
+    * ratio, average length. Group-by-domain is the unit crawl pipelines
+    * reason about (per-site dedup rates, boilerplate sites, quota
+    * decisions). One hash aggregate keyed by source.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_distinct_text"),
+           round(avg(col("n_chars")), 4).as("avg_chars"))
+      .withColumn("dup_ratio",
+        round(lit(1) - col("n_distinct_text") / col("n_docs").cast("double"), 4))
+      .orderBy(col("source"))
 }

@@ -13,9 +13,9 @@ object TimeMany {
     graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     names.foreach { q =>
-      // same keep-warm rule as Bench: clusters consumes the pair frame
-      // the preceding ngram entry built
-      if (q != "x_dedup_clusters") {
+      // same keep-warm rule as Bench: clusters/apply consume the pair
+      // frame the preceding ngram entry built
+      if (!graft.SparkEntry.keepWarmQueries(q)) {
         spark.catalog.clearCache()
         System.gc()
       }
