@@ -58,7 +58,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     graft.ext.Dedup.releaseCaches()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full-double seconds tripled the line width
+    // for digits below measurement noise
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Ingest throughput — the reference's headline metric (EPS, defined
@@ -74,7 +76,18 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ingest_eps":${eps.round},"queries":$qs,"sf":"$sfDir"}""")
+    // Driver-parseability (VERDICT r5 #6): the full per-query JSON line
+    // is ~3 KB and the driver tail-captures output, so when that line
+    // came LAST its head (metric/value/total) fell outside the capture
+    // window and the round's bench parsed as null. Emit the big line
+    // first, persist it to bench.json for the judge, and end with a
+    // COMPACT total line that always fits the tail window whole.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_eps":${eps.round},"queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"ingest_eps":${eps.round},"sf":"$sfDir","queries_file":"bench.json"}""")
     spark.stop()
   }
 }

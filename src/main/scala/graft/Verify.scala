@@ -16,20 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Same ordering contract as Bench: x_dedup_clusters right after
-    // x_dedup_ngram, keeping the memoized pair frame warm between them.
+    // Same ordering AND cache-flush contract as Bench/TimeMany, both
+    // derived from SparkEntry.keepWarmQueries (round 6 — the rule was
+    // previously hardcoded by name here, so extending the warm chain
+    // would have silently flushed it mid-chain in Verify only): before
+    // each query, drop persisted frames UNLESS the query is part of the
+    // keep-warm chain (it rides the frame its predecessor built).
     val ordered = SparkEntry.orderedQueryNames
     ordered.foreach { name =>
+      if (!SparkEntry.keepWarmQueries(name))
+        spark.catalog.clearCache() // drop per-query persisted frames
       val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // keep the pair frame through the warm chain (ngram → clusters →
-      // apply): flush only when the NEXT query is not a keep-warm one
-      if (name != "x_dedup_ngram" && name != "x_dedup_clusters")
-        spark.catalog.clearCache() // drop per-query persisted frames
     }
     graft.ext.Dedup.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

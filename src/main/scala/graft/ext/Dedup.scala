@@ -58,8 +58,11 @@ object Dedup {
 
     /** Fingerprint of the table files backing a dedup frame: the
       * documents.parquet listing (works for both a single file and a
-      * directory of part files — one level, which any parquet write
-      * touches).
+      * directory of part files — ONE level, which any flat parquet
+      * write touches; a hive-partitioned layout with nested
+      * subdirectories would need a recursive listing, at which point
+      * fingerprint the partition dirs' mtimes instead of walking
+      * every leaf file).
       */
     private def fingerprint(spark: SparkSession, dir: String): String = {
       val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
@@ -70,11 +73,18 @@ object Dedup {
         .mkString("|")
     }
 
-    def getOrCompute(spark: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame =
+    def getOrCompute(spark: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
+      // the filesystem LIST happens OUTSIDE the lock (round 6 — it
+      // previously serialized every dedup-frame access across sessions
+      // and corpora behind one global mutex + FS round-trip); the lock
+      // below only guards the map and the build-once guarantee. A write
+      // racing this listing lands in whichever order it lands — the
+      // NEXT access sees the changed fingerprint and rebuilds, which is
+      // the same guarantee the locked version gave.
+      val fp = fingerprint(spark, dir)
       memo.synchronized {
         // a stopped context holds no cached blocks — just drop the entry
         memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-        val fp = fingerprint(spark, dir)
         memo.get((spark, key)) match {
           case Some((oldFp, df)) if oldFp == fp =>
             if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
@@ -86,6 +96,7 @@ object Dedup {
             df
         }
       }
+    }
 
     def release(): Unit = memo.synchronized {
       memo.values.foreach { case (_, df) =>

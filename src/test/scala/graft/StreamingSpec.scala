@@ -325,12 +325,20 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData((1L, nearDup), (2L, unrelated))
     q.processAllAvailable()
+    // two docs below the 8-char shingle width: pre-fix both got the
+    // degenerate all-initial MinHash signature and doc 4 was flagged as
+    // a "near-dup" of doc 3 in every band (ADVICE r4)
+    input.addData((3L, "tiny"), (4L, "wee"))
+    q.processAllAvailable()
     val out = spark.table("neardup_out").select("doc_id", "dup_of")
       .as[(Long, Long)].collect().toSet
     // doc 1 shares most MinHash bands with doc 0 (J ≈ 0.95); doc 2 shares
     // none (J ≈ 0 ⇒ per-band collision odds ~2⁻⁶⁴)
     assert(out.contains((1L, 0L)), s"near-dup not flagged: $out")
     assert(!out.exists(_._1 == 2L), s"unrelated doc flagged: $out")
+    // empty-shingle docs must emit no candidates in either direction
+    assert(!out.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"sub-shingle-width doc spuriously flagged: $out")
     q.stop()
   }
 
