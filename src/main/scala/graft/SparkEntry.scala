@@ -71,6 +71,7 @@ object SparkEntry {
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
     "ingest_array_parse"      -> (IngestQueries.arrayParse _),
+    "ingest_preprocess"       -> (IngestQueries.preprocessChain _),
     // §2C extensions: dedup / similarity / text analysis
     "x_dedup_exact"     -> (Dedup.exactProfile _),
     "x_dedup_ngram"     -> (Dedup.ngramJaccardPairs _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
+    "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
@@ -445,6 +447,18 @@ object SparkEntry {
          (TIMESTAMP '2025-12-04 10:00:02', 'three', ''),
          (TIMESTAMP '2025-12-04 10:00:01', 'two', '')
          ) AS t("timestamp", message, host_name) ORDER BY message""",
+    // T10 golden rows (filebeat.yml:13-27): decode_json_fields merge
+    // with overwrite (rows 1, 5 — the inner doc's own @timestamp wins),
+    // non-JSON passthrough + host enrich (2), forwarded tag gates the
+    // enrich (3), rename skipped when target exists (4).
+    "ingest_preprocess" ->
+      """SELECT * FROM (VALUES
+         (CAST(1 AS BIGINT), TIMESTAMP '2025-12-04 10:00:00', 'inner msg', 'h1', 'error', '42'),
+         (CAST(2 AS BIGINT), TIMESTAMP '2025-12-04 10:01:00', 'plain text line', 'graft-host', '', ''),
+         (CAST(3 AS BIGINT), TIMESTAMP '2025-12-04 10:02:00', 'fwd line', '', '', ''),
+         (CAST(4 AS BIGINT), TIMESTAMP '2025-12-04 09:00:00', 'has both', 'graft-host', '', ''),
+         (CAST(5 AS BIGINT), TIMESTAMP '2025-12-04 12:00:00', 'inner wins', 'graft-host', '', '')
+         ) AS t(id, ts, message, host_name, level, code) ORDER BY id""",
     // §2C extensions. x_dedup_ngram and x_dedup_minhash share one oracle:
     // the LSH path verifies candidates with exact Jaccard, and at 128
     // hashes / 32 bands the miss probability at J≥0.8 is < 6e-8, so both
@@ -636,6 +650,14 @@ object SparkEntry {
            round(hist[1] / nrm, 6) AS f0,
            round(hist[2] / nrm, 6) AS f1
          FROM n ORDER BY media_id""",
+    // Golden rows for the real PPM codec: 2×2 red/blue checker and a
+    // 3×1 black/grey/white ramp; the non-image payload is dropped by
+    // the decode-failure path.
+    "x_multimodal_ppm" ->
+      """SELECT * FROM (VALUES
+         (CAST(1 AS BIGINT), 2, 2, CAST(127.5 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(127.5 AS DOUBLE)),
+         (CAST(2 AS BIGINT), 3, 1, CAST(127.6667 AS DOUBLE), CAST(127.6667 AS DOUBLE), CAST(127.6667 AS DOUBLE))
+         ) AS t(media_id, width, height, mean_r, mean_g, mean_b) ORDER BY media_id""",
   ) ++ corpusOracles
 
   private val corpusOracles: Map[String, String] = Map(

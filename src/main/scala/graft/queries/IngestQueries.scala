@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{BulkDecoder, EventParser, Normalize}
+import graft.ingest.{BulkDecoder, EventParser, Normalize, Preprocess}
 
 /** Driver-checkable demonstrations of the §2A ingestion operators.
   *
@@ -78,5 +78,31 @@ object IngestQueries {
     Normalize.normalize(EventParser.parseLogstash(payloads), ingestTs = fixedIngestTs)
       .select(col("timestamp"), col("message"), col("host_name"))
       .orderBy(col("message"))
+  }
+
+  /** T10 — the Filebeat processor chain (filebeat.yml:13-27) on an
+    * inline fixture covering: JSON-message merge with overwrite (incl.
+    * the inner doc's own @timestamp winning), non-JSON message
+    * passthrough, host metadata gated on the forwarded tag, and the
+    * rename's existing-target no-op.
+    */
+  def preprocessChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"@timestamp":"2025-12-04T10:00:00Z","message":"{\"level\":\"error\",\"message\":\"inner msg\",\"code\":42}","host":{"name":"h1"}}"""),
+      (2L, """{"@timestamp":"2025-12-04T10:01:00Z","message":"plain text line"}"""),
+      (3L, """{"@timestamp":"2025-12-04T10:02:00Z","message":"fwd line","tags":["forwarded"]}"""),
+      (4L, """{"@timestamp":"2025-12-04T10:03:00Z","timestamp":"2025-12-04 09:00:00","message":"has both"}"""),
+      (5L, """{"@timestamp":"2025-12-04T10:04:00Z","message":"{\"@timestamp\":\"2025-12-04T12:00:00Z\",\"message\":\"inner wins\"}"}""")
+    ).toDF("id", "value")
+    Preprocess.preprocess(docs)
+      .select(col("id"),
+        Normalize.coerceTimestamp(col("doc").getItem("timestamp"), fixedIngestTs)
+          .cast("timestamp_ntz").as("ts"),
+        coalesce(col("doc").getItem("message"), lit("")).as("message"),
+        coalesce(get_json_object(col("doc").getItem("host"), "$.name"), lit("")).as("host_name"),
+        coalesce(col("doc").getItem("level"), lit("")).as("level"),
+        coalesce(col("doc").getItem("code"), lit("")).as("code"))
+      .orderBy(col("id"))
   }
 }

@@ -144,4 +144,28 @@ class IngestSpec extends SparkSpec {
     val out = Normalize.normalize(EventParser.parseLogstash(payloads), ingestTs = fixedTs)
     assert(out.select("message").as[String].collect().toSet == Set("a1", "a2", "obj"))
   }
+
+  test("T10 processor chain: json-message merge, host gating, rename no-op") {
+    import graft.ingest.Preprocess
+    val docs = Seq(
+      // message is JSON: keys merge into root and win; untouched root
+      // keys (host) survive the merge
+      """{"@timestamp":"2025-12-04T10:00:00Z","message":"{\"message\":\"inner\",\"level\":\"warn\"}","host":{"name":"h9"}}""",
+      // forwarded: host metadata must NOT be added
+      """{"message":"fwd","tags":["forwarded","beats"]}""",
+      // target key exists: rename is a silent no-op, @timestamp remains
+      """{"@timestamp":"2025-12-04T10:03:00Z","timestamp":"kept","message":"both"}"""
+    ).toDF("value")
+    val out = Preprocess.preprocess(docs).select("doc")
+      .as[Map[String, String]].collect()
+    val merged = out.find(_.get("message").contains("inner")).get
+    assert(merged("level") == "warn")
+    assert(merged("timestamp") == "2025-12-04T10:00:00Z") // renamed from @timestamp
+    assert(!merged.contains("@timestamp"))
+    assert(merged("host").contains("h9"))
+    val fwd = out.find(_.get("message").contains("fwd")).get
+    assert(!fwd.contains("host"))
+    val both = out.find(_.get("message").contains("both")).get
+    assert(both("timestamp") == "kept" && both.contains("@timestamp"))
+  }
 }

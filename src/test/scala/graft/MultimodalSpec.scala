@@ -53,4 +53,24 @@ class MultimodalSpec extends SparkSpec {
     val lens = resized.select(length(col("resized"))).as[Int].collect()
     assert(lens.nonEmpty && lens.forall(_ == 16), s"lens: ${lens.toSeq.distinct}")
   }
+
+  test("PPM codec: real decode round-trips encode, handles comments, rejects junk") {
+    import Multimodal.PpmCodec
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 10, 20, 30)
+    val img = PpmCodec.decode(PpmCodec.encode(2, 2, rgb))
+    assert(img.exists(i => i.width == 2 && i.height == 2 && i.pixels.sameElements(rgb)))
+    // header comments are legal PPM and must be skipped
+    val withComment = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(PpmCodec.decode(withComment).exists(_.pixels.sameElements(rgb)))
+    // junk, wrong magic, and truncated pixel data all fail closed
+    assert(PpmCodec.decode("nope".getBytes).isEmpty)
+    assert(PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ rgb).isEmpty)
+    assert(PpmCodec.decode(PpmCodec.encode(2, 2, rgb).dropRight(1)).isEmpty)
+    // the distributed decode: golden means, junk row dropped
+    val out = Multimodal.ppmQuery(spark, dir)
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2, 2, 127.5, 0.0, 127.5),
+      (2L, 3, 1, 127.6667, 127.6667, 127.6667)))
+  }
 }
