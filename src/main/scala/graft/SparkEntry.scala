@@ -82,6 +82,7 @@ object SparkEntry {
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
@@ -529,6 +530,34 @@ object SparkEntry {
            SELECT q.query_id, e.vec_id AS neighbor_id,
              round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
            FROM e, q WHERE e.bucket = q.qb AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // Multi-probe: each query probes its own bucket XOR {0, 1, 2, ...,
+    // 128} — the Hamming-1 neighborhood of its sign-bit bucket.
+    "x_sim_lsh_multiprobe" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, qv, xor(qb, m.mask) AS qbp
+           FROM q, (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) AS m(mask)),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM e, probes p WHERE e.bucket = p.qbp AND e.vec_id <> p.query_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk

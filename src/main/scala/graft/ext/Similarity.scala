@@ -96,6 +96,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH ANN (round 6): the same single hash table as
+    * [[lshTopK]], but each query additionally probes every Hamming-1
+    * bucket (one sign bit flipped). Rationale (Lv et al., VLDB'07): a
+    * dimension whose value sits near 0 has an unstable sign bit, and a
+    * true neighbor differing in one unstable bit lands in an adjacent
+    * bucket — plain LSH recovers those misses only with MORE hash
+    * tables, i.e. more copies of the corpus index; multi-probe buys
+    * the recall with (bits+1)× probe fan-out against the ONE table.
+    * At 100 TB that trade matters: probes are broadcast-side rows
+    * (queries × bits+1 — tiny), while an extra table is another full
+    * corpus shuffle + store. Corpus rows live in exactly one bucket
+    * and the probe set is distinct buckets, so candidate sets are
+    * disjoint across probes — no dedup stage, the union feeds the same
+    * bounded top-k aggregate.
+    */
+  def lshTopKMultiProbe(spark: SparkSession, dir: String, k: Int = 3,
+      bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val masks = lit(0L) +: (0 until bits).map(j => lit(1L << j))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket"), explode(array(masks: _*)).as("mask"))
+      .select(col("query_id"), col("qv"),
+        col("bucket").bitwiseXOR(col("mask")).as("qb"))
+    val scored = e.join(broadcast(queries),
+        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Near-dup pairs at scale: the bucket-equality join promised as the
     * 100 TB replacement for the quadratic [[embeddingNearDup]] — pairs
     * only materialize within a sign-bit bucket (an equi-join Catalyst
@@ -138,7 +170,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     def assign(df: DataFrame, vecCol: String): DataFrame = {
-      val scoredCells = array(centroids.map { case (cellId, cv) =>
+      val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
         struct(
           (-round(cosine(col(vecCol), typedLit(cv)), 6)).as("neg_cos"),
           lit(cellId).as("cell_id"))

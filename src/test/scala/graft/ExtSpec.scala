@@ -68,6 +68,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: scores dominate single-probe per rank; probes stay within Hamming 1") {
+    val dir = "/root/testdata/sf0.001"
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "neighbor_id", "cos")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val single = ranks(Similarity.lshTopK(spark, dir, k = 3))
+    val multi = ranks(Similarity.lshTopKMultiProbe(spark, dir, k = 3))
+    assert(multi.nonEmpty && multi.size >= single.size)
+    // the multi-probe candidate set is a strict superset (it includes
+    // the exact-bucket probe), so at every rank the single-probe run
+    // fills, multi-probe's score is at least as good
+    single.foreach { case (key @ (q, rk), (_, cosS)) =>
+      val (_, cosM) = multi.getOrElse(key, fail(s"multi-probe missing rank $rk for query $q"))
+      assert(cosM >= cosS, s"rank $rk of query $q regressed: $cosM < $cosS")
+    }
+    // every returned neighbor comes from a probed bucket: Hamming
+    // distance ≤ 1 from the query's own bucket
+    val buckets = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.signBucket(col("embedding")))
+      .as[(Long, Long)].collect().toMap
+    multi.foreach { case ((q, _), (n, _)) =>
+      val d = java.lang.Long.bitCount(buckets(q) ^ buckets(n))
+      assert(d <= 1, s"neighbor $n of query $q is $d bit flips away")
+    }
+  }
+
   test("MinHash128 aggregate equals a local fold of the seeded re-hashes") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val g = Dedup.shingles(docs, maxDf = 1000)
