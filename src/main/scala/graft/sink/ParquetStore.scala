@@ -66,11 +66,40 @@ object ParquetStore {
     * File-count control: hash-repartitioning on the partition columns
     * sends each time partition to exactly one task → one file per dir;
     * `filesPerPartition > 1` adds a hash salt for that many files.
+    *
+    * Concurrent appends (round 6): an unbounded compact reads WHATEVER
+    * the root holds when the scan lists it — a batch the live ingest
+    * appends mid-compaction would miss the new generation and be lost
+    * at the swap. `upToBatchId` makes the compaction a SNAPSHOT: only
+    * `bid <= upToBatchId` directories are consumed, so racing batches
+    * (which always carry higher ids) stay untouched in the old root;
+    * after readers swap, the at-least-once engine replays those
+    * batches against the new root and the bid-overwrite idempotency
+    * lands them exactly once — the same mechanism that makes ordinary
+    * replay safe. A long-running ingest therefore compacts with
+    * `upToBatchId = lastCommittedBatch` on every cycle and never
+    * pauses the stream.
     */
   def compact(spark: SparkSession, path: String, destPath: String,
-              filesPerPartition: Int = 1): Unit = {
+              filesPerPartition: Int = 1, upToBatchId: Option[Long] = None): Unit = {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
-    val df = spark.read.parquet(path).drop(BatchCol)
+    val snapshot = upToBatchId match {
+      case None => spark.read.parquet(path)
+      case Some(hi) =>
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val dirs = fs.listStatus(root).map(_.getPath)
+          .filter { d =>
+            d.getName.startsWith(s"$BatchCol=") &&
+              d.getName.stripPrefix(s"$BatchCol=").toLongOption.exists(_ <= hi)
+          }
+          .map(_.toString).sorted
+        require(dirs.nonEmpty, s"no $BatchCol<=$hi directories under $path")
+        // basePath keeps the bid/ym/d partition-column discovery intact
+        // while scanning only the snapshot's directories
+        spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
+    }
+    val df = snapshot.drop(BatchCol)
     val partCols = Seq(PartitionCol, DayCol).filter(df.columns.contains)
     val keyCols = partCols.map(col)
     val parted =
