@@ -91,12 +91,14 @@ object SparkEntry {
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
+    "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
+    "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     // data profiling + privacy scrub
@@ -750,6 +752,44 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // C4-style line dedup: lines = aligned non-overlapping 4-token
+    // chunks (the corpus has no newlines); drop lines seen 3+ times
+    // corpus-wide; reassemble surviving lines in original order.
+    "x_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                                i -> array_to_string(toks[i*4+1 : i*4+4], ' ')) AS lines
+               FROM t),
+         l AS (SELECT doc_id, unnest(lines) AS line, unnest(range(1, len(lines) + 1)) AS pos FROM c),
+         cnt AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+         k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN cnt ON l.line = cnt.line WHERE cnt.cnt < 3),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, ' ' ORDER BY pos) AS cleaned
+                 FROM k GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_lines,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(agg.cleaned, '') AS cleaned
+         FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+         ORDER BY tot.doc_id""",
+    // Mixture sampling: per-source basis-point threshold
+    // floor(min(1, 2000/src_tok)·10000) (integer division on both
+    // engines), md5 4-hex-digit bucket mod 10000 decides membership.
+    "x_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+         tot AS (SELECT source, sum(n_tok) AS src_tok FROM d GROUP BY source),
+         j AS (SELECT d.doc_id, d.source, d.n_tok,
+                 CAST(least(10000, 20000000 // src_tok) AS BIGINT) AS thr,
+                 CAST(((strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS BIGINT) AS bucket
+               FROM d JOIN tot ON d.source = tot.source)
+         SELECT doc_id, source, n_tok, thr, bucket, bucket < thr AS keep
+         FROM j ORDER BY doc_id""",
     // Eval-set 8-gram overlap (docs 0-19 stand in for the benchmark).
     "x_decontam" ->
       """WITH g0 AS (

@@ -33,6 +33,42 @@ object Corpus {
           .otherwise(lit("test")))
       .orderBy(col("doc_id"))
 
+  /** Domain-mixture sampling to a token budget: downsample each source
+    * (domain) to ≈`budget` tokens by keeping a deterministic hash slice
+    * of its documents — the "mix web/books/code at fixed token ratios"
+    * step of corpus assembly. Per source, the keep rate is
+    * `min(1, budget / source_tokens)` expressed as an integer
+    * basis-point threshold (floor, so both engines agree bit-for-bit —
+    * no float rate crosses the engine boundary), and a document is kept
+    * iff its md5 bucket (first 4 hex digits mod 10000, same engine-
+    * portable trick as [[sampleSplit]]) falls below the threshold.
+    * Deterministic under reruns and corpus growth within a source's
+    * token total; no RNG, no sort-based sampling.
+    *
+    * 100 TB shape: one tiny per-source aggregate (|sources| rows)
+    * BROADCAST back onto the corpus, then a pure row-local hash filter —
+    * the big side never shuffles. The 4-hex-digit bucket is mildly
+    * non-uniform over 10000 (65536 % 10000 ≠ 0); acceptable skew for a
+    * mixture knob, documented here.
+    */
+  def mixtureSample(spark: SparkSession, dir: String, budget: Long = 2000): DataFrame =
+    mixtureSampleFor(Tables.documents(spark, dir), budget)
+
+  def mixtureSampleFor(input: DataFrame, budget: Long): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+    docs.join(broadcast(totals), "source")
+      .withColumn("thr",
+        least(lit(10000L), expr(s"CAST(${budget * 10000L} div src_tok AS BIGINT)")))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("thr"), col("bucket"), (col("bucket") < col("thr")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥
     * `minShared` distinct 8-char shingles with an evaluation set (here:
     * doc_id < 20 stands in for the benchmark). The industry-standard

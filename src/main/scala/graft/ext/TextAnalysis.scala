@@ -145,6 +145,49 @@ object TextAnalysis {
       .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
       .orderBy(col("doc_id"))
 
+  /** C4-style line-level boilerplate removal: split every document into
+    * "lines" (here: non-overlapping `width`-token chunks — the corpus has
+    * no newlines, so aligned token windows stand in for sentences), count
+    * each distinct line's occurrences CORPUS-WIDE, and drop lines seen
+    * `maxOcc`+ times (nav bars, cookie banners, license boilerplate — the
+    * C4 "discard any line appearing 3+ times" rule). Output per document:
+    * line counts before/after and the reassembled cleaned text.
+    *
+    * Shape: explode → one corpus-wide hash aggregate on the line string →
+    * equi-join back → per-doc reassembly via sorted collect_list. Every
+    * stage partial-aggregates before its shuffle and partitions by line
+    * or doc_id; nothing is driver-side. The join/group key is the line
+    * text itself (4-token lines are shorter than any portable digest); at
+    * 100 TB with real sentence-length lines you'd key the count and join
+    * on xxhash64(line) so the shuffle carries 8 bytes, not the sentence.
+    */
+  def lineDedup(spark: SparkSession, dir: String, width: Int = 4, maxOcc: Int = 3): DataFrame =
+    lineDedupFor(Tables.documents(spark, dir), width, maxOcc)
+
+  def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(split(text, ' ')) / ${width}.0) AS INT) - 1),
+             |  i -> array_join(slice(split(text, ' '), i * $width + 1, $width), ' '))""".stripMargin))
+          .as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    val kept = lines.join(counts, "line")
+      .filter(col("cnt") < maxOcc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // sort_array on struct(pos, line) orders by pos; rebuild the doc
+        // from surviving lines in original order
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("cleaned"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left") // docs whose every line was boilerplate survive with empty text
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Email-address pattern, restricted to the regex subset that behaves
     * identically in Java regex (Spark) and RE2 (DuckDB oracle).
     */

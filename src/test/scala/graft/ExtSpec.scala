@@ -354,6 +354,39 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.1 && out(2L)._3)
   }
 
+  test("line dedup: corpus-frequent lines removed, order preserved, all-boilerplate doc kept empty") {
+    // width=2 lines; "a b" appears in 3 docs -> boilerplate at maxOcc=3.
+    // Doc 3 is nothing but that line; doc 0 keeps its unique tail in order.
+    val d = Seq(
+      (0L, "a b u1 u2 u3 u4"),
+      (1L, "a b x1 x2"),
+      (2L, "a b y1 y2"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.lineDedupFor(d, width = 2, maxOcc = 3)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(0L) == ((3L, 2L, "u1 u2 u3 u4")))
+    assert(out(1L) == ((2L, 1L, "x1 x2")))
+    assert(out(3L) == ((1L, 0L, ""))) // survives with empty text, not dropped
+  }
+
+  test("mixture sample: under-budget source fully kept; threshold is the floored basis-point rate") {
+    val d = Seq(
+      // srcA: 4 docs x 5 tokens = 20 tokens, budget 100 -> thr capped at 10000, all kept
+      (0L, "t t t t t", "srcA"), (1L, "t t t t t", "srcA"),
+      (2L, "t t t t t", "srcA"), (3L, "t t t t t", "srcA"),
+      // srcB: 2 docs x 200 tokens = 400 tokens, budget 100 -> thr = 2500
+      (10L, ("t " * 199).trim + " t", "srcB"), (11L, ("t " * 199).trim + " t", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.Corpus.mixtureSampleFor(d, budget = 100)
+      .select(col("doc_id"), col("thr"), col("bucket"), col("keep"))
+      .as[(Long, Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert((0L to 3L).forall(i => out(i)._1 == 10000L && out(i)._3))
+    assert(out(10L)._1 == 2500L && out(11L)._1 == 2500L)
+    // keep is exactly the bucket-vs-threshold predicate (deterministic in doc_id)
+    assert(out.values.forall { case (thr, bucket, keep) => keep == (bucket < thr) })
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
