@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+/** Scale lint: structural invariants over EVERY registered query's plan.
+  *
+  * The per-query oracle checks prove the answers right at sf0.01; this
+  * suite proves the PLANS stay safe at 100 TB by construction — it walks
+  * all of `SparkEntry.queries` and rejects the two classic scale-killers
+  * wherever they are not an explicitly documented design choice:
+  *
+  *   1. cartesian / nested-loop joins (quadratic pair blowup), and
+  *   2. windows with an empty PARTITION BY (the whole dataset funnels
+  *      through ONE task for the global ordering).
+  *
+  * A new query that accidentally plans either fails this suite with its
+  * name — the regression is caught at `sbt test` time, not in a 100 TB
+  * run. Allowlists below are per-query and each entry carries the reason
+  * it is deliberately exempt (documented oracle twins and tiny-literal
+  * theta joins); growing an allowlist requires editing this file, which
+  * is the point.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to plan a non-equi (nested-loop / cartesian) join.
+    * Every entry must keep its justification current.
+    */
+  private val nonEquiJoinAllowed: Map[String, String] = Map(
+    "q13_range_join" -> "theta join against a 4-row literal band table (broadcast by construction)",
+    "x_sim_topk" -> "brute-force cosine twin: <=10 broadcast query rows stream past the corpus; x_sim_lsh/_ivf are the scale paths",
+    "x_embed_neardup" -> "exact all-pairs oracle twin, documented; x_embed_neardup_lsh is the scale path")
+
+  /** Queries allowed a window with empty partitionSpec (global ordering
+    * through a single task). Nothing should ever need this — the list
+    * exists so a future exemption is a reviewed, named decision.
+    */
+  private val globalWindowAllowed: Map[String, String] = Map.empty
+
+  private def plans(name: String): (String, Seq[LogicalWindow]) = {
+    val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LogicalWindow => w }
+    (qe.executedPlan.toString, windows)
+  }
+
+  private def plansNonEquiJoin(name: String): Boolean = {
+    val (physical, _) = plans(name)
+    physical.contains("CartesianProduct") || physical.contains("BroadcastNestedLoopJoin")
+  }
+
+  test("detector canary: a deliberate cross join trips the non-equi check") {
+    val plan = spark.range(10).toDF("x").crossJoin(spark.range(10).toDF("y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no registered query plans a cartesian or nested-loop join (unless documented)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nonEquiJoinAllowed.contains)
+      .filter(plansNonEquiJoin)
+    assert(offenders.isEmpty,
+      s"scale lint: cartesian/nested-loop join planned by: ${offenders.mkString(", ")} — " +
+        "make the join equi (bucket/band/bound it) or add a justified allowlist entry")
+  }
+
+  test("every non-equi allowlist entry actually trips (the list cannot rot into a blanket pass)") {
+    val unneeded = nonEquiJoinAllowed.keys.toSeq.sorted.filterNot(plansNonEquiJoin)
+    assert(unneeded.isEmpty,
+      s"allowlisted but plans no non-equi join (remove the entry): ${unneeded.mkString(", ")}")
+  }
+
+  test("no registered query uses a globally-ordered window (empty PARTITION BY)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(globalWindowAllowed.contains)
+      .filter { name => plans(name)._2.exists(_.partitionSpec.isEmpty) }
+    assert(offenders.isEmpty,
+      s"scale lint: single-task global window planned by: ${offenders.mkString(", ")} — " +
+        "partition the window (see Corpus.packBins for the distributed prefix-sum shape)")
+  }
+
+  test("allowlists only name registered queries (no stale entries)") {
+    val stale = (nonEquiJoinAllowed.keySet ++ globalWindowAllowed.keySet) -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist entries for unregistered queries: ${stale.mkString(", ")}")
+  }
+}
