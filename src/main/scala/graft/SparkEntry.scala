@@ -92,6 +92,7 @@ object SparkEntry {
     "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
@@ -752,6 +753,22 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // Corpus-trained add-one-smoothed bigram LM, scored as mean negative
+    // log-likelihood per doc (docs with >=1 bigram). Vocabulary = count
+    // of distinct whitespace tokens corpus-wide.
+    "x_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
+               FROM t WHERE len(toks) > 1),
+         c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS n1 FROM p GROUP BY w1),
+         v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM t)),
+         s AS (SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+               FROM p JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+                      JOIN c1 ON p.w1 = c1.w1
+                      CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     // C4-style line dedup: lines = aligned non-overlapping 4-token
     // chunks (the corpus has no newlines); drop lines seen 3+ times
     // corpus-wide; reassemble surviving lines in original order.

@@ -145,6 +145,48 @@ object TextAnalysis {
       .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
       .orderBy(col("doc_id"))
 
+  /** Corpus-trained bigram language-model scoring — the KenLM/CCNet-style
+    * "perplexity filter" of pretraining pipelines, with the LM trained on
+    * the corpus itself in the same job: count token bigrams and unigram
+    * contexts corpus-wide, then score every document by its mean negative
+    * log-likelihood under the add-one-smoothed bigram model
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`. Outlier docs (garbled,
+    * wrong-language, machine-generated) score high and get filtered.
+    *
+    * Shape: the bigram frame is built once (per-doc `lead` window —
+    * partitioned by doc_id, parallel across docs), feeds two hash
+    * aggregates (bigram and context counts, both partial-aggregated),
+    * and joins back on its own keys — every stage partitions by bigram,
+    * context, or doc_id. The vocabulary size is ONE bounded 1-row
+    * collect (same adaptive pattern as the IVF centroid fetch), inlined
+    * as a literal so no 1-row cross join appears in the plan (the plan
+    * lint would reject it).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFor(Tables.documents(spark, dir))
+
+  def lmScoreFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.agg(countDistinct(col("tok"))).head().getLong(0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("n2") + lit(1.0)) / (col("n1") + lit(vocab.toDouble)))), 6)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style line-level boilerplate removal: split every document into
     * "lines" (here: non-overlapping `width`-token chunks — the corpus has
     * no newlines, so aligned token windows stand in for sentences), count

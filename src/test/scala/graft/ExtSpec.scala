@@ -370,6 +370,26 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, ""))) // survives with empty text, not dropped
   }
 
+  test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
+    // docs 0/1 repeat the same bigrams (high corpus counts -> low nll);
+    // doc 2's bigrams occur once each (smoothed toward 1/(n1+V) -> higher nll)
+    val d = Seq(
+      (0L, "a b a b a b a b"),
+      (1L, "a b a b a b a b"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.lmScoreFor(d)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0L)._1 == 7L && out(2L)._1 == 7L)
+    assert(out(0L)._2 == out(1L)._2) // identical docs, identical scores
+    assert(out(0L)._2 < out(2L)._2)
+    // hand-check one term: P(b|a) = (c(ab)+1)/(c(a.)+V); c(ab)=8, c(a.)=8, V=10
+    val pBA = (8.0 + 1.0) / (8.0 + 10.0)
+    // doc 0: bigrams ab x4 (nll -ln(9/18)), ba x3 (c(ba)=6, c(b.)=6 -> -ln(7/16))
+    val expected = (4 * -math.log(pBA) + 3 * -math.log(7.0 / 16.0)) / 7
+    assert(math.abs(out(0L)._2 - expected) < 1e-6) // out is rounded to 6 decimals
+  }
+
   test("mixture sample: under-budget source fully kept; threshold is the floored basis-point rate") {
     val d = Seq(
       // srcA: 4 docs x 5 tokens = 20 tokens, budget 100 -> thr capped at 10000, all kept
