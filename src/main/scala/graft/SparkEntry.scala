@@ -67,6 +67,7 @@ object SparkEntry {
     "events_asof_merge"   -> (LogQueries.eventsAsofOrdersMerge _),
     "events_asof_exec"    -> (LogQueries.eventsAsofOrdersExec _),
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
+    "events_interval_join" -> (LogQueries.eventsIntervalJoin _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -414,6 +415,16 @@ object SparkEntry {
            round(avg(n_events), 4) AS avg_events_per_sess,
            max(n_events) AS max_events
          FROM per_session GROUP BY user_id ORDER BY user_id""",
+    // Batch twin of the stream-stream interval join (same Dataset code).
+    "events_interval_join" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts FROM events
+                    WHERE event_id % 2 = 0 AND event_id < 1000),
+         r AS (SELECT event_id AS r_id, user_id, ts AS r_ts FROM events
+               WHERE event_id % 2 = 1)
+         SELECT l.user_id, l_id, r_id, l_ts, r_ts
+         FROM l JOIN r ON l.user_id = r.user_id
+                      AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
+         ORDER BY l_id, r_id""",
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_asof_exec"   -> asofOracle,   // same contract, custom physical op

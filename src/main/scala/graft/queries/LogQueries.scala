@@ -171,6 +171,20 @@ object LogQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Batch twin of [[graft.streaming.EventsStream.intervalJoin]] — the
+    * SAME function body (unified Dataset API; the watermark nodes are
+    * optimized away on batch frames), run over two disjoint event
+    * slices: each even event (id < 1000) paired with every odd event of
+    * the same user within the following 6 hours.
+    */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.EventsStream.intervalJoin(
+        ev.filter(col("event_id") % 2 === 0 && col("event_id") < 1000),
+        ev.filter(col("event_id") % 2 === 1))
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).

@@ -93,6 +93,33 @@ object EventsStream {
   def dedupAgainstStore(events: DataFrame, known: DataFrame): DataFrame =
     dedup(events.join(known.select(col("event_id")), Seq("event_id"), "left_anti"))
 
+  /** Stream-stream event-time interval join: correlate two event streams
+    * on user_id where the right event lands within `[l_ts, l_ts +
+    * maxDelay]` — click→purchase attribution, request→response pairing.
+    * Both sides are watermarked and the join condition carries the time
+    * bound, so Spark can expire buffered rows on BOTH sides once the
+    * watermark passes their interval: state stays bounded by
+    * `maxDelay + lateness` of stream data, not stream length.
+    *
+    * Pure Dataset function (unified API): on batch frames the watermark
+    * nodes are optimized away and the same code is the oracle-checked
+    * batch twin (`events_interval_join`). The equi key (user_id) keeps
+    * the join hash-partitioned at any scale; the range predicate is a
+    * post-filter, never a nested loop.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxDelay: String = "6 hours",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   final case class DocBand(doc_id: Long, band: Int, bsig: Long)
   final case class DupCandidate(doc_id: Long, dup_of: Long)
 

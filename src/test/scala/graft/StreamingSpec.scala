@@ -320,6 +320,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join pairs events within the bound, across micro-batches") {
+    val clicks = MemoryStream[EventsStream.Event](spark)
+    val actions = MemoryStream[EventsStream.Event](spark)
+    val joined = EventsStream.intervalJoin(clicks.toDF(), actions.toDF())
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    def ev(id: Long, user: Long, t: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), user, "e", 1.0)
+    clicks.addData(ev(1, 7, "2024-01-15 10:00:00"))
+    q.processAllAvailable()
+    // the matching action arrives a LATER micro-batch than its click:
+    // the join must hold buffered left-side state across batches
+    actions.addData(ev(100, 7, "2024-01-15 12:00:00"), // within 6 h -> match
+                    ev(101, 7, "2024-01-15 17:00:00"), // beyond 6 h -> no match
+                    ev(102, 8, "2024-01-15 10:05:00")) // other user -> no match
+    q.processAllAvailable()
+    val rows = spark.table("ivj_out").select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L)), s"got $rows")
+    q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals across batches") {
     val input = MemoryStream[EventsStream.Event](spark)
     val stats = EventsStream.runningUserStats(input.toDS())
