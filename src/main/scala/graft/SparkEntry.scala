@@ -55,6 +55,7 @@ object SparkEntry {
     "q27_gap_fill"        -> (Relational2.q27GapFill _),
     "q28_range_frame"     -> (Relational2.q28RangeFrame _),
     "q29_lateral_explode" -> (Relational2.q29LateralExplode _),
+    "q30_argmax"          -> (Relational2.q30ArgMax _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
+    "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
@@ -101,6 +103,7 @@ object SparkEntry {
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
     "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
+    "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     // data profiling + privacy scrub
@@ -324,6 +327,15 @@ object SparkEntry {
          translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
          reverse(p_brand) AS brand_rev
          FROM part WHERE p_partkey < 50 ORDER BY p_partkey""",
+    // argMax/argMin idiom; per-group max/min totalprice is unique at the
+    // correctness SF (probed), so the arg columns are deterministic.
+    "q30_argmax" ->
+      """SELECT o_orderstatus,
+         arg_max(o_orderkey, o_totalprice) AS max_price_order,
+         round(max(o_totalprice), 2) AS max_price,
+         arg_min(o_orderkey, o_totalprice) AS min_price_order,
+         round(min(o_totalprice), 2) AS min_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "logs_count_minmax" ->
       """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",
     "logs_latest" ->
@@ -801,6 +813,27 @@ object SparkEntry {
            coalesce(agg.cleaned, '') AS cleaned
          FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
          ORDER BY tot.doc_id""",
+    // Linear quality classifier: fixed literal weights over features
+    // rounded to 4 decimals BEFORE weighting (bit-identical doubles on
+    // both engines); gate = sign of the score.
+    "x_quality_classify" ->
+      """SELECT doc_id,
+         round(-3.0 + 0.02 * len(string_split(text, ' '))
+                    + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                    + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score,
+         round(-3.0 + 0.02 * len(string_split(text, ' '))
+                    + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                    + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) > 0 AS keep
+         FROM documents ORDER BY doc_id""",
+    // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
+    // keep rank <= 20.
+    "x_domain_cap" ->
+      """SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20 AS keep
+         FROM documents ORDER BY doc_id""",
     // Mixture sampling: per-source basis-point threshold
     // floor(min(1, 2000/src_tok)·10000) (integer division on both
     // engines), md5 4-hex-digit bucket mod 10000 decides membership.

@@ -69,6 +69,29 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-domain document cap: keep at most `cap` documents per source,
+    * chosen by a deterministic hash order (md5 of doc_id, ties by
+    * doc_id) — the "no single domain dominates the corpus" guard that
+    * complements rate-based [[mixtureSample]] with a hard ceiling. The
+    * hash order makes the kept subset a uniform, rerun-stable sample
+    * rather than "whatever sorted first".
+    *
+    * 100 TB shape: one window partitioned BY SOURCE — parallel across
+    * domains, and no domain's partition exceeds what its own row count
+    * already costs. A pathologically hot domain is exactly the case the
+    * cap exists for; salt-and-merge the rank (two-phase top-k) if one
+    * domain outweighs an executor.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("keep", col("rn") <= cap)
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥
     * `minShared` distinct 8-char shingles with an evaluation set (here:
     * doc_id < 20 stands in for the benchmark). The industry-standard

@@ -145,6 +145,33 @@ object TextAnalysis {
       .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
       .orderBy(col("doc_id"))
 
+  /** Quality-classifier inference — the "run a trained quality model
+    * over every document" stage (fastText-style educational-value /
+    * quality classifiers in DCLM- and FineWeb-style pipelines). The
+    * model here is a fixed linear scorer over the same per-doc features
+    * as [[qualityScores]]; weights are literals standing in for trained
+    * parameters (this container has no model artifacts — the SHAPE is
+    * the point). Features are rounded to 4 decimals BEFORE weighting so
+    * both engines score bit-identical doubles; the gate is the sign of
+    * the linear score (no sigmoid — exp's last-bit behavior is libm-
+    * specific, and the decision boundary is identical either way).
+    *
+    * 100 TB shape: pure codegen'd row-local arithmetic on one narrow
+    * scan — zero shuffle until the presentation sort, exactly like a
+    * broadcast-weights classifier would run.
+    */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val ttr = round(size(array_distinct(split(col("text"), " "))) / nTok, 4)
+    val spaceRatio = round((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) / length(col("text")), 4)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(lit(-3.0) + lit(0.02) * nTok + lit(3.0) * ttr + lit(4.0) * spaceRatio, 6)
+          .as("score"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-trained bigram language-model scoring — the KenLM/CCNet-style
     * "perplexity filter" of pretraining pipelines, with the LM trained on
     * the corpus itself in the same job: count token bigrams and unigram

@@ -254,4 +254,23 @@ object Relational2 {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
+
+  /** Q30 — argMax/argMin: the ClickHouse `argMax(arg, val)` idiom
+    * (reference users lean on it for "id of the latest/biggest row per
+    * group") via Spark's `max_by`/`min_by` — ONE hash aggregate, no
+    * self-join-back-on-the-max and no per-group window/sort. Determinism
+    * note: max_by ties are unspecified on both engines; the per-group
+    * max/min of o_totalprice is unique at the correctness SF (probed),
+    * and a production caller breaks ties by arg-maxing a (val, key)
+    * struct.
+    */
+  def q30ArgMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("max_price_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("min_price_order"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("o_orderstatus"))
 }
