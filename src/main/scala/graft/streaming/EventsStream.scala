@@ -108,7 +108,7 @@ object EventsStream {
     * post-filter, never a nested loop.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, maxDelay: String = "6 hours",
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", lateness)
       .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
     val r = right.withWatermark("ts", lateness)
@@ -116,7 +116,12 @@ object EventsStream {
     l.join(r,
         col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+        // left_outer: a click with no action inside its interval is
+        // emitted with nulls once the watermark proves no action can
+        // still arrive — the "unconverted click" row, for free, from
+        // the same state the inner join already keeps
+        joinType)
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 

@@ -341,6 +341,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer interval join emits the unconverted click with nulls after the watermark passes") {
+    val clicks = MemoryStream[EventsStream.Event](spark)
+    val actions = MemoryStream[EventsStream.Event](spark)
+    val joined = EventsStream.intervalJoin(clicks.toDF(), actions.toDF(), joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ivj_outer_out")
+      .outputMode("append").start()
+    def ev(id: Long, user: Long, t: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), user, "e", 1.0)
+    // click 1 (user 7) gets no action; user-9 actions never match user 7
+    clicks.addData(ev(1, 7, "2024-01-15 10:00:00"))
+    actions.addData(ev(200, 9, "2024-01-15 10:00:00"))
+    q.processAllAvailable()
+    // push BOTH watermarks past 16:10 (interval end + lateness), then one
+    // more batch: outer rows surface on the state-eviction batch
+    clicks.addData(ev(2, 7, "2024-01-16 12:00:00"))
+    actions.addData(ev(201, 9, "2024-01-16 12:00:00"))
+    q.processAllAvailable()
+    clicks.addData(ev(3, 7, "2024-01-16 13:00:00"))
+    actions.addData(ev(202, 9, "2024-01-16 13:00:00"))
+    q.processAllAvailable()
+    val rows = spark.table("ivj_outer_out")
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((1L, None)), s"expected the evicted unmatched click, got $rows")
+    assert(!rows.exists(r => r._1 == 1L && r._2.isDefined))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals across batches") {
     val input = MemoryStream[EventsStream.Event](spark)
     val stats = EventsStream.runningUserStats(input.toDS())
