@@ -82,6 +82,7 @@ object SparkEntry {
     "x_dedup_clusters"  -> (Dedup.dedupClusters _),         // pair graph -> connected components
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
+    "x_chunk_cdc"       -> (Dedup.cdcChunks _),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
@@ -526,6 +527,27 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
          FROM documents ORDER BY doc_id""",
+    // Rolling-hash CDC boundaries: base-31 polynomial over each 8-char
+    // window, boundary where hash % 64 = 0. Same literal powers of 31
+    // on both engines (exact BIGINT arithmetic).
+    "x_chunk_cdc" ->
+      """WITH c AS (SELECT doc_id,
+           list_filter(range(1, greatest(length(text) - 6, 1)),
+             i -> (CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 27512614111
+                 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 887503681
+                 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 28629151
+                 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 923521
+                 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 29791
+                 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 961
+                 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 31
+                 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT)) % 64 = 0) AS bs,
+           CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_windows
+         FROM documents)
+         SELECT doc_id, n_windows,
+           CAST(len(bs) AS BIGINT) AS n_boundaries,
+           CAST(len(bs) + 1 AS BIGINT) AS n_chunks,
+           CAST(coalesce(bs[1], 0) AS BIGINT) AS first_boundary
+         FROM c ORDER BY doc_id""",
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -547,4 +547,46 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Rolling-hash content-defined chunking (Rabin-style CDC): a chunk
+    * boundary falls wherever the base-31 polynomial hash of the 8-char
+    * window at that position is ≡ 0 (mod 64) — boundaries follow
+    * CONTENT, not offsets, so an insertion early in a document shifts
+    * only the chunk it lands in, which is what makes block-level dedup
+    * of near-identical documents work where fixed-size blocks fail.
+    * Emits per-doc window/boundary/chunk counts and the first boundary.
+    *
+    * The window hash is spelled as literal power-of-31 terms (exact in
+    * BIGINT on both engines; max ≈ 5.6e12) rather than engine hash
+    * functions, so the oracle matches bit-for-bit. Pure row-local HOF
+    * arithmetic over each document — zero shuffle until the
+    * presentation sort, the same scan-rate scaling as the md5
+    * fingerprint above. At production block sizes you would emit the
+    * per-chunk hashes and equi-join them for cross-doc block reuse; the
+    * boundary mechanics here are that operator's core.
+    */
+  /** The boundary-position frame behind [[cdcChunks]]: (doc_id, bs,
+    * n_windows) with `bs` = the array of boundary positions. Exposed so
+    * specs can assert the content-defined property on raw positions.
+    */
+  def cdcBoundaries(docs: DataFrame): DataFrame = {
+    val powers = (7 to 0 by -1).map(k => math.pow(31, k).toLong)
+    val hExpr = powers.zipWithIndex
+      .map { case (p, j) => s"CAST(ascii(substring(text, i + $j, 1)) AS BIGINT) * ${p}L" }
+      .mkString(" + ")
+    docs.select(col("doc_id"),
+      expr(s"filter(sequence(1, greatest(length(text) - 7, 1)), " +
+        s"i -> i <= length(text) - 7 AND ($hExpr) % 64 = 0)").as("bs"),
+      greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_windows"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcBoundaries(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("bs")).cast("long").as("n_boundaries"),
+        (size(col("bs")) + 1).cast("long").as("n_chunks"),
+        // try_element_at: ANSI mode makes element_at THROW on the empty
+        // boundary array (docs with no content break)
+        coalesce(expr("try_element_at(bs, 1)").cast("long"), lit(0L)).as("first_boundary"))
+      .orderBy(col("doc_id"))
 }

@@ -370,6 +370,21 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, ""))) // survives with empty text, not dropped
   }
 
+  test("CDC boundaries are content-defined: a prefix insertion shifts later boundaries, never rewrites them") {
+    val s = ("spark catalyst optimizer rules physical plans shuffle partitions broadcast " * 8).trim
+    val ins = "XY! " // 4-char prefix insertion
+    val d = Seq((0L, s), (1L, ins + s)).toDF("doc_id", "text")
+    val bs = Dedup.cdcBoundaries(d)
+      .select(col("doc_id"), col("bs")).as[(Long, Seq[Int])].collect().toMap
+    assert(bs(0L).nonEmpty, "fixture must produce boundaries")
+    // windows starting past the insertion see pure original content, so
+    // boundaries there are exactly the originals shifted by the
+    // insertion length (fixed-size blocking has no such property)
+    val shifted = bs(0L).map(_ + ins.length).toSet
+    val deep = bs(1L).filter(_ > ins.length).toSet
+    assert(deep == shifted, s"expected ${shifted.toSeq.sorted}, got ${deep.toSeq.sorted}")
+  }
+
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
     // docs 0/1 repeat the same bigrams (high corpus counts -> low nll);
     // doc 2's bigrams occur once each (smoothed toward 1/(n1+V) -> higher nll)
