@@ -805,14 +805,16 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          p AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
                FROM t WHERE len(toks) > 1),
-         c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
-         c1 AS (SELECT w1, count(*) AS n1 FROM p GROUP BY w1),
+         d2 AS (SELECT doc_id, w1, w2, count(*) AS m FROM p GROUP BY doc_id, w1, w2),
+         c2 AS (SELECT w1, w2, sum(m) AS n2 FROM d2 GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
          v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM t)),
-         s AS (SELECT p.doc_id, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
-               FROM p JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
-                      JOIN c1 ON p.w1 = c1.w1
-                      CROSS JOIN v)
-         SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+         s AS (SELECT d2.doc_id, d2.m, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+               FROM d2 JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
+                       JOIN c1 ON d2.w1 = c1.w1
+                       CROSS JOIN v)
+         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * nll) / sum(m), 6) AS avg_nll
          FROM s GROUP BY doc_id ORDER BY doc_id""",
     // C4-style line dedup: lines = aligned non-overlapping 4-token
     // chunks (the corpus has no newlines); drop lines seen 3+ times

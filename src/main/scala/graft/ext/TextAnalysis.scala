@@ -193,24 +193,34 @@ object TextAnalysis {
     lmScoreFor(Tables.documents(spark, dir))
 
   def lmScoreFor(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val vocab = toks.agg(countDistinct(col("tok"))).head().getLong(0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("w2", lead(col("tok"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
-    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    bigrams
-      .join(c2, Seq("w1", "w2"))
+    // Bigrams come from a row-local array zip (NOT a per-doc lead
+    // window): no shuffle and no sort exist before the first aggregate,
+    // and the aggregate's partial (map-side) combine collapses each
+    // doc's repeats before anything crosses the wire. try_element_at:
+    // ANSI throws on i+1 past the end for one-token docs.
+    val bg = docs.select(col("doc_id"),
+      explode(expr(
+        """filter(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+          |  i -> struct(element_at(split(text, ' '), i) AS w1,
+          |              try_element_at(split(text, ' '), i + 1) AS w2)),
+          |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    // d2 = per-doc distinct bigram counts — everything downstream joins
+    // and scores THIS frame, which is bounded by distinct (doc, bigram)
+    // pairs, not corpus token count. The corpus tables c2/c1 are
+    // re-aggregations of d2 (strictly smaller), and the weighted mean
+    // sum(m·nll)/sum(m) equals the per-occurrence mean exactly.
+    val d2 = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    d2.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("n2") + lit(1.0)) / (col("n1") + lit(vocab.toDouble)))), 6)
-          .as("avg_nll"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * -log((col("n2") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))))
+          / sum(col("m")), 6).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 
