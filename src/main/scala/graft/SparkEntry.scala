@@ -69,6 +69,7 @@ object SparkEntry {
     "events_asof_exec"    -> (LogQueries.eventsAsofOrdersExec _),
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
     "events_interval_join" -> (LogQueries.eventsIntervalJoin _),
+    "events_funnel"       -> (LogQueries.eventsFunnel _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -83,10 +84,13 @@ object SparkEntry {
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_chunk_cdc"       -> (Dedup.cdcChunks _),
+    "x_substr_dedup"    -> (Dedup.duplicatedSpansQuery _),
+    "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
@@ -118,12 +122,15 @@ object SparkEntry {
 
   /** Queries that run WITHOUT the runners' pre-query cache flush so they
     * consume the memoized frames the preceding dedup query built:
-    * `x_dedup_clusters` reuses `x_dedup_ngram`'s pair frame, and
-    * `x_dedup_apply` reuses it again plus the cluster labels — the
-    * production shape, where pairs are computed once per corpus and
-    * every downstream decision prices only its own increment.
+    * `x_dedup_clusters` reuses `x_dedup_ngram`'s pair frame,
+    * `x_dedup_apply` reuses it again plus the cluster labels, and
+    * `x_dedup_incremental` judges the arriving batch against the same
+    * pair graph — the production shape, where pairs are computed once
+    * per corpus and every downstream decision prices only its own
+    * increment.
     */
-  val keepWarmQueries: Set[String] = Set("x_dedup_clusters", "x_dedup_apply")
+  val keepWarmQueries: Set[String] =
+    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -137,7 +144,8 @@ object SparkEntry {
     * filterNot/flatMap pair is keyed on the literal names).
     */
   def orderedQueryNames: Seq[String] = {
-    val warmChain = Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply")
+    val warmChain =
+      Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
     require(warmChain.forall(queries.contains),
       s"ordered-run contract expects ${warmChain.mkString(", ")} in SparkEntry.queries " +
         "(rename them here and in keepWarmQueries together)")
@@ -438,6 +446,28 @@ object SparkEntry {
          FROM l JOIN r ON l.user_id = r.user_id
                       AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
          ORDER BY l_id, r_id""",
+    // Strict ordered funnel, 24 h per step: each stage's earliest
+    // qualifying event given the previous stage's timestamp.
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+                AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+                AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id
+         ORDER BY u.user_id""",
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_asof_exec"   -> asofOracle,   // same contract, custom physical op
@@ -499,6 +529,29 @@ object SparkEntry {
     "x_dedup_minhash" -> ngramJaccardOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_apply" -> dedupApplyOracle,
+    "x_dedup_incremental" -> dedupIncrementalOracle,
+    // Cross-doc duplicated 8-token windows: per doc, window counts and
+    // the distinct token positions those windows cover.
+    "x_substr_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         w AS (SELECT doc_id,
+                 unnest(range(1, len(toks) - 6)) AS i,
+                 unnest(list_transform(range(1, len(toks) - 6),
+                        i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+               FROM t WHERE len(toks) >= 8),
+         dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN dup ON w.h = dup.h),
+         dwc AS (SELECT doc_id, count(*) AS n_dup_windows FROM dw GROUP BY doc_id),
+         cov AS (SELECT doc_id, count(*) AS n_dup_tokens
+                 FROM (SELECT DISTINCT doc_id, i + k.k AS p FROM dw, range(8) AS k(k))
+                 GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_windows,
+           coalesce(dwc.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens
+         FROM t LEFT JOIN dwc ON t.doc_id = dwc.doc_id
+                LEFT JOIN cov ON t.doc_id = cov.doc_id
+         ORDER BY t.doc_id""",
     // SimHash, engine-portable: token bits from the md5 hex digest,
     // fingerprint rendered as a 16-char hex string (BIGINT assembly
     // would need 1<<63 — checked overflow in DuckDB, wraps in Spark).
@@ -548,6 +601,25 @@ object SparkEntry {
            CAST(len(bs) + 1 AS BIGINT) AS n_chunks,
            CAST(coalesce(bs[1], 0) AS BIGINT) AS first_boundary
          FROM c ORDER BY doc_id""",
+    // Int8 scalar quantization: symmetric per-dim scale → −127..127
+    // codes; ranking by exact integer dot product of the codes.
+    "x_sim_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS j FROM e),
+         d AS (SELECT j, greatest(abs(min(x)), abs(max(x))) AS s FROM ex GROUP BY j),
+         qv AS (SELECT vec_id, j,
+                  CAST(coalesce(floor(x / nullif(s, 0) * 127 + 0.5), 0) AS BIGINT) AS q
+                FROM ex JOIN d USING (j)),
+         s AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 sum(a.q * b.q) AS ip
+               FROM qv a JOIN qv b ON a.j = b.j AND a.vec_id <> b.vec_id
+               WHERE b.vec_id < 10 GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, neighbor_id, ip,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM s)
+         SELECT query_id, rk, neighbor_id, CAST(ip AS BIGINT) AS ip
+         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -948,6 +1020,27 @@ object SparkEntry {
          SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
        SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep
        FROM reach GROUP BY a ORDER BY doc_id"""
+
+  /** Incremental first-wins verdicts for the arriving batch (doc_id ≥
+    * 400): a new doc is vetoed by any Jaccard ≥ 0.8 partner with a
+    * smaller id — corpus partners and earlier-batch partners reported
+    * separately. Same pair contract as [[ngramJaccardOracle]].
+    */
+  private val dedupIncrementalOracle: String =
+    s"""WITH $ngramPairCtes,
+       pairs AS (
+         SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+       pd AS (SELECT d2 AS doc_id, min(d1) AS best,
+                max(CASE WHEN d1 < 400 THEN 1 ELSE 0 END) AS hc,
+                max(CASE WHEN d1 >= 400 THEN 1 ELSE 0 END) AS hb
+              FROM pairs WHERE d2 >= 400 GROUP BY d2)
+       SELECT d.doc_id, coalesce(pd.best, -1) AS best_match,
+         coalesce(pd.hc, 0) = 1 AS dup_of_corpus,
+         coalesce(pd.hb, 0) = 1 AS dup_of_batch,
+         (coalesce(pd.hc, 0) = 0 AND coalesce(pd.hb, 0) = 0) AS keep
+       FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       WHERE d.doc_id >= 400 ORDER BY d.doc_id"""
 
   /** The capstone verdict: cluster-canonical AND repetition-pass AND
     * 5–10,000 tokens. Cluster labels come from the same recursive

@@ -589,4 +589,98 @@ object Dedup {
         // boundary array (docs with no content break)
         coalesce(expr("try_element_at(bs, 1)").cast("long"), lit(0L)).as("first_boundary"))
       .orderBy(col("doc_id"))
+
+  /** Exact duplicated-SPAN detection (the token-window formulation of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22): a span is flagged when the same `w`-token window
+    * occurs in ≥ 2 distinct documents. Document-level dedup (the
+    * operators above) misses partial copies — boilerplate headers,
+    * quoted paragraphs, license blocks — which is exactly what
+    * substring-level dedup exists to catch. The paper's suffix array is
+    * a single-machine structure; the Spark-native equivalent is window
+    * HASHING: every duplicated substring of length ≥ w contains a
+    * duplicated w-window, so flagging windows finds every such span
+    * (with w-token resolution at the edges).
+    *
+    * Per doc: token count, window count, how many of its windows are
+    * cross-doc duplicated, and how many token POSITIONS those windows
+    * cover (the union of [i, i+w) over flagged windows — what a
+    * span-trimming pass would remove).
+    *
+    * Scale shape: windowing is per-row narrow work (the md5 over each
+    * w-token slice); the only corpus-wide movement is (1) the window-
+    * hash groupBy — partial-aggregated, two-level for the distinct-doc
+    * count — and (2) the windows⋈dup-hashes equi-join, both keyed on
+    * the hash, i.e. uniformly distributed by construction. The position
+    * union explodes only FLAGGED windows (w× a typically tiny set). No
+    * per-doc global structure, no driver state — this is the shape that
+    * survives 100 TB where a suffix array cannot.
+    */
+  def duplicatedSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(width, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wins = toks.filter(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, CAST(n_tokens - ${w - 1} AS INT)), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $w))))")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dw = wins.join(dup, "h").select(col("doc_id"), col("i"))
+    val dwc = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val cov = dw
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"))
+      .join(dwc, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def duplicatedSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Tables.documents(spark, dir))
+
+  /** Incremental dedup: the batch twin of "dedup the new crawl against
+    * the existing corpus" (the streaming form is
+    * [[graft.streaming.EventsStream.dedupAgainstStore]], spec-only —
+    * this variant is fully oracle-checked). Documents with doc_id ≥
+    * `batchStart` are the arriving batch; the rest are the standing
+    * corpus. A new document is kept iff it near-dups (Jaccard ≥ 0.8)
+    * neither any corpus document nor any EARLIER new document — the
+    * first-wins rule an append-only pipeline applies as batches land.
+    *
+    * Rides the memoized [[pairFrame]]: pairs are (d1 < d2), and only
+    * partners SMALLER than a new doc can veto it, so the whole verdict
+    * is one filter + one aggregate over the pair set — in the keep-warm
+    * chain this prices only that increment, the production shape where
+    * the pair graph is maintained once per corpus and every arriving
+    * batch is judged against it.
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      batchStart: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val verdicts = pairFrame(spark, dir)
+      .filter(col("d2") >= batchStart)
+      .groupBy(col("d2").as("doc_id"))
+      .agg(min(col("d1")).as("best"),
+        max((col("d1") < batchStart).cast("int")).as("hc"),
+        max((col("d1") >= batchStart).cast("int")).as("hb"))
+    docs.filter(col("doc_id") >= batchStart).select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("best"), lit(-1L)).as("best_match"),
+        (coalesce(col("hc"), lit(0)) === 1).as("dup_of_corpus"),
+        (coalesce(col("hb"), lit(0)) === 1).as("dup_of_batch"))
+      .withColumn("keep", !col("dup_of_corpus") && !col("dup_of_batch"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -185,6 +185,54 @@ object LogQueries {
       .orderBy(col("l_id"), col("r_id"))
   }
 
+  /** Ordered funnel analysis (the ClickHouse `windowFunnel` class of
+    * query — the reference's storage engine ships it as a first-class
+    * aggregate, so an engine claiming its query surface needs the
+    * shape): per user, the strict view → click → purchase progression,
+    * each step within 24 h of the previous one, earliest-qualifying
+    * timestamps, and the stage reached (0–3).
+    *
+    * Formulated as three per-user min-aggregates chained by
+    * (equi-key + time-bound) joins rather than a per-user event sort:
+    * every aggregate and join shuffles on user_id alone — one key, AQE-
+    * coalesced, partial-aggregated — and nothing ever materializes a
+    * user's full ordered event list, so a power user with millions of
+    * events costs the same as anyone else at 100 TB.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFor(Tables.events(spark, dir))
+
+  /** Funnel core over any (user_id, ts, event_type) frame — split out so
+    * specs can drive it with planted stage progressions.
+    */
+  def funnelFor(ev: DataFrame): DataFrame = {
+    // the prev side's user_id is renamed before the join: both sides
+    // descend from `ev`, and a shared exprId in the condition would
+    // trip Spark's ambiguous-self-join detection
+    def firstAfter(stepType: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+      ev.filter(col("event_type") === stepType)
+        .join(prev.withColumnRenamed("user_id", "prev_user"),
+          col("user_id") === col("prev_user") &&
+          col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = firstAfter("click", views, "t_view", "t_click")
+    val purchases = firstAfter("purchase", clicks, "t_click", "t_purchase")
+    ev.select(col("user_id")).distinct()
+      .join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).

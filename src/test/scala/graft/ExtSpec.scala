@@ -422,6 +422,90 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall { case (thr, bucket, keep) => keep == (bucket < thr) })
   }
 
+  test("duplicated spans: shared 8-token run flagged with exact window and coverage counts") {
+    val fixture = Seq(
+      (0L, "a b c d e f g h i j"),            // 10 tokens: windows at i=1..3
+      (1L, "x y a b c d e f g h z"),          // shares exactly [a..h] with doc 0
+      (2L, "short text")                      // < 8 tokens: no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(fixture, w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: 1 of 3 windows duplicated, covering positions 1-8
+    assert(out(0L) == ((10L, 3L, 1L, 8L)))
+    // doc 1: the shared window starts at i=3, covering positions 3-10
+    assert(out(1L) == ((11L, 4L, 1L, 8L)))
+    // doc 2 is reported with zero windows, not dropped
+    assert(out(2L) == ((2L, 0L, 0L, 0L)))
+    // an exact copy of doc 0 makes ALL of doc 0's windows duplicated
+    val withCopy = fixture.union(Seq((3L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    val out2 = Dedup.duplicatedSpans(withCopy, w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out2(0L) == ((3L, 10L)) && out2(3L) == ((3L, 10L)))
+  }
+
+  test("incremental near-dup verdicts agree with the full pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val verdicts = Dedup.incrementalNearDup(spark, dir, batchStart = 400L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(verdicts.size == 100 && verdicts.keys.forall(_ >= 400L))
+    verdicts.foreach { case (d, (best, dupCorpus, dupBatch, keep)) =>
+      val partners = pairs.collect { case (a, b) if b == d => a }
+      assert(dupCorpus == partners.exists(_ < 400L), s"doc $d corpus flag")
+      assert(dupBatch == partners.exists(_ >= 400L), s"doc $d batch flag")
+      assert(keep == partners.isEmpty, s"doc $d keep")
+      assert(best == (if (partners.isEmpty) -1L else partners.min), s"doc $d best match")
+    }
+  }
+
+  test("int8-quantized top-k tracks the float ranking on real vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.bruteForceTopK(spark, dir, k = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q = Similarity.quantizedTopK(spark, dir, k = 3)
+      .select("query_id", "rk", "neighbor_id", "ip")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(q.map(_._1).distinct.length == 10)
+    // scores are non-increasing in rank within each query
+    q.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // 8-bit quantization of 64-dim unit vectors barely moves the
+    // ranking: every quantized top-3 neighbor sits in the float top-10
+    val hits = q.count { case (query, _, n, _) => brute(query).contains(n) }
+    assert(hits >= 27, s"only $hits/30 quantized neighbors in the float top-10")
+  }
+
+  test("funnel stages: strict order and the 24h step window enforced") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-10 ${h}%02d:00:00")
+    val ev = Seq(
+      // user 1: full funnel inside the windows
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"),
+      // user 2: click 30h after first view — outside the 24h window
+      (2L, t(0), "view"), (2L, Timestamp.valueOf("2024-01-11 06:00:00"), "click"),
+      // user 3: click with no view at all
+      (3L, t(5), "click"),
+      // user 4: purchase 26h after the qualifying click
+      (4L, t(0), "view"), (4L, t(1), "click"),
+      (4L, Timestamp.valueOf("2024-01-11 03:00:00"), "purchase"),
+      // user 5: a click BEFORE the first view must not count
+      (5L, t(0), "click"), (5L, t(2), "view"), (5L, t(3), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = queries.LogQueries.funnelFor(ev)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+    val u5 = queries.LogQueries.funnelFor(ev)
+      .filter(col("user_id") === 5L).select("t_click")
+      .as[java.sql.Timestamp].head()
+    assert(u5 == t(3), "only the post-view click qualifies")
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
