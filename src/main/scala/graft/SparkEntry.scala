@@ -70,6 +70,8 @@ object SparkEntry {
     "events_json_extract" -> (LogQueries.eventsJsonExtract _),
     "events_interval_join" -> (LogQueries.eventsIntervalJoin _),
     "events_funnel"       -> (LogQueries.eventsFunnel _),
+    "events_retention"    -> (LogQueries.eventsRetention _),
+    "events_rate_spike"   -> (LogQueries.eventsRateSpike _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -116,6 +118,7 @@ object SparkEntry {
     "x_pii_redact"      -> (TextAnalysis.piiRedact _),
     "x_token_hist"      -> (Profiling.tokenHistogram _),
     "x_domain_stats"    -> (Profiling.domainStats _),
+    "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
   )
@@ -468,6 +471,27 @@ object SparkEntry {
          LEFT JOIN c ON u.user_id = c.user_id
          LEFT JOIN p ON u.user_id = p.user_id
          ORDER BY u.user_id""",
+    // Cohort = each user's first event date; retained = any event at
+    // that day offset (0-7).
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY user_id),
+         d AS (SELECT DISTINCT e.user_id, f.cohort,
+                 CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset
+               FROM events e JOIN f ON e.user_id = f.user_id)
+         SELECT cohort, day_offset, count(*) AS n_users
+         FROM d WHERE day_offset <= 7
+         GROUP BY cohort, day_offset ORDER BY cohort, day_offset""",
+    // Spike flag compares the integer count against the UNROUNDED
+    // per-type mean (exact integer sum / count on both engines).
+    "events_rate_spike" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, avg(n) AS mean_n FROM m GROUP BY event_type)
+         SELECT m.m, m.event_type, m.n, round(s.mean_n, 4) AS mean_n,
+           m.n >= s.mean_n * 3 AS spike
+         FROM m JOIN s ON m.event_type = s.event_type
+         ORDER BY m.m, m.event_type""",
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_asof_exec"   -> asofOracle,   // same contract, custom physical op
@@ -830,6 +854,15 @@ object SparkEntry {
            CAST(least(n_tok // 10, 10) * 10 AS BIGINT) AS lo_tokens,
            count(*) AS n_docs
          FROM t GROUP BY 1, 2 ORDER BY bucket""",
+    // Heavy hitters: sketch candidates + exact verify on the Spark
+    // side equals the exact threshold count the oracle computes
+    // directly (MG completeness: capacity 1024 > invPhi 500).
+    "x_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         tt AS (SELECT tok FROM t WHERE length(tok) > 0),
+         n AS (SELECT count(*) AS total FROM tt),
+         c AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY tok)
+         SELECT tok, cnt FROM c, n WHERE cnt * 500 >= total ORDER BY tok""",
     "x_domain_stats" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
          round(avg(n_chars), 4) AS avg_chars,

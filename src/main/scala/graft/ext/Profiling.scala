@@ -61,6 +61,43 @@ object Profiling {
       .select(col("bucket"), col("lo_tokens"), col("n_docs"))
       .orderBy(col("bucket"))
 
+  /** Exact corpus heavy hitters via sketch-then-verify (the ClickHouse
+    * `topK` query class, made deterministic): tokens whose count is at
+    * least 1/`invPhi` of the total token count.
+    *
+    * Pass 1 aggregates the whole token stream into ONE Misra-Gries
+    * sketch ([[graft.functions.FreqSketch]]) alongside the exact total
+    * — the shuffle carries `capacity` counters per partition instead of
+    * one row per distinct token, which is what makes a corpus-wide
+    * top-k viable at 100 TB vocabulary sizes. With capacity >
+    * invPhi, MG guarantees every qualifying token is among the
+    * counters, so pass 2 re-counts ONLY the ≤ capacity candidates
+    * (an `isin` filter compiles to a hash-set probe at the scan) and
+    * applies the exact threshold — output identical to the
+    * full `groupBy(token)` a small-data engine would run, which is
+    * precisely what the DuckDB oracle does. Same candidates-then-verify
+    * shape as the MinHash dedup path.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+      invPhi: Int = 500, capacity: Int = 1024): DataFrame = {
+    require(capacity > invPhi,
+      "MG completeness needs capacity+1 counters per 1/phi of mass")
+    graft.functions.GraftFunctions.register(spark)
+    def tokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val row = tokens.agg(
+      count(lit(1)).as("total"),
+      graft.functions.GraftFunctions.freqSketch(col("tok"), capacity).as("sk")).head()
+    val total = row.getLong(0)
+    val candidates = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    tokens.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // integer form of cnt >= total/invPhi — no float boundary
+      .filter(col("cnt") * invPhi >= lit(total))
+      .orderBy(col("tok"))
+  }
+
   /** Per-source (domain) corpus summary: document counts, exact-dup
     * ratio, average length. Group-by-domain is the unit crawl pipelines
     * reason about (per-site dedup rates, boilerplate sites, quota

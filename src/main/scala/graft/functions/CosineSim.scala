@@ -110,6 +110,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("minhash_bands")))
       reg.createOrReplaceTempFunction(
         "minhash_bands", exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("freq_sketch")))
+      reg.createOrReplaceTempFunction(
+        "freq_sketch", exprs => FreqSketch(exprs(0), intLit(exprs(1))), "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -142,6 +145,12 @@ object GraftFunctions {
     */
   def simhashMd5Agg(h1: Column, h2: Column): Column =
     call_function("simhash_md5", h1, h2)
+
+  /** Aggregate: Misra-Gries frequent-items counters (item, est),
+    * bounded at `capacity` entries per group.
+    */
+  def freqSketch(item: Column, capacity: Int): Column =
+    call_function("freq_sketch", item, org.apache.spark.sql.functions.lit(capacity))
 
   /** Per-row banded MinHash signatures over a shingle-hash array. */
   def minhashBands(ngs: Column, numHashes: Int, bands: Int): Column =

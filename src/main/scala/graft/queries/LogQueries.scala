@@ -233,6 +233,51 @@ object LogQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention (the ClickHouse `retention` aggregate's query
+    * class): users grouped by the date of their FIRST event, and for
+    * each cohort the distinct-user count still active at each day
+    * offset 0–7. Two user_id-keyed aggregates and one join — the
+    * cohort frame is one row per user, so the join's build side stays
+    * proportional to the user population, not the event volume.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .join(firstDay, "user_id")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+        col("user_id"))
+      .filter(col("day_offset") <= 7)
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  /** Rate-spike detection: per-(minute, type) event counts flagged
+    * against 3× the type's overall per-minute mean — the monitoring
+    * query a log pipeline runs continuously (the reference's README
+    * verifies ingest with exactly these count-by-time probes,
+    * README.md:516-527). The mean side is |event_types| rows —
+    * broadcast — so the flagging pass is a map-side join over the
+    * minute aggregate; the spike predicate compares against the
+    * UNROUNDED mean (an exact integer sum ÷ count — reproducible
+    * cross-engine), while the reported mean is rounded for display.
+    */
+  def eventsRateSpike(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("m"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val typeMean = perMin.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mean_n"))
+    perMin.join(broadcast(typeMean), "event_type")
+      .select(col("m"), col("event_type"), col("n"),
+        round(col("mean_n"), 4).as("mean_n"),
+        (col("n") >= col("mean_n") * 3).as("spike"))
+      .orderBy(col("m"), col("event_type"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).

@@ -506,6 +506,52 @@ class ExtSpec extends SparkSpec {
     assert(u5 == t(3), "only the post-view click qualifies")
   }
 
+  test("MG frequent-items sketch: completeness and error bounds hold under tiny capacity") {
+    import graft.functions.FreqBuffer
+    // skewed stream: 3 heavy tokens + a long tail, capacity far below
+    // the distinct count
+    val heavy = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(120)("gamma")
+    val tail = (0 until 400).map(i => s"tail$i")
+    val stream = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val n = stream.size
+    val cap = 16
+    // split across 4 "partitions", merge like partial aggregation does
+    val bufs = stream.grouped(n / 4 + 1).map { part =>
+      val b = new FreqBuffer(cap)
+      part.foreach(b.add(_))
+      b
+    }.toSeq
+    val merged = bufs.head
+    bufs.tail.foreach(merged.mergeIn)
+    val est = merged.sortedEntries.toMap
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n.toLong / (cap + 1)
+    // completeness: anything above N/(cap+1) must be tracked
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(est.contains(t), s"heavy token $t (count ${exact(t)}) missing from sketch")
+    }
+    // soundness: est <= true, and est >= true - N/(cap+1)
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"$t overestimated: $e > ${exact(t)}")
+      assert(e >= exact(t) - bound, s"$t below error bound: $e < ${exact(t)} - $bound")
+    }
+    assert(merged.sortedEntries.length <= cap)
+  }
+
+  test("heavy hitters query equals the exact threshold count") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ext.Profiling.heavyHitters(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val total = toks.count()
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 500 >= lit(total))
+      .as[(String, Long)].collect().toMap
+    assert(got == exact && got.nonEmpty)
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
