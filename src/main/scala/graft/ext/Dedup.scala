@@ -570,13 +570,14 @@ object Dedup {
     * specs can assert the content-defined property on raw positions.
     */
   def cdcBoundaries(docs: DataFrame): DataFrame = {
-    val powers = (7 to 0 by -1).map(k => math.pow(31, k).toLong)
-    val hExpr = powers.zipWithIndex
-      .map { case (p, j) => s"CAST(ascii(substring(text, i + $j, 1)) AS BIGINT) * ${p}L" }
-      .mkString(" + ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // compiled rolling-hash kernel (CdcBoundaryPositions): the HOF
+    // filter evaluated 8 interpreted substring() calls per CHAR
+    // position, and UTF8String substring is an O(position) scan —
+    // measured 26 s at sf0.1 vs ~0.5 s rolled; same boundary contract
+    // (oracle unchanged)
     docs.select(col("doc_id"),
-      expr(s"filter(sequence(1, greatest(length(text) - 7, 1)), " +
-        s"i -> i <= length(text) - 7 AND ($hExpr) % 64 = 0)").as("bs"),
+      graft.functions.GraftFunctions.cdcBoundaryPositions(col("text")).as("bs"),
       greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_windows"))
   }
 
@@ -617,29 +618,46 @@ object Dedup {
     * survives 100 TB where a suffix array cannot.
     */
   def duplicatedSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val width = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = docs.repartition(width, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-    val wins = toks.filter(col("n_tokens") >= w)
+    // windowing runs in the compiled TokenWindowHashes kernel — the HOF
+    // form (transform + slice + concat_ws + md5 per window, all
+    // interpreted) measured 4 s steady / 21 s cold at sf0.1, and its
+    // md5 strings quadrupled every downstream shuffle row.
+    //
+    // The first formulation derived THREE frames from the window set
+    // (a distinct-doc-count aggregate, a join back against the
+    // flagged hashes, and a position explode+distinct for coverage) —
+    // the plan recomputed the explode per branch (3 Generates) and
+    // moved windows through five shuffles. This shape computes windows
+    // ONCE and touches two shuffle keys total:
+    //   1. window over h: cross-doc duplication is just
+    //      max(doc_id) ≠ min(doc_id) within a hash — no aggregate-join
+    //      round trip, no second pass over the windows;
+    //   2. window+aggregate over doc_id: coverage of the flagged
+    //      windows' position union — equal-length intervals sorted by
+    //      start, so window k covers least(w, i_{k+1} − i_k) new
+    //      positions (w for the last) — a lead() instead of exploding
+    //      w positions per flagged window and distinct-counting them.
+    val wins = docs.repartition(width, col("doc_id"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, CAST(n_tokens - ${w - 1} AS INT)), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $w))))")).as(Seq("p0", "h")))
+        posexplode(graft.functions.GraftFunctions.tokenWindowHashes(col("text"), w))
+          .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"))
-    val dup = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val dw = wins.join(dup, "h").select(col("doc_id"), col("i"))
-    val dwc = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    val cov = dw
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
-    toks.select(col("doc_id"), col("n_tokens"),
-        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"))
-      .join(dwc, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+    val byHash = Window.partitionBy(col("h"))
+    val flagged = wins
+      .withColumn("dup", max(col("doc_id")).over(byHash) =!= min(col("doc_id")).over(byHash))
+      .filter(col("dup"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val agg = flagged
+      .withColumn("cover",
+        least(lit(w), coalesce(lead(col("i"), 1).over(byDoc) - col("i"), lit(w))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cover")).cast("long").as("n_dup_tokens"))
+    docs.repartition(width, col("doc_id"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_windows", greatest(col("n_tokens") - (w - 1), lit(0L)))
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))

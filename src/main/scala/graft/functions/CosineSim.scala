@@ -113,6 +113,12 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("freq_sketch")))
       reg.createOrReplaceTempFunction(
         "freq_sketch", exprs => FreqSketch(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("token_window_hashes")))
+      reg.createOrReplaceTempFunction(
+        "token_window_hashes", exprs => TokenWindowHashes(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("cdc_boundary_positions")))
+      reg.createOrReplaceTempFunction(
+        "cdc_boundary_positions", exprs => CdcBoundaryPositions(exprs(0)), "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -151,6 +157,14 @@ object GraftFunctions {
     */
   def freqSketch(item: Column, capacity: Int): Column =
     call_function("freq_sketch", item, org.apache.spark.sql.functions.lit(capacity))
+
+  /** All w-token window hashes of a string, in window order. */
+  def tokenWindowHashes(s: Column, w: Int): Column =
+    call_function("token_window_hashes", s, org.apache.spark.sql.functions.lit(w))
+
+  /** Rolling-hash CDC boundary positions (1-based char offsets). */
+  def cdcBoundaryPositions(s: Column): Column =
+    call_function("cdc_boundary_positions", s)
 
   /** Per-row banded MinHash signatures over a shingle-hash array. */
   def minhashBands(ngs: Column, numHashes: Int, bands: Int): Column =
