@@ -228,8 +228,7 @@ object Similarity {
     val queries = q.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"))
     val scored = q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("ip", aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("ip", graft.functions.GraftFunctions.dotLong(col("qq"), col("qv")))
     // integer scores are exact in the double the top-k aggregate carries
     // (max possible ip = 64 · 255² ≈ 4.2e6 ≪ 2⁵³)
     scored.groupBy(col("query_id"))

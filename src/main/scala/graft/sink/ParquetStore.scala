@@ -113,6 +113,69 @@ object ParquetStore {
       .parquet(destPath)
   }
 
+  /** TTL expiry — the analogue of ClickHouse `TTL timestamp + INTERVAL
+    * … DELETE`, the standard retention policy on MergeTree log tables
+    * (the reference's month partitioning, init.sql:21, exists largely
+    * to make exactly this cheap). Drops every TIME PARTITION whose
+    * month (or day, in the daily layout) is strictly older than
+    * `cutoffYm`/`cutoffDay` — a directory delete per expired partition,
+    * never a data rewrite, so expiring a month of a 100 TB store costs
+    * file-system metadata operations only. Rows inside a partition that
+    * straddles the cutoff are KEPT (partition granularity — exactly
+    * ClickHouse's TTL-by-partition behavior); a finer cutoff wants the
+    * daily layout, which is why it exists.
+    *
+    * Safe under concurrent appends by the same argument as [[compact]]:
+    * expiry only ever removes time-partition directories wholly OLDER
+    * than the cutoff, while live batches write current-time partitions;
+    * a replayed old batch would re-create an expired directory, which
+    * the NEXT expiry cycle removes again (retention is a repeating
+    * background job, not a one-shot).
+    *
+    * Returns the partition directory names removed (one per expired
+    * (bid, ym[, d]) leaf), for the caller's audit log.
+    */
+  def expire(spark: SparkSession, path: String, cutoffYm: String,
+             cutoffDay: Option[String] = None): Seq[String] = {
+    require(cutoffYm.matches("\\d{6}"), "cutoffYm must be yyyyMM")
+    cutoffDay.foreach(d => require(d.matches("\\d{8}"), "cutoffDay must be yyyyMMdd"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BatchCol=")).foreach { bidDir =>
+        fs.listStatus(bidDir).map(_.getPath)
+          .filter(_.getName.startsWith(s"$PartitionCol=")).foreach { ymDir =>
+            val ym = ymDir.getName.stripPrefix(s"$PartitionCol=")
+            if (ym < cutoffYm) {
+              fs.delete(ymDir, true)
+              removed += s"${bidDir.getName}/${ymDir.getName}"
+            } else cutoffDay.foreach { cd =>
+              // same-or-newer month: expire by day leaf when the daily
+              // layout is present and a day cutoff was requested
+              fs.listStatus(ymDir).map(_.getPath)
+                .filter(_.getName.startsWith(s"$DayCol=")).foreach { dDir =>
+                  val d = dDir.getName.stripPrefix(s"$DayCol=")
+                  if (d < cd) {
+                    fs.delete(dDir, true)
+                    removed += s"${bidDir.getName}/${ymDir.getName}/${dDir.getName}"
+                  }
+                }
+              // a month emptied leaf-by-leaf must go too: Spark's
+              // partition discovery tolerates empty dirs, but they
+              // accumulate forever on a long-lived store (only
+              // partition children count — _SUCCESS markers remain)
+              if (!fs.listStatus(ymDir).exists(_.getPath.getName.startsWith(s"$DayCol=")))
+                fs.delete(ymDir, true)
+            }
+          }
+        if (!fs.listStatus(bidDir).exists(_.getPath.getName.startsWith(s"$PartitionCol=")))
+          fs.delete(bidDir, true)
+      }
+    removed.toSeq
+  }
+
   /** Register the store as `logs_table` for spark.sql querying (the
     * reference's query surface, README.md:419-424,516-527).
     */

@@ -153,6 +153,41 @@ class StreamingSpec extends SparkSpec {
     assert(gen.count() + migrated.count() == 6)
   }
 
+  test("TTL expiry drops whole partitions older than the cutoff, keeps the rest readable") {
+    val out = tmp("graft-ttl")
+    def batch(ts: String, msgs: String*) = IngestPipeline.runBatch(
+      msgs.map(m => s"""{"@timestamp":"$ts","message":"$m"}""").toDF("value"),
+      IngestPipeline.Logstash)
+    // three batches spanning three months
+    ParquetStore.appendBatch(batch("2025-09-05T10:00:00Z", "old1", "old2"), out, batchId = 0)
+    ParquetStore.appendBatch(batch("2025-10-05T10:00:00Z", "mid1"), out, batchId = 1)
+    ParquetStore.appendBatch(batch("2025-11-05T10:00:00Z", "new1", "new2"), out, batchId = 2)
+    val removed = ParquetStore.expire(spark, out, cutoffYm = "202510")
+    // only the September partition dies; the cutoff month itself stays
+    assert(removed == Seq("bid=0/ym=202509"), s"removed: $removed")
+    val left = spark.read.parquet(out).select("message").as[String].collect().toSet
+    assert(left == Set("mid1", "new1", "new2"))
+    // idempotent: a second run removes nothing
+    assert(ParquetStore.expire(spark, out, cutoffYm = "202510").isEmpty)
+  }
+
+  test("TTL day-level expiry in the daily layout, empty month dirs cleaned up") {
+    val out = tmp("graft-ttl-daily")
+    def batch(ts: String, msg: String) = IngestPipeline.runBatch(
+      Seq(s"""{"@timestamp":"$ts","message":"$msg"}""").toDF("value"),
+      IngestPipeline.Logstash)
+    ParquetStore.appendBatch(batch("2025-12-01T10:00:00Z", "d1"), out, batchId = 0, daily = true)
+    ParquetStore.appendBatch(batch("2025-12-02T10:00:00Z", "d2"), out, batchId = 1, daily = true)
+    ParquetStore.appendBatch(batch("2025-12-03T10:00:00Z", "d3"), out, batchId = 2, daily = true)
+    val removed = ParquetStore.expire(spark, out, cutoffYm = "202512", cutoffDay = Some("20251203"))
+    assert(removed.toSet.map((s: String) => s.split("/").last) == Set("d=20251201", "d=20251202"))
+    val left = spark.read.parquet(out).select("message").as[String].collect().toSet
+    assert(left == Set("d3"))
+    // bid dirs whose every partition expired are gone entirely
+    val bidDirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("bid=")).toSet
+    assert(bidDirs == Set("bid=2"), s"surviving bid dirs: $bidDirs")
+  }
+
   test("socket source end-to-end: TCP NDJSON -> normalize -> store (S11)") {
     val out = tmp("graft-sock-store"); val ck = tmp("graft-sock-ck")
     val server = new java.net.ServerSocket(0)
@@ -299,6 +334,40 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
     q.stop()
+  }
+
+  test("materialized-view rollup: streamed partials merge to the batch recompute, replay-idempotent") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    val path = tmp("graft-rollup")
+    val q = input.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.streaming.Rollup.appendBatch(df, path, bid))
+      .outputMode("update").start()
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), 1L, typ, v)
+    val all = Seq(
+      ev(1, "2024-01-01 10:00:05", "click", 1.5), ev(2, "2024-01-01 10:00:40", "click", 2.25),
+      ev(3, "2024-01-01 10:01:10", "view", 4.0), ev(4, "2024-01-01 10:00:59", "view", 0.5),
+      ev(5, "2024-01-01 10:01:30", "click", 3.0))
+    input.addData(all(0), all(1), all(2))
+    q.processAllAvailable()
+    input.addData(all(3), all(4))
+    q.processAllAvailable()
+    q.stop()
+    // an at-least-once replay of the LAST batch must not change the MV
+    graft.streaming.Rollup.appendBatch(Seq(all(3), all(4)).toDF(), path, 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("m").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+    val mv = canon(graft.streaming.Rollup.read(spark, path))
+    val recompute = canon(
+      graft.streaming.Rollup.minutePartials(all.toDF())
+        .withColumn("sum_value", round(col("sum_value"), 2)))
+    assert(mv == recompute && mv.size == 4, s"mv=$mv")
+    // background merge: compacting batches 0-1 into a generation reads back identically
+    val gen = tmp("graft-rollup-gen")
+    graft.streaming.Rollup.compact(spark, path, gen, upToBatchId = 1L)
+    assert(canon(graft.streaming.Rollup.read(spark, gen)) == recompute)
   }
 
   test("stream-static dedup drops ids already in the store, then dedups the stream") {
