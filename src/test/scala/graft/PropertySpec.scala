@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+
+import graft.ingest.Normalize
+import graft.streaming.IngestPipeline
+
+/** Property-based checks (SURVEY §5.2 item 2).
+  *
+  * Two families:
+  *   - the ingest contract on ARBITRARY input: normalize is total
+  *     (never throws, never yields a null column, timestamp always
+  *     lands) — the reference's "never reject" semantics
+  *     (main.go:86-112) must hold for inputs no fixture anticipated;
+  *   - the hand-written byte-level kernels (TokenWindowHashes,
+  *     CdcBoundaryPositions) against straight-line REFERENCE
+  *     implementations on arbitrary — including multi-byte — strings:
+  *     the kernels earn their speed with offset arithmetic, and
+  *     off-by-ones there produce silently wrong counts, not crashes.
+  *
+  * Driver-side evaluation (expressions run through eval on literal
+  * rows) keeps each ScalaCheck case off the cluster path — hundreds of
+  * cases per property at unit-test cost; the Spark-side plumbing of
+  * the same kernels is covered by the example specs and oracle gate.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Raw-ScalaCheck runner (scalatestplus isn't in the offline cache):
+    * 200 cases per property, failures surface the shrunk labels.
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- generators ----------------------------------------------------
+
+  private val asciiWord: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  /** Strings over a mixed alphabet: ASCII, spaces (often doubled), and
+    * multi-byte code points — exercises the byte-vs-char paths.
+    */
+  private val mixedText: Gen[String] = {
+    val piece = Gen.frequency(
+      6 -> asciiWord,
+      3 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "漢", "🙂", "ß"))
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+  }
+
+  /** Arbitrary shallow JSON events: known keys, unknown keys, broken
+    * timestamps, nested objects — everything the wire can carry.
+    */
+  private val jsonEvent: Gen[String] = {
+    val ts = Gen.oneOf(
+      Gen.const("\"2025-12-04T10:00:00Z\""),
+      Gen.const("\"2025-12-04 10:00:00\""),
+      Gen.const("\"totally-not-a-time\""),
+      Gen.const("12345"),
+      Gen.const("null"))
+    val msg = asciiWord.map(w => "\"" + w + "\"")
+    for {
+      t <- ts; m <- msg
+      extra <- Gen.oneOf("", ",\"container\":{\"name\":\"c1\"}",
+        ",\"weird_key\":[1,2,3]", ",\"host\":{\"name\":\"h\"},\"deep\":{\"a\":{\"b\":1}}")
+    } yield s"""{"@timestamp":$t,"message":$m$extra}"""
+  }
+
+  // ---- ingest totality ------------------------------------------------
+
+  test("normalize is total: any shallow JSON event yields one 10-column row, no nulls, ts set") {
+    import spark.implicits._
+    check(forAll(Gen.listOfN(5, jsonEvent)) { events =>
+      val out = IngestPipeline.runBatch(events.toDF("value"), IngestPipeline.Logstash)
+      val rows = out.collect()
+      val cols = out.columns.length
+      Prop(rows.length == events.length) :| s"row per event (${rows.length}/${events.length})" &&
+        Prop(cols == 10) :| s"10 columns ($cols)" &&
+        Prop(rows.forall(r => (0 until cols).forall(i => !r.isNullAt(i)))) :| "no null columns" &&
+        Prop(rows.forall(_.getAs[java.sql.Timestamp]("timestamp") != null)) :| "timestamp lands"
+    })
+  }
+
+  test("timestamp coercion: parseable inputs parse, garbage falls back — never null, never throws") {
+    import spark.implicits._
+    val tsGen = Gen.oneOf(
+      "2025-12-04T10:00:00Z", "2025-12-04T10:00:00.123Z",
+      "2025-12-04T18:30:00+08:00", "2025-12-04 10:00:00",
+      "not a time", "", "99999", "2025-13-45T99:99:99Z")
+    check(forAll(Gen.listOfN(8, tsGen)) { ts =>
+      val out = ts.toDF("raw")
+        .select(Normalize.coerceTimestamp(col("raw")).as("t"))
+        .collect().map(_.getAs[java.sql.Timestamp]("t"))
+      Prop(out.forall(_ != null)) :| "coercion is total"
+    })
+  }
+
+  // ---- byte-level kernels vs reference implementations ---------------
+
+  private def evalTokenWindows(s: String, w: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    graft.functions.TokenWindowHashes(Literal(s), w)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
+
+  /** Straight-line reference: split, join each window, hash its UTF-8
+    * bytes with the same xxhash64/seed.
+    */
+  private def referenceWindows(s: String, w: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = s.split(" ", -1).toSeq
+    if (toks.length < w) Seq.empty
+    else (0 to toks.length - w).map { i =>
+      val bytes = toks.slice(i, i + w).mkString(" ").getBytes("UTF-8")
+      XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+    }
+  }
+
+  test("TokenWindowHashes equals the split/join/hash reference on arbitrary mixed text") {
+    check(forAll(mixedText, Gen.chooseNum(1, 4)) { (s, w) =>
+      val got = evalTokenWindows(s, w)
+      val want = referenceWindows(s, w)
+      Prop(got == want) :| s"text=${s.take(40)}… w=$w got=${got.take(4)} want=${want.take(4)}"
+    })
+  }
+
+  private def evalCdc(s: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    graft.functions.CdcBoundaryPositions(Literal(s))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+  }
+
+  /** Straight-line reference: recompute every window hash from scratch
+    * (no rolling) over the code-point array.
+    */
+  private def referenceCdc(s: String): Seq[Int] = {
+    val cps = s.codePoints().toArray
+    (1 to cps.length - 7).filter { i =>
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = h * 31 + cps(i - 1 + j); j += 1 }
+      h % 64 == 0
+    }
+  }
+
+  test("CdcBoundaryPositions equals the recompute-per-window reference on arbitrary mixed text") {
+    check(forAll(mixedText) { s =>
+      Prop(evalCdc(s) == referenceCdc(s)) :| s"text=${s.take(40)}…"
+    })
+  }
+
+  test("MG sketch bounds hold for arbitrary streams and capacities") {
+    import graft.functions.FreqBuffer
+    val streamGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    check(forAll(streamGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 4)) { (stream, cap, parts) =>
+      val bufs = (0 until parts).map { p =>
+        val b = new FreqBuffer(cap)
+        stream.zipWithIndex.filter(_._2 % parts == p).foreach { case (x, _) => b.add(x) }
+        b
+      }
+      val merged = bufs.head
+      bufs.tail.foreach(merged.mergeIn)
+      val est = merged.sortedEntries.toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = stream.size.toLong / (cap + 1)
+      val complete = exact.filter(_._2 > bound).keys.forall(est.contains)
+      val sound = est.forall { case (t, e) =>
+        e <= exact.getOrElse(t, 0L) && e >= exact.getOrElse(t, 0L) - bound
+      }
+      (Prop(complete) :| s"completeness cap=$cap n=${stream.size}") &&
+        (Prop(sound) :| s"soundness cap=$cap") &&
+        (Prop(merged.sortedEntries.length <= cap) :| "capacity respected")
+    })
+  }
+}
