@@ -56,6 +56,9 @@ object SparkEntry {
     "q28_range_frame"     -> (Relational2.q28RangeFrame _),
     "q29_lateral_explode" -> (Relational2.q29LateralExplode _),
     "q30_argmax"          -> (Relational2.q30ArgMax _),
+    "q31_full_outer"      -> (Relational2.q31FullOuter _),
+    "q32_setops_all"      -> (Relational2.q32SetOpsAll _),
+    "q33_window_nav"      -> (Relational2.q33WindowNav _),
     // §2B log-surface queries (reference's documented ClickHouse ops)
     "logs_count_minmax"   -> (LogQueries.logsCountMinMax _),
     "logs_latest"         -> (LogQueries.logsLatest _),
@@ -348,6 +351,32 @@ object SparkEntry {
          arg_min(o_orderkey, o_totalprice) AS min_price_order,
          round(min(o_totalprice), 2) AS min_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q31_full_outer" ->
+      """WITH a AS (SELECT o_custkey AS ck_spend95, round(sum(o_totalprice), 2) AS spend95
+                    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+         b AS (SELECT o_custkey AS ck_spend96, round(sum(o_totalprice), 2) AS spend96
+               FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+         SELECT coalesce(ck_spend95, ck_spend96) AS custkey, spend95, spend96,
+           (ck_spend95 IS NOT NULL AND ck_spend96 IS NOT NULL) AS in_both
+         FROM a FULL OUTER JOIN b ON ck_spend95 = ck_spend96
+         ORDER BY custkey""",
+    "q32_setops_all" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
+         SELECT 'except_all' AS op, count(*) AS n
+         FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+         UNION ALL
+         SELECT 'intersect_all' AS op, count(*) AS n
+         FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+         ORDER BY op""",
+    "q33_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "logs_count_minmax" ->
       """SELECT count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts FROM events""",
     "logs_latest" ->

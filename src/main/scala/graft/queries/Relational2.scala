@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -273,4 +274,53 @@ object Relational2 {
         min_by(col("o_orderkey"), col("o_totalprice")).as("min_price_order"),
         round(min(col("o_totalprice")), 2).as("min_price"))
       .orderBy(col("o_orderstatus"))
+
+  /** Full-outer join — the one join type the inventory lacked: per-
+    * customer 1995-vs-1996 spend with customers present in either
+    * year. Both sides shuffle on the same key; nulls mark the
+    * one-sided rows.
+    */
+  def q31FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def spend(yr: Int, out: String) =
+      o.filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey").as(s"ck_$out"))
+        .agg(round(sum(col("o_totalprice")), 2).as(out))
+    spend(1995, "spend95").join(spend(1996, "spend96"),
+        col("ck_spend95") === col("ck_spend96"), "full_outer")
+      .select(coalesce(col("ck_spend95"), col("ck_spend96")).as("custkey"),
+        col("spend95"), col("spend96"),
+        (col("ck_spend95").isNotNull && col("ck_spend96").isNotNull).as("in_both"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL (multiplicity-
+    * aware — the variants `q11_setops`' distinct forms can't express).
+    */
+  def q32SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority").as("p"))
+    val b = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority").as("p"))
+    val ex = a.exceptAll(b).agg(count(lit(1)).as("n")).select(lit("except_all").as("op"), col("n"))
+    val in = a.intersectAll(b).agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"), col("n"))
+    ex.unionByName(in).orderBy(col("op"))
+  }
+
+  /** Window navigation battery: first_value / last_value / nth_value
+    * over each customer's date-ordered orders (ties broken by key so
+    * both engines see one total order). last/nth need the unbounded
+    * frame — the default frame stops at CURRENT ROW.
+    */
+  def q33WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(full).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }
