@@ -75,6 +75,8 @@ object SparkEntry {
     "events_funnel"       -> (LogQueries.eventsFunnel _),
     "events_retention"    -> (LogQueries.eventsRetention _),
     "events_rate_spike"   -> (LogQueries.eventsRateSpike _),
+    "events_seq_match"    -> (LogQueries.eventsSequenceMatch _),
+    "events_moving_avg"   -> (LogQueries.eventsMovingAvg _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -521,6 +523,23 @@ object SparkEntry {
            m.n >= s.mean_n * 3 AS spike
          FROM m JOIN s ON m.event_type = s.event_type
          ORDER BY m.m, m.event_type""",
+    // "A strictly before B" per user = min(ts|A) < max(ts|B).
+    "events_seq_match" ->
+      """SELECT user_id,
+           coalesce(min(CASE WHEN event_type = 'view' THEN ts END)
+                  < max(CASE WHEN event_type = 'purchase' THEN ts END), FALSE) AS view_then_purchase,
+           coalesce(min(CASE WHEN event_type = 'signup' THEN ts END)
+                  < max(CASE WHEN event_type = 'error' THEN ts END), FALSE) AS signup_then_error,
+           coalesce(min(CASE WHEN event_type = 'error' THEN ts END)
+                  < max(CASE WHEN event_type = 'purchase' THEN ts END), FALSE) AS error_then_purchase
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "events_moving_avg" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT m, event_type, n,
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY m
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+         FROM m ORDER BY m, event_type""",
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_asof_exec"   -> asofOracle,   // same contract, custom physical op

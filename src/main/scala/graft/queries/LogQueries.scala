@@ -278,6 +278,42 @@ object LogQueries {
       .orderBy(col("m"), col("event_type"))
   }
 
+  /** Event-sequence pattern test (ClickHouse `sequenceMatch` class,
+    * unwindowed): per user, did A happen strictly before B — which is
+    * exactly min(ts | A) < max(ts | B), so the whole pattern check is
+    * ONE conditional aggregate per user, no join, no ordering, no
+    * per-user event list. (The windowed, staged variant is
+    * [[eventsFunnel]].)
+    */
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    def before(a: String, b: String) =
+      coalesce(
+        min(when(col("event_type") === a, col("ts"))) <
+          max(when(col("event_type") === b, col("ts"))),
+        lit(false))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(before("view", "purchase").as("view_then_purchase"),
+           before("signup", "error").as("signup_then_error"),
+           before("error", "purchase").as("error_then_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Time-series smoothing (ClickHouse `groupArrayMovingAvg` class):
+    * per-minute per-type counts with a 5-minute trailing moving
+    * average. The window partitions by type — bounded frame over the
+    * pre-aggregated minute series, never the raw events.
+    */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("m"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m")).rowsBetween(-4, 0)
+    perMin
+      .withColumn("ma5", round(avg(col("n")).over(w), 4))
+      .orderBy(col("m"), col("event_type"))
+  }
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).
