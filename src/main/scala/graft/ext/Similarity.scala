@@ -239,6 +239,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Lloyd's k-means refinement of the IVF centroids — the training
+    * loop [[ivfTopK]]'s fixed seed centroids stand in for (its scaladoc
+    * note). Spec-checked rather than oracle-checked: float means are
+    * not bit-reproducible across engines, but the INVARIANTS are exact
+    * and asserted — every point assigned to its nearest centroid, and
+    * the quantization objective (mean distance to assigned centroid)
+    * non-increasing per iteration, Lloyd's convergence guarantee.
+    *
+    * Scale shape per iteration: one broadcast of k centroids (k·dim
+    * floats — literal-inlined, zero shuffle for assignment, same as
+    * ivfTopK), one groupBy(cell) aggregate of per-dim sums via
+    * `posexplode` — shuffle carries k·dim partial sums per partition,
+    * never vectors — and one bounded k-row collect. Empty cells keep
+    * their previous centroid (the standard dead-centroid rule).
+    */
+  def kmeansRefine(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 3): (Array[(Long, Array[Double])], Seq[Double]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var centroids: Array[(Long, Array[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def assigned = {
+      val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+        struct(
+          (-round(cosine(col("embedding"), typedLit(cv.map(_.toFloat))), 6)).as("neg_cos"),
+          lit(cid).as("cell_id"))
+      }: _*)
+      e.withColumn("best", array_min(scored))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("best.cell_id").as("cell_id"), (col("best.neg_cos") + 1.0).as("dist")) // 1 − cos
+    }
+    val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to iters).foreach { _ =>
+      val a = assigned.persist()
+      objectives += a.agg(avg(col("dist"))).head().getDouble(0)
+      val sums = a
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cell_id"), col("j"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .groupBy(col("cell_id"))
+        .agg(sort_array(collect_list(struct(col("j"), (col("s") / col("c")).as("m"))))
+          .as("dims"))
+        .select(col("cell_id"), col("dims.m").as("mean"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      a.unpersist()
+      centroids = centroids.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    // final objective under the refined centroids
+    objectives += assigned.agg(avg(col("dist"))).head().getDouble(0)
+    (centroids, objectives.toSeq)
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Quadratic
     * all-pairs at oracle scale; the LSH bucket equality join is the
     * 100 TB variant (same output for thresholds the bucketing recalls).

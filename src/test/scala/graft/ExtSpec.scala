@@ -552,6 +552,47 @@ class ExtSpec extends SparkSpec {
     assert(got == exact && got.nonEmpty)
   }
 
+  test("k-means refinement: objective non-increasing, every point on its nearest centroid") {
+    val dir = "/root/testdata/sf0.001"
+    val (centroids, objectives) = Similarity.kmeansRefine(spark, dir, k = 8, iters = 3)
+    assert(centroids.length == 8 && objectives.length == 4)
+    // Lloyd's guarantee (unit-norm vectors: mean update = spherical
+    // update): each assignment+update step cannot worsen the mean
+    // cosine distance; allow float-rounding jitter at convergence
+    objectives.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-9, s"objective rose: $objectives")
+    }
+    assert(objectives.last < objectives.head, "refinement should actually improve the seed centroids")
+    // invariant: the returned centroids assign every vector to its
+    // true argmax-cosine cell (recompute independently on the driver)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // spot-check a sample: nearest centroid by rounded cosine with
+    // cell-id tiebreak matches what one more assignment pass yields
+    // (centroids float-truncated exactly as the Spark literal is)
+    val expected = vecs.take(50).map { case (id, v) =>
+      id -> centroids.map { case (cid, cv) =>
+        (math.rint(cos(v, cv.map(_.toFloat.toDouble)) * 1e6) / 1e6, cid)
+      }.maxBy { case (c, cid) => (c, -cid) }._2
+    }.toMap
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct((-round(Similarity.cosine(col("embedding"), typedLit(cv.map(_.toFloat))), 6)).as("neg_cos"),
+        lit(cid).as("cell_id"))
+    }: _*)
+    val got = Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id"), array_min(scored).getField("cell_id").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    expected.foreach { case (id, cell) =>
+      assert(got(id) == cell, s"vec $id assigned ${got(id)}, nearest is $cell")
+    }
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
