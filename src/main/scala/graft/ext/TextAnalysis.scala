@@ -197,13 +197,19 @@ object TextAnalysis {
     // window): no shuffle and no sort exist before the first aggregate,
     // and the aggregate's partial (map-side) combine collapses each
     // doc's repeats before anything crosses the wire. try_element_at:
-    // ANSI throws on i+1 past the end for one-token docs.
-    val bg = docs.select(col("doc_id"),
-      explode(expr(
-        """filter(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-          |  i -> struct(element_at(split(text, ' '), i) AS w1,
-          |              try_element_at(split(text, ' '), i + 1) AS w2)),
-          |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
+    // ANSI throws on i+1 past the end for one-token docs. The token
+    // array is PROJECTED once per row before the lambda — the earlier
+    // form called element_at(split(text, ' '), i) per element, and an
+    // interpreted HOF re-runs the regex split (allocating every token)
+    // on each of the ~2n invocations.
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
+            |  i -> struct(element_at(toks, i) AS w1,
+            |              try_element_at(toks, i + 1) AS w2)),
+            |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0)
