@@ -250,11 +250,15 @@ object TextAnalysis {
     lineDedupFor(Tables.documents(spark, dir), width, maxOcc)
 
   def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
+    // toks projected once per row — slice(split(text, ' '), …) inside
+    // the lambda re-ran the regex split per CHUNK (the interpreted-HOF
+    // recompute trap; same fix as lmScoreFor)
     val lines = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
-          s"""transform(sequence(0, CAST(ceil(size(split(text, ' ')) / ${width}.0) AS INT) - 1),
-             |  i -> array_join(slice(split(text, ' '), i * $width + 1, $width), ' '))""".stripMargin))
+          s"""transform(sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
+             |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin))
           .as(Seq("pos", "line")))
     val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
     val kept = lines.join(counts, "line")
