@@ -77,6 +77,7 @@ object SparkEntry {
     "events_rate_spike"   -> (LogQueries.eventsRateSpike _),
     "events_seq_match"    -> (LogQueries.eventsSequenceMatch _),
     "events_moving_avg"   -> (LogQueries.eventsMovingAvg _),
+    "events_zorder_key"   -> (LogQueries.eventsZOrderKey _),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -540,6 +541,18 @@ object SparkEntry {
            round(avg(n) OVER (PARTITION BY event_type ORDER BY m
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
          FROM m ORDER BY m, event_type""",
+    // Morton interleave of two 8-bit bucketed dims, spelled bit by bit.
+    "events_zorder_key" -> {
+      val terms = (0 until 8).map { b =>
+        s"(((ux >> $b) & 1) << ${2 * b}) + (((tx >> $b) & 1) << ${2 * b + 1})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_id,
+           CAST(user_id % 256 AS BIGINT) AS ux,
+           CAST((hour(ts) * 60 + minute(ts)) % 256 AS BIGINT) AS tx
+         FROM events)
+         SELECT event_id, ux, tx, CAST($terms AS BIGINT) AS zkey
+         FROM e ORDER BY event_id"""
+    },
     "events_asof_orders" -> asofOracle,
     "events_asof_merge"  -> asofOracle,   // same contract, sort-merge impl
     "events_asof_exec"   -> asofOracle,   // same contract, custom physical op

@@ -314,6 +314,38 @@ object LogQueries {
       .orderBy(col("m"), col("event_type"))
   }
 
+  /** Z-order (Morton) layout key — the multi-dimensional clustering
+    * technique behind Delta/Iceberg `ZORDER BY` and kdb-style layouts:
+    * interleaving the bits of two bucketed dimensions gives ONE sort
+    * key under which rows close in the key are close in BOTH
+    * dimensions, so parquet row-group min/max stats prune on either
+    * predicate. The store's 1-D timestamp sort (ParquetStore, the
+    * ClickHouse ORDER BY parity) is ideal for time filters but useless
+    * for `user_id = ?` without a time bound; writing
+    * `sortWithinPartitions(zkey)` instead makes BOTH
+    * `logs_timerange`-style and per-user scans skip row groups — the
+    * layout decision that matters when one 100 TB table serves both
+    * query shapes. Pure row-local bit arithmetic (8 bits per
+    * dimension), exactly mirrored by the oracle; the locality claim
+    * itself is quantified in ExtSpec.
+    */
+  /** Morton interleave of two 8-bit values — x bits on even positions,
+    * y bits on odd.
+    */
+  def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _).cast("long")
+
+  def eventsZOrderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        (col("user_id") % 256).cast("long").as("ux"),
+        ((hour(col("ts")) * 60 + minute(col("ts"))) % 256).cast("long").as("tx"))
+      .withColumn("zkey", mortonKey(col("ux"), col("tx")))
+      .orderBy(col("event_id"))
+
   /** JSON extraction from the semi-structured props column — the
     * schema-on-read pattern the reference's raw_json column exists for
     * (init.sql:18; SURVEY §1.2).

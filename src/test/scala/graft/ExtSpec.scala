@@ -593,6 +593,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("z-order key follows the Z-curve and clusters both dimensions better than a 1-D sort") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.LogQueries.eventsZOrderKey(spark, dir)
+      .select("ux", "tx", "zkey").as[(Long, Long, Long)].collect()
+    // curve correctness: the interleave formula, recomputed plainly
+    rows.foreach { case (ux, tx, z) =>
+      val want = (0 until 8).map(b =>
+        (((ux >> b) & 1) << (2 * b)) + (((tx >> b) & 1) << (2 * b + 1))).sum
+      assert(z == want, s"($ux,$tx) -> $z, want $want")
+    }
+    // the first cells of the canonical Z curve
+    def m(x: Long, y: Long) = (0 until 8).map(b =>
+      (((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))).sum
+    assert(Seq(m(0, 0), m(1, 0), m(0, 1), m(1, 1), m(2, 0), m(3, 0), m(2, 1), m(3, 1))
+      == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // locality, quantified on a DENSE 64×64 grid (the sf0.001 events
+    // are too sparse — ~15 users — for any layout to cluster): chunk
+    // rows as parquet row groups would see them and compare the mean
+    // per-chunk x-range. A y-sort leaves x unclustered (full-range
+    // chunks); the z-order confines each 64-row chunk to a curve
+    // quadrant — this is the row-group pruning win for `x = ?`
+    // predicates on a table laid out for y
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    val keyed = grid.toDF("x", "y")
+      .withColumn("zkey", queries.LogQueries.mortonKey(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    def meanXRange(sorted: Seq[(Long, Long, Long)]) = {
+      val chunks = sorted.grouped(64).filter(_.length == 64).toSeq
+      chunks.map(c => (c.map(_._1).max - c.map(_._1).min).toDouble).sum / chunks.size
+    }
+    val byY = meanXRange(keyed.sortBy(r => (r._2, r._1)).toSeq)
+    val byZ = meanXRange(keyed.sortBy(r => (r._3, r._1)).toSeq)
+    // a 64-cell Z chunk is an 8×8 quadrant: x-range 7 vs the y-sort's 63
+    assert(byZ <= 8.0 && byY >= 60.0, s"z-order mean x-range $byZ vs y-sort $byY")
+  }
+
   test("cosine: self-similarity is 1, symmetry holds") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
