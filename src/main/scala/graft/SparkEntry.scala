@@ -93,6 +93,7 @@ object SparkEntry {
     "x_fingerprint"     -> (Dedup.fingerprint _),
     "x_chunk_cdc"       -> (Dedup.cdcChunks _),
     "x_substr_dedup"    -> (Dedup.duplicatedSpansQuery _),
+    "x_substr_apply"    -> (Dedup.spanDedupApplyQuery _),
     "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -924,6 +925,30 @@ object SparkEntry {
          n AS (SELECT count(*) AS total FROM tt),
          c AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY tok)
          SELECT tok, cnt FROM c, n WHERE cnt * 500 >= total ORDER BY tok""",
+    // Apply leg of span dedup: every position covered by a cross-doc
+    // duplicated 8-window dropped, survivors rejoined in order.
+    "x_substr_apply" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         w AS (SELECT doc_id,
+                 unnest(range(1, len(toks) - 6)) AS i,
+                 unnest(list_transform(range(1, len(toks) - 6),
+                        i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+               FROM t WHERE len(toks) >= 8),
+         dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN dup ON w.h = dup.h),
+         cov AS (SELECT DISTINCT doc_id, i + k.k AS p FROM dw, range(8) AS k(k)),
+         tok AS (SELECT doc_id, unnest(toks) AS tk, unnest(range(1, len(toks) + 1)) AS p FROM t),
+         kept AS (SELECT tok.doc_id, tok.p, tok.tk
+                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tk, ' ' ORDER BY p) AS cleaned
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(agg.cleaned, '') AS cleaned
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         ORDER BY t.doc_id""",
     "x_domain_stats" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
          round(avg(n_chars), 4) AS avg_chars,

@@ -639,15 +639,7 @@ object Dedup {
     //      start, so window k covers least(w, i_{k+1} − i_k) new
     //      positions (w for the last) — a lead() instead of exploding
     //      w positions per flagged window and distinct-counting them.
-    val wins = docs.repartition(width, col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.tokenWindowHashes(col("text"), w))
-          .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"))
-    val byHash = Window.partitionBy(col("h"))
-    val flagged = wins
-      .withColumn("dup", max(col("doc_id")).over(byHash) =!= min(col("doc_id")).over(byHash))
-      .filter(col("dup"))
+    val flagged = flaggedWindows(docs, w)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val agg = flagged
       .withColumn("cover",
@@ -664,8 +656,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The cross-doc duplicated windows: (doc_id, i) with i the 1-based
+    * token start. Shared by the profile ([[duplicatedSpans]]) and the
+    * apply leg ([[spanDedupApply]]).
+    */
+  private def flaggedWindows(docs: DataFrame, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val wins = docs.repartition(width, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.tokenWindowHashes(col("text"), w))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"))
+    val byHash = Window.partitionBy(col("h"))
+    wins
+      .withColumn("dup", max(col("doc_id")).over(byHash) =!= min(col("doc_id")).over(byHash))
+      .filter(col("dup"))
+      .select(col("doc_id"), col("i"))
+  }
+
   def duplicatedSpansQuery(spark: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.documents(spark, dir))
+
+  /** The apply leg of substring dedup: re-emit each document with every
+    * token position covered by a cross-doc duplicated `w`-window
+    * REMOVED (the span-trimming pass [[duplicatedSpans]] only counts).
+    * Contract: symmetric trim — all copies lose the span, matching the
+    * aggressive C4-style stance of [[graft.ext.TextAnalysis.lineDedup]]
+    * (keep-one-occurrence would need a global occurrence ranking per
+    * window, a strictly heavier shuffle for little gain at corpus
+    * scale). Surviving tokens rejoin in original order; documents can
+    * come back empty but never disappear.
+    *
+    * Scale: covered positions explode only FLAGGED windows (w× a small
+    * set); the token re-emit is one narrow pass; the anti-join and the
+    * rebuild aggregate both key on doc_id.
+    */
+  def spanDedupApply(docs: DataFrame, w: Int = 8): DataFrame = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val cov = flaggedWindows(docs, w)
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+    val toks = docs.repartition(width, col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tk"))
+    val kept = toks.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(p, tk))), x -> x.tk)")).as("cleaned"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanDedupApplyQuery(spark: SparkSession, dir: String): DataFrame =
+    spanDedupApply(Tables.documents(spark, dir))
 
   /** Incremental dedup: the batch twin of "dedup the new crawl against
     * the existing corpus" (the streaming form is

@@ -441,6 +441,12 @@ class ExtSpec extends SparkSpec {
     val out2 = Dedup.duplicatedSpans(withCopy, w = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(out2(0L) == ((3L, 10L)) && out2(3L) == ((3L, 10L)))
+    // apply leg: the shared span is trimmed from BOTH docs, order kept
+    val applied = Dedup.spanDedupApply(fixture, w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(applied(0L) == ((2L, "i j")))
+    assert(applied(1L) == ((3L, "x y z")))
+    assert(applied(2L) == ((2L, "short text")))
   }
 
   test("incremental near-dup verdicts agree with the full pair set") {
