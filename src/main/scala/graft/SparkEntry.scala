@@ -126,6 +126,7 @@ object SparkEntry {
     "x_token_hist"      -> (Profiling.tokenHistogram _),
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
+    "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
   )
@@ -949,6 +950,21 @@ object SparkEntry {
            coalesce(agg.cleaned, '') AS cleaned
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
          ORDER BY t.doc_id""",
+    // Equi-depth histogram: exact decile boundaries rounded to 2 dp
+    // (identical literals cross-engine — q16 establishes percentile
+    // interpolation agreement at 4 dp on this data), then a pure
+    // comparison-count bucket assignment.
+    "x_equidepth_hist" ->
+      """WITH b AS (SELECT list_transform(
+             quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             x -> round(x, 2)) AS bs
+           FROM lineitem),
+         r AS (SELECT l_extendedprice AS v,
+                 1 + list_sum(list_transform(bs, x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS bucket
+               FROM lineitem, b)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+         FROM r GROUP BY bucket ORDER BY bucket""",
     "x_domain_stats" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
          round(avg(n_chars), 4) AS avg_chars,

@@ -61,6 +61,33 @@ object Profiling {
       .select(col("bucket"), col("lo_tokens"), col("n_docs"))
       .orderBy(col("bucket"))
 
+  /** Equi-depth histogram of l_extendedprice — the ANALYZE statistic
+    * optimizers build for selectivity estimates (ClickHouse's
+    * quantile-family stats). Two-phase, each phase scale-clean:
+    * boundaries come from ONE exact-percentile aggregate (at 100 TB
+    * swap in the mergeable t-digest — the q16b substitution), rounded
+    * to 2 dp so both engines see identical literals; bucket assignment
+    * is then a pure per-row comparison against those 9 broadcast
+    * literals — no global sort, no ntile window funneling the table
+    * through one task (which is the formulation PlanLintSpec exists to
+    * reject).
+    */
+  def equiDepthHist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = li
+      .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("bs"))
+      .head().getSeq[Double](0).map(b => math.rint(b * 100) / 100)
+    val bucket = bounds.map(b => when(col("v") > b, 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    li.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("lo"),
+        round(max(col("v")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact corpus heavy hitters via sketch-then-verify (the ClickHouse
     * `topK` query class, made deterministic): tokens whose count is at
     * least 1/`invPhi` of the total token count.
