@@ -41,12 +41,12 @@ object SparkEntry {
     "q14_date_funcs"      -> (Relational.q14DateFuncs _),
     "q15_join_aggregate"  -> (Relational.q15JoinAggregate _),
     "q16_percentiles"     -> (Relational2.q16Percentiles _),
-    "q16b_approx_pct"     -> (Relational2.q16bApproxPercentiles _), // rows-only: sketches differ cross-engine
+    "q16b_approx_pct"     -> (Relational2.q16bApproxPercentiles _), // verdict query: sketch judged vs exact
     "q17_stats_aggs"      -> (Relational2.q17StatsAggs _),
     "q18_grouping_sets"   -> (Relational2.q18GroupingSets _),
     "q19_sql_surface"     -> (Relational2.q19SqlSurface _),
     "q20_array_agg"       -> (Relational2.q20ArrayAgg _),
-    "q21_approx_distinct" -> (Relational2.q21ApproxDistinct _),  // rows-only
+    "q21_approx_distinct" -> (Relational2.q21ApproxDistinct _),  // verdict query: HLL judged vs exact
     "q22_window_ranking"  -> (Relational2.q22WindowRanking _),
     "q23_conditional_agg" -> (Relational2.q23ConditionalAgg _),
     "q24_fuzzy_strings"   -> (Relational2.q24FuzzyStrings _),
@@ -292,6 +292,16 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Verdict query (sketches differ cross-engine): the Spark side emits
+    // the exact percentiles plus its own sketch-vs-exact 5% judgment;
+    // the oracle recomputes the exacts and asserts the judgment holds.
+    "q16b_approx_pct" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+         count(*) AS n, true AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q17_stats_aggs" ->
       """SELECT l_linestatus,
          round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -323,6 +333,12 @@ object SparkEntry {
          count(DISTINCT o_orderpriority) AS n_priorities,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Verdict query (HLL estimates differ cross-engine): exact distinct
+    // plus Spark's own sketch-vs-exact 5% judgment, asserted true here.
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         true AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q22_window_ranking" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,

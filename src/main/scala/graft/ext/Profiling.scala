@@ -72,12 +72,25 @@ object Profiling {
     * through one task (which is the formulation PlanLintSpec exists to
     * reject).
     */
+  /** 2-dp rounding that reproduces the oracle's `round(x, 2)` exactly
+    * (VERDICT r7 defect 2). DuckDB computes `std::round(x*100)/100` —
+    * nearest integer of the PRODUCT double, ties away from zero. The
+    * prior `math.rint(b*100)/100` was half-EVEN on ties, and
+    * `BigDecimal(b).setScale(2)` would round b's own decimal expansion,
+    * which disagrees whenever the ×100 multiply lands exactly on .5
+    * (e.g. double 2.005 = 2.00499…, but 2.005×100 == 200.5 exactly →
+    * DuckDB 2.01, expansion-rounding 2.00). Rounding the product via
+    * BigDecimal HALF_UP matches std::round on every double.
+    */
+  private[graft] def round2HalfAway(b: Double): Double =
+    BigDecimal(b * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 100
+
   def equiDepthHist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = li
       .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("bs"))
-      .head().getSeq[Double](0).map(b => math.rint(b * 100) / 100)
+      .head().getSeq[Double](0).map(round2HalfAway)
     val bucket = bounds.map(b => when(col("v") > b, 1L).otherwise(0L))
       .reduce(_ + _) + 1L
     li.withColumn("bucket", bucket)

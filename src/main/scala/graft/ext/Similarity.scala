@@ -230,7 +230,7 @@ object Similarity {
     val scored = q.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("ip", graft.functions.GraftFunctions.dotLong(col("qq"), col("qv")))
     // integer scores are exact in the double the top-k aggregate carries
-    // (max possible ip = 64 · 255² ≈ 4.2e6 ≪ 2⁵³)
+    // (codes span −127..127, so max possible ip = 64 · 127² ≈ 1.0e6 ≪ 2⁵³)
     scored.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topKByScore(col("ip").cast("double"), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))

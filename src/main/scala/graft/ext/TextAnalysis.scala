@@ -238,13 +238,20 @@ object TextAnalysis {
     * C4 "discard any line appearing 3+ times" rule). Output per document:
     * line counts before/after and the reassembled cleaned text.
     *
-    * Shape: explode → one corpus-wide hash aggregate on the line string →
-    * equi-join back → per-doc reassembly via sorted collect_list. Every
-    * stage partial-aggregates before its shuffle and partitions by line
-    * or doc_id; nothing is driver-side. The join/group key is the line
-    * text itself (4-token lines are shorter than any portable digest); at
-    * 100 TB with real sentence-length lines you'd key the count and join
-    * on xxhash64(line) so the shuffle carries 8 bytes, not the sentence.
+    * Shape: explode → one corpus-wide hash aggregate keyed on
+    * `xxhash64(line)` → anti-join back → per-doc reassembly via sorted
+    * collect_list. Every stage partial-aggregates before its shuffle and
+    * partitions by hash or doc_id; nothing is driver-side. Keying the
+    * count on the 8-byte digest instead of the line text (round-8 fix;
+    * this doc used to merely promise it) means the corpus-wide count
+    * shuffle carries 8 bytes per line, not the sentence; the join is a
+    * LEFT ANTI against only the lines seen `maxOcc`+ times — a far
+    * smaller frame than the full count table (boilerplate is by
+    * definition the repetitive minority), so at scale it broadcasts and
+    * the line text never crosses an exchange at all. A 64-bit collision
+    * would wrongly drop a line pair; at ~10¹² distinct lines the
+    * birthday bound keeps collisions ≪1 per corpus, the standard
+    * trade every hash-keyed dedup in this file already makes.
     */
   def lineDedup(spark: SparkSession, dir: String, width: Int = 4, maxOcc: Int = 3): DataFrame =
     lineDedupFor(Tables.documents(spark, dir), width, maxOcc)
@@ -260,9 +267,13 @@ object TextAnalysis {
           s"""transform(sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
              |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin))
           .as(Seq("pos", "line")))
-    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
-    val kept = lines.join(counts, "line")
-      .filter(col("cnt") < maxOcc)
+    val hashed = lines.withColumn("lh", xxhash64(col("line")))
+    // only the boilerplate lines (seen maxOcc+ times) survive the HAVING
+    // — the anti-join's build side stays small enough to broadcast
+    val frequent = hashed.groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= maxOcc)
+      .select(col("lh"))
+    val kept = hashed.join(frequent, Seq("lh"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         // sort_array on struct(pos, line) orders by pos; rebuild the doc

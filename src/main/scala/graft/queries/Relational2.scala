@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,19 +34,38 @@ object Relational2 {
     * 0.01% rank error) instead of the exact sort-based aggregate. At
     * scale the exact form materializes every group's values on one
     * reducer; the sketch is fixed-size per group and partial-aggregates
-    * map-side. No cross-engine oracle — sketch implementations differ by
-    * design — so the driver records a rows-only check; ExtSpec bounds
-    * the sketch against the exact answer at 5% tolerance.
+    * map-side. Sketch outputs differ cross-engine by design, so the
+    * registered entry is a VERDICT query (round-7 task 3): it emits the
+    * exact percentiles (which both engines agree on at 4 dp — q16) plus
+    * a `within_5pct` boolean judging the sketch against them, and the
+    * oracle asserts `true` — the hash then carries real content instead
+    * of a rows-only count. ExtSpec additionally bounds the raw sketch.
+    * The exact aggregate here is verification scaffolding: production
+    * code at 100 TB runs the sketch alone (that is q16b's whole point).
     */
-  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def q16bApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def relErrOk(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= abs(exact) * 0.05
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("median_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("p90_qty"),
-        expr("approx_percentile(l_extendedprice, 0.25, 10000)").cast("double").as("p25_price"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("a_med"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("a_p90"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").cast("double").as("a_p25"),
+        expr("percentile(l_quantity, 0.5)").as("e_med"),
+        expr("percentile(l_quantity, 0.9)").as("e_p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("e_p25"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("e_med"), 4).as("median_qty"),
+        round(col("e_p90"), 4).as("p90_qty"),
+        round(col("e_p25"), 4).as("p25_price"),
+        col("n"),
+        (relErrOk(col("a_med"), col("e_med")) &&
+          relErrOk(col("a_p90"), col("e_p90")) &&
+          relErrOk(col("a_p25"), col("e_p25"))).as("within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Q17 — statistical aggregates: stddev/variance (sample), Pearson
     * correlation, covariance. Numerically stable one-pass algorithms in
@@ -245,15 +264,24 @@ object Relational2 {
          ORDER BY word""")
   }
 
-  /** Q21 — approximate distinct-count (HLL). No cross-engine oracle —
-    * sketch implementations differ — so the driver records rows-only;
-    * the ScalaTest spec asserts relative error against the exact count.
+  /** Q21 — approximate distinct-count (HLL). Sketch estimates differ
+    * cross-engine by design, so like [[q16bApproxPercentiles]] this is a
+    * VERDICT query: exact count plus a `within_5pct` boolean judging the
+    * HLL against it, oracle asserts `true`. rsd is pinned to 0.01 (~1%
+    * std error) so the 5% gate holds with wide margin at every sf; the
+    * ScalaTest spec separately bounds the default-rsd sketch. The exact
+    * `countDistinct` is verification scaffolding — at 100 TB the sketch
+    * runs alone (fixed-size partial-aggregating state vs a shuffle of
+    * every distinct key, which is the entire reason HLL exists).
     */
   def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Q30 — argMax/argMin: the ClickHouse `argMax(arg, val)` idiom

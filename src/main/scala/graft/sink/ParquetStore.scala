@@ -132,8 +132,9 @@ object ParquetStore {
     * the NEXT expiry cycle removes again (retention is a repeating
     * background job, not a one-shot).
     *
-    * Returns the partition directory names removed (one per expired
-    * (bid, ym[, d]) leaf), for the caller's audit log.
+    * Returns EVERY directory removed — expired (bid, ym[, d]) leaves
+    * plus any ym/bid parents dropped by the emptied-dir cleanup — for
+    * the caller's audit log.
     */
   def expire(spark: SparkSession, path: String, cutoffYm: String,
              cutoffDay: Option[String] = None): Seq[String] = {
@@ -153,25 +154,43 @@ object ParquetStore {
               removed += s"${bidDir.getName}/${ymDir.getName}"
             } else cutoffDay.foreach { cd =>
               // same-or-newer month: expire by day leaf when the daily
-              // layout is present and a day cutoff was requested
-              fs.listStatus(ymDir).map(_.getPath)
-                .filter(_.getName.startsWith(s"$DayCol=")).foreach { dDir =>
+              // layout is present and a day cutoff was requested. A
+              // MONTHLY-layout month has no d= children — its partition
+              // granularity is the month, so a day cutoff cannot expire
+              // inside it and the whole directory must be KEPT (the
+              // straddling-partition contract above). Distinguishing the
+              // layouts by observed d= leaves BEFORE deleting anything is
+              // what keeps the emptied-month cleanup from wiping a live
+              // monthly dir whose only children are parquet files.
+              val dayLeaves = fs.listStatus(ymDir).map(_.getPath)
+                .filter(_.getName.startsWith(s"$DayCol="))
+              if (dayLeaves.nonEmpty) {
+                dayLeaves.foreach { dDir =>
                   val d = dDir.getName.stripPrefix(s"$DayCol=")
                   if (d < cd) {
                     fs.delete(dDir, true)
                     removed += s"${bidDir.getName}/${ymDir.getName}/${dDir.getName}"
                   }
                 }
-              // a month emptied leaf-by-leaf must go too: Spark's
-              // partition discovery tolerates empty dirs, but they
-              // accumulate forever on a long-lived store (only
-              // partition children count — _SUCCESS markers remain)
-              if (!fs.listStatus(ymDir).exists(_.getPath.getName.startsWith(s"$DayCol=")))
-                fs.delete(ymDir, true)
+                // a month emptied leaf-by-leaf must go too: Spark's
+                // partition discovery tolerates empty dirs, but they
+                // accumulate forever on a long-lived store (only
+                // partition children count — _SUCCESS markers remain)
+                if (!fs.listStatus(ymDir).exists(_.getPath.getName.startsWith(s"$DayCol="))) {
+                  fs.delete(ymDir, true)
+                  removed += s"${bidDir.getName}/${ymDir.getName}"
+                }
+              }
             }
           }
-        if (!fs.listStatus(bidDir).exists(_.getPath.getName.startsWith(s"$PartitionCol=")))
+        // drop a batch dir only when THIS pass emptied it of time
+        // partitions; an always-empty marker dir (e.g. a zero-row batch
+        // holding just _SUCCESS) is live metadata, not expired data
+        if (removed.exists(_.startsWith(s"${bidDir.getName}/")) &&
+            !fs.listStatus(bidDir).exists(_.getPath.getName.startsWith(s"$PartitionCol="))) {
           fs.delete(bidDir, true)
+          removed += bidDir.getName
+        }
       }
     removed.toSeq
   }

@@ -276,12 +276,20 @@ class ExtSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact (HLL default rsd)") {
-    val rows = graft.queries.Relational2.q21ApproxDistinct(spark, "/root/testdata/sf0.01")
-      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    // the default-rsd sketch itself, independent of the q21 verdict query
+    val rows = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+           countDistinct(col("l_partkey")).as("exact"))
+      .select("approx", "exact").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
     }
+    // and the registered verdict query judges its rsd=0.01 sketch true
+    val verdicts = graft.queries.Relational2.q21ApproxDistinct(spark, "/root/testdata/sf0.01")
+      .select("within_5pct").as[Boolean].collect()
+    assert(verdicts.nonEmpty && verdicts.forall(identity))
   }
 
   test("sample split: deterministic, pure function of doc_id, ~80/10/10") {
@@ -633,6 +641,20 @@ class ExtSpec extends SparkSpec {
     val byZ = meanXRange(keyed.sortBy(r => (r._3, r._1)).toSeq)
     // a 64-cell Z chunk is an 8×8 quadrant: x-range 7 vs the y-sort's 63
     assert(byZ <= 8.0 && byY >= 60.0, s"z-order mean x-range $byZ vs y-sort $byY")
+  }
+
+  test("round2HalfAway matches DuckDB round(x,2) on boundary ties") {
+    // double 2.005 is 2.00499…, but 2.005×100 rounds to EXACTLY 200.5 in
+    // IEEE double — DuckDB's std::round(x*100)/100 therefore yields 2.01.
+    // math.rint (half-even) gave 2.00 here; so would rounding b's own
+    // decimal expansion. The negative tie goes away from zero.
+    assert(graft.ext.Profiling.round2HalfAway(2.005) == 2.01)
+    assert(graft.ext.Profiling.round2HalfAway(-2.005) == -2.01)
+    // non-tie values round to nearest, both directions
+    assert(graft.ext.Profiling.round2HalfAway(1.2349999) == 1.23)
+    assert(graft.ext.Profiling.round2HalfAway(1.2350001) == 1.24)
+    // already-2dp values pass through (the common case for price data)
+    assert(graft.ext.Profiling.round2HalfAway(901.01) == 901.01)
   }
 
   test("cosine: self-similarity is 1, symmetry holds") {

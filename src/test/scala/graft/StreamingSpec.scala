@@ -163,8 +163,9 @@ class StreamingSpec extends SparkSpec {
     ParquetStore.appendBatch(batch("2025-10-05T10:00:00Z", "mid1"), out, batchId = 1)
     ParquetStore.appendBatch(batch("2025-11-05T10:00:00Z", "new1", "new2"), out, batchId = 2)
     val removed = ParquetStore.expire(spark, out, cutoffYm = "202510")
-    // only the September partition dies; the cutoff month itself stays
-    assert(removed == Seq("bid=0/ym=202509"), s"removed: $removed")
+    // only the September partition dies (the cutoff month itself
+    // stays); its emptied bid parent is cleaned up and audited too
+    assert(removed == Seq("bid=0/ym=202509", "bid=0"), s"removed: $removed")
     val left = spark.read.parquet(out).select("message").as[String].collect().toSet
     assert(left == Set("mid1", "new1", "new2"))
     // idempotent: a second run removes nothing
@@ -180,12 +181,40 @@ class StreamingSpec extends SparkSpec {
     ParquetStore.appendBatch(batch("2025-12-02T10:00:00Z", "d2"), out, batchId = 1, daily = true)
     ParquetStore.appendBatch(batch("2025-12-03T10:00:00Z", "d3"), out, batchId = 2, daily = true)
     val removed = ParquetStore.expire(spark, out, cutoffYm = "202512", cutoffDay = Some("20251203"))
-    assert(removed.toSet.map((s: String) => s.split("/").last) == Set("d=20251201", "d=20251202"))
+    // the audit lists EVERY deletion: the two expired day leaves plus
+    // the emptied ym and bid parents the cleanup pass dropped
+    assert(removed.toSet == Set(
+      "bid=0/ym=202512/d=20251201", "bid=0/ym=202512", "bid=0",
+      "bid=1/ym=202512/d=20251202", "bid=1/ym=202512", "bid=1"),
+      s"removed: $removed")
     val left = spark.read.parquet(out).select("message").as[String].collect().toSet
     assert(left == Set("d3"))
     // bid dirs whose every partition expired are gone entirely
     val bidDirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("bid=")).toSet
     assert(bidDirs == Set("bid=2"), s"surviving bid dirs: $bidDirs")
+  }
+
+  test("TTL day cutoff on a MONTHLY layout deletes nothing (straddling partitions kept)") {
+    val out = tmp("graft-ttl-monthly-daycut")
+    def batch(ts: String, msg: String) = IngestPipeline.runBatch(
+      Seq(s"""{"@timestamp":"$ts","message":"$msg"}""").toDF("value"),
+      IngestPipeline.Logstash)
+    // monthly layout: ym dirs hold parquet files directly, no d= leaves
+    ParquetStore.appendBatch(batch("2025-12-01T10:00:00Z", "m1"), out, batchId = 0)
+    ParquetStore.appendBatch(batch("2025-12-15T10:00:00Z", "m2"), out, batchId = 1)
+    // a day cutoff INSIDE the live month: month granularity means the
+    // partition straddles the cutoff and must be kept whole — the
+    // round-7 bug deleted both months here because the emptied-month
+    // cleanup mistook file-holding dirs for leaf-less ones
+    val removed = ParquetStore.expire(spark, out, cutoffYm = "202512", cutoffDay = Some("20251216"))
+    assert(removed.isEmpty, s"monthly layout must ignore cutoffDay; removed: $removed")
+    val left = spark.read.parquet(out).select("message").as[String].collect().toSet
+    assert(left == Set("m1", "m2"), "no live data may be deleted")
+    // month strictly older than cutoffYm still expires normally
+    ParquetStore.appendBatch(batch("2025-10-05T10:00:00Z", "old"), out, batchId = 2)
+    val removed2 = ParquetStore.expire(spark, out, cutoffYm = "202512", cutoffDay = Some("20251216"))
+    assert(removed2 == Seq("bid=2/ym=202510", "bid=2"), s"removed2: $removed2")
+    assert(spark.read.parquet(out).select("message").as[String].collect().toSet == Set("m1", "m2"))
   }
 
   test("socket source end-to-end: TCP NDJSON -> normalize -> store (S11)") {
