@@ -99,6 +99,7 @@ object SparkEntry {
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
+    "x_image_phash"         -> (Multimodal.phashQuery _),
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
@@ -808,6 +810,48 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
+    // Verdict query (float k-means isn't bit-reproducible cross-engine):
+    // the oracle recomputes the engine-portable half — literal-centroid
+    // IVF recall@3 against brute-force truth — and asserts the Spark
+    // side's judgment that the k-means-refined centroids recall no worse.
+    "x_sim_ivf_refined" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent) t WHERE cell_rank = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell FROM assigned
+               WHERE vec_id >= 16 AND vec_id < 26),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+                          a.vec_id ASC) AS rk
+             FROM assigned a, q WHERE a.cell_id = q.qcell AND a.vec_id <> q.query_id) t
+           WHERE rk <= 3),
+         bq AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id >= 16 AND vec_id < 26),
+         brute AS (SELECT query_id, neighbor_id FROM (
+             SELECT bq.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY bq.query_id
+                 ORDER BY round(list_dot_product(qv, e.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                          e.vec_id ASC) AS rk
+             FROM e, bq WHERE e.vec_id <> bq.query_id) t
+           WHERE rk <= 3),
+         hits AS (SELECT i.query_id, count(*) AS n
+                  FROM ivf i JOIN brute b
+                    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+                  GROUP BY i.query_id)
+         SELECT q0.query_id,
+           CAST((coalesce(hits.n, 0) * 100) // 3 AS BIGINT) AS recall_literal_pct,
+           true AS refined_ge_literal_overall
+         FROM (SELECT vec_id AS query_id FROM e WHERE vec_id >= 16 AND vec_id < 26) q0
+         LEFT JOIN hits ON q0.query_id = hits.query_id
+         ORDER BY q0.query_id""",
     "x_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -910,6 +954,31 @@ object SparkEntry {
          (CAST(1 AS BIGINT), 2, 2, CAST(127.5 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(127.5 AS DOUBLE)),
          (CAST(2 AS BIGINT), 3, 1, CAST(127.6667 AS DOUBLE), CAST(127.6667 AS DOUBLE), CAST(127.6667 AS DOUBLE))
          ) AS t(media_id, width, height, mean_r, mean_g, mean_b) ORDER BY media_id""",
+    // Image perceptual-hash near-dups: the oracle rebuilds the 9×8
+    // thumbnail grays straight from the text bytes (same char-code
+    // pixels the Spark side encodes into PPM), derives the 64 dHash
+    // comparison bits, and brute-forces all pairs at Hamming ≤ 3 —
+    // which equals the banded multi-index result exactly (pigeonhole:
+    // 4 bands catch every pair under Hamming 4).
+    "x_image_phash" ->
+      """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n
+                    FROM documents WHERE doc_id < 200 AND length(text) >= 1),
+         g AS (SELECT media_id,
+                 list_transform(range(72), p ->
+                   (ascii(substr(text, ((3*p) % n) + 1, 1)) +
+                    ascii(substr(text, ((3*p+1) % n) + 1, 1)) +
+                    ascii(substr(text, ((3*p+2) % n) + 1, 1))) // 3) AS gray
+               FROM t),
+         b AS (SELECT media_id,
+                 list_transform(range(64), i ->
+                   CASE WHEN gray[(i // 8) * 9 + (i % 8) + 1] >
+                             gray[(i // 8) * 9 + (i % 8) + 2] THEN 1 ELSE 0 END) AS bits
+               FROM g),
+         p AS (SELECT a.media_id AS m1, c.media_id AS m2,
+                 CAST(list_sum(list_transform(range(64), i ->
+                   CASE WHEN a.bits[i+1] <> c.bits[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+               FROM b a JOIN b c ON a.media_id < c.media_id)
+         SELECT m1, m2, hamming FROM p WHERE hamming <= 3 ORDER BY m1, m2""",
   ) ++ corpusOracles
 
   private val corpusOracles: Map[String, String] = Map(

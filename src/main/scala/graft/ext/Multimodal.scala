@@ -180,6 +180,120 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  final case class MediaPayload(media_id: Long, payload: Array[Byte])
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** dHash-64 — the standard difference perceptual hash: on a 9×8
+    * grayscale image, bit (r,c) is set iff gray(r,c) > gray(r,c+1); 8
+    * comparisons per row × 8 rows pack into one 64-bit word. Gray is
+    * the integer mean of the RGB bytes (matches the oracle's integer
+    * division exactly). Near-identical images flip few bits, so
+    * near-dup detection is Hamming distance on 8-byte hashes — the
+    * image analogue of SimHash over token text.
+    */
+  private[graft] def dHash64(img: PpmCodec.Image): Long = {
+    require(img.width == 9 && img.height == 8, "dHash expects a 9x8 thumbnail")
+    val gray = new Array[Int](img.width * img.height)
+    var p = 0
+    while (p < gray.length) {
+      val r = img.pixels(3 * p) & 0xFF
+      val g = img.pixels(3 * p + 1) & 0xFF
+      val b = img.pixels(3 * p + 2) & 0xFF
+      gray(p) = (r + g + b) / 3
+      p += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (gray(r * 9 + c) > gray(r * 9 + c + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic 9×8 PPM thumbnails derived from document text (RGB
+    * byte j = code of text char j mod length — cross-engine computable,
+    * which is what lets the DuckDB oracle reproduce the hash bits).
+    * Near-dup texts yield near-identical images; a real corpus lands
+    * here from `binaryFile` + a resize, with payload already a
+    * thumbnail.
+    */
+  private[graft] def syntheticPpmMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.length
+          val rgb = new Array[Byte](9 * 8 * 3)
+          var j = 0
+          while (j < rgb.length) { rgb(j) = text.charAt(j % n).toByte; j += 1 }
+          MediaPayload(id, PpmCodec.encode(9, 8, rgb))
+        }
+      }.toDF()
+  }
+
+  /** PPM payloads → perceptual hashes through the real codec seam:
+    * decode inside mapPartitions ([[decodePpm]]'s shape), hash with
+    * [[dHash64]]. Undecodable payloads drop like codec errors.
+    */
+  def phashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          PpmCodec.decode(payload).map(img => MediaHash(id, dHash64(img)))
+        }
+      }.toDF()
+  }
+
+  /** Image near-dup pairs at Hamming ≤ `maxHamming` via banded
+    * multi-index search (Manku et al., WWW'07 — the production simhash
+    * dedup shape): split the 64-bit hash into `bands` fixed slices; by
+    * pigeonhole, any pair within Hamming < `bands` shares at least one
+    * identical slice, so an equi-join on (band, slice-value) generates
+    * EVERY qualifying pair — banding is exact here, not approximate —
+    * and the verify pass just computes `bit_count(xor)` on the 8-byte
+    * hashes. No all-pairs stage anywhere: candidates are bucket-joins
+    * on 16-bit slice keys, the same shape as the MinHash band join
+    * ([[Dedup]]). At corpus scale the slices widen (more bands of more
+    * bits over a longer hash) to keep buckets sparse; the operator
+    * shape is unchanged.
+    */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole exactness needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("phash"), width * i).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .distinct() // a pair can match in several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Registered query: thumbnails from the first 200 documents →
+    * decode → dHash → banded Hamming-≤3 pairs. The planted exact-dup
+    * documents surface at Hamming 0; near-dup texts at small positive
+    * distances.
+    */
+  def phashQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    phashNearDupPairs(phashes(syntheticPpmMedia(docs)))
+      .orderBy(col("m1"), col("m2"))
+  }
+
   /** End-to-end demo: media → features → cosine-nearest media pairs
     * (reuses the Similarity cosine over the extracted features).
     */

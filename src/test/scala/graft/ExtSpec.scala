@@ -643,6 +643,13 @@ class ExtSpec extends SparkSpec {
     assert(byZ <= 8.0 && byY >= 60.0, s"z-order mean x-range $byZ vs y-sort $byY")
   }
 
+  test("refined IVF: held-out aggregate recall at least the seed-centroid path") {
+    val rows = Similarity.ivfRefinedReport(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_._3), "aggregate refined recall regressed vs seed centroids")
+  }
+
   test("round2HalfAway matches DuckDB round(x,2) on boundary ties") {
     // double 2.005 is 2.00499…, but 2.005×100 rounds to EXACTLY 200.5 in
     // IEEE double — DuckDB's std::round(x*100)/100 therefore yields 2.01.

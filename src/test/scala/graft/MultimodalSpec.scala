@@ -73,4 +73,42 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2, 2, 127.5, 0.0, 127.5),
       (2L, 3, 1, 127.6667, 127.6667, 127.6667)))
   }
+
+  test("dHash: identical images hash equal, one-pixel edits flip few bits, unrelated images are far") {
+    import Multimodal.PpmCodec
+    def thumb(f: Int => Int): PpmCodec.Image = {
+      val rgb = new Array[Byte](9 * 8 * 3)
+      var j = 0
+      while (j < rgb.length) { rgb(j) = (f(j / 3) & 0xFF).toByte; j += 1 }
+      PpmCodec.Image(9, 8, rgb)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = thumb(p => (p * 37) % 251)
+    val copy = thumb(p => (p * 37) % 251)
+    // one changed pixel disturbs at most its two adjacent comparisons
+    val nearPixels = base.pixels.clone(); nearPixels(3 * 40) = 0; nearPixels(3 * 40 + 1) = 0; nearPixels(3 * 40 + 2) = 0
+    val near = PpmCodec.Image(9, 8, nearPixels)
+    val far = thumb(p => ((p % 9) % 2) * 255) // vertical stripes: opposite gradient signs
+    val (hb, hc, hn, hf) = (Multimodal.dHash64(base), Multimodal.dHash64(copy),
+      Multimodal.dHash64(near), Multimodal.dHash64(far))
+    assert(hb == hc)
+    assert(hamming(hb, hn) <= 2, s"one-pixel edit flipped ${hamming(hb, hn)} bits")
+    assert(hamming(hb, hf) > 16, s"unrelated image too close: ${hamming(hb, hf)}")
+  }
+
+  test("banded phash pairs equal brute force (pigeonhole exactness) and surface planted dups") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").filter(col("doc_id") < 200)
+    val hashes = Multimodal.phashes(Multimodal.syntheticPpmMedia(docs)).cache()
+    val banded = Multimodal.phashNearDupPairs(hashes, maxHamming = 3, bands = 4)
+      .select("m1", "m2", "hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = hashes.as("a").join(hashes.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .filter(_._3 <= 3).toSet
+    hashes.unpersist()
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // the corpus plants exact-duplicate texts -> identical thumbnails
+    assert(banded.exists(_._3 == 0L), "expected at least one Hamming-0 planted dup pair")
+  }
 }
