@@ -175,6 +175,121 @@ object EventsStream {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long,
+      t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp], stage: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** Streaming funnel twin of [[graft.queries.LogQueries.funnelFor]]
+    * (round 8): the same view→click→purchase state machine with the
+    * same 24 h step windows and the same (ts, event_type) tie order,
+    * held as 3 timestamps of per-user state in
+    * `flatMapGroupsWithState`. Emits the user's updated funnel row
+    * every micro-batch that touches the user (Append mode — downstream
+    * keeps the latest per user, the CDC-style contract
+    * [[runningUserStats]] also uses).
+    *
+    * State is watermark-bounded two ways: a COMPLETED funnel (purchase
+    * reached) drops its state immediately, and an incomplete one sets
+    * an event-time timeout at first-view + 48 h (the longest a funnel
+    * can still progress: click ≤ view+24 h, purchase ≤ click+24 h) plus
+    * `graceMs` for lateness — when the watermark passes it, the state
+    * is reclaimed. A power user costs 3 timestamps, not an event list.
+    * Within-batch order is restored by sorting the (small) per-batch
+    * iterator; cross-batch order is the file-replay contract the specs
+    * drive (event-time-ordered micro-batches), same as the other
+    * agreement twins.
+    */
+  def funnel(events: Dataset[Event], graceMs: Long = 10 * 60 * 1000L): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val H24 = 24L * 3600 * 1000000L // micros
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelUpdate, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelUpdate]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(FunnelUpdate(uid, None, None, None, 0L))
+            var tv = prev.t_view; var tc = prev.t_click; var tp = prev.t_purchase
+            // same tie order as the batch fold's sort_array(struct(ts, et))
+            batch.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+              e.event_type match {
+                case "view" if tv.isEmpty => tv = Some(e.ts)
+                case "click" if tv.nonEmpty && tc.isEmpty &&
+                    micros(e.ts) > micros(tv.get) &&
+                    micros(e.ts) <= micros(tv.get) + H24 => tc = Some(e.ts)
+                case "purchase" if tc.nonEmpty && tp.isEmpty &&
+                    micros(e.ts) > micros(tc.get) &&
+                    micros(e.ts) <= micros(tc.get) + H24 => tp = Some(e.ts)
+                case _ =>
+              }
+            }
+            val stage = if (tp.nonEmpty) 3L else if (tc.nonEmpty) 2L else if (tv.nonEmpty) 1L else 0L
+            val next = FunnelUpdate(uid, tv, tc, tp, stage)
+            if (tp.nonEmpty) state.remove() // complete: nothing can change
+            else {
+              state.update(next)
+              tv.foreach { t =>
+                // strictly above the current watermark or Spark rejects it
+                val horizon = t.getTime + 48L * 3600 * 1000 + graceMs
+                state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            Iterator.single(next)
+          }
+      }
+  }
+
+  final case class RetentionHit(cohort_day: Long, day_offset: Long, user_id: Long)
+  final case class RetentionState(cohortDay: Long, seenMask: Int)
+
+  /** Streaming retention twin of
+    * [[graft.queries.LogQueries.eventsRetention]] (round 8): per-user
+    * state is the cohort day (the user's first event date, UTC) plus an
+    * 8-bit mask of day offsets already reported — a first-seen
+    * (cohort, offset, user) triple is emitted exactly once, so the
+    * retention matrix is the running `groupBy(cohort, day_offset)
+    * count` of this stream's output (the spec folds it exactly that
+    * way against the batch query). Offsets past 7 are outside the
+    * matrix and never touch state.
+    *
+    * State: 12 bytes per user, evicted by an event-time timeout once
+    * the watermark passes cohort day + 8 (no offset ≤ 7 can still
+    * arrive) — bounded by the ACTIVE cohort population, not stream
+    * length or event volume.
+    */
+  def retentionHits(events: Dataset[Event], graceMs: Long = 10 * 60 * 1000L): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val days = batch
+              .map(e => e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay)
+              .toSeq.sorted
+            val prev = state.getOption
+            val cohort = prev.map(_.cohortDay).getOrElse(days.head)
+            var mask = prev.map(_.seenMask).getOrElse(0)
+            val fresh = Seq.newBuilder[RetentionHit]
+            days.foreach { d =>
+              val off = d - cohort
+              if (off >= 0 && off <= 7) {
+                val bit = 1 << off.toInt
+                if ((mask & bit) == 0) { mask |= bit; fresh += RetentionHit(cohort, off, uid) }
+              }
+            }
+            state.update(RetentionState(cohort, mask))
+            val horizon = (cohort + 9) * 86400000L + graceMs
+            state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            fresh.result().iterator
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user count/total via
     * flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express. Emits one updated row per user per

@@ -349,6 +349,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def orderedEventChunks(dir: String, chunks: Int): Seq[Seq[EventsStream.Event]] = {
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event].collect().sortBy(_.ts.getTime).toSeq
+    val size = math.max(1, (all.length + chunks - 1) / chunks)
+    all.grouped(size).toSeq
+  }
+
+  test("streaming funnel agrees with the single-pass batch funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val input = MemoryStream[EventsStream.Event](spark)
+    // grace far beyond the data's time span: agreement needs no state
+    // evicted mid-replay (eviction itself is covered by the next test)
+    val q = EventsStream.funnel(
+        input.toDF().withWatermark("ts", "10 minutes").as[EventsStream.Event],
+        graceMs = 3650L * 86400000L)
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode("append").start()
+    orderedEventChunks(dir, 3).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    def canonTs(t: Option[java.sql.Timestamp]) = t.map(_.toString).getOrElse("")
+    // updates are monotone (fields only fill in): a user's final funnel
+    // row is the max-stage emission
+    val streamed = spark.table("funnel_stream_out")
+      .as[EventsStream.FunnelUpdate].collect()
+      .groupBy(_.user_id).values.map(_.maxBy(_.stage))
+      .map(f => (f.user_id, canonTs(f.t_view), canonTs(f.t_click), canonTs(f.t_purchase), f.stage))
+      .toSet
+    val batch = LogQueries.funnelFor(Tables.events(spark, dir))
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp], Option[java.sql.Timestamp], Long)]
+      .collect()
+      .map { case (u, tv, tc, tp, s) => (u, canonTs(tv), canonTs(tc), canonTs(tp), s) }
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming funnel evicts state once the watermark passes the 48h horizon") {
+    val input = MemoryStream[EventsStream.Event](spark)
+    val q = EventsStream.funnel(
+        input.toDF().withWatermark("ts", "10 minutes").as[EventsStream.Event])
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("append").start()
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, typ, 1.0)
+    input.addData(ev(1, 1, "2024-01-01 10:00:00", "view"))
+    q.processAllAvailable()
+    // another user's events push the watermark 10 days out...
+    input.addData(ev(2, 2, "2024-01-11 10:00:00", "view"))
+    q.processAllAvailable()
+    // ...and a batch NOT containing user 1 lets their timeout fire
+    input.addData(ev(3, 2, "2024-01-11 11:00:00", "click"))
+    q.processAllAvailable()
+    // user 1 returns after eviction: a FRESH funnel, not the day-1 one
+    input.addData(ev(4, 1, "2024-01-11 12:00:00", "view"),
+                  ev(5, 1, "2024-01-11 13:00:00", "click"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_evict_out")
+      .as[EventsStream.FunnelUpdate].collect()
+      .filter(_.user_id == 1L).maxBy(_.stage)
+    assert(last.stage == 2L, s"fresh funnel should reach click: $last")
+    assert(last.t_view.exists(_.toString.startsWith("2024-01-11")),
+      s"t_view must come from the post-eviction funnel: ${last.t_view}")
+  }
+
+  test("streaming retention hits fold to the batch cohort matrix, each (user, offset) exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val input = MemoryStream[EventsStream.Event](spark)
+    val q = EventsStream.retentionHits(
+        input.toDF().withWatermark("ts", "10 minutes").as[EventsStream.Event],
+        graceMs = 3650L * 86400000L)
+      .writeStream.format("memory").queryName("retention_stream_out")
+      .outputMode("append").start()
+    orderedEventChunks(dir, 3).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val hits = spark.table("retention_stream_out")
+      .as[EventsStream.RetentionHit].collect().toSeq
+    // exactly-once contract: no (user, offset) appears twice
+    assert(hits.distinct.size == hits.size, "duplicate retention hits emitted")
+    val streamed = hits.groupBy(h => (h.cohort_day, h.day_offset))
+      .view.mapValues(_.size.toLong).toMap
+    val batch = LogQueries.eventsRetention(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (c, off, n) => (c.toLocalDate.toEpochDay, off) -> n }.toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     val input = MemoryStream[EventsStream.Event](spark)
     val deduped = EventsStream.dedup(input.toDF())
