@@ -132,6 +132,12 @@ object ParquetStore {
     * the NEXT expiry cycle removes again (retention is a repeating
     * background job, not a one-shot).
     *
+    * Works on BOTH store shapes: the live ingest root (ym dirs nested
+    * under `bid=N` batch dirs) and a [[compact]]ed generation root
+    * (`ym=...` directly at the top level — no bid layer). Round 8: the
+    * bid-only walk silently skipped compacted roots, leaving the
+    * documented compact-then-swap flow with no retention path.
+    *
     * Returns EVERY directory removed — expired (bid, ym[, d]) leaves
     * plus any ym/bid parents dropped by the emptied-dir cleanup — for
     * the caller's audit log.
@@ -144,54 +150,64 @@ object ParquetStore {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(s"$BatchCol=")).foreach { bidDir =>
-        fs.listStatus(bidDir).map(_.getPath)
-          .filter(_.getName.startsWith(s"$PartitionCol=")).foreach { ymDir =>
-            val ym = ymDir.getName.stripPrefix(s"$PartitionCol=")
-            if (ym < cutoffYm) {
-              fs.delete(ymDir, true)
-              removed += s"${bidDir.getName}/${ymDir.getName}"
-            } else cutoffDay.foreach { cd =>
-              // same-or-newer month: expire by day leaf when the daily
-              // layout is present and a day cutoff was requested. A
-              // MONTHLY-layout month has no d= children — its partition
-              // granularity is the month, so a day cutoff cannot expire
-              // inside it and the whole directory must be KEPT (the
-              // straddling-partition contract above). Distinguishing the
-              // layouts by observed d= leaves BEFORE deleting anything is
-              // what keeps the emptied-month cleanup from wiping a live
-              // monthly dir whose only children are parquet files.
-              val dayLeaves = fs.listStatus(ymDir).map(_.getPath)
-                .filter(_.getName.startsWith(s"$DayCol="))
-              if (dayLeaves.nonEmpty) {
-                dayLeaves.foreach { dDir =>
-                  val d = dDir.getName.stripPrefix(s"$DayCol=")
-                  if (d < cd) {
-                    fs.delete(dDir, true)
-                    removed += s"${bidDir.getName}/${ymDir.getName}/${dDir.getName}"
-                  }
+
+    // expire every ym child of one scope dir; audit entries are
+    // prefixed with the scope's name ("bid=N/" or "" for the root)
+    def expireScope(scopeDir: org.apache.hadoop.fs.Path, prefix: String): Unit =
+      fs.listStatus(scopeDir).map(_.getPath)
+        .filter(_.getName.startsWith(s"$PartitionCol=")).foreach { ymDir =>
+          val ym = ymDir.getName.stripPrefix(s"$PartitionCol=")
+          if (ym < cutoffYm) {
+            fs.delete(ymDir, true)
+            removed += s"$prefix${ymDir.getName}"
+          } else cutoffDay.foreach { cd =>
+            // same-or-newer month: expire by day leaf when the daily
+            // layout is present and a day cutoff was requested. A
+            // MONTHLY-layout month has no d= children — its partition
+            // granularity is the month, so a day cutoff cannot expire
+            // inside it and the whole directory must be KEPT (the
+            // straddling-partition contract above). Distinguishing the
+            // layouts by observed d= leaves BEFORE deleting anything is
+            // what keeps the emptied-month cleanup from wiping a live
+            // monthly dir whose only children are parquet files.
+            val dayLeaves = fs.listStatus(ymDir).map(_.getPath)
+              .filter(_.getName.startsWith(s"$DayCol="))
+            if (dayLeaves.nonEmpty) {
+              dayLeaves.foreach { dDir =>
+                val d = dDir.getName.stripPrefix(s"$DayCol=")
+                if (d < cd) {
+                  fs.delete(dDir, true)
+                  removed += s"$prefix${ymDir.getName}/${dDir.getName}"
                 }
-                // a month emptied leaf-by-leaf must go too: Spark's
-                // partition discovery tolerates empty dirs, but they
-                // accumulate forever on a long-lived store (only
-                // partition children count — _SUCCESS markers remain)
-                if (!fs.listStatus(ymDir).exists(_.getPath.getName.startsWith(s"$DayCol="))) {
-                  fs.delete(ymDir, true)
-                  removed += s"${bidDir.getName}/${ymDir.getName}"
-                }
+              }
+              // a month emptied leaf-by-leaf must go too: Spark's
+              // partition discovery tolerates empty dirs, but they
+              // accumulate forever on a long-lived store (only
+              // partition children count — _SUCCESS markers remain)
+              if (!fs.listStatus(ymDir).exists(_.getPath.getName.startsWith(s"$DayCol="))) {
+                fs.delete(ymDir, true)
+                removed += s"$prefix${ymDir.getName}"
               }
             }
           }
-        // drop a batch dir only when THIS pass emptied it of time
-        // partitions; an always-empty marker dir (e.g. a zero-row batch
-        // holding just _SUCCESS) is live metadata, not expired data
-        if (removed.exists(_.startsWith(s"${bidDir.getName}/")) &&
-            !fs.listStatus(bidDir).exists(_.getPath.getName.startsWith(s"$PartitionCol="))) {
-          fs.delete(bidDir, true)
-          removed += bidDir.getName
         }
+
+    val bidDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(s"$BatchCol="))
+    bidDirs.foreach { bidDir =>
+      expireScope(bidDir, s"${bidDir.getName}/")
+      // drop a batch dir only when THIS pass emptied it of time
+      // partitions; an always-empty marker dir (e.g. a zero-row batch
+      // holding just _SUCCESS) is live metadata, not expired data
+      if (removed.exists(_.startsWith(s"${bidDir.getName}/")) &&
+          !fs.listStatus(bidDir).exists(_.getPath.getName.startsWith(s"$PartitionCol="))) {
+        fs.delete(bidDir, true)
+        removed += bidDir.getName
       }
+    }
+    // compacted generation root: ym dirs live directly under the root
+    // (never deletable itself — it IS the store)
+    if (bidDirs.isEmpty) expireScope(root, "")
     removed.toSeq
   }
 

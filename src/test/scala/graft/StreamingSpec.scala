@@ -217,6 +217,82 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("message").as[String].collect().toSet == Set("m1", "m2"))
   }
 
+  test("TTL expiry on a COMPACTED generation root (ym dirs at top level, no bid layer)") {
+    val out = tmp("graft-ttl-compacted"); val dest = tmp("graft-ttl-compacted-dst") + "/gen1"
+    def batch(ts: String, msg: String) = IngestPipeline.runBatch(
+      Seq(s"""{"@timestamp":"$ts","message":"$msg"}""").toDF("value"),
+      IngestPipeline.Logstash)
+    ParquetStore.appendBatch(batch("2025-09-05T10:00:00Z", "old"), out, batchId = 0)
+    ParquetStore.appendBatch(batch("2025-11-05T10:00:00Z", "new"), out, batchId = 1)
+    ParquetStore.compact(spark, out, dest)
+    // round-8 gap: the bid-only walk returned empty here, leaving the
+    // compacted generation with no retention path at all
+    val removed = ParquetStore.expire(spark, dest, cutoffYm = "202510")
+    assert(removed == Seq("ym=202509"), s"removed: $removed")
+    assert(spark.read.parquet(dest).select("message").as[String].collect().toSet == Set("new"))
+    // idempotent, and the root itself survives
+    assert(ParquetStore.expire(spark, dest, cutoffYm = "202510").isEmpty)
+  }
+
+  test("TTL expiry safety property: survivors are exactly the not-yet-expired partitions, audit covers the diff") {
+    // expire() never reads file contents, so randomized stores can be
+    // fabricated with bare directories + marker files — 30 seeded cases
+    // across {live, compacted} × {monthly, daily} layouts and random
+    // cutoffs, checking the FULL functional contract after the round-8
+    // data-loss fix: nothing live deleted, nothing expired kept.
+    val rnd = new scala.util.Random(8)
+    val hconf = spark.sessionState.newHadoopConf()
+    val yms = Seq("202410", "202411", "202412", "202501", "202502")
+    (1 to 30).foreach { i =>
+      val out = tmp(s"graft-ttl-prop-$i")
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hconf)
+      val daily = rnd.nextBoolean()
+      val scopes = if (rnd.nextBoolean()) Seq("") else (0 to rnd.nextInt(2)).map(b => s"bid=$b/")
+      // (scope, ym, day or "" for monthly)
+      val parts: Seq[(String, String, String)] = scopes.flatMap { sc =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val ym = yms(rnd.nextInt(yms.length))
+          (sc, ym, if (daily) f"$ym${1 + rnd.nextInt(28)}%02d" else "")
+        }
+      }.distinct
+      parts.foreach { case (sc, ym, d) =>
+        val leaf = if (daily) s"$out/${sc}ym=$ym/d=$d" else s"$out/${sc}ym=$ym"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(leaf))
+        fs.create(new org.apache.hadoop.fs.Path(s"$leaf/part-0.parquet")).close()
+      }
+      val cutoffYm = yms(rnd.nextInt(yms.length))
+      val cutoffDay = if (daily && rnd.nextBoolean())
+        Some(f"$cutoffYm${1 + rnd.nextInt(28)}%02d") else None
+      val removed = ParquetStore.expire(spark, out, cutoffYm, cutoffDay)
+      val expectedSurvivors = parts.filter { case (_, ym, d) =>
+        ym >= cutoffYm && (cutoffDay.isEmpty || !daily || d >= cutoffDay.get)
+      }.toSet
+      // actual surviving leaf partitions, walked from the FS
+      val actualSurvivors = scopes.flatMap { sc =>
+        val scopePath = new org.apache.hadoop.fs.Path(if (sc.isEmpty) out else s"$out/${sc.stripSuffix("/")}")
+        if (!fs.exists(scopePath)) Seq.empty
+        else fs.listStatus(scopePath).toSeq.map(_.getPath).filter(_.getName.startsWith("ym=")).flatMap { ymDir =>
+          val ym = ymDir.getName.stripPrefix("ym=")
+          if (daily) fs.listStatus(ymDir).toSeq.map(_.getPath).filter(_.getName.startsWith("d="))
+            .map(dDir => (sc, ym, dDir.getName.stripPrefix("d=")))
+          else Seq((sc, ym, ""))
+        }
+      }.toSet
+      assert(actualSurvivors == expectedSurvivors,
+        s"case $i (daily=$daily cutoff=$cutoffYm/$cutoffDay): " +
+          s"wrongly deleted ${expectedSurvivors -- actualSurvivors}, " +
+          s"wrongly kept ${actualSurvivors -- expectedSurvivors}")
+      // audit covers the diff: every pre-existing leaf that is gone must
+      // be a removed entry or live under one
+      val gone = parts.toSet -- actualSurvivors
+      gone.foreach { case (sc, ym, d) =>
+        val rel = if (daily) s"${sc}ym=$ym/d=$d" else s"${sc}ym=$ym"
+        assert(removed.exists(r => rel == r || rel.startsWith(r + "/")),
+          s"case $i: deletion of $rel missing from audit $removed")
+      }
+    }
+  }
+
   test("socket source end-to-end: TCP NDJSON -> normalize -> store (S11)") {
     val out = tmp("graft-sock-store"); val ck = tmp("graft-sock-ck")
     val server = new java.net.ServerSocket(0)
