@@ -61,16 +61,79 @@ object Profiling {
       .select(col("bucket"), col("lo_tokens"), col("n_docs"))
       .orderBy(col("bucket"))
 
+  /** Exact distributed order statistics (round 8): the boundary
+    * quantiles used to come from Spark's `percentile` aggregate, which
+    * materializes and sorts EVERY value of the single group on one
+    * reducer — the one single-task funnel left on the query surface
+    * (its doc hand-waved "swap in t-digest at 100 TB", giving up
+    * exactness). This replaces it with distributed selection, exact at
+    * any scale: range-partition the values (Spark samples split points;
+    * order across partitions is total), sort within partitions, count
+    * per partition (a P-row aggregate), convert each quantile's global
+    * index into (partition, local index) via the prefix offsets, and
+    * fetch just those ≤2·|qs| rows with a per-partition scan. No task
+    * ever holds more than its partition slice; the driver sees P counts
+    * and the picked values. Interpolation mirrors DuckDB's
+    * `quantile_cont` form (lo + frac·(hi − lo)).
+    */
+  private[graft] def exactQuantilesDistributed(values: DataFrame, qs: Seq[Double]): Seq[Double] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = values.select(col(values.columns.head).cast("double").as("v")).as[Double]
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions(col("v"))
+      .persist()
+    try {
+      val pidCounts = sorted.toDF("v").select(spark_partition_id().as("pid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      val n = pidCounts.map(_._2).sum
+      require(n > 0, "exactQuantilesDistributed needs a non-empty input")
+      val offsets = pidCounts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .init.map(_._2) // global index of each partition's first row
+      def locate(globalIdx: Long): (Int, Long) = {
+        val slot = offsets.lastIndexWhere(_ <= globalIdx)
+        (pidCounts(slot)._1, globalIdx - offsets(slot))
+      }
+      // each quantile q needs rows floor((n-1)q) and ceil((n-1)q)
+      val targets: Seq[Long] = qs.flatMap { q =>
+        val idx = (n - 1) * q
+        Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
+      }.distinct
+      val wanted: Map[Int, Set[Long]] = targets.map(locate)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val wantedB = spark.sparkContext.broadcast(wanted)
+      val picked: Map[Long, Double] = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val want = wantedB.value.getOrElse(pid, Set.empty[Long])
+        if (want.isEmpty) Iterator.empty
+        else {
+          var i = -1L
+          it.flatMap { v => i += 1; if (want.contains(i)) Iterator((pid, i, v)) else Iterator.empty }
+        }
+      }.collect()
+        .map { case (pid, local, v) =>
+          (offsets(pidCounts.indexWhere(_._1 == pid)) + local) -> v }.toMap
+      qs.map { q =>
+        val idx = (n - 1) * q
+        val lo = picked(math.floor(idx).toLong)
+        val hi = picked(math.ceil(idx).toLong)
+        val frac = idx - math.floor(idx)
+        if (frac == 0.0) lo else lo + frac * (hi - lo)
+      }
+    } finally { sorted.unpersist(); () }
+  }
+
   /** Equi-depth histogram of l_extendedprice — the ANALYZE statistic
     * optimizers build for selectivity estimates (ClickHouse's
     * quantile-family stats). Two-phase, each phase scale-clean:
-    * boundaries come from ONE exact-percentile aggregate (at 100 TB
-    * swap in the mergeable t-digest — the q16b substitution), rounded
-    * to 2 dp so both engines see identical literals; bucket assignment
-    * is then a pure per-row comparison against those 9 broadcast
-    * literals — no global sort, no ntile window funneling the table
-    * through one task (which is the formulation PlanLintSpec exists to
-    * reject).
+    * boundaries come from [[exactQuantilesDistributed]] (exact order
+    * statistics with no single-reducer sort), rounded to 2 dp so both
+    * engines see identical literals; bucket assignment is then a pure
+    * per-row comparison against those 9 broadcast literals — no global
+    * sort, no ntile window funneling the table through one task (which
+    * is the formulation PlanLintSpec exists to reject).
     */
   /** 2-dp rounding that reproduces the oracle's `round(x, 2)` exactly
     * (VERDICT r7 defect 2). DuckDB computes `std::round(x*100)/100` —
@@ -88,9 +151,7 @@ object Profiling {
   def equiDepthHist(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = li
-      .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("bs"))
-      .head().getSeq[Double](0).map(round2HalfAway)
+    val bounds = exactQuantilesDistributed(li, qs).map(round2HalfAway)
     val bucket = bounds.map(b => when(col("v") > b, 1L).otherwise(0L))
       .reduce(_ + _) + 1L
     li.withColumn("bucket", bucket)

@@ -650,6 +650,27 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(_._3), "aggregate refined recall regressed vs seed centroids")
   }
 
+  test("distributed exact quantiles are bit-identical to a local sorted-array computation") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_extendedprice").as("v"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val dist = graft.ext.Profiling.exactQuantilesDistributed(li, qs)
+    val local = li.as[Double].collect().sorted
+    val expect = qs.map { q =>
+      val idx = (local.length - 1) * q
+      val lo = local(math.floor(idx).toInt); val hi = local(math.ceil(idx).toInt)
+      val f = idx - math.floor(idx)
+      if (f == 0.0) lo else lo + f * (hi - lo)
+    }
+    // same order statistics, same interpolation arithmetic -> identical bits
+    assert(dist == expect, s"dist $dist vs local $expect")
+    // degenerate inputs: single row, and n < |qs|
+    val one = Seq(42.5).toDF("v")
+    assert(graft.ext.Profiling.exactQuantilesDistributed(one, qs).forall(_ == 42.5))
+    val three = Seq(1.0, 2.0, 3.0).toDF("v")
+    assert(graft.ext.Profiling.exactQuantilesDistributed(three, Seq(0.5)) == Seq(2.0))
+  }
+
   test("round2HalfAway matches DuckDB round(x,2) on boundary ties") {
     // double 2.005 is 2.00499…, but 2.005×100 rounds to EXACTLY 200.5 in
     // IEEE double — DuckDB's std::round(x*100)/100 therefore yields 2.01.
