@@ -228,7 +228,7 @@ object Similarity {
     val brute = rankTopK(bruteScored, k).select(col("query_id"), col("neighbor_id"))
     val literal = ivfSearch(e, seedCentroids, k, isQuery)
       .select(col("query_id"), col("neighbor_id"))
-    val (refinedCentroids, _) = kmeansRefine(spark, dir, cells, iters)
+    val (refinedCentroids, _) = kmeansRefine(spark, dir, cells, iters, trackObjectives = false)
     val refined = ivfSearch(e,
         refinedCentroids.map { case (id, v) => (id, v.map(_.toFloat)) }, k, isQuery)
       .select(col("query_id"), col("neighbor_id"))
@@ -324,7 +324,7 @@ object Similarity {
     * their previous centroid (the standard dead-centroid rule).
     */
   def kmeansRefine(spark: SparkSession, dir: String, k: Int = 16,
-      iters: Int = 3): (Array[(Long, Array[Double])], Seq[Double]) = {
+      iters: Int = 3, trackObjectives: Boolean = true): (Array[(Long, Array[Double])], Seq[Double]) = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     var centroids: Array[(Long, Array[Double])] = e.filter(col("vec_id") < k)
@@ -340,10 +340,12 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("best.cell_id").as("cell_id"), (col("best.neg_cos") + 1.0).as("dist")) // 1 − cos
     }
+    // objective tracking costs one extra driver action per iteration —
+    // the convergence spec needs it, the production refine path doesn't
     val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to iters).foreach { _ =>
       val a = assigned.persist()
-      objectives += a.agg(avg(col("dist"))).head().getDouble(0)
+      if (trackObjectives) objectives += a.agg(avg(col("dist"))).head().getDouble(0)
       val sums = a
         .select(col("cell_id"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy(col("cell_id"), col("j"))
@@ -357,7 +359,7 @@ object Similarity {
       centroids = centroids.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
     }
     // final objective under the refined centroids
-    objectives += assigned.agg(avg(col("dist"))).head().getDouble(0)
+    if (trackObjectives) objectives += assigned.agg(avg(col("dist"))).head().getDouble(0)
     (centroids, objectives.toSeq)
   }
 
