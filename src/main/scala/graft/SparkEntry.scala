@@ -88,6 +88,7 @@ object SparkEntry {
     "x_dedup_ngram"     -> (Dedup.ngramJaccardPairs _),
     "x_dedup_minhash"   -> (Dedup.minhashLshPairs _),
     "x_dedup_simhash"   -> (Dedup.simhashMd5Query _),       // md5-bit portable variant; xxhash64 fast path is spec-checked
+    "x_dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _), // banded Hamming<=3 near-dup pairs over the fingerprints
     "x_dedup_clusters"  -> (Dedup.dedupClusters _),         // pair graph -> connected components
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
@@ -679,6 +680,36 @@ object SparkEntry {
          )
          SELECT doc_id, string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1), '' ORDER BY k) AS fp
          FROM digits GROUP BY doc_id ORDER BY doc_id""",
+    // SimHash near-dup pairs: same fingerprint CTEs, then brute-force
+    // all-pairs digit-wise Hamming (oracle scale) — equal to the banded
+    // multi-index join by pigeonhole (4 bands catch all Hamming <= 3).
+    "x_dedup_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, md5(t.tok) AS h
+           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+           WHERE length(t.tok) > 0
+         ), bits AS (
+           SELECT doc_id, r.j,
+             CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1 >> (r.j % 4)) & 1) = 1
+                  THEN 1 ELSE -1 END AS contrib
+           FROM toks, range(64) AS r(j)
+         ), sums AS (
+           SELECT doc_id, j, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS b
+           FROM bits GROUP BY doc_id, j
+         ), digits AS (
+           SELECT doc_id, j // 4 AS k, sum(b * (1 << (j % 4))) AS dv
+           FROM sums GROUP BY doc_id, j // 4
+         ), fps AS (
+           SELECT doc_id, string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1), '' ORDER BY k) AS fp
+           FROM digits GROUP BY doc_id
+         ), pairs AS (
+           SELECT a.doc_id AS d1, c.doc_id AS d2,
+             CAST(list_sum(list_transform(range(16), k ->
+               bit_count(xor(strpos('0123456789abcdef', substring(a.fp, CAST(k AS INT) + 1, 1)) - 1,
+                             strpos('0123456789abcdef', substring(c.fp, CAST(k AS INT) + 1, 1)) - 1)))) AS BIGINT) AS hamming
+           FROM fps a JOIN fps c ON a.doc_id < c.doc_id
+         )
+         SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""",
     "logs_health" ->
       "SELECT 'ok' AS status, 'filebeat-to-clickhouse' AS service, CAST(1 AS BIGINT) AS ready",
     "x_fingerprint" ->

@@ -650,6 +650,22 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(_._3), "aggregate refined recall regressed vs seed centroids")
   }
 
+  test("simhash banded pairs equal brute force and surface the planted exact dup at Hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs).as[(Long, Long, Long)].collect().toSet
+    // docs: 0=base, 1=one-token near-dup, 2=unrelated, 3=exact dup of 0
+    assert(pairs.contains((0L, 3L, 0L)), s"exact dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"unrelated doc paired: $pairs")
+    // banded join == brute force over the same fingerprints (pigeonhole)
+    val fp = Dedup.simhashMd5(docs).as[(Long, String)].collect()
+    def bits(f: String): Long = f.zipWithIndex.map { case (c, k) =>
+      ("0123456789abcdef".indexOf(c).toLong & 0xF) << (4 * k) }.reduce(_ | _)
+    val brute = (for {
+      (d1, f1) <- fp; (d2, f2) <- fp if d1 < d2
+      h = java.lang.Long.bitCount(bits(f1) ^ bits(f2)).toLong if h <= 3
+    } yield (d1, d2, h)).toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+  }
+
   test("distributed exact quantiles are bit-identical to a local sorted-array computation") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select(col("l_extendedprice").as("v"))
