@@ -122,6 +122,7 @@ object SparkEntry {
     "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -1208,6 +1209,23 @@ object SparkEntry {
          ov AS (SELECT doc_id, count(*) AS n_shared FROM g0 JOIN ev ON g0.ng = ev.ng GROUP BY doc_id)
          SELECT d.doc_id, coalesce(ov.n_shared, 0) AS n_shared,
            coalesce(ov.n_shared, 0) >= 10 AS contaminated
+         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         ORDER BY d.doc_id""",
+    // Verdict query: same exact overlap, plus the bloom path's soundness
+    // invariant (no false negatives → every doc's bloom hit count covers
+    // its exact count). DuckDB can't build the identical bitmap, but it
+    // CAN assert what must hold of it — `true AS bloom_ok` carries real
+    // content because the Spark side computes bloom_ok from the probe.
+    "x_decontam_bloom" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+           FROM documents),
+         ev AS (SELECT DISTINCT ng FROM g0 WHERE doc_id < 20),
+         ov AS (SELECT doc_id, count(*) AS n_shared FROM g0 JOIN ev ON g0.ng = ev.ng GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ov.n_shared, 0) AS n_shared,
+           coalesce(ov.n_shared, 0) >= 10 AS contaminated,
+           true AS bloom_ok
          FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          ORDER BY d.doc_id""",
     // Greedy sequential packing: a doc's bin = floor(prefix token sum

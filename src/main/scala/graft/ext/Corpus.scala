@@ -119,6 +119,57 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB twin of [[decontaminate]].
+    * The exact form broadcasts the eval set's distinct shingle hashes as
+    * a join hash relation; at corpus scale even "tiny" eval suites reach
+    * tens of millions of shingles, and a hash relation of 8-byte keys
+    * costs ~16-32 bytes/key in the build map. The Bloom form compresses
+    * the same membership test into a fixed `numBits` bitmap (here 1 MiB
+    * for ~1% fp at 1M shingles) built by ONE tiny aggregate — Spark's
+    * own `BloomFilterAggregate`, the machinery the optimizer injects for
+    * runtime shuffle-join pruning — and probes it row-locally with
+    * `BloomFilterMightContain`: no join at all on the corpus side, just
+    * a codegen'd predicate over the already-hashed shingle stream.
+    *
+    * Bloom guarantees NO false negatives, so `n_shared_bloom >=
+    * n_shared` exactly, and a doc the exact check flags is always
+    * flagged by the bloom path. The registered verdict query emits the
+    * exact counts plus that invariant (`bloom_ok`) so the DuckDB oracle
+    * — which cannot build the same bitmap — still hash-checks real
+    * content: the exact overlap AND the bloom path's soundness on every
+    * document. False-positive rate is the tunable recall/cost knob; a
+    * production pipeline re-checks bloom hits exactly (second pass over
+    * the ~contaminated subset only).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions
+    val docs = Tables.documents(spark, dir)
+    val g = Dedup.allShingles(docs) // distinct (doc_id, ng) with ng = xxhash64(shingle)
+    val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
+    // one row, numBits/8 = 128 KiB to the driver — bounded like a broadcast
+    val bloomBytes = evalSet
+      .agg(GraftFunctions.bloomBuild(col("ng"), 1L << 20, 8L * (1L << 20)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bloomHits = g
+      .filter(GraftFunctions.bloomMightContain(lit(bloomBytes), col("ng")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_bloom"))
+    val exact = g
+      .join(broadcast(evalSet), "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(bloomHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"),
+        // bloom soundness: every exact hit is a bloom hit (no false negatives)
+        (coalesce(col("n_shared_bloom"), lit(0L)) >= coalesce(col("n_shared"), lit(0L)))
+          .as("bloom_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window packing: assign documents (in doc_id order) to
     * fixed-budget token bins — the greedy sequential packing used to
     * assemble training batches. `bin = floor(tokens_before / budget)`,

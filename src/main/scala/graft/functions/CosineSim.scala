@@ -175,6 +175,23 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("dot_long")))
       reg.createOrReplaceTempFunction(
         "dot_long", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
+    // Spark's own runtime-row-filter machinery, surfaced for explicit
+    // use: BloomFilterAggregate builds a serialized filter over a LONG
+    // key column; BloomFilterMightContain probes it. The same pair the
+    // optimizer injects for shuffle-join pre-filtering — no custom
+    // sketch code, no UDF, Predicate-level codegen on the probe side.
+    if (!reg.functionExists(FunctionIdentifier("bloom_build")))
+      reg.createOrReplaceTempFunction(
+        "bloom_build",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("bloom_might_contain")))
+      reg.createOrReplaceTempFunction(
+        "bloom_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "scala_udf")
   }
 
   private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -230,4 +247,14 @@ object GraftFunctions {
     call_function("minhash_bands", ngs,
       org.apache.spark.sql.functions.lit(numHashes),
       org.apache.spark.sql.functions.lit(bands))
+
+  /** Aggregate: serialized Bloom filter over a bigint key column. */
+  def bloomBuild(key: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("bloom_build", key,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** Probe: might `key` be in the serialized filter? (no false negatives) */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    call_function("bloom_might_contain", bloom, key)
 }

@@ -328,6 +328,30 @@ class ExtSpec extends SparkSpec {
     out.filter(_._1 < 20).foreach { case (d, _, flag) => assert(flag, s"eval doc $d") }
   }
 
+  test("bloom decontamination: exact verdicts agree with the join form; bloom is sound") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.ext.Corpus.decontaminate(spark, dir)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val bloom = graft.ext.Corpus.decontaminateBloom(spark, dir)
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(exact.length == bloom.length)
+    exact.zip(bloom).foreach { case ((d1, n1, c1), (d2, n2, c2, ok)) =>
+      assert(d1 == d2 && n1 == n2 && c1 == c2, s"doc $d1 exact columns diverge")
+      assert(ok, s"doc $d1: bloom missed an exact hit (false negative)")
+    }
+    // the probe really filters: a key that was never inserted has SOME
+    // chance of passing (fp), but a planted member must always pass
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val keys = Seq(1L, 2L, 3L).toDF("k")
+    val bf = keys.agg(GraftFunctions.bloomBuild(col("k"), 1L << 10, 8L * (1L << 10)))
+      .head().getAs[Array[Byte]](0)
+    val probed = Seq(1L, 2L, 3L, 99L, 12345L).toDF("k")
+      .select(col("k"), GraftFunctions.bloomMightContain(lit(bf), col("k")).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    Seq(1L, 2L, 3L).foreach(k => assert(probed(k), s"member $k must hit"))
+  }
+
   test("pack bins: distributed prefix sum equals the single-window global cumsum") {
     val dir = "/root/testdata/sf0.01"
     val budget = 2048L
