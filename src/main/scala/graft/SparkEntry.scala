@@ -127,6 +127,7 @@ object SparkEntry {
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
     "x_pii_redact"      -> (TextAnalysis.piiRedact _),
+    "x_text_normalize"  -> (TextAnalysis.textNormalize _),
     "x_token_hist"      -> (Profiling.tokenHistogram _),
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
@@ -1028,6 +1029,19 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
          regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // NFC composition + C0/DEL control strip + space-run collapse —
+    // DuckDB's nfc_normalize implements the same Unicode canonical
+    // composition as java.text.Normalizer, so norm_text compares exact.
+    "x_text_normalize" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '  +', ' ', 'g')) AS norm_text,
+             text
+           FROM documents)
+         SELECT doc_id, norm_text, norm_text <> text AS changed
+         FROM n ORDER BY doc_id""",
     "x_token_hist" ->
       """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
          SELECT CAST(least(n_tok // 10, 10) AS BIGINT) AS bucket,

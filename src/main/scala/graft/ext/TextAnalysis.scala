@@ -312,4 +312,32 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
           lit(LongNumRe), lit("<NUM>")).as("redacted"))
       .orderBy(col("doc_id"))
+
+  /** Canonical text normalization — the cleanup pass that runs BEFORE
+    * any hashing/dedup stage so byte-level encoding accidents don't
+    * masquerade as distinct content: Unicode NFC composition (custom
+    * codegen'd [[graft.functions.NfcNormalize]]; Spark has no builtin),
+    * then C0/DEL control-character strip (keeping \t \n \r), then
+    * space-run collapse + trim. Row-local and codegen'd end to end —
+    * zero shuffle except the presentation sort; at 100 TB this is a
+    * free rider on whatever scan feeds the first fingerprint stage.
+    * DuckDB twin: `nfc_normalize` + the same two RE2-compatible
+    * regexes, so the oracle hash-checks exact output equality.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeFor(Tables.documents(spark, dir))
+
+  /** Normalization core over any (doc_id, text) frame — split out so
+    * specs can plant decomposed/control-char/space-run inputs.
+    */
+  def textNormalizeFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nfc = graft.functions.GraftFunctions.nfcNormalize(col("text"))
+    val stripped = regexp_replace(nfc, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit(""))
+    val collapsed = trim(regexp_replace(stripped, lit("  +"), lit(" ")))
+    docs
+      .select(col("doc_id"), collapsed.as("norm_text"),
+        (collapsed =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
 }

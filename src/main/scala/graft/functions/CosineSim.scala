@@ -186,6 +186,9 @@ object GraftFunctions {
         exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
         "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("nfc_normalize")))
+      reg.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("bloom_might_contain")))
       reg.createOrReplaceTempFunction(
         "bloom_might_contain",
@@ -247,6 +250,9 @@ object GraftFunctions {
     call_function("minhash_bands", ngs,
       org.apache.spark.sql.functions.lit(numHashes),
       org.apache.spark.sql.functions.lit(bands))
+
+  /** Unicode NFC canonical composition of a string column. */
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
 
   /** Aggregate: serialized Bloom filter over a bigint key column. */
   def bloomBuild(key: Column, expectedItems: Long, numBits: Long): Column =

@@ -352,6 +352,21 @@ class ExtSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(k => assert(probed(k), s"member $k must hit"))
   }
 
+  test("text normalize: NFC composes, control chars strip, space runs collapse") {
+    val docs = Seq(
+      (1L, "cafe\u0301  au  lait"),     // decomposed e + combining acute, double spaces
+      (2L, "a\u0007b\u0000c"),          // BEL and NUL stripped
+      (3L, " keep\tthis\nclean "),      // tabs/newlines survive, edges trim
+      (4L, "already clean")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.textNormalizeFor(docs)
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L)._1 == "caf\u00e9 au lait" && out(1L)._2)
+    assert(out(2L)._1 == "abc" && out(2L)._2)
+    assert(out(3L)._1 == "keep\tthis\nclean" && out(3L)._2)
+    assert(out(4L)._1 == "already clean" && !out(4L)._2)
+  }
+
   test("pack bins: distributed prefix sum equals the single-window global cumsum") {
     val dir = "/root/testdata/sf0.01"
     val budget = 2048L
