@@ -97,6 +97,7 @@ object SparkEntry {
     "x_substr_apply"    -> (Dedup.spanDedupApplyQuery _),
     "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -771,6 +772,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
+    // kNN majority vote over the same top-5 ranking; ties to the
+    // smallest label (both engines pin the tie-break explicitly).
+    "x_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+           FROM scored),
+         v AS (SELECT r.query_id, emb.label AS lbl, count(*) AS cnt
+               FROM ranked r JOIN embeddings emb ON emb.vec_id = r.neighbor_id
+               WHERE r.rk <= 5 GROUP BY 1, 2),
+         p AS (SELECT query_id, lbl, cnt,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, lbl ASC) AS pr
+               FROM v)
+         SELECT p.query_id, eq.label AS true_label, p.lbl AS pred_label,
+           p.cnt AS votes, p.lbl = eq.label AS correct
+         FROM p JOIN embeddings eq ON eq.vec_id = p.query_id
+         WHERE p.pr = 1 ORDER BY p.query_id""",
     "x_sim_lsh" ->
       """WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,

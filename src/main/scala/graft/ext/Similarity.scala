@@ -74,6 +74,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** kNN majority-vote label prediction — the consumer that turns the
+    * ANN machinery into a training-data tool: weak labeling / label
+    * propagation by nearest neighbors (each query vector takes the
+    * majority label of its k nearest, ties to the smallest label). The
+    * embeddings table ships a `label` column precisely for this; until
+    * round 8 nothing consumed it.
+    *
+    * Shape: identical scale story to [[bruteForceTopK]] (broadcast
+    * queries, fused codegen cosine, bounded TopKByScore — k rows per
+    * (partition, query) is all that shuffles), then the ≤ k·|queries|
+    * winner frame BROADCASTS back onto the embeddings scan to pick up
+    * neighbor labels, and the vote is a tiny two-level aggregate. The
+    * argmax is `max(struct(cnt, -label))` — no window, no extra
+    * shuffle; at corpus scale swap the brute-force scorer for the IVF/
+    * LSH search legs unchanged (they emit the same (query_id,
+    * neighbor_id) contract).
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val top = bruteForceTopK(spark, dir, k).select(col("query_id"), col("neighbor_id"))
+    val votes = e.select(col("vec_id").as("neighbor_id"), col("label").as("lbl"))
+      .join(broadcast(top), "neighbor_id")
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("w"))
+      .select(col("query_id"), (-col("w.neg")).as("pred_label"), col("w.cnt").as("votes"))
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+      .join(votes, "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"), (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Sign-bit LSH bucket id from the first `bits` dimensions (axis-
     * aligned hyperplanes — deterministic, engine-portable).
     */

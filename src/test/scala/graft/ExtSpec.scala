@@ -352,6 +352,28 @@ class ExtSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(k => assert(probed(k), s"member $k must hit"))
   }
 
+  test("kNN classify: majority vote over the brute-force top-5, ties to smallest label") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val top = Similarity.bruteForceTopK(spark, dir, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = top.map { case (q, nbrs) =>
+      val byLabel = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+      val best = byLabel.toSeq.maxBy { case (lbl, cnt) => (cnt, -lbl) }
+      q -> (labels(q), best._1, best._2.toLong)
+    }
+    val got = Similarity.knnClassify(spark, dir)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (q, tl, pl, votes, correct) =>
+      val (etl, epl, ev) = expected(q)
+      assert((tl, pl, votes) == ((etl, epl, ev)), s"query $q verdict")
+      assert(correct == (tl == pl))
+    }
+  }
+
   test("text normalize: NFC composes, control chars strip, space runs collapse") {
     val docs = Seq(
       (1L, "cafe\u0301  au  lait"),     // decomposed e + combining acute, double spaces
