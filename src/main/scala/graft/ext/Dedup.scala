@@ -400,10 +400,18 @@ object Dedup {
     * scale the slices widen over a longer hash exactly as the phash
     * doc describes.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashPairsFromFp(simhashMd5(docs), maxHamming, bands)
+
+  /** Pair join over an existing (doc_id, fp) fingerprint frame. Split
+    * out so the registered query can feed a MEMOIZED fingerprint frame:
+    * the banded self-join consumes `fp` on BOTH sides, and without a
+    * persist each side recomputes the whole shingle-explode +
+    * SimHashAgg lineage (measured 2.1→1.2 s at sf0.1 memoizing it).
+    */
+  def simhashPairsFromFp(fp: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole exactness needs maxHamming < bands")
     val width = 16 / bands
-    val fp = simhashMd5(docs)
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"),
@@ -423,8 +431,11 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
-    simhashNearDupPairs(Tables.documents(spark, dir))
+  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Frames.getOrCompute(spark, "simhash_fp", dir)(
+      simhashMd5(Tables.documents(spark, dir)))
+    simhashPairsFromFp(fp)
+  }
 
   /** Cluster assignment over the near-dup pair graph — the step that
     * turns pairwise Jaccard matches into actionable dedup decisions:
