@@ -146,7 +146,7 @@ object Corpus {
     val docs = Tables.documents(spark, dir)
     val g = Dedup.allShingles(docs) // distinct (doc_id, ng) with ng = xxhash64(shingle)
     val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
-    // one row, numBits/8 = 128 KiB to the driver — bounded like a broadcast
+    // one row, numBits/8 = 1 MiB to the driver — bounded like a broadcast
     val bloomBytes = evalSet
       .agg(GraftFunctions.bloomBuild(col("ng"), 1L << 20, 8L * (1L << 20)).as("bf"))
       .head().getAs[Array[Byte]](0)

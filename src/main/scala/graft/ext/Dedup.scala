@@ -104,6 +104,18 @@ object Dedup {
       }
       memo.clear()
     }
+
+    /** Test hook: keys of this session's memo entries whose frame is
+      * still marked for caching (storageLevel != NONE) — lets specs
+      * assert two corpora COEXIST instead of thrashing one entry.
+      */
+    def residentKeys(spark: SparkSession): Set[String] = memo.synchronized {
+      memo.collect {
+        case ((s, key), (_, df))
+            if (s eq spark) &&
+              df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => key
+      }.toSet
+    }
   }
 
   /** Unpersist and forget every memoized dedup frame (see [[Frames]]).
@@ -111,6 +123,10 @@ object Dedup {
     * Verify call it at the end of a run.
     */
   def releaseCaches(): Unit = Frames.release()
+
+  /** Test hook — see [[Frames.residentKeys]]. */
+  private[graft] def residentFrameKeys(spark: SparkSession): Set[String] =
+    Frames.residentKeys(spark)
 
   /** Distinct 8-char shingles per document, pre-hashed to 64-bit longs,
     * one (doc_id, ng) row each.
@@ -432,7 +448,10 @@ object Dedup {
   }
 
   def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Frames.getOrCompute(spark, "simhash_fp", dir)(
+    // key embeds $dir like every other frame (VERDICT r8 LOW #1): a
+    // dir-less key made two corpora alternating in one session thrash
+    // the single entry instead of coexisting
+    val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
       simhashMd5(Tables.documents(spark, dir)))
     simhashPairsFromFp(fp)
   }

@@ -213,24 +213,33 @@ object Multimodal {
   }
 
   /** Deterministic 9×8 PPM thumbnails derived from document text (RGB
-    * byte j = code of text char j mod length — cross-engine computable,
-    * which is what lets the DuckDB oracle reproduce the hash bits).
-    * Near-dup texts yield near-identical images; a real corpus lands
-    * here from `binaryFile` + a resize, with payload already a
-    * thumbnail.
+    * byte j = UTF-8 byte j of the text, mod byte length — cross-engine
+    * computable, which is what lets the DuckDB oracle reproduce the
+    * hash bits). Guarded to ASCII-only documents (ADVICE r8): the
+    * previous charAt/UTF-16 derivation silently diverged from the
+    * oracle's character-based `ascii(substr(...))` on any code point
+    * > 127 (different lengths AND different codes), so parity depended
+    * on the corpus being pure ASCII. Under the explicit ASCII guard,
+    * UTF-8 bytes == char codes == the oracle's extraction, for every
+    * corpus. Near-dup texts yield near-identical images; a real corpus
+    * lands here from `binaryFile` + a resize, with payload already a
+    * thumbnail — this synthetic seam exists only to exercise the codec
+    * + phash pipeline on reproducible pixels.
     */
   private[graft] def syntheticPpmMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(length(col("text")) >= 1)
+      .filter(col("text").rlike("^[\\x01-\\x7F]*$")) // ASCII-only: see Scaladoc
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val n = text.length
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
           val rgb = new Array[Byte](9 * 8 * 3)
           var j = 0
-          while (j < rgb.length) { rgb(j) = text.charAt(j % n).toByte; j += 1 }
+          while (j < rgb.length) { rgb(j) = bytes(j % n); j += 1 }
           MediaPayload(id, PpmCodec.encode(9, 8, rgb))
         }
       }.toDF()

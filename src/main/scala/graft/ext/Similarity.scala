@@ -212,17 +212,28 @@ object Similarity {
     * (cos desc, cell_id asc) tie-break exactly) → queries search only
     * their own cell → bounded top-k.
     */
+  /** Literal-centroid cell assignment shared by the IVF paths and
+    * [[semanticDedup]]: inline the bounded K-row centroid set as
+    * literals so assignment is a pure per-row argmax — zero shuffle,
+    * whole-stage codegen (struct ordering (−cos asc, cell_id asc)
+    * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
+    * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
+    */
+  private def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
+      struct(
+        (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
+        lit(cellId).as("cell_id"))
+    }: _*)
+    df.withColumn("best_cell", array_min(scoredCells))
+      .withColumn("cell_id", col("best_cell").getField("cell_id"))
+      .withColumn("cos_centroid", -col("best_cell").getField("neg_cos"))
+      .drop("best_cell")
+  }
+
   private def ivfSearch(e: DataFrame, centroids: Array[(Long, Array[Float])], k: Int,
       isQuery: Column = col("vec_id") < 10): DataFrame = {
-    def assign(df: DataFrame): DataFrame = {
-      val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
-        struct(
-          (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
-          lit(cellId).as("cell_id"))
-      }: _*)
-      df.withColumn("cell_id", array_min(scoredCells).getField("cell_id"))
-    }
-    val assigned = assign(e)
+    val assigned = assignCells(e, centroids).drop("cos_centroid")
     val queries = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell_id").as("qcell"))
     val scored = assigned.join(broadcast(queries),
@@ -234,16 +245,17 @@ object Similarity {
   /** [[kmeansRefine]] wired into the registered query surface (round-8;
     * the refinement previously existed only as a spec-checked training
     * loop): run Lloyd's for `iters` iterations over the seed centroids,
-    * search the SAME IVF tail with the refined set, and report recall@k
-    * against brute-force truth per query. Float k-means means are not
-    * bit-reproducible cross-engine, so like the sketch entries this is
-    * a verdict query: the oracle recomputes what IS engine-portable —
-    * the literal-centroid recall (both its top-k sets are exact SQL) —
-    * and asserts the Spark-side judgment that refined recall is no
-    * worse. Cell quality improving mean-distance (Lloyd's guarantee,
-    * spec-asserted) is what makes the per-query assertion hold here.
+    * search the SAME IVF tail with the refined set, and report per-query
+    * hit counts against brute-force truth for BOTH centroid sets.
+    * Returns (query_id, hits_lit, hits_ref). The registered query
+    * ([[ivfRefinedReport]]) exposes only the engine-portable literal
+    * leg; the refined≥literal comparison lives in ExtSpec (ADVICE r8:
+    * Lloyd's improves mean intra-cell distance but does not GUARANTEE
+    * aggregate recall@k vs brute force, so baking that empirical claim
+    * into a hash-checked column would let a dataset change fail the
+    * correctness gate with the code working as designed).
     */
-  def ivfRefinedReport(spark: SparkSession, dir: String, k: Int = 3,
+  def ivfRefinedHits(spark: SparkSession, dir: String, k: Int = 3,
       cells: Int = 16, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
@@ -271,25 +283,31 @@ object Similarity {
     def hits(ann: DataFrame, name: String) =
       ann.join(brute, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(name))
-    val perQuery = e.filter(isQuery).select(col("vec_id").as("query_id"))
+    e.filter(isQuery).select(col("vec_id").as("query_id"))
       .join(hits(literal, "hits_lit"), Seq("query_id"), "left")
       .join(hits(refined, "hits_ref"), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits_lit"), lit(0L)).as("hits_lit"),
         coalesce(col("hits_ref"), lit(0L)).as("hits_ref"))
-    // the verdict is AGGREGATE recall: Lloyd's improves cell quality on
-    // average, not for every individual query (a single query's nearest
-    // neighbors can land just outside its re-drawn cell), so per-query
-    // refined>=literal is dataset-fragile while the corpus-level claim
-    // is the one refinement actually makes. One 1-row collect, bounded.
-    val overallOk = perQuery
-      .agg((sum(col("hits_ref")) >= sum(col("hits_lit"))).as("ok"))
-      .head().getBoolean(0)
-    perQuery.select(col("query_id"),
-        expr(s"CAST(floor(hits_lit * 100 / $k) AS BIGINT)").as("recall_literal_pct"),
-        lit(overallOk).as("refined_ge_literal_overall"))
-      .orderBy(col("query_id"))
   }
+
+  /** Registered-query face of [[ivfRefinedHits]]: per held-out query,
+    * the literal-centroid IVF recall@k vs brute force — the half whose
+    * top-k sets are exact, portable SQL the DuckDB oracle replays
+    * verbatim. The refinement leg still executes (kmeansRefine's
+    * per-iteration actions and the refined search feed `hits_ref`
+    * inside [[ivfRefinedHits]]; kmeansRefine's collects are eager), so
+    * the registered entry still prices the refine pipeline; the
+    * empirical refined-vs-literal judgment — the only non-portable
+    * value — is excluded from the hash gate and asserted at spec level
+    * instead (ExtSpec "refined IVF").
+    */
+  def ivfRefinedReport(spark: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 16, iters: Int = 3): DataFrame =
+    ivfRefinedHits(spark, dir, k, cells, iters)
+      .select(col("query_id"),
+        expr(s"CAST(floor(hits_lit * 100 / $k) AS BIGINT)").as("recall_literal_pct"))
+      .orderBy(col("query_id"))
 
   /** Scalar-quantized (int8) ANN: a per-dimension symmetric scale
     * s_j = max(|min_j|, |max_j|) over the corpus maps each float
@@ -419,5 +437,63 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), col("cos"))
       .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Semantic dedup, SemDeDup-class (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding corpus, then prune — within each cluster
+    * only — every vector that has a τ-similar neighbor closer to the
+    * cluster centroid (tie: lower vec_id). Keeps exactly the vectors
+    * with no "better" τ-neighbor, so per cluster the member nearest its
+    * centroid always survives and no two kept vectors are τ-similar —
+    * both invariants spec-asserted (ExtSpec), centroid-set-independent.
+    *
+    * Scale shape: clustering is what makes semantic dedup tractable —
+    * the pair join is an equi-join on `cell_id`, so candidate pairs are
+    * bounded per cell instead of corpus-quadratic. At 100 TB the cell
+    * count grows with the corpus (the paper's regime: K ~ N/avg-cell,
+    * keeping cells O(thousands of vectors)); here K=16 literal
+    * centroids keep the assignment a zero-shuffle codegen'd argmax
+    * ([[assignCells]]) and the whole query engine-portable for the
+    * DuckDB oracle. A production build swaps in [[kmeansRefine]]'s
+    * centroids — same operator, better cells (the spec runs that leg).
+    */
+  def semanticDedup(e: DataFrame, centroids: Array[(Long, Array[Float])],
+      tau: Double): DataFrame = {
+    val assigned = assignCells(e, centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"), col("cos_centroid"))
+    val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("cell_id"), col("cos_centroid").as("cc1"))
+    val b = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("cell_id"), col("cos_centroid").as("cc2"))
+    // pruned = has a τ-similar neighbor that is strictly better by
+    // (closer-to-centroid, then lower id) — a row-level rule, no
+    // iteration, exactly replayable in SQL
+    val pruned = a.join(b, Seq("cell_id"))
+      .filter(col("v1") =!= col("v2"))
+      .filter(round(cosine(col("e1"), col("e2")), 6) >= tau)
+      .filter(col("cc1") > col("cc2") ||
+        (col("cc1") === col("cc2") && col("v1") < col("v2")))
+      .select(col("v2").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
+        col("pruned").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Registered-query face of [[semanticDedup]]: seed centroids are the
+    * first 16 vectors (literal, deterministic — the oracle replays the
+    * identical assignment + within-cell prune in exact SQL). τ = 0.4
+    * matches the corpus's near-dup threshold ([[embeddingNearDup]]).
+    */
+  def semanticDedupQuery(spark: SparkSession, dir: String, tau: Double = 0.4,
+      cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    semanticDedup(e, centroids, tau)
   }
 }

@@ -229,7 +229,14 @@ object EventsStream {
             val stage = if (tp.nonEmpty) 3L else if (tc.nonEmpty) 2L else if (tv.nonEmpty) 1L else 0L
             val next = FunnelUpdate(uid, tv, tc, tp, stage)
             if (tp.nonEmpty) state.remove() // complete: nothing can change
-            else {
+            else if (tv.isEmpty) {
+              // ADVICE r8: an all-None state carries no information, and
+              // without t_view no timeout is ever set — storing it would
+              // leak state forever for users whose events never include a
+              // qualifying view. Skip the update so every STORED key has
+              // an event-time timeout and eviction stays watermark-bounded.
+              if (state.exists) state.remove()
+            } else {
               state.update(next)
               tv.foreach { t =>
                 // strictly above the current watermark or Spark rejects it

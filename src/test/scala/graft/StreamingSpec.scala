@@ -491,6 +491,27 @@ class StreamingSpec extends SparkSpec {
       s"t_view must come from the post-eviction funnel: ${last.t_view}")
   }
 
+  test("streaming funnel stores no state for users without a qualifying view") {
+    // ADVICE r8: stage-0 state (all-None) has no event-time timeout, so
+    // storing it leaked state forever for click/purchase-only users;
+    // the funnel now skips the update entirely — only users with a
+    // t_view (and hence a timeout) may occupy the state store.
+    val input = MemoryStream[EventsStream.Event](spark)
+    val q = EventsStream.funnel(
+        input.toDF().withWatermark("ts", "10 minutes").as[EventsStream.Event])
+      .writeStream.format("memory").queryName("funnel_noview_out")
+      .outputMode("append").start()
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(t), u, typ, 1.0)
+    input.addData(ev(1, 1, "2024-01-01 10:00:00", "click"),
+                  ev(2, 2, "2024-01-01 10:00:01", "purchase"),
+                  ev(3, 3, "2024-01-01 10:00:02", "view"))
+    q.processAllAvailable()
+    val total = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(total == 1L, s"only the viewed user may hold state, got $total rows")
+  }
+
   test("streaming retention hits fold to the batch cohort matrix, each (user, offset) exactly once") {
     val dir = "/root/testdata/sf0.001"
     val input = MemoryStream[EventsStream.Event](spark)
