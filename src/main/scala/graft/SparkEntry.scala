@@ -109,7 +109,7 @@ object SparkEntry {
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
-    "x_token_bpe"       -> (TextAnalysis.regexTokenCounts _),
+    "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
@@ -995,13 +995,42 @@ object SparkEntry {
              ELSE 'fr'
            END AS predicted
          FROM s ORDER BY doc_id""",
+    // Corpus-trained BPE: the oracle LEARNS the same merge table (an
+    // all-integer aggregate with a total tie-break, so both engines
+    // derive identical merges from the corpus) and replays sequential
+    // merge application with a recursive CTE — replace() is greedy
+    // leftmost non-overlapping in both engines, and rank r's
+    // placeholder chr(48+r-1) matches the Spark side's '0'+i.
     "x_token_bpe" ->
-      """SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
-         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
-         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_ish
-         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id,
+                    array_to_string(regexp_extract_all(text, '[a-zA-Z]+'), ' ') AS joined,
+                    len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_tok, text
+                  FROM documents WHERE doc_id < 50),
+         runs AS (SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents),
+         pairs AS (SELECT unnest(list_transform(range(length(tok) - 1),
+                     i -> substr(tok, i + 1, 2))) AS pair
+                   FROM runs WHERE length(tok) >= 2),
+         merges AS (SELECT pair, CAST(row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS BIGINT) AS rk
+                    FROM pairs GROUP BY pair
+                    ORDER BY count(*) DESC, pair ASC LIMIT 8),
+         applied AS (
+           SELECT doc_id, joined AS s, 0 AS step FROM toks
+           UNION ALL
+           SELECT a.doc_id, replace(a.s, m.pair, chr(48 + a.step)) AS s, a.step + 1
+           FROM applied a JOIN merges m ON m.rk = a.step + 1),
+         final AS (SELECT doc_id, s FROM (
+                     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
+                     FROM applied) t WHERE rn = 1)
+         SELECT t.doc_id,
+           CAST(length(f.s) - greatest(t.n_tok - 1, 0) AS BIGINT) AS n_subword,
+           CAST(len(regexp_extract_all(t.text, '[0-9]+')) AS BIGINT) AS n_num,
+           CAST(len(regexp_extract_all(t.text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+           CAST(length(f.s) - greatest(t.n_tok - 1, 0)
+                + len(regexp_extract_all(t.text, '[0-9]+'))
+                + len(regexp_extract_all(t.text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
+         FROM toks t JOIN final f ON t.doc_id = f.doc_id
+         ORDER BY t.doc_id""",
     "x_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -144,19 +144,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
-  /** BPE-ish regex token count: alpha runs, digit runs, single
-    * punctuation — the pre-tokenizer split GPT-style BPE vocabularies
-    * assume. Portable regex subset (works in both Java regex and RE2).
+  /** Corpus-trained BPE token counting (round 9 — upgrades the former
+    * "BPE-ish" pure-regex counts): LEARN a merge table from the corpus,
+    * then tokenize with it, the way a real training-data pipeline
+    * budget-counts documents against its own vocabulary.
+    *
+    * Training: one corpus-wide aggregate counts adjacent character
+    * pairs inside the GPT-style pre-tokenizer's alpha runs; the top
+    * `nMerges` pairs by (count desc, pair asc) — all-integer,
+    * deterministic, engine-portable — become the merge table, fetched
+    * as ONE bounded nMerges-row collect and inlined as literals (the
+    * IVF-centroid trick). This is BPE's first epoch: every learned
+    * symbol is a character pair, exactly the regime where sequential
+    * `replace` with a fresh placeholder per rank IS the merge
+    * operation (a merged pair becomes one atomic symbol later merges
+    * cannot split; SQL replace is greedy leftmost non-overlapping on
+    * both engines).
+    *
+    * Application is row-local codegen'd string work, zero shuffle:
+    * join each doc's alpha runs with spaces (the joined string is
+    * alpha+space only, so digit placeholders '0'..'7' cannot collide
+    * and no pair can match across a token boundary), apply the merge
+    * replaces in rank order, and read the subword count off the final
+    * length minus separators. Digit runs and punctuation stay
+    * single-token, as in the pre-tokenizer contract.
+    *
+    * 100 TB shape: training is explode → hash agg (partial-combined)
+    * → TakeOrdered top-K; application is a narrow scan with literal
+    * merges — the same broadcast-free literal-inlining as IVF.
     */
-  def regexTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def bpeTokenCounts(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeTokenCountsFor(Tables.documents(spark, dir), nMerges)
       .filter(col("doc_id") < 50)
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("n_alpha"),
+      .orderBy(col("doc_id"))
+
+  /** Corpus-parameterized body of [[bpeTokenCounts]]: merges are learned
+    * over ALL of `docs` (training sees the corpus, whatever slice the
+    * caller later reports on); unordered — the query face filters and
+    * orders.
+    */
+  def bpeTokenCountsFor(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    require(nMerges <= 10, "placeholders are single digits '0'..'9'")
+    val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+    // learn: adjacent-pair counts over every alpha run in the corpus
+    // (explode(sequence) + substr keeps pair extraction in codegen —
+    // no interpreted HOF on the corpus-wide scan)
+    val merges: Array[String] = docs
+      .select(explode(alphaRuns).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(col("token"), explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(substr(col("token"), col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(nMerges)
+      .collect().map(_.getString(0))
+    val joined = array_join(alphaRuns, " ")
+    val nTok = size(alphaRuns)
+    val applied = merges.zipWithIndex.foldLeft(joined) { case (c, (p, i)) =>
+      replace(c, lit(p), lit(('0' + i).toChar.toString))
+    }
+    docs.select(col("doc_id"),
+        (length(applied) - greatest(nTok - 1, lit(0))).cast("long").as("n_subword"),
         regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
         regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"))
-      .withColumn("n_bpe_ish", (col("n_alpha") + col("n_num") + col("n_punct")))
-      .orderBy(col("doc_id"))
+      .withColumn("n_bpe", col("n_subword") + col("n_num") + col("n_punct"))
+  }
 
   /** Quality-classifier inference — the "run a trained quality model
     * over every document" stage (fastText-style educational-value /

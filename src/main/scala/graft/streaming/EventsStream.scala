@@ -175,6 +175,51 @@ object EventsStream {
       }
   }
 
+  final case class MediaBand(media_id: Long, band: Int, bv: Long)
+  final case class MediaDupCandidate(media_id: Long, dup_of: Long)
+
+  /** Streaming image near-dup candidates — the [[nearDupCandidates]]
+    * shape applied to the multimodal column (round 9): payloads decode
+    * and dHash row-locally inside the stream
+    * ([[graft.ext.Multimodal.phashes]] is a stateless mapPartitions,
+    * streaming-safe), band into 64/`bands`-bit slices exactly like the
+    * batch [[graft.ext.Multimodal.phashNearDupPairs]], and each
+    * (band, slice) bucket keeps ONE stateful owner — a later image
+    * colliding with an owned bucket is emitted as a near-dup candidate
+    * of that owner (once per colliding band; callers `distinct`).
+    *
+    * Candidate tier like the text twin: no Hamming verify (the owner's
+    * full hash is not retained — 8 bytes of state per distinct bucket),
+    * so route candidates to the batch verifier for exactness. By
+    * pigeonhole, any arriving image within Hamming < `bands` of a
+    * bucket OWNER shares at least one slice with it and is guaranteed
+    * to surface. Undecodable payloads drop like codec errors, matching
+    * the batch path. State grows with image novelty, not stream length;
+    * production bounds it with a state-store TTL.
+    */
+  def imageNearDupCandidates(media: DataFrame, bands: Int = 4): Dataset[MediaDupCandidate] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = graft.ext.Multimodal.phashes(media)
+      .select(col("media_id"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("phash"), width * i).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+      .as[MediaBand]
+    banded.groupByKey(b => (b.band, b.bv))
+      .flatMapGroupsWithState[Long, MediaDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[MediaBand], state: GroupState[Long]) =>
+          val ids = rows.map(_.media_id).toSeq.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(owner)
+          ids.filter(_ != owner).distinct.map(m => MediaDupCandidate(m, owner)).iterator
+      }
+  }
+
   final case class FunnelUpdate(user_id: Long,
       t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
       t_purchase: Option[java.sql.Timestamp], stage: Long)

@@ -454,6 +454,27 @@ class ExtSpec extends SparkSpec {
     assert(deep == shifted, s"expected ${shifted.toSeq.sorted}, got ${deep.toSeq.sorted}")
   }
 
+  test("BPE token counts: learned merges compress the corpus's dominant pairs in rank order") {
+    // pair counts: "ab" 6 (3 per run × 2 runs), "ba" 4, "cd" 3 — so
+    // top-2 merges are [ab, ba] and "cd" only merges at nMerges ≥ 3
+    val d = Seq(
+      (0L, "ababab ababab"),
+      (1L, "cd cd cd")
+    ).toDF("doc_id", "text")
+    def counts(nMerges: Int): Map[Long, Long] =
+      graft.ext.TextAnalysis.bpeTokenCountsFor(d, nMerges)
+        .select(col("doc_id"), col("n_subword")).as[(Long, Long)].collect().toMap
+    val two = counts(2)
+    // each "ababab" → [ab][ab][ab]: 3 subwords × 2 runs; "cd" unmerged: 2 chars × 3 runs
+    assert(two == Map(0L -> 6L, 1L -> 6L), s"got $two")
+    val three = counts(3)
+    // third merge is "cd": each run collapses to one symbol
+    assert(three == Map(0L -> 6L, 1L -> 3L), s"got $three")
+    // merging never increases the token count vs unmerged characters
+    val zero = counts(0)
+    assert(zero == Map(0L -> 12L, 1L -> 6L), s"got $zero")
+  }
+
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
     // docs 0/1 repeat the same bigrams (high corpus counts -> low nll);
     // doc 2's bigrams occur once each (smoothed toward 1/(n1+V) -> higher nll)

@@ -702,6 +702,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming image phash candidates agree with the batch banded buckets and flag the planted dup") {
+    import graft.ext.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
+    val nearDup = base.replace("lazy", "hazy")
+    val unrelated = "completely different content about spark catalyst optimizer rules and physical plans " * 4
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val payloads = Multimodal.syntheticPpmMedia(docs)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = EventsStream.imageNearDupCandidates(input.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("image_neardup_out")
+      .outputMode("append").start()
+    // one micro-batch per image, in id order, so bucket ownership is
+    // deterministic (the first image owns every bucket it touches)
+    payloads.foreach { p => input.addData(p); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("image_neardup_out").select("media_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    // the exact-dup image (3 = same text as 0) collides in all bands
+    assert(out.contains((3L, 0L)), s"planted exact dup not flagged: $out")
+    // agreement: every streamed candidate shares at least one 16-bit
+    // band slice with its owner in the BATCH banding of the same hashes
+    val hashes = Multimodal.phashes(Multimodal.syntheticPpmMedia(docs))
+      .as[(Long, Long)].collect().toMap
+    def slices(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(i => i -> ((h >>> (16 * i)) & 0xFFFFL)).toSet
+    out.foreach { case (m, owner) =>
+      assert((slices(hashes(m)) intersect slices(hashes(owner))).nonEmpty,
+        s"streamed candidate ($m, $owner) shares no band slice")
+      assert(owner < m, s"owner must precede the candidate: ($m, $owner)")
+    }
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
