@@ -29,6 +29,19 @@ import org.apache.spark.sql.SparkSession
   *     when the full sweep hits load.
   * The headline `value` stays `total_steady` (the r8 convention; both
   * totals are present so adjudication keys on them explicitly).
+  *
+  * Round-10 additions (VERDICT r9 #2, ADVICE r9):
+  *   - ingest EPS gets the same two-rep armor the queries got: measured
+  *     once BEFORE rep 1 (idle-adjacent) and once after the chain pass
+  *     (end-of-run), each bracketed by loadavg samples; the headline
+  *     `ingest_eps` is the max over reps (throughput is bounded below
+  *     by external load, so the best observed run is the honest
+  *     capability number — the r9 artifact's single end-of-run 20,532
+  *     under loadavg 7.0 vs 57-73k recorded is exactly the one-rep
+  *     contamination this protocol exists to absorb);
+  *   - `total_rep2` carries the r8 "steady" definition (rep-2 total) so
+  *     round-over-round comparisons of `total_steady` vs r8 artifacts
+  *     stay apples-to-apples despite the min-over-reps composite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,6 +82,16 @@ object Bench {
       graft.ext.Dedup.releaseCaches()
       spark.catalog.clearCache()
     }
+    // Warm the ingest decode+normalize path too, so the pre-rep-1 EPS
+    // measurement is steady-state JIT rather than first-execution cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(to_json(struct(col("*"))).as("value"))
+      graft.streaming.IngestPipeline.runBatch(warm, graft.streaming.IngestPipeline.Logstash)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
     // Deterministic order with the clusters-after-ngram keep-warm rule —
     // shared with Verify/TimeMany and name-asserted (SparkEntry).
     val ordered = SparkEntry.orderedQueryNames
@@ -98,6 +121,27 @@ object Bench {
       spark.catalog.clearCache()
       rep
     }
+    // Ingest throughput — the reference's headline metric (EPS, defined
+    // but never measured there, README.md:387): replay the sf events as
+    // JSON lines through decode+normalize at full width. Two reps
+    // (before rep 1, after the chain pass), loadavg-bracketed.
+    def measureEps(label: String): Double = {
+      import org.apache.spark.sql.functions._
+      loadSamples += (s"${label}_start" -> loadavg1())
+      val lines = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(to_json(struct(col("*"))).as("value"))
+      val n = lines.count()
+      val t0 = System.nanoTime()
+      graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
+        .write.format("noop").mode("overwrite").save()
+      val eps = n / ((System.nanoTime() - t0) / 1e9)
+      loadSamples += (s"${label}_end" -> loadavg1())
+      spark.catalog.clearCache()
+      System.gc()
+      eps
+    }
+    val eps1 = measureEps("eps1")
+
     // Two full repetitions (VERDICT r7 #2): a single pass on a cold or
     // loaded box conflates JIT/page-cache/GC transients with the plan's
     // cost — r06/r07 shipped 155 s and 211.5 s driver artifacts on
@@ -133,19 +177,12 @@ object Bench {
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = steady.map(_._2).sum
-    // Ingest throughput — the reference's headline metric (EPS, defined
-    // but never measured there, README.md:387): replay the sf events as
-    // JSON lines through decode+normalize at full width.
-    val eps = {
-      import org.apache.spark.sql.functions._
-      val lines = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(to_json(struct(col("*"))).as("value"))
-      val n = lines.count()
-      val t0 = System.nanoTime()
-      graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
-        .write.format("noop").mode("overwrite").save()
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
+    val totalRep2 = rep2.map(_._2).sum
+    val eps2 = measureEps("eps2")
+    // Headline EPS = max over reps: throughput is bounded below by
+    // external load, so the best observed run is the capability number;
+    // both reps + their loadavg brackets stay in the artifact.
+    val eps = math.max(eps1, eps2)
     // Driver-parseability (VERDICT r5 #6): the full per-query JSON line
     // is several KB and the driver tail-captures output, so when that
     // line came LAST its head (metric/value/total) fell outside the
@@ -153,11 +190,11 @@ object Bench {
     // line first, persist it to bench.json for the judge, and end with a
     // COMPACT total line that always fits the tail window whole.
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"queries":${jmap(steady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"chain":${jmap(chain)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"queries":${jmap(steady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"chain":${jmap(chain)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
     println(full)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"chain_steady":${r3(chainSteady)},"n_queries":${steady.size},"ingest_eps":${eps.round},"sf":"$sfDir","queries_file":"bench.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"chain_steady":${r3(chainSteady)},"n_queries":${steady.size},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"sf":"$sfDir","queries_file":"bench.json"}""")
     spark.stop()
   }
 }
