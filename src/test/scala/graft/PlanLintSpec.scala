@@ -9,9 +9,17 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   * all of `SparkEntry.queries` and rejects the two classic scale-killers
   * wherever they are not an explicitly documented design choice:
   *
-  *   1. cartesian / nested-loop joins (quadratic pair blowup), and
+  *   1. cartesian / nested-loop joins (quadratic pair blowup),
   *   2. windows with an empty PARTITION BY (the whole dataset funnels
-  *      through ONE task for the global ordering).
+  *      through ONE task for the global ordering), and
+  *   3. forced single-partition exchanges — `repartition(1)` /
+  *      `coalesce(1)` — which serialize the full dataset through one
+  *      task (round 10). Two single-partition shapes are deliberately
+  *      NOT flagged: the planner's own ENSURE_REQUIREMENTS exchange
+  *      under a global aggregate (its input is partial-agg rows — one
+  *      row per map task, bounded whatever the corpus size) and the
+  *      presentation `orderBy` (a RANGE-partitioned distributed sort,
+  *      not a single-partition funnel).
   *
   * A new query that accidentally plans either fails this suite with its
   * name — the regression is caught at `sbt test` time, not in a 100 TB
@@ -73,6 +81,45 @@ class PlanLintSpec extends SparkSpec {
       s"allowlisted but plans no non-equi join (remove the entry): ${unneeded.mkString(", ")}")
   }
 
+  /** Queries allowed a forced single-partition exchange. Nothing should
+    * ever need this (a one-file presentation write belongs in the
+    * writer, not the query plan) — named-exemption list like the others.
+    */
+  private val singlePartitionAllowed: Map[String, String] = Map.empty
+
+  private def plansForcedSinglePartition(name: String): Boolean = {
+    val (physical, _) = plans(name)
+    // `Exchange SinglePartition, REPARTITION…` = user-forced (the
+    // planner's own one-partition exchanges print ENSURE_REQUIREMENTS);
+    // `Coalesce 1` is the coalesce(1) physical node (`\b` keeps
+    // "Coalesce 10+" from matching)
+    physical.contains("Exchange SinglePartition, REPARTITION") ||
+      "Coalesce 1\\b".r.findFirstIn(physical).isDefined
+  }
+
+  test("detector canary: repartition(1) and coalesce(1) trip; a global aggregate and coalesce(10) do not") {
+    val base = spark.range(100).toDF("x")
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    assert(physical(base.repartition(1)).contains("Exchange SinglePartition, REPARTITION"))
+    assert("Coalesce 1\\b".r.findFirstIn(physical(base.coalesce(1))).isDefined)
+    // the global-agg exchange carries partial-agg rows — must NOT trip
+    val agg = physical(base.agg(org.apache.spark.sql.functions.sum("x")))
+    assert(agg.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"fixture expectation drifted: $agg")
+    assert(!agg.contains("Exchange SinglePartition, REPARTITION"))
+    assert("Coalesce 1\\b".r.findFirstIn(physical(base.coalesce(10))).isEmpty)
+  }
+
+  test("no registered query forces a single-partition exchange (repartition(1)/coalesce(1))") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(singlePartitionAllowed.contains)
+      .filter(plansForcedSinglePartition)
+    assert(offenders.isEmpty,
+      s"scale lint: forced single-partition exchange planned by: ${offenders.mkString(", ")} — " +
+        "drop the repartition(1)/coalesce(1) (presentation writes coalesce in the WRITER, not the plan)")
+  }
+
   test("no registered query uses a globally-ordered window (empty PARTITION BY)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(globalWindowAllowed.contains)
@@ -83,7 +130,8 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("allowlists only name registered queries (no stale entries)") {
-    val stale = (nonEquiJoinAllowed.keySet ++ globalWindowAllowed.keySet) -- SparkEntry.queries.keySet
+    val stale = (nonEquiJoinAllowed.keySet ++ globalWindowAllowed.keySet ++
+      singlePartitionAllowed.keySet) -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for unregistered queries: ${stale.mkString(", ")}")
   }
 }
