@@ -106,6 +106,7 @@ object SparkEntry {
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
     "x_semantic_dedup"  -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
+    "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
+    "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -939,6 +941,14 @@ object SparkEntry {
            pruned.vec_id IS NULL AS keep
          FROM assigned a LEFT JOIN pruned ON a.vec_id = pruned.vec_id
          ORDER BY a.vec_id""",
+    // Verdict query for the k-means-REFINED semantic-dedup leg: refined
+    // float centroids are not bit-portable, but the prune rule's
+    // theorems are — `true` here carries real content because the Spark
+    // side computes both booleans from the refined run (a false verdict
+    // fails the hash compare). See Similarity.semanticDedupRefinedVerdict.
+    "x_semantic_dedup_refined" ->
+      """SELECT count(*) AS n_vecs, true AS kept_tau_free, true AS cells_nonempty
+         FROM embeddings""",
     "x_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -995,42 +1005,21 @@ object SparkEntry {
              ELSE 'fr'
            END AS predicted
          FROM s ORDER BY doc_id""",
-    // Corpus-trained BPE: the oracle LEARNS the same merge table (an
-    // all-integer aggregate with a total tie-break, so both engines
-    // derive identical merges from the corpus) and replays sequential
-    // merge application with a recursive CTE — replace() is greedy
-    // leftmost non-overlapping in both engines, and rank r's
-    // placeholder chr(48+r-1) matches the Spark side's '0'+i.
-    "x_token_bpe" ->
-      """WITH RECURSIVE
-         toks AS (SELECT doc_id,
-                    array_to_string(regexp_extract_all(text, '[a-zA-Z]+'), ' ') AS joined,
-                    len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_tok, text
-                  FROM documents WHERE doc_id < 50),
-         runs AS (SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents),
-         pairs AS (SELECT unnest(list_transform(range(length(tok) - 1),
-                     i -> substr(tok, i + 1, 2))) AS pair
-                   FROM runs WHERE length(tok) >= 2),
-         merges AS (SELECT pair, CAST(row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS BIGINT) AS rk
-                    FROM pairs GROUP BY pair
-                    ORDER BY count(*) DESC, pair ASC LIMIT 8),
-         applied AS (
-           SELECT doc_id, joined AS s, 0 AS step FROM toks
-           UNION ALL
-           SELECT a.doc_id, replace(a.s, m.pair, chr(48 + a.step)) AS s, a.step + 1
-           FROM applied a JOIN merges m ON m.rk = a.step + 1),
-         final AS (SELECT doc_id, s FROM (
-                     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
-                     FROM applied) t WHERE rn = 1)
-         SELECT t.doc_id,
-           CAST(length(f.s) - greatest(t.n_tok - 1, 0) AS BIGINT) AS n_subword,
-           CAST(len(regexp_extract_all(t.text, '[0-9]+')) AS BIGINT) AS n_num,
-           CAST(len(regexp_extract_all(t.text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
-           CAST(length(f.s) - greatest(t.n_tok - 1, 0)
-                + len(regexp_extract_all(t.text, '[0-9]+'))
-                + len(regexp_extract_all(t.text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
-         FROM toks t JOIN final f ON t.doc_id = f.doc_id
-         ORDER BY t.doc_id""",
+    // Corpus-trained BPE (round 10: TRUE iterative learning): the
+    // oracle RE-LEARNS the merge table with the actual BPE loop —
+    // merge r is the top pair of the corpus AFTER merges 1..r-1 are
+    // rendered (one placeholder char per learned symbol, so merged
+    // symbols participate in later merges). The loop is unrolled as a
+    // chain of CTEs (runs0 → m1 → runs1 → m2 → …): SQL can't iterate
+    // an aggregate inside a recursive CTE, but 8 fixed iterations
+    // unroll exactly. Tie-break (count desc, pair asc) is all-integer
+    // and byte-wise on ASCII, so both engines derive identical merges;
+    // replace() is greedy leftmost non-overlapping in both engines,
+    // and rank r's placeholder chr(48+r-1) matches the Spark side's
+    // '0'+i. An exhausted corpus (no pairs left) coalesces the merge
+    // slot to a chr(1)chr(1) sentinel that can never match, mirroring
+    // the Spark learner's early stop.
+    "x_token_bpe" -> bpeIterativeOracle,
     "x_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1326,6 +1315,31 @@ object SparkEntry {
            true AS bloom_ok
          FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          ORDER BY d.doc_id""",
+    // Semantic decontamination: eval = vec_id < 20; a corpus vector is
+    // contaminated iff some eval vector shares its sign-bit bucket and
+    // has 6-dp-rounded cosine ≥ 0.4 (same bucket + cosine contract as
+    // x_embed_neardup_lsh; eval members self-flag, as in x_decontam).
+    "x_decontam_semantic" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         hits AS (
+           SELECT c.vec_id, count(*) AS n_close
+           FROM e c JOIN e q ON c.bucket = q.bucket AND q.vec_id < 20
+           WHERE round(list_dot_product(c.v, q.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) >= 0.4
+           GROUP BY c.vec_id)
+         SELECT a.vec_id, coalesce(h.n_close, 0) AS n_close,
+           coalesce(h.n_close, 0) >= 1 AS contaminated
+         FROM embeddings a LEFT JOIN hits h ON a.vec_id = h.vec_id
+         ORDER BY a.vec_id""",
     // Greedy sequential packing: a doc's bin = floor(prefix token sum
     // before it / 2048). The oracle's single global cumsum is the
     // semantics; the Spark side computes it as a distributed prefix sum.
@@ -1334,6 +1348,43 @@ object SparkEntry {
          c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
          FROM c ORDER BY doc_id""")
+
+  /** Iterative-BPE oracle, the 8-iteration training loop unrolled as a
+    * CTE chain (see the x_token_bpe map entry for the contract). Built
+    * programmatically so each unrolled level is generated, not
+    * hand-copied 8 times.
+    */
+  private val bpeIterativeOracle: String = {
+    val nMerges = 8
+    // never-matching sentinel for exhausted merge slots (corpus out of
+    // pairs): chr(1) can't appear in alpha+placeholder+space text
+    def mergeRef(r: Int) = s"coalesce((SELECT pair FROM m$r), chr(1) || chr(1))"
+    val levels = (1 to nMerges).map { r =>
+      s"""m$r AS (SELECT pair FROM (
+           SELECT unnest(list_transform(range(length(tok) - 1), i -> substr(tok, i + 1, 2))) AS pair
+           FROM runs${r - 1} WHERE length(tok) >= 2)
+         GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+         runs$r AS (SELECT replace(tok, ${mergeRef(r)}, chr(${48 + r - 1})) AS tok FROM runs${r - 1})"""
+    }.mkString(",\n         ")
+    val appliedExpr = (1 to nMerges).foldLeft("joined") { (acc, r) =>
+      s"replace($acc, ${mergeRef(r)}, chr(${48 + r - 1}))"
+    }
+    s"""WITH runs0 AS (SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents),
+         $levels,
+         toks AS (SELECT doc_id,
+                    array_to_string(regexp_extract_all(text, '[a-zA-Z]+'), ' ') AS joined,
+                    len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_tok, text
+                  FROM documents WHERE doc_id < 50),
+         applied AS (SELECT doc_id, n_tok, text, $appliedExpr AS s FROM toks)
+         SELECT doc_id,
+           CAST(length(s) - greatest(n_tok - 1, 0) AS BIGINT) AS n_subword,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+           CAST(length(s) - greatest(n_tok - 1, 0)
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
+         FROM applied ORDER BY doc_id"""
+  }
 
   /** As-of semantics shared by the join+aggregate and sort-merge
     * formulations: each event's most recent order date at or before it.

@@ -119,6 +119,47 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-based (semantic) decontamination — the paraphrase-aware
+    * twin of [[decontaminate]] (VERDICT r9 #4): flag corpus documents
+    * whose EMBEDDING is τ-cosine-close to an eval-set embedding. 8-gram
+    * overlap misses benchmark leakage that was reworded, translated, or
+    * templated; embedding proximity is the check modern pipelines run
+    * for exactly that gap (the same leakage class SemDeDup prunes
+    * within-corpus). Eval set: vec_id < 20, mirroring the textual
+    * check's doc_id < 20 stand-in — and as there, eval members flag
+    * themselves (cos(v,v) = 1 ≥ τ), a deliberate sanity property.
+    *
+    * 100 TB shape: candidates come from the SAME sign-bit LSH bucket
+    * equi-join as [[Similarity.lshNearDupPairs]] — the tiny eval side
+    * (bucketed) BROADCASTS and the corpus streams past it, no shuffle
+    * of the big side, candidate pairs bounded per bucket instead of
+    * |corpus|×|eval|. Recall trade (documented, same as every LSH
+    * path): a τ-close pair split across buckets is missed; production
+    * raises recall with multi-probe ([[Similarity.lshTopKMultiProbe]]'s
+    * Hamming-1 fan-out on the broadcast side) rather than more tables.
+    * Deterministic bucketing + 6-dp-rounded cosine keep the whole
+    * check exact, engine-portable SQL the oracle replays verbatim.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    decontaminateSemanticFor(Tables.embeddings(spark, dir), tau)
+  }
+
+  def decontaminateSemanticFor(e: DataFrame, tau: Double): DataFrame = {
+    val bucketed = e.withColumn("bucket", Similarity.signBucket(col("embedding")))
+    val evalSet = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"), col("bucket"))
+    val hits = bucketed.join(broadcast(evalSet), Seq("bucket"))
+      .filter(round(Similarity.cosine(col("embedding"), col("ev")), 6) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_close"))
+    e.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_close"), lit(0L)).as("n_close"))
+      .withColumn("contaminated", col("n_close") >= 1)
+      .orderBy(col("vec_id"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB twin of [[decontaminate]].
     * The exact form broadcasts the eval set's distinct shingle hashes as
     * a join hash relation; at corpus scale even "tiny" eval suites reach

@@ -219,7 +219,7 @@ object Similarity {
     * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
     * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
     */
-  private def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
+  private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
     val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
       struct(
         (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
@@ -495,5 +495,51 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     semanticDedup(e, centroids, tau)
+  }
+
+  /** Registered verdict-query face of the PRODUCTION semantic-dedup
+    * path (VERDICT r9 #7): run [[kmeansRefine]] (the real centroid
+    * training), prune with [[semanticDedup]] over the REFINED
+    * centroids, and emit what must hold of the refined run as a 1-row
+    * verdict the oracle replays as constants — the same portable-
+    * literal split as [[ivfRefinedReport]]: refined float centroids are
+    * not bit-portable across engines, but the verdicts are THEOREMS of
+    * the prune rule (a total order by (cos_centroid desc, vec_id asc)
+    * within each cell), not empirical claims, so a dataset change
+    * cannot fail the hash gate with the code working as designed:
+    *   - `kept_tau_free` — no within-cell τ-similar pair survives with
+    *     both endpoints kept (the better endpoint always prunes the
+    *     worse);
+    *   - `cells_nonempty` — every non-empty cell keeps ≥ 1 member (the
+    *     member nearest its centroid has no strictly better neighbor).
+    * Both heads are bounded 1-row collects (the verdict-head pattern);
+    * computing them forces the refined assign + prune + pair join to
+    * execute, so the entry prices the full production pipeline, train
+    * loop included. Empirical refined-vs-seed quality lives in ExtSpec
+    * ("semantic dedup: prune invariants"), not the gate.
+    */
+  def semanticDedupRefinedVerdict(spark: SparkSession, dir: String, tau: Double = 0.4,
+      cells: Int = 16, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val (refinedD, _) = kmeansRefine(spark, dir, cells, iters, trackObjectives = false)
+    val refined = refinedD.map { case (id, v) => (id, v.map(_.toFloat)) }
+    val out = semanticDedup(e, refined, tau)
+    val kept = out.filter(col("keep")).join(e, "vec_id")
+    val k1 = kept.select(col("cell_id"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val k2 = kept.select(col("cell_id"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val nTauKeptPairs = k1.join(k2, Seq("cell_id"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(cosine(col("e1"), col("e2")), 6) >= tau)
+      .agg(count(lit(1))).head().getLong(0)
+    val Array(nCells, nKeepCells) = out
+      .groupBy(col("cell_id"))
+      .agg(max(when(col("keep"), 1L).otherwise(0L)).as("has_keep"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("has_keep")).as("n_keep_cells"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    e.agg(count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"),
+        lit(nTauKeptPairs == 0L).as("kept_tau_free"),
+        lit(nCells == nKeepCells).as("cells_nonempty"))
   }
 }

@@ -198,6 +198,11 @@ object EventsStream {
     * production bounds it with a state-store TTL.
     */
   def imageNearDupCandidates(media: DataFrame, bands: Int = 4): Dataset[MediaDupCandidate] = {
+    // mirror the batch path's guard (Multimodal.phashNearDupPairs —
+    // ADVICE r9): bands=0 divides by zero, bands>64 gives width 0 and a
+    // degenerate all-zero mask, bands∤64 drops the top bits from every
+    // slice and silently weakens the pigeonhole guarantee
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val spark = media.sparkSession
     import spark.implicits._
     val width = 64 / bands
@@ -217,6 +222,45 @@ object EventsStream {
           val owner = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(owner)
           ids.filter(_ != owner).distinct.map(m => MediaDupCandidate(m, owner)).iterator
+      }
+  }
+
+  final case class VecCell(vec_id: Long, cell_id: Long)
+  final case class SemDupCandidate(vec_id: Long, dup_of: Long, cell_id: Long)
+
+  /** Streaming SEMANTIC dedup candidates (round 10 — the SemDeDup twin
+    * of [[nearDupCandidates]]/[[imageNearDupCandidates]]): embeddings
+    * arriving on a stream are assigned to their nearest-centroid cell
+    * by the SAME literal-centroid codegen argmax as the batch path
+    * ([[graft.ext.Similarity.assignCells]] — stateless, streaming-safe),
+    * and each cell keeps ONE stateful owner: the first vector that ever
+    * landed there. Every later arrival in an owned cell is emitted as a
+    * semantic-dup candidate of that owner.
+    *
+    * Candidate tier like the other two twins: no τ-cosine verify (the
+    * owner's vector is not retained — 8 bytes of state per cell) and
+    * first-arrival ownership rather than the batch path's
+    * closest-to-centroid ranking, which needs the whole cell. Route
+    * candidates to the batch [[graft.ext.Similarity.semanticDedup]]
+    * over the store for the exact τ prune. State is bounded by the
+    * CENTROID COUNT — K longs total, regardless of stream length — the
+    * tightest state bound of the three dedup twins.
+    */
+  def semanticDedupCandidates(vecs: DataFrame,
+      centroids: Array[(Long, Array[Float])]): Dataset[SemDupCandidate] = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val assigned = graft.ext.Similarity.assignCells(vecs, centroids)
+      .select(col("vec_id").cast("long").as("vec_id"), col("cell_id")).as[VecCell]
+    assigned.groupByKey(_.cell_id)
+      .flatMapGroupsWithState[Long, SemDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, rows: Iterator[VecCell], state: GroupState[Long]) =>
+          val ids = rows.map(_.vec_id).toSeq.sorted
+          val owner = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(owner)
+          ids.filter(_ != owner).distinct.map(v => SemDupCandidate(v, owner, cell)).iterator
       }
   }
 

@@ -454,25 +454,43 @@ class ExtSpec extends SparkSpec {
     assert(deep == shifted, s"expected ${shifted.toSeq.sorted}, got ${deep.toSeq.sorted}")
   }
 
-  test("BPE token counts: learned merges compress the corpus's dominant pairs in rank order") {
-    // pair counts: "ab" 6 (3 per run × 2 runs), "ba" 4, "cd" 3 — so
-    // top-2 merges are [ab, ba] and "cd" only merges at nMerges ≥ 3
+  test("BPE token counts: iterative merges let merged symbols participate, unlike single-pass") {
+    // raw pair counts: "ab" 6 (3 per run × 2 runs), "ba" 4, "cd" 3.
+    // Iterative: merge1 = ab → '0'; each run "ababab" becomes "000",
+    // whose re-counted pairs give "00" 4 > cd 3 > "10"... — merge2 is
+    // the MERGED-SYMBOL pair "00" (= the 4-char symbol abab), which
+    // single-pass counting (pairs frozen on the raw corpus: ab, ba,
+    // cd) can never learn. That is the defining difference between the
+    // real BPE loop and the round-9 top-K approximation.
     val d = Seq(
       (0L, "ababab ababab"),
       (1L, "cd cd cd")
     ).toDF("doc_id", "text")
+    val iter = graft.ext.TextAnalysis.learnBpeMerges(d, 3)
+    val single = graft.ext.TextAnalysis.learnBpeMergesSinglePass(d, 3)
+    assert(single == Seq("ab", "ba", "cd"), s"got $single")
+    assert(iter == Seq("ab", "00", "cd"), s"got $iter")
+    assert(iter != single, "iterative must diverge from single-pass on this corpus")
+
     def counts(nMerges: Int): Map[Long, Long] =
       graft.ext.TextAnalysis.bpeTokenCountsFor(d, nMerges)
         .select(col("doc_id"), col("n_subword")).as[(Long, Long)].collect().toMap
+    // 2 merges: "ababab" → "000" (ab→0) → "10" (00→1, greedy leftmost
+    // non-overlapping): joined "10 10" len 5, 2 runs → n_subword 4;
+    // "cd" untouched: 2 chars × 3 runs
     val two = counts(2)
-    // each "ababab" → [ab][ab][ab]: 3 subwords × 2 runs; "cd" unmerged: 2 chars × 3 runs
-    assert(two == Map(0L -> 6L, 1L -> 6L), s"got $two")
+    assert(two == Map(0L -> 4L, 1L -> 6L), s"got $two")
+    // third merge is "cd": each doc-1 run collapses to one symbol
     val three = counts(3)
-    // third merge is "cd": each run collapses to one symbol
-    assert(three == Map(0L -> 6L, 1L -> 3L), s"got $three")
+    assert(three == Map(0L -> 4L, 1L -> 3L), s"got $three")
     // merging never increases the token count vs unmerged characters
     val zero = counts(0)
     assert(zero == Map(0L -> 12L, 1L -> 6L), s"got $zero")
+    // tiny-corpus early stop: asking for 10 merges on a corpus that
+    // exhausts its pairs returns a shorter table rather than failing
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val exhausted = graft.ext.TextAnalysis.learnBpeMerges(tiny, 10)
+    assert(exhausted == Seq("ab"), s"got $exhausted")
   }
 
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
@@ -799,6 +817,30 @@ class ExtSpec extends SparkSpec {
       val keptCells = out.filter(_._4).map(_._2).toSet
       assert(out.map(_._2).toSet == keptCells, "a cell lost all its vectors")
     }
+  }
+
+  test("semantic decontamination flags the planted paraphrase, not the distant vector; bucket split documents the recall trade") {
+    graft.functions.GraftFunctions.register(spark)
+    val aDir = Array.fill(8)(0.5f)
+    // 30 = the "paraphrase": eval direction mildly perturbed — same
+    // sign bucket, cosine ≈ 0.999 — exactly the reworded-benchmark
+    // leakage 8-gram overlap misses
+    val paraphrase = aDir.clone(); paraphrase(7) = 0.45f
+    // 31 = same bucket (all-positive) but nearly orthogonal direction:
+    // cos(a, 31) ≈ 0.356 < τ = 0.4
+    val distant = Array.fill(8)(0.001f); distant(7) = 1.0f
+    // 32 = τ-close in cosine but bucket-split (dim-1 sign flipped on a
+    // tiny component): the documented LSH recall miss
+    val bucketSplit = aDir.clone(); bucketSplit(0) = -0.01f
+    val e = Seq(0L -> aDir, 30L -> paraphrase, 31L -> distant, 32L -> bucketSplit)
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Corpus.decontaminateSemanticFor(e, tau = 0.4)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0L) == ((1L, true)), s"eval member must self-flag: ${out(0L)}")
+    assert(out(30L) == ((1L, true)), s"planted paraphrase missed: ${out(30L)}")
+    assert(out(31L) == ((0L, false)), s"sub-τ vector wrongly flagged: ${out(31L)}")
+    assert(out(32L) == ((0L, false)),
+      s"bucket-split vector should be the documented recall miss: ${out(32L)}")
   }
 
   test("simhash banded pairs equal brute force and surface the planted exact dup at Hamming 0") {

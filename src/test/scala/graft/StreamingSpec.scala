@@ -736,6 +736,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic-dedup candidates agree with batch cell assignment; planted same-cell dup flagged") {
+    import graft.ext.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // stream the first 40 corpus vectors in id order, one micro-batch
+    // per vector, so cell ownership is deterministic (lowest id owns)
+    val vecs = e.filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventsStream.semanticDedupCandidates(
+        input.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode("append").start()
+    vecs.foreach { v => input.addData(v); q.processAllAvailable() }
+    q.stop()
+    val out = spark.table("semdedup_out").select("vec_id", "dup_of", "cell_id")
+      .as[(Long, Long, Long)].collect()
+    // batch agreement: the stream's cell for every candidate AND owner
+    // equals the batch assignCells cell on the same data
+    val batchCell = Similarity.assignCells(e.filter(col("vec_id") < 40), centroids)
+      .select(col("vec_id"), col("cell_id")).as[(Long, Long)].collect().toMap
+    out.foreach { case (v, owner, cell) =>
+      assert(batchCell(v) == cell, s"stream cell $cell != batch ${batchCell(v)} for vec $v")
+      assert(batchCell(owner) == cell, s"owner $owner not in cell $cell in batch")
+      assert(owner < v, s"owner must precede the candidate: ($v, $owner)")
+    }
+    // completeness: every non-owner vector of a multi-member cell is a
+    // candidate of exactly its cell's first arrival (id order ⇒ min id)
+    val expected = batchCell.groupBy(_._2).values
+      .flatMap { m => val ids = m.keys.toSeq.sorted; ids.tail.map(v => (v, ids.head)) }
+      .toSet
+    assert(out.map(t => (t._1, t._2)).toSet == expected,
+      s"candidate set mismatch: got ${out.length}, expected ${expected.size}")
+    // the corpus guarantees at least one multi-member cell among 40
+    // vectors over 16 centroids (pigeonhole) — the planted-dup leg
+    assert(expected.nonEmpty, "fixture must produce at least one candidate")
+    // ADVICE r9: the image twin now validates bands like its batch twin
+    val err = intercept[IllegalArgumentException] {
+      EventsStream.imageNearDupCandidates(
+        Seq((0L, Array[Byte]())).toDF("media_id", "payload"), bands = 5)
+    }
+    assert(err.getMessage.contains("divide 64"))
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
