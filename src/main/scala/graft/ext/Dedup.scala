@@ -481,12 +481,22 @@ object Dedup {
     // the memoized pair frame: already materialized if ngramJaccardPairs
     // ran in this process, so clustering pays only the component solve
     val pairs = pairFrame(spark, dir).select(col("d1"), col("d2"))
+    componentsFor(docs.select(col("doc_id")), pairs)
+  }
+
+  /** Size-adaptive connected components over any (d1, d2) pair frame —
+    * the solve behind [[dedupClusters]], reusable by any near-dup pair
+    * producer (e.g. [[Similarity.semanticClusters]]'s within-cell
+    * τ-pairs). `vertices` must expose `doc_id`; output is (doc_id,
+    * cluster = component min, keep = is-canonical), one row per vertex.
+    */
+  private[graft] def componentsFor(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     // one bounded action decides the path AND delivers the small-graph
     // data: collect at most max+1 pairs — a row over the bound proves
     // the graph is large without counting it all
     val sample = pairs.limit(DriverCcMaxEdges + 1).collect()
-    if (sample.length <= DriverCcMaxEdges) driverCc(docs, sample)
-    else distributedCc(docs, pairs)
+    if (sample.length <= DriverCcMaxEdges) driverCc(vertices, sample)
+    else distributedCc(vertices, pairs)
   }
 
   /** Edge-count bound for the driver-side union-find (~150 MB of pairs). */
@@ -509,7 +519,15 @@ object Dedup {
     }
     val spark = docs.sparkSession
     import spark.implicits._
-    val labels = parent.keys.map(d => (d, find(d))).toSeq.toDF("doc_id", "cluster")
+    // Snapshot the key set BEFORE mapping: find() path-compresses, and
+    // even a same-value write on a map sitting exactly at its growth
+    // threshold REHASHES the table (mutable.HashMap.put0 grows before
+    // probing for the existing key), scrambling a live keySet iterator —
+    // observed silently dropping 4 of 11 labels on a pair graph whose
+    // parent map landed on the 16→32 boundary. Size-dependent, so it
+    // can bite ANY corpus; the snapshot makes label emission immune.
+    val ks = parent.keys.toArray
+    val labels = ks.map(d => (d, find(d))).toSeq.toDF("doc_id", "cluster")
     docs.select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
