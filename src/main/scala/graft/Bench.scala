@@ -131,6 +131,12 @@ object Bench {
       val lines = spark.read.parquet(s"$sfDir/events.parquet")
         .select(to_json(struct(col("*"))).as("value"))
       val n = lines.count()
+      // clean heap before the timed section: the JSON decode allocates
+      // heavily on all 32 threads, and entering it with the old gen full
+      // of sweep-era garbage measures GC history, not ingest capability
+      // (observed 38x on an end-of-run rep at loadavg 5 on 32 cores —
+      // not load; the collector). Same treatment for both reps.
+      System.gc()
       val t0 = System.nanoTime()
       graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
         .write.format("noop").mode("overwrite").save()

@@ -107,6 +107,7 @@ object SparkEntry {
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
     "x_semantic_dedup"  -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
+    "x_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
@@ -949,6 +950,31 @@ object SparkEntry {
     "x_semantic_dedup_refined" ->
       """SELECT count(*) AS n_vecs, true AS kept_tau_free, true AS cells_nonempty
          FROM embeddings""",
+    // Semantic clusters: same assignment + within-cell τ-pair contract
+    // as x_semantic_dedup, then the recursive reach closure from the
+    // textual clusters oracle — cluster = component min, keep = is-min.
+    "x_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS rk
+             FROM e, cent) t WHERE rk = 1),
+         pairs AS (
+           SELECT a.vec_id AS d1, b.vec_id AS d2
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+         edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r.a, e2.eb FROM reach r JOIN edges e2 ON r.b = e2.ea)
+         SELECT a AS vec_id, min(b) AS cluster, (min(b) = a) AS keep
+         FROM reach GROUP BY a ORDER BY vec_id""",
     "x_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -542,4 +542,45 @@ object Similarity {
         lit(nTauKeptPairs == 0L).as("kept_tau_free"),
         lit(nCells == nKeepCells).as("cells_nonempty"))
   }
+
+  /** Semantic near-dup CLUSTERS (round 10): the cluster-level view
+    * [[semanticDedup]]'s keep/prune verdicts don't give you — every
+    * vector labeled with the min vec_id of its τ-similarity connected
+    * component, `keep` marking the canonical representative. What a
+    * pipeline needs when it wants to SAMPLE one member per semantic
+    * group, size-weight clusters, or audit what pruning would discard
+    * — the same decision layer [[Dedup.dedupClusters]] provides over
+    * textual Jaccard pairs, here over embedding cosine.
+    *
+    * Pairs are the within-cell τ-pairs of the SemDeDup assignment (an
+    * equi-join on `cell_id` — cells bound the quadratic exactly as in
+    * [[semanticDedup]]; cross-cell τ-pairs are the same documented
+    * recall bound). The component solve reuses the size-adaptive
+    * machinery ([[Dedup.componentsFor]]): driver union-find under 10M
+    * edges, pointer-jumping label propagation above — identical labels
+    * either way. `keep` here = component-min canonicality, a coarser
+    * rule than SemDeDup's centroid-distance prune (which keeps one
+    * vector per τ-CLIQUE, not per component); both faces are
+    * registered, hash-checked, and share the pair contract.
+    */
+  def semanticClusters(spark: SparkSession, dir: String, tau: Double = 0.4,
+      cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assigned = assignCells(e, centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell_id"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(cosine(col("e1"), col("e2")), 6) >= tau)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    Dedup.componentsFor(e.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

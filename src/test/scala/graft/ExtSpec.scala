@@ -843,6 +843,60 @@ class ExtSpec extends SparkSpec {
       s"bucket-split vector should be the documented recall miss: ${out(32L)}")
   }
 
+  test("driver union-find labels survive a parent map at the hash-table growth boundary") {
+    // 11 disjoint pairs leave the union-find parent map with exactly 11
+    // entries — one below mutable.HashMap's 16→32 growth threshold of
+    // 12, where path compression's same-value write during label
+    // emission used to rehash the table mid-iteration and silently drop
+    // labels (observed: 4 of 11 lost at sf0.01 on x_semantic_clusters).
+    val pairs = (0L until 11L).map(i => (i, 100L + i)).toDF("d1", "d2")
+    val verts = (0L until 111L).map(Tuple1(_)).toDF("doc_id")
+    val out = graft.ext.Dedup.componentsFor(verts, pairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 111)
+    val nonKeep = out.filter(!_._3).map(r => r._1 -> r._2).toMap
+    assert(nonKeep == (0L until 11L).map(i => (100L + i) -> i).toMap, s"got $nonKeep")
+  }
+
+  test("semantic clusters: labels equal a local union-find over the within-cell τ-pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val e = graft.Tables.embeddings(spark, dir)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // local recompute of the query's whole contract: seed-centroid
+    // argmax assignment (cos desc, cell asc), within-cell τ-pairs,
+    // union-find, component-min labels
+    val cents = (0L until 16L).map(c => c -> vecs(c))
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for {
+      u <- vecs.keys.toSeq.sorted; v <- vecs.keys.toSeq.sorted
+      if u < v && cell(u) == cell(v) && cos(vecs(u), vecs(v)) >= tau
+    } { val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv } }
+    val expected = vecs.keys.map(id => id -> find(id)).toMap
+    val out = graft.ext.Similarity.semanticClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == vecs.size)
+    out.foreach { case (id, cluster, keep) =>
+      assert(cluster == expected(id), s"vec $id: cluster $cluster != expected ${expected(id)}")
+      assert(keep == (cluster == id), s"vec $id: keep must mark the component min")
+    }
+    // the corpus plants embedding near-dups (TESTDATA) — at least one
+    // non-trivial cluster must exist or the fixture lost its teeth
+    assert(out.exists(r => !r._3), "expected at least one non-canonical member")
+  }
+
   test("simhash banded pairs equal brute force and surface the planted exact dup at Hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs).as[(Long, Long, Long)].collect().toSet
     // docs: 0=base, 1=one-token near-dup, 2=unrelated, 3=exact dup of 0
