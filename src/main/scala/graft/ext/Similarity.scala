@@ -524,7 +524,11 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val (refinedD, _) = kmeansRefine(spark, dir, cells, iters, trackObjectives = false)
     val refined = refinedD.map { case (id, v) => (id, v.map(_.toFloat)) }
+    // both verdict aggregations re-derive the assign+prune frame; one
+    // persist halves the refined pipeline's execution count (the two
+    // heads below are separate actions)
     val out = semanticDedup(e, refined, tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = out.filter(col("keep")).join(e, "vec_id")
     val k1 = kept.select(col("cell_id"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val k2 = kept.select(col("cell_id"), col("vec_id").as("v2"), col("embedding").as("e2"))
@@ -537,6 +541,7 @@ object Similarity {
       .agg(max(when(col("keep"), 1L).otherwise(0L)).as("has_keep"))
       .agg(count(lit(1)).as("n_cells"), sum(col("has_keep")).as("n_keep_cells"))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    out.unpersist(blocking = false)
     e.agg(count(lit(1)).as("n_vecs"))
       .select(col("n_vecs"),
         lit(nTauKeptPairs == 0L).as("kept_tau_free"),
