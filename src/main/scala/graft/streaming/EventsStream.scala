@@ -264,6 +264,39 @@ object EventsStream {
       }
   }
 
+  final case class ContamHit(vec_id: Long, eval_id: Long)
+
+  /** Streaming SEMANTIC decontamination (round 10): flag embeddings as
+    * they arrive against a STATIC eval-set frame — the online face of
+    * [[graft.ext.Corpus.decontaminateSemantic]], for pipelines that
+    * must reject paraphrased-benchmark leakage at ingest time instead
+    * of in a nightly sweep. Same contract end-to-end: sign-bucket
+    * equi-join, broadcast eval side, 6-dp-rounded τ-cosine — so batch
+    * agreement is row-level, not statistical.
+    *
+    * Unlike the three dedup twins this needs NO state at all: the eval
+    * set is a static frame, so each micro-batch is a stream-static
+    * broadcast join — stateless, watermark-free, trivially scalable
+    * (the stream side never shuffles). Emits one (vec_id, eval_id) row
+    * per τ-close eval partner; route downstream for aggregation or
+    * quarantine. The bucket-split recall trade and its multi-probe
+    * remedy are the batch path's, documented there.
+    */
+  def decontamHits(vecs: DataFrame, evalSet: DataFrame, tau: Double = 0.4): Dataset[ContamHit] = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.ext.Similarity
+    val ev = evalSet
+      .select(col("vec_id").cast("long").as("eval_id"), col("embedding").as("ev"))
+      .withColumn("bucket", Similarity.signBucket(col("ev")))
+    vecs.withColumn("bucket", Similarity.signBucket(col("embedding")))
+      .join(broadcast(ev), Seq("bucket"))
+      .filter(round(Similarity.cosine(col("embedding"), col("ev")), 6) >= tau)
+      .select(col("vec_id").cast("long").as("vec_id"), col("eval_id"))
+      .as[ContamHit]
+  }
+
   final case class FunnelUpdate(user_id: Long,
       t_view: Option[java.sql.Timestamp], t_click: Option[java.sql.Timestamp],
       t_purchase: Option[java.sql.Timestamp], stage: Long)

@@ -736,6 +736,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic decontamination hits agree row-level with the batch path") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val evalSet = e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventsStream.decontamHits(
+        input.toDF().toDF("vec_id", "embedding"), evalSet)
+      .writeStream.format("memory").queryName("decontam_hits")
+      .outputMode("append").start()
+    // three micro-batches — stateless, so batching must not matter
+    vecs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamCounts = spark.table("decontam_hits")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // row-level agreement: per-vec hit counts equal the batch n_close
+    val batch = graft.ext.Corpus.decontaminateSemanticFor(e, tau = 0.4)
+      .as[(Long, Long, Boolean)].collect()
+    batch.foreach { case (v, nClose, contaminated) =>
+      assert(streamCounts.getOrElse(v, 0L) == nClose,
+        s"vec $v: stream ${streamCounts.getOrElse(v, 0L)} hits != batch $nClose")
+      assert(contaminated == (nClose >= 1))
+    }
+    // the 20 eval members must self-flag through the stream too
+    (0L until 20L).foreach(v => assert(streamCounts.getOrElse(v, 0L) >= 1L))
+  }
+
   test("streaming semantic-dedup candidates agree with batch cell assignment; planted same-cell dup flagged") {
     import graft.ext.Similarity
     val dir = "/root/testdata/sf0.001"
