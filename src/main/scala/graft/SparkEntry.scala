@@ -105,6 +105,7 @@ object SparkEntry {
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
+    "x_embed_neardup_recall" -> ((s, d) => Similarity.nearDupRecallReport(s, d)), // verdict query: candidate-generator recall judged vs exact
     "x_semantic_dedup"  -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
     "x_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
+    "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -999,6 +1001,36 @@ object SparkEntry {
          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
          ORDER BY v1, v2""",
+    // Recall report: conditional counts over the ONE exact τ-close pair
+    // set (b1=b2 is exactly x_embed_neardup_lsh's pair set; Hamming<=1
+    // is the multi-probe remedy). Counts cast BIGINT on both sides;
+    // recall pcts are double on both sides (nullif guards empty truth).
+    "x_embed_neardup_recall" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (
+           SELECT a.bucket AS b1, b.bucket AS b2
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+         c AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact,
+             CAST(coalesce(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs_lsh,
+             CAST(coalesce(sum(CASE WHEN bit_count(xor(b1::BIGINT, b2::BIGINT)) <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs_probe
+           FROM p)
+         SELECT n_pairs_exact, n_pairs_lsh, n_pairs_probe,
+           round(100.0 * n_pairs_lsh / nullif(n_pairs_exact, 0), 2) AS recall_lsh_pct,
+           round(100.0 * n_pairs_probe / nullif(n_pairs_exact, 0), 2) AS recall_probe_pct,
+           n_pairs_probe >= n_pairs_lsh AS probe_superset
+         FROM c""",
     "x_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
@@ -1364,6 +1396,43 @@ object SparkEntry {
            GROUP BY c.vec_id)
          SELECT a.vec_id, coalesce(h.n_close, 0) AS n_close,
            coalesce(h.n_close, 0) >= 1 AS contaminated
+         FROM embeddings a LEFT JOIN hits h ON a.vec_id = h.vec_id
+         ORDER BY a.vec_id""",
+    // Multi-probe twin: each eval row probes its bucket + 8 Hamming-1
+    // buckets (masks 0,1,2,...,128). Probe buckets per eval row are
+    // distinct and a corpus row lives in one bucket, so each (corpus,
+    // eval) pair matches at most once — counts exact with no dedup.
+    // mask=0 recovers the single-bucket n_close inside the same join.
+    "x_decontam_semantic_probe" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         m AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask),
+         q AS (
+           SELECT vec_id AS eval_id, v AS qv, mask,
+             xor(bucket::BIGINT, mask::BIGINT) AS qb
+           FROM e, m WHERE vec_id < 20),
+         hits AS (
+           SELECT c.vec_id,
+             CAST(coalesce(sum(CASE WHEN q.mask = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_close,
+             CAST(count(*) AS BIGINT) AS n_close_probe
+           FROM e c JOIN q ON c.bucket = q.qb
+           WHERE round(list_dot_product(c.v, q.qv) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) >= 0.4
+           GROUP BY c.vec_id)
+         SELECT a.vec_id,
+           coalesce(h.n_close, 0) AS n_close,
+           coalesce(h.n_close_probe, 0) AS n_close_probe,
+           coalesce(h.n_close_probe, 0) - coalesce(h.n_close, 0) AS probe_gain,
+           coalesce(h.n_close_probe, 0) >= coalesce(h.n_close, 0) AS probe_ok,
+           coalesce(h.n_close_probe, 0) >= 1 AS contaminated
          FROM embeddings a LEFT JOIN hits h ON a.vec_id = h.vec_id
          ORDER BY a.vec_id""",
     // Greedy sequential packing: a doc's bin = floor(prefix token sum

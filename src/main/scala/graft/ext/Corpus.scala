@@ -160,6 +160,55 @@ object Corpus {
       .orderBy(col("vec_id"))
   }
 
+  /** Multi-probe face of [[decontaminateSemantic]] — prices the recall
+    * remedy that path documents instead of just promising it. Each eval
+    * embedding probes its own bucket PLUS every Hamming-1 bucket (one
+    * sign bit flipped — Lv et al., VLDB'07, same trade as
+    * [[Similarity.lshTopKMultiProbe]]): a τ-close corpus/eval pair whose
+    * unstable near-zero dimension flipped one bucket bit is recovered,
+    * where the single-bucket check misses it.
+    *
+    * One join prices BOTH checks: probes carry their `mask`, so
+    * `n_close` (single-bucket = mask 0) and `n_close_probe` (all 9
+    * probes) fall out of the same matched set, and the superset
+    * invariant `probe_ok` (probe never loses a single-bucket hit) is
+    * hash-checked by the oracle. Counts are exact with no dedup stage:
+    * a corpus row lives in ONE bucket and an eval row's 9 probe buckets
+    * are distinct, so each (corpus, eval) pair matches at most once.
+    *
+    * 100 TB shape: identical to the single-bucket path — the probe
+    * fan-out lands on the BROADCAST side (eval rows × 9, still tiny);
+    * the corpus side never shuffles and never duplicates.
+    */
+  def decontaminateSemanticProbe(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    decontaminateSemanticProbeFor(Tables.embeddings(spark, dir), tau)
+  }
+
+  def decontaminateSemanticProbeFor(e: DataFrame, tau: Double, bits: Int = 8): DataFrame = {
+    val bucketed = e.withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
+    val masks = lit(0L) +: (0 until bits).map(j => lit(1L << j))
+    val probes = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        col("bucket"), explode(array(masks: _*)).as("mask"))
+      .select(col("eval_id"), col("ev"), col("mask"),
+        col("bucket").bitwiseXOR(col("mask")).as("qb"))
+    val hits = bucketed.join(broadcast(probes), col("bucket") === col("qb"))
+      .filter(round(Similarity.cosine(col("embedding"), col("ev")), 6) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("mask") === 0L, 1L).otherwise(0L)).as("n_close"),
+        count(lit(1)).as("n_close_probe"))
+    e.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("n_close_probe"), lit(0L)).as("n_close_probe"))
+      .withColumn("probe_gain", col("n_close_probe") - col("n_close"))
+      .withColumn("probe_ok", col("n_close_probe") >= col("n_close"))
+      .withColumn("contaminated", col("n_close_probe") >= 1)
+      .orderBy(col("vec_id"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB twin of [[decontaminate]].
     * The exact form broadcasts the eval set's distinct shingle hashes as
     * a join hash relation; at corpus scale even "tiny" eval suites reach

@@ -439,6 +439,45 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Recall REPORT for the near-dup candidate generators — prices the
+    * recall trade [[lshNearDupPairs]] documents instead of only
+    * promising it. The exact all-pairs leg (the documented oracle twin,
+    * same shape as [[embeddingNearDup]]) enumerates every τ-close pair
+    * WITH both bucket ids; single-bucket recall (`b1 = b2` — exactly
+    * the pair set [[lshNearDupPairs]] emits) and Hamming-1 multi-probe
+    * recall (`bit_count(b1 xor b2) <= 1` — the remedy the LSH paths
+    * cite, Lv et al. VLDB'07) are then conditional counts over that ONE
+    * pair set: no second join, and the probe ⊇ single-bucket superset
+    * invariant is true by construction AND hash-checked by the oracle.
+    *
+    * At 100 TB the truth leg is measured on a SAMPLE (recall estimation
+    * needs thousands of pairs, not the corpus); the candidate counts
+    * come free from the generators' own output. Here oracle scale makes
+    * the exact sweep affordable, so the report is exact.
+    */
+  def nearDupRecallReport(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val width = spark.sparkContext.defaultParallelism
+    val a = e.repartition(width, col("vec_id"))
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket").as("b1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket").as("b2"))
+    a.join(b, col("v1") < col("v2"))
+      .filter(round(cosine(col("e1"), col("e2")), 6) >= threshold)
+      .agg(count(lit(1)).as("n_pairs_exact"),
+        coalesce(sum(when(col("b1") === col("b2"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pairs_lsh"),
+        coalesce(sum(when(bit_count(col("b1").bitwiseXOR(col("b2"))) <= 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pairs_probe"))
+      .withColumn("recall_lsh_pct",
+        round(lit(100.0) * col("n_pairs_lsh") / nullif(col("n_pairs_exact"), lit(0L)), 2))
+      .withColumn("recall_probe_pct",
+        round(lit(100.0) * col("n_pairs_probe") / nullif(col("n_pairs_exact"), lit(0L)), 2))
+      .withColumn("probe_superset", col("n_pairs_probe") >= col("n_pairs_lsh"))
+  }
+
   /** Semantic dedup, SemDeDup-class (Abbas et al., arXiv:2303.09540):
     * cluster the embedding corpus, then prune — within each cluster
     * only — every vector that has a τ-similar neighbor closer to the

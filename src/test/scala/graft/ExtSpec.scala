@@ -841,6 +841,36 @@ class ExtSpec extends SparkSpec {
     assert(out(31L) == ((0L, false)), s"sub-τ vector wrongly flagged: ${out(31L)}")
     assert(out(32L) == ((0L, false)),
       s"bucket-split vector should be the documented recall miss: ${out(32L)}")
+
+    // the multi-probe face recovers exactly that miss: vec 32's bucket
+    // differs from the eval bucket in one sign bit, so the Hamming-1
+    // probe reaches it (probe_gain 1) while agreeing with the
+    // single-bucket path everywhere else
+    val probe = graft.ext.Corpus.decontaminateSemanticProbeFor(e, tau = 0.4)
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    probe.values.foreach { case (v, nClose, nProbe, gain, ok, _) =>
+      assert(ok && nProbe >= nClose && gain == nProbe - nClose, s"invariant broke at $v")
+      assert(nClose == out(v)._1, s"single-bucket count disagrees with plain path at $v")
+    }
+    assert(probe(32L)._3 == 1L && probe(32L)._6,
+      s"multi-probe must recover the bucket-split miss: ${probe(32L)}")
+    assert(probe(31L)._3 == 0L && !probe(31L)._6,
+      s"sub-τ vector wrongly flagged by probe: ${probe(31L)}")
+  }
+
+  test("near-dup recall report: candidate counts agree with the generators and nest exact ⊇ probe ⊇ lsh") {
+    val dir = "/root/testdata/sf0.001"
+    val (nExact, nLsh, nProbe, recallLsh, recallProbe, superset) =
+      Similarity.nearDupRecallReport(spark, dir)
+        .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    // the report's legs ARE the registered generators' pair sets
+    assert(nExact == Similarity.embeddingNearDup(spark, dir).count(), "exact leg drifted")
+    assert(nLsh == Similarity.lshNearDupPairs(spark, dir).count(), "lsh leg drifted")
+    assert(superset && nLsh <= nProbe && nProbe <= nExact,
+      s"nesting broke: lsh=$nLsh probe=$nProbe exact=$nExact")
+    assert(recallLsh <= recallProbe && recallProbe <= 100.0,
+      s"recall ordering broke: $recallLsh vs $recallProbe")
   }
 
   test("driver union-find labels survive a parent map at the hash-table growth boundary") {
