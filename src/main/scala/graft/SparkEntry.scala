@@ -139,6 +139,8 @@ object SparkEntry {
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
+    "x_embed_stats"     -> (Profiling.embeddingStats _),
+    "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
   )
@@ -1179,6 +1181,39 @@ object SparkEntry {
            CAST(least(n_tok // 10, 10) * 10 AS BIGINT) AS lo_tokens,
            count(*) AS n_docs
          FROM t GROUP BY 1, 2 ORDER BY bucket""",
+    // Per-dimension embedding profile; float aggregates rounded on both
+    // sides, min/max exact (float widened to its exact double).
+    "x_embed_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT j, v[j] AS x
+               FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j))
+         SELECT CAST(j AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 4) AS mean, round(stddev_samp(x), 4) AS std,
+           min(x) AS min_x, max(x) AS max_x
+         FROM x GROUP BY j ORDER BY dim""",
+    // PSI drift between train/val token-count distributions: fixed-width
+    // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
+    // 0.5 × 16 bins), ln contributions rounded on both sides.
+    "x_psi_drift" ->
+      """WITH b AS (
+           SELECT least(len(string_split(text, ' ')) // 32, 15) AS bin,
+             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+           FROM documents),
+         f AS (SELECT bin, bucket < 80 AS is_train FROM b WHERE bucket < 90),
+         c AS (SELECT bin,
+             CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+             CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_val
+           FROM f GROUP BY bin),
+         t AS (SELECT sum(c_train) AS nt, sum(c_val) AS nv FROM c)
+         SELECT CAST(c.bin AS BIGINT) AS bin, c_train, c_val,
+           round((c_train + 0.5) / (nt + 8.0), 6) AS p_train,
+           round((c_val + 0.5) / (nv + 8.0), 6) AS p_val,
+           round(((c_train + 0.5) / (nt + 8.0) - (c_val + 0.5) / (nv + 8.0))
+             * ln(((c_train + 0.5) / (nt + 8.0)) / ((c_val + 0.5) / (nv + 8.0))), 6) AS psi_contrib
+         FROM c, t ORDER BY bin""",
     // Heavy hitters: sketch candidates + exact verify on the Spark
     // side equals the exact threshold count the oracle computes
     // directly (MG completeness: capacity 1024 > invPhi 500).

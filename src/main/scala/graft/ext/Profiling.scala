@@ -234,4 +234,72 @@ object Profiling {
       .withColumn("dup_ratio",
         round(lit(1) - col("n_distinct_text") / col("n_docs").cast("double"), 4))
       .orderBy(col("source"))
+
+  /** Embedding-space profile: per-dimension count/mean/std/min/max over
+    * the corpus — the drift check an embedding pipeline runs on every
+    * new model version or corpus drop (a shifted dimension mean or a
+    * collapsed std is the first symptom of an encoder regression or a
+    * normalization bug upstream of ANN/dedup).
+    *
+    * 100 TB shape: `posexplode` multiplies rows ×dim, but partial
+    * aggregation collapses each partition to dim rows before the
+    * (dim-row) shuffle — the job costs one columnar scan, same as any
+    * narrow aggregate. Float averages are rounded on both sides so
+    * partial-aggregation order can't flip low bits; min/max are exact.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy((col("j") + 1).cast("long").as("dim")) // 1-based, matching SQL arrays
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("std"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .orderBy(col("dim"))
+
+  /** Population Stability Index between the train and val splits' token-
+    * count distributions — the drift monitor run when a corpus is
+    * re-split or refreshed: PSI ≈ 0 says the md5 split didn't skew
+    * document length; a spike localizes WHICH length band drifted
+    * (the same check compares last month's corpus against this
+    * month's). Bins are fixed-width (÷`binWidth`, capped at `nBins`),
+    * so the contract is deterministic and engine-portable; counts are
+    * Laplace-smoothed (+0.5 per bin) so empty bins stay finite.
+    *
+    * Emits one row per observed bin: both raw counts, both smoothed
+    * shares, and the bin's signed PSI contribution
+    * `(p−q)·ln(p/q)` (sum them for the headline PSI). 100 TB shape:
+    * one narrow scan → ≤`nBins`-row hash aggregate; the two split
+    * totals are a bounded 1-row collect inlined as literals (same
+    * pattern as the LM vocabulary size), so no cross join and no
+    * global window anywhere.
+    */
+  def psiDrift(spark: SparkSession, dir: String,
+      binWidth: Int = 32, nBins: Int = 16): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .select(
+        expr(s"CAST(least(size(split(text, ' ')) div $binWidth, ${nBins - 1}) AS BIGINT)")
+          .as("bin"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+      .filter(col("bucket") < 90)
+      .withColumn("is_train", col("bucket") < 80)
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("c_val"))
+    val totals = counts.agg(
+      coalesce(sum(col("c_train")), lit(0L)).as("nt"),
+      coalesce(sum(col("c_val")), lit(0L)).as("nv")).head()
+    val (nTrain, nVal) = (totals.getLong(0), totals.getLong(1))
+    val p = (col("c_train") + 0.5) / lit(nTrain + 0.5 * nBins)
+    val q = (col("c_val") + 0.5) / lit(nVal + 0.5 * nBins)
+    counts
+      .withColumn("p_train", round(p, 6))
+      .withColumn("p_val", round(q, 6))
+      .withColumn("psi_contrib", round((p - q) * log(p / q), 6))
+      .select(col("bin"), col("c_train"), col("c_val"),
+        col("p_train"), col("p_val"), col("psi_contrib"))
+      .orderBy(col("bin"))
+  }
 }

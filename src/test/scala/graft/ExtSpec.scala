@@ -859,6 +859,38 @@ class ExtSpec extends SparkSpec {
       s"sub-τ vector wrongly flagged by probe: ${probe(31L)}")
   }
 
+  test("embedding stats: one row per dimension with consistent bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables.embeddings(spark, dir).count()
+    val rows = graft.ext.Profiling.embeddingStats(spark, dir)
+      .as[(Long, Long, Double, Double, Float, Float)].collect()
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (1L to 64L))
+    rows.foreach { case (dim, cnt, mean, std, lo, hi) =>
+      assert(cnt == n, s"dim $dim counted $cnt of $n values")
+      assert(lo <= mean + 1e-4 && mean <= hi + 1e-4, s"dim $dim mean $mean outside [$lo, $hi]")
+      assert(std >= 0.0, s"dim $dim negative std")
+    }
+  }
+
+  test("PSI drift: per-bin contributions are non-negative and counts tile the splits") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ext.Profiling.psiDrift(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    // (p−q)·ln(p/q) ≥ 0 by theorem (both factors share sign)
+    out.foreach { case (bin, ct, cv, p, q, contrib) =>
+      assert(contrib >= 0.0, s"bin $bin negative PSI contribution $contrib")
+      assert(ct + cv > 0, s"bin $bin emitted with no documents")
+      assert(p > 0 && q > 0, s"bin $bin smoothing failed: $p / $q")
+    }
+    // bin counts tile the md5 splits exactly
+    val splits = graft.ext.Corpus.sampleSplit(spark, dir)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.map(_._2).sum == splits("train"), "train counts drifted from the split")
+    assert(out.map(_._3).sum == splits("val"), "val counts drifted from the split")
+  }
+
   test("near-dup recall report: candidate counts agree with the generators and nest exact ⊇ probe ⊇ lsh") {
     val dir = "/root/testdata/sf0.001"
     val (nExact, nLsh, nProbe, recallLsh, recallProbe, superset) =
