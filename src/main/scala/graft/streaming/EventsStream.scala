@@ -264,6 +264,61 @@ object EventsStream {
       }
   }
 
+  final case class BucketTok(bucket: Int, tok: String)
+  final case class HeavyCandidate(bucket: Int, ver: Long, tok: String, est: Long)
+
+  /** Streaming heavy-hitter candidates: the online face of
+    * [[graft.ext.Profiling.heavyHitters]], for live corpus monitoring
+    * (a surging spam token, a scraper loop flooding one phrase) where
+    * waiting for the nightly profile means ingesting the flood first.
+    *
+    * Tokens hash into `buckets` groups and each group maintains ONE
+    * Misra-Gries summary ([[graft.functions.FreqBuffer]] — the same
+    * mergeable sketch the batch aggregate uses) in its state store,
+    * serialized via the sketch's own byte codec. Each micro-batch a
+    * touched bucket folds its new tokens in and re-emits its full
+    * candidate list stamped with a monotone `ver` (Update-mode
+    * changelog: readers keep, per bucket, the max-`ver` snapshot —
+    * an untouched bucket's older snapshot is still its current state).
+    *
+    * Guarantees carried over from MG: every token whose TRUE count
+    * exceeds bucketTotal/(capacity+1) is present in its bucket's
+    * candidates (completeness — a corpus-wide φ-heavy token is at
+    * least that heavy inside its own bucket, since all its copies
+    * share one bucket), and every `est` is a lower bound on the true
+    * count. Candidate tier like the dedup twins: route candidates to
+    * an exact re-count (the batch path's verify leg) for final truth.
+    * State is bounded by `buckets × capacity` counters regardless of
+    * stream length or vocabulary size.
+    */
+  def heavyHitterCandidates(tokens: DataFrame, buckets: Int = 32,
+      capacity: Int = 1024): Dataset[HeavyCandidate] = {
+    require(buckets >= 1 && capacity >= 1,
+      s"buckets/capacity must be positive, got $buckets/$capacity")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val keyed = tokens
+      .select(col("tok").cast("string").as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(buckets)).cast("int"))
+      .as[BucketTok]
+    keyed.groupByKey(_.bucket)
+      .flatMapGroupsWithState[(Long, Array[Byte]), HeavyCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[BucketTok], state: GroupState[(Long, Array[Byte])]) =>
+          val (ver, bytes) = state.getOption.getOrElse((0L, Array.empty[Byte]))
+          val buf =
+            if (bytes.isEmpty) new graft.functions.FreqBuffer(capacity)
+            else graft.functions.FreqBuffer.fromBytes(capacity, bytes)
+          rows.foreach(r => buf.add(r.tok))
+          val nextVer = ver + 1
+          state.update((nextVer, buf.toBytes))
+          buf.sortedEntries.iterator.map { case (t, c) =>
+            HeavyCandidate(bucket, nextVer, t, c)
+          }
+      }
+  }
+
   final case class ContamHit(vec_id: Long, eval_id: Long)
 
   /** Streaming SEMANTIC decontamination (round 10): flag embeddings as

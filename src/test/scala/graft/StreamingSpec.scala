@@ -736,6 +736,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy-hitter candidates cover every exact batch heavy hitter with lower-bound estimates") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .as[String].collect()
+    val input = MemoryStream[String](spark)
+    val q = EventsStream.heavyHitterCandidates(input.toDF().toDF("tok"))
+      .writeStream.format("memory").queryName("heavy_stream")
+      .outputMode("update").start()
+    toks.grouped(20000).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.table("heavy_stream").as[(Int, Long, String, Long)].collect()
+    // per-bucket snapshot = that bucket's max-ver emission (an untouched
+    // bucket's older snapshot is still its current state)
+    val maxVer = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val snapshot = rows.filter(r => r._2 == maxVer(r._1))
+    // MG completeness: every exact heavy hitter is a candidate
+    val exact = graft.ext.Profiling.heavyHitters(spark, dir)
+      .as[(String, Long)].collect()
+    assert(exact.nonEmpty, "batch heavy hitters unexpectedly empty at sf0.001")
+    val cands = snapshot.map(_._3).toSet
+    exact.foreach { case (tok, _) =>
+      assert(cands.contains(tok), s"exact heavy hitter '$tok' missing from stream candidates")
+    }
+    // every estimate is a lower bound on the true count
+    val trueCounts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    snapshot.foreach { case (b, _, t, est) =>
+      assert(est <= trueCounts(t), s"bucket $b over-estimated '$t': $est > ${trueCounts(t)}")
+    }
+    // bounded state: no bucket tracks more than capacity entries
+    snapshot.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.length <= 1024, s"bucket $b exceeded capacity: ${rs.length}")
+    }
+  }
+
   test("streaming semantic decontamination hits agree row-level with the batch path") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
