@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name substrings — dev
+    // shortcut to re-verify a handful of queries without the full sweep
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,6 +27,7 @@ object Verify {
     // each query, drop persisted frames UNLESS the query is part of the
     // keep-warm chain (it rides the frame its predecessor built).
     val ordered = SparkEntry.orderedQueryNames
+      .filter(n => only.forall(_.exists(n.contains)))
     ordered.foreach { name =>
       if (!SparkEntry.keepWarmQueries(name))
         spark.catalog.clearCache() // drop per-query persisted frames

@@ -245,7 +245,10 @@ object Profiling {
     * aggregation collapses each partition to dim rows before the
     * (dim-row) shuffle — the job costs one columnar scan, same as any
     * narrow aggregate. Float averages are rounded on both sides so
-    * partial-aggregation order can't flip low bits; min/max are exact.
+    * partial-aggregation order can't flip low bits; min/max are exact
+    * but emitted as DOUBLE (float→double widening is exact, and the
+    * oracle computes over a widened DOUBLE[] — emitting raw float32
+    * here was the r10 hash mismatch: same values, different types).
     */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -254,8 +257,8 @@ object Profiling {
       .agg(count(lit(1)).as("n"),
         round(avg(col("x")), 4).as("mean"),
         round(stddev_samp(col("x")), 4).as("std"),
-        min(col("x")).as("min_x"),
-        max(col("x")).as("max_x"))
+        min(col("x")).cast("double").as("min_x"),
+        max(col("x")).cast("double").as("max_x"))
       .orderBy(col("dim"))
 
   /** Population Stability Index between the train and val splits' token-

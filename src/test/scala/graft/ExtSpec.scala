@@ -863,7 +863,7 @@ class ExtSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, dir).count()
     val rows = graft.ext.Profiling.embeddingStats(spark, dir)
-      .as[(Long, Long, Double, Double, Float, Float)].collect()
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
     assert(rows.length == 64 && rows.map(_._1).toSeq == (1L to 64L))
     rows.foreach { case (dim, cnt, mean, std, lo, hi) =>
       assert(cnt == n, s"dim $dim counted $cnt of $n values")
