@@ -28,13 +28,23 @@ object EventsStream {
     */
   def replay(spark: SparkSession, eventsDir: String): DataFrame = {
     // same TIMESTAMP(NANOS) handling as Tables.load — the streaming
-    // source reads the raw schema, so ts arrives as a nanosecond Long
+    // source reads the raw schema, so ts arrives either as a nanosecond
+    // Long (Spark builds honoring the nanosAsLong legacy conf) or as a
+    // native micros-truncated TIMESTAMP_NTZ (builds where SPARK-40819's
+    // conf is gone). Watermarking requires TIMESTAMP (LTZ) event time,
+    // so both arrivals converge there; the session zone is pinned UTC,
+    // so the NTZ→LTZ cast preserves wall-clock and the streaming
+    // windows stay value-identical to the NTZ batch twins.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation (batch twin:
