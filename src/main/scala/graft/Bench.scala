@@ -164,17 +164,29 @@ object Bench {
 
     // Chain-only witness pass (VERDICT r8 #7): the five dedup entries,
     // alone, from a flushed state — minhash first (independent), then
-    // the keep-warm chain in its contractual order.
+    // the keep-warm chain in its contractual order. Two reps with
+    // per-query min (round-11): the chain pass was the last single-shot
+    // measurement in the protocol, and the r10 driver artifact showed
+    // why that matters — 30.7 s chain at loadavg 2.2 on code whose
+    // local chain ran 13.2 s; one unlucky GC/JIT window, no in-artifact
+    // way to adjudicate it. Same armor as the main sweep now.
     val chainNames =
       Seq("x_dedup_minhash", "x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
+    def runChain(label: String): Seq[(String, Double)] = {
+      graft.ext.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      System.gc()
+      loadSamples += (s"${label}_start" -> loadavg1())
+      val pass = chainNames.map(n => n -> timeOne(n))
+      loadSamples += (s"${label}_end" -> loadavg1())
+      pass
+    }
+    val chain1 = runChain("chain1")
+    val chain2 = runChain("chain2")
     graft.ext.Dedup.releaseCaches()
     spark.catalog.clearCache()
-    System.gc()
-    loadSamples += ("chain_start" -> loadavg1())
-    val chain = chainNames.map(n => n -> timeOne(n))
-    loadSamples += ("chain_end" -> loadavg1())
-    graft.ext.Dedup.releaseCaches()
-    spark.catalog.clearCache()
+    val chain1m = chain1.toMap
+    val chain = chainNames.map(n => n -> math.min(chain1m(n), chain2.toMap.apply(n)))
     val chainSteady = chain.map(_._2).sum
 
     // millisecond precision: full-double seconds tripled the line width
@@ -196,7 +208,7 @@ object Bench {
     // line first, persist it to bench.json for the judge, and end with a
     // COMPACT total line that always fits the tail window whole.
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"queries":${jmap(steady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"chain":${jmap(chain)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"queries":${jmap(steady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"chain":${jmap(chain)},"chain_rep1":${jmap(chain1)},"chain_rep2":${jmap(chain2)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
     println(full)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
