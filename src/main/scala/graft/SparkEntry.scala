@@ -96,6 +96,7 @@ object SparkEntry {
     "x_substr_dedup"    -> (Dedup.duplicatedSpansQuery _),
     "x_substr_apply"    -> (Dedup.spanDedupApplyQuery _),
     "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
+    "x_dedup_containment" -> (Dedup.containmentPairs _), // asymmetric quote/subset detection (rides the warm doc-set frame)
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
+    "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
     "x_pii_redact"      -> (TextAnalysis.piiRedact _),
@@ -155,10 +157,12 @@ object SparkEntry {
     * `x_dedup_incremental` judges the arriving batch against the same
     * pair graph — the production shape, where pairs are computed once
     * per corpus and every downstream decision prices only its own
-    * increment.
+    * increment — and `x_dedup_containment` probes the same memoized
+    * doc-set frame for asymmetric (quote/subset) pairs, pricing only
+    * its own prefix-vs-index join.
     */
   val keepWarmQueries: Set[String] =
-    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
+    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental", "x_dedup_containment")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -173,7 +177,8 @@ object SparkEntry {
     */
   def orderedQueryNames: Seq[String] = {
     val warmChain =
-      Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
+      Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental",
+        "x_dedup_containment")
     require(warmChain.forall(queries.contains),
       s"ordered-run contract expects ${warmChain.mkString(", ")} in SparkEntry.queries " +
         "(rename them here and in keepWarmQueries together)")
@@ -648,6 +653,20 @@ object SparkEntry {
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
+    // Asymmetric containment C = shared/|smaller| ≥ 0.9 over the same
+    // rare-shingle universe; integer threshold compare (sh·10 ≥ n·9) so
+    // no float boundary crosses the engine seam.
+    "x_dedup_containment" ->
+      s"""WITH $ngramPairCtes
+         SELECT CASE WHEN n1.n_ng < n2.n_ng OR (n1.n_ng = n2.n_ng AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
+           CASE WHEN n1.n_ng < n2.n_ng OR (n1.n_ng = n2.n_ng AND d1 < d2) THEN d2 ELSE d1 END AS d_big,
+           least(n1.n_ng, n2.n_ng) AS n_small,
+           greatest(n1.n_ng, n2.n_ng) AS n_big,
+           sh AS shared,
+           sh / least(n1.n_ng, n2.n_ng) AS containment
+         FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh * 10 >= least(n1.n_ng, n2.n_ng) * 9
+         ORDER BY d_small, d_big""",
     "x_dedup_apply" -> dedupApplyOracle,
     "x_dedup_incremental" -> dedupIncrementalOracle,
     // Cross-doc duplicated 8-token windows: per doc, window counts and
@@ -1573,6 +1592,23 @@ object SparkEntry {
     // Greedy sequential packing: a doc's bin = floor(prefix token sum
     // before it / 2048). The oracle's single global cumsum is the
     // semantics; the Spark side computes it as a distributed prefix sum.
+    // Overlapping 64-token chunks advancing by 48; last start is the
+    // first one whose window reaches the final token (integer ceil), so
+    // no redundant tail chunks. md5 keys the chunk text for downstream
+    // chunk-level dedup.
+    "x_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         st AS (SELECT doc_id, toks, n_tok,
+             unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
+           FROM t)
+         SELECT doc_id,
+           CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(start_tok + 63, n_tok) AS BIGINT) AS end_tok,
+           CAST(least(start_tok + 63, n_tok) - start_tok + 1 AS BIGINT) AS n_tok_chunk,
+           md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS chunk_md5
+         FROM st ORDER BY doc_id, chunk_id""",
     "x_pack_bins" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)

@@ -304,4 +304,44 @@ object Corpus {
         expr(s"tokens_before div $budget").as("bin"))
       .orderBy(col("doc_id"))
   }
+
+  /** Overlapping context-window chunking — the retrieval/RAG
+    * counterpart of [[packBins]]: split each document's token sequence
+    * into fixed `window`-token chunks advancing by `stride` tokens
+    * (window − stride tokens of overlap), so a passage never straddles
+    * a chunk boundary without also appearing whole in a neighbor. This
+    * is the chunker every retrieval index and long-context training
+    * pipeline runs before embedding; the emitted `chunk_md5` keys the
+    * chunk-level dedup/embedding stages downstream.
+    *
+    * The last chunk starts at `⌈(n_tok − window)/stride⌉·stride + 1`
+    * (integer form `(n_tok − window + stride − 1) div stride`, clamped
+    * at 0) — the first start whose window reaches the final token — so
+    * short documents emit exactly one chunk and no start is generated
+    * past coverage (a naive `sequence(1, n_tok, stride)` emits
+    * redundant tail chunks already fully covered by their
+    * predecessor).
+    *
+    * 100 TB shape: pure row-local array work — `sequence` + `explode`
+    * + `slice`, zero shuffle until the presentation sort; chunk count
+    * per doc is n_tok/stride, so output size tracks corpus token
+    * count, not document count.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("start_tok", explode(expr(
+        s"sequence(1L, greatest(0L, (n_tok - $window + ${stride - 1}) div $stride) * $stride + 1, CAST($stride AS BIGINT))")))
+      .select(col("doc_id"),
+        expr(s"(start_tok - 1) div $stride").as("chunk_id"),
+        col("start_tok"),
+        least(col("start_tok") + (window - 1), col("n_tok")).as("end_tok"),
+        (least(col("start_tok") + (window - 1), col("n_tok")) - col("start_tok") + 1).as("n_tok_chunk"),
+        md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

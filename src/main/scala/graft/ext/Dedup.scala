@@ -289,6 +289,52 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     pairFrame(spark, dir).orderBy(col("d1"), col("d2"))
 
+  /** Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / |A| ≥ 0.9
+    * with A the SMALLER shingle set — the quote/subset detector that
+    * symmetric Jaccard structurally misses (a 50-token doc pasted
+    * verbatim inside a 5000-token doc has J ≈ 0.01 but C = 1.0; Broder
+    * 1997 defines both resemblance and containment for exactly this
+    * split). Shares the df≤100 rare-shingle universe and the memoized
+    * [[docSetFrame]] with the Jaccard path, so the corpus is scanned
+    * once for the whole near-dup family.
+    *
+    * Candidate generation is exact prefix filtering adapted to the
+    * asymmetric threshold: C ≥ 0.9 forces |A∩B| ≥ ⌈0.9·|A|⌉, so the
+    * SMALLER set must hit a shared shingle within its first
+    * |A| − ⌈0.9·|A|⌉ + 1 sorted elements (~10% + 1); the larger side
+    * gets no such bound (the shared element can sit anywhere in B), so
+    * the probe prefix joins against the FULL index — still the df≤100
+    * equi-join the oracle itself runs, with the probe side shrunk 10×.
+    * Pair orientation is pinned (smaller set, ties to the lower
+    * doc_id), the threshold compares integers (`shared·10 ≥ n_small·9`
+    * — no 0.9 float boundary crosses the engine seam), and the emitted
+    * ratio is row-level two-long division, bit-identical cross-engine.
+    *
+    * 100 TB shape: explode + equi-join fan-out is bounded by the df
+    * cap exactly like [[pairFrame]]'s; verify joins are hash joins on
+    * the memoized doc-set frame; no cross join, no window.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ds = docSetFrame(spark, dir)
+    val probe = ds.select(col("doc_id").as("d_small"), col("n_ng").as("n_small"),
+      explode(expr("slice(ngs, 1, CAST(n_ng - (n_ng * 9 + 9) div 10 + 1 AS INT))")).as("ng"))
+    val index = ds.select(col("doc_id").as("d_big"), col("n_ng").as("n_big"),
+      explode(col("ngs")).as("ng"))
+    val cand = probe.join(index,
+        probe("ng") === index("ng") &&
+          (col("n_small") < col("n_big") ||
+            (col("n_small") === col("n_big") && col("d_small") < col("d_big"))))
+      .select(col("d_small"), col("d_big")).distinct()
+    cand
+      .join(ds.select(col("doc_id").as("d_small"), col("ngs").as("ngs1"), col("n_ng").as("n_small")), "d_small")
+      .join(ds.select(col("doc_id").as("d_big"), col("ngs").as("ngs2"), col("n_ng").as("n_big")), "d_big")
+      .withColumn("shared", expr("CAST(cardinality(array_intersect(ngs1, ngs2)) AS BIGINT)"))
+      .filter(col("shared") * 10 >= col("n_small") * 9)
+      .select(col("d_small"), col("d_big"), col("n_small"), col("n_big"), col("shared"),
+        (col("shared") / col("n_small")).as("containment"))
+      .orderBy(col("d_small"), col("d_big"))
+  }
+
   private val NumHashes = graft.functions.MinHash128.NumHashes
   private val Bands = 32 // 4 rows per band
 

@@ -1113,4 +1113,66 @@ class ExtSpec extends SparkSpec {
         s"doc ${r.getLong(1)} ranked without any query term")
     }
   }
+
+  test("containment pairs equal the all-pairs brute force over the same rare-shingle universe") {
+    val dir = "/root/testdata/sf0.001"
+    // brute-force twin with TEXT shingles (the oracle's semantics):
+    // exactness of the asymmetric prefix filter AND of the hashed
+    // shingle frame are both on trial here
+    val g0 = Tables.documents(spark, dir).select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8)))")).as("ng"))
+    val rare = g0.groupBy(col("ng")).agg(count(lit(1)).as("df")).filter(col("df") <= 100).select("ng")
+    val g = g0.join(rare, "ng")
+    val n = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
+    val brute = g.as("a").join(g.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("sh"))
+      .join(n.select(col("doc_id").as("d1"), col("n_ng").as("n1")), "d1")
+      .join(n.select(col("doc_id").as("d2"), col("n_ng").as("n2")), "d2")
+      .filter(col("sh") * 10 >= least(col("n1"), col("n2")) * 9)
+      .select(
+        when(col("n1") < col("n2") || (col("n1") === col("n2") && col("d1") < col("d2")), col("d1"))
+          .otherwise(col("d2")).as("d_small"),
+        when(col("n1") < col("n2") || (col("n1") === col("n2") && col("d1") < col("d2")), col("d2"))
+          .otherwise(col("d1")).as("d_big"),
+        col("sh"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.containmentPairs(spark, dir)
+      .select(col("d_small"), col("d_big"), col("shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"prefix-filtered containment diverged from brute force: ${got.diff(brute)} extra, ${brute.diff(got)} missing")
+    // orientation + threshold invariants
+    Dedup.containmentPairs(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().foreach {
+        case (ds2, db, nS, nB, sh, c) =>
+          assert(nS <= nB && (nS < nB || ds2 < db), s"orientation broke at ($ds2,$db)")
+          assert(sh * 10 >= nS * 9 && sh <= nS, s"threshold/overlap broke at ($ds2,$db)")
+          assert(c == sh.toDouble / nS, s"ratio drifted at ($ds2,$db)")
+      }
+  }
+
+  test("overlapping chunks tile every document: stride starts, full windows, exact coverage") {
+    val dir = "/root/testdata/sf0.001"
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.ext.Corpus.chunkOverlap(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    assert(chunks.keySet == nTok.keySet, "every document must emit at least one chunk")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, cid, start, end, nc, h), i) =>
+        assert(cid == i && start == 1 + 48L * i, s"doc $doc chunk $i start drifted")
+        assert(end == math.min(start + 63, nTok(doc)) && nc == end - start + 1)
+        assert(h.length == 32, s"doc $doc chunk $i md5 malformed")
+      }
+      assert(sorted.last._4 == nTok(doc), s"doc $doc last chunk must reach the final token")
+      assert(sorted.init.forall(_._5 == 64L), s"doc $doc non-final chunk shorter than the window")
+      // no redundant tail: the penultimate chunk must NOT already cover the doc
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2)._4 < nTok(doc), s"doc $doc emitted a fully-covered tail chunk")
+    }
+  }
 }
