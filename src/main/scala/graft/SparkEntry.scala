@@ -122,6 +122,7 @@ object SparkEntry {
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
+    "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
     "x_image_phash"         -> (Multimodal.phashQuery _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
+    "x_dsir_sample"   -> ((s, d) => Corpus.dsirSample(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
     "x_pii_redact"      -> (TextAnalysis.piiRedact _),
@@ -1194,28 +1196,33 @@ object SparkEntry {
     // term order — both engines then run bit-identical float
     // arithmetic; the score is rounded before ranking.
     "x_bm25" ->
-      """WITH d AS (SELECT doc_id, text,
-           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
-         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sl FROM d),
-         tf AS (SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf FROM (
-             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS token FROM d) t
-           WHERE token IN ('hash', 'merge', 'window')
-           GROUP BY doc_id, dl, token),
-         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-         w AS (SELECT tf.doc_id, tf.token,
-             ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-               tf.tf * (1.2 + 1.0) /
-               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.sl / s.n))) AS w
-           FROM tf JOIN df USING (token) CROSS JOIN s),
-         sc AS (SELECT doc_id, round(
-             coalesce(sum(CASE WHEN token = 'hash' THEN w END), 0) +
-             coalesce(sum(CASE WHEN token = 'merge' THEN w END), 0) +
-             coalesce(sum(CASE WHEN token = 'window' THEN w END), 0), 6) AS score
-           FROM w GROUP BY doc_id),
-         ranked AS (SELECT doc_id, score,
-             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-           FROM sc)
+      s"""WITH $bm25Ctes
          SELECT rk, doc_id, score FROM ranked WHERE rk <= 10 ORDER BY rk""",
+    // Reciprocal Rank Fusion of the BM25 leg (top-20) and a cosine
+    // vector leg against the vec_id-0 query embedding (top-20):
+    // 1/(60+rank) per leg, absent legs contribute 0 and are emitted as
+    // rank 0, fused ranking tie-broken by doc_id.
+    "x_rank_fusion" ->
+      s"""WITH $bm25Ctes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         vs AS (SELECT e.vec_id AS doc_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM e, q WHERE e.vec_id <> 0),
+         vranked AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS r_vec
+           FROM vs),
+         lex AS (SELECT doc_id, rk AS r_lex FROM ranked WHERE rk <= 20),
+         vec AS (SELECT doc_id, r_vec FROM vranked WHERE r_vec <= 20),
+         fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             coalesce(r_lex, 0) AS r_lex, coalesce(r_vec, 0) AS r_vec
+           FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id),
+         ff AS (SELECT doc_id, r_lex, r_vec,
+             round((CASE WHEN r_lex > 0 THEN 1.0 / (60 + r_lex) ELSE 0.0 END)
+                 + (CASE WHEN r_vec > 0 THEN 1.0 / (60 + r_vec) ELSE 0.0 END), 6) AS rrf
+           FROM fused)
+         SELECT doc_id, r_lex, r_vec, rrf FROM ff
+         ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
     "x_multimodal_features" ->
       """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
          c AS (SELECT media_id, text,
@@ -1609,6 +1616,50 @@ object SparkEntry {
            CAST(least(start_tok + 63, n_tok) - start_tok + 1 AS BIGINT) AS n_tok_chunk,
            md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS chunk_md5
          FROM st ORDER BY doc_id, chunk_id""",
+    // DSIR importance resampling: hashed-bigram log-likelihood ratios
+    // (val split = target, train split = raw pool), quantized to integer
+    // micro-nats so per-doc weights are exact integer sums; Gumbel-top-k
+    // draw with md5-derived deterministic uniforms.
+    "x_dsir_sample" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w,
+             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS sbucket
+           FROM documents),
+         d AS (SELECT doc_id, w, sbucket >= 80 AS is_target FROM d0 WHERE sbucket < 90),
+         f AS (SELECT doc_id, is_target,
+             ((strpos('0123456789abcdef', substring(bg, 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(bg, 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(bg, 3, 1)) - 1)) % 1024 AS b
+           FROM (SELECT doc_id, is_target, md5(w[i] || ' ' || w[i + 1]) AS bg
+             FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)) t),
+         c AS (SELECT b,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cr
+           FROM f GROUP BY b),
+         t2 AS (SELECT sum(ct) AS tct, sum(cr) AS tcr FROM c),
+         lam AS (SELECT b,
+             CAST(floor((ln((ct + 0.5) / (tct + 512.0)) - ln((cr + 0.5) / (tcr + 512.0))) * 1000000 + 0.5) AS BIGINT) AS lam_q
+           FROM c, t2),
+         pd AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             CAST(sum(lam_q) AS BIGINT) AS logw_q
+           FROM f JOIN lam USING (b) WHERE NOT is_target GROUP BY f.doc_id),
+         uu AS (SELECT doc_id, n_feat, logw_q,
+             ((strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) AS h24
+           FROM pd),
+         sc AS (SELECT doc_id, n_feat, logw_q,
+             round(logw_q / 1000000.0 - ln(-ln((h24 + 0.5) / 16777216.0)), 6) AS g
+           FROM uu),
+         ranked AS (SELECT doc_id, n_feat, logw_q, g,
+             CAST(row_number() OVER (ORDER BY g DESC, doc_id ASC) AS BIGINT) AS rk FROM sc)
+         SELECT rk, doc_id, n_feat, logw_q / 1000000.0 AS logw, g
+         FROM ranked WHERE rk <= 100 ORDER BY rk""",
     "x_pack_bins" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
@@ -1668,6 +1719,33 @@ object SparkEntry {
     * shared-shingle counts (the pair-set contract every near-dup oracle
     * builds on).
     */
+  /** BM25 scoring + full ranking CTEs (shared by x_bm25 and
+    * x_rank_fusion): `ranked` holds every matching doc with its rounded
+    * score and dense 1-based rank by (score DESC, doc_id ASC).
+    */
+  private val bm25Ctes: String =
+    """d AS (SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sl FROM d),
+         tf AS (SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf FROM (
+             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS token FROM d) t
+           WHERE token IN ('hash', 'merge', 'window')
+           GROUP BY doc_id, dl, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         w AS (SELECT tf.doc_id, tf.token,
+             ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               tf.tf * (1.2 + 1.0) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.sl / s.n))) AS w
+           FROM tf JOIN df USING (token) CROSS JOIN s),
+         sc AS (SELECT doc_id, round(
+             coalesce(sum(CASE WHEN token = 'hash' THEN w END), 0) +
+             coalesce(sum(CASE WHEN token = 'merge' THEN w END), 0) +
+             coalesce(sum(CASE WHEN token = 'window' THEN w END), 0), 6) AS score
+           FROM w GROUP BY doc_id),
+         ranked AS (SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+           FROM sc)"""
+
   private val ngramPairCtes: String =
     """g0 AS (
          SELECT DISTINCT doc_id,

@@ -344,4 +344,74 @@ object Corpus {
         md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al.,
+    * NeurIPS 2023): pick raw-pool documents whose hashed-n-gram
+    * distribution looks like a target (high-quality) corpus, the
+    * domain-matching selection step modern pretraining pipelines run
+    * between cleaning and mixing. Feature space is word bigrams hashed
+    * to `nBuckets` buckets (the paper's hashed n-gram estimator); the
+    * target distribution is estimated from this corpus's own val split
+    * and the raw pool is its train split (the md5 buckets of
+    * [[sampleSplit]]), so the whole computation is a pure function of
+    * the corpus. Per-bucket log-likelihood ratios are Laplace-smoothed
+    * (+0.5 / +B/2) and QUANTIZED to integer micro-nats — per-doc
+    * importance weights are then exact integer sums, immune to float
+    * summation order across engines and partitionings. Sampling
+    * without replacement uses the Gumbel-top-k trick with a
+    * deterministic md5-derived uniform per doc (u = (h24+0.5)/2^24),
+    * so the "random" draw is replayable and oracle-checkable.
+    * Single-token documents have no bigram and are never drawn —
+    * documented, matching the estimator's support.
+    *
+    * 100 TB shape: the explode is corpus-token-sized but collapses to
+    * a `nBuckets`-row hash aggregate (map-side partials); the ratio
+    * table broadcasts back; per-doc weights are one hash aggregate;
+    * the draw is the bounded TopKByScore tail with a 100-row broadcast
+    * join-back. Two bounded driver touches (the two split totals),
+    * inlined as literals the oracle recomputes exactly.
+    */
+  def dsirSample(spark: SparkSession, dir: String,
+      nBuckets: Int = 1024, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+          .as("sbucket"),
+        split(col("text"), " ").as("w"))
+      .filter(col("sbucket") < 90)
+      .withColumn("is_target", col("sbucket") >= 80)
+    val feats = docs.select(col("doc_id"), col("is_target"), explode(expr(
+      s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(1, size(w) - 1),
+            i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
+          END""")).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tct"),
+      coalesce(sum(col("cr")), lit(0L)).as("tcr")).head()
+    val (tct, tcr) = (tot.getLong(0), tot.getLong(1))
+    val half = nBuckets / 2.0
+    val lam = counts.select(col("b"),
+      floor((log((col("ct") + 0.5) / lit(tct + half)) - log((col("cr") + 0.5) / lit(tcr + half)))
+        * 1000000 + 0.5).cast("long").as("lam_q"))
+    val scored = feats.filter(!col("is_target"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lam_q")).as("logw_q"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)")
+          + 0.5) / lit(16777216.0))
+      .withColumn("g", round(col("logw_q") / 1000000.0 - log(-log(col("u"))), 6))
+    val winners = scored
+      .agg(graft.functions.GraftFunctions.topKByScore(col("g"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("doc_id"))
+    scored.join(broadcast(winners), "doc_id")
+      .select(col("rk"), col("doc_id"), col("n_feat"),
+        (col("logw_q") / 1000000.0).as("logw"), col("g"))
+      .orderBy(col("rk"))
+  }
 }

@@ -754,4 +754,50 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster"), col("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR 2009): fuse a lexical BM25 leg with a vector cosine leg —
+    * the standard two-tower retrieval stack (keyword recall + semantic
+    * recall) every modern data-mining / eval-mining pipeline runs, and
+    * the reason both the TF-IDF machinery and the ANN machinery live
+    * in one engine. Legs are top-`kLeg` lists; a document absent from
+    * a leg contributes nothing (its leg rank is emitted as 0). Fused
+    * score = Σ 1/(rrfK + rank) over the legs it appears in — rank
+    * arithmetic over small integers, bit-identical cross-engine, with
+    * the fused ranking tie-broken by doc_id (symmetric rank pairs DO
+    * tie exactly).
+    *
+    * The lexical leg is [[graft.ext.TextAnalysis.bm25Rank]] verbatim;
+    * the vector leg scores the corpus against the vec_id-0 embedding
+    * (a 1-row broadcast) with the fused codegen cosine and ranks via
+    * the bounded TopKByScore aggregate. The fusion join is a
+    * (≤ kLeg)-row × (≤ kLeg)-row full outer — dust at any scale; the
+    * legs themselves carry the 100 TB story (BM25: filtered explode +
+    * broadcast df; cosine: broadcast query + bounded top-k).
+    */
+  def rankFusion(spark: SparkSession, dir: String,
+      kLeg: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vecScored = e.filter(col("vec_id") =!= 0).join(broadcast(qv))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val vecLeg = vecScored
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("vec_id"), kLeg).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), (col("pos") + 1).cast("long").as("r_vec"))
+    val lexLeg = graft.ext.TextAnalysis.bm25Rank(spark, dir, kLeg)
+      .select(col("doc_id"), col("rk").as("r_lex"))
+    val fused = lexLeg.join(vecLeg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+      .withColumn("rrf", round(
+        when(col("r_lex") > 0, lit(1.0) / (lit(rrfK) + col("r_lex"))).otherwise(lit(0.0)) +
+          when(col("r_vec") > 0, lit(1.0) / (lit(rrfK) + col("r_vec"))).otherwise(lit(0.0)), 6))
+    fused
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+  }
 }

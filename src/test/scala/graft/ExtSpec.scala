@@ -1152,6 +1152,48 @@ class ExtSpec extends SparkSpec {
       }
   }
 
+  test("rank fusion: legs agree with their sources, RRF formula exact, fused order descending") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.rankFusion(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val lex = TextAnalysis.bm25Rank(spark, dir, 20)
+      .select(col("doc_id"), col("rk")).as[(Long, Long)].collect().toMap
+    out.foreach { case (doc, rLex, rVec, rrf) =>
+      assert(rLex > 0 || rVec > 0, s"doc $doc fused from no leg")
+      assert(rLex == lex.getOrElse(doc, 0L), s"doc $doc lexical rank drifted")
+      val expect = math.rint(((if (rLex > 0) 1.0 / (60 + rLex) else 0.0)
+        + (if (rVec > 0) 1.0 / (60 + rVec) else 0.0)) * 1e6) / 1e6
+      assert(math.abs(rrf - expect) < 1e-9, s"doc $doc rrf $rrf != $expect")
+    }
+    val rrfs = out.map(_._4).toSeq
+    assert(rrfs == rrfs.sorted.reverse, "fused list must be rrf-descending")
+  }
+
+  test("DSIR draw: only train-split docs with bigrams, full feature counts, rank order honored") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ext.Corpus.dsirSample(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty && out.map(_._1).toSeq == (1L to out.length))
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"),
+        size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    out.foreach { case (rk, doc, nFeat, logw, g) =>
+      val (bucket, nTok) = meta(doc)
+      assert(bucket < 80, s"rk $rk drew doc $doc from outside the raw (train) pool")
+      assert(nTok >= 2 && nFeat == nTok - 1,
+        s"doc $doc feature count $nFeat != bigram count ${nTok - 1}")
+      // u ≤ (2^24−0.5)/2^24 bounds the Gumbel noise term above
+      assert(g <= logw - math.log(-math.log(16777215.5 / 16777216.0)) + 1e-6,
+        s"doc $doc Gumbel key above its upper bound")
+    }
+    // the draw is a descending scan of the Gumbel keys
+    val gs = out.sortBy(_._1).map(_._5).toSeq
+    assert(gs == gs.sorted.reverse, "ranks must follow Gumbel keys descending")
+  }
+
   test("overlapping chunks tile every document: stride starts, full windows, exact coverage") {
     val dir = "/root/testdata/sf0.001"
     val nTok = Tables.documents(spark, dir)
