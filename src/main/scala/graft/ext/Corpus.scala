@@ -386,9 +386,16 @@ object Corpus {
           ELSE transform(sequence(1, size(w) - 1),
             i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
           END""")).as("b"))
+    // Persist the ≤nBuckets-row per-bucket counts: the totals collect
+    // and the ratio-table leg then share ONE md5 explode (the per-doc
+    // weight leg re-runs it once more — caching the exploded or
+    // per-(doc,bucket) frame instead costs a corpus-scale shuffle or
+    // cache that measured SLOWER than recomputing the row-local md5s,
+    // and would be the wrong trade at 100 TB for the same reason).
     val counts = feats.groupBy(col("b")).agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+      .persist()
     val tot = counts.agg(
       coalesce(sum(col("ct")), lit(0L)).as("tct"),
       coalesce(sum(col("cr")), lit(0L)).as("tcr")).head()
@@ -405,6 +412,9 @@ object Corpus {
         (expr("CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)")
           + 0.5) / lit(16777216.0))
       .withColumn("g", round(col("logw_q") / 1000000.0 - log(-log(col("u"))), 6))
+      // one row per raw doc; referenced by both the top-k draw and the
+      // join-back, which would otherwise each re-run the explode leg
+      .persist()
     val winners = scored
       .agg(graft.functions.GraftFunctions.topKByScore(col("g"), col("doc_id"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "s")))
