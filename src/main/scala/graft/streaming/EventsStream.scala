@@ -504,4 +504,45 @@ object EventsStream {
           Iterator.single(next)
       }
   }
+
+  /** Streaming embedding-drift monitor: the online face of
+    * [[graft.ext.Profiling.embeddingStats]] — per-dimension running
+    * count/mean/std over arriving vectors, z-scored against a REFERENCE
+    * profile (the batch stats of the historical corpus, passed in as
+    * literal arrays). `z = (mean − ref_mean) / (ref_std / √n)` is the
+    * standard error of the running mean under the reference
+    * distribution, so a shifted encoder version or an upstream
+    * normalization bug flags within the first micro-batches instead of
+    * at the nightly batch profile (|z| > `zThresh`, default 4σ).
+    *
+    * Built-in streaming aggregation, not groupsWithState: the per-dim
+    * (n, Σx, Σx²) running state is exactly what a streaming
+    * `groupBy(dim).agg(...)` maintains, with map-side partial merge —
+    * the posexplode's rows×dim stream collapses to dim rows per
+    * partition BEFORE the shuffle, and state is `dim` rows total
+    * whatever the stream length. Update mode re-emits a dimension's row
+    * whenever a micro-batch touches it; readers keep the latest per
+    * dim. Unbounded-count caveat: Σx/Σx² are plain double accumulators,
+    * fine for monitoring (the z-test needs ~2 significant digits);
+    * for an exact profile run the batch query.
+    */
+  def embeddingDriftMonitor(vecs: DataFrame, refMean: Array[Double],
+      refStd: Array[Double], zThresh: Double = 4.0): DataFrame = {
+    require(refMean.length == refStd.length && refMean.nonEmpty,
+      "reference mean/std profiles must be same-length and non-empty")
+    val xd = col("x").cast("double")
+    val rm = element_at(typedLit(refMean.toIndexedSeq), col("dim").cast("int"))
+    val rs = element_at(typedLit(refStd.toIndexedSeq), col("dim").cast("int"))
+    vecs
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .select((col("j") + 1).cast("long").as("dim"), xd.as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"), sum(col("x") * col("x")).as("s2"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("std",
+        sqrt(greatest((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1), lit(0.0))))
+      .withColumn("z", (col("mean") - rm) / (rs / sqrt(col("n"))))
+      .select(col("dim"), col("n"), col("mean"), col("std"), col("z"),
+        (abs(col("z")) > zThresh).as("drifted"))
+  }
 }

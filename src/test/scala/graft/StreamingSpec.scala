@@ -849,6 +849,56 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("divide 64"))
   }
 
+  test("streaming embedding-drift monitor: self-reference stays quiet, a planted mean shift flags its dimension only") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    // exact (unrounded) reference profile from the batch path
+    val prof = e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy((col("j") + 1).cast("int").as("dim"))
+      .agg(avg(col("x").cast("double")).as("m"), stddev_samp(col("x").cast("double")).as("s"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val refMean = prof.map(_._2)
+    val refStd = prof.map(_._3)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventsStream.embeddingDriftMonitor(
+        input.toDF().toDF("vec_id", "embedding"), refMean, refStd)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    vecs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // Update-mode changelog: latest snapshot per dim = its max-n row
+    val finalRows = spark.table("drift_out")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSeq
+    assert(finalRows.size == refMean.length)
+    finalRows.foreach { case (dim, n, mean, _, z, drifted) =>
+      assert(n == vecs.length, s"dim $dim saw $n of ${vecs.length} values")
+      assert(math.abs(mean - refMean(dim.toInt - 1)) < 1e-9,
+        s"dim $dim running mean drifted from the batch profile")
+      assert(math.abs(z) < 1e-6 && !drifted, s"dim $dim falsely flagged: z=$z")
+    }
+    // plant a +1.0 mean shift on dimension 5 (0-based index 4) — the
+    // shifted-encoder / broken-normalization symptom the monitor exists for
+    val shifted = vecs.map { case (id, v) =>
+      (id, v.zipWithIndex.map { case (x, i) => if (i == 4) x + 1.0f else x })
+    }
+    val in2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = EventsStream.embeddingDriftMonitor(
+        in2.toDF().toDF("vec_id", "embedding"), refMean, refStd)
+      .writeStream.format("memory").queryName("drift_shift")
+      .outputMode("update").start()
+    in2.addData(shifted.toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = spark.table("drift_shift")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSeq
+    assert(rows2.find(_._1 == 5L).exists(_._6), "shifted dimension must flag")
+    assert(rows2.count(_._6) == 1, "only the shifted dimension should flag")
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
