@@ -147,6 +147,7 @@ object SparkEntry {
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
+    "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -1317,6 +1318,34 @@ object SparkEntry {
            round(avg(x), 4) AS mean, round(stddev_samp(x), 4) AS std,
            min(x) AS min_x, max(x) AS max_x
          FROM x GROUP BY j ORDER BY dim""",
+    // Top principal component via power iteration, all-integer
+    // construction: 1e-4-quantized embeddings, exact integer Gram matrix
+    // (HUGEINT sums here, the one-pass OuterProductAgg + BigInt driver
+    // solve on the Spark side), exact integer matvecs, per-element
+    // deterministic re-quantization to 1e-5 units each iteration —
+    // bit-identical iterates on both engines, loadings are exact
+    // rationals, no rounding boundary anywhere.
+    "x_embed_pca" ->
+      """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, j, CAST(round(v[j] * 10000) AS BIGINT) AS xq
+           FROM ev, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)),
+         c AS (SELECT a.j AS j1, b.j AS j2, sum(a.xq * b.xq) AS cq
+           FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+         dims AS (SELECT DISTINCT j AS k FROM x),
+         v0 AS (SELECT k, CAST(100000 AS HUGEINT) AS vq FROM dims),
+         w1 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v0 ON c.j1 = v0.k GROUP BY 1),
+         n1 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w1),
+         v1 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w1, n1),
+         w2 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v1 ON c.j1 = v1.k GROUP BY 1),
+         n2 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w2),
+         v2 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w2, n2),
+         w3 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v2 ON c.j1 = v2.k GROUP BY 1),
+         vn2 AS (SELECT sqrt(CAST(sum(vq * vq) AS DOUBLE)) AS vn FROM v2),
+         n3 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w3),
+         v3 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / n3.nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w3, n3),
+         lam AS (SELECT n3.nrm / vn2.vn / 100000000.0 AS lambda FROM n3, vn2)
+         SELECT CAST(k AS BIGINT) AS dim, CAST(vq AS DOUBLE) / 100000.0 AS loading, lambda
+         FROM v3, lam ORDER BY dim""",
     // PSI drift between train/val token-count distributions: fixed-width
     // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
     // 0.5 × 16 bins), ln contributions rounded on both sides.

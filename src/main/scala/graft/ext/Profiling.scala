@@ -261,6 +261,63 @@ object Profiling {
         max(col("x")).cast("double").as("max_x"))
       .orderBy(col("dim"))
 
+  /** Top principal component of the embedding Gram matrix Σ x·xᵀ via
+    * power iteration — the first step of PCA/whitening, the transform
+    * embedding pipelines apply before ANN indexing and the standard
+    * diagnosis for anisotropic ("cone-shaped") encoder output: a
+    * dominant component with outsized λ means cosine similarities are
+    * inflated by one shared direction.
+    *
+    * Engine-portable by all-integer construction: embeddings quantize
+    * to 1e-4 units, the Gram matrix accumulates EXACTLY in one pass
+    * ([[graft.functions.OuterProductAgg]] — per-partition triangle
+    * buffers, no dim²-per-row explode), and each power-iteration step
+    * is an exact integer matvec (BigInt on the 64×64 driver copy,
+    * HUGEINT in the oracle) followed by per-element deterministic
+    * float normalization and re-quantization to 1e-5 units. Both
+    * engines therefore walk bit-identical iterates, and the emitted
+    * loadings are exact rationals (v_q / 1e5) — no rounding boundary
+    * anywhere. λ is estimated as ‖C·v‖/‖v‖ of the final iterate,
+    * rescaled by the two quantization factors.
+    *
+    * 100 TB shape: ONE corpus scan into ~16 KB per-partition buffers;
+    * the eigensolve runs on the collected 64×64 matrix (a bounded
+    * driver touch, same class as the k-means centroid updates). The
+    * all-ones seed is fine unless the corpus's top component is
+    * exactly orthogonal to it — measure-zero for real embeddings.
+    */
+  def embedPca(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    embedPcaFor(Tables.embeddings(spark, dir), iters)
+
+  def embedPcaFor(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val xq = expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val cq: Array[Long] = e
+      .select(graft.functions.GraftFunctions.outerProductQ(xq, dim).as("c"))
+      .head().getSeq[Long](0).toArray
+    var v: Array[Long] = Array.fill(dim)(100000L)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { k =>
+        var s = BigInt(0)
+        var j = 0
+        while (j < dim) { s += BigInt(cq(j * dim + k)) * v(j); j += 1 }
+        s
+      }
+      val vPrevNorm = math.sqrt(v.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      val norm = math.sqrt(w.map(x => x * x).sum.toDouble)
+      lambda = norm / vPrevNorm / 100000000.0 // undo the 1e-4² Gram quantization
+      v = w.map(wi => math.floor(wi.toDouble / norm * 100000 + 0.5).toLong)
+    }
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (vq, i) => ((i + 1).toLong, vq / 100000.0, lambda) }.toSeq
+      .toDF("dim", "loading", "lambda")
+      .orderBy(col("dim"))
+  }
+
   /** Population Stability Index between the train and val splits' token-
     * count distributions — the drift monitor run when a corpus is
     * re-split or refreshed: PSI ≈ 0 says the md5 split didn't skew

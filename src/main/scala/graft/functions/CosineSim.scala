@@ -256,6 +256,9 @@ object GraftFunctions {
         exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
         "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("outer_product_q")))
+      reg.createOrReplaceTempFunction(
+        "outer_product_q", exprs => OuterProductAgg(exprs(0), intLit(exprs(1))), "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("nfc_normalize")))
       reg.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
@@ -306,6 +309,12 @@ object GraftFunctions {
 
   /** Fused exact integer dot product of two bigint arrays. */
   def dotLong(a: Column, b: Column): Column = call_function("dot_long", a, b)
+
+  /** Aggregate: exact Σ x·xᵀ Gram matrix (row-major dim² bigints) over
+    * quantized integer vectors; symmetric-triangle partial buffers.
+    */
+  def outerProductQ(v: Column, dim: Int): Column =
+    call_function("outer_product_q", v, org.apache.spark.sql.functions.lit(dim))
 
   /** Fused squared-L2 distance of two double arrays (oracle-bit-exact). */
   def sqDistL2(a: Column, b: Column): Column = call_function("sq_dist_l2", a, b)
