@@ -505,6 +505,54 @@ object EventsStream {
       }
   }
 
+  final case class ChunkKey(doc_id: Long, chunk_id: Long, chunk_md5: String)
+  final case class ChunkDupCandidate(doc_id: Long, chunk_id: Long, owner: Long, chunk_md5: String)
+
+  /** Streaming CHUNK-level exact-dup candidates: the online face of
+    * [[graft.ext.Corpus.chunkOverlap]] composed with exact dedup —
+    * arriving documents chunk row-locally with the batch chunker's
+    * exact windows (64-token / 48-stride, integer-ceil last start),
+    * and each chunk_md5 bucket keeps ONE stateful owner: a later
+    * document re-serving an already-seen chunk (boilerplate headers,
+    * syndicated passages, re-crawled pages) surfaces immediately as a
+    * candidate against the first owner instead of at the nightly
+    * chunk-dedup batch.
+    *
+    * Same owner pattern as the text/image/semantic twins; state is one
+    * long per DISTINCT chunk hash (the md5 key itself is the group
+    * key). Exactness: md5 equality IS the batch chunk-dedup predicate,
+    * so unlike the banded twins there is no verify tier — candidates
+    * are true duplicates up to md5 collision. A doc's own repeated
+    * chunk (overlap regions repeat tokens, not chunks — windows
+    * differ) cannot self-collide because the owner is recorded
+    * per-hash across docs and a doc never emits the same (start,
+    * window) twice.
+    */
+  def chunkDupCandidates(docs: DataFrame,
+      window: Int = 64, stride: Int = 48): Dataset[ChunkDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("start_tok", explode(expr(
+        s"sequence(1L, greatest(0L, (n_tok - $window + ${stride - 1}) div $stride) * $stride + 1, CAST($stride AS BIGINT))")))
+      .select(col("doc_id"),
+        expr(s"(start_tok - 1) div $stride").as("chunk_id"),
+        md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
+      .as[ChunkKey]
+    chunks.groupByKey(_.chunk_md5)
+      .flatMapGroupsWithState[Long, ChunkDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[ChunkKey], state: GroupState[Long]) =>
+          val rs = rows.toSeq.sortBy(r => (r.doc_id, r.chunk_id))
+          val owner = state.getOption.getOrElse(rs.head.doc_id)
+          if (!state.exists) state.update(owner)
+          rs.filter(_.doc_id != owner)
+            .map(r => ChunkDupCandidate(r.doc_id, r.chunk_id, owner, h)).iterator
+      }
+  }
+
   /** Streaming embedding-drift monitor: the online face of
     * [[graft.ext.Profiling.embeddingStats]] — per-dimension running
     * count/mean/std over arriving vectors, z-scored against a REFERENCE

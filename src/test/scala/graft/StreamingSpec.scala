@@ -849,6 +849,42 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("divide 64"))
   }
 
+  test("streaming chunk-dup candidates: a re-served document flags every chunk against its first owner") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val replayText = docs.head._2 // doc 0's text, re-served under a new id
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.chunkDupCandidates(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunkdup_out")
+      .outputMode("append").start()
+    input.addData(docs.toSeq: _*)
+    q.processAllAvailable()
+    input.addData((9999L, replayText))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("chunkdup_out")
+      .as[(Long, Long, Long, String)].collect()
+    // batch agreement: the replay flags EXACTLY doc 0's chunk set
+    val expected = graft.ext.Corpus.chunkOverlap(spark, dir)
+      .filter(col("doc_id") === 0).select(col("chunk_id"), col("chunk_md5"))
+      .as[(Long, String)].collect().toSet
+    val replay = out.filter(_._1 == 9999L).map(t => (t._2, t._4)).toSet
+    assert(replay == expected,
+      s"replayed doc flagged ${replay.size} chunks, batch chunker says ${expected.size}")
+    out.foreach { case (doc, _, owner, _) =>
+      assert(owner != doc, s"doc $doc owned by itself")
+      assert(owner < doc || doc == 9999L, s"owner must precede: ($doc, $owner)")
+    }
+    // every replay candidate's owner served the same text first
+    val textById = docs.toMap
+    out.filter(_._1 == 9999L).foreach { case (_, _, owner, _) =>
+      assert(textById(owner) == replayText || owner == 0L,
+        s"owner $owner does not carry the replayed text")
+    }
+  }
+
   test("streaming embedding-drift monitor: self-reference stays quiet, a planted mean shift flags its dimension only") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
