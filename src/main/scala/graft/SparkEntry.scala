@@ -148,6 +148,7 @@ object SparkEntry {
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
+    "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -1274,7 +1275,10 @@ object SparkEntry {
          SELECT m1, m2, hamming FROM p WHERE hamming <= 3 ORDER BY m1, m2""",
   ) ++ corpusOracles
 
-  private val corpusOracles: Map[String, String] = Map(
+  // a def, not a val: entries interpolate shared CTE vals declared
+  // further down the file, and a val here would capture them as null
+  // during object init (the round-11 x_embed_pca "WITH null" bug)
+  private def corpusOracles: Map[String, String] = Map(
     // Single-pass column profile; the oracle spells the same stats as a
     // UNION ALL of per-column aggregates (DuckDB has no stack()).
     "x_profile_columns" ->
@@ -1326,26 +1330,22 @@ object SparkEntry {
     // bit-identical iterates on both engines, loadings are exact
     // rationals, no rounding boundary anywhere.
     "x_embed_pca" ->
-      """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         x AS (SELECT vec_id, j, CAST(round(v[j] * 10000) AS BIGINT) AS xq
-           FROM ev, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)),
-         c AS (SELECT a.j AS j1, b.j AS j2, sum(a.xq * b.xq) AS cq
-           FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
-         dims AS (SELECT DISTINCT j AS k FROM x),
-         v0 AS (SELECT k, CAST(100000 AS HUGEINT) AS vq FROM dims),
-         w1 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v0 ON c.j1 = v0.k GROUP BY 1),
-         n1 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w1),
-         v1 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w1, n1),
-         w2 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v1 ON c.j1 = v1.k GROUP BY 1),
-         n2 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w2),
-         v2 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w2, n2),
-         w3 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v2 ON c.j1 = v2.k GROUP BY 1),
-         vn2 AS (SELECT sqrt(CAST(sum(vq * vq) AS DOUBLE)) AS vn FROM v2),
-         n3 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w3),
-         v3 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / n3.nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w3, n3),
+      s"""WITH $pcaCtes,
          lam AS (SELECT n3.nrm / vn2.vn / 100000000.0 AS lambda FROM n3, vn2)
          SELECT CAST(k AS BIGINT) AS dim, CAST(vq AS DOUBLE) / 100000.0 AS loading, lambda
          FROM v3, lam ORDER BY dim""",
+    // Per-vector alignment with the dominant component: cosine against
+    // the PCA solve's exact-rational iterate (sequential list dot on
+    // both engines); res_ratio derives from the ROUNDED cosine.
+    "x_embed_anisotropy" ->
+      s"""WITH $pcaCtes,
+         vvec AS (SELECT list(CAST(CAST(CAST(vq AS DOUBLE) / 100000.0 AS FLOAT) AS DOUBLE) ORDER BY k) AS pc FROM v3),
+         a AS (SELECT vec_id,
+             round(list_dot_product(v, pc) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pc, pc))), 6) AS cos_pc1
+           FROM ev, vvec)
+         SELECT vec_id, cos_pc1, round(1.0 - cos_pc1 * cos_pc1, 6) AS res_ratio
+         FROM a ORDER BY vec_id""",
     // PSI drift between train/val token-count distributions: fixed-width
     // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
     // 0.5 × 16 bins), ln contributions rounded on both sides.
@@ -1748,6 +1748,31 @@ object SparkEntry {
     * shared-shingle counts (the pair-set contract every near-dup oracle
     * builds on).
     */
+  /** Exact-integer PCA power-iteration CTEs (shared by x_embed_pca and
+    * x_embed_anisotropy): 1e-4-quantized embeddings → exact HUGEINT
+    * Gram matrix `c` → three unrolled integer matvec + deterministic
+    * re-quantization steps ending at the final iterate `v3`, with the
+    * norm CTEs (`n3`, `vn2`) the λ estimate needs.
+    */
+  private val pcaCtes: String =
+    """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, j, CAST(round(v[j] * 10000) AS BIGINT) AS xq
+           FROM ev, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)),
+         c AS (SELECT a.j AS j1, b.j AS j2, sum(a.xq * b.xq) AS cq
+           FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+         dims AS (SELECT DISTINCT j AS k FROM x),
+         v0 AS (SELECT k, CAST(100000 AS HUGEINT) AS vq FROM dims),
+         w1 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v0 ON c.j1 = v0.k GROUP BY 1),
+         n1 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w1),
+         v1 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w1, n1),
+         w2 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v1 ON c.j1 = v1.k GROUP BY 1),
+         n2 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w2),
+         v2 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w2, n2),
+         w3 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v2 ON c.j1 = v2.k GROUP BY 1),
+         vn2 AS (SELECT sqrt(CAST(sum(vq * vq) AS DOUBLE)) AS vn FROM v2),
+         n3 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w3),
+         v3 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / n3.nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w3, n3)"""
+
   /** BM25 scoring + full ranking CTEs (shared by x_bm25 and
     * x_rank_fusion): `ranked` holds every matching doc with its rounded
     * score and dense 1-based rank by (score DESC, doc_id ASC).

@@ -289,9 +289,13 @@ object Profiling {
   def embedPca(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     embedPcaFor(Tables.embeddings(spark, dir), iters)
 
-  def embedPcaFor(e: DataFrame, iters: Int): DataFrame = {
-    val spark = e.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+  /** The exact-integer eigensolve shared by [[embedPcaFor]] and
+    * [[embedAnisotropy]]: one-pass quantized Gram aggregate, then
+    * `iters` deterministic power steps on the driver copy. Returns the
+    * 1e-5-unit quantized component and the rescaled λ estimate.
+    */
+  private def pcaComponent(e: DataFrame, iters: Int): (Array[Long], Double) = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val xq = expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val cq: Array[Long] = e
@@ -311,11 +315,48 @@ object Profiling {
       lambda = norm / vPrevNorm / 100000000.0 // undo the 1e-4² Gram quantization
       v = w.map(wi => math.floor(wi.toDouble / norm * 100000 + 0.5).toLong)
     }
+    (v, lambda)
+  }
+
+  def embedPcaFor(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val (v, lambda) = pcaComponent(e, iters)
     import spark.implicits._
     v.zipWithIndex
       .map { case (vq, i) => ((i + 1).toLong, vq / 100000.0, lambda) }.toSeq
       .toDF("dim", "loading", "lambda")
       .orderBy(col("dim"))
+  }
+
+  /** Per-vector anisotropy report: each embedding's cosine alignment
+    * with the corpus's dominant principal component ([[embedPca]]) and
+    * the variance fraction that whitening (removing that component)
+    * would retain — `res_ratio = 1 − cos²`. The actionable face of the
+    * PCA diagnosis: a corpus whose vectors all show |cos_pc1| ≫ 0 has
+    * cone-shaped encoder output, inflated cosine similarities in every
+    * ANN/dedup stage upstream, and this is the per-row transform that
+    * fixes it.
+    *
+    * Determinism: the component is the PCA solve's exact-rational
+    * iterate (v_q/1e5), inlined as a literal array; the fused
+    * [[graft.functions.CosineSim]] walks both arrays sequentially
+    * exactly like the oracle's `list_dot_product`, and `res_ratio`
+    * derives from the ROUNDED cosine, so no unrounded float crosses
+    * the engine seam. 100 TB shape: the solve is one corpus scan +
+    * bounded driver work; the report is a narrow row-local projection.
+    */
+  def embedAnisotropy(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val (vq, _) = pcaComponent(e, iters)
+    // the component is rounded to float32 BEFORE the cosine on both
+    // engines (CosineSim is the float-array fused path), so the same
+    // 32-bit values feed both dots
+    val vLit = typedLit(vq.map(x => (x / 100000.0).toFloat).toIndexedSeq)
+    e.select(col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), vLit), 6).as("cos_pc1"))
+      .withColumn("res_ratio", round(lit(1.0) - col("cos_pc1") * col("cos_pc1"), 6))
+      .orderBy(col("vec_id"))
   }
 
   /** Population Stability Index between the train and val splits' token-
