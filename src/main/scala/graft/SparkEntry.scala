@@ -137,6 +137,7 @@ object SparkEntry {
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
+    "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
     "x_dsir_sample"   -> ((s, d) => Corpus.dsirSample(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -1645,6 +1646,22 @@ object SparkEntry {
            CAST(least(start_tok + 63, n_tok) - start_tok + 1 AS BIGINT) AS n_tok_chunk,
            md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS chunk_md5
          FROM st ORDER BY doc_id, chunk_id""",
+    // Chunk-granularity dedup: chunk hashes served by >=2 distinct docs
+    "x_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         st AS (SELECT doc_id, toks, n_tok,
+             unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
+           FROM t),
+         ch AS (SELECT doc_id,
+             md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS chunk_md5
+           FROM st)
+         SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS owner, max(doc_id) AS max_doc,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_md5""",
     // DSIR importance resampling: hashed-bigram log-likelihood ratios
     // (val split = target, train split = raw pool), quantized to integer
     // micro-nats so per-doc weights are exact integer sums; Gumbel-top-k

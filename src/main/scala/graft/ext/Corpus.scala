@@ -345,6 +345,31 @@ object Corpus {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Cross-document duplicated CHUNKS — the batch face of
+    * [[graft.streaming.EventsStream.chunkDupCandidates]] and the
+    * chunk-granularity member of the dedup family (line_dedup works on
+    * 4-token lines, substr_dedup on 8-token windows; this works on the
+    * retrieval chunks [[chunkOverlap]] actually emits): every chunk
+    * hash served by ≥2 distinct documents, with its spread. Feeding
+    * chunk-level dedup before embedding cuts the ANN index and the
+    * training set by exactly the syndicated/boilerplate mass.
+    *
+    * 100 TB shape: row-local chunking (zero shuffle) → one hash
+    * aggregate on chunk_md5; output is bounded by the duplicated-chunk
+    * count. min/max doc ids pin the canonical owner and the spread
+    * without carrying per-doc lists.
+    */
+  def chunkDedup(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkOverlap(spark, dir, window, stride)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("owner"),
+        max(col("doc_id")).as("max_doc"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_md5"))
+
   /** Data Selection via Importance Resampling (DSIR — Xie et al.,
     * NeurIPS 2023): pick raw-pool documents whose hashed-n-gram
     * distribution looks like a target (high-quality) corpus, the

@@ -1239,6 +1239,27 @@ class ExtSpec extends SparkSpec {
     assert(gs == gs.sorted.reverse, "ranks must follow Gumbel keys descending")
   }
 
+  test("chunk dedup: every flagged hash is truly multi-document and consistent with the chunker") {
+    val dir = "/root/testdata/sf0.001"
+    val byHash = graft.ext.Corpus.chunkOverlap(spark, dir)
+      .select(col("chunk_md5"), col("doc_id"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (h, rs) => h -> rs.map(_._2) }
+    graft.ext.Corpus.chunkDedup(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().foreach {
+        case (h, nDocs, owner, maxDoc, nCopies) =>
+          val docs = byHash(h)
+          assert(nDocs == docs.distinct.length && nDocs >= 2, s"hash $h spread miscounted")
+          assert(owner == docs.min && maxDoc == docs.max && nCopies == docs.length)
+      }
+    // completeness: every multi-doc hash in the raw chunk frame is flagged
+    val flagged = graft.ext.Corpus.chunkDedup(spark, dir)
+      .select(col("chunk_md5")).as[String].collect().toSet
+    byHash.foreach { case (h, docs) =>
+      assert((docs.distinct.length >= 2) == flagged(h), s"hash $h flag state wrong")
+    }
+  }
+
   test("overlapping chunks tile every document: stride starts, full windows, exact coverage") {
     val dir = "/root/testdata/sf0.001"
     val nTok = Tables.documents(spark, dir)
