@@ -30,9 +30,9 @@ class PropertySpec extends SparkSpec {
   /** Raw-ScalaCheck runner (scalatestplus isn't in the offline cache):
     * 200 cases per property, failures surface the shrunk labels.
     */
-  private def check(p: Prop): Unit = {
+  private def check(p: Prop, minTests: Int = 200): Unit = {
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(minTests), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -178,5 +178,33 @@ class PropertySpec extends SparkSpec {
         (Prop(sound) :| s"soundness cap=$cap") &&
         (Prop(merged.sortedEntries.length <= cap) :| "capacity respected")
     })
+  }
+
+  test("chunker start arithmetic equals the straight-line reference for arbitrary (n, window, stride)") {
+    // the integer-ceil last-start formula drives x_chunk_overlap /
+    // x_chunk_dedup / the streaming twin; an off-by-one silently drops
+    // or duplicates tail coverage rather than crashing. Reference: emit
+    // starts 1, 1+s, … until the window first reaches the last token.
+    def reference(n: Long, w: Int, s: Int): Seq[Long] = {
+      val starts = Seq.newBuilder[Long]
+      var start = 1L
+      var done = false
+      while (!done) {
+        starts += start
+        if (start + w - 1 >= n) done = true else start += s
+      }
+      starts.result()
+    }
+    val cases = for {
+      n <- Gen.chooseNum(1L, 400L)
+      w <- Gen.chooseNum(1, 80)
+      s <- Gen.chooseNum(1, 80).map(math.min(_, w)) // stride <= window
+    } yield (n, w, s)
+    check(forAll(cases) { case (n, w, s) =>
+      val got = spark.range(1)
+        .selectExpr(s"sequence(1L, greatest(0L, (CAST($n AS BIGINT) - $w + ${s - 1}) div $s) * $s + 1, CAST($s AS BIGINT)) AS starts")
+        .head().getSeq[Long](0).toSeq
+      Prop(got == reference(n, w, s)) :| s"n=$n w=$w s=$s got=$got want=${reference(n, w, s)}"
+    }, minTests = 60) // each case runs a local Spark job — keep the count bounded
   }
 }
