@@ -170,8 +170,12 @@ object Bench {
     // why that matters — 30.7 s chain at loadavg 2.2 on code whose
     // local chain ran 13.2 s; one unlucky GC/JIT window, no in-artifact
     // way to adjudicate it. Same armor as the main sweep now.
-    val chainNames =
-      Seq("x_dedup_minhash", "x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental")
+    // derived from SparkEntry's own ordering contract, so extending the
+    // keep-warm chain there (round 11 added x_dedup_containment) extends
+    // this witness pass with it instead of silently measuring a stale
+    // subset; minhash stays the independent leadoff
+    val chainNames = "x_dedup_minhash" +: SparkEntry.orderedQueryNames
+      .filter(n => n == "x_dedup_ngram" || SparkEntry.keepWarmQueries(n))
     def runChain(label: String): Seq[(String, Double)] = {
       graft.ext.Dedup.releaseCaches()
       spark.catalog.clearCache()
@@ -186,7 +190,8 @@ object Bench {
     graft.ext.Dedup.releaseCaches()
     spark.catalog.clearCache()
     val chain1m = chain1.toMap
-    val chain = chainNames.map(n => n -> math.min(chain1m(n), chain2.toMap.apply(n)))
+    val chain2m = chain2.toMap
+    val chain = chainNames.map(n => n -> math.min(chain1m(n), chain2m(n)))
     val chainSteady = chain.map(_._2).sum
 
     // millisecond precision: full-double seconds tripled the line width

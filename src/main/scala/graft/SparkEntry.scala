@@ -1770,6 +1770,14 @@ object SparkEntry {
     * Gram matrix `c` → three unrolled integer matvec + deterministic
     * re-quantization steps ending at the final iterate `v3`, with the
     * norm CTEs (`n3`, `vn2`) the λ estimate needs.
+    *
+    * Oracle-side range bound (the Spark solve's BigInt is immune):
+    * `sum(w·w)` in the norm CTEs grows as (N·1e8·1e5)² · dim, which
+    * crosses HUGEINT's ~1.7e38 near N ≈ 1e6 embedding rows — DuckDB
+    * would raise a checked-overflow error, not mis-hash. Far above the
+    * sf0.01 gate (500 rows) and the sf0.1 bench (2000); if the gate
+    * corpus ever grows past ~1e5 rows, drop the iterate scale from
+    * 1e5 to 1e4 on BOTH sides.
     */
   private val pcaCtes: String =
     """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

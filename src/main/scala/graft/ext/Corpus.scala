@@ -328,11 +328,22 @@ object Corpus {
     * count, not document count.
     */
   def chunkOverlap(spark: SparkSession, dir: String,
-      window: Int = 64, stride: Int = 48): DataFrame = {
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkFrame(Tables.documents(spark, dir), window, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The ONE chunk projection shared by [[chunkOverlap]],
+    * [[chunkDedup]], and the streaming
+    * [[graft.streaming.EventsStream.chunkDupCandidates]] — batch and
+    * stream emit byte-identical chunk keys because they run this exact
+    * expression, not a hand-kept copy. Pure row-local (sequence +
+    * explode + slice), streaming-safe, zero shuffle.
+    */
+  private[graft] def chunkFrame(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("start_tok", explode(expr(
         s"sequence(1L, greatest(0L, (n_tok - $window + ${stride - 1}) div $stride) * $stride + 1, CAST($stride AS BIGINT))")))
@@ -342,7 +353,6 @@ object Corpus {
         least(col("start_tok") + (window - 1), col("n_tok")).as("end_tok"),
         (least(col("start_tok") + (window - 1), col("n_tok")) - col("start_tok") + 1).as("n_tok_chunk"),
         md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** Cross-document duplicated CHUNKS — the batch face of
@@ -411,16 +421,19 @@ object Corpus {
           ELSE transform(sequence(1, size(w) - 1),
             i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
           END""")).as("b"))
-    // Persist the ≤nBuckets-row per-bucket counts: the totals collect
-    // and the ratio-table leg then share ONE md5 explode (the per-doc
-    // weight leg re-runs it once more — caching the exploded or
-    // per-(doc,bucket) frame instead costs a corpus-scale shuffle or
-    // cache that measured SLOWER than recomputing the row-local md5s,
-    // and would be the wrong trade at 100 TB for the same reason).
-    val counts = feats.groupBy(col("b")).agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
-      .persist()
+    // Memoize the ≤nBuckets-row per-bucket counts (the Dedup.Frames
+    // lifecycle: fingerprinted per corpus, dropped by releaseCaches /
+    // clearCache — a bare persist here leaked across repeated API
+    // calls): the totals collect and the ratio-table leg then share
+    // ONE md5 explode (the per-doc weight leg re-runs it once more —
+    // caching the exploded or per-(doc,bucket) frame instead costs a
+    // corpus-scale shuffle or cache that measured SLOWER than
+    // recomputing the row-local md5s, and would be the wrong trade at
+    // 100 TB for the same reason).
+    val counts = Dedup.Frames.getOrCompute(spark, s"dsir_counts:$dir", dir)(
+      feats.groupBy(col("b")).agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr")))
     val tot = counts.agg(
       coalesce(sum(col("ct")), lit(0L)).as("tct"),
       coalesce(sum(col("cr")), lit(0L)).as("tcr")).head()
@@ -429,17 +442,18 @@ object Corpus {
     val lam = counts.select(col("b"),
       floor((log((col("ct") + 0.5) / lit(tct + half)) - log((col("cr") + 0.5) / lit(tcr + half)))
         * 1000000 + 0.5).cast("long").as("lam_q"))
-    val scored = feats.filter(!col("is_target"))
-      .join(broadcast(lam), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), sum(col("lam_q")).as("logw_q"))
-      .withColumn("u",
-        (expr("CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)")
-          + 0.5) / lit(16777216.0))
-      .withColumn("g", round(col("logw_q") / 1000000.0 - log(-log(col("u"))), 6))
-      // one row per raw doc; referenced by both the top-k draw and the
-      // join-back, which would otherwise each re-run the explode leg
-      .persist()
+    // one row per raw doc; referenced by both the top-k draw and the
+    // join-back, which would otherwise each re-run the explode leg —
+    // memoized under the same corpus-fingerprinted lifecycle as counts
+    val scored = Dedup.Frames.getOrCompute(spark, s"dsir_scored:$dir", dir)(
+      feats.filter(!col("is_target"))
+        .join(broadcast(lam), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("lam_q")).as("logw_q"))
+        .withColumn("u",
+          (expr("CAST(conv(substring(md5(concat('dsir:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)")
+            + 0.5) / lit(16777216.0))
+        .withColumn("g", round(col("logw_q") / 1000000.0 - log(-log(col("u"))), 6)))
     val winners = scored
       .agg(graft.functions.GraftFunctions.topKByScore(col("g"), col("doc_id"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "s")))

@@ -52,7 +52,7 @@ object Dedup {
     * `getOrElseUpdate` could run two concurrent `persist()` builds and
     * discard one with its registration side effect already fired).
     */
-  private object Frames {
+  private[ext] object Frames {
     private val memo =
       scala.collection.mutable.HashMap.empty[(SparkSession, String), (String, DataFrame)]
 

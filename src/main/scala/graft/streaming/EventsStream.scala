@@ -532,14 +532,10 @@ object EventsStream {
       window: Int = 64, stride: Int = 48): Dataset[ChunkDupCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = docs
-      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("start_tok", explode(expr(
-        s"sequence(1L, greatest(0L, (n_tok - $window + ${stride - 1}) div $stride) * $stride + 1, CAST($stride AS BIGINT))")))
-      .select(col("doc_id"),
-        expr(s"(start_tok - 1) div $stride").as("chunk_id"),
-        md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
+    // THE batch chunk projection, not a copy — batch/stream key
+    // identity is by construction (graft.ext.Corpus.chunkFrame)
+    val chunks = graft.ext.Corpus.chunkFrame(docs, window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
       .as[ChunkKey]
     chunks.groupByKey(_.chunk_md5)
       .flatMapGroupsWithState[Long, ChunkDupCandidate](
@@ -590,7 +586,12 @@ object EventsStream {
       .withColumn("std",
         sqrt(greatest((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1), lit(0.0))))
       .withColumn("z", (col("mean") - rm) / (rs / sqrt(col("n"))))
+      // a dimension OUTSIDE the reference profile (encoder widened its
+      // output) or with a degenerate reference std (a constant dim that
+      // started moving) IS drift — element_at past the literal array and
+      // the zero division both yield null z, which must flag, not
+      // silently report nothing
       .select(col("dim"), col("n"), col("mean"), col("std"), col("z"),
-        (abs(col("z")) > zThresh).as("drifted"))
+        (rm.isNull || rs.isNull || rs <= 0.0 || abs(col("z")) > zThresh).as("drifted"))
   }
 }
