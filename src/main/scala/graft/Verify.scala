@@ -54,7 +54,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.exists(k.contains)) } // match the query filter, or compare.py FAILs every undumped query
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered run must not masquerade as the full sweep (ADVICE r11):
+    // write the subset oracle under a DIFFERENT name so a judged compare
+    // pointed at this outDir fails loudly (no oracle_sql.json) instead of
+    // passing over only the matching subset, and say so on stderr.
+    if (only.isDefined) {
+      System.err.println(
+        s"[verify] PARTIAL SWEEP — only ${ordered.size}/${SparkEntry.queries.size} queries " +
+          s"(filter: ${args(2)}); oracle written to oracle_sql.partial.json, NOT oracle_sql.json")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.partial.json"), json)
+    } else Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

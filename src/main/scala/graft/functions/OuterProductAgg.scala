@@ -54,6 +54,18 @@ case class OuterProductAgg(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == dim,
         s"$prettyName: vector of ${arr.numElements()} elements, expected $dim")
+      // checkInputDataTypes accepts containsNull=true arrays (the
+      // upstream transform() can't prove non-null), but getLong on a
+      // null slot reads undefined buffer contents and would silently
+      // corrupt the Gram matrix — reject null elements loudly instead
+      // (ADVICE r11). One O(dim) pass; the products below touch each
+      // element ~dim/2 times, so the check is noise.
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i — quantized embeddings must be non-null")
+        i += 1
+      }
       var j = 0
       var idx = 0
       while (j < dim) {

@@ -575,8 +575,15 @@ object EventsStream {
     require(refMean.length == refStd.length && refMean.nonEmpty,
       "reference mean/std profiles must be same-length and non-empty")
     val xd = col("x").cast("double")
-    val rm = element_at(typedLit(refMean.toIndexedSeq), col("dim").cast("int"))
-    val rs = element_at(typedLit(refStd.toIndexedSeq), col("dim").cast("int"))
+    // try_element_at, not element_at: ANSI mode (the Spark 4 default)
+    // makes element_at THROW past the literal array's end, so the very
+    // scenario the monitor exists to catch — an encoder that widened its
+    // output beyond the reference profile — would crash the streaming
+    // query instead of flagging drift. try_element_at yields null there,
+    // which the rm.isNull || rs.isNull drift flag below converts into
+    // drifted=true (ADVICE r11; same convention as Dedup's cdcChunks).
+    val rm = try_element_at(typedLit(refMean.toIndexedSeq), col("dim").cast("int"))
+    val rs = try_element_at(typedLit(refStd.toIndexedSeq), col("dim").cast("int"))
     vecs
       .select(posexplode(col("embedding")).as(Seq("j", "x")))
       .select((col("j") + 1).cast("long").as("dim"), xd.as("x"))

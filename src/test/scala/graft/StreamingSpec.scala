@@ -933,6 +933,29 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSeq
     assert(rows2.find(_._1 == 5L).exists(_._6), "shifted dimension must flag")
     assert(rows2.count(_._6) == 1, "only the shifted dimension should flag")
+    // encoder WIDENED its output: vectors carry one dim more than the
+    // reference profile — under ANSI element_at this crashed the query
+    // (ADVICE r11); try_element_at must yield a null reference and the
+    // out-of-profile dimension must FLAG, not fail or stay silent
+    val widened = vecs.map { case (id, v) => (id, v :+ 0.25f) }
+    val in3 = MemoryStream[(Long, Array[Float])](spark)
+    val q3 = EventsStream.embeddingDriftMonitor(
+        in3.toDF().toDF("vec_id", "embedding"), refMean, refStd)
+      .writeStream.format("memory").queryName("drift_widened")
+      .outputMode("update").start()
+    in3.addData(widened.toSeq: _*)
+    q3.processAllAvailable()
+    q3.stop()
+    // z is NULL on the out-of-profile dim, so collect as Rows (a tuple
+    // encoder would refuse the null primitive)
+    val rows3 = spark.table("drift_widened").collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)) }.toSeq
+    val extraDim = refMean.length + 1L
+    assert(rows3.size == refMean.length + 1, "widened stream must report every dim")
+    val extra = rows3.find(_.getLong(0) == extraDim)
+    assert(extra.exists(_.getBoolean(5)), s"out-of-profile dim $extraDim must flag as drift")
+    assert(extra.exists(_.isNullAt(4)), "out-of-profile z must be null, not a number")
+    assert(rows3.count(_.getBoolean(5)) == 1, "in-profile dims must stay quiet on unshifted data")
   }
 
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
