@@ -136,6 +136,7 @@ object SparkEntry {
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
+    "x_pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
     "x_dsir_sample"   -> ((s, d) => Corpus.dsirSample(s, d)),
@@ -1710,7 +1711,25 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+    // True sequence packing: the global token stream cut at every
+    // 2048-token boundary; a doc straddling a boundary emits one
+    // (bin, slice) row per boundary crossed, slice positions 1-based
+    // within the doc. Same single-cumsum semantics as x_pack_bins; the
+    // Spark side computes it as the distributed prefix sum.
+    "x_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS tb FROM t),
+         s AS (SELECT doc_id, n_tok, tb,
+             unnest(generate_series(tb // 2048, (tb + n_tok - 1) // 2048)) AS bin
+           FROM c)
+         SELECT doc_id, n_tok, CAST(bin AS BIGINT) AS bin,
+           CAST(bin - tb // 2048 AS BIGINT) AS slice_id,
+           CAST(greatest(bin * 2048 - tb, 0) + 1 AS BIGINT) AS slice_start,
+           CAST(least((bin + 1) * 2048 - tb, n_tok) AS BIGINT) AS slice_end,
+           CAST(least((bin + 1) * 2048 - tb, n_tok) - greatest(bin * 2048 - tb, 0) AS BIGINT) AS n_tok_slice
+         FROM s ORDER BY doc_id, bin""")
 
   /** Iterative-BPE oracle, the 8-iteration training loop unrolled as a
     * CTE chain (see the x_token_bpe map entry for the contract). Built

@@ -281,12 +281,31 @@ object Corpus {
     * Wall-clock is two narrow passes; no stage sees more than one
     * bucket's rows in order.
     */
-  def packBins(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame = {
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame =
+    tokenPrefixFrame(spark, dir, parts) match {
+      case None =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+            lit(0L).as("bin"))
+      case Some(prefixed) =>
+        prefixed
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"tokens_before div $budget").as("bin"))
+          .orderBy(col("doc_id"))
+    }
+
+  /** The distributed prefix sum shared by [[packBins]] and
+    * [[packSequences]]: (doc_id, n_tok, tokens_before) where
+    * `tokens_before` is the running token count of all earlier docs in
+    * doc_id order. None on an empty corpus (no doc_id to bucket by).
+    * See [[packBins]]'s scaladoc for why this is two narrow passes and
+    * a `parts`-row collect, not one global window.
+    */
+  private def tokenPrefixFrame(spark: SparkSession, dir: String, parts: Int): Option[DataFrame] = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
     val maxIdRow = docs.agg(max(col("doc_id"))).head()
-    if (maxIdRow.isNullAt(0)) // empty corpus: max is NULL — return the empty frame, same schema
-      return docs.select(col("doc_id"), col("n_tok"), lit(0L).as("bin"))
+    if (maxIdRow.isNullAt(0)) return None // empty corpus: max is NULL
     val maxId = maxIdRow.getLong(0)
     val span = maxId / parts + 1 // contiguous ranges: deterministic, no sampling
     // integer div, not `/` (which is double division on longs in Spark)
@@ -298,12 +317,49 @@ object Corpus {
     val offsetCol = element_at(typedLit(offsets.toArray), col("bkt") + 1)
     val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offsetCol)
-      .select(col("doc_id"), col("n_tok"),
-        expr(s"tokens_before div $budget").as("bin"))
-      .orderBy(col("doc_id"))
+    Some(bucketed
+      .withColumn("tokens_before", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offsetCol))
   }
+
+  /** TRUE sequence packing — the training-batch assembly [[packBins]]
+    * stops short of: [[packBins]] assigns each whole document to the
+    * bin its prefix sum starts in, so a document straddling a budget
+    * boundary silently overflows its bin. Real fixed-length batch
+    * assembly SPLITS the straddling document: the global token stream
+    * (docs concatenated in doc_id order) is cut at every `budget`
+    * boundary and each document emits one (bin, slice) row per boundary
+    * it crosses — `slice_start/slice_end` are 1-based token positions
+    * within the doc, every bin except the last holds exactly `budget`
+    * tokens, and a document's slices reassemble it exactly.
+    *
+    * 100 TB shape: the prefix sum is the shared distributed two-pass
+    * ([[tokenPrefixFrame]] — no global window, `parts`-row collect);
+    * the boundary arithmetic and the per-doc explode are pure row-local
+    * integer work, and a doc emits `1 + ⌊(n_tok−1)/budget⌋`-ish rows —
+    * output tracks corpus token count / budget, not a blowup. No
+    * shuffle after the prefix sum except the presentation sort.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame =
+    tokenPrefixFrame(spark, dir, parts) match {
+      case None =>
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+            lit(0L).as("bin"), lit(0L).as("slice_id"),
+            lit(0L).as("slice_start"), lit(0L).as("slice_end"), lit(0L).as("n_tok_slice"))
+      case Some(prefixed) =>
+        prefixed
+          // every budget boundary the doc's [tokens_before, tokens_before
+          // + n_tok) token span crosses contributes one slice; sequence()
+          // is inclusive on both ends, so first bin .. last bin directly
+          .withColumn("bin", explode(expr(
+            s"sequence(tokens_before div $budget, (tokens_before + n_tok - 1) div $budget)")))
+          .select(col("doc_id"), col("n_tok"), col("bin"),
+            expr(s"bin - tokens_before div $budget").as("slice_id"),
+            (greatest(col("bin") * budget - col("tokens_before"), lit(0L)) + 1L).as("slice_start"),
+            least((col("bin") + 1L) * budget - col("tokens_before"), col("n_tok")).as("slice_end"))
+          .withColumn("n_tok_slice", col("slice_end") - col("slice_start") + 1L)
+          .orderBy(col("doc_id"), col("bin"))
+    }
 
   /** Overlapping context-window chunking — the retrieval/RAG
     * counterpart of [[packBins]]: split each document's token sequence

@@ -408,6 +408,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pack sequences: boundary slices reassemble every doc and fill every non-final bin exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val budget = 2048L
+    val rows = graft.ext.Corpus.packSequences(spark, dir, budget)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per-doc: slices are contiguous 1..n_tok (the doc reassembles exactly)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._4) // by slice_id
+      assert(sorted.head._5 == 1L, s"doc $doc first slice must start at token 1")
+      assert(sorted.last._6 == sorted.head._2, s"doc $doc last slice must end at n_tok")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._6 + 1, s"doc $doc slices not contiguous at slice ${b._4}")
+        case _ =>
+      }
+      assert(sorted.map(_._7).sum == sorted.head._2, s"doc $doc slice tokens != n_tok")
+      // slice_id is dense from 0 and bins advance by exactly 1 per slice
+      sorted.zipWithIndex.foreach { case (r, i) => assert(r._4 == i.toLong) }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + 1, s"doc $doc skipped a bin")
+        case _ =>
+      }
+    }
+    // per-bin: every bin except the last holds exactly `budget` tokens
+    val byBin = rows.groupBy(_._3).view.mapValues(_.map(_._7).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, tok) =>
+      if (bin != lastBin) assert(tok == budget, s"bin $bin holds $tok tokens, expected $budget")
+      else assert(tok <= budget, s"final bin overflows: $tok")
+    }
+    // agreement with packBins: a doc's FIRST slice lands in its packBins bin
+    val bins = graft.ext.Corpus.packBins(spark, dir, budget)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    rows.filter(_._4 == 0L).foreach { case (doc, _, bin, _, _, _, _) =>
+      assert(bin == bins(doc), s"doc $doc first slice bin $bin != packBins ${bins(doc)}")
+    }
+  }
+
   test("repetition filter: degenerate doc flagged, varied doc kept") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
