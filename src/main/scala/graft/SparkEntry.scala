@@ -139,6 +139,7 @@ object SparkEntry {
     "x_pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
+    "x_chunk_neardup" -> ((s, d) => Corpus.chunkNearDup(s, d)),
     "x_dsir_sample"   -> ((s, d) => Corpus.dsirSample(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -1663,6 +1664,41 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_copies
          FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
          ORDER BY chunk_md5""",
+    // Chunk-level near-dup: word-3-gram Jaccard >= 0.8 between distinct
+    // chunk contents (one lexicographic-min representative per md5 —
+    // exact copies are chunkDedup's job). The Spark side generates
+    // candidates by banded MinHash (miss prob < 6e-8 at the threshold,
+    // recall-spec'd vs brute force); the contract both engines compute
+    // is the exact shingle-join Jaccard below. Integer threshold
+    // (5·sh >= 4·(n1+n2−sh)) and row-level two-long division keep the
+    // boundary and the emitted ratio bit-identical cross-engine.
+    "x_chunk_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         st AS (SELECT doc_id, toks, n_tok,
+             unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
+           FROM t),
+         ch AS (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS cid,
+             md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m,
+             toks[start_tok:least(start_tok + 63, n_tok)] AS ts
+           FROM st),
+         rep AS (SELECT m, doc_id, cid, ts FROM (
+             SELECT m, doc_id, cid, ts,
+               row_number() OVER (PARTITION BY m ORDER BY doc_id, cid) AS rn FROM ch)
+           WHERE rn = 1),
+         shg AS (SELECT m, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS g
+           FROM rep WHERE len(ts) >= 3),
+         n AS (SELECT m, CAST(count(*) AS BIGINT) AS n_g FROM shg GROUP BY m),
+         p AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS sh
+           FROM shg a JOIN shg b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2),
+         j AS (SELECT m1, m2, sh, n1.n_g AS n1, n2.n_g AS n2
+           FROM p JOIN n n1 ON p.m1 = n1.m JOIN n n2 ON p.m2 = n2.m
+           WHERE sh * 5 >= (n1.n_g + n2.n_g - sh) * 4)
+         SELECT j.m1, j.m2, r1.doc_id AS d1, r1.cid AS c1, r2.doc_id AS d2, r2.cid AS c2,
+           j.n1, j.n2, j.sh AS shared, j.sh / (j.n1 + j.n2 - j.sh) AS jac
+         FROM j JOIN rep r1 ON j.m1 = r1.m JOIN rep r2 ON j.m2 = r2.m
+         ORDER BY j.m1, j.m2""",
     // DSIR importance resampling: hashed-bigram log-likelihood ratios
     // (val split = target, train split = raw pool), quantized to integer
     // micro-nats so per-doc weights are exact integer sums; Gumbel-top-k

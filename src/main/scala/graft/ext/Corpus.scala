@@ -386,6 +386,7 @@ object Corpus {
   def chunkOverlap(spark: SparkSession, dir: String,
       window: Int = 64, stride: Int = 48): DataFrame =
     chunkFrame(Tables.documents(spark, dir), window, stride)
+      .drop("chunk_toks") // the token slice is for chunkNearDup's shingles, not the registered surface
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** The ONE chunk projection shared by [[chunkOverlap]],
@@ -408,7 +409,8 @@ object Corpus {
         col("start_tok"),
         least(col("start_tok") + (window - 1), col("n_tok")).as("end_tok"),
         (least(col("start_tok") + (window - 1), col("n_tok")) - col("start_tok") + 1).as("n_tok_chunk"),
-        md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"))
+        md5(expr(s"array_join(slice(toks, CAST(start_tok AS INT), $window), ' ')")).as("chunk_md5"),
+        expr(s"slice(toks, CAST(start_tok AS INT), $window)").as("chunk_toks"))
   }
 
   /** Cross-document duplicated CHUNKS — the batch face of
@@ -435,6 +437,79 @@ object Corpus {
         count(lit(1)).as("n_copies"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("chunk_md5"))
+
+  /** Chunk-level NEAR-dup pairs — the gap [[chunkDedup]] leaves open:
+    * md5 equality only catches byte-identical chunks, so a syndicated
+    * passage with one token edited slips through at chunk granularity.
+    * This runs the MinHash-LSH near-dup machinery (the
+    * [[graft.ext.Dedup.minhashLshPairs]] pattern) at CHUNK granularity:
+    * word-3-gram shingles within each chunk, banded MinHash candidates,
+    * exact-Jaccard verify at ≥ 0.8.
+    *
+    * Feature choice: word 3-grams, NOT token sets — the corpus
+    * vocabulary is small (a chunk contains most distinct tokens, so
+    * token-set Jaccard saturates near 1 for unrelated chunks), while
+    * 3-gram shingles encode local word ORDER and give a sharply bimodal
+    * Jaccard (measured at sf0.01: unrelated pairs < 0.3, edited
+    * syndication ≥ 0.8, nothing between 0.3 and 0.8).
+    *
+    * Scale design, outside-in:
+    *   1. exact copies are collapsed FIRST — one representative chunk
+    *      per chunk_md5 (lexicographic-min (doc_id, chunk_id), a
+    *      keyed window over the md5 groups), so an N-times-syndicated
+    *      chunk costs one row here instead of N banded rows and N²
+    *      candidate pairs ([[chunkDedup]] already reports the exact
+    *      mass);
+    *   2. candidates come from 32-band MinHash signatures computed
+    *      per-row (one [[graft.functions.MinHashBands]] call, no
+    *      shuffle before the band equi-join; miss probability at
+    *      J ≥ 0.8 is < 6e-8 with 128 hashes — the verified output
+    *      equals brute force, which the recall spec asserts);
+    *   3. verify is a hash equi-join back to the memoized rep frame
+    *      and a row-local array_intersect; the threshold compares
+    *      integers (`5·shared ≥ 4·(n1+n2−shared)`), so no 0.8 float
+    *      boundary crosses the engine seam.
+    * Sub-3-token chunks carry no 3-gram and are excluded — documented,
+    * matching the shingle estimator's support (same convention as
+    * DSIR's single-token docs).
+    */
+  def chunkNearDup(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir", dir) {
+      val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
+      chunkFrame(Tables.documents(spark, dir), window, stride)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+          expr("""CASE WHEN size(chunk_toks) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+                  ELSE array_distinct(transform(sequence(1, size(chunk_toks) - 2),
+                    i -> xxhash64(concat_ws(' ', element_at(chunk_toks, i),
+                      element_at(chunk_toks, i + 1), element_at(chunk_toks, i + 2)))))
+                  END""").as("ghs"))
+        .filter(size(col("ghs")) > 0)
+        .withColumn("n_g", size(col("ghs")).cast("long"))
+    }
+    val banded = reps.select(col("chunk_md5"),
+      posexplode(graft.functions.GraftFunctions.minhashBands(col("ghs"), 128, 32))
+        .as(Seq("band", "bsig")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.chunk_md5") < col("b.chunk_md5"))
+      .select(col("a.chunk_md5").as("m1"), col("b.chunk_md5").as("m2"))
+      .distinct()
+    cand
+      .join(reps.select(col("chunk_md5").as("m1"), col("doc_id").as("d1"),
+        col("chunk_id").as("c1"), col("ghs").as("ghs1"), col("n_g").as("n1")), "m1")
+      .join(reps.select(col("chunk_md5").as("m2"), col("doc_id").as("d2"),
+        col("chunk_id").as("c2"), col("ghs").as("ghs2"), col("n_g").as("n2")), "m2")
+      .withColumn("shared", expr("CAST(cardinality(array_intersect(ghs1, ghs2)) AS BIGINT)"))
+      .filter(col("shared") * 5 >= (col("n1") + col("n2") - col("shared")) * 4)
+      .select(col("m1"), col("m2"), col("d1"), col("c1"), col("d2"), col("c2"),
+        col("n1"), col("n2"), col("shared"),
+        (col("shared") / (col("n1") + col("n2") - col("shared"))).as("jac"))
+      .orderBy(col("m1"), col("m2"))
+  }
 
   /** Data Selection via Importance Resampling (DSIR — Xie et al.,
     * NeurIPS 2023): pick raw-pool documents whose hashed-n-gram

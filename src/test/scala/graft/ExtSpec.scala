@@ -447,6 +447,47 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("chunk near-dup: banded candidates recover every brute-force pair at J >= 0.8") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ext.Corpus.chunkNearDup(spark, dir)
+      .select("m1", "m2", "jac").as[(String, String, Double)].collect()
+    assert(got.nonEmpty, "testdata plants edited syndication; output must not be empty")
+    got.foreach { case (m1, m2, jac) =>
+      assert(m1 < m2, "pair orientation must be pinned")
+      assert(jac >= 0.8 && jac < 1.0 + 1e-12, s"verify must enforce the threshold, got $jac")
+    }
+    // brute force over the SAME rep/shingle universe: exact shingle
+    // equi-join (complete — a J>=0.8 pair always shares shingles), no
+    // banding anywhere. LSH banding at 128 hashes / 32 bands must
+    // recover every pair (miss probability < 6e-8).
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
+    val reps = graft.ext.Corpus.chunkFrame(graft.Tables.documents(spark, dir), 64, 48)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("chunk_md5").as("m"),
+        expr("""CASE WHEN size(chunk_toks) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+                ELSE array_distinct(transform(sequence(1, size(chunk_toks) - 2),
+                  i -> xxhash64(concat_ws(' ', element_at(chunk_toks, i),
+                    element_at(chunk_toks, i + 1), element_at(chunk_toks, i + 2)))))
+                END""").as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .withColumn("n_g", size(col("ghs")).cast("long"))
+    val sh = reps.select(col("m"), explode(col("ghs")).as("g"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(reps.select(col("m").as("m1"), col("n_g").as("n1")), "m1")
+      .join(reps.select(col("m").as("m2"), col("n_g").as("n2")), "m2")
+      .filter(col("shared") * 5 >= (col("n1") + col("n2") - col("shared")) * 4)
+      .select("m1", "m2").as[(String, String)].collect().toSet
+    assert(got.map(t => (t._1, t._2)).toSet == brute,
+      s"banded path found ${got.length} pairs, brute force ${brute.size} — LSH recall must be exact here")
+  }
+
   test("repetition filter: degenerate doc flagged, varied doc kept") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
