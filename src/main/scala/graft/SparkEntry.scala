@@ -152,6 +152,7 @@ object SparkEntry {
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
     "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
+    "x_embed_whiten"    -> ((s, d) => Profiling.embedWhiten(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -1349,6 +1350,32 @@ object SparkEntry {
            FROM ev, vvec)
          SELECT vec_id, cos_pc1, round(1.0 - cos_pc1 * cos_pc1, 6) AS res_ratio
          FROM a ORDER BY vec_id""",
+    // Whitening apply: remove the top-2 principal components (exact-
+    // integer deflation solve, both components' iterates bit-identical
+    // cross-engine, float32-rounded before the dots) from every row.
+    // Every emitted float is rounded AND +0.0-normalized on both sides
+    // so a -0.0 vs +0.0 rounding-convention split can't break the hash.
+    "x_embed_whiten" ->
+      s"""WITH $pcaCtes,
+         $pcaDeflateCtes,
+         p1 AS (SELECT list(CAST(CAST(CAST(vq AS DOUBLE) / 100000.0 AS FLOAT) AS DOUBLE) ORDER BY k) AS pc FROM v3),
+         p2 AS (SELECT list(CAST(CAST(CAST(vq AS DOUBLE) / 100000.0 AS FLOAT) AS DOUBLE) ORDER BY k) AS pc FROM v3b),
+         lam1 AS (SELECT n3.nrm / vn2.vn / 100000000.0 AS l FROM n3, vn2),
+         lam2 AS (SELECT n3b.nrm / vn2b.vn / 100000000.0 AS l FROM n3b, vn2b),
+         dd AS (SELECT vec_id, v,
+             list_dot_product(v, p1.pc) AS d1,
+             list_dot_product(v, p2.pc) AS d2,
+             list_dot_product(v, v) AS xx,
+             p1.pc AS pc1, p2.pc AS pc2
+           FROM ev, p1, p2)
+         SELECT vec_id,
+           round(d1, 6) + 0.0 AS proj1,
+           round(d2, 6) + 0.0 AS proj2,
+           array_to_string(list_transform(range(1, len(v) + 1),
+             j -> CAST(CAST(round((v[j] - d1 * pc1[j] - d2 * pc2[j]) * 1000000, 0) AS BIGINT) AS VARCHAR)), ',') AS whitened_q,
+           round(1.0 - (d1 * d1 + d2 * d2) / xx, 6) + 0.0 AS res_ratio,
+           lam1.l AS lambda1, lam2.l AS lambda2
+         FROM dd, lam1, lam2 ORDER BY vec_id""",
     // PSI drift between train/val token-count distributions: fixed-width
     // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
     // 0.5 × 16 bins), ln contributions rounded on both sides.
@@ -1834,11 +1861,49 @@ object SparkEntry {
     * corpus ever grows past ~1e5 rows, drop the iterate scale from
     * 1e5 to 1e4 on BOTH sides.
     */
+  /** Second-component CTEs for x_embed_whiten, appended after
+    * [[pcaCtes]] (see Profiling.pcaComponents for the algorithm):
+    * exact-integer Hotelling deflation of the Gram matrix (Rayleigh
+    * quotient R = vᵀCv and (vᵀv)² are exact HUGEINTs; every rounding
+    * is half-away-from-zero with positive-operand `//` only, the sign
+    * split off in a CASE), then three unrolled power steps over the
+    * deflated matrix — each step RE-ORTHOGONALIZED against the first
+    * component's iterate v3 (w −= round((w·v3)·v3/(v3ᵀv3))) before
+    * normalization, exactly as the Scala solve does — ending at
+    * iterate `v3b` with its norm CTEs. Generated per step, not
+    * hand-copied three times (the bpeIterativeOracle convention).
+    * Numerator bound: R·|v_j·v_k|·2 ~ rows·8e31 — HUGEINT-safe below
+    * ~2e6 rows, same note as pcaCtes.
+    */
+  private val pcaDeflateCtes: String = {
+    val steps = (1 to 3).map { i =>
+      val prev = if (i == 1) "v0b" else s"v${i - 1}b"
+      s"""w${i}r AS (SELECT j2 AS k, sum(cq * vq) AS w FROM cb JOIN $prev ON cb.j1 = $prev.k GROUP BY 1),
+         q${i}b AS (SELECT CAST(sum(w${i}r.w * v3.vq) AS HUGEINT) AS p FROM w${i}r JOIN v3 ON w${i}r.k = v3.k),
+         w${i}b AS (SELECT w${i}r.k,
+             w${i}r.w - (CASE WHEN q${i}b.p * v3.vq >= 0 THEN 1 ELSE -1 END) *
+               ((abs(q${i}b.p * v3.vq) * 2 + vnf.vn2) // (vnf.vn2 * 2)) AS w
+           FROM w${i}r JOIN v3 ON w${i}r.k = v3.k, q${i}b, vnf),
+         n${i}b AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w${i}b),
+         v${i}b AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w${i}b, n${i}b)"""
+    }.mkString(",\n         ")
+    s"""ray AS (SELECT CAST(sum(a.vq * c.cq * b.vq) AS HUGEINT) AS r
+           FROM c JOIN v3 a ON c.j1 = a.k JOIN v3 b ON c.j2 = b.k),
+         vnf AS (SELECT CAST(sum(vq * vq) AS HUGEINT) AS vn2 FROM v3),
+         cb AS MATERIALIZED (SELECT c.j1, c.j2,
+             c.cq - (CASE WHEN a.vq * b.vq >= 0 THEN 1 ELSE -1 END) *
+               ((ray.r * abs(a.vq * b.vq) * 2 + vnf.vn2 * vnf.vn2) // (vnf.vn2 * vnf.vn2 * 2)) AS cq
+           FROM c JOIN v3 a ON c.j1 = a.k JOIN v3 b ON c.j2 = b.k, ray, vnf),
+         v0b AS (SELECT k, CAST(100000 AS HUGEINT) AS vq FROM dims),
+         $steps,
+         vn2b AS (SELECT sqrt(CAST(sum(vq * vq) AS DOUBLE)) AS vn FROM v2b)"""
+  }
+
   private val pcaCtes: String =
-    """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         x AS (SELECT vec_id, j, CAST(round(v[j] * 10000) AS BIGINT) AS xq
+    """ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS MATERIALIZED (SELECT vec_id, j, CAST(round(v[j] * 10000) AS BIGINT) AS xq
            FROM ev, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)),
-         c AS (SELECT a.j AS j1, b.j AS j2, sum(a.xq * b.xq) AS cq
+         c AS MATERIALIZED (SELECT a.j AS j1, b.j AS j2, sum(a.xq * b.xq) AS cq
            FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
          dims AS (SELECT DISTINCT j AS k FROM x),
          v0 AS (SELECT k, CAST(100000 AS HUGEINT) AS vq FROM dims),
@@ -1851,7 +1916,7 @@ object SparkEntry {
          w3 AS (SELECT j2 AS k, sum(cq * vq) AS w FROM c JOIN v2 ON c.j1 = v2.k GROUP BY 1),
          vn2 AS (SELECT sqrt(CAST(sum(vq * vq) AS DOUBLE)) AS vn FROM v2),
          n3 AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w3),
-         v3 AS (SELECT k, CAST(floor(CAST(w AS DOUBLE) / n3.nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w3, n3)"""
+         v3 AS MATERIALIZED (SELECT k, CAST(floor(CAST(w AS DOUBLE) / n3.nrm * 100000 + 0.5) AS HUGEINT) AS vq FROM w3, n3)"""
 
   /** BM25 scoring + full ranking CTEs (shared by x_bm25 and
     * x_rank_fusion): `ranked` holds every matching doc with its rounded

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -294,28 +294,102 @@ object Profiling {
     * `iters` deterministic power steps on the driver copy. Returns the
     * 1e-5-unit quantized component and the rescaled λ estimate.
     */
-  private def pcaComponent(e: DataFrame, iters: Int): (Array[Long], Double) = {
+  private def pcaComponent(e: DataFrame, iters: Int): (Array[Long], Double) =
+    pcaComponents(e, iters, 1).head
+
+  /** Multi-component extension of the exact-integer eigensolve
+    * ([[embedWhiten]]), two mechanisms working together — both
+    * replayed bit-for-bit by the oracle:
+    *
+    *   - **Hotelling deflation** after each component: C' = C −
+    *     λ·v·vᵀ/(vᵀv), computed entirely in integers — λ·(outer
+    *     product) is the exact rational R·v_j·v_k/(vᵀv)² with
+    *     R = vᵀCv the exact BigInt Rayleigh quotient, rounded
+    *     half-away-from-zero with positive-operand division only
+    *     (sign split off), so the deflated matrix is again exact
+    *     integers.
+    *   - **Per-step re-orthogonalization** of every later component's
+    *     iterate against each already-found component: w −=
+    *     round((w·vᵢ)·vᵢ/(vᵢᵀvᵢ)), the same exact-rational rounding.
+    *     Deflation alone is NOT enough when the spectrum is flat (the
+    *     measured case on near-isotropic encoder output): an
+    *     unconverged v₁ leaves cross-terms in C' and the second
+    *     iterate picks up v₁ contamination (cos ≈ 0.18 at 3 steps).
+    *     Pinning the iterate to the orthogonal complement makes the
+    *     emitted components orthogonal BY CONSTRUCTION, which is what
+    *     the whitening apply needs — removing a 2-D subspace, not two
+    *     correlated directions.
+    *
+    * λ for each component is ‖w‖/‖v_prev‖ of the final
+    * post-orthogonalization iterate, rescaled by the quantizations.
+    * Oracle-side HUGEINT bound (the BigInt here is immune): the
+    * deflation numerator R·|v_j·v_k|·2 grows as rows·8e31, crossing
+    * ~1.7e38 near 2e6 embedding rows — far above the sf gates; past
+    * that, drop the iterate scale on both sides (same note as the
+    * first-component CTEs).
+    */
+  private[graft] def pcaComponents(e: DataFrame, iters: Int, nComp: Int): Seq[(Array[Long], Double)] = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     val xq = expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val cq: Array[Long] = e
+    val cq0: Array[Long] = e
       .select(graft.functions.GraftFunctions.outerProductQ(xq, dim).as("c"))
       .head().getSeq[Long](0).toArray
-    var v: Array[Long] = Array.fill(dim)(100000L)
-    var lambda = 0.0
-    for (_ <- 1 to iters) {
-      val w = Array.tabulate(dim) { k =>
+    val c: Array[BigInt] = cq0.map(BigInt(_))
+    // round-half-away-from-zero num/den with positive-operand integer
+    // division only (BigInt trunc == floor there; DuckDB // likewise)
+    def roundDiv(num: BigInt, den: BigInt): BigInt = {
+      val d = (num.abs * 2 + den) / (den * 2)
+      if (num >= 0) d else -d
+    }
+    var found = List.empty[(Array[Long], BigInt)] // (component, vᵀv)
+    (1 to nComp).map { _ =>
+      var v: Array[Long] = Array.fill(dim)(100000L)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { k =>
+          var s = BigInt(0)
+          var j = 0
+          while (j < dim) { s += c(j * dim + k) * v(j); j += 1 }
+          s
+        }
+        // pin the iterate to the complement of every found component
+        found.foreach { case (u, un2) =>
+          var p = BigInt(0)
+          var k = 0
+          while (k < dim) { p += w(k) * u(k); k += 1 }
+          k = 0
+          while (k < dim) { w(k) -= roundDiv(p * u(k), un2); k += 1 }
+        }
+        val vPrevNorm = math.sqrt(v.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+        val norm = math.sqrt(w.map(x => x * x).sum.toDouble)
+        lambda = norm / vPrevNorm / 100000000.0 // undo the 1e-4² Gram quantization
+        v = w.map(wi => math.floor(wi.toDouble / norm * 100000 + 0.5).toLong)
+      }
+      // Hotelling deflation, exact integers: C −= round(R·v·vᵀ/(vᵀv)²)
+      val ray = {
         var s = BigInt(0)
         var j = 0
-        while (j < dim) { s += BigInt(cq(j * dim + k)) * v(j); j += 1 }
+        while (j < dim) {
+          var k = 0
+          while (k < dim) { s += BigInt(v(j)) * c(j * dim + k) * v(k); k += 1 }
+          j += 1
+        }
         s
       }
-      val vPrevNorm = math.sqrt(v.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
-      val norm = math.sqrt(w.map(x => x * x).sum.toDouble)
-      lambda = norm / vPrevNorm / 100000000.0 // undo the 1e-4² Gram quantization
-      v = w.map(wi => math.floor(wi.toDouble / norm * 100000 + 0.5).toLong)
+      val vn2 = v.map(x => BigInt(x) * BigInt(x)).sum
+      var j = 0
+      while (j < dim) {
+        var k = 0
+        while (k < dim) {
+          c(j * dim + k) -= roundDiv(ray * v(j) * v(k), vn2 * vn2)
+          k += 1
+        }
+        j += 1
+      }
+      found = found :+ ((v, vn2))
+      (v, lambda)
     }
-    (v, lambda)
   }
 
   def embedPcaFor(e: DataFrame, iters: Int): DataFrame = {
@@ -356,6 +430,66 @@ object Profiling {
     e.select(col("vec_id"),
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), vLit), 6).as("cos_pc1"))
       .withColumn("res_ratio", round(lit(1.0) - col("cos_pc1") * col("cos_pc1"), 6))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Whitening APPLY — the per-row transform [[embedAnisotropy]] only
+    * diagnoses: remove the corpus's top-2 principal components from
+    * every embedding and emit the fixed vectors. `whitened = x −
+    * (x·v₁)v₁ − (x·v₂)v₂` is the anisotropy correction ("all-but-the-
+    * top" post-processing) embedding pipelines apply before
+    * ANN indexing so one dominant shared direction stops inflating
+    * every cosine; `res_ratio` is the variance fraction the row keeps.
+    *
+    * Components come from the exact-integer deflation solve
+    * ([[pcaComponents]]): both engines walk bit-identical iterates for
+    * BOTH components, each is float32-rounded before any dot (the
+    * [[embedAnisotropy]] convention), projections are sequential-fold
+    * dots on both engines, and every emitted float is rounded with a
+    * `+ 0.0` normalization so a −0.0/+0.0 split between the engines'
+    * rounding conventions can't break the hash.
+    *
+    * 100 TB shape: the solve is one corpus scan + bounded driver work
+    * (the deflation is dim²-local arithmetic on the collected Gram);
+    * the apply is a narrow row-local projection — zero shuffle until
+    * the presentation sort.
+    */
+  def embedWhiten(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    embedWhitenFor(Tables.embeddings(spark, dir), iters)
+
+  def embedWhitenFor(e: DataFrame, iters: Int): DataFrame = {
+    val comps = pcaComponents(e, iters, 2)
+    val (v1, lam1) = comps(0)
+    val (v2, lam2) = comps(1)
+    def pcLit(v: Array[Long]) = typedLit(v.map(x => (x / 100000.0).toFloat).toIndexedSeq)
+    val (pc1, pc2) = (pcLit(v1), pcLit(v2))
+    def dot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, p) => x.cast("double") * p.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("d1", dot(col("embedding"), pc1))
+      .withColumn("d2", dot(col("embedding"), pc2))
+      .withColumn("xx", dot(col("embedding"), col("embedding")))
+      .select(col("vec_id"),
+        (round(col("d1"), 6) + 0.0).as("proj1"),
+        (round(col("d2"), 6) + 0.0).as("proj2"),
+        // the fixed vectors, quantized to 1e-6 units and serialized as
+        // an integer CSV string: integer text is byte-identical
+        // cross-engine (double CAST-to-string is not — scientific vs
+        // decimal notation — and raw array columns don't survive the
+        // driver's hash canonicalization; the q20 array_to_string
+        // convention), and integers have no −0.0 to normalize
+        array_join(
+          zip_with(
+            zip_with(col("embedding"), pc1,
+              (x, p) => x.cast("double") - col("d1") * p.cast("double")),
+            pc2,
+            (y, q) => round((y - col("d2") * q.cast("double")) * 1000000.0, 0)
+              .cast("long").cast("string")),
+          ",").as("whitened_q"),
+        (round(lit(1.0) - (col("d1") * col("d1") + col("d2") * col("d2")) / col("xx"), 6) + 0.0)
+          .as("res_ratio"),
+        lit(lam1).as("lambda1"), lit(lam2).as("lambda2"))
       .orderBy(col("vec_id"))
   }
 

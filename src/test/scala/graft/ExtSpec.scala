@@ -488,6 +488,64 @@ class ExtSpec extends SparkSpec {
       s"banded path found ${got.length} pairs, brute force ${brute.size} — LSH recall must be exact here")
   }
 
+  test("embedding whitening: planted dominant direction removed, components orthogonal by construction") {
+    // a corpus with a PLANTED anisotropy: every vector is small noise
+    // plus a strong component along one fixed direction u — the
+    // cone-shaped encoder output the whitening exists to fix. The real
+    // testdata embeddings are near-isotropic (flat spectrum), where
+    // eigenvector identity is ill-posed; the planted case makes every
+    // assertion sharp while the registered query's oracle covers the
+    // corpus bit-for-bit.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val u = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val planted = (0 until 200).map { i =>
+      val coef = 2.0 + rnd.nextDouble()
+      val noise = Array.fill(dim)((rnd.nextDouble() - 0.5) * 0.2)
+      (i.toLong, noise.zip(u).map { case (n, ui) => (n + coef * ui / un).toFloat })
+    }
+    val e = planted.toDF("vec_id", "embedding")
+    val comps = graft.ext.Profiling.pcaComponents(e, 3, 2)
+    val (v1, l1) = comps(0)
+    val (v2, l2) = comps(1)
+    // v1 recovers the planted direction
+    val cosU = math.abs(v1.zip(u).map { case (a, b) => a.toDouble * b }.sum) /
+      (math.sqrt(v1.map(x => x.toDouble * x).sum) * un)
+    assert(cosU > 0.99, s"first component must recover the planted direction, cos=$cosU")
+    assert(l2 < l1 * 0.1, s"planted spectrum is dominated: λ1=$l1 must dwarf λ2=$l2")
+    // per-step re-orthogonalization pins v2 to v1's complement exactly
+    val dot12 = v1.zip(v2).map { case (a, b) => a.toDouble * b }.sum
+    val n1 = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(v2.map(x => x.toDouble * x).sum)
+    assert(math.abs(dot12) / (n1 * n2) < 0.01,
+      s"components must be orthogonal by construction, cos=${dot12 / (n1 * n2)}")
+    // the APPLY removes the subspace: re-solving on the whitened rows
+    // finds only the noise floor
+    val unq = expr("transform(split(whitened_q, ','), s -> CAST(s AS DOUBLE) / 1000000.0)")
+    val wh = graft.ext.Profiling.embedWhitenFor(e, 3)
+      .select(col("vec_id"), unq.as("embedding"))
+    val residual = graft.ext.Profiling.pcaComponents(wh, 3, 1).head._2
+    assert(residual < l1 * 0.1,
+      s"whitened corpus must lose the planted component: residual λ=$residual vs λ1=$l1")
+    // and on the REAL corpus: whitened rows keep exactly res_ratio of
+    // their variance (the apply and the report agree row by row)
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.embedWhiten(spark, dir)
+      .select(col("vec_id"), unq.as("w"), col("res_ratio"))
+      .as[(Long, Array[Double], Double)].collect()
+    assert(rows.nonEmpty)
+    val orig = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    rows.take(50).foreach { case (id, w, rr) =>
+      val xx = orig(id).map(x => x.toDouble * x).sum
+      val ww = w.map(x => x * x).sum
+      assert(math.abs(ww / xx - rr) < 0.01,
+        s"vec $id: whitened-norm ratio ${ww / xx} vs res_ratio=$rr")
+    }
+  }
+
   test("repetition filter: degenerate doc flagged, varied doc kept") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
