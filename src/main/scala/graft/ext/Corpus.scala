@@ -540,18 +540,7 @@ object Corpus {
   def dsirSample(spark: SparkSession, dir: String,
       nBuckets: Int = 1024, k: Int = 100): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
-          .as("sbucket"),
-        split(col("text"), " ").as("w"))
-      .filter(col("sbucket") < 90)
-      .withColumn("is_target", col("sbucket") >= 80)
-    val feats = docs.select(col("doc_id"), col("is_target"), explode(expr(
-      s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
-          ELSE transform(sequence(1, size(w) - 1),
-            i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
-          END""")).as("b"))
+    val feats = dsirFeats(spark, dir, nBuckets)
     // Memoize the ≤nBuckets-row per-bucket counts (the Dedup.Frames
     // lifecycle: fingerprinted per corpus, dropped by releaseCaches /
     // clearCache — a bare persist here leaked across repeated API
@@ -561,14 +550,7 @@ object Corpus {
     // corpus-scale shuffle or cache that measured SLOWER than
     // recomputing the row-local md5s, and would be the wrong trade at
     // 100 TB for the same reason).
-    val counts = Dedup.Frames.getOrCompute(spark, s"dsir_counts:$dir", dir)(
-      feats.groupBy(col("b")).agg(
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr")))
-    val tot = counts.agg(
-      coalesce(sum(col("ct")), lit(0L)).as("tct"),
-      coalesce(sum(col("cr")), lit(0L)).as("tcr")).head()
-    val (tct, tcr) = (tot.getLong(0), tot.getLong(1))
+    val (counts, tct, tcr) = dsirCounts(spark, dir, nBuckets, feats)
     val half = nBuckets / 2.0
     val lam = counts.select(col("b"),
       floor((log((col("ct") + 0.5) / lit(tct + half)) - log((col("cr") + 0.5) / lit(tcr + half)))
@@ -593,5 +575,65 @@ object Corpus {
       .select(col("rk"), col("doc_id"), col("n_feat"),
         (col("logw_q") / 1000000.0).as("logw"), col("g"))
       .orderBy(col("rk"))
+  }
+
+  /** The hashed-bigram (doc_id, is_target, bucket) explode shared by
+    * [[dsirSample]] and [[dsirRatioQ]] — the paper's feature extractor
+    * as one row-local expression (target = val split, raw = train
+    * split, per [[sampleSplit]]'s md5 buckets).
+    */
+  private def dsirFeats(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+          .as("sbucket"),
+        split(col("text"), " ").as("w"))
+      .filter(col("sbucket") < 90)
+      .withColumn("is_target", col("sbucket") >= 80)
+      .select(col("doc_id"), col("is_target"), explode(expr(
+        s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE transform(sequence(1, size(w) - 1),
+              i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
+            END""")).as("b"))
+
+  /** The memoized per-bucket (target, raw) counts + split totals behind
+    * [[dsirSample]] and [[dsirRatioQ]] — one corpus-token-sized explode
+    * collapsing to a ≤`nBuckets`-row hash aggregate, shared through the
+    * Frames lifecycle.
+    */
+  private def dsirCounts(spark: SparkSession, dir: String, nBuckets: Int,
+      feats: DataFrame): (DataFrame, Long, Long) = {
+    val counts = Dedup.Frames.getOrCompute(spark, s"dsir_counts:$dir", dir)(
+      feats.groupBy(col("b")).agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr")))
+    val tot = counts.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tct"),
+      coalesce(sum(col("cr")), lit(0L)).as("tcr")).head()
+    (counts, tot.getLong(0), tot.getLong(1))
+  }
+
+  /** The DSIR log-likelihood-ratio table as a dense `nBuckets`-long
+    * array (micro-nat integers, index = bucket): the broadcastable form
+    * the STREAMING scorer inlines as a literal
+    * ([[graft.streaming.EventsStream.dsirScoreStream]]). Buckets never
+    * observed in the batch corpus get the same Laplace-smoothed formula
+    * at ct = cr = 0 — a novel bucket arriving on the stream scores the
+    * smoothing prior instead of failing the lookup. The Scala
+    * quantization mirrors the SQL expression op-for-op (Math.log both
+    * sides), so a stream-scored doc's integer weight is bit-identical
+    * to the batch join-based weight — the property the batch-agreement
+    * spec asserts.
+    */
+  def dsirRatioQ(spark: SparkSession, dir: String, nBuckets: Int = 1024): Array[Long] = {
+    val (counts, tct, tcr) = dsirCounts(spark, dir, nBuckets, dsirFeats(spark, dir, nBuckets))
+    val half = nBuckets / 2.0
+    val observed = counts.collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    Array.tabulate(nBuckets) { b =>
+      val (ct, cr) = observed.getOrElse(b, (0L, 0L))
+      math.floor((math.log((ct + 0.5) / (tct + half)) - math.log((cr + 0.5) / (tcr + half)))
+        * 1000000 + 0.5).toLong
+    }
   }
 }

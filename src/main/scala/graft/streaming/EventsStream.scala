@@ -549,6 +549,45 @@ object EventsStream {
       }
   }
 
+  /** Streaming DSIR scorer — the online face of
+    * [[graft.ext.Corpus.dsirSample]]: score documents as they ARRIVE
+    * with the batch-trained importance weights, so ingestion can route
+    * or prioritize by domain-match instead of waiting for the nightly
+    * resampling batch. The batch ratio table is bounded (`nBuckets`
+    * rows) and collected once ([[graft.ext.Corpus.dsirRatioQ]] — dense
+    * array, unseen buckets pre-filled with the smoothing prior), so
+    * scoring is PURE ROW-LOCAL work: hash the doc's word bigrams to
+    * buckets, sum the literal-array lookups. No state, no shuffle, no
+    * stream-static join to keep warm — the strongest possible
+    * streaming shape, and exactly the pattern the batch side's
+    * broadcast join compiles to.
+    *
+    * Exactness: the bucket expression is the batch extractor verbatim
+    * and the weights are integer micro-nats, so a streamed doc's
+    * (n_feat, logw_q) is bit-identical to the batch join-based
+    * aggregate — asserted row-level by the batch-agreement spec.
+    * Single-token docs score (0, 0), matching the estimator's support.
+    */
+  def dsirScoreStream(docs: DataFrame, lamQ: Array[Long], nBuckets: Int = 1024): DataFrame = {
+    require(lamQ.length == nBuckets,
+      s"ratio table must be dense: ${lamQ.length} entries for $nBuckets buckets")
+    val lamLit = typedLit(lamQ.toIndexedSeq)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("bs", expr(
+        s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE transform(sequence(1, size(w) - 1),
+              i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
+            END"""))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_feat"),
+        // bucket is mod-nBuckets by construction, so the +1 lookup is
+        // always in range even under ANSI element_at
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + element_at(lamLit, (b + 1).cast("int"))).as("logw_q"))
+      .withColumn("logw", col("logw_q") / 1000000.0)
+  }
+
   /** Streaming embedding-drift monitor: the online face of
     * [[graft.ext.Profiling.embeddingStats]] — per-dimension running
     * count/mean/std over arriving vectors, z-scored against a REFERENCE

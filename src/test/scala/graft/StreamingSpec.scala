@@ -885,6 +885,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSIR scorer: arriving docs score bit-identical to the batch importance weights") {
+    val dir = "/root/testdata/sf0.001"
+    val lam = graft.ext.Corpus.dsirRatioQ(spark, dir)
+    assert(lam.length == 1024)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.dsirScoreStream(input.toDF().toDF("doc_id", "text"), lam)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+      .select(col("doc_id"), col("n_feat"), col("logw_q"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed.size == docs.length, "every arriving doc must score")
+    // row-level agreement with the INDEPENDENT batch path (explode →
+    // broadcast join → aggregate) over the docs the batch emits
+    val batch = graft.ext.Corpus.dsirSample(spark, dir)
+      .select(col("doc_id"), col("n_feat"), col("logw"))
+      .as[(Long, Long, Double)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, nf, logw) =>
+      val (snf, slq) = streamed(id)
+      assert(snf == nf, s"doc $id: stream n_feat $snf vs batch $nf")
+      assert(slq / 1000000.0 == logw, s"doc $id: stream logw ${slq / 1000000.0} vs batch $logw")
+    }
+    // single-token docs have no bigram support and score (0, 0)
+    docs.filter(!_._2.contains(' ')).foreach { case (id, _) =>
+      assert(streamed(id) == ((0L, 0L)), s"single-token doc $id must score the empty support")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("streaming embedding-drift monitor: self-reference stays quiet, a planted mean shift flags its dimension only") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
