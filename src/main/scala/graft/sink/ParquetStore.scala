@@ -20,6 +20,25 @@ object ParquetStore {
   val DayCol = "d"
   val BatchCol = "bid"
 
+  /** Every store write runs with INT64 (TIMESTAMP_MICROS) parquet
+    * timestamps: Spark's default INT96 is a deprecated type parquet
+    * collects NO min/max statistics for, which silently voids the
+    * store's entire ORDER BY parity — a time predicate cannot skip a
+    * single row group over stat-less timestamps (caught by the z-order
+    * pruning spec: the time leg scanned everything). Scoped to the
+    * write and restored, so a caller's session conf is untouched.
+    */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Exactly-once leg for `foreachBatch` (SURVEY §7.3 trap 4): each
     * micro-batch lands in its own `bid=<batchId>` directory with
     * `overwrite` semantics, so a replayed batch REWRITES its directory
@@ -44,11 +63,18 @@ object ParquetStore {
     val parted =
       if (daily) ym.withColumn(DayCol, date_format(col("timestamp"), "yyyyMMdd"))
       else ym
-    parted
-      .sortWithinPartitions(col("timestamp"))
-      .write.mode("overwrite")
-      .partitionBy((if (daily) Seq(PartitionCol, DayCol) else Seq(PartitionCol)): _*)
-      .parquet(s"$path/$BatchCol=$batchId")
+    val partCols = if (daily) Seq(PartitionCol, DayCol) else Seq(PartitionCol)
+    // partition cols lead the sort for the same reason as in [[compact]]:
+    // the planned write otherwise stacks its own Sort(partitionCols) on
+    // top and EliminateSorts drops the timestamp sort entirely, leaving
+    // row groups in arrival order with useless min/max stats
+    withMicrosTimestamps(parted.sparkSession) {
+      parted
+        .sortWithinPartitions(partCols.map(col) :+ col("timestamp"): _*)
+        .write.mode("overwrite")
+        .partitionBy(partCols: _*)
+        .parquet(s"$path/$BatchCol=$batchId")
+    }
   }
 
   /** Compaction — the analogue of MergeTree's background merges
@@ -80,8 +106,23 @@ object ParquetStore {
     * `upToBatchId = lastCommittedBatch` on every cycle and never
     * pauses the stream.
     */
+  /** `zorderBy = Some(col)` switches the within-partition sort from the
+    * 1-D timestamp order to the Z-order (Morton) key over (`col` mod
+    * 256, minute-of-day mod 256) — the exact key
+    * [[graft.queries.LogQueries.eventsZOrderKey]] computes, applied to
+    * the store layout it was designed for. The 1-D sort is ideal for
+    * time windows but useless for `user = ?` without a time bound;
+    * under the Z layout each parquet row group covers one curve
+    * quadrant, so min/max stats prune on EITHER predicate — the layout
+    * decision that matters when one 100 TB table serves both query
+    * shapes (StreamingSpec asserts both prunings against the same
+    * data). `col` must be numeric: the mod-256 cell is order-preserving
+    * exactly when the id domain is dense, which is also when row-group
+    * min/max stats can discriminate it.
+    */
   def compact(spark: SparkSession, path: String, destPath: String,
-              filesPerPartition: Int = 1, upToBatchId: Option[Long] = None): Unit = {
+              filesPerPartition: Int = 1, upToBatchId: Option[Long] = None,
+              zorderBy: Option[String] = None): Unit = {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     val snapshot = upToBatchId match {
       case None => spark.read.parquet(path)
@@ -106,11 +147,29 @@ object ParquetStore {
       if (filesPerPartition == 1) df.repartition(keyCols: _*)
       else df.repartition(keyCols :+
         pmod(xxhash64(col("timestamp")), lit(filesPerPartition.toLong)): _*)
-    parted
-      .sortWithinPartitions(col("timestamp"))
-      .write.mode("overwrite")
-      .partitionBy(partCols: _*)
-      .parquet(destPath)
+    val sortKey = zorderBy match {
+      case None => col("timestamp")
+      case Some(c) => graft.queries.LogQueries.mortonKey(
+        pmod(col(c).cast("long"), lit(256L)),
+        pmod(hour(col("timestamp")) * 60 + minute(col("timestamp")), lit(256)).cast("long"))
+    }
+    // The sort MUST lead with the partition columns: Spark's planned
+    // write requires the data ordered by them and otherwise inserts its
+    // OWN Sort(partitionCols) above this one — at which point the
+    // optimizer's EliminateSorts removes ours as redundant and the
+    // files land in shuffle-arrival order, silently discarding the
+    // clustering this compaction exists to produce (caught by the
+    // z-order row-group pruning spec; the 1-D timestamp sort was being
+    // dropped the same way). With the partition columns as a prefix,
+    // the writer's requirement is already satisfied and no extra sort
+    // is planned.
+    withMicrosTimestamps(spark) {
+      parted
+        .sortWithinPartitions(keyCols :+ sortKey: _*)
+        .write.mode("overwrite")
+        .partitionBy(partCols: _*)
+        .parquet(destPath)
+    }
   }
 
   /** TTL expiry — the analogue of ClickHouse `TTL timestamp + INTERVAL

@@ -125,6 +125,63 @@ class StreamingSpec extends SparkSpec {
     assert(view.count() == 6)
   }
 
+  test("z-order compacted layout prunes row groups on BOTH user and time predicates") {
+    val out = tmp("graft-zorder-src")
+    val destT = tmp("graft-zorder-t") + "/gen1"
+    val destZ = tmp("graft-zorder-z") + "/gen1"
+    // synthetic logs over the FULL 256×256 Morton grid (256 users ×
+    // 256 distinct minutes, 2 rows per cell): every minute block
+    // contains every user, so a pure time sort leaves the user
+    // dimension unclustered in every row group (the layout
+    // eventsZOrderKey exists to fix), and a contiguous zkey run maps
+    // to a small curve tile in BOTH dimensions
+    val n = 1 << 17
+    val df = spark.range(n).select(
+      (col("id") % 256).as("user_id"),
+      expr("timestamp'2025-12-01 00:00:00' + make_interval(0, 0, 0, 0, 0, CAST((id div 256) % 256 AS INT), 0)")
+        .as("timestamp"),
+      concat(lit("m"), col("id")).as("message"))
+    ParquetStore.appendBatch(df, out, batchId = 0)
+    // tiny parquet row groups so one file holds many prunable groups
+    // (each ~500-row group covers a ~16×16 curve tile)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    try {
+      ParquetStore.compact(spark, out, destT)
+      ParquetStore.compact(spark, out, destZ, zorderBy = Some("user_id"))
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      if (prevPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", prevPage)
+    }
+    // rows survive the re-layout bit-for-bit
+    assert(spark.read.parquet(destZ).count() == n)
+    // materialized-row metric of the scan leaf = rows in row groups the
+    // parquet reader could NOT skip via min/max stats
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).where(pred)
+      q.collect() // execute THIS plan so its scan metrics populate
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+      scan.get.metrics("numOutputRows").value
+    }
+    val userT = scanned(destT, col("user_id") === 7)
+    val userZ = scanned(destZ, col("user_id") === 7)
+    // time sort: user 7 appears in every 64-row stripe — nothing skips
+    assert(userT == n, s"time-sorted layout unexpectedly pruned a user predicate: $userT of $n")
+    // z layout: user 7 lives in curve quadrants — most row groups skip
+    assert(userZ < n / 4, s"z-order layout must prune user row groups: scanned $userZ of $n")
+    assert(userZ < userT, "z-order must beat the 1-D layout on the user dimension")
+    // and the SAME layout still prunes a time window (multi-dimensional
+    // clustering, not a swap of one 1-D sort for another)
+    val timeZ = scanned(destZ, col("timestamp") < "2025-12-01 00:30:00")
+    assert(timeZ < n / 2, s"z-order layout must still prune time row groups: scanned $timeZ of $n")
+  }
+
   test("snapshot compaction under a concurrent append: racing batch survives, replay lands it exactly once") {
     val out = tmp("graft-compact-race"); val dest = tmp("graft-compact-race-dst") + "/gen1"
     def batch(msgs: String*) = IngestPipeline.runBatch(
