@@ -140,6 +140,8 @@ object SparkEntry {
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
     "x_chunk_neardup" -> ((s, d) => Corpus.chunkNearDup(s, d)),
+    "x_chunk_clusters" -> ((s, d) => Corpus.chunkClusters(s, d)),
+    "x_chunk_incremental" -> ((s, d) => Corpus.chunkIncremental(s, d)),
     "x_dsir_sample"   -> ((s, d) => Corpus.dsirSample(s, d)),
     // data profiling + privacy scrub
     "x_profile_columns" -> (Profiling.columnProfile _),
@@ -1700,32 +1702,59 @@ object SparkEntry {
     // (5·sh >= 4·(n1+n2−sh)) and row-level two-long division keep the
     // boundary and the emitted ratio bit-identical cross-engine.
     "x_chunk_neardup" ->
+      s"""WITH $chunkPairCtes
+         SELECT j.m1, j.m2, r1.doc_id AS d1, r1.cid AS c1, r2.doc_id AS d2, r2.cid AS c2,
+           j.n1, j.n2, j.sh AS shared, j.sh / (j.n1 + j.n2 - j.sh) AS jac
+         FROM j JOIN rep r1 ON j.m1 = r1.m JOIN rep r2 ON j.m2 = r2.m
+         ORDER BY j.m1, j.m2""",
+    // Chunk clusters: connected components over the whole chunk-dup
+    // graph — exact copies edge to their md5-min representative,
+    // near-dup representatives (the x_chunk_neardup contract) edge to
+    // each other; label = component-min packed (doc_id·2^20 + chunk_id)
+    // key, decomposed back; keep = the canonical chunk.
+    "x_chunk_clusters" ->
+      s"""WITH RECURSIVE $chunkPairCtes,
+         kch AS (SELECT doc_id, cid, m, doc_id * 1048576 + cid AS k FROM ch),
+         rk AS (SELECT m, min(k) AS rk FROM kch GROUP BY m),
+         eqe AS (SELECT rk.rk AS ea, kch.k AS eb FROM kch JOIN rk ON kch.m = rk.m WHERE kch.k <> rk.rk),
+         nde AS (SELECT r1.doc_id * 1048576 + r1.cid AS ea, r2.doc_id * 1048576 + r2.cid AS eb
+           FROM j JOIN rep r1 ON j.m1 = r1.m JOIN rep r2 ON j.m2 = r2.m),
+         edges AS (SELECT ea, eb FROM eqe UNION ALL SELECT eb, ea FROM eqe
+           UNION ALL SELECT ea, eb FROM nde UNION ALL SELECT eb, ea FROM nde),
+         reach(a, b) AS (
+           SELECT k, k FROM kch
+           UNION
+           SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+         lab AS (SELECT a AS k, min(b) AS cl FROM reach GROUP BY a)
+         SELECT kch.doc_id, kch.cid AS chunk_id, kch.m AS chunk_md5,
+           CAST(lab.cl // 1048576 AS BIGINT) AS cluster_doc,
+           CAST(lab.cl % 1048576 AS BIGINT) AS cluster_chunk,
+           (lab.cl = kch.k) AS keep
+         FROM kch JOIN lab ON kch.k = lab.k
+         ORDER BY kch.doc_id, chunk_id""",
+    // Incremental chunk dedup: the arriving batch (doc_id >= 400)
+    // judged chunk-by-chunk against the corpus — md5 equality IS the
+    // predicate (the streaming twin's contract); first-wins inside the
+    // batch by the packed (doc_id·2^20 + chunk_id) key.
+    "x_chunk_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          st AS (SELECT doc_id, toks, n_tok,
              unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
            FROM t),
          ch AS (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS cid,
-             md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m,
-             toks[start_tok:least(start_tok + 63, n_tok)] AS ts
+             md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m
            FROM st),
-         rep AS (SELECT m, doc_id, cid, ts FROM (
-             SELECT m, doc_id, cid, ts,
-               row_number() OVER (PARTITION BY m ORDER BY doc_id, cid) AS rn FROM ch)
-           WHERE rn = 1),
-         shg AS (SELECT m, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
-             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS g
-           FROM rep WHERE len(ts) >= 3),
-         n AS (SELECT m, CAST(count(*) AS BIGINT) AS n_g FROM shg GROUP BY m),
-         p AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS sh
-           FROM shg a JOIN shg b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2),
-         j AS (SELECT m1, m2, sh, n1.n_g AS n1, n2.n_g AS n2
-           FROM p JOIN n n1 ON p.m1 = n1.m JOIN n n2 ON p.m2 = n2.m
-           WHERE sh * 5 >= (n1.n_g + n2.n_g - sh) * 4)
-         SELECT j.m1, j.m2, r1.doc_id AS d1, r1.cid AS c1, r2.doc_id AS d2, r2.cid AS c2,
-           j.n1, j.n2, j.sh AS shared, j.sh / (j.n1 + j.n2 - j.sh) AS jac
-         FROM j JOIN rep r1 ON j.m1 = r1.m JOIN rep r2 ON j.m2 = r2.m
-         ORDER BY j.m1, j.m2""",
+         cor AS (SELECT m, min(doc_id) AS corpus_owner FROM ch WHERE doc_id < 400 GROUP BY m),
+         b AS (SELECT doc_id, cid, m, doc_id * 1048576 + cid AS k FROM ch WHERE doc_id >= 400),
+         bf AS (SELECT m, min(k) AS fk FROM b GROUP BY m)
+         SELECT b.doc_id, b.cid AS chunk_id, b.m AS chunk_md5,
+           coalesce(cor.corpus_owner, -1) AS corpus_owner,
+           cor.corpus_owner IS NOT NULL AS dup_of_corpus,
+           b.k > bf.fk AS dup_of_batch,
+           (cor.corpus_owner IS NULL AND b.k = bf.fk) AS keep
+         FROM b JOIN bf ON b.m = bf.m LEFT JOIN cor ON b.m = cor.m
+         ORDER BY b.doc_id, chunk_id""",
     // DSIR importance resampling: hashed-bigram log-likelihood ratios
     // (val split = target, train split = raw pool), quantized to integer
     // micro-nats so per-doc weights are exact integer sums; Gumbel-top-k
@@ -1861,6 +1890,36 @@ object SparkEntry {
     * corpus ever grows past ~1e5 rows, drop the iterate scale from
     * 1e5 to 1e4 on BOTH sides.
     */
+  /** Chunk near-dup CTE chain shared by x_chunk_neardup and
+    * x_chunk_clusters: overlapping chunks → one representative per
+    * chunk_md5 (lexicographic-min (doc_id, chunk_id)) → distinct
+    * word-3-gram shingles per rep → pairwise shared counts → verified
+    * pairs `j` at the integer threshold 5·sh ≥ 4·(n1+n2−sh) (J ≥ 0.8).
+    */
+  private val chunkPairCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         st AS (SELECT doc_id, toks, n_tok,
+             unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
+           FROM t),
+         ch AS MATERIALIZED (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS cid,
+             md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m,
+             toks[start_tok:least(start_tok + 63, n_tok)] AS ts
+           FROM st),
+         rep AS MATERIALIZED (SELECT m, doc_id, cid, ts FROM (
+             SELECT m, doc_id, cid, ts,
+               row_number() OVER (PARTITION BY m ORDER BY doc_id, cid) AS rn FROM ch)
+           WHERE rn = 1),
+         shg AS MATERIALIZED (SELECT m, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS g
+           FROM rep WHERE len(ts) >= 3),
+         n AS (SELECT m, CAST(count(*) AS BIGINT) AS n_g FROM shg GROUP BY m),
+         p AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS sh
+           FROM shg a JOIN shg b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2),
+         j AS (SELECT m1, m2, sh, n1.n_g AS n1, n2.n_g AS n2
+           FROM p JOIN n n1 ON p.m1 = n1.m JOIN n n2 ON p.m2 = n2.m
+           WHERE sh * 5 >= (n1.n_g + n2.n_g - sh) * 4)"""
+
   /** Second-component CTEs for x_embed_whiten, appended after
     * [[pcaCtes]] (see Profiling.pcaComponents for the algorithm):
     * exact-integer Hotelling deflation of the Gram matrix (Rayleigh

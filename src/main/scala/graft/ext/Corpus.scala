@@ -511,6 +511,87 @@ object Corpus {
       .orderBy(col("m1"), col("m2"))
   }
 
+  /** Incremental CHUNK dedup — the oracle-checked batch face of
+    * [[graft.streaming.EventsStream.chunkDupCandidates]] and the
+    * chunk-granularity member of the incremental family
+    * ([[Dedup.incrementalNearDup]] is the document face): an arriving
+    * batch (doc_id ≥ 400, the family's split convention) is judged
+    * chunk-by-chunk against the standing corpus — a chunk already
+    * served by a corpus document is a dup with that owner; a chunk
+    * first served by an EARLIER batch chunk defers to it (first-wins
+    * by (doc_id, chunk_id)); only first sightings are kept. This is
+    * the per-ingest decision that keeps a growing store's chunk index
+    * and embedding queue free of re-served boilerplate.
+    *
+    * The in-batch tiebreak key is the packed long `doc_id·2²⁰ +
+    * chunk_id` — identical arithmetic on both engines, no struct
+    * comparison crossing the seam (valid while chunk_id < 2²⁰, i.e.
+    * docs under ~50M tokens at the default stride).
+    *
+    * 100 TB shape: row-local chunking → two hash aggregates on
+    * chunk_md5 (corpus owners, batch firsts) + two equi-joins back;
+    * output is one row per BATCH chunk only.
+    */
+  def chunkIncremental(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48, splitId: Long = 400): DataFrame = {
+    val ch = chunkFrame(Tables.documents(spark, dir), window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+    val corpus = ch.filter(col("doc_id") < splitId)
+      .groupBy(col("chunk_md5")).agg(min(col("doc_id")).as("corpus_owner"))
+    val batch = ch.filter(col("doc_id") >= splitId)
+      .withColumn("k", col("doc_id") * (1L << 20) + col("chunk_id"))
+    val batchFirst = batch.groupBy(col("chunk_md5")).agg(min(col("k")).as("fk"))
+    batch
+      .join(batchFirst, "chunk_md5")
+      .join(corpus, Seq("chunk_md5"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        coalesce(col("corpus_owner"), lit(-1L)).as("corpus_owner"),
+        col("corpus_owner").isNotNull.as("dup_of_corpus"),
+        (col("k") > col("fk")).as("dup_of_batch"),
+        (col("corpus_owner").isNull && col("k") === col("fk")).as("keep"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Chunk CLUSTERS — the component solve over the WHOLE chunk-dup
+    * graph, turning [[chunkDedup]]'s exact matches and
+    * [[chunkNearDup]]'s edited-syndication pairs into one actionable
+    * label per chunk (the chunk-granularity face of
+    * [[Dedup.dedupClusters]]): exact copies edge to their md5
+    * representative, near-dup representatives edge to each other, and
+    * every chunk gets its component's minimum (doc_id, chunk_id) as
+    * canonical — `keep` marks exactly one surviving chunk per cluster,
+    * the apply decision for a chunk-level dedup pass.
+    *
+    * Vertices are the packed longs `doc_id·2²⁰ + chunk_id` (see
+    * [[chunkIncremental]] for the bound), so the size-adaptive
+    * component solve ([[Dedup.componentsFor]]: driver union-find under
+    * 10M edges, pointer-jumping min-label propagation above) is reused
+    * verbatim. Edge count is bounded by the duplicated-chunk mass plus
+    * the near-dup pair count — orders of magnitude below the chunk
+    * count at corpus scale.
+    */
+  def chunkClusters(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    val ch = chunkFrame(Tables.documents(spark, dir), window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .withColumn("k", col("doc_id") * (1L << 20) + col("chunk_id"))
+    val repK = ch.groupBy(col("chunk_md5")).agg(min(col("k")).as("rk"))
+    val eqEdges = ch.join(repK, "chunk_md5").filter(col("k") =!= col("rk"))
+      .select(col("rk").as("d1"), col("k").as("d2"))
+    val ndEdges = chunkNearDup(spark, dir, window, stride)
+      .select((col("d1") * (1L << 20) + col("c1")).as("d1"),
+        (col("d2") * (1L << 20) + col("c2")).as("d2"))
+    val labels = Dedup.componentsFor(
+      ch.select(col("k").as("doc_id")), eqEdges.union(ndEdges))
+      .select(col("doc_id").as("k"), col("cluster"), col("keep"))
+    ch.join(labels, "k")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        expr(s"cluster div ${1L << 20}").as("cluster_doc"),
+        pmod(col("cluster"), lit(1L << 20)).as("cluster_chunk"),
+        col("keep"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Data Selection via Importance Resampling (DSIR — Xie et al.,
     * NeurIPS 2023): pick raw-pool documents whose hashed-n-gram
     * distribution looks like a target (high-quality) corpus, the

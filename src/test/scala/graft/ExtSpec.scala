@@ -546,6 +546,61 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("chunk clusters: exact and near-dup edges share labels, exactly one keeper per cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.chunkClusters(spark, dir)
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val label = rows.map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // md5-equal chunks always share a cluster
+    rows.groupBy(_._3).foreach { case (m, rs) =>
+      assert(rs.map(r => (r._4, r._5)).distinct.length == 1,
+        s"md5 $m split across clusters")
+    }
+    // every near-dup pair shares a cluster
+    graft.ext.Corpus.chunkNearDup(spark, dir)
+      .select("d1", "c1", "d2", "c2").as[(Long, Long, Long, Long)].collect()
+      .foreach { case (d1, c1, d2, c2) =>
+        assert(label((d1, c1)) == label((d2, c2)),
+          s"near-dup pair ($d1,$c1)~($d2,$c2) in different clusters")
+      }
+    // exactly one keeper per cluster, and it IS the cluster label
+    rows.groupBy(r => (r._4, r._5)).foreach { case (cl, rs) =>
+      val keepers = rs.filter(_._6)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      assert((keepers.head._1, keepers.head._2) == cl, s"keeper of $cl is not the canonical chunk")
+      assert(rs.map(r => (r._1, r._2)).min == cl, s"cluster label $cl is not the member minimum")
+    }
+  }
+
+  test("chunk incremental: corpus-served chunks flagged, batch first-wins, keepers are first sightings") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.chunkIncremental(spark, dir)
+      .as[(Long, Long, String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 >= 400), "only batch docs may be judged")
+    val corpusMd5 = graft.ext.Corpus.chunkOverlap(spark, dir)
+      .filter(col("doc_id") < 400)
+      .select(col("chunk_md5"), col("doc_id")).as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    rows.foreach { case (doc, cid, m, owner, dupC, dupB, keep) =>
+      corpusMd5.get(m) match {
+        case Some(minOwner) =>
+          assert(dupC && owner == minOwner, s"($doc,$cid) must cite corpus owner $minOwner, got $owner")
+          assert(!keep, s"corpus-served chunk ($doc,$cid) must not be kept")
+        case None =>
+          assert(!dupC && owner == -1L, s"($doc,$cid) wrongly flagged against the corpus")
+          assert(keep == !dupB, s"($doc,$cid) keep must equal first-sighting")
+      }
+    }
+    // exactly one keeper OR one corpus owner per md5 across the batch
+    rows.groupBy(_._3).foreach { case (m, rs) =>
+      val keepers = rs.count(_._7)
+      if (corpusMd5.contains(m)) assert(keepers == 0, s"md5 $m kept despite corpus owner")
+      else assert(keepers == 1, s"md5 $m has $keepers batch keepers")
+    }
+  }
+
   test("repetition filter: degenerate doc flagged, varied doc kept") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
