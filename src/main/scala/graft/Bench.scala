@@ -173,9 +173,13 @@ object Bench {
     // derived from SparkEntry's own ordering contract, so extending the
     // keep-warm chain there (round 11 added x_dedup_containment) extends
     // this witness pass with it instead of silently measuring a stale
-    // subset; minhash stays the independent leadoff
+    // subset; minhash stays the independent leadoff. Round 12: the
+    // keep-warm set gained a CHUNK chain (x_chunk_neardup →
+    // x_chunk_clusters) — the witness pass covers both families, each
+    // chain preceded by its builder in contract order.
     val chainNames = "x_dedup_minhash" +: SparkEntry.orderedQueryNames
-      .filter(n => n == "x_dedup_ngram" || SparkEntry.keepWarmQueries(n))
+      .filter(n => n == "x_dedup_ngram" || n == "x_chunk_neardup" ||
+        SparkEntry.keepWarmQueries(n))
     def runChain(label: String): Seq[(String, Double)] = {
       graft.ext.Dedup.releaseCaches()
       spark.catalog.clearCache()

@@ -172,7 +172,11 @@ object SparkEntry {
     * its own prefix-vs-index join.
     */
   val keepWarmQueries: Set[String] =
-    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental", "x_dedup_containment")
+    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental", "x_dedup_containment",
+      // round 12: the chunk family gets the same contract — clusters
+      // rides the memoized pair frame x_chunk_neardup just built and
+      // prices only its component solve (the production shape)
+      "x_chunk_clusters")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -189,12 +193,17 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental",
         "x_dedup_containment")
-    require(warmChain.forall(queries.contains),
-      s"ordered-run contract expects ${warmChain.mkString(", ")} in SparkEntry.queries " +
-        "(rename them here and in keepWarmQueries together)")
+    val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
+    require((warmChain ++ chunkChain).forall(queries.contains),
+      s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
+        "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
-      .flatMap(n => if (n == "x_dedup_ngram") warmChain else Seq(n))
+      .flatMap {
+        case "x_dedup_ngram"   => warmChain
+        case "x_chunk_neardup" => chunkChain
+        case n                 => Seq(n)
+      }
   }
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column

@@ -476,39 +476,43 @@ object Corpus {
   def chunkNearDup(spark: SparkSession, dir: String,
       window: Int = 64, stride: Int = 48): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir", dir) {
-      val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
-      chunkFrame(Tables.documents(spark, dir), window, stride)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
-          expr("""CASE WHEN size(chunk_toks) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
-                  ELSE array_distinct(transform(sequence(1, size(chunk_toks) - 2),
-                    i -> xxhash64(concat_ws(' ', element_at(chunk_toks, i),
-                      element_at(chunk_toks, i + 1), element_at(chunk_toks, i + 2)))))
-                  END""").as("ghs"))
-        .filter(size(col("ghs")) > 0)
-        .withColumn("n_g", size(col("ghs")).cast("long"))
-    }
-    val banded = reps.select(col("chunk_md5"),
-      posexplode(graft.functions.GraftFunctions.minhashBands(col("ghs"), 128, 32))
-        .as(Seq("band", "bsig")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.chunk_md5") < col("b.chunk_md5"))
-      .select(col("a.chunk_md5").as("m1"), col("b.chunk_md5").as("m2"))
-      .distinct()
-    cand
-      .join(reps.select(col("chunk_md5").as("m1"), col("doc_id").as("d1"),
-        col("chunk_id").as("c1"), col("ghs").as("ghs1"), col("n_g").as("n1")), "m1")
-      .join(reps.select(col("chunk_md5").as("m2"), col("doc_id").as("d2"),
-        col("chunk_id").as("c2"), col("ghs").as("ghs2"), col("n_g").as("n2")), "m2")
-      .withColumn("shared", expr("CAST(cardinality(array_intersect(ghs1, ghs2)) AS BIGINT)"))
-      .filter(col("shared") * 5 >= (col("n1") + col("n2") - col("shared")) * 4)
-      .select(col("m1"), col("m2"), col("d1"), col("c1"), col("d2"), col("c2"),
-        col("n1"), col("n2"), col("shared"),
-        (col("shared") / (col("n1") + col("n2") - col("shared"))).as("jac"))
-      .orderBy(col("m1"), col("m2"))
+    // the verified pair frame is memoized (Frames lifecycle) so the
+    // keep-warm successor `x_chunk_clusters` prices only its component
+    // solve — the doc family's pairFrame contract at chunk granularity
+    Dedup.Frames.getOrCompute(spark, s"chunkpairs:$dir", dir) {
+      val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir", dir) {
+        val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
+        chunkFrame(Tables.documents(spark, dir), window, stride)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+            expr("""CASE WHEN size(chunk_toks) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+                    ELSE array_distinct(transform(sequence(1, size(chunk_toks) - 2),
+                      i -> xxhash64(concat_ws(' ', element_at(chunk_toks, i),
+                        element_at(chunk_toks, i + 1), element_at(chunk_toks, i + 2)))))
+                    END""").as("ghs"))
+          .filter(size(col("ghs")) > 0)
+          .withColumn("n_g", size(col("ghs")).cast("long"))
+      }
+      val banded = reps.select(col("chunk_md5"),
+        posexplode(graft.functions.GraftFunctions.minhashBands(col("ghs"), 128, 32))
+          .as(Seq("band", "bsig")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.chunk_md5") < col("b.chunk_md5"))
+        .select(col("a.chunk_md5").as("m1"), col("b.chunk_md5").as("m2"))
+        .distinct()
+      cand
+        .join(reps.select(col("chunk_md5").as("m1"), col("doc_id").as("d1"),
+          col("chunk_id").as("c1"), col("ghs").as("ghs1"), col("n_g").as("n1")), "m1")
+        .join(reps.select(col("chunk_md5").as("m2"), col("doc_id").as("d2"),
+          col("chunk_id").as("c2"), col("ghs").as("ghs2"), col("n_g").as("n2")), "m2")
+        .withColumn("shared", expr("CAST(cardinality(array_intersect(ghs1, ghs2)) AS BIGINT)"))
+        .filter(col("shared") * 5 >= (col("n1") + col("n2") - col("shared")) * 4)
+        .select(col("m1"), col("m2"), col("d1"), col("c1"), col("d2"), col("c2"),
+          col("n1"), col("n2"), col("shared"),
+          (col("shared") / (col("n1") + col("n2") - col("shared"))).as("jac"))
+    }.orderBy(col("m1"), col("m2"))
   }
 
   /** Incremental CHUNK dedup — the oracle-checked batch face of
