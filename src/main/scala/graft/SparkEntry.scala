@@ -97,6 +97,7 @@ object SparkEntry {
     "x_substr_apply"    -> (Dedup.spanDedupApplyQuery _),
     "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "x_dedup_containment" -> (Dedup.containmentPairs _), // asymmetric quote/subset detection (rides the warm doc-set frame)
+    "x_dedup_canonical" -> (Dedup.dedupCanonical _), // quality-aware keep-best-copy per cluster (rides the warm pair frame)
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -172,7 +173,8 @@ object SparkEntry {
     * its own prefix-vs-index join.
     */
   val keepWarmQueries: Set[String] =
-    Set("x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental", "x_dedup_containment",
+    Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
+      "x_dedup_containment",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -191,8 +193,8 @@ object SparkEntry {
     */
   def orderedQueryNames: Seq[String] = {
     val warmChain =
-      Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_apply", "x_dedup_incremental",
-        "x_dedup_containment")
+      Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
+        "x_dedup_incremental", "x_dedup_containment")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     require((warmChain ++ chunkChain).forall(queries.contains),
       s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
@@ -672,6 +674,7 @@ object SparkEntry {
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
+    "x_dedup_canonical" -> dedupCanonicalOracle,
     // Asymmetric containment C = shared/|smaller| ≥ 0.9 over the same
     // rare-shingle universe; integer threshold compare (sh·10 ≥ n·9) so
     // no float boundary crosses the engine seam.
@@ -2049,6 +2052,32 @@ object SparkEntry {
          SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
        SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep
        FROM reach GROUP BY a ORDER BY doc_id"""
+
+  /** Quality-aware canonical per near-dup cluster: same recursive
+    * closure as [[dedupClustersOracle]], then keep the member the
+    * quality classifier (x_quality_classify's exact rounded formula)
+    * scores highest, ties to the lower doc_id.
+    */
+  private val dedupCanonicalOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       pairs AS (
+         SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+       edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       reach(a, b) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+       clus AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       q AS (SELECT doc_id,
+           round(-3.0 + 0.02 * len(string_split(text, ' '))
+                 + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                 + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+         FROM documents)
+       SELECT c.doc_id, c.cluster, q.score,
+         (row_number() OVER (PARTITION BY c.cluster ORDER BY q.score DESC, c.doc_id ASC) = 1) AS keep_best
+       FROM clus c JOIN q ON c.doc_id = q.doc_id
+       ORDER BY c.doc_id"""
 
   /** Incremental first-wins verdicts for the arriving batch (doc_id ≥
     * 400): a new doc is vetoed by any Jaccard ≥ 0.8 partner with a

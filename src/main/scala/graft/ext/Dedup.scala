@@ -540,6 +540,32 @@ object Dedup {
     componentsFor(docs.select(col("doc_id")), pairs)
   }
 
+  /** Quality-aware canonical selection — the refinement production
+    * dedup pipelines apply over [[dedupClusters]]' min-id convention:
+    * within each near-dup cluster keep the copy the quality classifier
+    * scores HIGHEST (ties to the lower doc_id), not the one that
+    * happened to arrive first. The min-id canonical is the right
+    * default for determinism, but when cluster members differ (an
+    * edited/cleaned copy vs the raw original), training wants the best
+    * version — this is the "keep best duplicate" decision FineWeb-style
+    * pipelines document.
+    *
+    * Rides the keep-warm chain: cluster labels come from the memoized
+    * pair frame (the component solve is priced by `x_dedup_clusters`),
+    * the score is [[TextAnalysis.qualityClassify]]'s row-local linear
+    * scorer (rounded to 6 dp on both engines, so the per-cluster
+    * argmax ordering is engine-identical), and the selection is one
+    * keyed window over the cluster label — partitioned, never global.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    val scored = TextAnalysis.qualityClassify(spark, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))
+    clusters.join(scored, "doc_id")
+      .withColumn("keep_best", row_number().over(w) === 1)
+      .orderBy(col("doc_id"))
+  }
+
   /** Size-adaptive connected components over any (d1, d2) pair frame —
     * the solve behind [[dedupClusters]], reusable by any near-dup pair
     * producer (e.g. [[Similarity.semanticClusters]]'s within-cell

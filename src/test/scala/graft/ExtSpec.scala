@@ -546,6 +546,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality-aware canonical: the best-scoring member survives each cluster, singletons keep themselves") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.dedupCanonical(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cl, rs) =>
+      val keepers = rs.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      val best = rs.minBy(r => (-r._3, r._1)) // max score, ties to min id
+      assert(keepers.head._1 == best._1,
+        s"cluster $cl kept ${keepers.head._1}, best is ${best._1} (score ${best._3})")
+    }
+    // the min-id convention and the quality convention must DIFFER
+    // somewhere on real near-dup clusters, or this operator adds
+    // nothing over x_dedup_clusters — near-dup copies in the testdata
+    // are edits, so scores differ
+    val minId = graft.ext.Dedup.dedupClusters(spark, dir)
+      .filter(col("keep")).select(col("doc_id")).as[Long].collect().toSet
+    val bestId = rows.filter(_._4).map(_._1).toSet
+    assert(minId.size == bestId.size, "both conventions keep one doc per cluster")
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "testdata must contain non-singleton clusters")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("chunk clusters: exact and near-dup edges share labels, exactly one keeper per cluster") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Corpus.chunkClusters(spark, dir)
