@@ -1749,11 +1749,7 @@ object SparkEntry {
     // predicate (the streaming twin's contract); first-wins inside the
     // batch by the packed (doc_id·2^20 + chunk_id) key.
     "x_chunk_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-         st AS (SELECT doc_id, toks, n_tok,
-             unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
-           FROM t),
+      s"""WITH $chunkScanCtes,
          ch AS (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS cid,
              md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m
            FROM st),
@@ -1908,12 +1904,20 @@ object SparkEntry {
     * word-3-gram shingles per rep → pairwise shared counts → verified
     * pairs `j` at the integer threshold 5·sh ≥ 4·(n1+n2−sh) (J ≥ 0.8).
     */
-  private val chunkPairCtes: String =
+  /** Chunk-boundary scan CTEs (tokens + window starts) shared by every
+    * chunk-family oracle that doesn't ride [[chunkPairCtes]] whole —
+    * one definition of the boundary arithmetic, per the generated-not-
+    * copied convention.
+    */
+  private val chunkScanCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
          st AS (SELECT doc_id, toks, n_tok,
              unnest(generate_series(1, greatest(0, (n_tok - 64 + 47) // 48) * 48 + 1, 48)) AS start_tok
-           FROM t),
+           FROM t)"""
+
+  private val chunkPairCtes: String =
+    s"""$chunkScanCtes,
          ch AS MATERIALIZED (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS cid,
              md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS m,
              toks[start_tok:least(start_tok + 63, n_tok)] AS ts

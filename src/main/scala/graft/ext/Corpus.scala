@@ -474,13 +474,23 @@ object Corpus {
     * DSIR's single-token docs).
     */
   def chunkNearDup(spark: SparkSession, dir: String,
-      window: Int = 64, stride: Int = 48): DataFrame = {
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkPairFrame(spark, dir, window, stride).orderBy(col("m1"), col("m2"))
+
+  /** The memoized verified chunk pair frame behind [[chunkNearDup]] and
+    * [[chunkClusters]] — unsorted (the registered surface adds the
+    * presentation sort; the cluster solve consumes edges order-free,
+    * the doc family's pairFrame convention). Memo keys carry the chunk
+    * geometry: a 128/96 call must never serve 64/48 pairs.
+    */
+  private def chunkPairFrame(spark: SparkSession, dir: String,
+      window: Int, stride: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // the verified pair frame is memoized (Frames lifecycle) so the
     // keep-warm successor `x_chunk_clusters` prices only its component
     // solve — the doc family's pairFrame contract at chunk granularity
-    Dedup.Frames.getOrCompute(spark, s"chunkpairs:$dir", dir) {
-      val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir", dir) {
+    Dedup.Frames.getOrCompute(spark, s"chunkpairs:$dir:$window:$stride", dir) {
+      val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir:$window:$stride", dir) {
         val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
         chunkFrame(Tables.documents(spark, dir), window, stride)
           .withColumn("rn", row_number().over(w))
@@ -512,8 +522,17 @@ object Corpus {
         .select(col("m1"), col("m2"), col("d1"), col("c1"), col("d2"), col("c2"),
           col("n1"), col("n2"), col("shared"),
           (col("shared") / (col("n1") + col("n2") - col("shared"))).as("jac"))
-    }.orderBy(col("m1"), col("m2"))
+    }
   }
+
+  /** Packed chunk key `doc_id·2²⁰ + chunk_id` with a LOUD overflow
+    * guard: a chunk_id past 2²⁰ (a single doc over ~50M tokens at the
+    * default stride) would silently alias another document's chunks in
+    * every tiebreak and cluster label — raise instead.
+    */
+  private def packedChunkKey: org.apache.spark.sql.Column = expr(
+    s"""doc_id * ${1L << 20} + (CASE WHEN chunk_id < ${1L << 20} THEN chunk_id
+        ELSE CAST(raise_error('chunk_id >= 2^20 overflows the packed dedup key — re-chunk or widen the shift') AS BIGINT) END)""")
 
   /** Incremental CHUNK dedup — the oracle-checked batch face of
     * [[graft.streaming.EventsStream.chunkDupCandidates]] and the
@@ -543,7 +562,7 @@ object Corpus {
     val corpus = ch.filter(col("doc_id") < splitId)
       .groupBy(col("chunk_md5")).agg(min(col("doc_id")).as("corpus_owner"))
     val batch = ch.filter(col("doc_id") >= splitId)
-      .withColumn("k", col("doc_id") * (1L << 20) + col("chunk_id"))
+      .withColumn("k", packedChunkKey)
     val batchFirst = batch.groupBy(col("chunk_md5")).agg(min(col("k")).as("fk"))
     batch
       .join(batchFirst, "chunk_md5")
@@ -578,11 +597,11 @@ object Corpus {
       window: Int = 64, stride: Int = 48): DataFrame = {
     val ch = chunkFrame(Tables.documents(spark, dir), window, stride)
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
-      .withColumn("k", col("doc_id") * (1L << 20) + col("chunk_id"))
+      .withColumn("k", packedChunkKey)
     val repK = ch.groupBy(col("chunk_md5")).agg(min(col("k")).as("rk"))
     val eqEdges = ch.join(repK, "chunk_md5").filter(col("k") =!= col("rk"))
       .select(col("rk").as("d1"), col("k").as("d2"))
-    val ndEdges = chunkNearDup(spark, dir, window, stride)
+    val ndEdges = chunkPairFrame(spark, dir, window, stride)
       .select((col("d1") * (1L << 20) + col("c1")).as("d1"),
         (col("d2") * (1L << 20) + col("c2")).as("d2"))
     val labels = Dedup.componentsFor(
@@ -643,7 +662,7 @@ object Corpus {
     // one row per raw doc; referenced by both the top-k draw and the
     // join-back, which would otherwise each re-run the explode leg —
     // memoized under the same corpus-fingerprinted lifecycle as counts
-    val scored = Dedup.Frames.getOrCompute(spark, s"dsir_scored:$dir", dir)(
+    val scored = Dedup.Frames.getOrCompute(spark, s"dsir_scored:$dir:$nBuckets", dir)(
       feats.filter(!col("is_target"))
         .join(broadcast(lam), "b")
         .groupBy(col("doc_id"))
@@ -667,6 +686,18 @@ object Corpus {
     * as one row-local expression (target = val split, raw = train
     * split, per [[sampleSplit]]'s md5 buckets).
     */
+  /** The hashed-bigram bucket expression over a token-array column `w`
+    * — ONE definition feeds the batch extractor ([[dsirFeats]]) and the
+    * streaming scorer ([[graft.streaming.EventsStream.dsirScoreStream]]),
+    * so the stream/batch bit-identity contract is enforced by sharing,
+    * not by keeping two copies in sync.
+    */
+  private[graft] def bigramBucketsSql(nBuckets: Int): String =
+    s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+        ELSE transform(sequence(1, size(w) - 1),
+          i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
+        END"""
+
   private def dsirFeats(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -675,11 +706,8 @@ object Corpus {
         split(col("text"), " ").as("w"))
       .filter(col("sbucket") < 90)
       .withColumn("is_target", col("sbucket") >= 80)
-      .select(col("doc_id"), col("is_target"), explode(expr(
-        s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
-            ELSE transform(sequence(1, size(w) - 1),
-              i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
-            END""")).as("b"))
+      .select(col("doc_id"), col("is_target"),
+        explode(expr(bigramBucketsSql(nBuckets))).as("b"))
 
   /** The memoized per-bucket (target, raw) counts + split totals behind
     * [[dsirSample]] and [[dsirRatioQ]] — one corpus-token-sized explode
@@ -688,7 +716,9 @@ object Corpus {
     */
   private def dsirCounts(spark: SparkSession, dir: String, nBuckets: Int,
       feats: DataFrame): (DataFrame, Long, Long) = {
-    val counts = Dedup.Frames.getOrCompute(spark, s"dsir_counts:$dir", dir)(
+    // nBuckets is part of the memo key: counts taken mod 1024 must
+    // never serve a 512-bucket caller (review r12)
+    val counts = Dedup.Frames.getOrCompute(spark, s"dsir_counts:$dir:$nBuckets", dir)(
       feats.groupBy(col("b")).agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr")))

@@ -343,7 +343,7 @@ object Profiling {
       if (num >= 0) d else -d
     }
     var found = List.empty[(Array[Long], BigInt)] // (component, vᵀv)
-    (1 to nComp).map { _ =>
+    (1 to nComp).map { comp =>
       var v: Array[Long] = Array.fill(dim)(100000L)
       var lambda = 0.0
       for (_ <- 1 to iters) {
@@ -366,26 +366,31 @@ object Profiling {
         lambda = norm / vPrevNorm / 100000000.0 // undo the 1e-4² Gram quantization
         v = w.map(wi => math.floor(wi.toDouble / norm * 100000 + 0.5).toLong)
       }
-      // Hotelling deflation, exact integers: C −= round(R·v·vᵀ/(vᵀv)²)
-      val ray = {
-        var s = BigInt(0)
+      val vn2 = v.map(x => BigInt(x) * BigInt(x)).sum
+      // Hotelling deflation, exact integers: C −= round(R·v·vᵀ/(vᵀv)²).
+      // Only when MORE components follow — the O(dim²) BigInt Rayleigh
+      // quotient and matrix update after the last component is pure
+      // wasted work on every embedPca/anisotropy call (review r12).
+      if (comp < nComp) {
+        val ray = {
+          var s = BigInt(0)
+          var j = 0
+          while (j < dim) {
+            var k = 0
+            while (k < dim) { s += BigInt(v(j)) * c(j * dim + k) * v(k); k += 1 }
+            j += 1
+          }
+          s
+        }
         var j = 0
         while (j < dim) {
           var k = 0
-          while (k < dim) { s += BigInt(v(j)) * c(j * dim + k) * v(k); k += 1 }
+          while (k < dim) {
+            c(j * dim + k) -= roundDiv(ray * v(j) * v(k), vn2 * vn2)
+            k += 1
+          }
           j += 1
         }
-        s
-      }
-      val vn2 = v.map(x => BigInt(x) * BigInt(x)).sum
-      var j = 0
-      while (j < dim) {
-        var k = 0
-        while (k < dim) {
-          c(j * dim + k) -= roundDiv(ray * v(j) * v(k), vn2 * vn2)
-          k += 1
-        }
-        j += 1
       }
       found = found :+ ((v, vn2))
       (v, lambda)

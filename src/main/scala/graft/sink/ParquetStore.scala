@@ -28,16 +28,25 @@ object ParquetStore {
     * pruning spec: the time leg scanned everything). Scoped to the
     * write and restored, so a caller's session conf is untouched.
     */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private val writeLock = new Object
+
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T =
+    // serialized across store writers: two concurrent foreachBatch
+    // writers in one session share the SQLConf, and writer A's restore
+    // racing writer B's write would land B's files as stat-less INT96 —
+    // exactly the degradation this helper exists to prevent (review
+    // r12). Store writes are heavy jobs; one JVM lock around them is
+    // noise, and non-store writers never touch this key.
+    writeLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Exactly-once leg for `foreachBatch` (SURVEY §7.3 trap 4): each
     * micro-batch lands in its own `bid=<batchId>` directory with

@@ -574,11 +574,9 @@ object EventsStream {
     val lamLit = typedLit(lamQ.toIndexedSeq)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("bs", expr(
-        s"""CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
-            ELSE transform(sequence(1, size(w) - 1),
-              i -> CAST(conv(substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 3), 16, 10) AS BIGINT) % $nBuckets)
-            END"""))
+      // THE batch bucket expression, not a copy — stream/batch weight
+      // identity is by construction (review r12)
+      .withColumn("bs", expr(graft.ext.Corpus.bigramBucketsSql(nBuckets)))
       .select(col("doc_id"),
         size(col("bs")).cast("long").as("n_feat"),
         // bucket is mod-nBuckets by construction, so the +1 lookup is
