@@ -131,6 +131,7 @@ object SparkEntry {
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
     "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
+    "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
@@ -1578,6 +1579,35 @@ object SparkEntry {
                FROM d JOIN tot ON d.source = tot.source)
          SELECT doc_id, source, n_tok, thr, bucket, bucket < thr AS keep
          FROM j ORDER BY doc_id""",
+    // Mixture drift: achieved kept-token share vs the target share per
+    // source after the mixture keep, with the per-source KL term —
+    // Laplace-smoothed (+0.5/source), KL on unrounded shares, one final
+    // round (the psi_drift convention).
+    "x_mixture_drift" ->
+      """WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+         tot AS (SELECT source, sum(n_tok) AS src_tok FROM d GROUP BY source),
+         j AS (SELECT d.doc_id, d.source, d.n_tok, tot.src_tok,
+                 CAST(least(10000, 20000000 // src_tok) AS BIGINT) AS thr,
+                 CAST(((strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS BIGINT) AS bucket
+               FROM d JOIN tot ON d.source = tot.source),
+         per AS (SELECT source,
+                   CAST(sum(n_tok) AS BIGINT) AS src_tok,
+                   CAST(sum(CASE WHEN bucket < thr THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok
+                 FROM j GROUP BY source),
+         per2 AS (SELECT source, src_tok, kept_tok,
+                    CAST(least(2000, src_tok) AS BIGINT) AS target_tok FROM per),
+         g AS (SELECT sum(kept_tok) AS kt, sum(target_tok) AS tt, count(*) AS ns FROM per2)
+         SELECT source, src_tok, target_tok, kept_tok,
+           round((kept_tok + 0.5) / (g.kt + 0.5 * g.ns), 6) AS p_kept,
+           round((target_tok + 0.5) / (g.tt + 0.5 * g.ns), 6) AS p_target,
+           round(((kept_tok + 0.5) / (g.kt + 0.5 * g.ns))
+             * ln(((kept_tok + 0.5) / (g.kt + 0.5 * g.ns)) / ((target_tok + 0.5) / (g.tt + 0.5 * g.ns))), 6) AS kl_contrib
+         FROM per2, g ORDER BY source""",
     // Eval-set 8-gram overlap (docs 0-19 stand in for the benchmark).
     "x_decontam" ->
       """WITH g0 AS (

@@ -69,6 +69,45 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture-drift verdict — did [[mixtureSample]]'s keep decision
+    * actually land the corpus on its target mixture? Per source:
+    * achieved kept-token share vs the target share (`min(budget,
+    * src_tokens)` normalized), and the per-source KL contribution
+    * `p·ln(p/q)` of achieved-vs-target — the "am I training on the
+    * mix I asked for" check run after every assembly pass, and the
+    * domain-distribution sibling of [[Profiling.psiDrift]]'s
+    * length-distribution monitor. Shares are Laplace-smoothed (+0.5
+    * token per source) so an empty source stays finite, and the KL
+    * term uses the UNROUNDED shares with one final round — the
+    * psi_drift convention, so no intermediate float crosses the
+    * engine seam.
+    *
+    * 100 TB shape: rides [[mixtureSampleFor]]'s broadcast-threshold
+    * plan (the corpus never shuffles), collapses to a |sources|-row
+    * aggregate, and the two grand totals are ONE bounded 1-row collect
+    * inlined as literals (the psi/LM pattern — no 1-row cross join for
+    * the lint to reject).
+    */
+  def mixtureDrift(spark: SparkSession, dir: String, budget: Long = 2000): DataFrame = {
+    val per = mixtureSample(spark, dir, budget)
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tok"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+      .withColumn("target_tok", least(lit(budget), col("src_tok")))
+    val tot = per.agg(
+      coalesce(sum(col("kept_tok")), lit(0L)).as("kt"),
+      coalesce(sum(col("target_tok")), lit(0L)).as("tt"),
+      count(lit(1)).as("ns")).head()
+    val (keptTot, targetTot, nSrc) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val p = (col("kept_tok") + 0.5) / lit(keptTot + 0.5 * nSrc)
+    val q = (col("target_tok") + 0.5) / lit(targetTot + 0.5 * nSrc)
+    per.select(col("source"), col("src_tok"), col("target_tok"), col("kept_tok"),
+        round(p, 6).as("p_kept"),
+        round(q, 6).as("p_target"),
+        round(p * log(p / q), 6).as("kl_contrib"))
+      .orderBy(col("source"))
+  }
+
   /** Per-domain document cap: keep at most `cap` documents per source,
     * chosen by a deterministic hash order (md5 of doc_id, ties by
     * doc_id) — the "no single domain dominates the corpus" guard that

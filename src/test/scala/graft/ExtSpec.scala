@@ -546,6 +546,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("mixture drift: undersized sources sit exactly on target, oversized drift only by bucket noise") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 2000L
+    val rows = graft.ext.Corpus.mixtureDrift(spark, dir, budget)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, srcTok, targetTok, keptTok, pk, pt, kl) =>
+      assert(targetTok == math.min(budget, srcTok))
+      if (srcTok <= budget) {
+        // threshold saturates at 10000: everything kept, on-target
+        assert(keptTok == srcTok, s"$src: undersized source must keep all tokens")
+      } else {
+        // md5-bucket thresholding is basis-point-coarse: achieved
+        // tokens track the target within sampling noise
+        assert(keptTok >= 0 && keptTok <= srcTok)
+        assert(math.abs(keptTok - targetTok) <= math.max(800L, targetTok),
+          s"$src: kept $keptTok vs target $targetTok is beyond bucket noise")
+      }
+      assert(pk > 0 && pt > 0, "smoothed shares must stay finite")
+      assert(math.abs(kl) < 0.5, s"$src: |kl|=$kl out of any plausible band")
+    }
+    // shares are distributions (up to rounding)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-3)
+  }
+
   test("quality-aware canonical: the best-scoring member survives each cluster, singletons keep themselves") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Dedup.dedupCanonical(spark, dir)
