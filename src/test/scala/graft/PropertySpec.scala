@@ -207,4 +207,32 @@ class PropertySpec extends SparkSpec {
       Prop(got == reference(n, w, s)) :| s"n=$n w=$w s=$s got=$got want=${reference(n, w, s)}"
     }, minTests = 60) // each case runs a local Spark job — keep the count bounded
   }
+
+  test("sequence-packer slice arithmetic equals the walk-the-stream reference for arbitrary (prefix, n, budget)") {
+    // x_pack_sequences cuts a doc's [tb, tb+n) global token span at
+    // every `budget` boundary with pure integer expressions; an
+    // off-by-one silently mis-splices training sequences rather than
+    // crashing. Reference: walk every token position, group by its
+    // global bin, emit each group's 1-based in-doc range.
+    def reference(tb: Long, n: Long, b: Long): Seq[(Long, Long, Long)] =
+      (0L until n).groupBy(p => (tb + p) / b).toSeq.sortBy(_._1)
+        .map { case (bin, ps) => (bin, ps.min + 1, ps.max + 1) }
+    val cases = for {
+      tb <- Gen.chooseNum(0L, 9000L)
+      n <- Gen.chooseNum(1L, 5000L)
+      b <- Gen.chooseNum(1L, 3000L)
+    } yield (tb, n, b)
+    check(forAll(cases) { case (tb, n, b) =>
+      // the operator's exact expressions on a literal row
+      val got = spark.range(1)
+        .selectExpr(s"CAST($tb AS BIGINT) AS tokens_before", s"CAST($n AS BIGINT) AS n_tok")
+        .selectExpr("tokens_before", "n_tok",
+          s"explode(sequence(tokens_before div $b, (tokens_before + n_tok - 1) div $b)) AS bin")
+        .selectExpr("bin",
+          s"greatest(bin * $b - tokens_before, 0L) + 1 AS slice_start",
+          s"least((bin + 1) * $b - tokens_before, n_tok) AS slice_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      Prop(got == reference(tb, n, b)) :| s"tb=$tb n=$n b=$b got=${got.take(4)} want=${reference(tb, n, b).take(4)}"
+    }, minTests = 60)
+  }
 }
