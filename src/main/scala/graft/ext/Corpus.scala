@@ -594,12 +594,25 @@ object Corpus {
     * chunk_md5 (corpus owners, batch firsts) + two equi-joins back;
     * output is one row per BATCH chunk only.
     */
+  /** The standing corpus's chunk index: one row per distinct chunk_md5
+    * with its canonical owner (min doc_id < `splitId`) — the STATIC
+    * side of both [[chunkIncremental]] and the streaming
+    * [[graft.streaming.EventsStream.chunkDedupAgainstStore]], built by
+    * the same expression so batch and stream judge against identical
+    * keys. 100 TB shape: row-local chunking → one hash aggregate;
+    * typically persisted as a table the ingest re-reads per cycle.
+    */
+  def chunkIndex(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48, splitId: Long = Long.MaxValue): DataFrame =
+    chunkFrame(Tables.documents(spark, dir), window, stride)
+      .filter(col("doc_id") < splitId)
+      .groupBy(col("chunk_md5")).agg(min(col("doc_id")).as("corpus_owner"))
+
   def chunkIncremental(spark: SparkSession, dir: String,
       window: Int = 64, stride: Int = 48, splitId: Long = 400): DataFrame = {
     val ch = chunkFrame(Tables.documents(spark, dir), window, stride)
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
-    val corpus = ch.filter(col("doc_id") < splitId)
-      .groupBy(col("chunk_md5")).agg(min(col("doc_id")).as("corpus_owner"))
+    val corpus = chunkIndex(spark, dir, window, stride, splitId)
     val batch = ch.filter(col("doc_id") >= splitId)
       .withColumn("k", packedChunkKey)
     val batchFirst = batch.groupBy(col("chunk_md5")).agg(min(col("k")).as("fk"))

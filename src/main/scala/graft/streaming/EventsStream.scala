@@ -549,6 +549,76 @@ object EventsStream {
       }
   }
 
+  /** Streaming chunk-vs-store dedup — the chunk-granularity sibling of
+    * [[dedupAgainstStore]] and the online face of
+    * [[graft.ext.Corpus.chunkIncremental]]'s corpus leg: arriving
+    * documents chunk ROW-LOCALLY with the batch chunker's exact
+    * windows, then a stream-static left join against the standing
+    * corpus's chunk index ([[graft.ext.Corpus.chunkIndex]] — built by
+    * the same expression, so stream and batch judge identical keys)
+    * flags every re-served chunk with its canonical corpus owner. The
+    * static side is re-planned per micro-batch, so Catalyst broadcasts
+    * a small index and shuffle-joins a large one; NO streaming state at
+    * all (unlike [[chunkDupCandidates]], which tracks within-stream
+    * owners — compose both for the full two-tier decision).
+    *
+    * Exactness: md5 equality IS the batch predicate, so the flags are
+    * row-identical to [[graft.ext.Corpus.chunkIncremental]]'s
+    * `dup_of_corpus`/`corpus_owner` columns — asserted by the
+    * batch-agreement spec.
+    */
+  def chunkDedupAgainstStore(docs: DataFrame, corpusIndex: DataFrame,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    graft.ext.Corpus.chunkFrame(docs, window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .join(corpusIndex.select(col("chunk_md5"), col("corpus_owner")), Seq("chunk_md5"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        coalesce(col("corpus_owner"), lit(-1L)).as("corpus_owner"),
+        col("corpus_owner").isNotNull.as("dup_of_corpus"))
+
+  /** Streaming mixture monitor — the online face of
+    * [[graft.ext.Corpus.mixtureDrift]]: per-source running token
+    * shares over the arriving stream, checked against the batch target
+    * shares, so a crawl whose domain mix drifts off plan (one source
+    * surging, a new source appearing) flags within the first
+    * micro-batches instead of at the nightly drift report.
+    *
+    * Same construction discipline as [[embeddingDriftMonitor]]: the
+    * source universe is a bounded literal from the batch profile, the
+    * state is ONE row of |sources|+1 running sums (built-in streaming
+    * aggregation with map-side partials — no groupsWithState), and a
+    * source OUTSIDE the profile falls into the index-0 UNKNOWN bucket,
+    * whose nonzero share IS drift (target 0). Update mode re-emits the
+    * per-source rows each touched micro-batch; readers keep the
+    * latest. `drifted = |share − target| > tol`.
+    */
+  def mixtureMonitor(docs: DataFrame, sources: Array[String],
+      targetShare: Array[Double], tol: Double = 0.02): DataFrame = {
+    require(sources.length == targetShare.length && sources.nonEmpty,
+      "source universe and target shares must align and be non-empty")
+    val srcLit = typedLit(sources.toIndexedSeq)
+    val nameLit = typedLit(("UNKNOWN" +: sources).toIndexedSeq)
+    val targetLit = typedLit((0.0 +: targetShare).toIndexedSeq)
+    val toks = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // array_position is 1-based and 0 on a miss — exactly the
+      // UNKNOWN-bucket convention we want, no null handling needed
+      .withColumn("si", coalesce(array_position(srcLit, col("source")), lit(0L)).cast("int"))
+    val sums = (0 to sources.length).map(i =>
+      sum(when(col("si") === i, col("n_tok")).otherwise(0L)).as(s"t$i"))
+    toks.groupBy()
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("total", (0 to sources.length).map(i => col(s"t$i")).reduce(_ + _))
+      .select(col("total"),
+        posexplode(array((0 to sources.length).map(i => col(s"t$i")): _*)).as(Seq("i", "tok")))
+      .select(
+        try_element_at(nameLit, col("i") + 1).as("source"),
+        col("tok"), col("total"),
+        (col("tok") / col("total")).as("share"),
+        try_element_at(targetLit, col("i") + 1).as("target"))
+      .withColumn("drifted", abs(col("share") - col("target")) > tol)
+  }
+
   /** Streaming DSIR scorer — the online face of
     * [[graft.ext.Corpus.dsirSample]]: score documents as they ARRIVE
     * with the batch-trained importance weights, so ingestion can route

@@ -942,6 +942,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming chunk-vs-store: flags are row-identical to the batch incremental corpus leg") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = graft.ext.Corpus.chunkIndex(spark, dir, splitId = 400)
+    val newDocs = graft.Tables.documents(spark, dir).filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(newDocs.nonEmpty)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.chunkDedupAgainstStore(input.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("chunkstore_out")
+      .outputMode("append").start()
+    newDocs.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("chunkstore_out")
+      .select(col("doc_id"), col("chunk_id"), col("corpus_owner"), col("dup_of_corpus"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val batch = graft.ext.Corpus.chunkIncremental(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("corpus_owner"), col("dup_of_corpus"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(batch.nonEmpty)
+    assert(streamed.size == batch.length, "every batch-judged chunk must stream")
+    batch.foreach { case (doc, cid, owner, dup) =>
+      assert(streamed((doc, cid)) == ((owner, dup)),
+        s"chunk ($doc,$cid): stream ${streamed((doc, cid))} vs batch ($owner,$dup)")
+    }
+    // the store leg must actually fire on this corpus (re-served chunks exist)
+    assert(batch.exists(_._4), "testdata plants corpus-served chunks")
+  }
+
+  test("streaming mixture monitor: on-profile stream quiet, surged and unknown sources flag") {
+    val dir = "/root/testdata/sf0.001"
+    val prof = graft.Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val total = prof.map(_._2).sum.toDouble
+    val sources = prof.map(_._1)
+    val target = prof.map(_._2 / total)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    // phase 1: the profile's own documents — every source sits exactly
+    // on target, the UNKNOWN bucket is empty, nothing flags
+    val in1 = MemoryStream[(String, String)](spark)
+    val q1 = EventsStream.mixtureMonitor(in1.toDF().toDF("source", "text"), sources, target)
+      .writeStream.format("memory").queryName("mix_quiet")
+      .outputMode("complete").start()
+    docs.grouped(200).foreach { g => in1.addData(g.toSeq: _*); q1.processAllAvailable() }
+    q1.stop()
+    val quiet = spark.table("mix_quiet").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getBoolean(5)))).toMap
+    assert(quiet.size == sources.length + 1)
+    quiet.foreach { case (src, (share, drifted)) =>
+      if (src == "UNKNOWN") assert(share == 0.0 && !drifted, "empty UNKNOWN bucket must stay quiet")
+      else assert(!drifted, s"on-profile source $src flagged at share $share")
+    }
+    // phase 2: one source surges 4x and an unprofiled source appears —
+    // exactly those two flag; the dilution of the others stays in tol
+    val surged = sources.head
+    val surge = docs.filter(_._1 == surged)
+    val mystery = docs.take(docs.length / 6).map { case (_, t) => ("mystery-src", t) }
+    val in2 = MemoryStream[(String, String)](spark)
+    val q2 = EventsStream.mixtureMonitor(in2.toDF().toDF("source", "text"), sources, target)
+      .writeStream.format("memory").queryName("mix_surge")
+      .outputMode("complete").start()
+    in2.addData((docs ++ surge ++ surge ++ surge ++ mystery).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = spark.table("mix_surge").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows2(surged)._3, s"surged source must flag: ${rows2(surged)}")
+    assert(rows2("UNKNOWN")._3 && rows2("UNKNOWN")._1 > 0.0, "unknown source must flag")
+  }
+
   test("streaming DSIR scorer: arriving docs score bit-identical to the batch importance weights") {
     val dir = "/root/testdata/sf0.001"
     val lam = graft.ext.Corpus.dsirRatioQ(spark, dir)
