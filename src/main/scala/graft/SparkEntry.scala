@@ -139,6 +139,7 @@ object SparkEntry {
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
     "x_pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
+    "x_pack_manifest"  -> ((s, d) => Corpus.packManifest(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
     "x_chunk_neardup" -> ((s, d) => Corpus.chunkNearDup(s, d)),
@@ -1859,7 +1860,26 @@ object SparkEntry {
            CAST(greatest(bin * 2048 - tb, 0) + 1 AS BIGINT) AS slice_start,
            CAST(least((bin + 1) * 2048 - tb, n_tok) AS BIGINT) AS slice_end,
            CAST(least((bin + 1) * 2048 - tb, n_tok) - greatest(bin * 2048 - tb, 0) AS BIGINT) AS n_tok_slice
-         FROM s ORDER BY doc_id, bin""")
+         FROM s ORDER BY doc_id, bin""",
+    // Per-bin assembly manifest over the same slices: ordered
+    // doc:start-end spans (doc_id order within a bin — unique, so the
+    // string is canonical on both engines).
+    "x_pack_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS tb FROM t),
+         s AS (SELECT doc_id, n_tok, tb,
+             unnest(generate_series(tb // 2048, (tb + n_tok - 1) // 2048)) AS bin
+           FROM c),
+         sl AS (SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+             CAST(greatest(bin * 2048 - tb, 0) + 1 AS BIGINT) AS slice_start,
+             CAST(least((bin + 1) * 2048 - tb, n_tok) AS BIGINT) AS slice_end,
+             CAST(least((bin + 1) * 2048 - tb, n_tok) - greatest(bin * 2048 - tb, 0) AS BIGINT) AS n_tok_slice
+           FROM s)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(sum(n_tok_slice) AS BIGINT) AS bin_tok,
+           string_agg(doc_id || ':' || slice_start || '-' || slice_end, ',' ORDER BY doc_id) AS manifest
+         FROM sl GROUP BY bin ORDER BY bin""")
 
   /** Iterative-BPE oracle, the 8-iteration training loop unrolled as a
     * CTE chain (see the x_token_bpe map entry for the contract). Built

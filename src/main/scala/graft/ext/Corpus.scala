@@ -400,6 +400,38 @@ object Corpus {
           .orderBy(col("doc_id"), col("bin"))
     }
 
+  /** Per-bin batch MANIFEST — the view of [[packSequences]] a training
+    * loader actually consumes: for every fixed-budget bin, how many
+    * slices it holds, its exact token count, and the ordered assembly
+    * recipe `doc:start-end,doc:start-end,…` (1-based in-doc token
+    * positions). The manifest line is the "read these spans in this
+    * order" instruction for sequence assembly, and the ordered string
+    * is also where cross-doc ATTENTION BOUNDARIES live — each `,`
+    * marks a position the trainer must not attend across.
+    *
+    * Determinism: within a bin the stream order is doc_id order and a
+    * doc contributes at most one slice per bin, so sorting the
+    * collected slice structs by doc_id (array_sort on structs —
+    * collect_list order is not deterministic, the sort is what makes
+    * the string canonical) yields the exact string DuckDB's
+    * `string_agg(... ORDER BY doc_id)` builds. 100 TB shape: rides the
+    * distributed prefix sum, one hash aggregate keyed by bin; each
+    * bin's manifest is budget/min-doc-length entries at most.
+    */
+  def packManifest(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame =
+    packSequences(spark, dir, budget, parts)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_slices"),
+        sum(col("n_tok_slice")).as("bin_tok"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("slice_start"), col("slice_end")))),
+            s => concat(s.getField("doc_id").cast("string"), lit(":"),
+              s.getField("slice_start").cast("string"), lit("-"),
+              s.getField("slice_end").cast("string"))),
+          ",").as("manifest"))
+      .orderBy(col("bin"))
+
   /** Overlapping context-window chunking — the retrieval/RAG
     * counterpart of [[packBins]]: split each document's token sequence
     * into fixed `window`-token chunks advancing by `stride` tokens

@@ -546,6 +546,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pack manifest: every bin's recipe reassembles its slices in stream order at exact fill") {
+    val dir = "/root/testdata/sf0.01"
+    val budget = 2048L
+    val manifests = graft.ext.Corpus.packManifest(spark, dir, budget)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(manifests.nonEmpty)
+    val slices = graft.ext.Corpus.packSequences(spark, dir, budget)
+      .select(col("bin"), col("doc_id"), col("slice_start"), col("slice_end"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val lastBin = manifests.map(_._1).max
+    manifests.foreach { case (bin, nSlices, binTok, manifest) =>
+      val want = slices(bin)
+      assert(nSlices == want.length, s"bin $bin slice count")
+      if (bin != lastBin) assert(binTok == budget, s"bin $bin holds $binTok of $budget")
+      val wantStr = want.map { case (_, d, s, e) => s"$d:$s-$e" }.mkString(",")
+      assert(manifest == wantStr, s"bin $bin manifest '$manifest' != '$wantStr'")
+    }
+  }
+
   test("mixture drift: undersized sources sit exactly on target, oversized drift only by bucket noise") {
     val dir = "/root/testdata/sf0.001"
     val budget = 2000L
