@@ -98,6 +98,8 @@ object SparkEntry {
     "x_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "x_dedup_containment" -> (Dedup.containmentPairs _), // asymmetric quote/subset detection (rides the warm doc-set frame)
     "x_dedup_canonical" -> (Dedup.dedupCanonical _), // quality-aware keep-best-copy per cluster (rides the warm pair frame)
+    "x_split_leakage"   -> (Dedup.splitLeakage _),   // near-dup pairs straddling train/val/test (rides the warm pair frame)
+    "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -130,6 +132,7 @@ object SparkEntry {
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
+    "x_curriculum"   -> ((s, d) => Corpus.curriculum(s, d)),
     "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
     "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
@@ -138,6 +141,7 @@ object SparkEntry {
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
     "x_pack_bins"    -> ((s, d) => Corpus.packBins(s, d)),
+    "x_length_batching" -> ((s, d) => Corpus.lengthBatching(s, d)),
     "x_pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "x_pack_manifest"  -> ((s, d) => Corpus.packManifest(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
@@ -176,7 +180,7 @@ object SparkEntry {
     */
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
-      "x_dedup_containment",
+      "x_dedup_containment", "x_split_leakage",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -196,7 +200,7 @@ object SparkEntry {
   def orderedQueryNames: Seq[String] = {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
-        "x_dedup_incremental", "x_dedup_containment")
+        "x_dedup_incremental", "x_dedup_containment", "x_split_leakage")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     require((warmChain ++ chunkChain).forall(queries.contains),
       s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
@@ -677,6 +681,22 @@ object SparkEntry {
     "x_dedup_minhash" -> ngramJaccardOracle,
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_canonical" -> dedupCanonicalOracle,
+    "x_split_leakage" -> splitLeakageOracle,
+    // novelty: df over ALL shingles (no df cap — the count itself is the
+    // signal), then per-doc rollup; same g0 shingle universe as the pair
+    // CTEs' first stage
+    "x_novelty" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+           FROM documents),
+         df AS (SELECT ng, count(*) AS df FROM g0 GROUP BY ng)
+         SELECT doc_id, count(*) AS n_sh,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           max(df) AS max_df,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novel_share
+         FROM g0 JOIN df USING (ng)
+         GROUP BY doc_id ORDER BY doc_id""",
     // Asymmetric containment C = shared/|smaller| ≥ 0.9 over the same
     // rare-shingle universe; integer threshold compare (sh·10 ≥ n·9) so
     // no float boundary crosses the engine seam.
@@ -1503,6 +1523,47 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // Length-grouped batching: pow-2 length buckets, batches of 8 in
+    // doc_id order within each bucket (the plain window here IS the
+    // Spark side's distributed range-offset rank), pad waste per batch
+    "x_length_batching" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+         b AS (SELECT doc_id, n_tok,
+             CAST((CASE WHEN n_tok >= 16 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 32 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 64 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 128 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 256 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 512 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok >= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS bkt
+           FROM d),
+         r AS (SELECT bkt, n_tok,
+             (row_number() OVER (PARTITION BY bkt ORDER BY doc_id) - 1) // 8 AS batch
+           FROM b)
+         SELECT bkt, batch, count(*) AS n_docs, max(n_tok) AS batch_max,
+           CAST(sum(n_tok) AS BIGINT) AS batch_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+           round(CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 6) AS fill_ratio
+         FROM r GROUP BY bkt, batch ORDER BY bkt, batch""",
+    // Curriculum: exact score quartiles (quantile_cont mirrors the
+    // distributed selection's interpolation), stage = 4 − easier-than
+    // count, shuffle key = the sample-split md5 16-bit trick unmodded
+    "x_curriculum" ->
+      """WITH q AS (
+           SELECT doc_id,
+             round(-3.0 + 0.02 * len(string_split(text, ' '))
+                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+           FROM documents),
+         b AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
+                 x -> round(x, 6)) AS bs FROM q)
+         SELECT doc_id, score,
+           CAST(4 - list_sum(list_transform(bs, x -> CASE WHEN score > x THEN 1 ELSE 0 END)) AS BIGINT) AS stage,
+           CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) AS shuffle_key
+         FROM q, b ORDER BY doc_id""",
     // Corpus-trained add-one-smoothed bigram LM, scored as mean negative
     // log-likelihood per doc (docs with >=1 bigram). Vocabulary = count
     // of distinct whitespace tokens corpus-wide.
@@ -2132,6 +2193,32 @@ object SparkEntry {
          (row_number() OVER (PARTITION BY c.cluster ORDER BY q.score DESC, c.doc_id ASC) = 1) AS keep_best
        FROM clus c JOIN q ON c.doc_id = q.doc_id
        ORDER BY c.doc_id"""
+
+  /** Near-dup pairs straddling the md5 train/val/test split — the same
+    * pair contract as [[ngramJaccardOracle]] joined to `x_sample_split`'s
+    * exact bucket arithmetic on both endpoints; `train_eval` marks pairs
+    * with exactly one endpoint in train.
+    */
+  private val splitLeakageOracle: String =
+    s"""WITH $ngramPairCtes,
+       pairs AS (
+         SELECT d1, d2, sh / (n1.n_ng + n2.n_ng - sh) AS jac
+         FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+       sp AS (
+         SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS b
+           FROM documents))
+       SELECT p.d1, p.d2, p.jac, s1.split AS split_1, s2.split AS split_2,
+         ((s1.split = 'train') <> (s2.split = 'train')) AS train_eval
+       FROM pairs p JOIN sp s1 ON p.d1 = s1.doc_id JOIN sp s2 ON p.d2 = s2.doc_id
+       WHERE s1.split <> s2.split
+       ORDER BY p.d1, p.d2"""
 
   /** Incremental first-wins verdicts for the arriving batch (doc_id ≥
     * 400): a new doc is vetoed by any Jaccard ≥ 0.8 partner with a

@@ -22,7 +22,14 @@ object Corpus {
     * all until the final presentation sort.
     */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    splitAssignFor(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The split assignment without the presentation sort — for joins
+    * (e.g. [[Dedup.splitLeakage]]) where a Sort below the join would be
+    * dead weight the optimizer may or may not remove.
+    */
+  private[graft] def splitAssignFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         // first 4 hex digits of md5(doc_id) → 0..65535, mod 100
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
@@ -31,7 +38,45 @@ object Corpus {
         when(col("bucket") < 80, lit("train"))
           .when(col("bucket") < 90, lit("val"))
           .otherwise(lit("test")))
+
+  /** Curriculum assignment: every document gets a training STAGE (1 =
+    * cleanest quartile, trained first) from exact quartiles of the
+    * deterministic quality score, plus a deterministic within-stage
+    * shuffle key — the "easy-to-hard with intra-stage shuffling"
+    * ordering curriculum-learning recipes prescribe (Bengio et al.
+    * ICML'09). A loader sorts by (stage, shuffle_key) and gets the
+    * same epoch order on every run and every cluster layout; no RNG,
+    * no global rank window.
+    *
+    * Boundaries are EXACT score quartiles via the distributed selection
+    * behind [[Profiling.equiDepthHist]] (range-partition + per-partition
+    * offsets — no single-reducer percentile), rounded half-away to 6 dp
+    * and inlined as literals, so stage assignment is a row-local
+    * three-comparison sum both engines compute identically. The shuffle
+    * key is the md5 16-bit trick of [[sampleSplit]] without the mod.
+    * 100 TB shape: one bounded P-row selection pass, then a narrow
+    * row-local projection — the corpus never shuffles.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ext.TextAnalysis.qualityClassify(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val bounds = graft.ext.Profiling
+      .exactQuantilesDistributed(scored.select(col("score")), Seq(0.25, 0.5, 0.75))
+      .map(round6HalfAway)
+    val easier = bounds.map(b => when(col("score") > b, 1L).otherwise(0L)).reduce(_ + _)
+    scored
+      .withColumn("stage", lit(4L) - easier)
+      .withColumn("shuffle_key",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ×1e6 HALF_UP product rounding — same std::round-matching contract
+    * as [[Profiling.round2HalfAway]], at the 6 dp the quality score
+    * already carries.
+    */
+  private def round6HalfAway(b: Double): Double =
+    BigDecimal(b * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
 
   /** Domain-mixture sampling to a token budget: downsample each source
     * (domain) to ≈`budget` tokens by keeping a deterministic hash slice
@@ -431,6 +476,63 @@ object Corpus {
               s.getField("slice_end").cast("string"))),
           ",").as("manifest"))
       .orderBy(col("bin"))
+
+  /** Length-grouped batching with a padding-waste verdict — the
+    * training-loader step between packing styles: when sequences are
+    * padded to the batch max (SFT / any non-packed collator), batching
+    * docs of similar length is what keeps the pad fraction low (HF
+    * `group_by_length`, fairseq's length-bucketed iterators). Docs land
+    * in power-of-two token-length buckets (bkt = how many of
+    * 16..1024 thresholds they clear), within a bucket batches of
+    * `batchSize` form in doc_id order, and every (bucket, batch) row
+    * reports its max length, token mass, absolute pad waste
+    * `n·max − Σtok`, and fill ratio — the "how much compute goes to
+    * pad tokens" audit, with the verdict-vs-naive comparison asserted
+    * in ExtSpec (bucketing must not lose to batching the corpus in raw
+    * doc_id order).
+    *
+    * 100 TB shape: the within-bucket rank is the [[tokenPrefixFrame]]
+    * trick with COUNTS — contiguous doc_id ranges sub-partition each
+    * bucket, a ≤ buckets·`parts`-row aggregate broadcasts range
+    * offsets back, and the only corpus-row window is partitioned by
+    * (bucket, range): no partition ever exceeds a doc_id span. The
+    * final rollup is one hash aggregate keyed (bucket, batch).
+    */
+  def lengthBatching(spark: SparkSession, dir: String,
+      batchSize: Int = 8, parts: Int = 32): DataFrame = {
+    val thresholds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val maxIdRow = docs.agg(max(col("doc_id"))).head()
+    if (maxIdRow.isNullAt(0))
+      return docs.select(lit(0L).as("bkt"), lit(0L).as("batch"),
+        lit(0L).as("n_docs"), lit(0L).as("batch_max"), lit(0L).as("batch_tok"),
+        lit(0L).as("pad_waste"), lit(0.0).as("fill_ratio"))
+    val span = maxIdRow.getLong(0) / parts + 1
+    val bktCol = thresholds.map(t => when(col("n_tok") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val bucketed = docs.withColumn("bkt", bktCol)
+      .withColumn("idb", expr(s"CAST(doc_id div $span AS INT)"))
+    // rows in earlier doc_id ranges of the same bucket — a window over
+    // the ≤ 8·parts-row AGGREGATE frame, then broadcast back
+    val counts = bucketed.groupBy(col("bkt"), col("idb")).agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("bkt")).orderBy(col("idb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("idb"), col("off"))
+    val wLocal = Window.partitionBy(col("bkt"), col("idb")).orderBy(col("doc_id"))
+    bucketed
+      .join(broadcast(offsets), Seq("bkt", "idb"))
+      .withColumn("rk", row_number().over(wLocal) - 1L + col("off"))
+      .withColumn("batch", expr(s"rk div $batchSize"))
+      .groupBy(col("bkt"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("batch_max"),
+        sum(col("n_tok")).as("batch_tok"))
+      .withColumn("pad_waste", col("n_docs") * col("batch_max") - col("batch_tok"))
+      .withColumn("fill_ratio",
+        round(col("batch_tok") / (col("n_docs") * col("batch_max")), 6))
+      .orderBy(col("bkt"), col("batch"))
+  }
 
   /** Overlapping context-window chunking — the retrieval/RAG
     * counterpart of [[packBins]]: split each document's token sequence

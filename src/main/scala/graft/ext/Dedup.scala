@@ -174,6 +174,41 @@ object Dedup {
       .filter(size(col("ds")) <= maxDf)
       .select(explode(col("ds")).as("doc_id"), col("ng"))
 
+  /** Per-document novelty: the share of a doc's distinct 8-char
+    * shingles that occur NOWHERE else in the corpus (df = 1), plus its
+    * hottest shingle's df — the "prefer genuinely new text" curation
+    * signal. Near-dup pairs catch whole-document copying; novelty is
+    * the graded complement: a doc stitched from common phrases scores
+    * near 0 even when no single partner crosses a pair threshold, while
+    * original writing scores near 1. Pipelines use it as a ranking
+    * feature next to quality/perplexity (low-novelty + low-quality is
+    * the classic SEO-spam signature).
+    *
+    * Shape: the shingle frame is aggregated by `ng` for the df table
+    * and joined back to itself on `ng` — both sides need the SAME
+    * hash-partitioning on `ng`, so the physical plan shuffles the
+    * exploded shingles ONCE and reuses the exchange for the join
+    * (asserted in ExtSpec). The final per-doc rollup shuffles narrow
+    * (doc_id, df) rows. No window, no cap — df counting is mergeable,
+    * so a boilerplate shingle appearing in a billion docs costs its
+    * reducer one long. 100 TB: identical shape to [[TextAnalysis
+    * .lineDedup]]'s corpus-wide line-frequency pass.
+    */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame =
+    noveltyScoresFor(Tables.documents(spark, dir))
+
+  def noveltyScoresFor(docs: DataFrame): DataFrame = {
+    val sh = allShingles(docs)
+    val df = sh.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    sh.join(df, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        max(col("df")).as("max_df"))
+      .withColumn("novel_share", round(col("n_novel") / col("n_sh"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-dup profile per language: row counts vs distinct contents.
     * At scale this is a single hash aggregate; `sha2(text, 256)` would
     * stand in for `text` as the grouping key to bound key width.
@@ -564,6 +599,42 @@ object Dedup {
     clusters.join(scored, "doc_id")
       .withColumn("keep_best", row_number().over(w) === 1)
       .orderBy(col("doc_id"))
+  }
+
+  /** Split-leakage audit: near-dup pairs whose endpoints landed in
+    * DIFFERENT train/val/test splits — the held-out-set contamination
+    * that per-split dedup cannot see. Random (even deterministic-hash)
+    * splits assign near-duplicate documents independently, so with a
+    * 10% val slice roughly 2·0.8·(0.1+0.1) ≈ 1/3 of all near-dup pairs
+    * straddle a boundary; every such pair means an eval document whose
+    * near-copy was trained on (Lee et al. ACL'22 measure this directly:
+    * eval perplexity on leaked docs is biased low). The fix pipelines
+    * apply — split by CLUSTER, not by doc — starts from exactly this
+    * pair list.
+    *
+    * Rides the keep-warm chain: pairs come from the memoized
+    * [[pairFrame]] (priced by `x_dedup_ngram`), the split label is
+    * [[Corpus.splitAssignFor]]'s row-local md5 bucket, so this query
+    * prices two narrow hash joins plus a filter. `train_eval` marks the
+    * damaging direction (one endpoint in train, the other held out);
+    * val↔test pairs surface too (they cross-contaminate model
+    * selection) with `train_eval = false`. 100 TB shape: output is
+    * bounded by the cross-split fraction of the pair mass; no window,
+    * no new corpus scan — the split is computed from `doc_id` alone.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairFrame(spark, dir)
+    val sp = graft.ext.Corpus.splitAssignFor(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
+      .filter(col("split_1") =!= col("split_2"))
+      .withColumn("train_eval",
+        (col("split_1") === "train") =!= (col("split_2") === "train"))
+      .select(col("d1"), col("d2"), col("jac"), col("split_1"), col("split_2"),
+        col("train_eval"))
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** Size-adaptive connected components over any (d1, d2) pair frame —

@@ -1548,4 +1548,98 @@ class ExtSpec extends SparkSpec {
         assert(sorted(sorted.length - 2)._4 < nTok(doc), s"doc $doc emitted a fully-covered tail chunk")
     }
   }
+
+  test("split leakage: exactly the cross-split near-dup pairs, with the right train/eval flag") {
+    val dir = "/root/testdata/sf0.001"
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val leaks = Dedup.splitLeakage(spark, dir)
+      .as[(Long, Long, Double, String, String, Boolean)].collect()
+    val want = pairs.filter { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(leaks.map(r => (r._1, r._2)).toSet == want, "leak rows must be exactly the cross-split pairs")
+    leaks.foreach { case (d1, d2, jac, s1, s2, te) =>
+      assert(s1 == splitOf(d1) && s2 == splitOf(d2), s"($d1,$d2) split labels drifted")
+      assert(s1 != s2 && jac >= 0.8)
+      assert(te == ((s1 == "train") != (s2 == "train")), s"($d1,$d2) train_eval flag wrong")
+    }
+    Dedup.releaseCaches()
+  }
+
+  test("novelty: unique doc scores 1, exact copies score 0, shared mass tracks df") {
+    val planted = Seq(
+      (0L, "entirely original prose that appears nowhere else in this tiny corpus at all"),
+      (1L, "the same boilerplate paragraph repeated across mirrors of the site body"),
+      (2L, "the same boilerplate paragraph repeated across mirrors of the site body")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.noveltyScoresFor(planted)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n0, nov0, max0, share0) = rows(0L)
+    assert(nov0 == n0 && share0 == 1.0 && max0 == 1L, "unique doc must be fully novel")
+    Seq(1L, 2L).foreach { d =>
+      val (_, n, nov, maxDf, share) = rows(d)
+      assert(nov == 0L && share == 0.0 && maxDf == 2L, s"doc $d is an exact copy: zero novelty, df 2")
+      assert(n == n0 || n > 0)
+    }
+    // the shingle frame is shuffled once: the df aggregate and the join
+    // probe share the exchange (the 100 TB story in the scaladoc). AQE
+    // materializes reuse at runtime, so execute first and read the
+    // final adaptive plan.
+    val df = Dedup.noveltyScoresFor(planted)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"novelty plan must reuse the shingle exchange between df agg and join:\n$plan")
+  }
+
+  test("curriculum: four populated stages, quality strictly non-increasing across stages") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.curriculum(spark, dir)
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.length == 500)
+    val byStage = rows.groupBy(_._3)
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L), "every stage must be populated")
+    // exact quartiles: stage sizes within rounding of n/4 (boundary ties shift a few)
+    byStage.values.foreach(g => assert(math.abs(g.length - 125) <= 13, s"stage size ${g.length} far from n/4"))
+    // stage 1 = cleanest: scores dominate later stages
+    (1L to 3L).foreach { s =>
+      val lo = byStage(s).map(_._2).min
+      val hi = byStage(s + 1).map(_._2).max
+      assert(lo >= hi, s"stage $s min score $lo below stage ${s + 1} max $hi")
+    }
+    rows.foreach { case (id, _, _, key) => assert(key >= 0 && key < 65536, s"doc $id shuffle key $key") }
+  }
+
+  test("length batching: full batches except stragglers, bucket bounds hold, waste beats naive batching") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.lengthBatching(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val thresholds = Seq(0L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, Long.MaxValue)
+    rows.groupBy(_._1).foreach { case (bkt, batches) =>
+      val lastBatch = batches.map(_._2).max
+      batches.foreach { case (_, batch, nDocs, bMax, bTok, waste, fill) =>
+        if (batch != lastBatch) assert(nDocs == 8L, s"bkt $bkt batch $batch has $nDocs docs")
+        assert(bMax >= thresholds(bkt.toInt) && bMax < thresholds(bkt.toInt + 1),
+          s"bkt $bkt batch max $bMax outside its band")
+        assert(waste == nDocs * bMax - bTok && waste >= 0)
+        assert(math.abs(fill - bTok.toDouble / (nDocs * bMax)) < 1e-6)
+      }
+    }
+    // the point of bucketing: total pad waste must not exceed naive
+    // batches-of-8 in raw doc_id order on the same corpus
+    val lens = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    val naiveWaste = lens.grouped(8).map(g => g.length * g.max - g.sum).sum
+    val bucketedWaste = rows.map(_._6).sum
+    assert(bucketedWaste <= naiveWaste,
+      s"length bucketing wasted $bucketedWaste vs naive $naiveWaste")
+  }
 }
