@@ -100,6 +100,7 @@ object SparkEntry {
     "x_dedup_canonical" -> (Dedup.dedupCanonical _), // quality-aware keep-best-copy per cluster (rides the warm pair frame)
     "x_split_leakage"   -> (Dedup.splitLeakage _),   // near-dup pairs straddling train/val/test (rides the warm pair frame)
     "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
+    "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
     "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
     "x_embed_whiten"    -> ((s, d) => Profiling.embedWhiten(s, d)),
+    "x_embed_rp"        -> ((s, d) => Profiling.embedRandomProjection(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -697,6 +699,35 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novel_share
          FROM g0 JOIN df USING (ng)
          GROUP BY doc_id ORDER BY doc_id""",
+    // Winnowing (MOSS): identical md5-hex lexicographic selection on
+    // both engines; w=4 token windows, winnow window k=4, rightmost min
+    "x_dedup_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         h AS (SELECT doc_id, len(toks) AS n_tok,
+                 CASE WHEN len(toks) >= 4 THEN
+                   list_transform(range(1, len(toks) - 2),
+                     i -> md5(array_to_string(toks[i:i+3], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS hs
+               FROM t),
+         s AS (SELECT doc_id, n_tok, hs,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(hs) - 2),
+                     j -> j + 4 - list_position(list_reverse(hs[j:j+3]), list_min(hs[j:j+3]))))
+                 WHEN len(hs) >= 1 THEN
+                   [len(hs) + 1 - list_position(list_reverse(hs), list_min(hs))]
+                 ELSE CAST([] AS BIGINT[]) END AS sel
+               FROM h),
+         f AS (SELECT DISTINCT doc_id, hs[CAST(p AS INT)] AS fp
+               FROM s, unnest(sel) AS u(p)),
+         d AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
+         m AS (SELECT f.doc_id, count(*) AS n_matched
+               FROM f JOIN d ON f.fp = d.fp WHERE d.df >= 2 GROUP BY f.doc_id)
+         SELECT s.doc_id, CAST(greatest(n_tok - 3, 0) AS BIGINT) AS n_windows,
+           CAST(len(sel) AS BIGINT) AS n_fp,
+           coalesce(m.n_matched, 0) AS n_matched_fp,
+           coalesce(m.n_matched, 0) > 0 AS matched
+         FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+         ORDER BY s.doc_id""",
     // Asymmetric containment C = shared/|smaller| ≥ 0.9 over the same
     // rare-shingle universe; integer threshold compare (sh·10 ≥ n·9) so
     // no float boundary crosses the engine seam.
@@ -1412,6 +1443,27 @@ object SparkEntry {
            round(1.0 - (d1 * d1 + d2 * d2) / xx, 6) + 0.0 AS res_ratio,
            lam1.l AS lambda1, lam2.l AS lambda2
          FROM dd, lam1, lam2 ORDER BY vec_id""",
+    // JL signed random projection 64 -> 16: 1e-4 integer quantization,
+    // sign(r,c) = first md5 hex digit of 'rp:r:c' < '8', exact integer
+    // dot products; norm_ratio is two-long division rounded on both sides
+    "x_embed_rp" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+           FROM embeddings),
+         y AS (SELECT vec_id, q,
+             list_transform(range(16), r -> CAST(list_sum(
+               list_transform(range(64), c ->
+                 (CASE WHEN substring(md5('rp:' || CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 1) < '8'
+                       THEN 1 ELSE -1 END) * q[CAST(c AS INT) + 1])) AS BIGINT)) AS ys
+           FROM q),
+         n AS (SELECT vec_id, ys,
+             CAST(list_sum(list_transform(ys, v -> v * v)) AS BIGINT) AS y2,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS q2
+           FROM y)
+         SELECT vec_id,
+           array_to_string(ys, ',') AS proj_q,
+           CASE WHEN q2 = 0 THEN 0.0 ELSE round(CAST(y2 AS DOUBLE) / (16 * q2), 6) END AS norm_ratio
+         FROM n ORDER BY vec_id""",
     // PSI drift between train/val token-count distributions: fixed-width
     // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
     // 0.5 × 16 bins), ln contributions rounded on both sides.

@@ -209,6 +209,83 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03,
+    * the MOSS algorithm): from every window of k=4 consecutive 4-token
+    * window hashes, select the RIGHTMOST minimal hash; the distinct
+    * selected positions are the document's fingerprint set. Unlike
+    * MinHash this carries a GUARANTEE, not a probability: any shared
+    * token run of ≥ w+k−1 = 7 tokens contains a window-of-k both
+    * documents winnow identically, so the copies MUST share a
+    * fingerprint — while storing only ~2/(k+1) of all window hashes.
+    * It is the third member of the exact-span family: substr_dedup
+    * flags every duplicated window (full index), CDC chunks on content
+    * boundaries, winnowing keeps a provably-sufficient sparse sample —
+    * the right index size for a 100 TB copy-detection store.
+    *
+    * Engine portability: hashes are md5 hex STRINGS and the winnow
+    * minimum is lexicographic — ASCII byte order, identical in Spark
+    * (UTF8String binary compare) and DuckDB, so both engines select
+    * the same positions (a numeric xxhash64 kernel would winnow a
+    * different order than any oracle-reachable hash). The per-doc
+    * selection is one row-local expression chain; the match tier is
+    * the [[noveltyScoresFor]] shape — one fingerprint-frequency hash
+    * aggregate whose exchange the join probe reuses. Output per doc:
+    * window/fingerprint counts, fingerprints shared with any other
+    * document, and the matched verdict.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsFor(Tables.documents(spark, dir))
+
+  def winnowFingerprintsFor(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("hs", expr(
+        """CASE WHEN size(toks) >= 4 THEN
+             transform(sequence(1, size(toks) - 3),
+               i -> md5(concat_ws(' ', slice(toks, i, 4))))
+           ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .withColumn("sel", expr(
+        """CASE WHEN size(hs) >= 4 THEN
+             array_distinct(transform(sequence(1, size(hs) - 3),
+               j -> j + 4L - array_position(reverse(slice(hs, j, 4)), array_min(slice(hs, j, 4)))))
+           WHEN size(hs) >= 1 THEN
+             array(CAST(size(hs) AS BIGINT) + 1L - array_position(reverse(hs), array_min(hs)))
+           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 3, lit(0)).cast("long").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fp"),
+        expr("array_distinct(transform(sel, p -> element_at(hs, CAST(p AS INT))))").as("fps"))
+    val f = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are distinct per doc, so the count per fp IS its document
+    // frequency; mergeable, skew-proof, exchange shared with the probe
+    val dfFp = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val m = f.join(dfFp, "fp").filter(col("df") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched_fp"))
+    base.select(col("doc_id"), col("n_windows"), col("n_fp"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_fp"),
+        coalesce(col("n_matched_fp"), lit(0L)).as("n_matched_fp"))
+      .withColumn("matched", col("n_matched_fp") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The standing corpus's shingle-membership Bloom fingerprint: a
+    * fixed 1 MiB bitmap over every distinct shingle hash, the index
+    * [[graft.streaming.EventsStream.noveltyAgainstStore]] probes
+    * row-locally in-stream. Duplicated (doc, ng) rows are harmless to a
+    * Bloom insert, so no distinct shuffle is needed — ONE pass, one
+    * 1-row bounded collect (the same budget as [[Corpus
+    * .decontaminateBloom]]'s eval bitmap). No false negatives: a
+    * shingle the corpus truly contains always probes true, so the
+    * streamed `novel_share_min` can only UNDER-report novelty, never
+    * invent it.
+    */
+  def noveltyBloom(spark: SparkSession, dir: String): Array[Byte] =
+    allShingles(Tables.documents(spark, dir))
+      .agg(graft.functions.GraftFunctions
+        .bloomBuild(col("ng"), 1L << 20, 8L * (1L << 20)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
   /** Exact-dup profile per language: row counts vs distinct contents.
     * At scale this is a single hash aggregate; `sha2(text, 256)` would
     * stand in for `text` as the grouping key to bound key width.

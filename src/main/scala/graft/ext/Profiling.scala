@@ -498,6 +498,53 @@ object Profiling {
       .orderBy(col("vec_id"))
   }
 
+  /** Johnson–Lindenstrauss signed random projection 64 → 16, the
+    * DATA-INDEPENDENT companion of [[embedPca]]/[[embedWhiten]]: a
+    * ±1 projection matrix (Achlioptas 2003 — sign matrices satisfy the
+    * JL lemma with no Gaussians needed) maps every embedding to 16
+    * dims in pure row-local integer work. Where PCA needs a corpus
+    * pass to learn directions, the projection is a pure function of
+    * the (row, col) index — a new shard, a new day's crawl, or a
+    * different cluster projects IDENTICALLY without seeing any other
+    * data, which is what makes it the 100 TB pre-filter in front of
+    * the ANN family (bucket on projected vectors, refine on full ones).
+    *
+    * Engine-portable by construction: inputs quantize to the PCA
+    * family's 1e-4 integer units, the sign of entry (r, c) is
+    * `md5("rp:r:c")`'s first hex digit < '8' (driver-side Java MD5 and
+    * the oracle's SQL md5 agree byte-for-byte on ASCII), and each
+    * output coordinate is an exact integer dot product
+    * ([[graft.functions.GraftFunctions.dotLong]]) — order-immune, no
+    * float crosses the engine seam. `norm_ratio` = ‖y‖²/(16·‖q‖²) is
+    * the per-row JL norm-preservation verdict (expectation exactly 1
+    * under the sign distribution); the spec bounds its spread.
+    */
+  def embedRandomProjection(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
+    embedRandomProjectionFor(Tables.embeddings(spark, dir), outDim)
+
+  def embedRandomProjectionFor(e: DataFrame, outDim: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(e.sparkSession)
+    val dim = 64
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs: IndexedSeq[IndexedSeq[Long]] = (0 until outDim).map(r =>
+      (0 until dim).map(c => if (md5hex(s"rp:$r:$c").charAt(0) < '8') 1L else -1L))
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val ys = (0 until outDim).map(r =>
+      GraftFunctions.dotLong(col("q"), typedLit(signs(r))).as(s"y$r"))
+    base.select(col("vec_id") +: col("q") +: ys: _*)
+      .withColumn("ya", array((0 until outDim).map(r => col(s"y$r")): _*))
+      .withColumn("y2", expr("aggregate(ya, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("q2", GraftFunctions.dotLong(col("q"), col("q")))
+      .select(col("vec_id"),
+        expr("array_join(transform(ya, v -> CAST(v AS STRING)), ',')").as("proj_q"),
+        when(col("q2") === 0, lit(0.0))
+          .otherwise(round(col("y2") / (lit(outDim) * col("q2")), 6)).as("norm_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Population Stability Index between the train and val splits' token-
     * count distributions — the drift monitor run when a corpus is
     * re-split or refreshed: PSI ≈ 0 says the md5 split didn't skew

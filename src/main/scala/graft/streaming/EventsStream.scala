@@ -656,6 +656,39 @@ object EventsStream {
       .withColumn("logw", col("logw_q") / 1000000.0)
   }
 
+  /** Streaming novelty-vs-store scorer: the online face of
+    * [[graft.ext.Dedup.noveltyScores]] for an arriving crawl judged
+    * against the STANDING corpus — "how much of this new document have
+    * we already got?" Each arriving doc shingles row-locally (the batch
+    * [[graft.functions.GraftFunctions.ngramShingles]] expression, so
+    * stream and batch count the same universe) and probes every shingle
+    * against the corpus's 1 MiB Bloom fingerprint
+    * ([[graft.ext.Dedup.noveltyBloom]]) inside one array `filter` —
+    * PURE row-local work: no state, no shuffle, no stream-static join,
+    * the exact construction discipline of [[dsirScoreStream]].
+    *
+    * Semantics: Bloom false positives can only OVER-count `n_seen`, so
+    * `novel_share_min` is a certified LOWER bound on true novelty (no
+    * false negatives — a fully-corpus-covered doc scores exactly 0).
+    * The df=1 refinement (is a seen shingle unique or boilerplate?)
+    * stays batch-side in `x_novelty`; the stream face answers the
+    * routing question (dedup-worthy vs fresh) at wire speed.
+    */
+  def noveltyAgainstStore(docs: DataFrame, corpusBloom: Array[Byte]): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), GraftFunctions.ngramShingles(col("text"), 8).as("ngs"))
+      .select(col("doc_id"),
+        size(col("ngs")).cast("long").as("n_sh"),
+        size(filter(col("ngs"),
+          x => GraftFunctions.bloomMightContain(lit(corpusBloom), x)))
+          .cast("long").as("n_seen_max"))
+      .withColumn("novel_share_min",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(round((col("n_sh") - col("n_seen_max")) / col("n_sh"), 6)))
+  }
+
   /** Streaming embedding-drift monitor: the online face of
     * [[graft.ext.Profiling.embeddingStats]] — per-dimension running
     * count/mean/std over arriving vectors, z-scored against a REFERENCE

@@ -1598,6 +1598,52 @@ class ExtSpec extends SparkSpec {
       s"novelty plan must reuse the shingle exchange between df agg and join:\n$plan")
   }
 
+  test("winnowing: the w+k-1 guarantee catches a planted 7-token copy, density bound holds") {
+    val sharedRun = "alpha bravo charlie delta echo foxtrot golf" // exactly 7 tokens
+    val planted = Seq(
+      (0L, s"completely unrelated opening words here $sharedRun and then a private tail section"),
+      (1L, s"other prelude text entirely different tone $sharedRun closing with its own words"),
+      (2L, "no overlap at all with anything else in this corpus whatsoever to be found"),
+      (3L, "tiny doc") // below one window: zero fingerprints, never matched
+    ).toDF("doc_id", "text")
+    val rows = Dedup.winnowFingerprintsFor(planted)
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the guarantee: a shared run of >= w+k-1 = 7 tokens MUST produce a
+    // shared fingerprint in both copies (Schleimer et al. theorem 1)
+    assert(rows(0L)._5 && rows(1L)._5, "planted 7-token copy must match in both docs")
+    assert(rows(0L)._4 >= 1 && rows(1L)._4 >= 1)
+    assert(!rows(2L)._5 && rows(2L)._4 == 0, "unrelated doc must not match")
+    val (_, nw3, nfp3, nm3, m3) = rows(3L)
+    assert(nw3 == 0 && nfp3 == 0 && nm3 == 0 && !m3, "sub-window doc emits nothing")
+    // winnowing density: every k consecutive windows contribute >= 1
+    // fingerprint, and never more than one per window
+    Seq(0L, 1L, 2L).foreach { d =>
+      val (_, nw, nfp, _, _) = rows(d)
+      assert(nfp >= (nw + 3) / 4 && nfp <= nw, s"doc $d: $nfp fingerprints from $nw windows")
+    }
+  }
+
+  test("random projection: norms preserved in expectation, projection independent of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val full = graft.ext.Profiling.embedRandomProjectionFor(e)
+      .as[(Long, String, Double)].collect()
+    assert(full.nonEmpty)
+    full.foreach { case (id, proj, ratio) =>
+      assert(proj.split(",").length == 16, s"vec $id projected to ${proj.split(",").length} dims")
+      // var(ratio) = 2/16 for ±1 projections: ±4σ ≈ (0, 2.4); stay loose
+      assert(ratio > 0.0 && ratio < 3.0, s"vec $id norm ratio $ratio outside any JL-plausible band")
+    }
+    val mean = full.map(_._3).sum / full.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean should concentrate near 1")
+    // DATA INDEPENDENCE — the property PCA/whitening lack: projecting a
+    // shard alone yields bit-identical rows to projecting it within the
+    // full corpus (no training pass to drift)
+    val shard = graft.ext.Profiling.embedRandomProjectionFor(e.filter(col("vec_id") < 50))
+      .as[(Long, String, Double)].collect().toSet
+    assert(shard == full.filter(_._1 < 50).toSet, "shard projection must match the full-corpus projection")
+  }
+
   test("curriculum: four populated stages, quality strictly non-increasing across stages") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Corpus.curriculum(spark, dir)

@@ -1014,6 +1014,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows2("UNKNOWN")._3 && rows2("UNKNOWN")._1 > 0.0, "unknown source must flag")
   }
 
+  test("streaming novelty: corpus re-serves score exactly 0, fresh docs score near 1, n_sh matches batch") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = graft.ext.Dedup.noveltyBloom(spark, dir)
+    assert(bloom.length >= (1 << 20) && bloom.length < (1 << 20) + 64,
+      s"bloom must be the fixed 1 MiB bitmap plus codec header, got ${bloom.length}")
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val fresh = (9000L, "zq9 vex jolt brux wyft kmep dzol qhur xivn plaz " * 6)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.noveltyAgainstStore(input.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    input.addData((corpus.take(50) :+ fresh).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("novelty_stream")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // no false negatives: every shingle of a re-served corpus doc is in
+    // the store, so novelty is EXACTLY zero
+    corpus.take(50).foreach { case (id, _) =>
+      val (_, nSh, nSeen, novel) = rows(id)
+      assert(nSeen == nSh && novel == 0.0, s"corpus doc $id scored novel=$novel")
+    }
+    // a genuinely fresh doc scores near 1 (false positives can only
+    // shave the bound, and a 1 MiB bitmap over a tiny corpus shaves ~0)
+    val (_, fSh, _, fNovel) = rows(9000L)
+    assert(fSh > 0 && fNovel > 0.9, s"fresh doc scored novel=$fNovel")
+    // stream and batch count the same shingle universe
+    val batchNsh = graft.ext.Dedup.noveltyScores(spark, dir)
+      .select(col("doc_id"), col("n_sh")).as[(Long, Long)].collect().toMap
+    corpus.take(50).foreach { case (id, _) =>
+      assert(rows(id)._2 == batchNsh(id), s"doc $id stream n_sh ${rows(id)._2} vs batch ${batchNsh(id)}")
+    }
+  }
+
   test("streaming DSIR scorer: arriving docs score bit-identical to the batch importance weights") {
     val dir = "/root/testdata/sf0.001"
     val lam = graft.ext.Corpus.dsirRatioQ(spark, dir)
