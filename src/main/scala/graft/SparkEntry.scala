@@ -164,6 +164,7 @@ object SparkEntry {
     "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
     "x_embed_whiten"    -> ((s, d) => Profiling.embedWhiten(s, d)),
     "x_embed_rp"        -> ((s, d) => Profiling.embedRandomProjection(s, d)),
+    "x_source_prior"    -> ((s, d) => Profiling.sourceQualityPrior(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -1464,6 +1465,23 @@ object SparkEntry {
            array_to_string(ys, ',') AS proj_q,
            CASE WHEN q2 = 0 THEN 0.0 ELSE round(CAST(y2 AS DOUBLE) / (16 * q2), 6) END AS norm_ratio
          FROM n ORDER BY vec_id""",
+    // Empirical-Bayes source prior: micro-unit integer score sums, exact
+    // floor-division global mean (mod-subtract construction — DuckDB //
+    // and Java floorDiv agree by divisibility), k=10 pseudo-count shrink
+    "x_source_prior" ->
+      """WITH sc AS (
+           SELECT source,
+             CAST(round(round(-3.0 + 0.02 * len(string_split(text, ' '))
+                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) * 1000000) AS BIGINT) AS q
+           FROM documents),
+         g AS (SELECT CAST((sum(q) - ((sum(q) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS gq FROM sc)
+         SELECT source, count(*) AS n_docs,
+           round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_score,
+           round(CAST(sum(q) + 10 * g.gq AS DOUBLE) / ((count(*) + 10) * 1000000.0), 6) AS prior_score,
+           abs(round(CAST(sum(q) + 10 * g.gq AS DOUBLE) / ((count(*) + 10) * 1000000.0), 6) - g.gq / 1000000.0)
+             <= abs(round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) - g.gq / 1000000.0) AS shrunk_toward_global
+         FROM sc, g GROUP BY source, g.gq ORDER BY source""",
     // PSI drift between train/val token-count distributions: fixed-width
     // bins (÷32, cap 15), +0.5 Laplace smoothing (denominator + 8.0 =
     // 0.5 × 16 bins), ln contributions rounded on both sides.

@@ -227,7 +227,10 @@ object Dedup {
     * (UTF8String binary compare) and DuckDB, so both engines select
     * the same positions (a numeric xxhash64 kernel would winnow a
     * different order than any oracle-reachable hash). The per-doc
-    * selection is one row-local expression chain; the match tier is
+    * selection is the compiled [[graft.functions.WinnowSelect]] kernel
+    * (rolling-deque minimum, digests compared as unsigned bytes —
+    * spec-tested against the declarative [[winnowSqlFor]]); the match
+    * tier is
     * the [[noveltyScoresFor]] shape — one fingerprint-frequency hash
     * aggregate whose exchange the join probe reuses. Output per doc:
     * window/fingerprint counts, fingerprints shared with any other
@@ -237,7 +240,41 @@ object Dedup {
     winnowFingerprintsFor(Tables.documents(spark, dir))
 
   def winnowFingerprintsFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one compiled row-local kernel per doc: tokenize, md5 the window
+    // byte spans in place, rolling deque winnow — the HOF chain this
+    // replaces (retained in winnowSqlFor for the agreement spec)
+    // interpreted a slice+reverse+two-scans lambda per position and
+    // measured 468 s at sf0.1 in BENCH; the kernel prices ~1 s
     val base = docs
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 3, lit(0)).cast("long").as("n_windows"),
+        graft.functions.GraftFunctions.winnowSelect(col("text"), 4, 4).as("sel"))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("sel")).cast("long").as("n_fp"),
+        array_distinct(col("sel")).as("fps"))
+    val f = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are distinct per doc, so the count per fp IS its document
+    // frequency; mergeable, skew-proof, exchange shared with the probe
+    val dfFp = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val m = f.join(dfFp, "fp").filter(col("df") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched_fp"))
+    base.select(col("doc_id"), col("n_windows"), col("n_fp"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_fp"),
+        coalesce(col("n_matched_fp"), lit(0L)).as("n_matched_fp"))
+      .withColumn("matched", col("n_matched_fp") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The declarative HOF formulation of the winnow selection — the
+    * executable specification [[winnowFingerprintsFor]]'s compiled
+    * kernel is spec-tested against (and the shape the DuckDB oracle
+    * replays). Interpreted-HOF cost makes it unusable beyond tiny
+    * inputs; it exists for agreement testing only.
+    */
+  private[graft] def winnowSqlFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("hs", expr(
         """CASE WHEN size(toks) >= 4 THEN
@@ -252,22 +289,7 @@ object Dedup {
              array(CAST(size(hs) AS BIGINT) + 1L - array_position(reverse(hs), array_min(hs)))
            ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
       .select(col("doc_id"),
-        greatest(size(col("toks")) - 3, lit(0)).cast("long").as("n_windows"),
-        size(col("sel")).cast("long").as("n_fp"),
-        expr("array_distinct(transform(sel, p -> element_at(hs, CAST(p AS INT))))").as("fps"))
-    val f = base.select(col("doc_id"), explode(col("fps")).as("fp"))
-    // fps are distinct per doc, so the count per fp IS its document
-    // frequency; mergeable, skew-proof, exchange shared with the probe
-    val dfFp = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val m = f.join(dfFp, "fp").filter(col("df") >= 2)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched_fp"))
-    base.select(col("doc_id"), col("n_windows"), col("n_fp"))
-      .join(m, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"), col("n_fp"),
-        coalesce(col("n_matched_fp"), lit(0L)).as("n_matched_fp"))
-      .withColumn("matched", col("n_matched_fp") > 0)
-      .orderBy(col("doc_id"))
-  }
+        expr("transform(sel, p -> element_at(hs, CAST(p AS INT)))").as("fps"))
 
   /** The standing corpus's shingle-membership Bloom fingerprint: a
     * fixed 1 MiB bitmap over every distinct shingle hash, the index

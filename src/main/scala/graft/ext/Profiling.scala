@@ -498,6 +498,48 @@ object Profiling {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-source quality PRIOR via empirical-Bayes shrinkage: each
+    * source's mean quality score pulled toward the corpus mean with
+    * pseudo-count k=10 — `prior = (Σq_src + k·ḡ)/(n_src + k)` — the
+    * domain-level signal curation pipelines use when a source has too
+    * few scored documents to trust its raw mean (a 3-document domain
+    * with three spammy pages shouldn't be condemned outright, a
+    * 100k-document one should). The emitted table is the broadcastable
+    * per-source prior that downstream ranking blends with per-doc
+    * scores.
+    *
+    * Exactness across engines: per-doc scores are the quality
+    * classifier's 6-dp formula QUANTIZED to integer micro-units, so
+    * every aggregate is an exact integer sum (order-immune — float Σ
+    * would drift with partial-aggregation order); the global mean is
+    * integer floor division inlined from a 1-row bounded collect (the
+    * lmScore vocab pattern), and the final prior is one two-integer
+    * division rounded at 6 dp. 100 TB shape: one narrow scan feeding a
+    * |sources|-row aggregate; nothing else moves.
+    */
+  def sourceQualityPrior(spark: SparkSession, dir: String, k: Long = 10L): DataFrame = {
+    // quantize the shared quality score to exact integer micro-units
+    // (round BEFORE the cast: 6-dp·1e6 can land at x.9999… in binary)
+    val base = Tables.documents(spark, dir)
+      .select(col("source"),
+        round(graft.ext.TextAnalysis.qualityScore * 1000000.0, 0).cast("long").as("q"))
+    // ONE bounded 1-row collect: corpus total and count → the global
+    // floor-division mean inlined as a literal (lmScore vocab pattern)
+    val g = base.agg(sum(col("q")).as("t"), count(lit(1)).as("n")).head()
+    val gq = if (g.isNullAt(1) || g.getLong(1) == 0L) 0L else
+      Math.floorDiv(g.getLong(0), g.getLong(1))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sq"))
+      .select(col("source"), col("n_docs"),
+        round(col("sq") / (col("n_docs") * 1000000.0), 6).as("mean_score"),
+        round((col("sq") + lit(k) * lit(gq)) /
+          ((col("n_docs") + lit(k)) * 1000000.0), 6).as("prior_score"))
+      .withColumn("shrunk_toward_global",
+        abs(col("prior_score") - lit(gq / 1000000.0)) <=
+          abs(col("mean_score") - lit(gq / 1000000.0)))
+      .orderBy(col("source"))
+  }
+
   /** Johnson–Lindenstrauss signed random projection 64 → 16, the
     * DATA-INDEPENDENT companion of [[embedPca]]/[[embedWhiten]]: a
     * ±1 projection matrix (Achlioptas 2003 — sign matrices satisfy the

@@ -329,17 +329,23 @@ object TextAnalysis {
     * scan — zero shuffle until the presentation sort, exactly like a
     * broadcast-weights classifier would run.
     */
-  def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** The 6-dp-rounded linear quality score of [[qualityClassify]], as a
+    * column over `text` — shared by the classifier, the canonical
+    * selection, the curriculum stages, and the source prior so every
+    * consumer ranks by the SAME engine-identical number.
+    */
+  private[graft] def qualityScore: Column = {
     val nTok = size(split(col("text"), " "))
     val ttr = round(size(array_distinct(split(col("text"), " "))) / nTok, 4)
     val spaceRatio = round((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) / length(col("text")), 4)
+    round(lit(-3.0) + lit(0.02) * nTok + lit(3.0) * ttr + lit(4.0) * spaceRatio, 6)
+  }
+
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        round(lit(-3.0) + lit(0.02) * nTok + lit(3.0) * ttr + lit(4.0) * spaceRatio, 6)
-          .as("score"))
+      .select(col("doc_id"), qualityScore.as("score"))
       .withColumn("keep", col("score") > 0)
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus-trained bigram language-model scoring — the KenLM/CCNet-style
     * "perplexity filter" of pretraining pipelines, with the LM trained on

@@ -239,6 +239,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("cdc_boundary_positions")))
       reg.createOrReplaceTempFunction(
         "cdc_boundary_positions", exprs => CdcBoundaryPositions(exprs(0)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("winnow_select")))
+      reg.createOrReplaceTempFunction(
+        "winnow_select", exprs => WinnowSelect(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("dot_long")))
       reg.createOrReplaceTempFunction(
         "dot_long", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
@@ -326,6 +329,12 @@ object GraftFunctions {
   /** Rolling-hash CDC boundary positions (1-based char offsets). */
   def cdcBoundaryPositions(s: Column): Column =
     call_function("cdc_boundary_positions", s)
+
+  /** Winnowed md5-hex fingerprints of the w-token windows (MOSS). */
+  def winnowSelect(s: Column, w: Int, k: Int): Column =
+    call_function("winnow_select", s,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(k))
 
   /** Per-row banded MinHash signatures over a shingle-hash array. */
   def minhashBands(ngs: Column, numHashes: Int, bands: Int): Column =

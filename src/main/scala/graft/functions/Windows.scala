@@ -89,6 +89,121 @@ case class TokenWindowHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. SIGMOD'03): md5
+  * hex digests of the `w`-token windows selected by winnowing with
+  * window `k` under the RIGHTMOST-minimal rule, one entry per distinct
+  * selected position, in position order — exactly the semantics of the
+  * HOF formulation
+  * `array_distinct(transform(sequence(1, n−k+1), j -> rightmost argmin
+  * of slice(hs, j, k)))` over
+  * `hs = transform(sequence(…), i -> md5(concat_ws(' ', slice(toks, i, w))))`
+  * and of the DuckDB oracle (the agreement is spec-asserted against the
+  * retained SQL formulation).
+  *
+  * The HOF chain paid an interpreted lambda + slice copy + reverse copy
+  * + two array scans per POSITION on top of a concat + md5 per window —
+  * measured 468 s for the sf0.1 corpus in BENCH. Here each window's
+  * bytes are a contiguous span of the original buffer (single-space
+  * tokenization rejoins losslessly, so `concat_ws(' ', slice(toks,i,w))`
+  * IS the byte span), one reused MessageDigest hashes them in place,
+  * digests compare as unsigned 16-byte arrays (identical order to
+  * comparing their lowercase-hex renderings), and the k-window minimum
+  * ROLLS via a monotonic deque — amortized O(1) per window, with the
+  * `cmp ≥ 0` pop making the NEWEST of equal minima win (the rightmost
+  * rule). Only the selected digests are hex-rendered.
+  */
+case class WinnowSelect(child: Expression, w: Int, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(w > 0 && k > 0, "window and winnow widths must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
+    if (nTokens < w) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < n) { if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTokens) = n + 1
+    val nWin = nTokens - w + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nWin)
+    var j = 0
+    while (j < nWin) {
+      val b0 = starts(j)
+      val b1 = starts(j + w) - 1 // exclusive: the separator position
+      md.reset()
+      md.update(bytes, b0, b1 - b0)
+      digests(j) = md.digest()
+      j += 1
+    }
+    // selected positions are non-decreasing as the window slides, so
+    // consecutive-dedup IS distinct
+    val sel = new scala.collection.mutable.ArrayBuffer[Int]()
+    def record(pos: Int): Unit =
+      if (sel.isEmpty || sel(sel.length - 1) != pos) sel += pos
+    if (nWin < k) {
+      // degenerate winnow: one fingerprint, the rightmost min of all
+      var best = 0
+      j = 1
+      while (j < nWin) {
+        if (java.util.Arrays.compareUnsigned(digests(j), digests(best)) <= 0) best = j
+        j += 1
+      }
+      record(best)
+    } else {
+      // monotonic deque of candidate indices; pop-on->= keeps the
+      // NEWEST of equal minima (rightmost rule)
+      val dq = new Array[Int](nWin)
+      var head = 0
+      var tail = 0 // exclusive
+      j = 0
+      while (j < nWin) {
+        while (tail > head &&
+          java.util.Arrays.compareUnsigned(digests(dq(tail - 1)), digests(j)) >= 0) tail -= 1
+        dq(tail) = j; tail += 1
+        val winStart = j - k + 1
+        if (dq(head) < winStart) head += 1
+        if (winStart >= 0) record(dq(head))
+        j += 1
+      }
+    }
+    val out = new Array[Any](sel.length)
+    var o = 0
+    while (o < sel.length) {
+      val d = digests(sel(o))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(o) = UTF8String.fromString(new String(hex))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
 /** Content-defined-chunking boundary positions: the 1-based char
   * positions `i ≤ numChars−7` where the base-31 polynomial hash of the
   * 8-char window starting at `i` is ≡ 0 (mod 64) — exactly the

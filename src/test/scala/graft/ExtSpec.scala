@@ -1623,6 +1623,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("winnow kernel selects exactly what the declarative HOF formulation selects") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir).filter(col("doc_id") < 120)
+    graft.functions.GraftFunctions.register(spark)
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowSelect(col("text"), 4, 4).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sql = Dedup.winnowSqlFor(docs)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel.keySet == sql.keySet && kernel.nonEmpty)
+    kernel.foreach { case (id, fps) =>
+      assert(fps == sql(id), s"doc $id: kernel ${fps.take(3)}… != sql ${sql(id).take(3)}…")
+    }
+  }
+
   test("random projection: norms preserved in expectation, projection independent of the corpus") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
@@ -1642,6 +1658,31 @@ class ExtSpec extends SparkSpec {
     val shard = graft.ext.Profiling.embedRandomProjectionFor(e.filter(col("vec_id") < 50))
       .as[(Long, String, Double)].collect().toSet
     assert(shard == full.filter(_._1 < 50).toSet, "shard projection must match the full-corpus projection")
+  }
+
+  test("source prior: convex between source mean and global mean, always shrunk toward global") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.sourceQualityPrior(spark, dir)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // recompute the exact global floor-division mean the operator inlines
+    val qs = graft.ext.TextAnalysis.qualityClassify(spark, dir)
+      .select(col("score")).as[Double].collect()
+      .map(s => math.round(s * 1000000.0))
+    val gq = Math.floorDiv(qs.sum, qs.length.toLong)
+    val g = gq / 1000000.0
+    rows.foreach { case (src, n, mean, prior, shrunk) =>
+      assert(n > 0)
+      assert(shrunk, s"$src: prior $prior not shrunk toward global $g from mean $mean")
+      // empirical Bayes is a convex combination: the prior sits between
+      // the raw mean and the global mean (1e-6 slack for the rounding)
+      val lo = math.min(mean, g) - 1e-6
+      val hi = math.max(mean, g) + 1e-6
+      assert(prior >= lo && prior <= hi, s"$src: prior $prior outside [$lo, $hi]")
+      // k = 10 pseudo-counts: a bigger source moves less
+      assert(math.abs(prior - mean) <= math.abs(g - mean) * 10.0 / (n + 10) + 1e-6,
+        s"$src: shrinkage magnitude off for n=$n")
+    }
   }
 
   test("curriculum: four populated stages, quality strictly non-increasing across stages") {
