@@ -165,6 +165,7 @@ object SparkEntry {
     "x_embed_whiten"    -> ((s, d) => Profiling.embedWhiten(s, d)),
     "x_embed_rp"        -> ((s, d) => Profiling.embedRandomProjection(s, d)),
     "x_source_prior"    -> ((s, d) => Profiling.sourceQualityPrior(s, d)),
+    "x_domain_topk"     -> ((s, d) => Profiling.domainTopK(s, d)),
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
@@ -1465,6 +1466,21 @@ object SparkEntry {
            array_to_string(ys, ',') AS proj_q,
            CASE WHEN q2 = 0 THEN 0.0 ELSE round(CAST(y2 AS DOUBLE) / (16 * q2), 6) END AS norm_ratio
          FROM n ORDER BY vec_id""",
+    // Per-source top-3 by the shared quality score: the bounded
+    // TopKByScore aggregate's (score DESC, id ASC) contract replayed
+    // as a row_number window
+    "x_domain_topk" ->
+      """WITH q AS (
+           SELECT source, doc_id,
+             round(-3.0 + 0.02 * len(string_split(text, ' '))
+                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+           FROM documents),
+         r AS (SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+           FROM q)
+         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, score
+         FROM r WHERE rk <= 3 ORDER BY source, rk""",
     // Empirical-Bayes source prior: micro-unit integer score sums, exact
     // floor-division global mean (mod-subtract construction — DuckDB //
     // and Java floorDiv agree by divisibility), k=10 pseudo-count shrink

@@ -291,6 +291,26 @@ object Dedup {
       .select(col("doc_id"),
         expr("transform(sel, p -> element_at(hs, CAST(p AS INT)))").as("fps"))
 
+  /** The standing corpus's winnow-fingerprint Bloom: a 1 MiB bitmap
+    * over xxhash64 of every [[winnowFingerprintsFor]] fingerprint — the
+    * index [[graft.streaming.EventsStream.winnowMatchAgainstStore]]
+    * probes row-locally in-stream. Because winnowing is deterministic
+    * and fingerprint-complete for ≥ 7-token runs, and a Bloom has no
+    * false negatives, a streamed document containing a ≥ 7-token copy
+    * of ANY corpus document is GUARANTEED to flag — the only
+    * approximation (FP rate of the bitmap) can over-flag, never miss.
+    */
+  def winnowBloom(spark: SparkSession, dir: String): Array[Byte] = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.GraftFunctions
+        .winnowSelect(col("text"), 4, 4)).as("fp"))
+      .select(xxhash64(col("fp")).as("h"))
+      .agg(graft.functions.GraftFunctions
+        .bloomBuild(col("h"), 1L << 20, 8L * (1L << 20)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   /** The standing corpus's shingle-membership Bloom fingerprint: a
     * fixed 1 MiB bitmap over every distinct shingle hash, the index
     * [[graft.streaming.EventsStream.noveltyAgainstStore]] probes

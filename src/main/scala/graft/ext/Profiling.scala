@@ -540,6 +540,38 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  /** Per-source top-k showcase documents — the "export the best k
+    * pages per domain" step of curated-subset assembly (few-shot
+    * exemplar pools, quality-anchored eval slices, per-domain seed
+    * sets). Ranking is the shared 6-dp quality score, ties to the
+    * lower doc_id — the same ordering contract as
+    * [[Dedup.dedupCanonical]], so "this domain's best page" means the
+    * same document everywhere in the engine.
+    *
+    * 100 TB shape: per-group top-k via the bounded
+    * [[graft.functions.TopKByScore]] aggregate — k entries of
+    * map-side-merged state per source, NOT a window over each source's
+    * full document list (a source-partitioned window puts corpus/
+    * |sources| rows in one reducer; the aggregate carries k rows of
+    * state whatever the domain size — the same reasoning as the ANN
+    * family's rankTopK). `TopKByScore` orders (score DESC, id ASC) by
+    * construction; the oracle replays it as a row_number window, which
+    * is exactly the agreement the aggregate's contract guarantees.
+    */
+  def domainTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore.as("score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("score"), col("doc_id"), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Johnson–Lindenstrauss signed random projection 64 → 16, the
     * DATA-INDEPENDENT companion of [[embedPca]]/[[embedWhiten]]: a
     * ±1 projection matrix (Achlioptas 2003 — sign matrices satisfy the

@@ -689,6 +689,37 @@ object EventsStream {
           .otherwise(round((col("n_sh") - col("n_seen_max")) / col("n_sh"), 6)))
   }
 
+  /** Streaming winnow-match-vs-store: the online face of
+    * [[graft.ext.Dedup.winnowFingerprints]] for an arriving crawl —
+    * plagiarism/copy detection against the standing corpus at wire
+    * speed. Each arriving doc winnows row-locally (the batch
+    * [[graft.functions.WinnowSelect]] kernel, so stream and batch
+    * fingerprint the same positions) and probes each fingerprint's
+    * xxhash64 against the corpus's 1 MiB winnow Bloom
+    * ([[graft.ext.Dedup.winnowBloom]]) — stateless, shuffle-free, the
+    * [[noveltyAgainstStore]] construction.
+    *
+    * The guarantee COMPOSES: winnowing is fingerprint-complete for
+    * shared runs of ≥ w+k−1 = 7 tokens and the Bloom has no false
+    * negatives, so a streamed doc containing a ≥ 7-token copy of any
+    * corpus document flags with certainty; bitmap false positives can
+    * only raise `n_matched_max`, so `suspect` over-flags, never
+    * misses. Flagged docs route to the batch match tier for exact
+    * adjudication (the MinHash-candidates → exact-verify discipline).
+    */
+  def winnowMatchAgainstStore(docs: DataFrame, corpusBloom: Array[Byte]): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), GraftFunctions.winnowSelect(col("text"), 4, 4).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        size(filter(col("fps"),
+          f => GraftFunctions.bloomMightContain(lit(corpusBloom), xxhash64(f))))
+          .cast("long").as("n_matched_max"))
+      .withColumn("suspect", col("n_matched_max") > 0)
+  }
+
   /** Streaming embedding-drift monitor: the online face of
     * [[graft.ext.Profiling.embeddingStats]] — per-dimension running
     * count/mean/std over arriving vectors, z-scored against a REFERENCE

@@ -1660,6 +1660,25 @@ class ExtSpec extends SparkSpec {
     assert(shard == full.filter(_._1 < 50).toSet, "shard projection must match the full-corpus projection")
   }
 
+  test("domain top-k: bounded aggregate agrees with a full sort per source") {
+    val dir = "/root/testdata/sf0.001"
+    val topk = graft.ext.Profiling.domainTopK(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(topk.nonEmpty)
+    val scored = graft.ext.TextAnalysis.qualityClassify(spark, dir)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    val bySource = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id")).as[(String, Long)].collect()
+      .groupBy(_._1)
+    topk.groupBy(_._1).foreach { case (src, rows) =>
+      val want = bySource(src).map(_._2)
+        .sortBy(id => (-scored(id), id)).take(3)
+      val got = rows.sortBy(_._2).map(_._3).toSeq
+      assert(got == want.toSeq, s"$src: top-k $got != full-sort ${want.toSeq}")
+      rows.foreach { case (_, _, id, s) => assert(s == scored(id)) }
+    }
+  }
+
   test("source prior: convex between source mean and global mean, always shrunk toward global") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Profiling.sourceQualityPrior(spark, dir)

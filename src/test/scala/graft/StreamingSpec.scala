@@ -1049,6 +1049,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming winnow match: a 7-token corpus quote flags with certainty, fresh text stays clean") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = graft.ext.Dedup.winnowBloom(spark, dir)
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val donor = corpus.find(_._2.split(" ").length >= 30).get
+    val quote = donor._2.split(" ").slice(10, 17).mkString(" ") // exactly 7 tokens
+    val cases = Seq(
+      (7001L, donor._2),                                                  // re-served corpus doc
+      (7002L, s"entirely fresh framing sentence then $quote and an original conclusion here"),
+      (7003L, "wholly original text sharing no seven token run with the standing corpus whatsoever today"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.winnowMatchAgainstStore(input.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    input.addData(cases: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("winnow_stream")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // re-served doc: every fingerprint is in the store (no false negatives)
+    val (_, nFp, nM, sus) = rows(7001L)
+    assert(nM == nFp && sus, s"re-served doc matched $nM of $nFp")
+    // THE guarantee: winnowing is fingerprint-complete for >=7-token
+    // runs, the bloom never false-negatives, so the quote MUST flag
+    assert(rows(7002L)._4, s"planted 7-token quote did not flag: ${rows(7002L)}")
+    assert(!rows(7003L)._4, s"fresh doc flagged: ${rows(7003L)}")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("streaming DSIR scorer: arriving docs score bit-identical to the batch importance weights") {
     val dir = "/root/testdata/sf0.001"
     val lam = graft.ext.Corpus.dsirRatioQ(spark, dir)
