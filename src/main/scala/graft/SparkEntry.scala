@@ -133,6 +133,8 @@ object SparkEntry {
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
+    "x_split_stratified" -> ((s, d) => Corpus.splitStratified(s, d)),
+    "x_mixture_temperature" -> ((s, d) => Corpus.mixtureTemperature(s, d)),
     "x_curriculum"   -> ((s, d) => Corpus.curriculum(s, d)),
     "x_mixture_sample" -> ((s, d) => Corpus.mixtureSample(s, d)),
     "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
@@ -1710,6 +1712,40 @@ object SparkEntry {
          row_number() OVER (PARTITION BY source
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20 AS keep
          FROM documents ORDER BY doc_id""",
+    // Stratified split: exact 80/10/10 inside every source via the
+    // deterministic md5 rank and all-integer threshold comparisons.
+    "x_split_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+           FROM documents)
+         SELECT doc_id, source, rn, n_src,
+           CASE WHEN rn * 10 <= n_src * 8 THEN 'train'
+                WHEN rn * 10 <= n_src * 9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+    // Temperature mixture (α = 1/2): share rounded 6 dp, weight
+    // floor(sqrt(share)·1e6) quantized to integer micro-units so the
+    // normalizing total is an order-immune integer sum; sqrt (not pow)
+    // because sqrt is exactly rounded under IEEE-754 on both engines.
+    "x_mixture_temperature" ->
+      """WITH per AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+           FROM documents GROUP BY source),
+         sh AS (SELECT source, src_tok,
+             round(CAST(src_tok AS DOUBLE)
+                   / (SELECT CAST(sum(src_tok) AS DOUBLE) FROM per), 6) AS share
+           FROM per),
+         w AS (SELECT source, src_tok, share,
+             CAST(floor(sqrt(share) * 1e6) AS BIGINT) AS w FROM sh),
+         p AS (SELECT source, src_tok, share, w,
+             round(CAST(w AS DOUBLE)
+                   / (SELECT CAST(sum(w) AS DOUBLE) FROM w), 6) AS p_temp
+           FROM w)
+         SELECT source, src_tok, share, w, p_temp,
+           round(p_temp / share, 4) AS boost
+         FROM p ORDER BY source""",
     // Mixture sampling: per-source basis-point threshold
     // floor(min(1, 2000/src_tok)·10000) (integer division on both
     // engines), md5 4-hex-digit bucket mod 10000 decides membership.

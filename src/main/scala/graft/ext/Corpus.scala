@@ -176,6 +176,88 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** STRATIFIED train/val/test split: exact 80/10/10 WITHIN every
+    * source, not just in expectation. [[sampleSplit]]'s hash buckets
+    * give each domain its proportions only asymptotically — a 30-doc
+    * domain can land 26/1/3 by hash luck, and a val set with one doc
+    * from a domain evaluates nothing. Here each source's docs are
+    * ranked in a deterministic hash order (md5 of doc_id, ties by
+    * doc_id — the [[domainCap]] order, so the "random" order is
+    * rerun-stable) and cut at exact integer thresholds:
+    * `rn·10 ≤ n_src·8` → train, `rn·10 ≤ n_src·9` → val, else test —
+    * all-integer comparisons, so both engines agree bit-for-bit and
+    * every source lands within one document of 80/10/10.
+    *
+    * Trade-off vs [[sampleSplit]], stated for the pipeline doc: exact
+    * proportions cost growth-stability — adding docs to a source can
+    * reassign its existing docs (n_src moves the thresholds), where the
+    * hash split never does. Use this for frozen evaluation snapshots,
+    * the hash split for a corpus that accretes.
+    *
+    * 100 TB shape: one window partitioned BY SOURCE (parallel across
+    * domains, same note as [[domainCap]]: salt-and-merge if one domain
+    * outweighs an executor) plus a broadcast |sources|-row count join.
+    */
+  def splitStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "source")
+      .withColumn("split",
+        when(col("rn") * 10 <= col("n_src") * 8, lit("train"))
+          .when(col("rn") * 10 <= col("n_src") * 9, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_src"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled domain sampling weights (the multilingual
+    * up-sampling rule of XLM-R / mT5: sample domain i with probability
+    * ∝ shareᵢ^α, α < 1 flattening the mixture so head domains stop
+    * drowning the tail). α is fixed at 1/2 — not just a common
+    * temperature but the one exactly-rounded choice: `sqrt` is
+    * correctly rounded under IEEE-754 on every engine, where `pow(x,
+    * 0.3)` is only ≤1-ulp and could hash-mismatch cross-engine.
+    *
+    * Determinism contract: token shares are rounded to 6 dp first
+    * (identical doubles on both engines), then `wᵢ = floor(√share·10⁶)`
+    * quantizes each weight to integer micro-units, so the normalizing
+    * total is an ORDER-IMMUNE integer sum — the [[mixtureDrift]] /
+    * DSIR micro-nat convention. Outputs: the raw share, the tempered
+    * probability `p_temp = wᵢ/W`, and `boost = p_temp/share` (the
+    * epoch multiplier a loader applies per domain; tail domains get
+    * boost > 1, head domains < 1).
+    *
+    * 100 TB shape: one |sources|-row hash aggregate (map-side partial
+    * over the corpus scan); grand totals are ONE bounded 1-row collect
+    * inlined as literals — the corpus itself never shuffles.
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+      .persist()
+    val totTok = per.agg(coalesce(sum(col("src_tok")), lit(0L)).as("t"))
+      .head().getLong(0)
+    val share = round(col("src_tok").cast("double") / lit(totTok.toDouble), 6)
+    val weighted = per.withColumn("share", share)
+      .withColumn("w", floor(sqrt(col("share")) * 1e6).cast("long"))
+    val totW = weighted.agg(coalesce(sum(col("w")), lit(0L)).as("w")).head().getLong(0)
+    val out = weighted
+      .withColumn("p_temp", round(col("w").cast("double") / lit(totW.toDouble), 6))
+      .withColumn("boost", round(col("p_temp") / col("share"), 4))
+      .select(col("source"), col("src_tok"), col("share"), col("w"),
+        col("p_temp"), col("boost"))
+      .orderBy(col("source"))
+    // `per` stays persisted so the caller's execution reuses the same
+    // |sources|-row frame the two total-collects read; the runners'
+    // per-query cache flush reclaims it.
+    out
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥
     * `minShared` distinct 8-char shingles with an evaluation set (here:
     * doc_id < 20 stands in for the benchmark). The industry-standard

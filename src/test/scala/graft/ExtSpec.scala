@@ -311,6 +311,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("stratified split: exact 80/10/10 within every source, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val a = graft.ext.Corpus.splitStratified(spark, dir)
+      .as[(Long, String, Long, Long, String)].collect()
+    val b = graft.ext.Corpus.splitStratified(spark, dir)
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(a.toSeq == b.toSeq, "stratified split must be identical across runs")
+    a.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      val byKind = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      // the integer thresholds land each source within one doc of 80/10/10
+      assert(byKind.getOrElse("train", 0) == n * 8 / 10, s"$src train")
+      assert(byKind.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10, s"$src val")
+      assert(byKind.getOrElse("test", 0) == n - n * 9 / 10, s"$src test")
+      assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq, s"$src rank gap")
+      assert(rows.forall(_._4 == n), s"$src n_src mismatch")
+    }
+  }
+
+  test("mixture temperature: flattens the mixture, preserves domain order, sums to ~1") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.ext.Corpus.mixtureTemperature(spark, dir)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3, "tempered probs must sum to ~1")
+    // α < 1 compresses: the head domain is down-weighted, the tail up-weighted
+    val byShare = rows.sortBy(_._3)
+    assert(byShare.last._6 < 1.0, "largest domain must get boost < 1")
+    assert(byShare.head._6 > 1.0, "smallest domain must get boost > 1")
+    // tempering preserves the share ordering (sqrt is monotone)
+    val ps = byShare.map(_._5)
+    assert(ps.zip(ps.tail).forall { case (x, y) => x <= y }, "p_temp must be monotone in share")
+  }
+
   test("decontamination: eval docs fully overlap themselves; counts match a local check") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.ext.Corpus.decontaminate(spark, dir)
