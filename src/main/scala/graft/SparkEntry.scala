@@ -119,6 +119,7 @@ object SparkEntry {
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
+    "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
@@ -162,6 +163,9 @@ object SparkEntry {
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
+    "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
+    "x_ngram_diversity" -> (Profiling.ngramDiversity _),
+    "x_zipf_fit"        -> ((s, d) => Profiling.zipfFit(s, d)),
     "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
     "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
     "x_embed_whiten"    -> ((s, d) => Profiling.embedWhiten(s, d)),
@@ -1236,6 +1240,112 @@ object SparkEntry {
              ELSE 'fr'
            END AS predicted
          FROM s ORDER BY doc_id""",
+    // Language-ID confusion matrix: the langScores marker argmax over
+    // the WHOLE corpus, aggregated to (labelled, predicted) cells with
+    // each cell's share of its labelled language (diagonal = recall).
+    "x_lang_confusion" ->
+      """WITH s AS (SELECT lang AS labelled_lang, lower(text) AS t FROM documents),
+         p AS (SELECT labelled_lang,
+           CASE
+             WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' der ', ''))) / 5
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'en'
+             WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'de'
+             WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'es'
+             ELSE 'fr'
+           END AS predicted
+           FROM s),
+         c AS (SELECT labelled_lang, predicted, CAST(count(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+         t AS (SELECT labelled_lang, predicted, n,
+                 CAST(sum(n) OVER (PARTITION BY labelled_lang) AS BIGINT) AS n_label
+               FROM c)
+         SELECT labelled_lang, predicted, n, n_label,
+           round(CAST(n AS DOUBLE) / n_label, 6) AS share
+         FROM t ORDER BY labelled_lang, predicted""",
+    // Distinct-n diversity: three row-local gram streams (1/2/3-grams),
+    // totals and dedup-first distinct counts per (source, n).
+    "x_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT source, 1 AS n, unnest(toks) AS gram FROM t
+           UNION ALL
+           SELECT source, 2, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+           FROM t WHERE len(toks) >= 2
+           UNION ALL
+           SELECT source, 3, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           FROM t WHERE len(toks) >= 3),
+         tot AS (SELECT source, CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS total_ng
+                 FROM g GROUP BY 1, 2),
+         dst AS (SELECT source, CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS distinct_ng
+                 FROM (SELECT DISTINCT source, n, gram FROM g) GROUP BY 1, 2)
+         SELECT tot.source, tot.n, total_ng, distinct_ng,
+           round(CAST(distinct_ng AS DOUBLE) / total_ng, 6) AS diversity
+         FROM tot JOIN dst ON tot.source = dst.source AND tot.n = dst.n
+         ORDER BY tot.source, tot.n""",
+    // Zipf fit: ln(rank)/ln(freq) quantized to integer 1e-5-nats per
+    // row BEFORE summation (order-immune integer sums), top-100 ranks
+    // per lang tie-broken by token; slope/r2 are double divisions of
+    // the exact integer moments with one terminal round.
+    "x_zipf_fit" ->
+      """WITH f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE length(tok) > 0 GROUP BY lang, tok),
+         r AS (SELECT lang, freq,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok ASC) AS BIGINT) AS rk
+           FROM f),
+         q AS (SELECT lang,
+             CAST(round(ln(CAST(rk AS DOUBLE)) * 1e5) AS BIGINT) AS xi,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1e5) AS BIGINT) AS yi
+           FROM r WHERE rk <= 100),
+         s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(yi * yi) AS BIGINT) AS syy
+           FROM q GROUP BY lang),
+         d AS (SELECT lang, n_ranks,
+             n_ranks * sxy - sx * sy AS dxy,
+             n_ranks * sxx - sx * sx AS dxx,
+             n_ranks * syy - sy * sy AS dyy
+           FROM s)
+         SELECT lang, n_ranks,
+           round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 4) AS slope,
+           round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+                 / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 4) AS r2
+         FROM d ORDER BY lang""",
+    // Embedding outliers: seed-cell assignment (the semantic-clusters
+    // CTE), per-cell mean/stddev of the rounded cosine (rounded 6
+    // before the z-division, z to 4), outlier = z <= -2; singleton or
+    // zero-variance cells yield null z and never flag.
+    "x_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, cell_id, cos_centroid FROM (
+             SELECT e.vec_id, cent.cell_id,
+               round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_centroid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS rk
+             FROM e, cent) t WHERE rk = 1),
+         mo AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell,
+             CAST(sum(c_micro) AS BIGINT) AS sc,
+             CAST(sum(c_micro * c_micro) AS BIGINT) AS sc2
+           FROM (SELECT cell_id, CAST(round(cos_centroid * 1e6) AS BIGINT) AS c_micro
+                 FROM assigned) GROUP BY cell_id),
+         st AS (SELECT cell_id, n_cell,
+             round(CAST(sc AS DOUBLE) / n_cell / 1e6, 6) AS mu,
+             CASE WHEN n_cell > 1 THEN
+               round(sqrt(greatest((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_cell) / (n_cell - 1), 0.0)) / 1e6, 6)
+             END AS sd
+           FROM mo)
+         SELECT a.vec_id, a.cell_id, a.cos_centroid, st.n_cell, st.mu, st.sd,
+           CASE WHEN sd > 0 THEN round((cos_centroid - mu) / sd, 4) END AS z,
+           coalesce(CASE WHEN sd > 0 THEN round((cos_centroid - mu) / sd, 4) END <= -2.0, FALSE) AS outlier
+         FROM assigned a JOIN st ON a.cell_id = st.cell_id
+         ORDER BY vec_id""",
     // Corpus-trained BPE (round 10: TRUE iterative learning): the
     // oracle RE-LEARNS the merge table with the actual BPE loop —
     // merge r is the top pair of the corpus AFTER merges 1..r-1 are

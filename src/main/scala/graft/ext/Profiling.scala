@@ -663,4 +663,91 @@ object Profiling {
         col("p_train"), col("p_val"), col("psi_contrib"))
       .orderBy(col("bin"))
   }
+
+  /** N-gram diversity (distinct-n): per source and n ∈ {1,2,3}, the
+    * total and distinct n-gram counts plus their ratio — the corpus
+    * diversity report (Li et al. '16's distinct-n, the Self-BLEU
+    * complement) that flags template-generated or boilerplate-heavy
+    * domains before a dedup pass even runs: a source whose distinct-2
+    * ratio is far below its peers is repeating itself.
+    *
+    * One pass builds all three gram streams ROW-LOCALLY (a concat of
+    * three transforms over the already-split token array — no join, no
+    * re-scan per n), then the two aggregates follow the
+    * [[columnProfile]] dedup-first discipline: totals in one hash
+    * aggregate, distincts via dedup-then-count (no Expand from mixing
+    * count and count_distinct in one aggregate). 100 TB shape: both
+    * aggregates partition by (source, n[, gram]) with map-side
+    * partials; output is ≤ 3·|sources| rows; the denominators join a
+    * broadcast ≤3·|sources|-row frame.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .selectExpr("source",
+        """inline(concat(
+             transform(toks, t -> named_struct('n', CAST(1 AS BIGINT), 'gram', t)),
+             transform(filter(sequence(1, greatest(size(toks) - 1, 1)), i -> i + 1 <= size(toks)),
+                       i -> named_struct('n', CAST(2 AS BIGINT), 'gram', concat_ws(' ', slice(toks, i, 2)))),
+             transform(filter(sequence(1, greatest(size(toks) - 2, 1)), i -> i + 2 <= size(toks)),
+                       i -> named_struct('n', CAST(3 AS BIGINT), 'gram', concat_ws(' ', slice(toks, i, 3))))))""")
+    val tot = grams.groupBy(col("source"), col("n")).agg(count(lit(1)).as("total_ng"))
+    val dst = grams.select(col("source"), col("n"), col("gram")).distinct()
+      .groupBy(col("source"), col("n")).agg(count(lit(1)).as("distinct_ng"))
+    dst.join(broadcast(tot), Seq("source", "n"))
+      .withColumn("diversity", round(col("distinct_ng").cast("double") / col("total_ng"), 6))
+      .select(col("source"), col("n"), col("total_ng"), col("distinct_ng"), col("diversity"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  /** Zipf-law fit per language: least-squares slope and r² of
+    * ln(freq) vs ln(rank) over the top-`topN` token ranks — the
+    * classic "is this natural language or generated junk" sanity
+    * check (natural text sits near slope ≈ −1; a flat or cliff-shaped
+    * curve marks templated, truncated, or synthetic sources).
+    *
+    * Determinism contract (the DSIR micro-nat convention): ln values
+    * are quantized per row to integer 10⁻⁵-nats BEFORE any sum, so
+    * every aggregate is an order-immune integer sum and the regression
+    * arithmetic runs on identical integers in both engines; the final
+    * slope/r² are double divisions of those exact integers with one
+    * terminal round. Scale 10⁵ (not 10⁶) keeps `n·Σy²` under 2⁶³ even
+    * at freq ≈ 2⁶³ (y ≤ 4.4·10⁶, y² ≤ 2·10¹³, ×topN×topN ≈ 2·10¹⁷).
+    *
+    * 100 TB shape: token explode → (lang, token) hash aggregate with
+    * map-side partials (vocab-bounded output), one per-lang window
+    * over the VOCAB frame (not the corpus) for ranks, then a
+    * |langs|-row aggregate. The quantile-of-log risk the heavy-hitter
+    * sketch solves does not arise — rank ≤ topN bounds the window's
+    * output before any math.
+    */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val freqs = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("freq").desc, col("token").asc)
+    val quant = freqs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("lang"),
+        round(log(col("rk").cast("double")) * 1e5, 0).cast("long").as("xi"),
+        round(log(col("freq").cast("double")) * 1e5, 0).cast("long").as("yi"))
+    quant.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_ranks"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("yi") * col("yi")).as("syy"))
+      .select(col("lang"), col("n_ranks"),
+        (col("n_ranks") * col("sxy") - col("sx") * col("sy")).as("dxy"),
+        (col("n_ranks") * col("sxx") - col("sx") * col("sx")).as("dxx"),
+        (col("n_ranks") * col("syy") - col("sy") * col("sy")).as("dyy"))
+      .select(col("lang"), col("n_ranks"),
+        round(col("dxy").cast("double") / col("dxx").cast("double"), 4).as("slope"),
+        round(col("dxy").cast("double") * col("dxy").cast("double")
+          / (col("dxx").cast("double") * col("dyy").cast("double")), 4).as("r2"))
+      .orderBy(col("lang"))
+  }
 }

@@ -755,6 +755,62 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding OUTLIER report: per vector, its cosine to the nearest
+    * seed centroid (the [[assignCells]] assignment everything
+    * IVF/SemDeDup-shaped here shares), z-scored against its own
+    * cell's distribution — the "what doesn't belong anywhere" audit
+    * that catches mis-embedded rows, wrong-modality strays, and
+    * garbage vectors BEFORE they poison ANN recall or kmeans
+    * centroids. `outlier` flags z ≤ −2 (unusually FAR from the
+    * nearest centroid relative to cell peers); singleton or
+    * zero-variance cells yield null z and never flag.
+    *
+    * Determinism (the DSIR micro-nat convention — a plain avg/stddev
+    * hash-mismatched in the 6th decimal cross-engine): the rounded
+    * cosine is quantized to integer micro-units per row, the cell
+    * aggregates are order-immune integer sums (Σc, Σc²), and mean and
+    * sample-stddev are double divisions of those exact integers with
+    * one terminal round (6 dp; z to 4). Integer range: Σc² ≤
+    * |cell|·10¹², exact in a Long to ~9·10⁶ vectors per cell — past
+    * that Spark's ANSI sum overflows LOUDLY (and DuckDB's HUGEINT
+    * side keeps going); shrink the quantization to 10⁵ on both sides
+    * if a gate corpus ever approaches that.
+    *
+    * 100 TB shape: centroid assignment is a broadcast (k ≤ 16 seed
+    * vectors) against a single scan; the stats frame is a k-row
+    * aggregate with map-side partials, broadcast back. Nothing
+    * vector-scale shuffles.
+    */
+  def embedOutliers(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assigned = assignCells(e, centroids)
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
+        round(col("cos_centroid") * 1e6, 0).cast("long").as("c_micro"))
+    val moments = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_cell"),
+        sum(col("c_micro")).as("sc"),
+        sum(col("c_micro") * col("c_micro")).as("sc2"))
+    val n   = col("n_cell").cast("double")
+    val scd = col("sc").cast("double")
+    val vr  = (col("sc2").cast("double") - scd * scd / n) / (n - 1)
+    val stats = moments
+      .withColumn("mu", round(scd / n / 1e6, 6))
+      .withColumn("sd", when(col("n_cell") > 1, round(sqrt(greatest(vr, lit(0.0))) / 1e6, 6)))
+      .select(col("cell_id"), col("n_cell"), col("mu"), col("sd"))
+    assigned.join(broadcast(stats), "cell_id")
+      .withColumn("z",
+        when(col("sd") > 0, round((col("cos_centroid") - col("mu")) / col("sd"), 4)))
+      .withColumn("outlier", coalesce(col("z") <= -2.0, lit(false)))
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
+        col("n_cell"), col("mu"), col("sd"), col("z"), col("outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR 2009): fuse a lexical BM25 leg with a vector cosine leg —
     * the standard two-tower retrieval stack (keyword recall + semantic

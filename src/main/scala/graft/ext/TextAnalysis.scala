@@ -100,10 +100,16 @@ object TextAnalysis {
     * the marker *scores* are the contract, plus a deterministic argmax
     * with a fixed priority chain for ties).
     */
-  def langScores(spark: SparkSession, dir: String): DataFrame = {
+  def langScores(spark: SparkSession, dir: String): DataFrame =
+    langPredFor(Tables.documents(spark, dir).filter(col("doc_id") < 100))
+      .orderBy(col("doc_id"))
+
+  /** The marker scores + deterministic argmax shared by [[langScores]]
+    * (the per-doc face) and [[langConfusion]] (the corpus-level verdict).
+    */
+  private def langPredFor(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") < 100)
+    docs
       .select(
         col("doc_id"), col("lang").as("labelled_lang"),
         markerHits(t, " the ").as("s_en"),
@@ -115,7 +121,35 @@ object TextAnalysis {
           .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID confusion matrix — the accuracy audit of
+    * [[langScores]]'s marker heuristic over the WHOLE corpus: per
+    * (labelled, predicted) cell its document count and its share of
+    * the labelled language's documents (the recall contribution; the
+    * diagonal cell's share IS that language's recall). The verdict
+    * face every classifier-shaped operator here carries (the
+    * [[qualityClassify]] / q21-HLL convention): the heuristic is
+    * priced against ground truth in the same engine that runs it.
+    * Languages the marker set doesn't know (zh has no marker) land on
+    * the tie-break chain and show up as off-diagonal mass — the point
+    * of the audit.
+    *
+    * 100 TB shape: one narrow corpus scan into a ≤|langs|²-cell hash
+    * aggregate (map-side partials), then a broadcast |langs|-row join
+    * for the denominators. Nothing row-scale ever shuffles.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langPredFor(Tables.documents(spark, dir))
+      .groupBy(col("labelled_lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    // denominators via a window over the ≤|langs|²-row aggregate (NOT a
+    // second aggregate + self-join, which would re-run the corpus scan)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labelled_lang"))
+    cells.withColumn("n_label", sum(col("n")).over(w))
+      .withColumn("share", round(col("n").cast("double") / col("n_label"), 6))
+      .select(col("labelled_lang"), col("predicted"), col("n"), col("n_label"), col("share"))
+      .orderBy(col("labelled_lang"), col("predicted"))
   }
 
   /** TF-IDF over a bounded document sample (doc_id < 100): token

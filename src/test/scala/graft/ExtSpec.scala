@@ -345,6 +345,75 @@ class ExtSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (x, y) => x <= y }, "p_temp must be monotone in share")
   }
 
+  test("lang confusion: shares sum to 1 per label, unknown langs land off-diagonal") {
+    val rows = graft.ext.TextAnalysis.langConfusion(spark, "/root/testdata/sf0.01")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (label, cells) =>
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-3, s"$label shares must sum to ~1")
+      assert(cells.map(_._3).sum == cells.head._4, s"$label cell counts must sum to n_label")
+    }
+    // the marker set knows only en/de/es/fr: zh mass must be off-diagonal
+    assert(rows.filter(_._1 == "zh").forall(_._2 != "zh"))
+    assert(rows.map(_._2).toSet.subsetOf(Set("en", "de", "es", "fr")))
+  }
+
+  test("ngram diversity: all three gram orders per source, ratios in (0,1], counts consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.ngramDiversity(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+    rows.foreach { case (src, n, tot, dst, div) =>
+      assert(dst >= 1 && dst <= tot, s"$src n=$n distinct $dst vs total $tot")
+      assert(div > 0 && div <= 1.0, s"$src n=$n diversity $div")
+    }
+    // every doc of length L contributes L unigrams, L-1 bigrams, L-2 trigrams:
+    // with n_docs docs per source, total_2 = total_1 - n_docs (docs all have >= 3 tokens)
+    val nDocs = graft.Tables.documents(spark, dir).groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, g) =>
+      val t = g.map(r => r._2 -> r._3).toMap
+      assert(t(2L) == t(1L) - nDocs(src), s"$src bigram total off")
+      assert(t(3L) == t(1L) - 2 * nDocs(src), s"$src trigram total off")
+    }
+    // higher-order grams are strictly more diverse on natural-ish text
+    bySrc.foreach { case (src, g) =>
+      val d = g.map(r => r._2 -> r._5).toMap
+      assert(d(1L) <= d(2L) && d(2L) <= d(3L), s"$src diversity must grow with n")
+    }
+  }
+
+  test("zipf fit: negative slope, sane r2, deterministic rank count") {
+    val rows = graft.ext.Profiling.zipfFit(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { case (lang, n, slope, r2) =>
+      assert(n >= 10, s"$lang only $n ranks")
+      assert(slope < 0, s"$lang slope $slope must be negative (frequency falls with rank)")
+      assert(r2 >= 0 && r2 <= 1.0 + 1e-9, s"$lang r2 $r2")
+    }
+  }
+
+  test("embed outliers: flags exactly the z<=-2 rows, stats agree with a local recompute") {
+    val rows = graft.ext.Similarity.embedOutliers(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 500)
+    val byCell = rows.groupBy(_.getLong(1))
+    byCell.foreach { case (cell, members) =>
+      val cos = members.map(_.getDouble(2))
+      val mu = members.head.getDouble(4)
+      assert(math.abs(mu - cos.sum / cos.length) < 1e-4, s"cell $cell mean off")
+      members.foreach { r =>
+        val (z, out) = (Option(r.get(6)).map(_.asInstanceOf[Double]), r.getBoolean(7))
+        assert(out == z.exists(_ <= -2.0), s"cell $cell outlier flag inconsistent")
+      }
+    }
+    // outliers exist but are rare (tails of ~16 cells)
+    val nOut = rows.count(_.getBoolean(7))
+    assert(nOut < 50, s"$nOut outliers is not 'rare'")
+  }
+
   test("decontamination: eval docs fully overlap themselves; counts match a local check") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.ext.Corpus.decontaminate(spark, dir)
