@@ -60,9 +60,7 @@ object Corpus {
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = graft.ext.TextAnalysis.qualityClassify(spark, dir)
       .select(col("doc_id"), col("score"))
-    val bounds = graft.ext.Profiling
-      .exactQuantilesDistributed(scored.select(col("score")), Seq(0.25, 0.5, 0.75))
-      .map(round6HalfAway)
+    val bounds = curriculumBounds(spark, dir)
     val easier = bounds.map(b => when(col("score") > b, 1L).otherwise(0L)).reduce(_ + _)
     scored
       .withColumn("stage", lit(4L) - easier)
@@ -70,6 +68,16 @@ object Corpus {
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
       .orderBy(col("doc_id"))
   }
+
+  /** The exact-quartile stage boundaries [[curriculum]] cuts at —
+    * exposed so the streaming twin
+    * ([[graft.streaming.EventsStream.stageAssignStream]]) broadcasts
+    * the SAME rounded literals the batch assignment inlined.
+    */
+  def curriculumBounds(spark: SparkSession, dir: String): Seq[Double] =
+    graft.ext.Profiling.exactQuantilesDistributed(
+      graft.ext.TextAnalysis.qualityClassify(spark, dir).select(col("score")),
+      Seq(0.25, 0.5, 0.75)).map(round6HalfAway)
 
   /** ×1e6 HALF_UP product rounding — same std::round-matching contract
     * as [[Profiling.round2HalfAway]], at the 6 dp the quality score

@@ -772,4 +772,69 @@ object EventsStream {
       .select(col("dim"), col("n"), col("mean"), col("std"), col("z"),
         (rm.isNull || rs.isNull || rs <= 0.0 || abs(col("z")) > zThresh).as("drifted"))
   }
+
+  /** Streaming curriculum-stage assignment — the online face of
+    * [[graft.ext.Corpus.curriculum]]: tag documents with their training
+    * stage AS THEY ARRIVE, against the batch-computed exact-quartile
+    * boundaries ([[graft.ext.Corpus.curriculumBounds]] — three rounded
+    * doubles, broadcast as literals). An ingesting loader can route a
+    * doc straight into its stage bucket instead of waiting for the
+    * nightly re-quartile. PURE row-local work (score expression +
+    * three literal comparisons + the md5 shuffle key): no state, no
+    * shuffle, no stream-static join — the [[dsirScoreStream]] shape.
+    *
+    * Exactness: the score column IS the batch
+    * [[graft.ext.TextAnalysis.qualityScore]] expression (not a copy)
+    * and the bounds are the batch literals, so a streamed doc's
+    * (score, stage) is bit-identical to the batch row — asserted by
+    * the batch-agreement spec. Drift note: boundaries age as the
+    * corpus grows; re-derive them per batch epoch exactly as the
+    * ratio table of [[dsirScoreStream]] is re-trained.
+    */
+  def stageAssignStream(docs: DataFrame, bounds: Seq[Double]): DataFrame = {
+    require(bounds.length == 3 && bounds == bounds.sorted,
+      s"expected 3 ascending quartile bounds, got $bounds")
+    val easier = bounds
+      .map(b => when(col("score") > b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), graft.ext.TextAnalysis.qualityScore.as("score"))
+      .withColumn("stage", lit(4L) - easier)
+      .withColumn("shuffle_key",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
+  }
+
+  /** Streaming embedding-outlier gate — the online face of
+    * [[graft.ext.Similarity.embedOutliers]]: z-score each ARRIVING
+    * vector's nearest-seed-centroid cosine against the batch-profiled
+    * per-cell (mean, stddev) and flag z ≤ −2 before the vector enters
+    * the store — mis-embedded rows get quarantined at the door
+    * instead of poisoning the nightly ANN build. Centroids and the
+    * k-row stats are batch artifacts broadcast as literals; the
+    * assignment is the SAME [[graft.ext.Similarity.assignCells]]
+    * projection the batch ran, so cell choice and cosine are
+    * bit-identical. PURE row-local: no state, no shuffle.
+    *
+    * `mu`/`sd` are dense arrays indexed by cell_id (the seed cells
+    * are vec_id 0..k−1 by construction); a singleton or
+    * zero-variance cell carries sd = 0 and never flags (null z), and
+    * try_element_at guards the (impossible-by-require, but ANSI-fatal
+    * if it ever regressed) out-of-range lookup — the
+    * [[embeddingDriftMonitor]] convention.
+    */
+  def embedOutlierStream(vecs: DataFrame, centroids: Array[(Long, Array[Float])],
+      mu: Array[Double], sd: Array[Double]): DataFrame = {
+    require(centroids.nonEmpty &&
+      centroids.map(_._1).toSeq == (0L until centroids.length.toLong),
+      "seed centroids must be the dense cells 0..k-1")
+    require(mu.length == centroids.length && sd.length == centroids.length,
+      "per-cell stats must cover every seed cell")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val muL = try_element_at(typedLit(mu.toIndexedSeq), (col("cell_id") + 1).cast("int"))
+    val sdL = try_element_at(typedLit(sd.toIndexedSeq), (col("cell_id") + 1).cast("int"))
+    graft.ext.Similarity.assignCells(vecs, centroids)
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
+        when(sdL > 0, round((col("cos_centroid") - muL) / sdL, 4)).as("z"))
+      .withColumn("outlier", coalesce(col("z") <= -2.0, lit(false)))
+  }
 }

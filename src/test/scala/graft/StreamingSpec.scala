@@ -1186,6 +1186,74 @@ class StreamingSpec extends SparkSpec {
     assert(rows3.count(_.getBoolean(5)) == 1, "in-profile dims must stay quiet on unshifted data")
   }
 
+  test("streaming stage assignment: arriving docs get bit-identical (score, stage) to the batch curriculum") {
+    val dir = "/root/testdata/sf0.001"
+    val bounds = graft.ext.Corpus.curriculumBounds(spark, dir)
+    assert(bounds.length == 3 && bounds == bounds.sorted)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.stageAssignStream(input.toDF().toDF("doc_id", "text"), bounds)
+      .writeStream.format("memory").queryName("stage_stream")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("stage_stream")
+      .select(col("doc_id"), col("score"), col("stage"), col("shuffle_key"))
+      .as[(Long, Double, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(streamed.size == docs.length, "every arriving doc must be staged")
+    val batch = graft.ext.Corpus.curriculum(spark, dir)
+      .as[(Long, Double, Long, Long)].collect()
+    assert(batch.length == streamed.size)
+    batch.foreach { case (id, score, stage, key) =>
+      assert(streamed(id) == ((score, stage, key)),
+        s"doc $id: stream ${streamed(id)} vs batch ($score, $stage, $key)")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
+  test("streaming embed-outlier gate: z and flags row-identical to the batch audit") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val batchRows = graft.ext.Similarity.embedOutliers(spark, dir).collect()
+    assert(batchRows.nonEmpty)
+    val k = 16
+    val mu = new Array[Double](k)
+    val sd = new Array[Double](k)
+    batchRows.groupBy(_.getLong(1)).foreach { case (c, m) =>
+      mu(c.toInt) = m.head.getDouble(4)
+      sd(c.toInt) = Option(m.head.get(5)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    }
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventsStream.embedOutlierStream(
+        input.toDF().toDF("vec_id", "embedding"), centroids, mu, sd)
+      .writeStream.format("memory").queryName("outlier_stream")
+      .outputMode("append").start()
+    vecs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // z is null for degenerate cells — collect as Rows
+    val streamed = spark.table("outlier_stream").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(streamed.size == vecs.length)
+    batchRows.foreach { r =>
+      val s = streamed(r.getLong(0))
+      assert(s.getLong(1) == r.getLong(1), s"vec ${r.getLong(0)} cell mismatch")
+      assert(s.getDouble(2) == r.getDouble(2), s"vec ${r.getLong(0)} cos mismatch")
+      assert(Option(s.get(3)) == Option(r.get(6)), s"vec ${r.getLong(0)} z mismatch")
+      assert(s.getBoolean(4) == r.getBoolean(7), s"vec ${r.getLong(0)} flag mismatch")
+    }
+    // the batch audit flags SOMETHING at this sf (tails exist) and the
+    // stream gate reproduces every flag
+    assert(batchRows.count(_.getBoolean(7)) ==
+      streamed.values.count(_.getBoolean(4)))
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
