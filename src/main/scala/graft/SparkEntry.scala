@@ -116,6 +116,7 @@ object SparkEntry {
     "x_semantic_dedup"  -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
     "x_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
+    "x_cluster_purity"  -> ((s, d) => Similarity.clusterPurity(s, d)),
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
     "x_ngram_diversity" -> (Profiling.ngramDiversity _),
+    "x_vocab_growth"    -> ((s, d) => Profiling.vocabGrowth(s, d)),
     "x_zipf_fit"        -> ((s, d) => Profiling.zipfFit(s, d)),
     "x_embed_pca"       -> ((s, d) => Profiling.embedPca(s, d)),
     "x_embed_anisotropy" -> ((s, d) => Profiling.embedAnisotropy(s, d)),
@@ -1154,6 +1156,72 @@ object SparkEntry {
            SELECT r.a, e2.eb FROM reach r JOIN edges e2 ON r.b = e2.ea)
          SELECT a AS vec_id, min(b) AS cluster, (min(b) = a) AS keep
          FROM reach GROUP BY a ORDER BY vec_id""",
+    // Cluster label purity: the semantic-clusters closure joined to
+    // labels; per-term integer micro-nat entropy contributions so the
+    // per-cluster entropy is an order-immune integer sum; majority by
+    // (n DESC, label ASC) row_number on both engines.
+    "x_cluster_purity" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS rk
+             FROM e, cent) t WHERE rk = 1),
+         pairs AS (
+           SELECT a.vec_id AS d1, b.vec_id AS d2
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+         edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT r.a, e2.eb FROM reach r JOIN edges e2 ON r.b = e2.ea),
+         cl AS (SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a),
+         j AS (SELECT cl.cluster, CAST(em.label AS BIGINT) AS label
+               FROM cl JOIN embeddings em ON cl.vec_id = em.vec_id),
+         cells AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_lab
+                   FROM j GROUP BY 1, 2),
+         sized AS (SELECT cluster, label, n_lab,
+             CAST(sum(n_lab) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
+           FROM cells),
+         q AS (SELECT cluster, label, n_lab, n_cluster,
+             CAST(round(-(CAST(n_lab AS DOUBLE) / n_cluster) * ln(CAST(n_lab AS DOUBLE) / n_cluster) * 1e6) AS BIGINT) AS ent_q,
+             row_number() OVER (PARTITION BY cluster ORDER BY n_lab DESC, label ASC) AS rk
+           FROM sized)
+         SELECT cluster, max(n_cluster) AS n_cluster,
+           max(CASE WHEN rk = 1 THEN label END) AS major_label,
+           round(CAST(max(CASE WHEN rk = 1 THEN n_lab END) AS DOUBLE) / max(n_cluster), 6) AS purity,
+           round(CAST(sum(ent_q) AS DOUBLE) / 1e6, 6) AS entropy
+         FROM q GROUP BY cluster ORDER BY cluster""",
+    // Heaps'-law vocabulary growth: crawl-order deciles, per-decile new
+    // types (first occurrence = min doc_id), all-integer cumulative
+    // totals via the bounded sequence-explode prefix sum.
+    "x_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+         ft AS (SELECT token, min(doc_id) AS first_doc
+                FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+                WHERE length(token) > 0 GROUP BY token),
+         nt AS (SELECT CAST(least(first_doc * 10 // (SELECT total_docs FROM nn), 9) AS BIGINT) AS decile,
+                  CAST(count(*) AS BIGINT) AS new_types
+                FROM ft GROUP BY 1),
+         vol AS (SELECT CAST(least(doc_id * 10 // (SELECT total_docs FROM nn), 9) AS BIGINT) AS decile,
+                  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+                FROM d GROUP BY 1),
+         per AS (SELECT vol.decile, vol.n_docs, vol.n_tok,
+                  coalesce(nt.new_types, 0) AS new_types
+                FROM vol LEFT JOIN nt ON vol.decile = nt.decile),
+         cum AS (SELECT p2.decile, CAST(sum(p1.n_tok) AS BIGINT) AS cum_tok,
+                  CAST(sum(p1.new_types) AS BIGINT) AS cum_types
+                FROM per p1 JOIN per p2 ON p1.decile <= p2.decile GROUP BY p2.decile)
+         SELECT per.decile, per.n_docs, per.n_tok, per.new_types,
+           cum.cum_tok, cum.cum_types,
+           round(CAST(cum.cum_types AS DOUBLE) / cum.cum_tok, 6) AS type_token_ratio
+         FROM per JOIN cum ON per.decile = cum.decile ORDER BY per.decile""",
     "x_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS v1, b.vec_id AS v2,

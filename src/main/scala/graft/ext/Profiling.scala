@@ -700,6 +700,61 @@ object Profiling {
       .orderBy(col("source"), col("n"))
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve: the corpus in crawl order
+    * (doc_id — the deterministic "as ingested" order) cut into ten
+    * equal-population deciles; per decile the token volume and the
+    * count of NEW types (tokens whose first occurrence lands there),
+    * plus cumulative totals and the running type/token ratio. The
+    * "has the vocabulary saturated" read that tells a pipeline
+    * whether more of the same crawl still buys coverage — and a
+    * cliff-shaped new-type curve flags a mid-crawl domain shift.
+    *
+    * All-integer outputs (counts and sums; the one ratio is a
+    * terminal rounded division), so the hash check is boundary-free.
+    * First occurrence = min(doc_id) per type — a mergeable aggregate.
+    * Cumulative totals come from a bounded sequence-explode prefix
+    * sum (each decile row fans out to the ≤10 deciles at-or-after
+    * it — an equi-shaped groupBy), NOT an unpartitioned window: the
+    * [[graft.ext.Corpus.packBins]] discipline, enforced by the plan
+    * lint. The doc-count literal is ONE bounded 1-row collect.
+    *
+    * 100 TB shape: two corpus-narrow aggregates (type first-seen is
+    * vocab-bounded, per-doc token counts collapse to 10 rows); no
+    * corpus-scale shuffle beyond the (token)-keyed hash aggregate.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n")).head().getLong(0)
+    // floor of a double division: exact while doc_id·10 < 2^53 (an
+    // id-space ceiling of ~9·10^14 docs; switch to integer `div` on
+    // both sides past that)
+    def decileOf(doc: Column): Column =
+      least(floor(doc * 10L / lit(nDocs)), lit(9L)).cast("long")
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val newTypes = tokens.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(decileOf(col("first_doc")).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val volumes = docs
+      .select(decileOf(col("doc_id")).as("decile"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val per = volumes.join(newTypes, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_types"))
+    // bounded prefix sum: each decile contributes to every decile >= it
+    val cum = per
+      .select(explode(expr("sequence(decile, 9)")).as("decile"),
+        col("n_tok").as("c_tok"), col("new_types").as("c_types"))
+      .groupBy(col("decile"))
+      .agg(sum(col("c_tok")).as("cum_tok"), sum(col("c_types")).as("cum_types"))
+    per.join(cum, "decile")
+      .select(col("decile"), col("n_docs"), col("n_tok"), col("new_types"),
+        col("cum_tok"), col("cum_types"),
+        round(col("cum_types").cast("double") / col("cum_tok"), 6).as("type_token_ratio"))
+      .orderBy(col("decile"))
+  }
+
   /** Zipf-law fit per language: least-squares slope and r² of
     * ln(freq) vs ln(rank) over the top-`topN` token ranks — the
     * classic "is this natural language or generated junk" sanity

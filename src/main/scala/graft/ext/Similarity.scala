@@ -755,6 +755,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Label PURITY of the semantic clusters — the standard external
+    * cluster-quality audit (are τ-components label-homogeneous?) run
+    * before anyone trusts [[semanticClusters]]'s groups for sampling
+    * or canonical selection: per cluster its size, majority label
+    * (ties to the smaller label id), purity = majority share, and the
+    * label entropy. A low-purity big cluster means τ is bridging
+    * distinct concepts; entropy ≈ 0 everywhere means τ could loosen.
+    *
+    * Determinism: per-(cluster, label) counts are integers; each
+    * label's entropy contribution −p·ln p is quantized to integer
+    * micro-nats PER TERM, so the per-cluster entropy is an
+    * order-immune integer sum with one terminal /10⁶ (the Zipf-fit
+    * convention); purity is one rounded division of exact integers;
+    * the majority argmax is a (n DESC, label ASC) row_number both
+    * engines replay identically.
+    *
+    * 100 TB shape: rides the cluster labels (cell-bounded pair join +
+    * size-adaptive component solve); everything after is hash
+    * aggregates and windows over the ≤|clusters|·|labels| cell frame,
+    * not the vector corpus.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cells = semanticClusters(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .join(labels, "vec_id")
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n_lab"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val sized = cells
+      .withColumn("n_cluster", sum(col("n_lab")).over(byCluster))
+    val p = col("n_lab").cast("double") / col("n_cluster")
+    val quant = sized
+      .withColumn("ent_q", round(-p * log(p) * 1e6, 0).cast("long"))
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("n_lab").desc, col("label").asc)))
+    quant.groupBy(col("cluster"))
+      .agg(max(col("n_cluster")).as("n_cluster"),
+        sum(col("ent_q")).as("ent_sum"),
+        max(when(col("rk") === 1, col("label"))).as("major_label"),
+        max(when(col("rk") === 1, col("n_lab"))).as("major_n"))
+      .select(col("cluster"), col("n_cluster"), col("major_label"),
+        round(col("major_n").cast("double") / col("n_cluster"), 6).as("purity"),
+        round(col("ent_sum").cast("double") / 1e6, 6).as("entropy"))
+      .orderBy(col("cluster"))
+  }
+
   /** Embedding OUTLIER report: per vector, its cosine to the nearest
     * seed centroid (the [[assignCells]] assignment everything
     * IVF/SemDeDup-shaped here shares), z-scored against its own

@@ -414,6 +414,41 @@ class ExtSpec extends SparkSpec {
     assert(nOut < 50, s"$nOut outliers is not 'rare'")
   }
 
+  test("cluster purity: mass conserved, purity/entropy consistent, singletons pure") {
+    val rows = graft.ext.Similarity.clusterPurity(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum >= 500, "cluster sizes must cover the corpus") // sum over clusters = n_vecs
+    rows.foreach { case (c, n, label, purity, entropy) =>
+      assert(purity > 0 && purity <= 1.0, s"cluster $c purity $purity")
+      assert(entropy >= 0, s"cluster $c entropy $entropy")
+      assert(label >= 0)
+      if (n == 1) assert(purity == 1.0 && entropy == 0.0, s"singleton $c must be pure")
+      if (purity == 1.0) assert(entropy == 0.0, s"pure cluster $c must have zero entropy")
+      if (entropy == 0.0) assert(purity == 1.0, s"zero-entropy cluster $c must be pure")
+    }
+  }
+
+  test("vocab growth: cumulative totals close over the corpus, curve flattens") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.vocabGrowth(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    assert(rows.map(_._2).sum == 500, "deciles must partition the corpus")
+    // cumulative = running sums of the per-decile columns
+    assert(rows.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == rows.map(_._5).toSeq)
+    assert(rows.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == rows.map(_._6).toSeq)
+    // closure: the last cumulative row IS the corpus total
+    val docs = graft.Tables.documents(spark, dir)
+    val totTok = docs.select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum(col("n")))
+      .as[Long].head()
+    val totTypes = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).select(col("t")).distinct().count()
+    assert(rows.last._5 == totTok && rows.last._6 == totTypes)
+    // Heaps: the first decile discovers more types than the last
+    assert(rows.head._4 > rows.last._4, "new-type curve must decay on a stationary corpus")
+  }
+
   test("decontamination: eval docs fully overlap themselves; counts match a local check") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.ext.Corpus.decontaminate(spark, dir)
