@@ -673,13 +673,13 @@ object Profiling {
     *
     * One pass builds all three gram streams ROW-LOCALLY (a concat of
     * three transforms over the already-split token array — no join, no
-    * re-scan per n), then the two aggregates follow the
-    * [[columnProfile]] dedup-first discipline: totals in one hash
-    * aggregate, distincts via dedup-then-count (no Expand from mixing
-    * count and count_distinct in one aggregate). 100 TB shape: both
-    * aggregates partition by (source, n[, gram]) with map-side
-    * partials; output is ≤ 3·|sources| rows; the denominators join a
-    * broadcast ≤3·|sources|-row frame.
+    * re-scan per n), then ONE (source, n, gram)-keyed hash aggregate
+    * collapses the corpus to its vocabulary; totals AND distincts both
+    * fall out of the vocab frame (`sum(cnt)` / `count(*)`) — no second
+    * corpus scan, no Expand from mixing count with count_distinct.
+    * 100 TB shape: the one corpus-scale aggregate has map-side
+    * partials and vocab-bounded output; everything after is
+    * ≤ 3·|sources| rows.
     */
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
@@ -691,10 +691,9 @@ object Profiling {
                        i -> named_struct('n', CAST(2 AS BIGINT), 'gram', concat_ws(' ', slice(toks, i, 2)))),
              transform(filter(sequence(1, greatest(size(toks) - 2, 1)), i -> i + 2 <= size(toks)),
                        i -> named_struct('n', CAST(3 AS BIGINT), 'gram', concat_ws(' ', slice(toks, i, 3))))))""")
-    val tot = grams.groupBy(col("source"), col("n")).agg(count(lit(1)).as("total_ng"))
-    val dst = grams.select(col("source"), col("n"), col("gram")).distinct()
-      .groupBy(col("source"), col("n")).agg(count(lit(1)).as("distinct_ng"))
-    dst.join(broadcast(tot), Seq("source", "n"))
+    grams.groupBy(col("source"), col("n"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("cnt")).as("total_ng"), count(lit(1)).as("distinct_ng"))
       .withColumn("diversity", round(col("distinct_ng").cast("double") / col("total_ng"), 6))
       .select(col("source"), col("n"), col("total_ng"), col("distinct_ng"), col("diversity"))
       .orderBy(col("source"), col("n"))
