@@ -99,6 +99,7 @@ object SparkEntry {
     "x_dedup_containment" -> (Dedup.containmentPairs _), // asymmetric quote/subset detection (rides the warm doc-set frame)
     "x_dedup_canonical" -> (Dedup.dedupCanonical _), // quality-aware keep-best-copy per cluster (rides the warm pair frame)
     "x_split_leakage"   -> (Dedup.splitLeakage _),   // near-dup pairs straddling train/val/test (rides the warm pair frame)
+    "x_quality_vs_dup"  -> (Dedup.qualityVsDup _),   // per-quality-stage dup rate (rides the warm pair frame)
     "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
     "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -192,7 +193,7 @@ object SparkEntry {
     */
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
-      "x_dedup_containment", "x_split_leakage",
+      "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -212,7 +213,8 @@ object SparkEntry {
   def orderedQueryNames: Seq[String] = {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
-        "x_dedup_incremental", "x_dedup_containment", "x_split_leakage")
+        "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
+        "x_quality_vs_dup")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     require((warmChain ++ chunkChain).forall(queries.contains),
       s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
@@ -694,6 +696,32 @@ object SparkEntry {
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_canonical" -> dedupCanonicalOracle,
     "x_split_leakage" -> splitLeakageOracle,
+    // Quality-stage vs duplication calibration: the curriculum quartile
+    // stages joined against the distinct doc set of the verified pair
+    // mass; 4-row aggregate with one terminal rounded division.
+    "x_quality_vs_dup" ->
+      s"""WITH $ngramPairCtes,
+         pairs AS (
+           SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         dup AS (SELECT DISTINCT doc_id FROM
+           (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
+         q AS (
+           SELECT doc_id,
+             round(-3.0 + 0.02 * len(string_split(text, ' '))
+                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+           FROM documents),
+         b AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
+                 x -> round(x, 6)) AS bs FROM q),
+         st AS (SELECT doc_id,
+             CAST(4 - list_sum(list_transform(bs, x -> CASE WHEN score > x THEN 1 ELSE 0 END)) AS BIGINT) AS stage
+           FROM q, b)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+         FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
+         GROUP BY stage ORDER BY stage""",
     // novelty: df over ALL shingles (no df cap — the count itself is the
     // signal), then per-doc rollup; same g0 shingle universe as the pair
     // CTEs' first stage

@@ -756,6 +756,46 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Quality-vs-duplication calibration — the cross-family verdict
+    * that joins the two halves of every curation pipeline: per
+    * curriculum quality stage (1 = cleanest quartile), how many docs
+    * sit in a near-dup pair at all, and the stage's dup rate. The
+    * standing hypothesis (low-quality strata are duplicate-heavy —
+    * boilerplate and template farms score low AND repeat) is exactly
+    * what decides whether quality filtering should run before dedup
+    * (cheaper: dedup sees less) or after (safer: dedup dedups the
+    * junk too); this query measures it instead of assuming it.
+    *
+    * Rides the keep-warm chain: pairs are the memoized [[pairFrame]]
+    * (priced by `x_dedup_ngram`), the stage is the row-local quality
+    * score against the batch quartile bounds
+    * ([[graft.ext.Corpus.curriculumBounds]], one bounded driver
+    * action), so this prices one pair-mass explode + a left join +
+    * a 4-row aggregate. 100 TB shape: the dup-doc set is bounded by
+    * pair mass; nothing corpus-scale shuffles beyond the (doc_id)
+    * equi-join.
+    */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val dupDocs = pairFrame(spark, dir)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    val bounds = graft.ext.Corpus.curriculumBounds(spark, dir)
+    val easier = bounds
+      .map(b => when(col("score") > b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ext.TextAnalysis.qualityScore.as("score"))
+      .withColumn("stage", lit(4L) - easier)
+      .join(dupDocs, Seq("doc_id"), "left")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate", round(col("n_dup").cast("double") / col("n_docs"), 6))
+      .select(col("stage"), col("n_docs"), col("n_dup"), col("dup_rate"))
+      .orderBy(col("stage"))
+  }
+
   /** Size-adaptive connected components over any (d1, d2) pair frame —
     * the solve behind [[dedupClusters]], reusable by any near-dup pair
     * producer (e.g. [[Similarity.semanticClusters]]'s within-cell

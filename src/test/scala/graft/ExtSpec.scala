@@ -414,6 +414,23 @@ class ExtSpec extends SparkSpec {
     assert(nOut < 50, s"$nOut outliers is not 'rare'")
   }
 
+  test("quality-vs-dup calibration: stages partition the corpus, dup mass matches the pair frame") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.qualityVsDup(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "all four stages populated")
+    assert(rows.map(_._2).sum == 500, "stages must partition the corpus")
+    rows.foreach { case (st, n, d, r) =>
+      assert(d >= 0 && d <= n, s"stage $st dup count $d of $n")
+      assert(math.abs(r - d.toDouble / n) < 1e-4, s"stage $st rate $r")
+    }
+    // total dup mass = distinct endpoints of the pair frame
+    val expected = graft.ext.Dedup.ngramJaccardPairs(spark, dir)
+      .select(explode(array(col("d1"), col("d2"))).as("d")).distinct().count()
+    assert(rows.map(_._3).sum == expected, "dup doc mass must match the pair graph")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("cluster purity: mass conserved, purity/entropy consistent, singletons pure") {
     val rows = graft.ext.Similarity.clusterPurity(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double, Double)].collect()
