@@ -100,6 +100,7 @@ object SparkEntry {
     "x_dedup_canonical" -> (Dedup.dedupCanonical _), // quality-aware keep-best-copy per cluster (rides the warm pair frame)
     "x_split_leakage"   -> (Dedup.splitLeakage _),   // near-dup pairs straddling train/val/test (rides the warm pair frame)
     "x_quality_vs_dup"  -> (Dedup.qualityVsDup _),   // per-quality-stage dup rate (rides the warm pair frame)
+    "x_source_overlap"  -> (Dedup.sourceOverlap _),  // cross-source syndication matrix (rides the warm pair frame)
     "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
     "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -193,7 +194,7 @@ object SparkEntry {
     */
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
-      "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup",
+      "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup", "x_source_overlap",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -214,7 +215,7 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
-        "x_quality_vs_dup")
+        "x_quality_vs_dup", "x_source_overlap")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     require((warmChain ++ chunkChain).forall(queries.contains),
       s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
@@ -722,6 +723,21 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
          FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
          GROUP BY stage ORDER BY stage""",
+    // Cross-source syndication matrix: verified pairs joined to the
+    // (doc_id, source) projection, cells canonicalized (least, greatest).
+    "x_source_overlap" ->
+      s"""WITH $ngramPairCtes,
+         pairs AS (
+           SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         j AS (SELECT least(a.source, b.source) AS source_a,
+                 greatest(a.source, b.source) AS source_b
+               FROM pairs JOIN documents a ON pairs.d1 = a.doc_id
+                          JOIN documents b ON pairs.d2 = b.doc_id)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           source_a <> source_b AS cross_source
+         FROM j GROUP BY source_a, source_b
+         ORDER BY source_a, source_b""",
     // novelty: df over ALL shingles (no df cap — the count itself is the
     // signal), then per-doc rollup; same g0 shingle universe as the pair
     // CTEs' first stage

@@ -796,6 +796,33 @@ object Dedup {
       .orderBy(col("stage"))
   }
 
+  /** Cross-source syndication matrix — the near-dup pair mass rolled
+    * up to (source, source) cells: which domains copy from which. A
+    * heavy off-diagonal cell is a syndication/mirror relationship
+    * (dedup one of the two wholesale, or drop the mirror at the
+    * source list); a heavy diagonal cell is a self-repeating domain
+    * (template farm — cross-check [[graft.ext.Profiling.ngramDiversity]]).
+    * Pairs are unordered, so cells are canonicalized
+    * (least, greatest) before aggregation.
+    *
+    * Rides the keep-warm chain: pair mass from the memoized
+    * [[pairFrame]], two hash joins against the narrow (doc_id,
+    * source) projection, then a ≤|sources|²-cell aggregate — all
+    * integer counts, boundary-free hash. 100 TB shape: bounded by
+    * pair mass, never by the corpus.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairFrame(spark, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("source_1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("source_2")), "d2")
+      .select(least(col("source_1"), col("source_2")).as("source_a"),
+        greatest(col("source_1"), col("source_2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Size-adaptive connected components over any (d1, d2) pair frame —
     * the solve behind [[dedupClusters]], reusable by any near-dup pair
     * producer (e.g. [[Similarity.semanticClusters]]'s within-cell

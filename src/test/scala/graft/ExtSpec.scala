@@ -431,6 +431,21 @@ class ExtSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("source overlap: pair mass conserved, cells canonical") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, cross) =>
+      assert(a <= b, s"cell ($a, $b) not canonical")
+      assert(cross == (a != b))
+      assert(n >= 1)
+    }
+    val totalPairs = graft.ext.Dedup.ngramJaccardPairs(spark, dir).count()
+    assert(rows.map(_._3).sum == totalPairs, "cells must partition the pair mass")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("cluster purity: mass conserved, purity/entropy consistent, singletons pure") {
     val rows = graft.ext.Similarity.clusterPurity(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double, Double)].collect()
