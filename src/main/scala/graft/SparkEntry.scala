@@ -89,6 +89,7 @@ object SparkEntry {
     "x_dedup_minhash"   -> (Dedup.minhashLshPairs _),
     "x_dedup_simhash"   -> (Dedup.simhashMd5Query _),       // md5-bit portable variant; xxhash64 fast path is spec-checked
     "x_dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _), // banded Hamming<=3 near-dup pairs over the fingerprints
+    "x_dedup_simhash_clusters" -> (Dedup.simhashClusters _), // component labels over the banded Hamming pair graph
     "x_dedup_clusters"  -> (Dedup.dedupClusters _),         // pair graph -> connected components
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
+    "x_text_outliers"   -> (TextAnalysis.textOutliers _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
@@ -153,6 +155,7 @@ object SparkEntry {
     "x_pack_manifest"  -> ((s, d) => Corpus.packManifest(s, d)),
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
+    "x_chunk_quality" -> ((s, d) => Corpus.chunkQuality(s, d)),
     "x_chunk_neardup" -> ((s, d) => Corpus.chunkNearDup(s, d)),
     "x_chunk_clusters" -> ((s, d) => Corpus.chunkClusters(s, d)),
     "x_chunk_incremental" -> ((s, d) => Corpus.chunkIncremental(s, d)),
@@ -846,32 +849,21 @@ object SparkEntry {
     // all-pairs digit-wise Hamming (oracle scale) — equal to the banded
     // multi-index join by pigeonhole (4 bands catch all Hamming <= 3).
     "x_dedup_simhash_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, md5(t.tok) AS h
-           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-           WHERE length(t.tok) > 0
-         ), bits AS (
-           SELECT doc_id, r.j,
-             CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1 >> (r.j % 4)) & 1) = 1
-                  THEN 1 ELSE -1 END AS contrib
-           FROM toks, range(64) AS r(j)
-         ), sums AS (
-           SELECT doc_id, j, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS b
-           FROM bits GROUP BY doc_id, j
-         ), digits AS (
-           SELECT doc_id, j // 4 AS k, sum(b * (1 << (j % 4))) AS dv
-           FROM sums GROUP BY doc_id, j // 4
-         ), fps AS (
-           SELECT doc_id, string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1), '' ORDER BY k) AS fp
-           FROM digits GROUP BY doc_id
-         ), pairs AS (
-           SELECT a.doc_id AS d1, c.doc_id AS d2,
-             CAST(list_sum(list_transform(range(16), k ->
-               bit_count(xor(strpos('0123456789abcdef', substring(a.fp, CAST(k AS INT) + 1, 1)) - 1,
-                             strpos('0123456789abcdef', substring(c.fp, CAST(k AS INT) + 1, 1)) - 1)))) AS BIGINT) AS hamming
-           FROM fps a JOIN fps c ON a.doc_id < c.doc_id
-         )
+      s"""WITH $simhashPairCtes
          SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""",
+    // SimHash near-dup CLUSTERS: the banded Hamming pair graph closed
+    // into connected components (min-id labels), completing the
+    // clusters face every pair family carries (ngram / chunk / simhash).
+    "x_dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         sp AS (SELECT d1, d2 FROM pairs WHERE hamming <= 3),
+         edges AS (SELECT d1 AS ea, d2 AS eb FROM sp UNION ALL SELECT d2, d1 FROM sp),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
+         SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep
+         FROM reach GROUP BY a ORDER BY doc_id""",
     "logs_health" ->
       "SELECT 'ok' AS status, 'filebeat-to-clickhouse' AS service, CAST(1 AS BIGINT) AS ready",
     "x_fingerprint" ->
@@ -1878,20 +1870,29 @@ object SparkEntry {
     // log-likelihood per doc (docs with >=1 bigram). Vocabulary = count
     // of distinct whitespace tokens corpus-wide.
     "x_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         p AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
-               FROM t WHERE len(toks) > 1),
-         d2 AS (SELECT doc_id, w1, w2, count(*) AS m FROM p GROUP BY doc_id, w1, w2),
-         c2 AS (SELECT w1, w2, sum(m) AS n2 FROM d2 GROUP BY w1, w2),
-         c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
-         v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM t)),
-         s AS (SELECT d2.doc_id, d2.m, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
-               FROM d2 JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
-                       JOIN c1 ON d2.w1 = c1.w1
-                       CROSS JOIN v)
-         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-           round(sum(m * nll) / sum(m), 6) AS avg_nll
-         FROM s GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $lmScoreCtes
+         SELECT doc_id, n_bigrams, avg_nll FROM lm ORDER BY doc_id""",
+    // Per-language perplexity outliers over the bigram-LM scores:
+    // avg_nll quantized to integer 1e-5 units, order-immune per-lang
+    // moments, two-sided |z| >= 2 flag (garbled AND templated tails).
+    "x_text_outliers" ->
+      s"""WITH $lmScoreCtes,
+         lg AS (SELECT lm.doc_id, documents.lang, lm.avg_nll,
+                  CAST(round(lm.avg_nll * 1e5) AS BIGINT) AS am
+                FROM lm JOIN documents ON lm.doc_id = documents.doc_id),
+         mo AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+                  CAST(sum(am) AS BIGINT) AS sc, CAST(sum(am * am) AS BIGINT) AS sc2
+                FROM lg GROUP BY lang),
+         st AS (SELECT lang, n_lang,
+                  round(CAST(sc AS DOUBLE) / n_lang / 1e5, 6) AS mu,
+                  CASE WHEN n_lang > 1 THEN
+                    round(sqrt(greatest((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_lang) / (n_lang - 1), 0.0)) / 1e5, 6)
+                  END AS sd
+                FROM mo)
+         SELECT lg.doc_id, lg.lang, lg.avg_nll, st.n_lang, st.mu, st.sd,
+           CASE WHEN sd > 0 THEN round((avg_nll - mu) / sd, 4) END AS z,
+           coalesce(abs(CASE WHEN sd > 0 THEN round((avg_nll - mu) / sd, 4) END) >= 2.0, FALSE) AS outlier
+         FROM lg JOIN st ON lg.lang = st.lang ORDER BY lg.doc_id""",
     // C4-style line dedup: lines = aligned non-overlapping 4-token
     // chunks (the corpus has no newlines); drop lines seen 3+ times
     // corpus-wide; reassemble surviving lines in original order.
@@ -2125,6 +2126,18 @@ object SparkEntry {
            CAST(least(start_tok + 63, n_tok) - start_tok + 1 AS BIGINT) AS n_tok_chunk,
            md5(array_to_string(toks[start_tok:least(start_tok + 63, n_tok)], ' ')) AS chunk_md5
          FROM st ORDER BY doc_id, chunk_id""",
+    // Per-chunk quality gate: same boundary arithmetic, per-chunk TTR
+    // (rounded 4) and the (ttr >= 0.3 AND n >= 16) keep verdict.
+    "x_chunk_quality" ->
+      s"""WITH $chunkScanCtes,
+         c AS (SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+             toks[CAST(start_tok AS INT):CAST(least(start_tok + 63, n_tok) AS INT)] AS sl
+           FROM st)
+         SELECT doc_id, chunk_id, CAST(len(sl) AS BIGINT) AS n_tok_chunk,
+           round(len(list_distinct(sl)) / CAST(len(sl) AS DOUBLE), 4) AS ttr,
+           (round(len(list_distinct(sl)) / CAST(len(sl) AS DOUBLE), 4) >= 0.3
+            AND len(sl) >= 16) AS keep
+         FROM c ORDER BY doc_id, chunk_id""",
     // Chunk-granularity dedup: chunk hashes served by >=2 distinct docs
     "x_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -2474,6 +2487,57 @@ object SparkEntry {
          ranked AS (SELECT doc_id, score,
              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
            FROM sc)"""
+
+  /** SimHash-64 fingerprint + all-pairs Hamming CTE chain shared by the
+    * pairs face and the clusters face — md5-per-token bit votes, hex
+    * digit reassembly, and the exact per-pair bit_count distance.
+    */
+  private val simhashPairCtes: String =
+    """toks AS (
+           SELECT doc_id, md5(t.tok) AS h
+           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+           WHERE length(t.tok) > 0
+         ), bits AS (
+           SELECT doc_id, r.j,
+             CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(r.j // 4 AS INT) + 1, 1)) - 1 >> (r.j % 4)) & 1) = 1
+                  THEN 1 ELSE -1 END AS contrib
+           FROM toks, range(64) AS r(j)
+         ), sums AS (
+           SELECT doc_id, j, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS b
+           FROM bits GROUP BY doc_id, j
+         ), digits AS (
+           SELECT doc_id, j // 4 AS k, sum(b * (1 << (j % 4))) AS dv
+           FROM sums GROUP BY doc_id, j // 4
+         ), fps AS (
+           SELECT doc_id, string_agg(substring('0123456789abcdef', CAST(dv AS INT) + 1, 1), '' ORDER BY k) AS fp
+           FROM digits GROUP BY doc_id
+         ), pairs AS (
+           SELECT a.doc_id AS d1, c.doc_id AS d2,
+             CAST(list_sum(list_transform(range(16), k ->
+               bit_count(xor(strpos('0123456789abcdef', substring(a.fp, CAST(k AS INT) + 1, 1)) - 1,
+                             strpos('0123456789abcdef', substring(c.fp, CAST(k AS INT) + 1, 1)) - 1)))) AS BIGINT) AS hamming
+           FROM fps a JOIN fps c ON a.doc_id < c.doc_id
+         )"""
+
+  /** Bigram-LM scoring CTE chain (corpus-trained add-one-smoothed
+    * model, per-doc weighted-mean NLL as `lm`) shared by the score
+    * face and the per-language outlier face.
+    */
+  private val lmScoreCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       p AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
+             FROM t WHERE len(toks) > 1),
+       d2 AS (SELECT doc_id, w1, w2, count(*) AS m FROM p GROUP BY doc_id, w1, w2),
+       c2 AS (SELECT w1, w2, sum(m) AS n2 FROM d2 GROUP BY w1, w2),
+       c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+       v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM t)),
+       s AS (SELECT d2.doc_id, d2.m, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+             FROM d2 JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
+                     JOIN c1 ON d2.w1 = c1.w1
+                     CROSS JOIN v),
+       lm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                round(sum(m * nll) / sum(m), 6) AS avg_nll
+              FROM s GROUP BY doc_id)"""
 
   private val ngramPairCtes: String =
     """g0 AS (

@@ -676,6 +676,25 @@ object Corpus {
         expr(s"slice(toks, CAST(start_tok AS INT), $window)").as("chunk_toks"))
   }
 
+  /** Per-chunk quality gate — the RAG-side sibling of the document
+    * quality classifier: retrieval indexes chunks, not documents, so
+    * a clean document can still emit junk chunks (the padded tail, a
+    * token-repetition run) and they poison retrieval individually.
+    * Per chunk: token count, type-token ratio, and a keep verdict
+    * (ttr ≥ 0.3 — the repetition gate — and ≥ 16 tokens — the
+    * degenerate-tail gate). Pure row-local over the shared
+    * [[chunkFrame]], so the gated chunk set is keyed identically to
+    * every other chunk-family face; zero shuffle before the
+    * presentation sort.
+    */
+  def chunkQuality(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    chunkFrame(Tables.documents(spark, dir), window, stride)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok_chunk"),
+        round(size(array_distinct(col("chunk_toks"))) / size(col("chunk_toks")), 4).as("ttr"))
+      .withColumn("keep", col("ttr") >= 0.3 && col("n_tok_chunk") >= 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Cross-document duplicated CHUNKS — the batch face of
     * [[graft.streaming.EventsStream.chunkDupCandidates]] and the
     * chunk-granularity member of the dedup family (line_dedup works on

@@ -656,6 +656,19 @@ object Dedup {
     simhashPairsFromFp(fp)
   }
 
+  /** SimHash near-dup CLUSTERS — the component view over the banded
+    * Hamming-≤3 pair graph, completing the clusters face every pair
+    * family here carries (ngram Jaccard, chunk MinHash, and now
+    * SimHash): every doc labeled with its component's min doc_id,
+    * `keep` marking the canonical. Reuses the memoized fingerprint
+    * frame (pairs are banded, pigeonhole-exact) and the size-adaptive
+    * [[componentsFor]] solve verbatim.
+    */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairsQuery(spark, dir).select(col("d1"), col("d2"))
+    componentsFor(Tables.documents(spark, dir).select(col("doc_id")), pairs)
+  }
+
   /** Cluster assignment over the near-dup pair graph — the step that
     * turns pairwise Jaccard matches into actionable dedup decisions:
     * every document gets the min doc_id of its connected component as

@@ -445,6 +445,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity OUTLIERS per language — the decision layer over
+    * [[lmScore]]'s raw numbers: each document's bigram-LM mean NLL
+    * z-scored against its own language's distribution, two-sided flag
+    * at |z| ≥ 2. CCNet prunes by perplexity BAND for exactly this
+    * two-sidedness: high-NLL docs are garbled/wrong-language, but
+    * LOW-NLL docs are templated/repetitive (the LM finds them too
+    * easy) — both tails are filter candidates, and pooling languages
+    * would mislabel whole languages as outliers, hence per-lang stats.
+    *
+    * Determinism: the rounded avg_nll is quantized to integer
+    * 10⁻⁵-units per row, per-language moments are order-immune integer
+    * sums, μ/σ/z one terminal round (the [[graft.ext.Similarity.embedOutliers]]
+    * construction; same ~9·10⁶-docs-per-lang Long-exactness bound,
+    * ANSI-loud past it). 100 TB shape: [[lmScore]]'s own shape plus a
+    * |langs|-row stats aggregate broadcast back; nothing new shuffles
+    * at corpus scale.
+    */
+  def textOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lg = lmScoreFor(docs)
+      .select(col("doc_id"), col("avg_nll"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("am", round(col("avg_nll") * 1e5, 0).cast("long"))
+    val moments = lg.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"),
+        sum(col("am")).as("sc"), sum(col("am") * col("am")).as("sc2"))
+    val n   = col("n_lang").cast("double")
+    val scd = col("sc").cast("double")
+    val vr  = (col("sc2").cast("double") - scd * scd / n) / (n - 1)
+    val stats = moments
+      .withColumn("mu", round(scd / n / 1e5, 6))
+      .withColumn("sd", when(col("n_lang") > 1, round(sqrt(greatest(vr, lit(0.0))) / 1e5, 6)))
+      .select(col("lang"), col("n_lang"), col("mu"), col("sd"))
+    lg.join(broadcast(stats), "lang")
+      .withColumn("z",
+        when(col("sd") > 0, round((col("avg_nll") - col("mu")) / col("sd"), 4)))
+      .withColumn("outlier", coalesce(abs(col("z")) >= 2.0, lit(false)))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        col("n_lang"), col("mu"), col("sd"), col("z"), col("outlier"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style line-level boilerplate removal: split every document into
     * "lines" (here: non-overlapping `width`-token chunks — the corpus has
     * no newlines, so aligned token windows stand in for sentences), count

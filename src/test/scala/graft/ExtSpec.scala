@@ -431,6 +431,55 @@ class ExtSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("simhash clusters: labels close over the pair graph, exact dups co-cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.ext.Dedup.simhashClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(labels.size == 500)
+    val pairs = graft.ext.Dedup.simhashPairsQuery(spark, dir)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._2 == labels(b)._2, s"pair ($a, $b) split across clusters")
+    }
+    labels.values.groupBy(_._2).foreach { case (c, m) =>
+      assert(m.map(_._1).min == c, s"cluster $c label is not the member min")
+      assert(m.count(_._3) == 1 && m.find(_._3).get._1 == c, s"cluster $c keep flag")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
+  test("chunk quality: keep gate matches the ttr/length rule, keys align with the chunk family") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.chunkQuality(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, c, n, ttr, keep) =>
+      assert(n >= 1 && n <= 64)
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(keep == (ttr >= 0.3 && n >= 16), s"chunk ($d, $c) gate")
+    }
+    // identical chunk keys to the overlap face (the shared projection)
+    val overlap = graft.ext.Corpus.chunkOverlap(spark, dir)
+      .select(col("doc_id"), col("chunk_id")).as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == overlap)
+  }
+
+  test("text outliers: flags exactly |z| >= 2, per-lang stats agree with a local recompute") {
+    val rows = graft.ext.TextAnalysis.textOutliers(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getString(1)).foreach { case (lang, m) =>
+      val nll = m.map(_.getDouble(2))
+      val mu = m.head.getDouble(4)
+      assert(math.abs(mu - nll.sum / nll.length) < 1e-4, s"$lang mean off")
+      m.foreach { r =>
+        val z = Option(r.get(6)).map(_.asInstanceOf[Double])
+        assert(r.getBoolean(7) == z.exists(v => math.abs(v) >= 2.0), s"$lang flag")
+      }
+    }
+    val nOut = rows.count(_.getBoolean(7))
+    assert(nOut > 0 && nOut < 100, s"$nOut outliers out of 500 is implausible")
+  }
+
   test("source overlap: pair mass conserved, cells canonical") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Dedup.sourceOverlap(spark, dir)
