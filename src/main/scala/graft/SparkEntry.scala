@@ -106,6 +106,7 @@ object SparkEntry {
     "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
+    "x_knn_consistency" -> ((s, d) => Similarity.knnLabelConsistency(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -1192,6 +1193,43 @@ object SparkEntry {
            SELECT r.a, e2.eb FROM reach r JOIN edges e2 ON r.b = e2.ea)
          SELECT a AS vec_id, min(b) AS cluster, (min(b) = a) AS keep
          FROM reach GROUP BY a ORDER BY vec_id""",
+    // LOO kNN label consistency: within-cell top-5 by (cos DESC, id
+    // ASC), majority vote by (votes DESC, label ASC), per-label
+    // integer agreement counts; singleton-cell vectors are unscored.
+    "x_knn_consistency" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS rk
+             FROM e, cent) t WHERE rk = 1),
+         sc AS (SELECT a.vec_id AS vid, b.vec_id AS w,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         topk AS (SELECT vid, w FROM (
+             SELECT vid, w, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, w ASC) AS rk
+             FROM sc) WHERE rk <= 5),
+         votes AS (SELECT t.vid, CAST(em.label AS BIGINT) AS nlab, count(*) AS nv
+                   FROM topk t JOIN embeddings em ON t.w = em.vec_id GROUP BY 1, 2),
+         pred AS (SELECT vid, nlab AS predicted FROM (
+             SELECT vid, nlab, row_number() OVER (PARTITION BY vid ORDER BY nv DESC, nlab ASC) AS rk
+             FROM votes) WHERE rk = 1),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         scd AS (SELECT lab.lab AS label, CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN pred.predicted = lab.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM pred JOIN lab ON pred.vid = lab.vec_id GROUP BY 1),
+         tot AS (SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_total FROM lab GROUP BY 1)
+         SELECT tot.label, tot.n_total,
+           coalesce(scd.n_scored, 0) AS n_scored,
+           coalesce(scd.n_agree, 0) AS n_agree,
+           CASE WHEN coalesce(scd.n_scored, 0) > 0
+                THEN round(CAST(scd.n_agree AS DOUBLE) / scd.n_scored, 4) END AS accuracy
+         FROM tot LEFT JOIN scd ON tot.label = scd.label
+         ORDER BY tot.label""",
     // Cluster label purity: the semantic-clusters closure joined to
     // labels; per-term integer micro-nat entropy contributions so the
     // per-cluster entropy is an order-immune integer sum; majority by

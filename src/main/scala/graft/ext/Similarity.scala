@@ -755,6 +755,68 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Leave-one-out kNN label consistency — the embedding-space QA
+    * verdict behind "are these embeddings any good for
+    * classification?": every vector is classified by the majority
+    * label of its k nearest WITHIN-CELL neighbors (itself excluded),
+    * and agreement is reported per label. A label whose accuracy
+    * craters marks either a mislabeled slice or an embedding space
+    * that doesn't separate it — found BEFORE anyone trains on the
+    * labels. Neighbor search is cell-bounded (the SemDeDup/IVF
+    * discipline: the quadratic is within-cell only, the documented
+    * recall trade); `n_scored` < `n_total` counts singleton-cell
+    * vectors that have no LOO neighbors.
+    *
+    * Majority = (votes DESC, label ASC) — in Spark as one
+    * `max(struct(votes, -label))` aggregate (no sort), in the oracle
+    * as the equivalent row_number; ranking ties inside top-k follow
+    * the (cos DESC, id ASC) [[graft.functions.TopKByScore]] contract
+    * the oracle replays. All outputs are integer counts plus one
+    * terminal rounded division.
+    *
+    * 100 TB shape: broadcast seed assignment, within-cell equi-join,
+    * bounded top-k aggregate (k rows per vector), then everything is
+    * (n·k)-bounded; the verdict is a |labels|-row aggregate.
+    */
+  def knnLabelConsistency(spark: SparkSession, dir: String,
+      k: Int = 5, cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assigned = assignCells(e, centroids)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val a = assigned.select(col("vec_id").as("v"), col("embedding").as("ev"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("w"), col("embedding").as("ew"), col("cell_id"))
+    val topk = a.join(b, Seq("cell_id")).filter(col("v") =!= col("w"))
+      .withColumn("cos", round(cosine(col("ev"), col("ew")), 6))
+      .groupBy(col("v"))
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("w"), k).as("top"))
+      .select(col("v"), explode(col("top")).as("s"))
+      .select(col("v"), col("s.id").as("w"))
+    val labels = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+    val pred = topk
+      .join(labels.select(col("vec_id").as("w"), col("lab").as("nlab")), "w")
+      .groupBy(col("v"), col("nlab")).agg(count(lit(1)).as("nv"))
+      .groupBy(col("v"))
+      .agg(max(struct(col("nv"), (-col("nlab")).as("neg"))).as("m"))
+      .select(col("v").as("vec_id"), (-col("m.neg")).as("predicted"))
+    val scored = pred.join(labels, "vec_id")
+      .groupBy(col("lab").as("label"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("predicted") === col("lab"), 1L).otherwise(0L)).as("n_agree"))
+    labels.groupBy(col("lab").as("label")).agg(count(lit(1)).as("n_total"))
+      .join(scored, Seq("label"), "left")
+      .na.fill(0L, Seq("n_scored", "n_agree"))
+      .withColumn("accuracy",
+        when(col("n_scored") > 0,
+          round(col("n_agree").cast("double") / col("n_scored"), 4)))
+      .select(col("label"), col("n_total"), col("n_scored"), col("n_agree"), col("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Label PURITY of the semantic clusters — the standard external
     * cluster-quality audit (are τ-components label-homogeneous?) run
     * before anyone trusts [[semanticClusters]]'s groups for sampling
