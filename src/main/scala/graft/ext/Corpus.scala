@@ -689,11 +689,20 @@ object Corpus {
     */
   def chunkQuality(spark: SparkSession, dir: String,
       window: Int = 64, stride: Int = 48): DataFrame =
-    chunkFrame(Tables.documents(spark, dir), window, stride)
+    chunkQualityFor(Tables.documents(spark, dir), window, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The gate projection without the presentation sort — THE shared
+    * face ([[chunkFrame]] discipline): the streaming twin
+    * ([[graft.streaming.EventsStream.chunkQualityStream]]) runs this
+    * exact expression, so stream and batch gate identical chunks.
+    */
+  private[graft] def chunkQualityFor(docs: DataFrame,
+      window: Int, stride: Int): DataFrame =
+    chunkFrame(docs, window, stride)
       .select(col("doc_id"), col("chunk_id"), col("n_tok_chunk"),
         round(size(array_distinct(col("chunk_toks"))) / size(col("chunk_toks")), 4).as("ttr"))
       .withColumn("keep", col("ttr") >= 0.3 && col("n_tok_chunk") >= 16)
-      .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Cross-document duplicated CHUNKS — the batch face of
     * [[graft.streaming.EventsStream.chunkDupCandidates]] and the

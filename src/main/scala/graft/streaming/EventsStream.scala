@@ -804,6 +804,20 @@ object EventsStream {
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
   }
 
+  /** Streaming chunk-quality gate — the online face of
+    * [[graft.ext.Corpus.chunkQuality]]: arriving documents chunk and
+    * gate ROW-LOCALLY with the exact batch projection
+    * ([[graft.ext.Corpus.chunkQualityFor]] — not a copy, the same
+    * expression), so a RAG ingest path can drop junk chunks (padded
+    * tails, token-repetition runs) before embedding them. No state,
+    * no shuffle, no join — the [[dsirScoreStream]] shape; verdicts
+    * are bit-identical to the batch face by construction and the
+    * batch-agreement spec asserts it row-level.
+    */
+  def chunkQualityStream(docs: DataFrame,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    graft.ext.Corpus.chunkQualityFor(docs, window, stride)
+
   /** Streaming embedding-outlier gate — the online face of
     * [[graft.ext.Similarity.embedOutliers]]: z-score each ARRIVING
     * vector's nearest-seed-centroid cosine against the batch-profiled

@@ -1254,6 +1254,29 @@ class StreamingSpec extends SparkSpec {
       streamed.values.count(_.getBoolean(4)))
   }
 
+  test("streaming chunk-quality gate: verdicts row-identical to the batch face") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.chunkQualityStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunkq_stream")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("chunkq_stream")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    val batch = graft.ext.Corpus.chunkQuality(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (d, c, n, ttr, keep) =>
+      assert(streamed((d, c)) == ((n, ttr, keep)), s"chunk ($d, $c) mismatch")
+    }
+    // the gate actually discriminates on this corpus: both verdicts occur
+    assert(batch.exists(_._5) && batch.exists(!_._5), "gate must not be degenerate")
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
