@@ -167,6 +167,7 @@ object SparkEntry {
     "x_text_normalize"  -> (TextAnalysis.textNormalize _),
     "x_token_hist"      -> (Profiling.tokenHistogram _),
     "x_domain_stats"    -> (Profiling.domainStats _),
+    "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
@@ -1406,6 +1407,21 @@ object SparkEntry {
          SELECT labelled_lang, predicted, n, n_label,
            round(CAST(n AS DOUBLE) / n_label, 6) AS share
          FROM t ORDER BY labelled_lang, predicted""",
+    // Source x language composition: cell counts, within-source share,
+    // per-source language entropy from window-summed integer micro-nat
+    // terms (order-immune).
+    "x_domain_lang_mix" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         s AS (SELECT source, lang, n,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src FROM c),
+         q AS (SELECT source, lang, n, n_src,
+             round(CAST(n AS DOUBLE) / n_src, 6) AS share,
+             CAST(round(-(CAST(n AS DOUBLE) / n_src) * ln(CAST(n AS DOUBLE) / n_src) * 1e6) AS BIGINT) AS ent_q
+           FROM s)
+         SELECT source, lang, n, n_src, share,
+           round(CAST(sum(ent_q) OVER (PARTITION BY source) AS DOUBLE) / 1e6, 6) AS lang_entropy
+         FROM q ORDER BY source, lang""",
     // Distinct-n diversity: three row-local gram streams (1/2/3-grams),
     // totals and dedup-first distinct counts per (source, n).
     "x_ngram_diversity" ->

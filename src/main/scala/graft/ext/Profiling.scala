@@ -754,6 +754,34 @@ object Profiling {
       .orderBy(col("decile"))
   }
 
+  /** Source × language composition — per (source, lang) cell its doc
+    * count and within-source share, plus each source's language
+    * ENTROPY (integer micro-nat terms summed by a window over the
+    * cell frame — order-immune, the [[graft.ext.Similarity.clusterPurity]]
+    * construction). The routing prior a multilingual pipeline needs:
+    * a near-zero-entropy source can skip language-ID entirely, a
+    * high-entropy one must route per-document, and a source whose mix
+    * SHIFTS between drops is a crawl-config regression
+    * ([[psiDrift]]'s sibling signal at the domain level).
+    *
+    * 100 TB shape: one narrow scan → ≤|sources|·|langs| cells with
+    * map-side partials; both windows run over the cell frame, never
+    * the corpus.
+    */
+  def domainLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val p = col("n").cast("double") / col("n_src")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum(col("n")).over(w))
+      .withColumn("share", round(p, 6))
+      .withColumn("ent_q", round(-p * log(p) * 1e6, 0).cast("long"))
+      .withColumn("lang_entropy", round(sum(col("ent_q")).over(w).cast("double") / 1e6, 6))
+      .select(col("source"), col("lang"), col("n"), col("n_src"),
+        col("share"), col("lang_entropy"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Zipf-law fit per language: least-squares slope and r² of
     * ln(freq) vs ln(rank) over the top-`topN` token ranks — the
     * classic "is this natural language or generated junk" sanity

@@ -431,6 +431,21 @@ class ExtSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("domain lang mix: shares and entropy consistent per source") {
+    val rows = graft.ext.Profiling.domainLangMix(spark, "/root/testdata/sf0.01")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, cells) =>
+      assert(cells.map(_._3).sum == cells.head._4, s"$src cell counts vs n_src")
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-3, s"$src shares must sum to ~1")
+      val ent = cells.head._6
+      assert(cells.forall(c => c._6 == ent), s"$src entropy must be a source-level constant")
+      assert(ent >= 0 && ent <= math.log(cells.length) + 1e-6,
+        s"$src entropy $ent outside [0, ln(k)]")
+      if (cells.length == 1) assert(ent == 0.0, s"single-lang $src must have zero entropy")
+    }
+  }
+
   test("knn label consistency: counts conserved, accuracy beats the majority-class prior") {
     val rows = graft.ext.Similarity.knnLabelConsistency(spark, "/root/testdata/sf0.001")
       .collect()
