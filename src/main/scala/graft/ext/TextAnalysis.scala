@@ -111,9 +111,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** The marker scores + deterministic argmax shared by [[langScores]]
-    * (the per-doc face) and [[langConfusion]] (the corpus-level verdict).
+    * (the per-doc face), [[langConfusion]] (the corpus-level verdict),
+    * and the streaming router
+    * ([[graft.streaming.EventsStream.langRouteStream]]).
     */
-  private def langPredFor(docs: DataFrame): DataFrame = {
+  private[graft] def langPredFor(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
     docs
       .select(

@@ -818,6 +818,19 @@ object EventsStream {
       window: Int = 64, stride: Int = 48): DataFrame =
     graft.ext.Corpus.chunkQualityFor(docs, window, stride)
 
+  /** Streaming language router — the online face of the marker
+    * language-ID: arriving documents get the [[graft.ext.TextAnalysis]]
+    * marker scores + deterministic argmax ROW-LOCALLY (the exact
+    * batch projection, not a copy), so an ingest path can route docs
+    * to per-language pipelines (tokenizer choice, lang-specific
+    * quality models) at the door. `x_lang_confusion` prices this
+    * router's accuracy batch-side; the stream face only routes. No
+    * state, no shuffle — the [[dsirScoreStream]] shape; predictions
+    * are bit-identical to the batch face by construction.
+    */
+  def langRouteStream(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.langPredFor(docs)
+
   /** Streaming embedding-outlier gate — the online face of
     * [[graft.ext.Similarity.embedOutliers]]: z-score each ARRIVING
     * vector's nearest-seed-centroid cosine against the batch-profiled

@@ -235,4 +235,23 @@ class PropertySpec extends SparkSpec {
       Prop(got == reference(tb, n, b)) :| s"tb=$tb n=$n b=$b got=${got.take(4)} want=${reference(tb, n, b).take(4)}"
     }, minTests = 60)
   }
+
+  test("stratified-split thresholds give exact floor proportions for arbitrary group sizes") {
+    // the operator's integer comparisons (rn·10 <= n·8 / n·9) must land
+    // exactly floor(0.8n)/floor(0.9n)-floor(0.8n)/rest for EVERY n —
+    // the per-source exactness x_split_stratified is sold on
+    check(forAll(Gen.chooseNum(1, 10000)) { n =>
+      val splits = (1 to n).map { rn =>
+        if (rn * 10 <= n * 8) "train" else if (rn * 10 <= n * 9) "val" else "test"
+      }
+      val train = splits.count(_ == "train")
+      val vl = splits.count(_ == "val")
+      val test = splits.count(_ == "test")
+      Prop(train == n * 8 / 10 && vl == n * 9 / 10 - n * 8 / 10 &&
+        test == n - n * 9 / 10 &&
+        // the split is also monotone: train is a prefix, test a suffix
+        splits.takeWhile(_ == "train").length == train &&
+        splits.reverse.takeWhile(_ == "test").length == test) :| s"n=$n ($train, $vl, $test)"
+    })
+  }
 }

@@ -1277,6 +1277,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._5) && batch.exists(!_._5), "gate must not be degenerate")
   }
 
+  test("streaming language router: predictions row-identical to the batch marker argmax") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = EventsStream.langRouteStream(input.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("lang_route")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("lang_route")
+      .select(col("doc_id"), col("predicted"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed.size == docs.length)
+    // batch face on the same frame (the full corpus, not langScores' sample)
+    val batch = graft.ext.TextAnalysis.langPredFor(
+        graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("predicted")).as[(Long, String)].collect()
+    batch.foreach { case (id, p) =>
+      assert(streamed(id) == p, s"doc $id routed to ${streamed(id)}, batch says $p")
+    }
+    // the synthetic corpus carries no language markers, so every doc
+    // ties and lands on the 'en' priority default — the degenerate
+    // routing x_lang_confusion exposes batch-side (its off-diagonal
+    // mass IS this); assert the agreement includes that verdict rather
+    // than pretending the fixture discriminates
+    assert(streamed.values.toSet == Set("en"))
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
