@@ -1173,15 +1173,7 @@ object SparkEntry {
     // as x_semantic_dedup, then the recursive reach closure from the
     // textual clusters oracle — cluster = component min, keep = is-min.
     "x_semantic_clusters" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, v, cell_id FROM (
-             SELECT e.vec_id, e.v, cent.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS rk
-             FROM e, cent) t WHERE rk = 1),
+      s"""WITH RECURSIVE $seedAssignCtes,
          pairs AS (
            SELECT a.vec_id AS d1, b.vec_id AS d2
            FROM assigned a JOIN assigned b
@@ -1198,15 +1190,7 @@ object SparkEntry {
     // ASC), majority vote by (votes DESC, label ASC), per-label
     // integer agreement counts; singleton-cell vectors are unscored.
     "x_knn_consistency" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, v, cell_id FROM (
-             SELECT e.vec_id, e.v, cent.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS rk
-             FROM e, cent) t WHERE rk = 1),
+      s"""WITH $seedAssignCtes,
          sc AS (SELECT a.vec_id AS vid, b.vec_id AS w,
              round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
            FROM assigned a JOIN assigned b
@@ -1236,15 +1220,7 @@ object SparkEntry {
     // per-cluster entropy is an order-immune integer sum; majority by
     // (n DESC, label ASC) row_number on both engines.
     "x_cluster_purity" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, v, cell_id FROM (
-             SELECT e.vec_id, e.v, cent.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS rk
-             FROM e, cent) t WHERE rk = 1),
+      s"""WITH RECURSIVE $seedAssignCtes,
          pairs AS (
            SELECT a.vec_id AS d1, b.vec_id AS d2
            FROM assigned a JOIN assigned b
@@ -1277,16 +1253,18 @@ object SparkEntry {
     // totals via the bounded sequence-explode prefix sum.
     "x_vocab_growth" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+         b AS (SELECT list_transform(
+                 quantile_cont(CAST(doc_id AS DOUBLE), [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 x -> round(x, 6)) AS bs FROM documents),
          ft AS (SELECT token, min(doc_id) AS first_doc
                 FROM (SELECT doc_id, unnest(toks) AS token FROM d)
                 WHERE length(token) > 0 GROUP BY token),
-         nt AS (SELECT CAST(least(first_doc * 10 // (SELECT total_docs FROM nn), 9) AS BIGINT) AS decile,
+         nt AS (SELECT CAST(list_sum(list_transform(bs, x -> CASE WHEN first_doc > x THEN 1 ELSE 0 END)) AS BIGINT) AS decile,
                   CAST(count(*) AS BIGINT) AS new_types
-                FROM ft GROUP BY 1),
-         vol AS (SELECT CAST(least(doc_id * 10 // (SELECT total_docs FROM nn), 9) AS BIGINT) AS decile,
+                FROM ft, b GROUP BY 1),
+         vol AS (SELECT CAST(list_sum(list_transform(bs, x -> CASE WHEN doc_id > x THEN 1 ELSE 0 END)) AS BIGINT) AS decile,
                   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tok
-                FROM d GROUP BY 1),
+                FROM d, b GROUP BY 1),
          per AS (SELECT vol.decile, vol.n_docs, vol.n_tok,
                   coalesce(nt.new_types, 0) AS new_types
                 FROM vol LEFT JOIN nt ON vol.decile = nt.decile),
@@ -1366,38 +1344,22 @@ object SparkEntry {
          round((length(text) - length(replace(text, ' ', ''))) / length(text), 4) AS space_ratio
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "x_lang_scores" ->
-      """WITH s AS (
+      s"""WITH s AS (
            SELECT doc_id, lang AS labelled_lang, lower(text) AS t FROM documents WHERE doc_id < 100)
          SELECT doc_id, labelled_lang,
            (length(t) - length(replace(t, ' the ', ''))) / 5 AS s_en,
            (length(t) - length(replace(t, ' der ', ''))) / 5 AS s_de,
            (length(t) - length(replace(t, ' el ', ''))) / 4 AS s_es,
            (length(t) - length(replace(t, ' le ', ''))) / 4 AS s_fr,
-           CASE
-             WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' der ', ''))) / 5
-              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
-              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'en'
-             WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
-              AND (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'de'
-             WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'es'
-             ELSE 'fr'
-           END AS predicted
+           $langArgmaxCase AS predicted
          FROM s ORDER BY doc_id""",
     // Language-ID confusion matrix: the langScores marker argmax over
     // the WHOLE corpus, aggregated to (labelled, predicted) cells with
     // each cell's share of its labelled language (diagonal = recall).
     "x_lang_confusion" ->
-      """WITH s AS (SELECT lang AS labelled_lang, lower(text) AS t FROM documents),
+      s"""WITH s AS (SELECT lang AS labelled_lang, lower(text) AS t FROM documents),
          p AS (SELECT labelled_lang,
-           CASE
-             WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' der ', ''))) / 5
-              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
-              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'en'
-             WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
-              AND (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'de'
-             WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'es'
-             ELSE 'fr'
-           END AS predicted
+           $langArgmaxCase AS predicted
            FROM s),
          c AS (SELECT labelled_lang, predicted, CAST(count(*) AS BIGINT) AS n
                FROM p GROUP BY 1, 2),
@@ -1478,21 +1440,15 @@ object SparkEntry {
     // before the z-division, z to 4), outlier = z <= -2; singleton or
     // zero-variance cells yield null z and never flag.
     "x_embed_outliers" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, cell_id, cos_centroid FROM (
-             SELECT e.vec_id, cent.cell_id,
-               round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_centroid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS rk
-             FROM e, cent) t WHERE rk = 1),
+      s"""WITH $seedAssignCtes,
+         ax AS (SELECT a.vec_id, a.cell_id,
+             round(list_dot_product(a.v, cent.cv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_centroid
+           FROM assigned a JOIN cent ON a.cell_id = cent.cell_id),
          mo AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell,
              CAST(sum(c_micro) AS BIGINT) AS sc,
              CAST(sum(c_micro * c_micro) AS BIGINT) AS sc2
            FROM (SELECT cell_id, CAST(round(cos_centroid * 1e6) AS BIGINT) AS c_micro
-                 FROM assigned) GROUP BY cell_id),
+                 FROM ax) GROUP BY cell_id),
          st AS (SELECT cell_id, n_cell,
              round(CAST(sc AS DOUBLE) / n_cell / 1e6, 6) AS mu,
              CASE WHEN n_cell > 1 THEN
@@ -1502,7 +1458,7 @@ object SparkEntry {
          SELECT a.vec_id, a.cell_id, a.cos_centroid, st.n_cell, st.mu, st.sd,
            CASE WHEN sd > 0 THEN round((cos_centroid - mu) / sd, 4) END AS z,
            coalesce(CASE WHEN sd > 0 THEN round((cos_centroid - mu) / sd, 4) END <= -2.0, FALSE) AS outlier
-         FROM assigned a JOIN st ON a.cell_id = st.cell_id
+         FROM ax a JOIN st ON a.cell_id = st.cell_id
          ORDER BY vec_id""",
     // Corpus-trained BPE (round 10: TRUE iterative learning): the
     // oracle RE-LEARNS the merge table with the actual BPE loop —
@@ -2592,6 +2548,38 @@ object SparkEntry {
        lm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                 round(sum(m * nll) / sum(m), 6) AS avg_nll
               FROM s GROUP BY doc_id)"""
+
+  /** The marker-argmax CASE over `t` = lower(text) — the SQL twin of
+    * TextAnalysis.langPredFor's priority chain, shared by the scores
+    * and confusion oracles.
+    */
+  private val langArgmaxCase: String =
+    """CASE
+             WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' der ', ''))) / 5
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' the ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'en'
+             WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' el ', ''))) / 4
+              AND (length(t) - length(replace(t, ' der ', ''))) / 5 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'de'
+             WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= (length(t) - length(replace(t, ' le ', ''))) / 4 THEN 'es'
+             ELSE 'fr'
+           END"""
+
+  /** Seed-cell assignment CTE chain — e → cent (vec_id < 16) →
+    * assigned(vec_id, v, cell_id) by rounded-cosine argmax with
+    * cell_id tiebreak: the SQL twin of Similarity.seedCentroids +
+    * assignCells, shared by the semantic-clusters / purity / kNN /
+    * outlier oracles so the assignment contract lives in ONE place.
+    */
+  private val seedAssignCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS rk
+             FROM e, cent) t WHERE rk = 1)"""
 
   private val ngramPairCtes: String =
     """g0 AS (

@@ -244,10 +244,15 @@ object Corpus {
     * inlined as literals — the corpus itself never shuffles.
     */
   def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
-      .persist()
+    // memoized via the Frames lifecycle (NOT a bare persist, which
+    // leaks across repeated API calls — the Dedup.Frames rationale):
+    // the |sources|-row frame serves the two total-collects AND the
+    // returned plan, and releaseCaches()/corpus-fingerprint changes
+    // reclaim it
+    val per = Dedup.Frames.getOrCompute(spark, s"srctok:$dir", dir)(
+      Tables.documents(spark, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok")))
     val totTok = per.agg(coalesce(sum(col("src_tok")), lit(0L)).as("t"))
       .head().getLong(0)
     val share = round(col("src_tok").cast("double") / lit(totTok.toDouble), 6)
@@ -260,9 +265,6 @@ object Corpus {
       .select(col("source"), col("src_tok"), col("share"), col("w"),
         col("p_temp"), col("boost"))
       .orderBy(col("source"))
-    // `per` stays persisted so the caller's execution reuses the same
-    // |sources|-row frame the two total-collects read; the runners'
-    // per-query cache flush reclaims it.
     out
   }
 

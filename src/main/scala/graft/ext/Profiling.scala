@@ -715,20 +715,28 @@ object Profiling {
     * sum (each decile row fans out to the ≤10 deciles at-or-after
     * it — an equi-shaped groupBy), NOT an unpartitioned window: the
     * [[graft.ext.Corpus.packBins]] discipline, enforced by the plan
-    * lint. The doc-count literal is ONE bounded 1-row collect.
+    * lint.
+    *
+    * Deciles are POPULATION deciles: exact interpolated doc_id
+    * quantile boundaries via the [[exactQuantilesDistributed]]
+    * machinery, rounded to 6 dp and inlined as literals (the
+    * curriculum-bounds convention) — so a sparse or gappy id space
+    * (post-filter corpora, sharded id assignment) still cuts ~n/10
+    * docs per decile, where the earlier value-sliced formula
+    * `floor(id·10/n)` silently skewed (review r12).
     *
     * 100 TB shape: two corpus-narrow aggregates (type first-seen is
-    * vocab-bounded, per-doc token counts collapse to 10 rows); no
-    * corpus-scale shuffle beyond the (token)-keyed hash aggregate.
+    * vocab-bounded, per-doc token counts collapse to 10 rows) plus
+    * the boundary selection's two narrow passes; no corpus-scale
+    * shuffle beyond the (token)-keyed hash aggregate.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.agg(count(lit(1)).as("n")).head().getLong(0)
-    // floor of a double division: exact while doc_id·10 < 2^53 (an
-    // id-space ceiling of ~9·10^14 docs; switch to integer `div` on
-    // both sides past that)
+    val bounds = exactQuantilesDistributed(
+      docs.select(col("doc_id").cast("double")), (1 to 9).map(_ / 10.0))
+      .map(b => BigDecimal(b * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
     def decileOf(doc: Column): Column =
-      least(floor(doc * 10L / lit(nDocs)), lit(9L)).cast("long")
+      bounds.map(b => when(doc > b, 1L).otherwise(0L)).reduce(_ + _)
     val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val newTypes = tokens.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))

@@ -199,10 +199,7 @@ object Similarity {
     // round-1 plan (broadcast NLJ against `lit(true)` + a corpus-wide
     // row_number window on vec_id) K×-inflated the corpus and shuffled
     // all of it just to pick a max (VERDICT.md item 5).
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     ivfSearch(e, centroids, k)
   }
 
@@ -219,6 +216,18 @@ object Similarity {
     * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
     * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
     */
+  /** The bounded seed-centroid fetch (≤`cells` rows, inlined as
+    * literals by every assignment) — ONE definition of the seed
+    * contract shared by the IVF / SemDeDup / outlier / purity / kNN
+    * faces and their streaming twins' specs. Any change to the seed
+    * source, ordering, or types happens here once.
+    */
+  private[graft] def seedCentroids(e: DataFrame, cells: Int): Array[(Long, Array[Float])] =
+    e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
     val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
       struct(
@@ -265,16 +274,13 @@ object Similarity {
     // artificially perfect for them and refinement look like a loss;
     // held-out queries measure what refinement actually changes.
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    val seedCentroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val seeds: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     val queries = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val bruteScored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
     val brute = rankTopK(bruteScored, k).select(col("query_id"), col("neighbor_id"))
-    val literal = ivfSearch(e, seedCentroids, k, isQuery)
+    val literal = ivfSearch(e, seeds, k, isQuery)
       .select(col("query_id"), col("neighbor_id"))
     val (refinedCentroids, _) = kmeansRefine(spark, dir, cells, iters, trackObjectives = false)
     val refined = ivfSearch(e,
@@ -474,10 +480,7 @@ object Similarity {
       cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     val assigned = assignCells(e, centroids).drop("cos_centroid")
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -656,10 +659,7 @@ object Similarity {
       cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     semanticDedup(e, centroids, tau)
   }
 
@@ -738,10 +738,7 @@ object Similarity {
       cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     val assigned = assignCells(e, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell_id"))
@@ -782,10 +779,7 @@ object Similarity {
       k: Int = 5, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     val assigned = assignCells(e, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     val a = assigned.select(col("vec_id").as("v"), col("embedding").as("ev"), col("cell_id"))
@@ -893,10 +887,7 @@ object Similarity {
   def embedOutliers(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = e.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
     val assigned = assignCells(e, centroids)
       .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
         round(col("cos_centroid") * 1e6, 0).cast("long").as("c_micro"))
