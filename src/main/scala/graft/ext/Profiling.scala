@@ -747,8 +747,12 @@ object Profiling {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
-    val per = volumes.join(newTypes, Seq("decile"), "left")
-      .na.fill(0L, Seq("new_types"))
+    // `per` (10 rows) is consumed TWICE (the prefix-sum explode and the
+    // final join) — without the memo each consumer re-runs the whole
+    // corpus-scale subtree (4 scans in the formatted plan; 2 with it)
+    val per = Dedup.Frames.getOrCompute(spark, s"vocabper:$dir", dir)(
+      volumes.join(newTypes, Seq("decile"), "left")
+        .na.fill(0L, Seq("new_types")))
     // bounded prefix sum: each decile contributes to every decile >= it
     val cum = per
       .select(explode(expr("sequence(decile, 9)")).as("decile"),
