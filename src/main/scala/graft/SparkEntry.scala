@@ -203,7 +203,10 @@ object SparkEntry {
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
-      "x_chunk_clusters")
+      "x_chunk_clusters",
+      // and the simhash family: clusters rides the memoized
+      // fingerprint frame x_dedup_simhash_pairs just re-banded
+      "x_dedup_simhash_clusters")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -222,15 +225,17 @@ object SparkEntry {
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
         "x_quality_vs_dup", "x_source_overlap")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
-    require((warmChain ++ chunkChain).forall(queries.contains),
-      s"ordered-run contract expects ${(warmChain ++ chunkChain).mkString(", ")} in " +
+    val simhashChain = Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters")
+    require((warmChain ++ chunkChain ++ simhashChain).forall(queries.contains),
+      s"ordered-run contract expects ${(warmChain ++ chunkChain ++ simhashChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
       .flatMap {
-        case "x_dedup_ngram"   => warmChain
-        case "x_chunk_neardup" => chunkChain
-        case n                 => Seq(n)
+        case "x_dedup_ngram"          => warmChain
+        case "x_chunk_neardup"        => chunkChain
+        case "x_dedup_simhash_pairs"  => simhashChain
+        case n                        => Seq(n)
       }
   }
 

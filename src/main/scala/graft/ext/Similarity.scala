@@ -228,6 +228,21 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
+  /** The MEMOIZED seed-cell assignment (vec_id, embedding, cell_id,
+    * cos_centroid) every 16-cell face consumes — semantic clusters,
+    * label purity, kNN consistency, the outlier audit. Routed through
+    * the Frames lifecycle so (a) a query that consumes the frame
+    * twice (both sides of a within-cell join) computes it once, and
+    * (b) repeated API calls in one session share it instead of
+    * re-deriving; the corpus fingerprint / releaseCaches() reclaim it.
+    */
+  private[graft] def seedAssigned(spark: SparkSession, dir: String,
+      cells: Int): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"cellassign:$cells:$dir", dir) {
+      val e = Tables.embeddings(spark, dir)
+      assignCells(e, seedCentroids(e, cells))
+    }
+
   private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
     val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
       struct(
@@ -738,8 +753,7 @@ object Similarity {
       cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
-    val assigned = assignCells(e, centroids)
+    val assigned = seedAssigned(spark, dir, cells)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell_id"))
     val b = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell_id"))
@@ -779,8 +793,7 @@ object Similarity {
       k: Int = 5, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
-    val assigned = assignCells(e, centroids)
+    val assigned = seedAssigned(spark, dir, cells)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     val a = assigned.select(col("vec_id").as("v"), col("embedding").as("ev"), col("cell_id"))
     val b = assigned.select(col("vec_id").as("w"), col("embedding").as("ew"), col("cell_id"))
@@ -886,9 +899,7 @@ object Similarity {
     */
   def embedOutliers(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val centroids: Array[(Long, Array[Float])] = seedCentroids(e, cells)
-    val assigned = assignCells(e, centroids)
+    val assigned = seedAssigned(spark, dir, cells)
       .select(col("vec_id"), col("cell_id"), col("cos_centroid"),
         round(col("cos_centroid") * 1e6, 0).cast("long").as("c_micro"))
     val moments = assigned.groupBy(col("cell_id"))
