@@ -184,6 +184,8 @@ object SparkEntry {
     "x_psi_drift"       -> ((s, d) => Profiling.psiDrift(s, d)),
     // the capstone: dedup + repetition + length verdicts per document
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
+    // and the funnel over the WHOLE battery (rides the warm pair frame)
+    "x_filter_funnel"   -> (Dedup.filterFunnel _),
   )
 
   /** Queries that run WITHOUT the runners' pre-query cache flush so they
@@ -200,6 +202,7 @@ object SparkEntry {
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
       "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup", "x_source_overlap",
+      "x_filter_funnel",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -223,7 +226,7 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
-        "x_quality_vs_dup", "x_source_overlap")
+        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     val simhashChain = Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters")
     require((warmChain ++ chunkChain ++ simhashChain).forall(queries.contains),
@@ -807,6 +810,7 @@ object SparkEntry {
          WHERE sh * 10 >= least(n1.n_ng, n2.n_ng) * 9
          ORDER BY d_small, d_big""",
     "x_dedup_apply" -> dedupApplyOracle,
+    "x_filter_funnel" -> filterFunnelOracle,
     "x_dedup_incremental" -> dedupIncrementalOracle,
     // Cross-doc duplicated 8-token windows: per doc, window counts and
     // the distinct token positions those windows cover.
@@ -2724,13 +2728,58 @@ object SparkEntry {
        rep AS (SELECT gr.doc_id,
                  (round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) <= 0.9
                   AND round(top_n / CAST(n_tok AS DOUBLE), 4) <= 0.2) AS keep_rep
-               FROM gr JOIN tsx ON gr.doc_id = tsx.doc_id)
-       SELECT c.doc_id, c.cluster, c.keep_dedup,
-         coalesce(rep.keep_rep, TRUE) AS keep_rep,
-         (tsx.n_tok BETWEEN 5 AND 10000) AS keep_len,
-         (c.keep_dedup AND coalesce(rep.keep_rep, TRUE)
-          AND (tsx.n_tok BETWEEN 5 AND 10000)) AS keep
-       FROM clus c JOIN tsx ON c.doc_id = tsx.doc_id
-       LEFT JOIN rep ON c.doc_id = rep.doc_id
-       ORDER BY c.doc_id"""
+               FROM gr JOIN tsx ON gr.doc_id = tsx.doc_id),
+       av AS (SELECT c.doc_id, c.cluster, c.keep_dedup,
+                coalesce(rep.keep_rep, TRUE) AS keep_rep,
+                (tsx.n_tok BETWEEN 5 AND 10000) AS keep_len
+              FROM clus c JOIN tsx ON c.doc_id = tsx.doc_id
+              LEFT JOIN rep ON c.doc_id = rep.doc_id)
+       SELECT doc_id, cluster, keep_dedup, keep_rep, keep_len,
+         (keep_dedup AND keep_rep AND keep_len) AS keep
+       FROM av ORDER BY doc_id"""
+
+  /** The funnel oracle: the SAME verdict chain as [[dedupApplyOracle]]
+    * (split at the per-doc `av` CTE) plus the quality and decontam
+    * gates, each doc's first failing stage, and the bounded
+    * generate_series prefix fan-out — the SQL twin of
+    * graft.ext.Dedup.filterFunnel.
+    */
+  private val filterFunnelOracle: String = {
+    val avIdx = dedupApplyOracle.indexOf("       SELECT doc_id, cluster")
+    dedupApplyOracle.substring(0, avIdx).stripTrailing + ",\n" +
+    """       q AS (SELECT doc_id,
+             (round(-3.0 + 0.02 * len(string_split(text, ' '))
+                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) > 0) AS keep_quality
+           FROM documents),
+       ev AS (SELECT DISTINCT ng FROM g0 WHERE doc_id < 20),
+       ol AS (SELECT g0.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM g0 JOIN ev ON g0.ng = ev.ng GROUP BY g0.doc_id),
+       dc AS (SELECT d.doc_id, coalesce(ol.n_shared, 0) < 10 AS keep_decontam
+              FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id),
+       ffi AS (SELECT av.doc_id,
+                 CASE WHEN NOT keep_len THEN 1
+                      WHEN NOT keep_rep THEN 2
+                      WHEN NOT keep_quality THEN 3
+                      WHEN NOT keep_dedup THEN 4
+                      WHEN NOT keep_decontam THEN 5
+                      ELSE 99 END AS ffi
+               FROM av JOIN q ON av.doc_id = q.doc_id
+                       JOIN dc ON av.doc_id = dc.doc_id),
+       sv0 AS (SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+                CAST(count(*) AS BIGINT) AS n_surviving
+              FROM (SELECT unnest(generate_series(0, least(ffi - 1, 5))) AS stage_idx FROM ffi)
+              GROUP BY 1),
+       sv AS (SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx,
+                CAST(coalesce(sv0.n_surviving, 0) AS BIGINT) AS n_surviving
+              FROM (SELECT unnest(generate_series(0, 5)) AS stage_idx) s
+              LEFT JOIN sv0 ON s.stage_idx = sv0.stage_idx)
+       SELECT (['0_raw', '1_length', '2_repetition', '3_quality', '4_dedup', '5_decontam'])[CAST(cur.stage_idx + 1 AS INT)] AS stage,
+         cur.n_surviving,
+         CAST(coalesce(prev.n_surviving - cur.n_surviving, 0) AS BIGINT) AS n_dropped,
+         round(CAST(cur.n_surviving AS DOUBLE)
+               / (SELECT CAST(n_surviving AS DOUBLE) FROM sv WHERE stage_idx = 0), 6) AS survival_rate
+       FROM sv cur LEFT JOIN sv prev ON cur.stage_idx = prev.stage_idx + 1
+       ORDER BY stage"""
+  }
 }

@@ -279,7 +279,14 @@ object Corpus {
     * matching shingle hits. Reuses [[graft.functions.NgramShingles]]
     * (in-operator dedup + xxhash64), so the joined key is 8 bytes.
     */
-  def decontaminate(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame =
+    decontaminateFor(spark, dir, minShared).orderBy(col("doc_id"))
+
+  /** The contamination flags without the presentation sort — for
+    * consumers that join them ([[graft.ext.Dedup.filterFunnel]]).
+    */
+  private[graft] def decontaminateFor(spark: SparkSession, dir: String,
+      minShared: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val g = Dedup.allShingles(docs) // uncapped: exact-match semantics
     val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
@@ -292,7 +299,6 @@ object Corpus {
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= minShared)
-      .orderBy(col("doc_id"))
   }
 
   /** Embedding-based (semantic) decontamination — the paraphrase-aware

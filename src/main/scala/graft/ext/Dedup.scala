@@ -968,7 +968,15 @@ object Dedup {
     * Single-token documents have no bigram row in the repetition frame
     * and default to keep_rep = true (no signal ≠ bad signal).
     */
-  def applyVerdicts(spark: SparkSession, dir: String): DataFrame = {
+  def applyVerdicts(spark: SparkSession, dir: String): DataFrame =
+    verdictsFor(spark, dir).orderBy(col("doc_id"))
+
+  /** The verdict frame without the presentation sort — for consumers
+    * that aggregate or join it ([[filterFunnel]]), where a Sort below
+    * would be dead weight (the [[graft.ext.Corpus.splitAssignFor]]
+    * convention).
+    */
+  private[graft] def verdictsFor(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val clusters = dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster"), col("keep").as("keep_dedup"))
@@ -981,7 +989,74 @@ object Dedup {
         coalesce(col("keep_rep"), lit(true)).as("keep_rep"),
         (col("n_tok") >= 5 && col("n_tok") <= 10000).as("keep_len"))
       .withColumn("keep", col("keep_dedup") && col("keep_rep") && col("keep_len"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** The data FUNNEL — the survivors-per-gate table every pipeline
+    * paper publishes (C4, Gopher, RefinedWeb, FineWeb all report
+    * theirs): the full cleaning battery applied in production order
+    * (length → repetition → quality → dedup → decontamination), with
+    * each stage's surviving-document count, the drop it charged, and
+    * the survival rate. The capstone over every verdict family:
+    * whether a pipeline change moved the funnel is THE review
+    * artifact for a data drop.
+    *
+    * Each document gets its FIRST failing stage (a row-local CASE
+    * over the per-gate booleans), fans out to the stages it survived
+    * via a bounded sequence explode (the packBins prefix-sum
+    * discipline — no unpartitioned window anywhere), and the 6-row
+    * funnel self-joins one step shifted for the per-stage drops. The
+    * corpus total is ONE bounded 1-row collect (a 1-row cross join
+    * would trip the plan lint).
+    *
+    * Rides the keep-warm chain: dedup verdicts come from the memoized
+    * pair frame's cluster labels ([[verdictsFor]]), so the entry
+    * prices the quality/length row-local gates, the decontam
+    * broadcast probe, and a ≤6-row aggregate.
+    *
+    * A stage that kills every remaining document still REPORTS its
+    * zero row — and on the synthetic fixture the decontam gate does
+    * exactly that (a ~50-word vocabulary makes every 8-char shingle
+    * eval-set-common, so minShared = 10 flags the whole corpus).
+    * That reading is the operator working as designed: an
+    * over-aggressive gate surfaced in the funnel BEFORE a training
+    * run, which is the review this table exists for.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stageNames = Seq("0_raw", "1_length", "2_repetition", "3_quality",
+      "4_dedup", "5_decontam")
+    val verd = verdictsFor(spark, dir)
+      .select(col("doc_id"), col("keep_dedup"), col("keep_rep"), col("keep_len"))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), (TextAnalysis.qualityScore > 0).as("keep_quality"))
+    val dec = graft.ext.Corpus.decontaminateFor(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
+    val ffi = verd.join(qual, "doc_id").join(dec, "doc_id")
+      .select(
+        when(!col("keep_len"), 1L)
+          .when(!col("keep_rep"), 2L)
+          .when(!col("keep_quality"), 3L)
+          .when(!col("keep_dedup"), 4L)
+          .when(!col("keep_decontam"), 5L)
+          .otherwise(99L).as("ffi"))
+    val survRaw = ffi
+      .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
+      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
+    // seed ALL six stages: a gate that kills every remaining doc must
+    // REPORT its zero row, not vanish from the funnel
+    val surv = spark.range(6).select(col("id").as("stage_idx"))
+      .join(survRaw, Seq("stage_idx"), "left")
+      .na.fill(0L, Seq("n_surviving"))
+    val total = surv.filter(col("stage_idx") === 0)
+      .select(col("n_surviving")).head().getLong(0)
+    surv
+      .join(surv.select((col("stage_idx") + 1).as("stage_idx"),
+        col("n_surviving").as("n_prev")), Seq("stage_idx"), "left")
+      .select(
+        element_at(typedLit(stageNames), (col("stage_idx") + 1).cast("int")).as("stage"),
+        col("n_surviving"),
+        coalesce(col("n_prev") - col("n_surviving"), lit(0L)).as("n_dropped"),
+        round(col("n_surviving").cast("double") / lit(total.toDouble), 6).as("survival_rate"))
+      .orderBy(col("stage"))
   }
 
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully

@@ -520,6 +520,30 @@ class ExtSpec extends SparkSpec {
     assert(nOut > 0 && nOut < 100, s"$nOut outliers out of 500 is implausible")
   }
 
+  test("filter funnel: six complete stages, monotone survivors, drops reconcile") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.filterFunnel(spark, dir)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("0_raw", "1_length", "2_repetition",
+      "3_quality", "4_dedup", "5_decontam"), "every stage must report, even at zero")
+    assert(rows.head._2 == 500, "raw = corpus size")
+    val surv = rows.map(_._2)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a }, "survivors must be monotone")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 == prev._2 - cur._2, s"${cur._1} drop must reconcile")
+    }
+    assert(rows.head._3 == 0)
+    rows.foreach { case (st, n, _, rate) =>
+      assert(math.abs(rate - n.toDouble / 500) < 1e-4, s"$st rate off") }
+    // cross-family agreement: the dedup stage's drop-to-date equals the
+    // battery applied in funnel order on the per-doc verdict frame
+    val verd = graft.ext.Dedup.applyVerdicts(spark, dir).collect()
+    val expect4 = verd.count(r =>
+      r.getBoolean(4) && r.getBoolean(3) && r.getBoolean(2)) // len && rep && dedup...
+    graft.ext.Dedup.releaseCaches()
+    assert(surv(4) <= expect4, "dedup-stage survivors cannot exceed the verdict battery")
+  }
+
   test("source overlap: pair mass conserved, cells canonical") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Dedup.sourceOverlap(spark, dir)
