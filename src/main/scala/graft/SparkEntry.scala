@@ -147,6 +147,7 @@ object SparkEntry {
     "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "x_eval_leakage" -> ((s, d) => Corpus.evalLeakage(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
     "x_decontam_semantic_probe" -> ((s, d) => Corpus.decontaminateSemanticProbe(s, d)), // verdict query: multi-probe recall judged vs single-bucket
@@ -754,6 +755,23 @@ object SparkEntry {
     // novelty: df over ALL shingles (no df cap — the count itself is the
     // signal), then per-doc rollup; same g0 shingle universe as the pair
     // CTEs' first stage
+    // Per-eval-doc leakage report: eval shingles (doc_id < 20) vs the
+    // rest of the corpus's shingle set; coverage share, burned >= 0.5.
+    "x_eval_leakage" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+           FROM documents),
+         ev AS (SELECT doc_id, ng FROM g0 WHERE doc_id < 20),
+         m AS (SELECT DISTINCT g0.ng FROM g0
+               JOIN (SELECT DISTINCT ng FROM ev) e ON g0.ng = e.ng
+               WHERE g0.doc_id >= 20)
+         SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(sum(CASE WHEN m.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+           round(CAST(sum(CASE WHEN m.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+           (round(CAST(sum(CASE WHEN m.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) >= 0.5) AS burned
+         FROM ev LEFT JOIN m ON ev.ng = m.ng
+         GROUP BY ev.doc_id ORDER BY ev.doc_id""",
     "x_novelty" ->
       """WITH g0 AS (
            SELECT DISTINCT doc_id,

@@ -301,6 +301,38 @@ object Corpus {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Per-EVAL-document leakage report card — the symmetric view of
+    * [[decontaminate]]: that query flags which CORPUS docs to drop;
+    * this one reports which BENCHMARK items are already burned (their
+    * shingle mass present in the training corpus) and how badly —
+    * the table an eval owner reads to decide whether a benchmark
+    * number is trustworthy at all. Per eval doc: its shingle count,
+    * how many of those shingles the rest of the corpus serves, the
+    * coverage share, and `burned` at ≥ 50% coverage.
+    *
+    * 100 TB shape: the eval shingle set is tiny and BROADCASTS; the
+    * corpus streams past it once, and the matched-shingle set —
+    * bounded by the EVAL set's size, not the corpus — is all that
+    * aggregates. Per-doc attribution then joins two eval-sized
+    * frames. The corpus never shuffles.
+    */
+  def evalLeakage(spark: SparkSession, dir: String,
+      burnShare: Double = 0.5): DataFrame = {
+    val g = Dedup.allShingles(Tables.documents(spark, dir))
+    val evalSh = g.filter(col("doc_id") < 20)
+    val matched = g.filter(col("doc_id") >= 20)
+      .join(broadcast(evalSh.select(col("ng")).distinct()), "ng")
+      .select(col("ng")).distinct()
+    evalSh
+      .join(broadcast(matched.withColumn("hit", lit(1L))), Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_leaked"))
+      .withColumn("coverage", round(col("n_leaked").cast("double") / col("n_sh"), 6))
+      .withColumn("burned", col("coverage") >= burnShare)
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-based (semantic) decontamination — the paraphrase-aware
     * twin of [[decontaminate]] (VERDICT r9 #4): flag corpus documents
     * whose EMBEDDING is τ-cosine-close to an eval-set embedding. 8-gram

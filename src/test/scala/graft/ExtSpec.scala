@@ -520,6 +520,21 @@ class ExtSpec extends SparkSpec {
     assert(nOut > 0 && nOut < 100, s"$nOut outliers out of 500 is implausible")
   }
 
+  test("eval leakage: one row per eval doc, coverage bounded, agrees with the decontam direction") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.evalLeakage(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 20L), "every eval doc must report")
+    rows.foreach { case (d, nSh, nLeak, cov, burned) =>
+      assert(nSh > 0 && nLeak >= 0 && nLeak <= nSh, s"doc $d counts")
+      assert(math.abs(cov - nLeak.toDouble / nSh) < 1e-4, s"doc $d coverage")
+      assert(burned == (cov >= 0.5), s"doc $d burn flag")
+    }
+    // direction check: the tiny-vocab corpus contaminates heavily both
+    // ways, so the eval side must read substantially burned too
+    assert(rows.count(_._5) > 10, "fixture corpus is known to leak heavily")
+  }
+
   test("filter funnel: six complete stages, monotone survivors, drops reconcile") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Dedup.filterFunnel(spark, dir)
