@@ -723,9 +723,7 @@ object SparkEntry {
            (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
          q AS (
            SELECT doc_id,
-             round(-3.0 + 0.02 * len(string_split(text, ' '))
-                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+             $qualityScoreSql AS score
            FROM documents),
          b AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
                  x -> round(x, 6)) AS bs FROM q),
@@ -755,6 +753,18 @@ object SparkEntry {
     // novelty: df over ALL shingles (no df cap — the count itself is the
     // signal), then per-doc rollup; same g0 shingle universe as the pair
     // CTEs' first stage
+    "x_novelty" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
+           FROM documents),
+         df AS (SELECT ng, count(*) AS df FROM g0 GROUP BY ng)
+         SELECT doc_id, count(*) AS n_sh,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           max(df) AS max_df,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novel_share
+         FROM g0 JOIN df USING (ng)
+         GROUP BY doc_id ORDER BY doc_id""",
     // Per-eval-doc leakage report: eval shingles (doc_id < 20) vs the
     // rest of the corpus's shingle set; coverage share, burned >= 0.5.
     "x_eval_leakage" ->
@@ -772,18 +782,6 @@ object SparkEntry {
            (round(CAST(sum(CASE WHEN m.ng IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) >= 0.5) AS burned
          FROM ev LEFT JOIN m ON ev.ng = m.ng
          GROUP BY ev.doc_id ORDER BY ev.doc_id""",
-    "x_novelty" ->
-      """WITH g0 AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))) AS ng
-           FROM documents),
-         df AS (SELECT ng, count(*) AS df FROM g0 GROUP BY ng)
-         SELECT doc_id, count(*) AS n_sh,
-           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           max(df) AS max_df,
-           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novel_share
-         FROM g0 JOIN df USING (ng)
-         GROUP BY doc_id ORDER BY doc_id""",
     // Winnowing (MOSS): identical md5-hex lexicographic selection on
     // both engines; w=4 token windows, winnow window k=4, rightmost min
     "x_dedup_winnow" ->
@@ -1723,11 +1721,9 @@ object SparkEntry {
     // TopKByScore aggregate's (score DESC, id ASC) contract replayed
     // as a row_number window
     "x_domain_topk" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT source, doc_id,
-             round(-3.0 + 0.02 * len(string_split(text, ' '))
-                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+             $qualityScoreSql AS score
            FROM documents),
          r AS (SELECT source, doc_id, score,
              row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
@@ -1738,11 +1734,9 @@ object SparkEntry {
     // floor-division global mean (mod-subtract construction — DuckDB //
     // and Java floorDiv agree by divisibility), k=10 pseudo-count shrink
     "x_source_prior" ->
-      """WITH sc AS (
+      s"""WITH sc AS (
            SELECT source,
-             CAST(round(round(-3.0 + 0.02 * len(string_split(text, ' '))
-                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) * 1000000) AS BIGINT) AS q
+             CAST(round($qualityScoreSql * 1000000) AS BIGINT) AS q
            FROM documents),
          g AS (SELECT CAST((sum(q) - ((sum(q) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS gq FROM sc)
          SELECT source, count(*) AS n_docs,
@@ -1888,11 +1882,9 @@ object SparkEntry {
     // distributed selection's interpolation), stage = 4 − easier-than
     // count, shuffle key = the sample-split md5 16-bit trick unmodded
     "x_curriculum" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT doc_id,
-             round(-3.0 + 0.02 * len(string_split(text, ' '))
-                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+             $qualityScoreSql AS score
            FROM documents),
          b AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
                  x -> round(x, 6)) AS bs FROM q)
@@ -1955,13 +1947,9 @@ object SparkEntry {
     // rounded to 4 decimals BEFORE weighting (bit-identical doubles on
     // both engines); gate = sign of the score.
     "x_quality_classify" ->
-      """SELECT doc_id,
-         round(-3.0 + 0.02 * len(string_split(text, ' '))
-                    + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                    + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score,
-         round(-3.0 + 0.02 * len(string_split(text, ' '))
-                    + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                    + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) > 0 AS keep
+      s"""SELECT doc_id,
+         $qualityScoreSql AS score,
+         $qualityScoreSql > 0 AS keep
          FROM documents ORDER BY doc_id""",
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
@@ -2576,6 +2564,15 @@ object SparkEntry {
                 round(sum(m * nll) / sum(m), 6) AS avg_nll
               FROM s GROUP BY doc_id)"""
 
+  /** The 6-dp linear quality score over `text` — the SQL twin of
+    * TextAnalysis.qualityScore, shared by every oracle that scores
+    * documents (classifier, curriculum, canonical, prior, top-k,
+    * calibration, funnel). One definition; indentation-free so every
+    * call site can inline it.
+    */
+  private val qualityScoreSql: String =
+    "round(-3.0 + 0.02 * len(string_split(text, ' ')) + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6)"
+
   /** The marker-argmax CASE over `t` = lower(text) — the SQL twin of
     * TextAnalysis.langPredFor's priority chain, shared by the scores
     * and confusion oracles.
@@ -2662,9 +2659,7 @@ object SparkEntry {
          SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
        clus AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
        q AS (SELECT doc_id,
-           round(-3.0 + 0.02 * len(string_split(text, ' '))
-                 + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                 + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) AS score
+           $qualityScoreSql AS score
          FROM documents)
        SELECT c.doc_id, c.cluster, q.score,
          (row_number() OVER (PARTITION BY c.cluster ORDER BY q.score DESC, c.doc_id ASC) = 1) AS keep_best
@@ -2724,8 +2719,8 @@ object SparkEntry {
     * `x_repetition`'s thresholds with the same rounding; token counts
     * include empty split tokens on both engines.
     */
-  private val dedupApplyOracle: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  private val applyVerdictCtes: String =
+    s"""$ngramPairCtes,
        pairs AS (
          SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
          WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
@@ -2751,24 +2746,25 @@ object SparkEntry {
                 coalesce(rep.keep_rep, TRUE) AS keep_rep,
                 (tsx.n_tok BETWEEN 5 AND 10000) AS keep_len
               FROM clus c JOIN tsx ON c.doc_id = tsx.doc_id
-              LEFT JOIN rep ON c.doc_id = rep.doc_id)
+              LEFT JOIN rep ON c.doc_id = rep.doc_id)"""
+
+  private val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $applyVerdictCtes
        SELECT doc_id, cluster, keep_dedup, keep_rep, keep_len,
          (keep_dedup AND keep_rep AND keep_len) AS keep
        FROM av ORDER BY doc_id"""
 
   /** The funnel oracle: the SAME verdict chain as [[dedupApplyOracle]]
-    * (split at the per-doc `av` CTE) plus the quality and decontam
-    * gates, each doc's first failing stage, and the bounded
-    * generate_series prefix fan-out — the SQL twin of
-    * graft.ext.Dedup.filterFunnel.
+    * (the shared per-doc `av` CTE — composed, not substring-spliced:
+    * review r12 flagged the earlier indexOf surgery as a latent
+    * object-initializer crash) plus the quality and decontam gates,
+    * each doc's first failing stage, and the bounded generate_series
+    * prefix fan-out — the SQL twin of graft.ext.Dedup.filterFunnel.
     */
-  private val filterFunnelOracle: String = {
-    val avIdx = dedupApplyOracle.indexOf("       SELECT doc_id, cluster")
-    dedupApplyOracle.substring(0, avIdx).stripTrailing + ",\n" +
-    """       q AS (SELECT doc_id,
-             (round(-3.0 + 0.02 * len(string_split(text, ' '))
-                   + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6) > 0) AS keep_quality
+  private val filterFunnelOracle: String =
+    s"""WITH RECURSIVE $applyVerdictCtes,
+       q AS (SELECT doc_id,
+             ($qualityScoreSql > 0) AS keep_quality
            FROM documents),
        ev AS (SELECT DISTINCT ng FROM g0 WHERE doc_id < 20),
        ol AS (SELECT g0.doc_id, CAST(count(*) AS BIGINT) AS n_shared
@@ -2799,5 +2795,4 @@ object SparkEntry {
                / (SELECT CAST(n_surviving AS DOUBLE) FROM sv WHERE stage_idx = 0), 6) AS survival_rate
        FROM sv cur LEFT JOIN sv prev ON cur.stage_idx = prev.stage_idx + 1
        ORDER BY stage"""
-  }
 }

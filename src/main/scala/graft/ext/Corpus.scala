@@ -820,8 +820,10 @@ object Corpus {
     // the verified pair frame is memoized (Frames lifecycle) so the
     // keep-warm successor `x_chunk_clusters` prices only its component
     // solve — the doc family's pairFrame contract at chunk granularity
-    Dedup.Frames.getOrCompute(spark, s"chunkpairs:$dir:$window:$stride", dir) {
-      val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir:$window:$stride", dir) {
+    // the rep-frame fetch happens BEFORE the pairs memo call — nested
+    // inside the build it would run its fingerprint FS listing under
+    // the global memo lock (the round-6 contention note; review r12)
+    val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir:$window:$stride", dir) {
         val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
         chunkFrame(Tables.documents(spark, dir), window, stride)
           .withColumn("rn", row_number().over(w))
@@ -835,6 +837,7 @@ object Corpus {
           .filter(size(col("ghs")) > 0)
           .withColumn("n_g", size(col("ghs")).cast("long"))
       }
+    Dedup.Frames.getOrCompute(spark, s"chunkpairs:$dir:$window:$stride", dir) {
       val banded = reps.select(col("chunk_md5"),
         posexplode(graft.functions.GraftFunctions.minhashBands(col("ghs"), 128, 32))
           .as(Seq("band", "bsig")))

@@ -56,19 +56,18 @@ object Dedup {
     private val memo =
       scala.collection.mutable.HashMap.empty[(SparkSession, String), (String, DataFrame)]
 
-    /** Fingerprint of the table files backing a dedup frame: the
-      * documents.parquet listing (works for both a single file and a
-      * directory of part files — ONE level, which any flat parquet
-      * write touches; a hive-partitioned layout with nested
-      * subdirectories would need a recursive listing, at which point
-      * fingerprint the partition dirs' mtimes instead of walking
-      * every leaf file).
+    /** Fingerprint of the table files backing a memoized frame — the
+      * listing of exactly the tables the KEY reads (review r12: a
+      * blanket two-table listing invalidated every document-side
+      * frame on an embedding rewrite and doubled the FS round-trips).
+      * One directory level, which any flat parquet write touches; a
+      * hive-partitioned layout with nested subdirectories would need
+      * a recursive listing, at which point fingerprint the partition
+      * dirs' mtimes instead of walking every leaf file.
       */
-    private def fingerprint(spark: SparkSession, dir: String): String = {
-      // both corpus tables: the memo now also serves embedding-side
-      // frames (seed-cell assignment), which must invalidate when
-      // embeddings.parquet changes even if documents.parquet didn't
-      Seq("documents.parquet", "embeddings.parquet").map { t =>
+    private def fingerprint(spark: SparkSession, dir: String,
+        tables: Seq[String]): String =
+      tables.map { t =>
         val p = new org.apache.hadoop.fs.Path(dir, t)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (!fs.exists(p)) "absent"
@@ -76,9 +75,9 @@ object Dedup {
           .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
           .mkString("|")
       }.mkString("||")
-    }
 
-    def getOrCompute(spark: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
+    def getOrCompute(spark: SparkSession, key: String, dir: String,
+        tables: Seq[String] = Seq("documents.parquet"))(build: => DataFrame): DataFrame = {
       // the filesystem LIST happens OUTSIDE the lock (round 6 — it
       // previously serialized every dedup-frame access across sessions
       // and corpora behind one global mutex + FS round-trip); the lock
@@ -86,7 +85,7 @@ object Dedup {
       // racing this listing lands in whichever order it lands — the
       // NEXT access sees the changed fingerprint and rebuilds, which is
       // the same guarantee the locked version gave.
-      val fp = fingerprint(spark, dir)
+      val fp = fingerprint(spark, dir, tables)
       memo.synchronized {
         // a stopped context holds no cached blocks — just drop the entry
         memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -410,9 +409,12 @@ object Dedup {
     * df≤100 cap already bounds per-shingle join fan-out, so candidate
     * count stays near-linear in corpus size at 100 TB.
     */
-  private def pairFrame(spark: SparkSession, dir: String): DataFrame =
+  private def pairFrame(spark: SparkSession, dir: String): DataFrame = {
+    // the doc-set fetch happens BEFORE the pairs memo call — nested
+    // inside the build it would run its fingerprint FS listing under
+    // the global memo lock (the round-6 contention note; review r12)
+    val ds = docSetFrame(spark, dir)
     Frames.getOrCompute(spark, s"pairs:$dir", dir) {
-      val ds = docSetFrame(spark, dir)
       val prefix = ds.select(col("doc_id"), col("n_ng"),
         posexplode(expr("slice(ngs, 1, CAST(n_ng - (n_ng * 4 + 4) div 5 + 1 AS INT))"))
           .as(Seq("pos", "ng")))
@@ -440,6 +442,7 @@ object Dedup {
         .distinct()
       verifyPairs(cand, ds, 0.8)
     }
+  }
 
   /** Exact near-dup pairs: 8-gram Jaccard ≥ 0.8 via prefix-filtered
     * self-join over the doc-set frame (see [[pairFrame]] — exact by the
@@ -652,16 +655,18 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame =
+  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
     // the banded pair frame is memoized like the ngram family's
     // pairFrame (round 12: the clusters face rides it in the keep-warm
     // chain and prices only its component solve); key embeds $dir like
-    // every other frame (VERDICT r8 LOW #1)
-    Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir) {
-      val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
-        simhashMd5(Tables.documents(spark, dir)))
-      simhashPairsFromFp(fp)
-    }
+    // every other frame (VERDICT r8 LOW #1). The fp fetch happens
+    // BEFORE the pairs memo call — nesting it inside the build would
+    // run the inner fingerprint's FS listing under the global memo
+    // lock, the round-6 contention getOrCompute documents removing.
+    val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
+      simhashMd5(Tables.documents(spark, dir)))
+    Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir)(simhashPairsFromFp(fp))
+  }
 
   /** SimHash near-dup CLUSTERS — the component view over the banded
     * Hamming-≤3 pair graph, completing the clusters face every pair
@@ -1041,21 +1046,26 @@ object Dedup {
     val survRaw = ffi
       .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
       .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
-    // seed ALL six stages: a gate that kills every remaining doc must
-    // REPORT its zero row, not vanish from the funnel
-    val surv = spark.range(6).select(col("id").as("stage_idx"))
-      .join(survRaw, Seq("stage_idx"), "left")
-      .na.fill(0L, Seq("n_surviving"))
-    val total = surv.filter(col("stage_idx") === 0)
-      .select(col("n_surviving")).head().getLong(0)
-    surv
-      .join(surv.select((col("stage_idx") + 1).as("stage_idx"),
-        col("n_surviving").as("n_prev")), Seq("stage_idx"), "left")
-      .select(
-        element_at(typedLit(stageNames), (col("stage_idx") + 1).cast("int")).as("stage"),
-        col("n_surviving"),
-        coalesce(col("n_prev") - col("n_surviving"), lit(0L)).as("n_dropped"),
-        round(col("n_surviving").cast("double") / lit(total.toDouble), 6).as("survival_rate"))
+    // ONE execution of the corpus-scale battery: collect the ≤6-row
+    // counts (the bounded verdict-head pattern) and assemble the
+    // funnel locally — the earlier plan consumed the frame three
+    // times (the total head() plus both sides of a shifted
+    // self-join), re-running the verdict/quality/decontam subtree
+    // each time (review r12; the vocabGrowth double-scan lesson).
+    // Stages absent from the counts (a gate killed every remaining
+    // doc) still REPORT their zero row.
+    val counts: Map[Long, Long] = survRaw.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = (0L to 5L).map(i => counts.getOrElse(i, 0L))
+    val total = survivors.head
+    val funnel = stageNames.zipWithIndex.map { case (name, i) =>
+      val dropped = if (i == 0) 0L else survivors(i - 1) - survivors(i)
+      val rate = BigDecimal(survivors(i).toDouble / total * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+      (name, survivors(i), dropped, rate)
+    }
+    import spark.implicits._
+    funnel.toDF("stage", "n_surviving", "n_dropped", "survival_rate")
       .orderBy(col("stage"))
   }
 

@@ -731,28 +731,31 @@ object Profiling {
     * shuffle beyond the (token)-keyed hash aggregate.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val bounds = exactQuantilesDistributed(
-      docs.select(col("doc_id").cast("double")), (1 to 9).map(_ / 10.0))
-      .map(b => BigDecimal(b * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
-    def decileOf(doc: Column): Column =
-      bounds.map(b => when(doc > b, 1L).otherwise(0L)).reduce(_ + _)
-    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    val newTypes = tokens.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
-      .groupBy(decileOf(col("first_doc")).as("decile"))
-      .agg(count(lit(1)).as("new_types"))
-    val volumes = docs
-      .select(decileOf(col("doc_id")).as("decile"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
     // `per` (10 rows) is consumed TWICE (the prefix-sum explode and the
     // final join) — without the memo each consumer re-runs the whole
-    // corpus-scale subtree (4 scans in the formatted plan; 2 with it)
-    val per = Dedup.Frames.getOrCompute(spark, s"vocabper:$dir", dir)(
+    // corpus-scale subtree (4 scans in the formatted plan; 2 with it).
+    // The EAGER quantile-boundary selection lives INSIDE the build so a
+    // memo hit skips the range-partitioned sort too (review r12).
+    val per = Dedup.Frames.getOrCompute(spark, s"vocabper:$dir", dir) {
+      val docs = Tables.documents(spark, dir)
+      val bounds = exactQuantilesDistributed(
+        docs.select(col("doc_id").cast("double")), (1 to 9).map(_ / 10.0))
+        .map(b => BigDecimal(b * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
+      def decileOf(doc: Column): Column =
+        bounds.map(b => when(doc > b, 1L).otherwise(0L)).reduce(_ + _)
+      val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val newTypes = tokens.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(decileOf(col("first_doc")).as("decile"))
+        .agg(count(lit(1)).as("new_types"))
+      val volumes = docs
+        .select(decileOf(col("doc_id")).as("decile"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
       volumes.join(newTypes, Seq("decile"), "left")
-        .na.fill(0L, Seq("new_types")))
+        .na.fill(0L, Seq("new_types"))
+    }
     // bounded prefix sum: each decile contributes to every decile >= it
     val cum = per
       .select(explode(expr("sequence(decile, 9)")).as("decile"),

@@ -209,13 +209,6 @@ object Similarity {
     * (cos desc, cell_id asc) tie-break exactly) → queries search only
     * their own cell → bounded top-k.
     */
-  /** Literal-centroid cell assignment shared by the IVF paths and
-    * [[semanticDedup]]: inline the bounded K-row centroid set as
-    * literals so assignment is a pure per-row argmax — zero shuffle,
-    * whole-stage codegen (struct ordering (−cos asc, cell_id asc)
-    * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
-    * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
-    */
   /** The bounded seed-centroid fetch (≤`cells` rows, inlined as
     * literals by every assignment) — ONE definition of the seed
     * contract shared by the IVF / SemDeDup / outlier / purity / kNN
@@ -238,11 +231,19 @@ object Similarity {
     */
   private[graft] def seedAssigned(spark: SparkSession, dir: String,
       cells: Int): DataFrame =
-    Dedup.Frames.getOrCompute(spark, s"cellassign:$cells:$dir", dir) {
+    Dedup.Frames.getOrCompute(spark, s"cellassign:$cells:$dir", dir,
+        tables = Seq("embeddings.parquet")) {
       val e = Tables.embeddings(spark, dir)
       assignCells(e, seedCentroids(e, cells))
     }
 
+  /** Literal-centroid cell assignment shared by the IVF paths and
+    * [[semanticDedup]]: inline the bounded K-row centroid set as
+    * literals so assignment is a pure per-row argmax — zero shuffle,
+    * whole-stage codegen (struct ordering (−cos asc, cell_id asc)
+    * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
+    * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
+    */
   private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
     val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
       struct(
