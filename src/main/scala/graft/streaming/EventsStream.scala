@@ -831,6 +831,34 @@ object EventsStream {
   def langRouteStream(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.langPredFor(docs)
 
+  /** Streaming eval-burn monitor — the online face of
+    * [[graft.ext.Corpus.evalLeakage]]: watch benchmark items burn AS
+    * THE CRAWL INGESTS. Arriving corpus docs shingle row-locally with
+    * the batch [[graft.functions.GraftFunctions.ngramShingles]]
+    * expression (same universe by construction), a stream-static join
+    * keeps only shingles the eval set contains (the tiny static side
+    * broadcasts per micro-batch), and a streaming dropDuplicates
+    * emits each (eval_doc, shingle) coverage event ONCE, first
+    * covering corpus doc attributed. A downstream aggregate over this
+    * append stream is the live coverage counter; when it crosses the
+    * batch `burned` threshold the benchmark is flagged before the
+    * nightly leakage sweep.
+    *
+    * State discipline: dropDuplicates state holds only keys that
+    * SURVIVED the eval join, so it is bounded by the eval set's
+    * shingle-pair count whatever the stream length — no watermark
+    * needed, the [[heavyHitterCandidates]] bounded-state rationale.
+    */
+  def evalBurnMonitor(docs: DataFrame, evalPairs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id").as("corpus_doc"),
+        explode(graft.functions.GraftFunctions.ngramShingles(col("text"), 8)).as("ng"))
+      .join(evalPairs.select(col("doc_id").as("eval_doc"), col("ng")), "ng")
+      .select(col("eval_doc"), col("ng"), col("corpus_doc"))
+      .dropDuplicates("eval_doc", "ng")
+  }
+
   /** Streaming embedding-outlier gate — the online face of
     * [[graft.ext.Similarity.embedOutliers]]: z-score each ARRIVING
     * vector's nearest-seed-centroid cosine against the batch-profiled

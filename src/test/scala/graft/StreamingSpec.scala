@@ -1307,6 +1307,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.toSet == Set("en"))
   }
 
+  test("streaming eval-burn monitor: coverage matches the batch leakage report, re-serves add nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val evalPairs = graft.ext.Dedup.allShingles(
+        graft.Tables.documents(spark, dir).filter(col("doc_id") < 20))
+      .select(col("doc_id"), col("ng")).persist()
+    val corpusDocs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.evalBurnMonitor(input.toDF().toDF("doc_id", "text"), evalPairs)
+      .writeStream.format("memory").queryName("burn_stream")
+      .outputMode("append").start()
+    corpusDocs.grouped(100).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    val afterFirst = spark.table("burn_stream").count()
+    // re-serve the whole corpus: every coverage event is already owned
+    input.addData(corpusDocs.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val events = spark.table("burn_stream")
+      .as[(Long, String, Long)].collect()
+    assert(events.length.toLong == afterFirst, "re-served docs must add no new coverage")
+    // first-wins: one event per (eval_doc, ng)
+    assert(events.map(e => (e._1, e._2)).distinct.length == events.length)
+    // batch agreement: per-eval-doc covered-shingle counts equal the
+    // leakage report card's n_leaked
+    val streamedCover = events.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val batch = graft.ext.Corpus.evalLeakage(spark, dir)
+      .select(col("doc_id"), col("n_leaked")).as[(Long, Long)].collect()
+    batch.foreach { case (d, n) =>
+      assert(streamedCover.getOrElse(d, 0L) == n, s"eval doc $d: stream vs batch leak count")
+    }
+    evalPairs.unpersist(blocking = false)
+    graft.ext.Dedup.releaseCaches()
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
