@@ -90,6 +90,7 @@ object SparkEntry {
     "x_dedup_simhash"   -> (Dedup.simhashMd5Query _),       // md5-bit portable variant; xxhash64 fast path is spec-checked
     "x_dedup_simhash_pairs" -> (Dedup.simhashPairsQuery _), // banded Hamming<=3 near-dup pairs over the fingerprints
     "x_dedup_simhash_clusters" -> (Dedup.simhashClusters _), // component labels over the banded Hamming pair graph
+    "x_detector_overlap" -> (Dedup.detectorOverlap _), // jaccard-vs-simhash near-dup definition agreement matrix
     "x_dedup_clusters"  -> (Dedup.dedupClusters _),         // pair graph -> connected components
     "logs_health"       -> (LogQueries.health _),           // S5 liveness
     "x_fingerprint"     -> (Dedup.fingerprint _),
@@ -209,8 +210,9 @@ object SparkEntry {
       // prices only its component solve (the production shape)
       "x_chunk_clusters",
       // and the simhash family: clusters rides the memoized
-      // fingerprint frame x_dedup_simhash_pairs just re-banded
-      "x_dedup_simhash_clusters")
+      // fingerprint frame x_dedup_simhash_pairs just re-banded, and
+      // the detector-agreement matrix consumes the same pair memo
+      "x_dedup_simhash_clusters", "x_detector_overlap")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -229,7 +231,8 @@ object SparkEntry {
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
         "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
-    val simhashChain = Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters")
+    val simhashChain =
+      Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters", "x_detector_overlap")
     require((warmChain ++ chunkChain ++ simhashChain).forall(queries.contains),
       s"ordered-run contract expects ${(warmChain ++ chunkChain ++ simhashChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -878,6 +881,25 @@ object SparkEntry {
     "x_dedup_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3 ORDER BY d1, d2""",
+    // Detector agreement: the ngram-Jaccard pair set vs the simhash
+    // Hamming pair set, full-outer categorized, all three categories
+    // seeded so empty populations report 0.
+    "x_detector_overlap" ->
+      s"""WITH $ngramPairCtes,
+         jp AS (
+           SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         $simhashPairCtes,
+         sp AS (SELECT d1, d2 FROM pairs WHERE hamming <= 3),
+         f AS (SELECT CASE WHEN jp.d1 IS NOT NULL AND sp.d1 IS NOT NULL THEN 'both'
+                           WHEN jp.d1 IS NOT NULL THEN 'jaccard_only'
+                           ELSE 'simhash_only' END AS category
+               FROM jp FULL JOIN sp ON jp.d1 = sp.d1 AND jp.d2 = sp.d2),
+         c AS (SELECT category, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1)
+         SELECT s2.category, CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs
+         FROM (SELECT unnest(['both', 'jaccard_only', 'simhash_only']) AS category) s2
+         LEFT JOIN c ON s2.category = c.category
+         ORDER BY s2.category""",
     // SimHash near-dup CLUSTERS: the banded Hamming pair graph closed
     // into connected components (min-id labels), completing the
     // clusters face every pair family carries (ngram / chunk / simhash).

@@ -668,6 +668,43 @@ object Dedup {
     Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir)(simhashPairsFromFp(fp))
   }
 
+  /** Detector-agreement matrix — do the two near-dup DEFINITIONS agree
+    * on this corpus? The n-gram Jaccard detector (rare-shingle overlap
+    * ≥ 0.8 — order-insensitive set similarity) and the SimHash
+    * detector (Hamming ≤ 3 over token-frequency bit votes — a
+    * frequency-weighted angle) catch overlapping but distinct pair
+    * populations; the split tells a pipeline whether running both
+    * buys recall or just cost. Per category (`both`, `jaccard_only`,
+    * `simhash_only`): the pair count. A large `simhash_only` mass
+    * usually means token-multiset near-dups whose shared shingles got
+    * df-capped away; a large `jaccard_only` mass means short rare
+    * overlaps SimHash's global vote washes out.
+    *
+    * Rides BOTH memoized pair frames (the keep-warm simhash chain
+    * position — the ngram frame re-materializes lazily if an earlier
+    * flush dropped it); the comparison itself is a full-outer
+    * equi-join of two pair-mass-bounded frames + a 3-row aggregate.
+    */
+  def detectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val jp = pairFrame(spark, dir).select(col("d1"), col("d2"))
+      .withColumn("in_j", lit(true))
+    val sp = simhashPairsQuery(spark, dir).select(col("d1"), col("d2"))
+      .withColumn("in_s", lit(true))
+    val counts = jp.join(sp, Seq("d1", "d2"), "full_outer")
+      .select(
+        when(col("in_j").isNotNull && col("in_s").isNotNull, "both")
+          .when(col("in_j").isNotNull, "jaccard_only")
+          .otherwise("simhash_only").as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+    // seed all three categories: an empty population reports 0, not a
+    // missing row (the filter-funnel convention)
+    import spark.implicits._
+    Seq("both", "jaccard_only", "simhash_only").toDF("category")
+      .join(counts, Seq("category"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .orderBy(col("category"))
+  }
+
   /** SimHash near-dup CLUSTERS — the component view over the banded
     * Hamming-≤3 pair graph, completing the clusters face every pair
     * family here carries (ngram Jaccard, chunk MinHash, and now

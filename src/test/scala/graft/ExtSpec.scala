@@ -471,6 +471,19 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("detector overlap: category counts reconcile exactly with both pair frames") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.ext.Dedup.detectorOverlap(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(m.keySet == Set("both", "jaccard_only", "simhash_only"),
+      "all three categories must report, zeros included")
+    val nJ = graft.ext.Dedup.ngramJaccardPairs(spark, dir).count()
+    val nS = graft.ext.Dedup.simhashPairsQuery(spark, dir).count()
+    assert(m("both") + m("jaccard_only") == nJ, "jaccard mass must reconcile")
+    assert(m("both") + m("simhash_only") == nS, "simhash mass must reconcile")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("simhash clusters: labels close over the pair graph, exact dups co-cluster") {
     val dir = "/root/testdata/sf0.001"
     val labels = graft.ext.Dedup.simhashClusters(spark, dir)
