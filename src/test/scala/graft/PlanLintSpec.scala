@@ -136,4 +136,29 @@ class PlanLintSpec extends SparkSpec {
       singlePartitionAllowed.keySet) -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for unregistered queries: ${stale.mkString(", ")}")
   }
+
+  test("ordered-run contract: a permutation of the registry, chains intact, oracles 1:1") {
+    val ordered = SparkEntry.orderedQueryNames
+    // every registered query runs exactly once — a chain-insertion bug
+    // would silently drop or double-run entries in EVERY runner
+    assert(ordered.sorted == SparkEntry.queries.keys.toSeq.sorted,
+      s"ordered run is not a permutation of the registry: " +
+        s"missing=${SparkEntry.queries.keySet -- ordered.toSet} " +
+        s"extra=${ordered.toSet -- SparkEntry.queries.keySet}")
+    assert(ordered.distinct.length == ordered.length, "a query runs twice")
+    // every keep-warm rider appears AFTER a non-warm predecessor (it
+    // must have a frame-building anchor ahead of it, never run first)
+    SparkEntry.keepWarmQueries.foreach { w =>
+      val i = ordered.indexOf(w)
+      assert(i > 0, s"$w cannot open the sweep — nothing built its frame")
+      assert(!SparkEntry.keepWarmQueries(ordered(i - 1)) ||
+        ordered.take(i).exists(!SparkEntry.keepWarmQueries(_)),
+        s"$w has no non-warm anchor before it")
+    }
+    // the correctness gate needs BOTH faces for every entry
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"oracle/query key mismatch: " +
+        s"${(SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet) ++
+           (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet)}")
+  }
 }
