@@ -78,6 +78,7 @@ object SparkEntry {
     "events_seq_match"    -> (LogQueries.eventsSequenceMatch _),
     "events_moving_avg"   -> (LogQueries.eventsMovingAvg _),
     "events_zorder_key"   -> (LogQueries.eventsZOrderKey _),
+    "events_rollup_merge" -> ((s, d) => graft.streaming.Rollup.mergeVerdict(s, d)),
     // §2A ingestion operators (reference wire formats, inline fixtures)
     "ingest_bulk_normalize"   -> (IngestQueries.bulkNormalize _),
     "ingest_timestamp_coerce" -> (IngestQueries.timestampCoerce _),
@@ -489,6 +490,15 @@ object SparkEntry {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
          GROUP BY event_type ORDER BY event_type""",
+    // MV-rollup merge verdict: the direct minute aggregate replayed,
+    // merged_matches = TRUE as the expected theorem constant (Spark
+    // computes both the batched-partial merge and the direct pass).
+    "events_rollup_merge" ->
+      """SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS m,
+         event_type, CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 2) AS sum_value, TRUE AS merged_matches
+         FROM events GROUP BY m, event_type
+         ORDER BY m, event_type""",
     "events_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1341,6 +1341,31 @@ class StreamingSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("rollup merge verdict: theorem holds everywhere, and a dropped batch makes it fail") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.streaming.Rollup.mergeVerdict(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), "partial merge must equal the direct aggregate")
+    val total = graft.Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "rollup mass must cover every event")
+    // canary: the verdict is NOT a tautology — losing one batch's
+    // partials must surface as mismatches
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("bid",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 4"))
+    val lossy = (1L until 4L)
+      .map(b => graft.streaming.Rollup.minutePartials(ev.filter(col("bid") === b)))
+      .reduce(_ unionAll _)
+      .groupBy(col("m"), col("event_type"))
+      .agg(sum(col("n")).as("n_m"))
+    val direct = graft.streaming.Rollup.minutePartials(ev)
+      .select(col("m"), col("event_type"), col("n"))
+    val mismatches = direct.join(lossy, Seq("m", "event_type"), "left")
+      .filter(col("n_m").isNull || col("n") =!= col("n_m")).count()
+    assert(mismatches > 0, "dropping a batch must break the merge verdict")
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
