@@ -2005,26 +2005,29 @@ object SparkEntry {
                 WHEN rn * 10 <= n_src * 9 THEN 'val'
                 ELSE 'test' END AS split
          FROM r ORDER BY doc_id""",
-    // Temperature mixture (α = 1/2): share rounded 6 dp, weight
-    // floor(sqrt(share)·1e6) quantized to integer micro-units so the
-    // normalizing total is an order-immune integer sum; sqrt (not pow)
-    // because sqrt is exactly rounded under IEEE-754 on both engines.
+    // Temperature mixture (α = 1/2): weight floor(sqrt(unrounded
+    // share)·1e6) quantized to integer micro-units so the normalizing
+    // total is an order-immune integer sum; sqrt (not pow) because
+    // sqrt is exactly rounded under IEEE-754 on both engines. The
+    // displayed share rounds to 6 dp AFTER the weight quantization so
+    // a sub-quantum tail source keeps a nonzero weight (boost reads
+    // null there, not an infinity — ADVICE r13).
     "x_mixture_temperature" ->
       """WITH per AS (SELECT source,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
            FROM documents GROUP BY source),
          sh AS (SELECT source, src_tok,
-             round(CAST(src_tok AS DOUBLE)
-                   / (SELECT CAST(sum(src_tok) AS DOUBLE) FROM per), 6) AS share
+             CAST(src_tok AS DOUBLE)
+               / (SELECT CAST(sum(src_tok) AS DOUBLE) FROM per) AS share_raw
            FROM per),
-         w AS (SELECT source, src_tok, share,
-             CAST(floor(sqrt(share) * 1e6) AS BIGINT) AS w FROM sh),
+         w AS (SELECT source, src_tok, round(share_raw, 6) AS share,
+             CAST(floor(sqrt(share_raw) * 1e6) AS BIGINT) AS w FROM sh),
          p AS (SELECT source, src_tok, share, w,
              round(CAST(w AS DOUBLE)
                    / (SELECT CAST(sum(w) AS DOUBLE) FROM w), 6) AS p_temp
            FROM w)
          SELECT source, src_tok, share, w, p_temp,
-           round(p_temp / share, 4) AS boost
+           CASE WHEN share > 0 THEN round(p_temp / share, 4) END AS boost
          FROM p ORDER BY source""",
     // Mixture sampling: per-source basis-point threshold
     // floor(min(1, 2000/src_tok)·10000) (integer division on both

@@ -230,14 +230,19 @@ object Corpus {
     * correctly rounded under IEEE-754 on every engine, where `pow(x,
     * 0.3)` is only ≤1-ulp and could hash-mismatch cross-engine.
     *
-    * Determinism contract: token shares are rounded to 6 dp first
-    * (identical doubles on both engines), then `wᵢ = floor(√share·10⁶)`
-    * quantizes each weight to integer micro-units, so the normalizing
-    * total is an ORDER-IMMUNE integer sum — the [[mixtureDrift]] /
-    * DSIR micro-nat convention. Outputs: the raw share, the tempered
-    * probability `p_temp = wᵢ/W`, and `boost = p_temp/share` (the
-    * epoch multiplier a loader applies per domain; tail domains get
-    * boost > 1, head domains < 1).
+    * Determinism contract: `wᵢ = floor(√(src_tokᵢ/T)·10⁶)` quantizes
+    * each weight to integer micro-units from the UNROUNDED share
+    * (integer-ratio division and sqrt are both exactly rounded, so the
+    * doubles match cross-engine; quantizing the rounded share instead
+    * would zero out any source below ~5·10⁻⁷ of corpus mass — exactly
+    * the tail the tempering exists to up-weight, ADVICE r13), so the
+    * normalizing total is an ORDER-IMMUNE integer sum — the
+    * [[mixtureDrift]] / DSIR micro-nat convention. Outputs: the share
+    * rounded to 6 dp for display, the tempered probability
+    * `p_temp = wᵢ/W`, and `boost = p_temp/share` (the epoch multiplier
+    * a loader applies per domain; tail domains get boost > 1, head
+    * domains < 1) — null for a sub-quantum source whose displayed
+    * share rounds to 0 rather than a divide-by-zero infinity.
     *
     * 100 TB shape: one |sources|-row hash aggregate (map-side partial
     * over the corpus scan); grand totals are ONE bounded 1-row collect
@@ -255,13 +260,14 @@ object Corpus {
         .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok")))
     val totTok = per.agg(coalesce(sum(col("src_tok")), lit(0L)).as("t"))
       .head().getLong(0)
-    val share = round(col("src_tok").cast("double") / lit(totTok.toDouble), 6)
-    val weighted = per.withColumn("share", share)
-      .withColumn("w", floor(sqrt(col("share")) * 1e6).cast("long"))
+    val shareRaw = col("src_tok").cast("double") / lit(totTok.toDouble)
+    val weighted = per.withColumn("share", round(shareRaw, 6))
+      .withColumn("w", floor(sqrt(shareRaw) * 1e6).cast("long"))
     val totW = weighted.agg(coalesce(sum(col("w")), lit(0L)).as("w")).head().getLong(0)
     val out = weighted
       .withColumn("p_temp", round(col("w").cast("double") / lit(totW.toDouble), 6))
-      .withColumn("boost", round(col("p_temp") / col("share"), 4))
+      .withColumn("boost",
+        when(col("share") > 0, round(col("p_temp") / col("share"), 4)))
       .select(col("source"), col("src_tok"), col("share"), col("w"),
         col("p_temp"), col("boost"))
       .orderBy(col("source"))
@@ -819,10 +825,18 @@ object Corpus {
     graft.functions.GraftFunctions.register(spark)
     // the verified pair frame is memoized (Frames lifecycle) so the
     // keep-warm successor `x_chunk_clusters` prices only its component
-    // solve — the doc family's pairFrame contract at chunk granularity
-    // the rep-frame fetch happens BEFORE the pairs memo call — nested
-    // inside the build it would run its fingerprint FS listing under
-    // the global memo lock (the round-6 contention note; review r12)
+    // solve — the doc family's pairFrame contract at chunk granularity.
+    // A fresh-pairs peek skips the rep frame entirely on a hit (ADVICE
+    // r13); on a miss the rep fetch still happens BEFORE the pairs
+    // memo call — nested inside the build it would run its fingerprint
+    // FS listing under the global memo lock (the round-6 contention
+    // note; review r12)
+    Dedup.Frames.peek(spark, s"chunkpairs:$dir:$window:$stride", dir)
+      .getOrElse(chunkPairBuild(spark, dir, window, stride))
+  }
+
+  private def chunkPairBuild(spark: SparkSession, dir: String,
+      window: Int, stride: Int): DataFrame = {
     val reps = Dedup.Frames.getOrCompute(spark, s"chunkrep:$dir:$window:$stride", dir) {
         val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
         chunkFrame(Tables.documents(spark, dir), window, stride)

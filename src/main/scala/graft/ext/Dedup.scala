@@ -102,6 +102,30 @@ object Dedup {
       }
     }
 
+    /** Fresh-entry peek: the memoized frame iff present under the
+      * CURRENT corpus fingerprint — lets a two-level frame (pairs
+      * built from a memoized fingerprint frame) skip resolving its
+      * inner frame on an outer hit, which otherwise pays the inner
+      * entry's FS listing — and a full inner REBUILD if that entry was
+      * evicted — for a frame that goes unused (ADVICE r13). Re-arms
+      * persistence like [[getOrCompute]]. A racing peek-miss on two
+      * threads is safe: both fall through to getOrCompute, whose lock
+      * still guarantees build-once.
+      */
+    def peek(spark: SparkSession, key: String, dir: String,
+        tables: Seq[String] = Seq("documents.parquet")): Option[DataFrame] = {
+      val fp = fingerprint(spark, dir, tables)
+      memo.synchronized {
+        memo.get((spark, key)) match {
+          case Some((oldFp, df))
+              if oldFp == fp && !spark.sparkContext.isStopped =>
+            if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+            Some(df)
+          case _ => None
+        }
+      }
+    }
+
     def release(): Unit = memo.synchronized {
       memo.values.foreach { case (_, df) =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
@@ -409,7 +433,13 @@ object Dedup {
     * df≤100 cap already bounds per-shingle join fan-out, so candidate
     * count stays near-linear in corpus size at 100 TB.
     */
-  private def pairFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def pairFrame(spark: SparkSession, dir: String): DataFrame =
+    // a fresh-pairs peek skips the doc-set frame entirely on a hit
+    // (ADVICE r13 — a pairs hit used to pay the inner entry's FS
+    // listing, or a full doc-set rebuild if evicted, for nothing)
+    Frames.peek(spark, s"pairs:$dir", dir).getOrElse(pairFrameBuild(spark, dir))
+
+  private def pairFrameBuild(spark: SparkSession, dir: String): DataFrame = {
     // the doc-set fetch happens BEFORE the pairs memo call — nested
     // inside the build it would run its fingerprint FS listing under
     // the global memo lock (the round-6 contention note; review r12)
@@ -659,13 +689,16 @@ object Dedup {
     // the banded pair frame is memoized like the ngram family's
     // pairFrame (round 12: the clusters face rides it in the keep-warm
     // chain and prices only its component solve); key embeds $dir like
-    // every other frame (VERDICT r8 LOW #1). The fp fetch happens
-    // BEFORE the pairs memo call — nesting it inside the build would
-    // run the inner fingerprint's FS listing under the global memo
-    // lock, the round-6 contention getOrCompute documents removing.
-    val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
-      simhashMd5(Tables.documents(spark, dir)))
-    Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir)(simhashPairsFromFp(fp))
+    // every other frame (VERDICT r8 LOW #1). A fresh-pairs peek skips
+    // the inner fingerprint frame entirely on a hit (ADVICE r13); on a
+    // miss the fp fetch still happens BEFORE the pairs memo call —
+    // nesting it inside the build would run the inner frame's FS
+    // listing under the global memo lock (the round-6 contention note).
+    Frames.peek(spark, s"simhash_pairs:$dir", dir).getOrElse {
+      val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
+        simhashMd5(Tables.documents(spark, dir)))
+      Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir)(simhashPairsFromFp(fp))
+    }
   }
 
   /** Detector-agreement matrix — do the two near-dup DEFINITIONS agree
@@ -1066,23 +1099,7 @@ object Dedup {
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val stageNames = Seq("0_raw", "1_length", "2_repetition", "3_quality",
       "4_dedup", "5_decontam")
-    val verd = verdictsFor(spark, dir)
-      .select(col("doc_id"), col("keep_dedup"), col("keep_rep"), col("keep_len"))
-    val qual = Tables.documents(spark, dir)
-      .select(col("doc_id"), (TextAnalysis.qualityScore > 0).as("keep_quality"))
-    val dec = graft.ext.Corpus.decontaminateFor(spark, dir)
-      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
-    val ffi = verd.join(qual, "doc_id").join(dec, "doc_id")
-      .select(
-        when(!col("keep_len"), 1L)
-          .when(!col("keep_rep"), 2L)
-          .when(!col("keep_quality"), 3L)
-          .when(!col("keep_dedup"), 4L)
-          .when(!col("keep_decontam"), 5L)
-          .otherwise(99L).as("ffi"))
-    val survRaw = ffi
-      .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
-      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
+    val survRaw = filterFunnelHeavyFrame(spark, dir)
     // ONE execution of the corpus-scale battery: collect the ≤6-row
     // counts (the bounded verdict-head pattern) and assemble the
     // funnel locally — the earlier plan consumed the frame three
@@ -1104,6 +1121,34 @@ object Dedup {
     import spark.implicits._
     funnel.toDF("stage", "n_surviving", "n_dropped", "survival_rate")
       .orderBy(col("stage"))
+  }
+
+  /** The corpus-scale subtree behind [[filterFunnel]]'s bounded
+    * collect: the ≤6-row per-stage survivor counts BEFORE they leave
+    * the engine. The registered query returns a LocalRelation (the
+    * funnel is assembled driver-side from these counts), which would
+    * make the heavy plan invisible to PlanLintSpec's detectors — so
+    * this frame is exposed and linted explicitly alongside the
+    * registered surface (ADVICE r13).
+    */
+  private[graft] def filterFunnelHeavyFrame(spark: SparkSession, dir: String): DataFrame = {
+    val verd = verdictsFor(spark, dir)
+      .select(col("doc_id"), col("keep_dedup"), col("keep_rep"), col("keep_len"))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), (TextAnalysis.qualityScore > 0).as("keep_quality"))
+    val dec = graft.ext.Corpus.decontaminateFor(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
+    val ffi = verd.join(qual, "doc_id").join(dec, "doc_id")
+      .select(
+        when(!col("keep_len"), 1L)
+          .when(!col("keep_rep"), 2L)
+          .when(!col("keep_quality"), 3L)
+          .when(!col("keep_dedup"), 4L)
+          .when(!col("keep_decontam"), 5L)
+          .otherwise(99L).as("ffi"))
+    ffi
+      .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
+      .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
   }
 
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully

@@ -838,8 +838,12 @@ object EventsStream {
     * expression (same universe by construction), a stream-static join
     * keeps only shingles the eval set contains (the tiny static side
     * broadcasts per micro-batch), and a streaming dropDuplicates
-    * emits each (eval_doc, shingle) coverage event ONCE, first
-    * covering corpus doc attributed. A downstream aggregate over this
+    * emits each (eval_doc, shingle) coverage event ONCE, with A
+    * covering corpus doc attributed — the earliest covering
+    * micro-batch wins, but WITHIN a micro-batch the surviving
+    * corpus_doc is arbitrary (dropDuplicates keeps one unspecified
+    * row per key; ADVICE r13 — coverage counts are exact, the
+    * attribution column is advisory). A downstream aggregate over this
     * append stream is the live coverage counter; when it crosses the
     * batch `burned` threshold the benchmark is flagged before the
     * nightly leakage sweep.

@@ -107,8 +107,13 @@ object Rollup {
         round(col("sum_value"), 2).as("sum_value"))
     direct.join(merged, Seq("m", "event_type"), "full_outer")
       .select(col("m"), col("event_type"), col("n"), col("sum_value"),
-        (col("n") === col("n_m") &&
-          abs(col("sum_value") - col("sv_m")) <= 0.01).as("merged_matches"))
+        // coalesce → an explicit FALSE for a one-sided group (a lost
+        // batch leaves nulls on one side of the full-outer join, and a
+        // null verdict would slip past consumers filtering === false —
+        // ADVICE r13)
+        coalesce(col("n") === col("n_m") &&
+          abs(col("sum_value") - col("sv_m")) <= 0.01, lit(false))
+          .as("merged_matches"))
       .orderBy(col("m"), col("event_type"))
   }
 }

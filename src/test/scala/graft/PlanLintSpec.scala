@@ -131,6 +131,25 @@ class PlanLintSpec extends SparkSpec {
         "partition the window (see Corpus.packBins for the distributed prefix-sum shape)")
   }
 
+  test("filter-funnel heavy subtree passes the same lints (its registered face is a LocalRelation)") {
+    // x_filter_funnel assembles its ≤6-row result driver-side from one
+    // bounded collect, so the registered query's plan is a
+    // LocalRelation and the corpus-scale battery behind it would dodge
+    // every detector above — lint the pre-collect frame explicitly
+    // (ADVICE r13)
+    val qe = graft.ext.Dedup.filterFunnelHeavyFrame(spark, dir).queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      "filter-funnel heavy subtree plans a cartesian/nested-loop join")
+    assert(!physical.contains("Exchange SinglePartition, REPARTITION") &&
+      "Coalesce 1\\b".r.findFirstIn(physical).isEmpty,
+      "filter-funnel heavy subtree forces a single-partition exchange")
+    assert(!qe.optimizedPlan.collect { case w: LogicalWindow => w }
+      .exists(_.partitionSpec.isEmpty),
+      "filter-funnel heavy subtree plans a global window")
+  }
+
   test("allowlists only name registered queries (no stale entries)") {
     val stale = (nonEquiJoinAllowed.keySet ++ globalWindowAllowed.keySet ++
       singlePartitionAllowed.keySet) -- SparkEntry.queries.keySet
