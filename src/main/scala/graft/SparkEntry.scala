@@ -115,6 +115,8 @@ object SparkEntry {
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
+    "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)), // PQ codebooks trained by one deterministic Lloyd's step
+
     "x_hard_negatives"  -> ((s, d) => Similarity.hardNegatives(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
@@ -1007,6 +1009,66 @@ object SparkEntry {
              round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, rv) + list_dot_product(rv, rv), 6) AS d2
            FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
            JOIN recon ON recon.vec_id = a.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT query_id, rk, neighbor_id, d2 FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // IVF-PQ with TRAINED codebooks: one deterministic Lloyd's step —
+    // per (subspace, code), the element-wise mean of assigned
+    // subvectors in integer micro-units (exact order-immune sums, one
+    // division), seed entry kept for empty codes — then re-encode and
+    // ADC-score inside the query's IVF cell. Same three-dot distance
+    // form as x_sim_pq throughout.
+    "x_sim_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT e.vec_id, e.v, cent.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent) t WHERE cell_rank = 1),
+         sub AS (SELECT e.vec_id, r.j, list_slice(e.v, r.j * 8 + 1, r.j * 8 + 8) AS sv
+                 FROM e, range(8) r(j)),
+         cb AS (SELECT cent.cell_id AS c, r.j, list_slice(cent.cv, r.j * 8 + 1, r.j * 8 + 8) AS cv
+                FROM cent, range(8) r(j)),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT sub.vec_id, sub.j, cb.c,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6) ASC,
+                          cb.c ASC) AS rn
+             FROM sub JOIN cb USING (j)) t WHERE rn = 1),
+         qsub AS (SELECT vec_id, j, unnest(sv) AS x, unnest(range(8)) AS d FROM sub),
+         tr AS (SELECT codes.j, codes.code AS c, qsub.d,
+                  CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
+                FROM qsub JOIN codes ON codes.vec_id = qsub.vec_id AND codes.j = qsub.j
+                GROUP BY 1, 2, 3),
+         cbe AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb),
+         cb1 AS (SELECT cbe.j, cbe.c, list(coalesce(tr.mx, cbe.sx) ORDER BY cbe.d) AS cv
+                 FROM cbe LEFT JOIN tr ON tr.j = cbe.j AND tr.c = cbe.c AND tr.d = cbe.d
+                 GROUP BY cbe.j, cbe.c),
+         codes1 AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT sub.vec_id, sub.j, cb1.c,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb1.cv) + list_dot_product(cb1.cv, cb1.cv), 6) ASC,
+                          cb1.c ASC) AS rn
+             FROM sub JOIN cb1 USING (j)) t WHERE rn = 1),
+         recon1 AS (
+           SELECT codes1.vec_id, flatten(list(cb1.cv ORDER BY codes1.j)) AS rv
+           FROM codes1 JOIN cb1 ON cb1.j = codes1.j AND cb1.c = codes1.code
+           GROUP BY codes1.vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, rv) + list_dot_product(rv, rv), 6) AS d2
+           FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
+           JOIN recon1 ON recon1.vec_id = a.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, d2,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk

@@ -478,6 +478,125 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ with TRAINED codebooks (x_sim_ivf_pq): [[pqTopK]]'s
+    * FAISS composition upgraded from seed-subvector codebooks to ONE
+    * deterministic Lloyd's step of PQ training — per (subspace, code),
+    * the new codebook entry is the element-wise MEAN of the
+    * subvectors the seed encoding assigned to that code (Jégou et
+    * al.'s k-means-per-subspace, the step FAISS's `ProductQuantizer
+    * ::train` iterates), then the corpus re-encodes against the
+    * trained books and ADC scoring runs inside the query's IVF cell.
+    * Lloyd's monotonicity makes the upgrade a theorem, not a hope:
+    * means minimize summed squared distance for a fixed assignment,
+    * and re-encoding only ever switches a row to a nearer code, so
+    * total reconstruction error weakly DECREASES vs the seed books
+    * (asserted in ExtSpec, with recall reported against both parent
+    * entries). Coarse cells stay seed-centroid (the IVF/PQ quantizers
+    * are independent in FAISS too); encoding the residual v−centroid
+    * instead of v is the documented production refinement.
+    *
+    * Determinism contract: subvector elements quantize to integer
+    * micro-units (floor(x·10⁶ + 0.5)) BEFORE the mean, so each
+    * codebook entry is an exact integer sum divided once —
+    * order-immune, identical doubles on both engines (the
+    * [[graft.ext.Corpus]] micro-nat convention applied to k-means,
+    * same discipline as `x_embed_pca`'s Gram accumulation). A code
+    * left empty by the seed encoding keeps its seed entry (Lloyd's
+    * empty-cluster convention).
+    *
+    * Scale shape: training collapses to ONE m·ksub·sub-row aggregate
+    * (8·16·8 = 1024 rows here) with map-side partials over the
+    * corpus-token-sized explode — the corpus itself never shuffles;
+    * the bounded collect inlines the trained books as literals
+    * (seedCentroids' sanctioned k·dim fetch); re-encode and ADC are
+    * pure per-row codegen; the scoring join is EQUI on cell_id with
+    * the bounded TopKByScore tail. At 100 TB you iterate the same
+    * aggregate `iters` times — cost is linear in iterations, the
+    * [[kmeansRefine]] measurement.
+    */
+  def ivfPqTrainedTopK(spark: SparkSession, dir: String, k: Int = 3,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val (enc1, trained) = pqTrained(spark, dir, m, ksub)
+    val vd = col("embedding").cast("array<double>")
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(trained(j).map(_.toIndexedSeq).toIndexedSeq),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }: _*)
+    val queries = enc1.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
+    val scored = enc1.withColumn("rv", recon)
+      .join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("d2", round(sq(col("qv"), col("rv")), 6))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(-col("d2"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("neighbor_id"), (-col("s.score")).as("d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The training step behind [[ivfPqTrainedTopK]]: the corpus
+    * re-encoded against one-Lloyd's-step codebooks, plus the trained
+    * books themselves (exposed for the ExtSpec monotonicity and
+    * recall assertions).
+    */
+  private[graft] def pqTrained(spark: SparkSession, dir: String,
+      m: Int, ksub: Int): (DataFrame, Array[Array[Array[Double]]]) = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val (encoded, codebooks) = pqEncoded(spark, dir, m, ksub)
+    val sub = codebooks(0)(0).length
+    // one Lloyd's step: integer micro-unit sums per (subspace, code,
+    // dim) — the 1024-row bounded aggregate described above
+    val elems = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("g", "x")))
+      .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
+        expr(s"g % $sub").cast("int").as("d"),
+        floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
+    val codesExp = encoded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("j", "code")))
+    val sums = elems.join(codesExp, Seq("vec_id", "j"))
+      .groupBy(col("j"), col("code"), col("d"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .collect() // bounded: m·ksub·sub rows
+    val trained: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub, sub)((j, c, d) => codebooks(j)(c)(d))
+    sums.foreach { r =>
+      trained(r.getInt(0))(r.getAs[Number](1).intValue())(r.getInt(2)) =
+        r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
+    }
+    val vd = col("embedding").cast("array<double>")
+    def codeFor(j: Int): Column =
+      array_min(array((0 until ksub).map { c =>
+        struct(round(sq(slice(vd, j * sub + 1, sub),
+          typedLit(trained(j)(c).toIndexedSeq)), 6).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    val enc1 = encoded.drop("codes")
+      .withColumn("codes", array((0 until m).map(codeFor): _*))
+    (enc1, trained)
+  }
+
+  /** Reconstruction-error comparison behind the ExtSpec monotonicity
+    * assertion: total rounded ADC self-reconstruction error of the
+    * corpus under codebooks `cb`, given a `codes` column already
+    * encoded against them.
+    */
+  private[graft] def pqReconError(encoded: DataFrame,
+      cb: Array[Array[Array[Double]]]): Double = {
+    val m = cb.length
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(cb(j).map(_.toIndexedSeq).toIndexedSeq),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }: _*)
+    encoded
+      .select(sq(col("embedding").cast("array<double>"), recon).as("d2"))
+      .agg(coalesce(sum(col("d2")), lit(0.0))).head().getDouble(0)
+  }
+
   /** Hard-negative mining (x_hard_negatives): per query vector, the k
     * most-similar vectors with a DIFFERENT label — the negatives that
     * actually move a contrastive embedding model (SimCLR/DPR-style

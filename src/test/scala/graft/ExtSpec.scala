@@ -1652,6 +1652,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("trained PQ: Lloyd's step weakly decreases reconstruction error; recall measured vs both parents") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val (enc0, cb0) = Similarity.pqEncoded(spark, dir, 8, 16)
+    val (enc1, cb1) = Similarity.pqTrained(spark, dir, 8, 16)
+    val err0 = Similarity.pqReconError(enc0, cb0)
+    val err1 = Similarity.pqReconError(enc1, cb1)
+    // the theorem: means minimize summed squared distance for a fixed
+    // assignment and re-encoding only switches to nearer codes. The
+    // micro-unit quantization of each mean (≤5e-7/element) and the 6-dp
+    // argmin rounding admit a bounded epsilon, nothing more.
+    assert(err1 <= err0 + 1e-3,
+      s"Lloyd's step increased PQ reconstruction error: $err0 -> $err1")
+    assert(err1 < err0, s"training changed nothing: $err0 -> $err1")
+    // recall vs both parent entries, against brute-force truth
+    val brute = Similarity.bruteForceTopK(spark, dir, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id")).count()
+    val hitsIvf = hits(Similarity.ivfTopK(spark, dir, k = 3))
+    val hitsPq = hits(Similarity.pqTopK(spark, dir, k = 3))
+    val hitsTrained = hits(Similarity.ivfPqTrainedTopK(spark, dir, k = 3))
+    // recall vs truth is MEASURED against both parents, not asserted as
+    // an inequality: lower reconstruction error does not guarantee
+    // recall@k (the ADVICE r8 refined-IVF lesson — on this 600-row
+    // random fixture the trained books measure 6 vs the seed books' 8
+    // of 30, pure small-sample noise around the uncompressed IVF
+    // ceiling). The guaranteed claim is the error monotonicity above;
+    // these bounds pin the measurement stays well-formed.
+    val ceiling = 3L * 10
+    assert(Seq(hitsIvf, hitsPq, hitsTrained).forall(h => h >= 0 && h <= ceiling),
+      s"recall out of range: ivf=$hitsIvf pq=$hitsPq trained=$hitsTrained")
+    assert(hitsTrained <= hitsIvf,
+      s"compressed ADC cannot beat the uncompressed IVF scan it approximates: ivf=$hitsIvf trained=$hitsTrained")
+    // well-formed ranked output, candidates in the query's cell
+    val out = Similarity.ivfPqTrainedTopK(spark, dir, k = 3).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val d2s = sorted.map(_.getDouble(3)).toSeq
+      assert(d2s == d2s.sorted && d2s.forall(_ >= 0.0))
+    }
+    val cellOf = enc1.select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(cellOf(r.getLong(2)) == cellOf(r.getLong(0)),
+      s"neighbor ${r.getLong(2)} outside query ${r.getLong(0)}'s IVF cell"))
+  }
+
   test("hard negatives: every mined neighbor sits in the query's cell with a different label") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
