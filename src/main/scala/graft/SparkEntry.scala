@@ -2427,21 +2427,31 @@ object SparkEntry {
     * hand-copied 8 times.
     */
   private val bpeIterativeOracle: String = {
-    val nMerges = 8
+    val nMerges = 64
     // never-matching sentinel for exhausted merge slots (corpus out of
-    // pairs): chr(1) can't appear in alpha+placeholder+space text
+    // pairs): chr(1) can't appear in alpha+placeholder+space text.
+    // Placeholders are BMP private-use chars U+E000+rank (= chr(57344
+    // + rank)) — round 13 lifted the digit placeholders' 10-merge cap.
+    // Training runs over the DISTINCT (token, cnt) vocabulary
+    // (pair counts weighted by type frequency ≡ per-occurrence
+    // counts — Sennrich's formulation), so each of the 64 levels
+    // re-renders a vocab-bounded frame, not the corpus; MATERIALIZED
+    // keeps the doubly-referenced chain from exponential re-inlining.
     def mergeRef(r: Int) = s"coalesce((SELECT pair FROM m$r), chr(1) || chr(1))"
     val levels = (1 to nMerges).map { r =>
       s"""m$r AS (SELECT pair FROM (
-           SELECT unnest(list_transform(range(length(tok) - 1), i -> substr(tok, i + 1, 2))) AS pair
+           SELECT unnest(list_transform(range(length(tok) - 1), i -> substr(tok, i + 1, 2))) AS pair, cnt
            FROM runs${r - 1} WHERE length(tok) >= 2)
-         GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
-         runs$r AS (SELECT replace(tok, ${mergeRef(r)}, chr(${48 + r - 1})) AS tok FROM runs${r - 1})"""
+         GROUP BY pair ORDER BY sum(cnt) DESC, pair ASC LIMIT 1),
+         runs$r AS MATERIALIZED (SELECT replace(tok, ${mergeRef(r)}, chr(${57344 + r - 1})) AS tok, cnt FROM runs${r - 1})"""
     }.mkString(",\n         ")
     val appliedExpr = (1 to nMerges).foldLeft("joined") { (acc, r) =>
-      s"replace($acc, ${mergeRef(r)}, chr(${48 + r - 1}))"
+      s"replace($acc, ${mergeRef(r)}, chr(${57344 + r - 1}))"
     }
-    s"""WITH runs0 AS (SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents),
+    s"""WITH runs0 AS MATERIALIZED (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents)
+           GROUP BY tok),
          $levels,
          toks AS (SELECT doc_id,
                     array_to_string(regexp_extract_all(text, '[a-zA-Z]+'), ' ') AS joined,

@@ -260,27 +260,33 @@ object TextAnalysis {
     * adjacent symbol pairs corpus-wide, and takes the single best pair
     * by (count desc, pair asc) — all-integer, deterministic,
     * engine-portable. Because each learned symbol is rendered as ONE
-    * placeholder char ('0' + rank), every pair stays exactly 2 chars
-    * and merged symbols participate in later merges — after 'bc'→'0',
-    * rank 2 can be '0d' (= the 3-char symbol 'bcd'), which the round-9
-    * single-pass top-K counting could never learn.
+    * placeholder char (U+E000 + rank, BMP private use — round 13
+    * lifted the former digit placeholders' 10-merge toy bound to a
+    * real 64-merge table), every pair stays exactly 2 chars and
+    * merged symbols participate in later merges — after 'bc'→'',
+    * rank 2 can be 'd' (= the 3-char symbol 'bcd'), which the
+    * round-9 single-pass top-K counting could never learn.
     *
     * Application is row-local codegen'd string work, zero shuffle:
     * join each doc's alpha runs with spaces (the joined string is
-    * alpha+space only, so digit placeholders '0'..'7' cannot collide
+    * alpha+space only, so private-use placeholders cannot collide
     * and no pair can match across a token boundary), apply the merge
     * replaces in rank order (SQL replace is greedy leftmost
     * non-overlapping on both engines), and read the subword count off
     * the final length minus separators. Digit runs and punctuation
     * stay single-token, as in the pre-tokenizer contract.
     *
-    * 100 TB shape: training is nMerges × (hash agg over a persisted
-    * run frame, partial-combined → TakeOrdered(1) → 1-row collect) —
-    * bounded driver state, cost linear in corpus size per iteration;
-    * application is a narrow scan with literal merges — the same
-    * broadcast-free literal-inlining as IVF.
+    * 100 TB shape: ONE corpus scan aggregates the (token, cnt)
+    * vocabulary (Sennrich's distinct-type formulation — pair counts
+    * weighted by type frequency are identical to per-occurrence
+    * counts), then every training iteration is a hash agg over the
+    * VOCAB-bounded frame → TakeOrdered(1) → 1-row collect — cost per
+    * merge is independent of corpus size; application is a narrow
+    * scan with literal merges — the same broadcast-free
+    * literal-inlining as IVF. Measured slope at sf0.1: see
+    * BASELINE.md round 13 (cost linear in merges, vocab-bounded).
     */
-  def bpeTokenCounts(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+  def bpeTokenCounts(spark: SparkSession, dir: String, nMerges: Int = 64): DataFrame =
     bpeTokenCountsFor(Tables.documents(spark, dir), nMerges)
       .filter(col("doc_id") < 50)
       .orderBy(col("doc_id"))
@@ -290,32 +296,107 @@ object TextAnalysis {
     * oracle's unused trailing merge slots coalesce to a never-matching
     * sentinel, so both engines apply the same effective table.
     */
+  /** One-char rendering of learned symbol `j` — BMP private-use
+    * codepoints U+E000.. (6,400 slots), which cannot collide with the
+    * alpha+space pre-tokenizer output, digits, or punctuation. One
+    * UTF-8 character on both engines, so every pair stays exactly 2
+    * chars however deep the merge table grows (round 13: the former
+    * '0'-'9' digit placeholders capped the table at the 10-merge toy
+    * bound — VERDICT r12 task 3).
+    */
+  private[graft] def bpePlaceholder(j: Int): String = (0xE000 + j).toChar.toString
+
+  /** Vocab row cap for the in-memory learner — the size-adaptive
+    * convention of [[Dedup.componentsFor]]'s union-find bound: a
+    * distinct-type table under 2²⁰ rows learns driver-side (one
+    * bounded collect, zero per-merge jobs), a bigger one falls back
+    * to the distributed per-iteration loop.
+    */
+  private val BpeLocalVocabCap = 1 << 20
+
   def learnBpeMerges(docs: DataFrame, nMerges: Int): Seq[String] = {
-    require(nMerges <= 10, "placeholders are single digits '0'..'9'")
+    require(nMerges <= 6400, "placeholders are BMP private-use chars U+E000..U+F8FF")
     val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
-    val runs = docs.select(explode(alphaRuns).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sennrich's DISTINCT-VOCABULARY formulation (the reference
+    // implementation's actual loop): pair statistics are identical
+    // whether counted per occurrence or per distinct token weighted by
+    // its corpus frequency, and the latter makes every training
+    // iteration VOCABULARY-bounded instead of corpus-bounded — at
+    // 100 TB the corpus is scanned ONCE for the (token, cnt) aggregate
+    // and the nMerges iterations run over the bounded type table
+    // (round 13; the per-occurrence frame made 64 merges pay 64 full
+    // corpus scans)
+    val vocab = docs.select(explode(alphaRuns).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val head = vocab.limit(BpeLocalVocabCap + 1).collect()
+    if (head.length <= BpeLocalVocabCap)
+      bpeLearnLocal(head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+    else bpeLearnDistributed(vocab, nMerges)
+  }
+
+  /** Driver-side merge learning over a bounded (token, cnt) type
+    * table — arithmetic-identical to [[bpeLearnDistributed]] (the
+    * equivalence is spec-asserted): pair counts are exact weighted
+    * long sums, the winner is (cnt DESC, pair ASC) under UTF-16
+    * lexicographic order (= codepoint = UTF-8 binary order for the
+    * BMP chars in play, so Spark's and DuckDB's string comparisons
+    * agree), and Java's `String.replace` is the same greedy leftmost
+    * non-overlapping rule as SQL `replace` on both engines.
+    */
+  private def bpeLearnLocal(vocab0: Array[(String, Long)], nMerges: Int): Seq[String] = {
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer[String]()
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (tok, cnt) =>
+        var i = 0
+        while (i < tok.length - 1) {
+          val p = tok.substring(i, i + 2)
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case (p, c) => (-c, p) }._1
+        val ph = bpePlaceholder(merges.size)
+        merges += best
+        vocab = vocab.map { case (t, c) => (t.replace(best, ph), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed per-iteration loop (vocab past the local cap):
+    * each merge re-renders the persisted type table and re-counts
+    * pairs in codegen — cost per merge is vocab-bounded, independent
+    * of corpus size.
+    */
+  private[graft] def bpeLearnDistributed(vocabDf: DataFrame, nMerges: Int): Seq[String] = {
+    val vocab = vocabDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer[String]()
       var exhausted = false
       while (!exhausted && merges.size < nMerges) {
         // render merges learned so far, then re-count pairs: explode(
         // sequence) + substr keeps pair extraction in codegen — no
-        // interpreted HOF on the corpus-wide scan
+        // interpreted HOF on the scan
         val tok = merges.zipWithIndex.foldLeft(col("token")) { case (c, (p, j)) =>
-          replace(c, lit(p), lit(('0' + j).toChar.toString))
+          replace(c, lit(p), lit(bpePlaceholder(j)))
         }
-        val top = runs.select(tok.as("tok"))
+        val top = vocab.select(tok.as("tok"), col("cnt"))
           .filter(length(col("tok")) >= 2)
-          .select(col("tok"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
-          .select(substr(col("tok"), col("i"), lit(2)).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .select(col("tok"), col("cnt"),
+            explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+          .select(substr(col("tok"), col("i"), lit(2)).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair").asc).limit(1)
           .collect()
         if (top.isEmpty) exhausted = true else merges += top(0).getString(0)
       }
       merges.toSeq
-    } finally { runs.unpersist() }
+    } finally { vocab.unpersist() }
   }
 
   /** The round-9 single-pass approximation — pair counts taken ONCE on
@@ -324,7 +405,6 @@ object TextAnalysis {
     * iterative learner ([[learnBpeMerges]]) differs where it must.
     */
   def learnBpeMergesSinglePass(docs: DataFrame, nMerges: Int): Seq[String] = {
-    require(nMerges <= 10, "placeholders are single digits '0'..'9'")
     val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
     docs
       .select(explode(alphaRuns).as("token"))
@@ -341,13 +421,13 @@ object TextAnalysis {
     * caller later reports on); unordered — the query face filters and
     * orders.
     */
-  def bpeTokenCountsFor(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  def bpeTokenCountsFor(docs: DataFrame, nMerges: Int = 64): DataFrame = {
     val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
     val merges: Seq[String] = learnBpeMerges(docs, nMerges)
     val joined = array_join(alphaRuns, " ")
     val nTok = size(alphaRuns)
     val applied = merges.zipWithIndex.foldLeft(joined) { case (c, (p, i)) =>
-      replace(c, lit(p), lit(('0' + i).toChar.toString))
+      replace(c, lit(p), lit(bpePlaceholder(i)))
     }
     docs.select(col("doc_id"),
         (length(applied) - greatest(nTok - 1, lit(0))).cast("long").as("n_subword"),

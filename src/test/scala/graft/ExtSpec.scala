@@ -1032,12 +1032,14 @@ class ExtSpec extends SparkSpec {
 
   test("BPE token counts: iterative merges let merged symbols participate, unlike single-pass") {
     // raw pair counts: "ab" 6 (3 per run × 2 runs), "ba" 4, "cd" 3.
-    // Iterative: merge1 = ab → '0'; each run "ababab" becomes "000",
-    // whose re-counted pairs give "00" 4 > cd 3 > "10"... — merge2 is
-    // the MERGED-SYMBOL pair "00" (= the 4-char symbol abab), which
-    // single-pass counting (pairs frozen on the raw corpus: ab, ba,
-    // cd) can never learn. That is the defining difference between the
-    // real BPE loop and the round-9 top-K approximation.
+    // Iterative: merge1 = ab → p0 (placeholder U+E000); each run
+    // "ababab" becomes "p0p0p0", whose re-counted pairs give "p0p0"
+    // 4 > cd 3 — merge2 is the MERGED-SYMBOL pair p0p0 (= the 4-char
+    // symbol abab), which single-pass counting (pairs frozen on the
+    // raw corpus: ab, ba, cd) can never learn. That is the defining
+    // difference between the real BPE loop and the round-9 top-K
+    // approximation.
+    val p0 = graft.ext.TextAnalysis.bpePlaceholder(0)
     val d = Seq(
       (0L, "ababab ababab"),
       (1L, "cd cd cd")
@@ -1045,15 +1047,15 @@ class ExtSpec extends SparkSpec {
     val iter = graft.ext.TextAnalysis.learnBpeMerges(d, 3)
     val single = graft.ext.TextAnalysis.learnBpeMergesSinglePass(d, 3)
     assert(single == Seq("ab", "ba", "cd"), s"got $single")
-    assert(iter == Seq("ab", "00", "cd"), s"got $iter")
+    assert(iter == Seq("ab", p0 + p0, "cd"), s"got $iter")
     assert(iter != single, "iterative must diverge from single-pass on this corpus")
 
     def counts(nMerges: Int): Map[Long, Long] =
       graft.ext.TextAnalysis.bpeTokenCountsFor(d, nMerges)
         .select(col("doc_id"), col("n_subword")).as[(Long, Long)].collect().toMap
-    // 2 merges: "ababab" → "000" (ab→0) → "10" (00→1, greedy leftmost
-    // non-overlapping): joined "10 10" len 5, 2 runs → n_subword 4;
-    // "cd" untouched: 2 chars × 3 runs
+    // 2 merges: "ababab" → "p0p0p0" (ab→p0) → "p1p0" (p0p0→p1, greedy
+    // leftmost non-overlapping): joined "p1p0 p1p0" len 5, 2 runs →
+    // n_subword 4; "cd" untouched: 2 chars × 3 runs
     val two = counts(2)
     assert(two == Map(0L -> 4L, 1L -> 6L), s"got $two")
     // third merge is "cd": each doc-1 run collapses to one symbol
@@ -1067,6 +1069,21 @@ class ExtSpec extends SparkSpec {
     val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
     val exhausted = graft.ext.TextAnalysis.learnBpeMerges(tiny, 10)
     assert(exhausted == Seq("ab"), s"got $exhausted")
+  }
+
+  test("BPE learners: the driver-side path equals the distributed fallback merge-for-merge") {
+    // learnBpeMerges picks the in-memory learner under the vocab cap;
+    // past the cap the distributed loop must derive the SAME table —
+    // pin the equivalence on a real corpus slice at a depth where
+    // merged-symbol pairs and ties both occur
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val distributed = graft.ext.TextAnalysis.bpeLearnDistributed(vocab, 16)
+    val local = graft.ext.TextAnalysis.learnBpeMerges(docs, 16)
+    assert(local == distributed,
+      s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
