@@ -2655,6 +2655,11 @@ object SparkEntry {
     * model, per-doc weighted-mean NLL as `lm`) shared by the score
     * face and the per-language outlier face.
     */
+  // Interpolated (Jelinek-Mercer, λ = 0.8) bigram/unigram model —
+  // round 13; every term written in the identical a/b shape as the
+  // Spark column so the doubles agree bit-for-bit pre-round. Spark
+  // inlines (T + V) as one double literal; the integer sum here is
+  // exact in double far below 2^53, so the operands match exactly.
   private val lmScoreCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        p AS (SELECT doc_id, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
@@ -2662,10 +2667,17 @@ object SparkEntry {
        d2 AS (SELECT doc_id, w1, w2, count(*) AS m FROM p GROUP BY doc_id, w1, w2),
        c2 AS (SELECT w1, w2, sum(m) AS n2 FROM d2 GROUP BY w1, w2),
        c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
-       v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM t)),
-       s AS (SELECT d2.doc_id, d2.m, -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+       cu AS (SELECT tok AS w2, CAST(count(*) AS BIGINT) AS nu
+              FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       v AS (SELECT count(DISTINCT tok) AS vocab,
+                    CAST(count(*) AS BIGINT) AS tot
+             FROM (SELECT unnest(toks) AS tok FROM t)),
+       s AS (SELECT d2.doc_id, d2.m,
+               -ln(0.8 * ((c2.n2 + 1.0) / (c1.n1 + v.vocab))
+                   + 0.2 * ((cu.nu + 1.0) / CAST(v.tot + v.vocab AS DOUBLE))) AS nll
              FROM d2 JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
                      JOIN c1 ON d2.w1 = c1.w1
+                     JOIN cu ON d2.w2 = cu.w2
                      CROSS JOIN v),
        lm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                 round(sum(m * nll) / sum(m), 6) AS avg_nll

@@ -469,13 +469,31 @@ object TextAnalysis {
       .withColumn("keep", col("score") > 0)
       .orderBy(col("doc_id"))
 
-  /** Corpus-trained bigram language-model scoring — the KenLM/CCNet-style
+  /** Corpus-trained language-model scoring — the KenLM/CCNet-style
     * "perplexity filter" of pretraining pipelines, with the LM trained on
-    * the corpus itself in the same job: count token bigrams and unigram
-    * contexts corpus-wide, then score every document by its mean negative
-    * log-likelihood under the add-one-smoothed bigram model
-    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`. Outlier docs (garbled,
-    * wrong-language, machine-generated) score high and get filtered.
+    * the corpus itself in the same job: count token bigrams, bigram
+    * contexts, and unigrams corpus-wide, then score every document by
+    * its mean negative log-likelihood under the INTERPOLATED
+    * bigram/unigram model (round 13; Jelinek-Mercer smoothing, the
+    * simplest member of the backoff family KenLM implements):
+    *
+    *   P(w2|w1) = λ·(c(w1 w2) + 1)/(c(w1 ·) + V)
+    *            + (1−λ)·(c(w2) + 1)/(T + V),   λ = 0.8
+    *
+    * The unigram leg is what the round-9 add-one bigram model lacked:
+    * under pure add-one, an UNSEEN bigram's probability depends only
+    * on its context count, so "common words in fresh order" (benign —
+    * natural novel text) and "rare garble" (the thing the filter
+    * exists to catch) score the same, or worse, backwards — a common
+    * context makes the unseen bigram LOOK rarer (larger denominator).
+    * Interpolation rescues unseen-bigram mass in proportion to how
+    * ordinary the WORD is, which is exactly the separation
+    * `x_text_outliers` consumes (spec: planted-garble separation that
+    * the add-one model inverts). λ is the same literal double on both
+    * engines and every term is written in the identical a/b shape, so
+    * the doubles agree bit-for-bit before the one 6-dp terminal round.
+    * [[lmScoreAddOneFor]] keeps the old model as the spec's regression
+    * witness.
     *
     * Shape: the bigram frame is built once (per-doc `lead` window —
     * partitioned by doc_id, parallel across docs), feeds two hash
@@ -490,15 +508,45 @@ object TextAnalysis {
     lmScoreFor(Tables.documents(spark, dir))
 
   def lmScoreFor(docs: DataFrame): DataFrame = {
-    // Bigrams come from a row-local array zip (NOT a per-doc lead
-    // window): no shuffle and no sort exist before the first aggregate,
-    // and the aggregate's partial (map-side) combine collapses each
-    // doc's repeats before anything crosses the wire. try_element_at:
-    // ANSI throws on i+1 past the end for one-token docs. The token
-    // array is PROJECTED once per row before the lambda — the earlier
-    // form called element_at(split(text, ' '), i) per element, and an
-    // interpreted HOF re-runs the regex split (allocating every token)
-    // on each of the ~2n invocations.
+    val (d2, vocab) = lmBigramFrames(docs)
+    // unigram table + total token count: the interpolation's backoff
+    // leg. Both are re-aggregations of corpus-token-bounded frames;
+    // the grand total is ONE bounded 1-row collect inlined as a
+    // literal (the vocab convention below).
+    val cu = docs.select(explode(split(col("text"), " ")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nu"))
+    val totTok = docs
+      .select(coalesce(sum(size(split(col("text"), " "))), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val p = lit(0.8) * ((col("n2") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))) +
+      lit(0.2) * ((col("nu") + lit(1.0)) / lit(totTok.toDouble + vocab.toDouble))
+    d2.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cu, Seq("w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared bigram plumbing: (per-doc distinct bigram counts,
+    * vocabulary size). Bigrams come from a row-local array zip (NOT a
+    * per-doc lead window): no shuffle and no sort exist before the
+    * first aggregate, and the aggregate's partial (map-side) combine
+    * collapses each doc's repeats before anything crosses the wire.
+    * try_element_at: ANSI throws on i+1 past the end for one-token
+    * docs. The token array is PROJECTED once per row before the
+    * lambda — the earlier form called element_at(split(text, ' '), i)
+    * per element, and an interpreted HOF re-runs the regex split
+    * (allocating every token) on each of the ~2n invocations.
+    * d2 is bounded by distinct (doc, bigram) pairs, not corpus token
+    * count; the corpus tables c2/c1 re-aggregate it (strictly
+    * smaller), and the weighted mean sum(m·nll)/sum(m) equals the
+    * per-occurrence mean exactly.
+    */
+  private def lmBigramFrames(docs: DataFrame): (DataFrame, Long) = {
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
@@ -510,12 +558,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0)
-    // d2 = per-doc distinct bigram counts — everything downstream joins
-    // and scores THIS frame, which is bounded by distinct (doc, bigram)
-    // pairs, not corpus token count. The corpus tables c2/c1 are
-    // re-aggregations of d2 (strictly smaller), and the weighted mean
-    // sum(m·nll)/sum(m) equals the per-occurrence mean exactly.
     val d2 = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+    (d2, vocab)
+  }
+
+  /** The round-9 add-one pure-bigram scorer — kept ONLY as the spec's
+    * regression witness that interpolation separates what add-one
+    * cannot (see [[lmScoreFor]]; the learnBpeMergesSinglePass
+    * convention).
+    */
+  private[graft] def lmScoreAddOneFor(docs: DataFrame): DataFrame = {
+    val (d2, vocab) = lmBigramFrames(docs)
     val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     d2.join(c2, Seq("w1", "w2"))

@@ -1086,6 +1086,35 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
+  test("interpolated LM: separates common-word novel order from garble where add-one inverts") {
+    // The corpus: a frequent common-word doc, 200 one-off filler types
+    // (inflating V so unseen-bigram mass stops depending on V alone),
+    // then the two probes — A re-orders COMMON words into fresh
+    // bigrams (benign novel text), B is pure garble (fresh words AND
+    // fresh bigrams). Under add-one pure-bigram smoothing an unseen
+    // bigram's probability is 1/(n1+V)-shaped, so A's common contexts
+    // (large n1) make it score WORSE than B — the inversion that
+    // motivated the upgrade. The λ=0.8 unigram interpolation rescues A
+    // in proportion to its words' ordinariness and leaves B drowned.
+    val common = "the cat sat on the mat and the dog ran to the mat"
+    val filler = (0 until 200).map(i => s"w$i")
+    val d = Seq(
+      (0L, Seq.fill(5)(common).mkString(" ")),
+      (1L, filler.take(100).mkString(" ")),
+      (2L, filler.drop(100).mkString(" ")),
+      (3L, "mat dog the ran cat on"), // A
+      (4L, "zq xv qj vk wz kx")       // B
+    ).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    val addOne = nll(graft.ext.TextAnalysis.lmScoreAddOneFor(d))
+    val interp = nll(graft.ext.TextAnalysis.lmScoreFor(d))
+    assert(addOne(3L) >= addOne(4L),
+      s"fixture drift: add-one no longer inverts (A=${addOne(3L)} B=${addOne(4L)})")
+    assert(interp(3L) < interp(4L),
+      s"interpolation failed to separate: A=${interp(3L)} B=${interp(4L)}")
+  }
+
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
     // docs 0/1 repeat the same bigrams (high corpus counts -> low nll);
     // doc 2's bigrams occur once each (smoothed toward 1/(n1+V) -> higher nll)
@@ -1099,10 +1128,13 @@ class ExtSpec extends SparkSpec {
     assert(out(0L)._1 == 7L && out(2L)._1 == 7L)
     assert(out(0L)._2 == out(1L)._2) // identical docs, identical scores
     assert(out(0L)._2 < out(2L)._2)
-    // hand-check one term: P(b|a) = (c(ab)+1)/(c(a.)+V); c(ab)=8, c(a.)=8, V=10
-    val pBA = (8.0 + 1.0) / (8.0 + 10.0)
-    // doc 0: bigrams ab x4 (nll -ln(9/18)), ba x3 (c(ba)=6, c(b.)=6 -> -ln(7/16))
-    val expected = (4 * -math.log(pBA) + 3 * -math.log(7.0 / 16.0)) / 7
+    // hand-check one term of the interpolated model (λ = 0.8, V = 10
+    // types, T = 24 tokens; c(a)=c(b)=8):
+    // P(b|a) = 0.8·(c(ab)+1)/(c(a·)+V) + 0.2·(c(b)+1)/(T+V)
+    val pBA = 0.8 * ((8.0 + 1.0) / (8.0 + 10.0)) + 0.2 * ((8.0 + 1.0) / 34.0)
+    // doc 0: bigrams ab x4, ba x3 (c(ba)=6, c(b·)=6)
+    val pAB = 0.8 * ((6.0 + 1.0) / (6.0 + 10.0)) + 0.2 * ((8.0 + 1.0) / 34.0)
+    val expected = (4 * -math.log(pBA) + 3 * -math.log(pAB)) / 7
     assert(math.abs(out(0L)._2 - expected) < 1e-6) // out is rounded to 6 decimals
   }
 
