@@ -135,6 +135,7 @@ object SparkEntry {
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_text_outliers"   -> (TextAnalysis.textOutliers _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
+    "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -2045,6 +2046,9 @@ object SparkEntry {
          $qualityScoreSql AS score,
          $qualityScoreSql > 0 AS keep
          FROM documents ORDER BY doc_id""",
+    // Trained quality classifier: the 8-step integer-GD loop replayed
+    // as an unrolled CTE chain (see qualityTrainOracle).
+    "x_quality_train" -> qualityTrainOracle,
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
     "x_domain_cap" ->
@@ -2838,6 +2842,24 @@ object SparkEntry {
     * `x_repetition`'s thresholds with the same rounding; token counts
     * include empty split tokens on both engines.
     */
+  /** The repetition/length gate chain (t → gr/tok/tc/tsx → rep) —
+    * the SQL twin of TextAnalysis.repetitionScoresFor's gate, shared
+    * by the dedup-apply/funnel verdicts and the x_quality_train label
+    * CTE (compose, never copy).
+    */
+  private val repGateCtes: String =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       gr AS (SELECT doc_id,
+                list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gs
+              FROM t WHERE len(toks) > 1),
+       tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       tc AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),
+       tsx AS (SELECT doc_id, max(cnt) AS top_n, sum(cnt) AS n_tok FROM tc GROUP BY doc_id),
+       rep AS (SELECT gr.doc_id,
+                 (round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) <= 0.9
+                  AND round(top_n / CAST(n_tok AS DOUBLE), 4) <= 0.2) AS keep_rep
+               FROM gr JOIN tsx ON gr.doc_id = tsx.doc_id)"""
+
   private val applyVerdictCtes: String =
     s"""$ngramPairCtes,
        pairs AS (
@@ -2850,22 +2872,57 @@ object SparkEntry {
          SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
        clus AS (SELECT a AS doc_id, min(b) AS cluster, (min(b) = a) AS keep_dedup
                 FROM reach GROUP BY a),
-       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       gr AS (SELECT doc_id,
-                list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gs
-              FROM t WHERE len(toks) > 1),
-       tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
-       tc AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),
-       tsx AS (SELECT doc_id, max(cnt) AS top_n, sum(cnt) AS n_tok FROM tc GROUP BY doc_id),
-       rep AS (SELECT gr.doc_id,
-                 (round(1 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 4) <= 0.9
-                  AND round(top_n / CAST(n_tok AS DOUBLE), 4) <= 0.2) AS keep_rep
-               FROM gr JOIN tsx ON gr.doc_id = tsx.doc_id),
+       $repGateCtes,
        av AS (SELECT c.doc_id, c.cluster, c.keep_dedup,
                 coalesce(rep.keep_rep, TRUE) AS keep_rep,
                 (tsx.n_tok BETWEEN 5 AND 10000) AS keep_len
               FROM clus c JOIN tsx ON c.doc_id = tsx.doc_id
               LEFT JOIN rep ON c.doc_id = rep.doc_id)"""
+
+  /** x_quality_train oracle: the 8-step integer GD replayed as an
+    * unrolled CTE chain — integer-quantized features (floor-division
+    * quanta), zero-init weights, per step one corpus pass computing
+    * qz6/qp and four HUGEINT gradient sums, and a truncating-division
+    * update (DuckDB `//` truncates toward zero — the same contract as
+    * Spark `div` and Java long `/`). Final scores from the step-8
+    * weights.
+    */
+  private val qualityTrainOracle: String = {
+    val iters = 8
+    val levels = (1 to iters).map { r =>
+      s"""s$r AS (SELECT f.doc_id, f.qx0, f.qx1, f.qx2, f.qx3, f.qy,
+             (w.w0 * f.qx0 + w.w1 * f.qx1 + w.w2 * f.qx2 + w.w3 * f.qx3) // 10000 AS qz6
+           FROM feat f CROSS JOIN w${r - 1} w),
+         p$r AS (SELECT *, 500000 + (1000000 * qz6) // (2 * (1000000 + abs(qz6))) AS qp FROM s$r),
+         g$r AS (SELECT sum(qx0 * (qp - qy)) AS g0, sum(qx1 * (qp - qy)) AS g1,
+                   sum(qx2 * (qp - qy)) AS g2, sum(qx3 * (qp - qy)) AS g3,
+                   CAST(count(*) AS BIGINT) AS n FROM p$r),
+         w$r AS (SELECT CAST(w.w0 - g.g0 // (2 * g.n * 10000) AS BIGINT) AS w0,
+                   CAST(w.w1 - g.g1 // (2 * g.n * 10000) AS BIGINT) AS w1,
+                   CAST(w.w2 - g.g2 // (2 * g.n * 10000) AS BIGINT) AS w2,
+                   CAST(w.w3 - g.g3 // (2 * g.n * 10000) AS BIGINT) AS w3
+                 FROM w${r - 1} w CROSS JOIN g$r g)"""
+    }.mkString(",\n         ")
+    s"""WITH $repGateCtes,
+         feat AS (SELECT t.doc_id,
+             CAST(10000 AS BIGINT) AS qx0,
+             CAST(len(toks) AS BIGINT) * 100 AS qx1,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // CAST(len(toks) AS BIGINT) AS qx2,
+             (CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000) // CAST(length(text) AS BIGINT) AS qx3,
+             CASE WHEN coalesce(rep.keep_rep, TRUE) AND tsx.n_tok BETWEEN 5 AND 10000
+                  THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qy
+           FROM t JOIN tsx ON t.doc_id = tsx.doc_id
+           LEFT JOIN rep ON t.doc_id = rep.doc_id),
+         w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+         $levels,
+         fin AS (SELECT f.doc_id, f.qy,
+             (w.w0 * f.qx0 + w.w1 * f.qx1 + w.w2 * f.qx2 + w.w3 * f.qx3) // 10000 AS score_q
+           FROM feat f CROSS JOIN w$iters w)
+         SELECT doc_id, CAST(score_q AS BIGINT) AS score_q, score_q > 0 AS keep,
+           qy = 1000000 AS label
+         FROM fin ORDER BY doc_id"""
+  }
 
   private val dedupApplyOracle: String =
     s"""WITH RECURSIVE $applyVerdictCtes

@@ -469,6 +469,113 @@ object TextAnalysis {
       .withColumn("keep", col("score") > 0)
       .orderBy(col("doc_id"))
 
+  /** TRAINED quality classifier (x_quality_train, round 13) — the
+    * FineWeb/DCLM-class pipelines don't hand-set their filter weights,
+    * they FIT them; this is that training step with the repetition +
+    * length gates as (noisy) supervision, the way a production
+    * pipeline bootstraps a cheap linear filter from rule labels before
+    * a human-labeled pass exists.
+    *
+    * Model: logistic-style linear classifier over the quality feature
+    * projection (bias, n_tok/100, type-token ratio, space ratio), fit
+    * by `iters` full-batch gradient-descent steps. The activation is
+    * the ALGEBRAIC sigmoid σ̃(z) = 1/2 + z/(2(1+|z|)) (Elliott): `exp`
+    * is libm-specific in its last bits, so a textbook logistic could
+    * never be replayed bit-identically by another engine — σ̃ is pure
+    * rational arithmetic with the same monotone S-shape, which keeps
+    * the WHOLE training loop in exact integers.
+    *
+    * Determinism contract (the x_embed_pca discipline): features are
+    * integer-quantized at the source — qx = x·10⁴ via integer floor
+    * division, never a double — weights live in integer micro-units,
+    * z = Σ qw·qx is an exact integer, σ̃ quantizes to integer 10⁻⁶
+    * probability units by one floor division, the gradient
+    * Σ qx·(qp − qy) is an order-immune integer sum, and the update
+    * divides once under the TRUNCATING contract — Spark `div`, DuckDB
+    * `//`, and Java long `/` all truncate toward zero (verified: -7//2
+    * = -3 in DuckDB), so every division site uses plain truncation on
+    * both engines. Every iterate is therefore bit-identical, and the
+    * oracle replays all `iters` steps as an unrolled CTE chain.
+    *
+    * 100 TB shape: each step is ONE hash aggregate (4 integer sums +
+    * count, map-side partials) over a narrow row-local projection —
+    * the kmeansRefine loop shape; weights ride as literals, nothing
+    * corpus-sized shuffles. Integer headroom: |Σ qx·(qp−qy)| <
+    * n·10⁶·10⁶, so int64 carries ~10⁶ docs per aggregate — past that,
+    * drop the feature quantum to 10³ (the x_zipf_fit headroom
+    * convention; the oracle's HUGEINT never overflows).
+    */
+  def qualityTrain(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
+    qualityTrainFor(Tables.documents(spark, dir), iters)._2.orderBy(col("doc_id"))
+
+  /** In-plan integer division a/b under the truncating contract
+    * shared by Spark `div` and DuckDB `//` (both truncate toward
+    * zero — unlike Java's Math.floorDiv, which must NOT be used
+    * alongside this).
+    */
+  private def fdSql(a: String, b: String): String =
+    s"($a) div ($b)"
+
+  /** Training core behind [[qualityTrain]]: returns (weights in
+    * micro-units, scored frame). Exposed for the held-out AUC spec.
+    */
+  private[graft] def qualityTrainFor(docs: DataFrame, iters: Int = 8): (Array[Long], DataFrame) = {
+    val feat = qualityFeatureFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array(0L, 0L, 0L, 0L)
+    try {
+      for (_ <- 1 to iters) {
+        val staged = feat
+          .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
+            lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+          .withColumn("qz6", expr(fdSql("zs", "10000")))
+          .withColumn("qp", lit(500000L) +
+            expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
+        val r = staged.agg(
+          sum(col("qx0") * (col("qp") - col("qy"))).as("g0"),
+          sum(col("qx1") * (col("qp") - col("qy"))).as("g1"),
+          sum(col("qx2") * (col("qp") - col("qy"))).as("g2"),
+          sum(col("qx3") * (col("qp") - col("qy"))).as("g3"),
+          count(lit(1)).as("n")).head()
+        val n = r.getLong(4)
+        require(n > 0, "empty corpus — nothing to train on")
+        // Java long `/` truncates toward zero — the same contract as
+        // Spark `div` and DuckDB `//` (NOT Math.floorDiv)
+        w = Array.tabulate(4)(j => w(j) - r.getLong(j) / (2 * n * 10000L))
+      }
+    } finally feat.unpersist(blocking = false)
+    // the returned frame re-derives features so the persisted training
+    // frame can be released eagerly (review r12: no leaked persists)
+    val scored = qualityFeatureFrame(docs)
+      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
+        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+      .select(col("doc_id"),
+        expr(fdSql("zs", "10000")).as("score_q"),
+        (expr(fdSql("zs", "10000")) > 0).as("keep"),
+        (col("qy") === 1000000L).as("label"))
+    (w, scored)
+  }
+
+  /** The integer-quantized feature/label frame behind
+    * [[qualityTrainFor]]: qx = feature·10⁴ by INTEGER arithmetic
+    * (positive operands, so `div` = floor on both engines), label
+    * qy ∈ {0, 10⁶} from the repetition + length gates (the
+    * verdictsFor contract: absent repetition signal defaults to keep).
+    */
+  private[graft] def qualityFeatureFrame(docs: DataFrame): DataFrame = {
+    val rep = repetitionScoresFor(docs).select(col("doc_id"), col("keep").as("keep_rep"))
+    docs.select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        lit(10000L).as("qx0"),
+        (col("n_tok") * 100).as("qx1"),
+        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000 div n_tok").as("qx2"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000 div length(text)").as("qx3"),
+        when(coalesce(col("keep_rep"), lit(true)) &&
+          col("n_tok").between(5, 10000), lit(1000000L)).otherwise(lit(0L)).as("qy"))
+  }
+
   /** Corpus-trained language-model scoring — the KenLM/CCNet-style
     * "perplexity filter" of pretraining pipelines, with the LM trained on
     * the corpus itself in the same job: count token bigrams, bigram

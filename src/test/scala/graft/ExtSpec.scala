@@ -1086,6 +1086,41 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
+  test("trained quality classifier: GD weights beat the hand-set scorer on held-out ranking") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    // train on even doc_ids, evaluate on the held-out odd half — the
+    // fixture's 6 gate-negatives split 3/3 across the parity classes,
+    // so both sides carry signal
+    val (w, _) = graft.ext.TextAnalysis.qualityTrainFor(docs.filter(col("doc_id") % 2 === 0))
+    assert(w.exists(_ != 0L), "training left all weights at zero")
+    val heldOut = docs.filter(col("doc_id") % 2 === 1)
+    val rows = graft.ext.TextAnalysis.qualityFeatureFrame(heldOut)
+      .join(heldOut.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore.as("handset")), "doc_id")
+      .select(col("doc_id"), col("qx0"), col("qx1"), col("qx2"), col("qx3"),
+        (col("qy") === 1000000L).as("label"), col("handset"))
+      .collect()
+    val labels = rows.map(_.getBoolean(5))
+    assert(labels.count(!_) >= 2 && labels.count(identity) >= 2,
+      "fixture drift: held-out half lost its label signal")
+    // AUC proxy: concordant-pair fraction (Mann-Whitney), ties at 0.5
+    def auc(score: Array[Double]): Double = {
+      val pos = score.zip(labels).filter(_._2).map(_._1)
+      val neg = score.zip(labels).filterNot(_._2).map(_._1)
+      val c = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      c / (pos.length.toDouble * neg.length)
+    }
+    val trained = rows.map(r =>
+      (w(0) * r.getLong(1) + w(1) * r.getLong(2) + w(2) * r.getLong(3) + w(3) * r.getLong(4)).toDouble)
+    val handset = rows.map(_.getDouble(6))
+    val (aT, aH) = (auc(trained), auc(handset))
+    assert(aT >= aH, s"trained AUC $aT below hand-set $aH on held-out docs")
+    assert(aT > 0.5, s"trained ranking no better than chance: $aT")
+  }
+
   test("interpolated LM: separates common-word novel order from garble where add-one inverts") {
     // The corpus: a frequent common-word doc, 200 one-off filler types
     // (inflating V so unseen-bigram mass stops depending on V alone),
