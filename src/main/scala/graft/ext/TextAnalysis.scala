@@ -214,6 +214,22 @@ object TextAnalysis {
   def bm25Rank(spark: SparkSession, dir: String, k: Int = 10,
       terms: Seq[String] = Seq("hash", "merge", "window")): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val scored = bm25ScoresFor(spark, dir, terms)
+    scored.agg(graft.functions.GraftFunctions.topKByScore(col("score"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** The per-doc BM25 scores behind [[bm25Rank]]'s top-k (docs with at
+    * least one query term): idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * summed per term in FIXED term order — expression text mirrors the
+    * oracle token-for-token (avgdl stays sl/n, the constants stay
+    * unfolded). Exposed for the streaming-twin agreement spec.
+    */
+  private[graft] def bm25ScoresFor(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("double").as("dl"))
@@ -226,9 +242,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — expression
-    // text mirrors the oracle token-for-token (avgdl stays sl/n, the
-    // constants stay unfolded)
     val w = tf.join(broadcast(df), "token")
       .withColumn("w",
         log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
@@ -236,16 +249,33 @@ object TextAnalysis {
           (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / (lit(sl) / lit(n)))))
     // fixed-order conditional sum: score = w(terms(0)) + w(terms(1)) + …
     val perTerm = terms.map(t => sum(when(col("token") === lit(t), col("w"))).as(s"w_$t"))
-    val scored = w.groupBy(col("doc_id"))
+    w.groupBy(col("doc_id"))
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score",
         round(terms.map(t => coalesce(col(s"w_$t"), lit(0.0))).reduce(_ + _), 6))
       .select(col("doc_id"), col("score"))
-    scored.agg(graft.functions.GraftFunctions.topKByScore(col("score"), col("doc_id"), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "s")))
-      .select((col("pos") + 1).cast("long").as("rk"),
-        col("s.id").as("doc_id"), col("s.score").as("score"))
-      .orderBy(col("rk"))
+  }
+
+  /** The bounded corpus statistics a BM25 scorer needs — doc count,
+    * summed doc length (avgdl = sl/n), and per-query-term document
+    * frequency — as plain values a STREAMING face can inline as
+    * literals (the dsirScoreStream broadcast-artifact convention).
+    * df is counted over docs CONTAINING the term, exactly the batch
+    * tf-frame's grouping.
+    */
+  private[graft] def bm25Stats(spark: SparkSession, dir: String,
+      terms: Seq[String]): (Double, Double, Map[String, Long]) = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"), sum(col("dl")).as("sl"))
+      .collect()(0)
+    val dfRows = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (stats.getDouble(0), stats.getDouble(1), dfRows)
   }
 
   /** Corpus-trained BPE token counting (round 9; round 10 upgrades the

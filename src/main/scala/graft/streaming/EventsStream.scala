@@ -656,6 +656,44 @@ object EventsStream {
       .withColumn("logw", col("logw_q") / 1000000.0)
   }
 
+  /** Streaming BM25 scorer — the retrieval family's online face
+    * (round 13; the one batch family without a streaming twin): score
+    * ARRIVING documents against a standing query's BM25 weights so an
+    * ingest path can route/alert on retrieval-relevant docs at the
+    * door (the "standing query" / alerting pattern of a percolator).
+    * The corpus statistics the formula needs — doc count n, summed
+    * length sl (avgdl = sl/n), per-term document frequency — are batch
+    * artifacts ([[graft.ext.TextAnalysis.bm25Stats]]) inlined as
+    * literals, the [[dsirScoreStream]] broadcast-artifact convention;
+    * term frequencies come from one row-local array filter per term.
+    * PURE row-local: no state, no shuffle, no join.
+    *
+    * Agreement contract (spec-asserted row-for-row): the weight
+    * expression is written operation-for-operation as the batch
+    * [[graft.ext.TextAnalysis.bm25ScoresFor]] column — same unfolded
+    * constants, same fixed term order, one terminal 6-dp round — so a
+    * doc containing ≥1 query term scores bit-identically to the batch
+    * face, and a doc with none scores exactly 0.0 (the batch frame
+    * simply omits it). Corpus-drift caveat: the literal stats describe
+    * the corpus at snapshot time — the stream prices arrivals against
+    * the STANDING corpus, which is the percolator semantic.
+    */
+  def bm25ScoreStream(docs: DataFrame, n: Double, sl: Double,
+      dfByTerm: Seq[(String, Long)]): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val wTerms = dfByTerm.map { case (t, dfT) =>
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      when(tf > 0,
+        log((lit(n) - lit(dfT) + lit(0.5)) / (lit(dfT) + lit(0.5)) + lit(1.0)) *
+          tf * (lit(1.2) + lit(1.0)) /
+          (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / (lit(sl) / lit(n)))))
+        .otherwise(lit(0.0))
+    }
+    base.select(col("doc_id"),
+      round(wTerms.reduce(_ + _), 6).as("score"))
+  }
+
   /** Streaming novelty-vs-store scorer: the online face of
     * [[graft.ext.Dedup.noveltyScores]] for an arriving crawl judged
     * against the STANDING corpus — "how much of this new document have

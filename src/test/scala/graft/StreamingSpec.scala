@@ -1014,6 +1014,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows2("UNKNOWN")._3 && rows2("UNKNOWN")._1 > 0.0, "unknown source must flag")
   }
 
+  test("streaming BM25 scorer: row-identical to the batch scores, termless docs score exactly zero") {
+    val dir = "/root/testdata/sf0.001"
+    val terms = Seq("hash", "merge", "window")
+    val (n, sl, dfm) = graft.ext.TextAnalysis.bm25Stats(spark, dir, terms)
+    val dfByTerm = terms.map(t => t -> dfm.getOrElse(t, 0L))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.bm25ScoreStream(input.toDF().toDF("doc_id", "text"), n, sl, dfByTerm)
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("bm25_stream")
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    assert(streamed.size == docs.length, "every arriving doc must score")
+    // row-level agreement with the INDEPENDENT batch path (explode →
+    // per-(doc, term) aggregate → df broadcast join) on every doc the
+    // batch frame emits — bit-identical, not approximately equal
+    val batch = graft.ext.TextAnalysis.bm25ScoresFor(spark, dir, terms)
+      .as[(Long, Double)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, s) =>
+      assert(streamed(id) == s, s"doc $id: stream ${streamed(id)} vs batch $s")
+    }
+    // docs with no query term are absent from the batch frame and must
+    // score exactly 0.0 on the stream
+    val batchIds = batch.map(_._1).toSet
+    val termless = docs.filterNot(d => batchIds(d._1))
+    assert(termless.nonEmpty, "fixture drift: every doc contains a query term")
+    termless.foreach { case (id, _) =>
+      assert(streamed(id) == 0.0, s"termless doc $id scored ${streamed(id)}")
+    }
+  }
+
   test("streaming novelty: corpus re-serves score exactly 0, fresh docs score near 1, n_sh matches batch") {
     val dir = "/root/testdata/sf0.001"
     val bloom = graft.ext.Dedup.noveltyBloom(spark, dir)
