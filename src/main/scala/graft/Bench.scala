@@ -194,7 +194,6 @@ object Bench {
     val chain1m = chain1.toMap
     val chain2m = chain2.toMap
     val chain = chainNames.map(n => n -> math.min(chain1m(n), chain2m(n)))
-    val chainSteady = chain.map(_._2).sum
 
     // Self-healing for load-inflated standalone entries (VERDICT r11 #3):
     // the r11 driver artifact carried x_dedup_containment at 5.09 s and
@@ -209,12 +208,35 @@ object Bench {
     // possibly-lucky chain min) and adopt min(standalone, chain, heal)
     // as the entry's steady. `queries_retimed` records every adoption
     // with the value each basis produced.
-    val chainM = chain.toMap
+    //
+    // Round 13 (VERDICT r12 task 4): the SAME contradiction rule now
+    // covers the chain passes themselves — the r12 artifact carried
+    // chain-rep entries its own idle twin refuted (x_quality_vs_dup
+    // 7.095 s in one chain rep vs 1.24 s idle). When a chain member's
+    // two reps disagree by more than 3×, the member is load-suspect:
+    // the healing pass runs (shared with the standalone trigger) and
+    // the adopted chain value is min(rep-min, heal), recorded in
+    // `chain_retimed` — so the artifact's chain numbers carry their
+    // own adjudication symmetrically with the standalone ones.
+    val chainM0 = chain.toMap
     val inflated = chainNames.filter(n =>
-      steady.toMap.apply(n) > 3.0 * chainM(n) && chainM(n) > 0.0)
+      steady.toMap.apply(n) > 3.0 * chainM0(n) && chainM0(n) > 0.0)
+    val chainContradicted = chainNames.filter { n =>
+      val a = chain1m(n); val b = chain2m(n)
+      a > 0.0 && b > 0.0 && math.max(a, b) > 3.0 * math.min(a, b)
+    }
     val (heal, healM) =
-      if (inflated.isEmpty) (Seq.empty[(String, Double)], Map.empty[String, Double])
+      if (inflated.isEmpty && chainContradicted.isEmpty)
+        (Seq.empty[(String, Double)], Map.empty[String, Double])
       else { val h = runChain("chain_heal"); (h, h.toMap) }
+    val chainRetimed: Seq[(String, Double)] = chainContradicted.map { n =>
+      n -> math.min(chainM0(n), healM.getOrElse(n, Double.MaxValue))
+    }
+    val chainHealed = chain.map { case (n, v) =>
+      n -> chainRetimed.toMap.getOrElse(n, v)
+    }
+    val chainM = chainHealed.toMap
+    val chainSteady = chainHealed.map(_._2).sum
     val retimed: Seq[(String, Double)] = inflated.map { n =>
       n -> math.min(chainM(n), healM.getOrElse(n, Double.MaxValue))
     }
@@ -247,11 +269,27 @@ object Bench {
     // line first, persist it to bench.json for the judge, and end with a
     // COMPACT total line that always fits the tail window whole.
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"queries":${jmap(healedSteady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"queries_retimed":${jmap(retimed)},"queries_standalone_preheal":${jmap(standaloneFlagged)},"chain":${jmap(chain)},"chain_rep1":${jmap(chain1)},"chain_rep2":${jmap(chain2)},"chain_heal":${jmap(heal)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"reps":2,"steady_def":"per-query min over reps","chain_steady":${r3(chainSteady)},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"queries":${jmap(healedSteady)},"queries_rep1":${jmap(rep1)},"queries_rep2":${jmap(rep2)},"queries_retimed":${jmap(retimed)},"queries_standalone_preheal":${jmap(standaloneFlagged)},"chain":${jmap(chainHealed)},"chain_preheal":${jmap(chain)},"chain_retimed":${jmap(chainRetimed)},"chain_rep1":${jmap(chain1)},"chain_rep2":${jmap(chain2)},"chain_heal":${jmap(heal)},"loadavg":${jmap(loadSamples.toSeq)},"sf":"$sfDir"}"""
     println(full)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"chain_steady":${r3(chainSteady)},"n_queries":${steady.size},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"sf":"$sfDir","queries_file":"bench.json"}""")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_cold":${r3(totalCold)},"total_steady":${r3(total)},"total_rep2":${r3(totalRep2)},"chain_steady":${r3(chainSteady)},"n_queries":${steady.size},"ingest_eps":${eps.round},"ingest_eps_rep1":${eps1.round},"ingest_eps_rep2":${eps2.round},"sf":"$sfDir","queries_file":"bench.json"}"""
+    // Round 13 (VERDICT r12 task 7 — every BENCH_r*.json parsed null):
+    // persist the compact line to its own file AND re-print it from a
+    // JVM shutdown hook, which runs after main returns and Spark's
+    // stop() chatter — so the metric JSON is the LAST line this process
+    // writes to stdout (the runner may still append its own trailer,
+    // but nothing from this JVM follows it; bench_summary.json carries
+    // the same line for file-based pickup).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), compact + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_summary.json write failed: $e") }
+    println(compact)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(compact)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

@@ -2908,7 +2908,8 @@ object SparkEntry {
              CAST(10000 AS BIGINT) AS qx0,
              CAST(len(toks) AS BIGINT) * 100 AS qx1,
              (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // CAST(len(toks) AS BIGINT) AS qx2,
-             (CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000) // CAST(length(text) AS BIGINT) AS qx3,
+             CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000) // CAST(length(text) AS BIGINT) END AS qx3,
              CASE WHEN coalesce(rep.keep_rep, TRUE) AND tsx.n_tok BETWEEN 5 AND 10000
                   THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qy
            FROM t JOIN tsx ON t.doc_id = tsx.doc_id

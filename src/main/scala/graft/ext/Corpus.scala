@@ -255,9 +255,22 @@ object Corpus {
     // returned plan, and releaseCaches()/corpus-fingerprint changes
     // reclaim it
     val per = Dedup.Frames.getOrCompute(spark, s"srctok:$dir", dir)(
-      Tables.documents(spark, dir)
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok")))
+      perSourceTokens(Tables.documents(spark, dir)))
+    mixtureTemperatureFromPer(per)
+  }
+
+  /** Memo-free corpus-frame variant (specs plant synthetic source
+    * mixes — e.g. the sub-quantum tail source the ADVICE-r13 fix
+    * exists for — without touching the per-dir memo).
+    */
+  private[graft] def mixtureTemperatureFor(docs: DataFrame): DataFrame =
+    mixtureTemperatureFromPer(perSourceTokens(docs))
+
+  private def perSourceTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+
+  private def mixtureTemperatureFromPer(per: DataFrame): DataFrame = {
     val totTok = per.agg(coalesce(sum(col("src_tok")), lit(0L)).as("t"))
       .head().getLong(0)
     val shareRaw = col("src_tok").cast("double") / lit(totTok.toDouble)
@@ -825,14 +838,10 @@ object Corpus {
     graft.functions.GraftFunctions.register(spark)
     // the verified pair frame is memoized (Frames lifecycle) so the
     // keep-warm successor `x_chunk_clusters` prices only its component
-    // solve — the doc family's pairFrame contract at chunk granularity.
-    // A fresh-pairs peek skips the rep frame entirely on a hit (ADVICE
-    // r13); on a miss the rep fetch still happens BEFORE the pairs
-    // memo call — nested inside the build it would run its fingerprint
-    // FS listing under the global memo lock (the round-6 contention
-    // note; review r12)
-    Dedup.Frames.peek(spark, s"chunkpairs:$dir:$window:$stride", dir)
-      .getOrElse(chunkPairBuild(spark, dir, window, stride))
+    // solve — the doc family's pairFrame contract at chunk granularity;
+    // peekOrBuild's two-level discipline applies (ADVICE r13).
+    Dedup.Frames.peekOrBuild(spark, s"chunkpairs:$dir:$window:$stride", dir)(
+      chunkPairBuild(spark, dir, window, stride))
   }
 
   private def chunkPairBuild(spark: SparkSession, dir: String,

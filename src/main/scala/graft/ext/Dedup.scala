@@ -126,6 +126,18 @@ object Dedup {
       }
     }
 
+    /** The peek-else-build composition every TWO-LEVEL frame uses
+      * (review r13: the pattern was hand-rolled at three sites): a
+      * fresh outer hit skips `build` entirely — and with it the inner
+      * frame's FS listing or rebuild; a miss runs `build`, which must
+      * resolve its inner frames BEFORE its own getOrCompute call so
+      * their listings stay outside the global memo lock (the round-6
+      * contention rule).
+      */
+    def peekOrBuild(spark: SparkSession, key: String, dir: String,
+        tables: Seq[String] = Seq("documents.parquet"))(build: => DataFrame): DataFrame =
+      peek(spark, key, dir, tables).getOrElse(build)
+
     def release(): Unit = memo.synchronized {
       memo.values.foreach { case (_, df) =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
@@ -434,10 +446,7 @@ object Dedup {
     * count stays near-linear in corpus size at 100 TB.
     */
   private def pairFrame(spark: SparkSession, dir: String): DataFrame =
-    // a fresh-pairs peek skips the doc-set frame entirely on a hit
-    // (ADVICE r13 — a pairs hit used to pay the inner entry's FS
-    // listing, or a full doc-set rebuild if evicted, for nothing)
-    Frames.peek(spark, s"pairs:$dir", dir).getOrElse(pairFrameBuild(spark, dir))
+    Frames.peekOrBuild(spark, s"pairs:$dir", dir)(pairFrameBuild(spark, dir))
 
   private def pairFrameBuild(spark: SparkSession, dir: String): DataFrame = {
     // the doc-set fetch happens BEFORE the pairs memo call — nested
@@ -689,12 +698,9 @@ object Dedup {
     // the banded pair frame is memoized like the ngram family's
     // pairFrame (round 12: the clusters face rides it in the keep-warm
     // chain and prices only its component solve); key embeds $dir like
-    // every other frame (VERDICT r8 LOW #1). A fresh-pairs peek skips
-    // the inner fingerprint frame entirely on a hit (ADVICE r13); on a
-    // miss the fp fetch still happens BEFORE the pairs memo call —
-    // nesting it inside the build would run the inner frame's FS
-    // listing under the global memo lock (the round-6 contention note).
-    Frames.peek(spark, s"simhash_pairs:$dir", dir).getOrElse {
+    // every other frame (VERDICT r8 LOW #1); peekOrBuild's two-level
+    // discipline applies (ADVICE r13).
+    Frames.peekOrBuild(spark, s"simhash_pairs:$dir", dir) {
       val fp = Frames.getOrCompute(spark, s"simhash_fp:$dir", dir)(
         simhashMd5(Tables.documents(spark, dir)))
       Frames.getOrCompute(spark, s"simhash_pairs:$dir", dir)(simhashPairsFromFp(fp))

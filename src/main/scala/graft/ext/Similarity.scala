@@ -451,17 +451,24 @@ object Similarity {
     (encoded, codebooks)
   }
 
+  /** ADC reconstruction of the `codes` column against literal
+    * codebooks — per-row, zero shuffle. ONE definition shared by the
+    * seed face, the trained face, and the spec's error metric (review
+    * r13: the expression was triplicated).
+    */
+  private def pqRecon(cb: Array[Array[Array[Double]]]): Column =
+    concat(cb.indices.map { j =>
+      element_at(typedLit(cb(j).map(_.toIndexedSeq).toIndexedSeq),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }: _*)
+
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
       m: Int = 8, ksub: Int = 16): DataFrame = {
     val sq = graft.functions.GraftFunctions.sqDistL2 _
     val (encoded, codebooks) = pqEncoded(spark, dir, m, ksub)
-    // ADC: reconstruct each candidate from its codes (literal codebook
-    // lookup — per-row, zero shuffle) and score the full-precision query
-    // against the reconstruction
-    val recon = concat((0 until m).map { j =>
-      element_at(typedLit(codebooks(j).map(_.toIndexedSeq).toIndexedSeq),
-        (element_at(col("codes"), j + 1) + 1).cast("int"))
-    }: _*)
+    // ADC: reconstruct each candidate from its codes and score the
+    // full-precision query against the reconstruction
+    val recon = pqRecon(codebooks)
     val vd = col("embedding").cast("array<double>")
     val queries = encoded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
@@ -519,10 +526,7 @@ object Similarity {
     val sq = graft.functions.GraftFunctions.sqDistL2 _
     val (enc1, trained) = pqTrained(spark, dir, m, ksub)
     val vd = col("embedding").cast("array<double>")
-    val recon = concat((0 until m).map { j =>
-      element_at(typedLit(trained(j).map(_.toIndexedSeq).toIndexedSeq),
-        (element_at(col("codes"), j + 1) + 1).cast("int"))
-    }: _*)
+    val recon = pqRecon(trained)
     val queries = enc1.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
     val scored = enc1.withColumn("rv", recon)
@@ -586,14 +590,9 @@ object Similarity {
     */
   private[graft] def pqReconError(encoded: DataFrame,
       cb: Array[Array[Array[Double]]]): Double = {
-    val m = cb.length
     val sq = graft.functions.GraftFunctions.sqDistL2 _
-    val recon = concat((0 until m).map { j =>
-      element_at(typedLit(cb(j).map(_.toIndexedSeq).toIndexedSeq),
-        (element_at(col("codes"), j + 1) + 1).cast("int"))
-    }: _*)
     encoded
-      .select(sq(col("embedding").cast("array<double>"), recon).as("d2"))
+      .select(sq(col("embedding").cast("array<double>"), pqRecon(cb)).as("d2"))
       .agg(coalesce(sum(col("d2")), lit(0.0))).head().getDouble(0)
   }
 

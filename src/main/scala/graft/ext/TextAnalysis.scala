@@ -230,17 +230,12 @@ object TextAnalysis {
     */
   private[graft] def bm25ScoresFor(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        size(split(col("text"), " ")).cast("double").as("dl"))
-    val stats = d.agg(count(lit(1)).cast("double").as("n"), sum(col("dl")).as("sl"))
-      .collect()(0)
-    val n = stats.getDouble(0)
-    val sl = stats.getDouble(1)
-    val tf = d.select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token").isInCollection(terms))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // ONE source of the corpus statistics (review r13: the stats and
+    // the scoring path previously computed n/sl/df independently —
+    // a drift hazard for the streaming twin's bit-identity contract)
+    val (n, sl, _) = bm25Stats(spark, dir, terms)
+    val d = bm25DocFrame(spark, dir)
+    val tf = bm25TfFrame(d, terms)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(df), "token")
       .withColumn("w",
@@ -265,18 +260,27 @@ object TextAnalysis {
     */
   private[graft] def bm25Stats(spark: SparkSession, dir: String,
       terms: Seq[String]): (Double, Double, Map[String, Long]) = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        size(split(col("text"), " ")).cast("double").as("dl"))
+    val d = bm25DocFrame(spark, dir)
     val stats = d.agg(count(lit(1)).cast("double").as("n"), sum(col("dl")).as("sl"))
       .collect()(0)
-    val dfRows = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token").isInCollection(terms))
-      .select(col("doc_id"), col("token")).distinct()
+    // df from the SAME tf-frame grouping the scorer joins against —
+    // one definition of "docs containing the term"
+    val dfRows = bm25TfFrame(d, terms)
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (stats.getDouble(0), stats.getDouble(1), dfRows)
   }
+
+  private def bm25DocFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+
+  private def bm25TfFrame(d: DataFrame, terms: Seq[String]): DataFrame =
+    d.select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
 
   /** Corpus-trained BPE token counting (round 9; round 10 upgrades the
     * learner to the TRUE iterative BPE loop — VERDICT r9 #3): LEARN a
@@ -601,7 +605,10 @@ object TextAnalysis {
         lit(10000L).as("qx0"),
         (col("n_tok") * 100).as("qx1"),
         expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000 div n_tok").as("qx2"),
-        expr("CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000 div length(text)").as("qx3"),
+        // empty-text guard: ANSI Spark throws on div 0 where DuckDB //
+        // yields NULL — pin the zero-length feature to 0 on BOTH
+        // engines instead (review r13)
+        expr("CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000 div length(text) END").as("qx3"),
         when(coalesce(col("keep_rep"), lit(true)) &&
           col("n_tok").between(5, 10000), lit(1000000L)).otherwise(lit(0L)).as("qy"))
   }
@@ -645,16 +652,12 @@ object TextAnalysis {
     lmScoreFor(Tables.documents(spark, dir))
 
   def lmScoreFor(docs: DataFrame): DataFrame = {
-    val (d2, vocab) = lmBigramFrames(docs)
-    // unigram table + total token count: the interpolation's backoff
-    // leg. Both are re-aggregations of corpus-token-bounded frames;
-    // the grand total is ONE bounded 1-row collect inlined as a
-    // literal (the vocab convention below).
+    val (d2, vocab, totTok) = lmBigramFrames(docs)
+    // unigram table: the interpolation's backoff leg — a
+    // corpus-token-bounded re-aggregation; vocab and the grand total
+    // came from lmBigramFrames' single stats pass.
     val cu = docs.select(explode(split(col("text"), " ")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("nu"))
-    val totTok = docs
-      .select(coalesce(sum(size(split(col("text"), " "))), lit(0L)).cast("long"))
-      .head().getLong(0)
     val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val p = lit(0.8) * ((col("n2") + lit(1.0)) / (col("n1") + lit(vocab.toDouble))) +
@@ -669,7 +672,10 @@ object TextAnalysis {
   }
 
   /** The shared bigram plumbing: (per-doc distinct bigram counts,
-    * vocabulary size). Bigrams come from a row-local array zip (NOT a
+    * vocabulary size, total token count — the two scalars from ONE
+    * aggregate pass, as the oracle's `v` CTE computes them; review
+    * r13 folded the former second collect). Bigrams come from a
+    * row-local array zip (NOT a
     * per-doc lead window): no shuffle and no sort exist before the
     * first aggregate, and the aggregate's partial (map-side) combine
     * collapses each doc's repeats before anything crosses the wire.
@@ -683,7 +689,7 @@ object TextAnalysis {
     * smaller), and the weighted mean sum(m·nll)/sum(m) equals the
     * per-occurrence mean exactly.
     */
-  private def lmBigramFrames(docs: DataFrame): (DataFrame, Long) = {
+  private def lmBigramFrames(docs: DataFrame): (DataFrame, Long, Long) = {
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
@@ -693,10 +699,10 @@ object TextAnalysis {
             |              try_element_at(toks, i + 1) AS w2)),
             |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val stats = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")), count(lit(1))).head()
     val d2 = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
-    (d2, vocab)
+    (d2, stats.getLong(0), stats.getLong(1))
   }
 
   /** The round-9 add-one pure-bigram scorer — kept ONLY as the spec's
@@ -705,7 +711,7 @@ object TextAnalysis {
     * convention).
     */
   private[graft] def lmScoreAddOneFor(docs: DataFrame): DataFrame = {
-    val (d2, vocab) = lmBigramFrames(docs)
+    val (d2, vocab, _) = lmBigramFrames(docs)
     val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     d2.join(c2, Seq("w1", "w2"))

@@ -345,6 +345,29 @@ class ExtSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (x, y) => x <= y }, "p_temp must be monotone in share")
   }
 
+  test("mixture temperature: a sub-quantum tail source keeps a nonzero weight, boost reads null") {
+    // the ADVICE-r13 fix's whole point: a source under ~5e-7 of corpus
+    // mass must NOT collapse to w = 0 (the rounded-share quantization
+    // did exactly that and then divided by zero in boost). Plant one:
+    // 4M head tokens vs a single tail token → share ≈ 2.5e-7, which
+    // rounds to 0.0 at 6 dp while sqrt(raw share) ≈ 5e-4 keeps ~500
+    // micro-units of weight.
+    val head = Array.fill(4000000)("a").mkString(" ")
+    val d = Seq(("big", head), ("tiny", "z")).toDF("source", "text")
+    val rows = graft.ext.Corpus.mixtureTemperatureFor(d)
+      .select(col("source"), col("share"), col("w"), col("p_temp"), col("boost"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), Option(r.get(4))))).toMap
+    val (tinyShare, tinyW, tinyP, tinyBoost) = rows("tiny")
+    assert(tinyShare == 0.0, s"fixture drift: tail share $tinyShare no longer sub-quantum")
+    assert(tinyW > 0L, "sub-quantum source lost its weight — the regression the fix removed")
+    assert(tinyP > 0.0, "sub-quantum source must keep tempered probability mass")
+    assert(tinyBoost.isEmpty, s"boost over a zero displayed share must be null, got $tinyBoost")
+    val (bigShare, _, _, bigBoost) = rows("big")
+    assert(bigShare > 0.999 && bigBoost.exists(_.asInstanceOf[Double] < 1.0),
+      "head domain must keep its down-weighting boost")
+  }
+
   test("lang confusion: shares sum to 1 per label, unknown langs land off-diagonal") {
     val rows = graft.ext.TextAnalysis.langConfusion(spark, "/root/testdata/sf0.01")
       .as[(String, String, Long, Long, Double)].collect()

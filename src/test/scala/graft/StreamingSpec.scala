@@ -125,6 +125,44 @@ class StreamingSpec extends SparkSpec {
     assert(view.count() == 6)
   }
 
+  test("generation-pinned reads: a pinned reader sees identical rows across a concurrent compact and append") {
+    val out = tmp("graft-gen-src"); val dest = tmp("graft-gen-dst") + "/gen2"
+    def batch(msgs: String*) = IngestPipeline.runBatch(
+      msgs.map(m => s"""{"@timestamp":"2025-1${1 + msgs.indexOf(m) % 2}-05T10:00:00Z","message":"$m"}""")
+        .toDF("value"),
+      IngestPipeline.Logstash)
+    ParquetStore.appendBatch(batch("a1", "a2"), out, batchId = 0)
+    ParquetStore.appendBatch(batch("b1", "b2"), out, batchId = 1)
+    ParquetStore.appendBatch(batch("c1", "c2"), out, batchId = 2)
+    // pin generation 2 = the bid<=2 snapshot, BEFORE any churn
+    ParquetStore.writeGenerationManifest(spark, out, upToBatchId = 2)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("message")).as[String].collect().toSet
+    val pinnedBefore = rowsOf(ParquetStore.openGeneration(spark, out, 2))
+    assert(pinnedBefore == Set("a1", "a2", "b1", "b2", "c1", "c2"))
+    // churn while the "query" runs: a compact of the pinned snapshot
+    // into a new generation root AND a post-pin append (a REPLAY of a
+    // pinned batch is the one churn the pin fails LOUDLY on — the
+    // bid-overwrite deletes manifested files, see the scaladoc's
+    // replay caveat — so it is deliberately not part of the
+    // identical-rows claim)
+    ParquetStore.compact(spark, out, dest, upToBatchId = Some(2L))
+    ParquetStore.appendBatch(batch("d1", "d2"), out, batchId = 3)
+    val pinnedAfter = rowsOf(ParquetStore.openGeneration(spark, out, 2))
+    assert(pinnedAfter == pinnedBefore,
+      "pinned generation changed under a concurrent compact/append")
+    // the unpinned root read DOES see the new batch — the pin is the
+    // only thing holding the snapshot
+    assert(rowsOf(spark.read.parquet(out)) == pinnedBefore ++ Set("d1", "d2"))
+    // manifesting the compacted root (no bid layer) completes the swap
+    // protocol: the new generation serves exactly the pinned rows
+    ParquetStore.writeGenerationManifest(spark, dest, upToBatchId = 2)
+    assert(rowsOf(ParquetStore.openGeneration(spark, dest, 2)) == pinnedBefore)
+    // manifests never pollute a plain parquet scan of the root
+    assert(spark.read.parquet(out).columns.toSet ==
+      spark.read.option("basePath", out).parquet(s"$out/bid=0").columns.toSet)
+  }
+
   test("z-order compacted layout prunes row groups on BOTH user and time predicates") {
     val out = tmp("graft-zorder-src")
     val destT = tmp("graft-zorder-t") + "/gen1"
