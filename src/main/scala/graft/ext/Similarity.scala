@@ -559,9 +559,17 @@ object Similarity {
       .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
         expr(s"g % $sub").cast("int").as("d"),
         floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
-    val codesExp = encoded.select(col("vec_id"),
-      posexplode(col("codes")).as(Seq("j", "code")))
-    val sums = elems.join(codesExp, Seq("vec_id", "j"))
+    // join the codes ARRAY and pick the subspace's code with
+    // element_at AFTER the exchange — posexplode(codes) put the whole
+    // 128-SqDistL2 encode expression inside one Generate stage, whose
+    // generated processNext() grew past janino's 64 KB method limit
+    // and dropped the stage to interpreted execution (review r13; the
+    // projection-only stage compiles, as x_sim_pq's scoring plan
+    // proves)
+    val codesByVec = encoded.select(col("vec_id"), col("codes"))
+    val sums = elems.join(codesByVec, Seq("vec_id"))
+      .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+        col("d"), col("qx"))
       .groupBy(col("j"), col("code"), col("d"))
       .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
       .collect() // bounded: m·ksub·sub rows
