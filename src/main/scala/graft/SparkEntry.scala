@@ -130,6 +130,7 @@ object SparkEntry {
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
+    "x_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)), // chars/token by language over the 64-merge table (round 13)
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "x_decontam_13gram" -> ((s, d) => Corpus.decontaminate13(s, d)), // the GPT-3/PaLM word-13-gram published standard (round 13)
     "x_eval_leakage" -> ((s, d) => Corpus.evalLeakage(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
     "x_decontam_semantic" -> ((s, d) => Corpus.decontaminateSemantic(s, d)),
@@ -160,6 +162,8 @@ object SparkEntry {
     "x_length_batching" -> ((s, d) => Corpus.lengthBatching(s, d)),
     "x_pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "x_pack_manifest"  -> ((s, d) => Corpus.packManifest(s, d)),
+    "x_span_corruption" -> ((s, d) => Corpus.spanCorruption(s, d)), // deterministic T5 denoising spans (round 13)
+    "x_fim_split"      -> ((s, d) => Corpus.fimSplit(s, d)), // fill-in-middle cut points + segment digests (round 13)
     "x_chunk_overlap" -> ((s, d) => Corpus.chunkOverlap(s, d)),
     "x_chunk_dedup"   -> ((s, d) => Corpus.chunkDedup(s, d)),
     "x_chunk_quality" -> ((s, d) => Corpus.chunkQuality(s, d)),
@@ -1595,6 +1599,15 @@ object SparkEntry {
     // slot to a chr(1)chr(1) sentinel that can never match, mirroring
     // the Spark learner's early stop.
     "x_token_bpe" -> bpeIterativeOracle,
+    // per-language fertility over the SAME 64-level BPE chain
+    "x_token_fertility" ->
+      s"""WITH $bpeOracleCtes
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(bpec.n_bpe) AS BIGINT) AS n_bpe,
+           round(CAST(sum(d.n_chars) AS DOUBLE) / CAST(sum(bpec.n_bpe) AS DOUBLE), 4) AS chars_per_token
+         FROM bpec JOIN documents d USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang""",
     "x_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -2142,6 +2155,59 @@ object SparkEntry {
              * ln(((kept_tok + 0.5) / (g.kt + 0.5 * g.ns)) / ((target_tok + 0.5) / (g.tt + 0.5 * g.ns))), 6) AS kl_contrib
          FROM per2, g ORDER BY source""",
     // Eval-set 8-gram overlap (docs 0-19 stand in for the benchmark).
+    // Word-13-gram decontamination — the GPT-3 appendix-C / PaLM
+    // published rule: ANY shared 13-token n-gram marks the document.
+    // Spark joins 8-byte xxhash64s, the oracle the literal strings —
+    // counts agree by the chunk-family collision-free contract.
+    "x_decontam_13gram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         arr AS (SELECT doc_id,
+             CASE WHEN len(toks) < 13 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i:i + 12], ' '))) END AS ngs
+           FROM t),
+         g AS (SELECT doc_id, unnest(ngs) AS ng FROM arr),
+         ev AS (SELECT DISTINCT ng FROM g WHERE doc_id < 20),
+         ov AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM g JOIN ev USING (ng) GROUP BY g.doc_id)
+         SELECT arr.doc_id, CAST(len(ngs) AS BIGINT) AS n_13g,
+           coalesce(ov.n_shared, 0) AS n_shared,
+           coalesce(ov.n_shared, 0) >= 1 AS contaminated
+         FROM arr LEFT JOIN ov ON arr.doc_id = ov.doc_id
+         ORDER BY arr.doc_id""",
+    // Deterministic T5 span corruption: one 3-token span per FULL
+    // 20-token block at an md5-derived offset (4-hex bucket mod 18);
+    // the partial tail block stays unmasked.
+    "x_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         b AS (SELECT doc_id, n_tok, n_tok // 20 AS n_blocks FROM t),
+         sp AS (SELECT doc_id, unnest(range(n_blocks)) AS bi FROM b),
+         spp AS (SELECT doc_id, bi,
+             bi * 20 + 1 + ${duckHex4("doc_id || ':' || bi")} % 18 AS st FROM sp),
+         man AS (SELECT doc_id,
+             string_agg(CAST(st AS VARCHAR) || '-3', ',' ORDER BY bi) AS spans
+           FROM spp GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tok, b.n_blocks,
+           CAST(b.n_blocks * 3 AS BIGINT) AS n_masked,
+           round(CAST(b.n_blocks * 3 AS DOUBLE) / b.n_tok, 4) AS mask_rate,
+           coalesce(man.spans, '') AS spans
+         FROM b LEFT JOIN man ON b.doc_id = man.doc_id
+         ORDER BY b.doc_id""",
+    // Fill-in-middle split: md5-derived cut points 0 <= a <= b <= n,
+    // segment digests prove the split itself (md5 is identical hex on
+    // both engines).
+    "x_fim_split" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, toks, n_tok,
+             ${duckHex4("doc_id || ':a'")} % (n_tok + 1) AS p_end FROM t),
+         c2 AS (SELECT doc_id, toks, n_tok, p_end,
+             p_end + ${duckHex4("doc_id || ':b'")} % (n_tok - p_end + 1) AS m_end FROM c)
+         SELECT doc_id, n_tok, p_end, m_end,
+           md5(coalesce(array_to_string(toks[1:CAST(p_end AS INT)], ' '), '')) AS prefix_md5,
+           md5(coalesce(array_to_string(toks[CAST(p_end + 1 AS INT):CAST(m_end AS INT)], ' '), '')) AS middle_md5,
+           md5(coalesce(array_to_string(toks[CAST(m_end + 1 AS INT):CAST(n_tok AS INT)], ' '), '')) AS suffix_md5
+         FROM c2 ORDER BY doc_id""",
     "x_decontam" ->
       """WITH g0 AS (
            SELECT DISTINCT doc_id,
@@ -2430,7 +2496,12 @@ object SparkEntry {
     * programmatically so each unrolled level is generated, not
     * hand-copied 8 times.
     */
-  private val bpeIterativeOracle: String = {
+  /** The 64-level BPE training/application CTE chain through the
+    * per-doc `bpec` counts — shared by x_token_bpe (the doc_id < 50
+    * report face) and x_token_fertility (the per-language audit), per
+    * the compose-never-copy convention.
+    */
+  private val bpeOracleCtes: String = {
     val nMerges = 64
     // never-matching sentinel for exhausted merge slots (corpus out of
     // pairs): chr(1) can't appear in alpha+placeholder+space text.
@@ -2452,7 +2523,7 @@ object SparkEntry {
     val appliedExpr = (1 to nMerges).foldLeft("joined") { (acc, r) =>
       s"replace($acc, ${mergeRef(r)}, chr(${57344 + r - 1}))"
     }
-    s"""WITH runs0 AS MATERIALIZED (
+    s"""runs0 AS MATERIALIZED (
            SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
              SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents)
            GROUP BY tok),
@@ -2460,17 +2531,23 @@ object SparkEntry {
          toks AS (SELECT doc_id,
                     array_to_string(regexp_extract_all(text, '[a-zA-Z]+'), ' ') AS joined,
                     len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_tok, text
-                  FROM documents WHERE doc_id < 50),
-         applied AS (SELECT doc_id, n_tok, text, $appliedExpr AS s FROM toks)
-         SELECT doc_id,
+                  FROM documents),
+         applied AS (SELECT doc_id, n_tok, text, $appliedExpr AS s FROM toks),
+         bpec AS (SELECT doc_id,
            CAST(length(s) - greatest(n_tok - 1, 0) AS BIGINT) AS n_subword,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
            CAST(length(s) - greatest(n_tok - 1, 0)
                 + len(regexp_extract_all(text, '[0-9]+'))
                 + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
-         FROM applied ORDER BY doc_id"""
+         FROM applied)"""
   }
+
+  private val bpeIterativeOracle: String =
+    s"""WITH $bpeOracleCtes
+       SELECT doc_id, n_subword, n_num, n_punct, n_bpe
+       FROM bpec WHERE doc_id < 50 ORDER BY doc_id"""
+
 
   /** As-of semantics shared by the join+aggregate and sort-merge
     * formulations: each event's most recent order date at or before it.
@@ -2686,6 +2763,17 @@ object SparkEntry {
        lm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                 round(sum(m * nll) / sum(m), 6) AS avg_nll
               FROM s GROUP BY doc_id)"""
+
+  /** DuckDB 4-hex md5 bucket (0..65535) of `arg` — the strpos-digit
+    * construction of the mixture-sample oracles (DuckDB has no conv);
+    * the SQL twin of Spark's
+    * `CAST(conv(substring(md5(arg), 1, 4), 16, 10) AS BIGINT)`.
+    */
+  private def duckHex4(arg: String): String =
+    s"""CAST(((strpos('0123456789abcdef', substring(md5($arg), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substring(md5($arg), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(md5($arg), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5($arg), 4, 1)) - 1)) AS BIGINT)"""
 
   /** The 6-dp linear quality score over `text` — the SQL twin of
     * TextAnalysis.qualityScore, shared by every oracle that scores

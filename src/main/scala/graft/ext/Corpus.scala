@@ -301,6 +301,41 @@ object Corpus {
   def decontaminate(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame =
     decontaminateFor(spark, dir, minShared).orderBy(col("doc_id"))
 
+  /** Word-13-gram decontamination (x_decontam_13gram, round 13) — the
+    * PUBLISHED standard: GPT-3's appendix C and PaLM both define
+    * train/eval contamination as a shared 13-token n-gram, where the
+    * 8-char shingle gate above is this engine's finer-grained variant.
+    * Any single shared 13-gram marks the document (the papers' rule —
+    * a 13-token verbatim run is already beyond-chance duplication),
+    * so the two gates disagree exactly on short paraphrase-level
+    * overlap, which is why pipelines publish WHICH definition they
+    * enforced.
+    *
+    * 100 TB shape: the corpus side emits per-doc DISTINCT 13-gram
+    * xxhash64s row-locally (hashes, not strings — 8 bytes crossing
+    * the wire per gram; the oracle joins the literal strings, counts
+    * agree by the chunk-family's collision-free contract), the tiny
+    * eval side broadcasts, and the corpus never shuffles.
+    */
+  def decontaminate13(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    val arr = Tables.documents(spark, dir).select(col("doc_id"),
+      expr(
+        s"""CASE WHEN size(split(text, ' ')) < $n THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+              i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, $n)))))
+            END""").as("ngs"))
+    val g = arr.select(col("doc_id"), explode(col("ngs")).as("ng"))
+    val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
+    val overlap = g.join(broadcast(evalSet), "ng")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    arr.select(col("doc_id"), size(col("ngs")).cast("long").as("n_13g"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_13g"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= 1).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The contamination flags without the presentation sort — for
     * consumers that join them ([[graft.ext.Dedup.filterFunnel]]).
     */
@@ -514,6 +549,71 @@ object Corpus {
     * Wall-clock is two narrow passes; no stage sees more than one
     * bucket's rows in order.
     */
+  /** Deterministic T5-style span corruption (x_span_corruption, round
+    * 13) — the denoising-objective data-prep step (Raffel et al.'s
+    * ~15% corruption in short spans): tokens are masked in spans of 3
+    * within fixed 20-token blocks, one span per FULL block at an
+    * md5-derived offset, giving exactly 15% corruption of full-block
+    * mass with non-overlapping spans BY CONSTRUCTION (the true T5
+    * sampler draws spans at random; a replayable 100 TB pipeline
+    * wants the seeded block-stratified variant so every re-run, and
+    * the oracle, masks the identical positions — the mixtureSample
+    * md5-bucket discipline). The partial tail block is left unmasked
+    * (documented: corruption rate reads n_masked/n_tok < 15% for
+    * short docs). Emits the span manifest "start-3,…" (1-based token
+    * positions, the pack-manifest string convention).
+    *
+    * 100 TB shape: pure row-local md5 arithmetic on one narrow scan —
+    * zero shuffle until the presentation sort.
+    */
+  def spanCorruption(spark: SparkSession, dir: String,
+      block: Int = 20, span: Int = 3): DataFrame = {
+    require(span <= block, "span must fit its block")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("n_blocks", expr(s"n_tok div $block"))
+      .withColumn("n_masked", col("n_blocks") * span)
+      .select(col("doc_id"), col("n_tok"), col("n_blocks"), col("n_masked"),
+        round(col("n_masked").cast("double") / col("n_tok"), 4).as("mask_rate"),
+        expr(
+          s"""CASE WHEN n_blocks = 0 THEN ''
+              ELSE array_join(transform(sequence(1, CAST(n_blocks AS INT)),
+                bi -> concat(CAST((bi - 1) * $block + 1 +
+                  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(bi - 1 AS STRING))), 1, 4), 16, 10) AS BIGINT) % ${block - span + 1}
+                  AS STRING), '-$span')), ',')
+              END""").as("spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fill-in-the-middle split (x_fim_split, round 13) — the FIM
+    * transformation of code/text pretraining (Bavarian et al. 2022:
+    * move a random middle span to the end so the model learns infill):
+    * two md5-derived cut points 0 ≤ a ≤ b ≤ n split each document
+    * into prefix/middle/suffix; emitted as the cut positions plus the
+    * md5 of each segment (portable digests — both engines hash the
+    * identical reassembled strings, so the hash gate proves the SPLIT,
+    * not just the counts). Deterministic md5 arithmetic per the
+    * [[mixtureSample]] bucket discipline; empty segments hash the
+    * empty string on both engines.
+    *
+    * 100 TB shape: pure row-local projection, zero shuffle until the
+    * presentation sort.
+    */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(tag: String) =
+      s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':$tag')), 1, 4), 16, 10) AS BIGINT)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("p_end", expr(s"${bucket("a")} % (n_tok + 1)"))
+      .withColumn("m_end", expr(s"p_end + ${bucket("b")} % (n_tok - p_end + 1)"))
+      .select(col("doc_id"), col("n_tok"), col("p_end"), col("m_end"),
+        md5(expr("concat_ws(' ', slice(toks, 1, CAST(p_end AS INT)))")).as("prefix_md5"),
+        md5(expr("concat_ws(' ', slice(toks, CAST(p_end + 1 AS INT), CAST(m_end - p_end AS INT)))")).as("middle_md5"),
+        md5(expr("concat_ws(' ', slice(toks, CAST(m_end + 1 AS INT), CAST(n_tok - m_end AS INT)))")).as("suffix_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def packBins(spark: SparkSession, dir: String, budget: Long = 2048, parts: Int = 32): DataFrame =
     tokenPrefixFrame(spark, dir, parts) match {
       case None =>

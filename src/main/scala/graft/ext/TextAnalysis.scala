@@ -470,6 +470,32 @@ object TextAnalysis {
       .withColumn("n_bpe", col("n_subword") + col("n_num") + col("n_punct"))
   }
 
+  /** Tokenizer fertility audit (x_token_fertility, round 13) — chars
+    * per BPE token by language over the corpus-trained 64-merge table:
+    * THE standard tokenizer-selection measurement (a language whose
+    * fertility is poor pays more sequence length per character, which
+    * directly inflates its training and serving cost — the reason
+    * multilingual tokenizer papers report per-language fertility
+    * tables). Rides [[bpeTokenCountsFor]] corpus-wide; integer
+    * char/token sums per language with one terminal rounded division.
+    *
+    * 100 TB shape: the BPE application's narrow scan feeding a
+    * |langs|-row hash aggregate — nothing beyond the counts shuffles.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = bpeTokenCountsFor(docs).select(col("doc_id"), col("n_bpe"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(counts, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("n_bpe")).cast("long").as("n_bpe"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_bpe")).cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** Quality-classifier inference — the "run a trained quality model
     * over every document" stage (fastText-style educational-value /
     * quality classifiers in DCLM- and FineWeb-style pipelines). The

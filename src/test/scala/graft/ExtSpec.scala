@@ -1109,6 +1109,83 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
+  test("13-gram decontam: eval docs self-cover, short docs exempt, shared counts bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.decontaminate13(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, n13, shared, cont) =>
+      assert(shared <= n13, s"doc $id shares more 13-grams than it has")
+      assert(cont == (shared >= 1), s"doc $id flag inconsistent")
+      // the eval set is built from doc_id < 20: each eval doc's own
+      // distinct 13-grams are all in the set by construction
+      if (id < 20) assert(shared == n13, s"eval doc $id must self-cover")
+      if (n13 == 0) assert(!cont, s"sub-13-token doc $id cannot be contaminated")
+    }
+    assert(rows.exists(_._2 == 0), "fixture drift: no sub-13-token docs left")
+    // word-13-grams are far rarer than 8-char shingles on this corpus:
+    // the published gate must NOT reproduce the char-shingle gate's
+    // flag-everything degeneracy (the funnel's documented catch)
+    assert(rows.count(r => r._1 >= 20 && r._4) < rows.length / 2,
+      "13-gram gate degenerated to flagging most of the corpus")
+  }
+
+  test("span corruption: one span per full block, in-block offsets, exact 15% of full-block mass") {
+    val rows = graft.ext.Corpus.spanCorruption(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, nTok, nBlocks, nMasked, rate, spans) =>
+      assert(nBlocks == nTok / 20, s"doc $id block count")
+      assert(nMasked == nBlocks * 3, s"doc $id masked count")
+      assert(rate == math.rint(nMasked.toDouble / nTok * 1e4) / 1e4, s"doc $id rate")
+      val parsed = if (spans.isEmpty) Array.empty[(Long, Long)]
+        else spans.split(',').map { t => val Array(a, b) = t.split('-'); (a.toLong, b.toLong) }
+      assert(parsed.length == nBlocks, s"doc $id span count vs blocks")
+      parsed.zipWithIndex.foreach { case ((st, len), b) =>
+        assert(len == 3)
+        // span sits inside its own block: no overlap BY CONSTRUCTION
+        assert(st >= b * 20 + 1 && st + 2 <= (b + 1) * 20, s"doc $id span $st escapes block $b")
+      }
+    }
+    assert(rows.exists(_._4 > 0), "fixture drift: nothing masked anywhere")
+  }
+
+  test("FIM split: cut points ordered and in range, segment digests reconstruct the document") {
+    val dir = "/root/testdata/sf0.001"
+    val text = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val rows = graft.ext.Corpus.fimSplit(spark, dir)
+      .as[(Long, Long, Long, Long, String, String, String)].collect()
+    assert(rows.length == 500)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { case (id, n, a, b, pm, mm, sm) =>
+      assert(0 <= a && a <= b && b <= n, s"doc $id cuts out of order: $a $b $n")
+      val toks = text(id).split(' ')
+      assert(toks.length == n)
+      assert(pm == md5hex(toks.slice(0, a.toInt).mkString(" ")), s"doc $id prefix digest")
+      assert(mm == md5hex(toks.slice(a.toInt, b.toInt).mkString(" ")), s"doc $id middle digest")
+      assert(sm == md5hex(toks.slice(b.toInt, n.toInt).mkString(" ")), s"doc $id suffix digest")
+    }
+    // the md5-derived cuts actually vary (not all degenerate splits)
+    assert(rows.count(r => r._3 > 0 && r._4 > r._3 && r._4 < r._2) > 100,
+      "fixture drift: almost no real three-way splits")
+  }
+
+  test("token fertility: per-language totals reconcile with the per-doc BPE counts") {
+    val dir = "/root/testdata/sf0.001"
+    val fert = graft.ext.TextAnalysis.tokenFertility(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(fert.nonEmpty)
+    assert(fert.map(_._2).sum == 500, "language doc counts must cover the corpus")
+    fert.foreach { case (lang, _, nChars, nBpe, cpt) =>
+      assert(nBpe > 0 && nChars > 0, s"$lang empty totals")
+      assert(cpt == math.rint(nChars.toDouble / nBpe * 1e4) / 1e4, s"$lang ratio")
+      assert(cpt > 0.5 && cpt < 30, s"$lang fertility $cpt implausible")
+    }
+  }
+
   test("trained quality classifier: GD weights beat the hand-set scorer on held-out ranking") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
