@@ -104,6 +104,7 @@ object SparkEntry {
     "x_split_leakage"   -> (Dedup.splitLeakage _),   // near-dup pairs straddling train/val/test (rides the warm pair frame)
     "x_quality_vs_dup"  -> (Dedup.qualityVsDup _),   // per-quality-stage dup rate (rides the warm pair frame)
     "x_source_overlap"  -> (Dedup.sourceOverlap _),  // cross-source syndication matrix (rides the warm pair frame)
+    "x_dataset_card"    -> (Dedup.datasetCard _),    // per-source datasheet summary (rides the warm pair frame)
     "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
     "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_text_outliers"   -> (TextAnalysis.textOutliers _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
+    "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13)
     "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
@@ -212,7 +214,7 @@ object SparkEntry {
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
       "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup", "x_source_overlap",
-      "x_filter_funnel",
+      "x_filter_funnel", "x_dataset_card",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -237,7 +239,7 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
-        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel")
+        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     val simhashChain =
       Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters", "x_detector_overlap")
@@ -2208,6 +2210,47 @@ object SparkEntry {
            md5(coalesce(array_to_string(toks[CAST(p_end + 1 AS INT):CAST(m_end AS INT)], ' '), '')) AS middle_md5,
            md5(coalesce(array_to_string(toks[CAST(m_end + 1 AS INT):CAST(n_tok AS INT)], ' '), '')) AS suffix_md5
          FROM c2 ORDER BY doc_id""",
+    // CCNet head/middle/tail: per-language exact terciles by rank with
+    // all-integer thresholds (rn*3 <= n, rn*3 <= 2n), (avg_nll, doc_id)
+    // total order — no quantile interpolation to drift cross-engine.
+    "x_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+         lgl AS (SELECT lm.doc_id, lm.avg_nll, d.lang
+                 FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+         r AS (SELECT doc_id, lang, avg_nll,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+               FROM lgl)
+         SELECT doc_id, lang, avg_nll, rn, n_lang,
+           CASE WHEN rn * 3 <= n_lang THEN 'head'
+                WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
+    // Per-source dataset card: doc/token volume, near-dup involvement,
+    // quality-gate keep share, language breadth — the ngram pair CTEs
+    // + the shared quality score, rolled to sources.
+    "x_dataset_card" ->
+      s"""WITH $ngramPairCtes,
+         pairs AS (
+           SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         dd AS (SELECT DISTINCT unnest([d1, d2]) AS doc_id FROM pairs),
+         base AS (SELECT d.doc_id, d.source, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             ($qualityScoreSql) > 0 AS keep_q,
+             dd.doc_id IS NOT NULL AS is_dup
+           FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id),
+         lg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+                FROM (SELECT DISTINCT source, lang FROM base) GROUP BY source)
+         SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tok) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN b.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN b.is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_share,
+           CAST(sum(CASE WHEN b.keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality,
+           round(CAST(sum(CASE WHEN b.keep_q THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS quality_keep_share,
+           any_value(lg.n_langs) AS n_langs
+         FROM base b JOIN lg ON b.source = lg.source
+         GROUP BY b.source ORDER BY b.source""",
     "x_decontam" ->
       """WITH g0 AS (
            SELECT DISTINCT doc_id,

@@ -924,6 +924,48 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Per-source dataset card (x_dataset_card, round 13) — the
+    * datasheets-for-datasets summary row a pipeline publishes per
+    * domain before training: document and token volume, near-dup
+    * involvement share (the [[qualityVsDup]] pair-membership read
+    * rolled to sources), quality-gate keep share, and language
+    * breadth. One row per source; the per-stage funnel
+    * ([[filterFunnel]]) answers "where do docs die", this card
+    * answers "what is each domain made of".
+    *
+    * Rides the memoized pair frame in the keep-warm chain (prices
+    * only its own |sources|-row aggregates); the language breadth is
+    * a dedup-first distinct-then-count (no Expand — the
+    * x_ngram_diversity discipline). 100 TB shape: one narrow corpus
+    * scan + the pair-mass-bounded dup-doc join + two bounded
+    * aggregates.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dupDocs = pairFrame(spark, dir)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct().withColumn("is_dup", lit(true))
+    val langs = docs.select(col("source"), col("lang")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (TextAnalysis.qualityScore > 0).as("keep_q"))
+      .join(dupDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as("n_keep_quality"))
+      .join(broadcast(langs), "source")
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 4).as("dup_share"),
+        col("n_keep_quality"),
+        round(col("n_keep_quality").cast("double") / col("n_docs"), 4).as("quality_keep_share"),
+        col("n_langs"))
+      .orderBy(col("source"))
+  }
+
   /** Size-adaptive connected components over any (d1, d2) pair frame —
     * the solve behind [[dedupClusters]], reusable by any near-dup pair
     * producer (e.g. [[Similarity.semanticClusters]]'s within-cell

@@ -791,6 +791,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet perplexity buckets (x_ppl_buckets, round 13) — the
+    * head/middle/tail split of Wenzek et al.'s CCNet pipeline: within
+    * each language, documents rank by LM perplexity and split into
+    * terciles; pipelines train on head(+middle) and audit or drop the
+    * tail. Exact per-language terciles via the stratified-split
+    * discipline — a KEYED window ranks (avg_nll, doc_id) per lang and
+    * ALL-INTEGER thresholds (rn·3 ≤ n, rn·3 ≤ 2n) cut the buckets, so
+    * both engines agree bit-for-bit with no quantile interpolation.
+    * One-token documents have no bigram support and no bucket (the
+    * [[lmScore]] support contract).
+    *
+    * 100 TB shape: [[lmScore]]'s own shape plus one per-language
+    * window (keyed, never global — plan-lint enforced) and a
+    * broadcast |langs|-row count join.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lg = lmScoreFor(docs)
+      .select(col("doc_id"), col("avg_nll"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+    val counts = lg.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    lg.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "lang")
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n_lang"), "head")
+          .when(col("rn") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        col("rn"), col("n_lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style line-level boilerplate removal: split every document into
     * "lines" (here: non-overlapping `width`-token chunks — the corpus has
     * no newlines, so aligned token windows stand in for sentences), count

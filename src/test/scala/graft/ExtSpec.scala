@@ -1109,6 +1109,50 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
+  test("ppl buckets: exact per-language terciles, monotone in nll, full lmScore support covered") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.pplBuckets(spark, dir)
+      .as[(Long, String, Double, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.head._5
+      assert(rs.length == n, s"$lang n_lang mismatch")
+      assert(rs.map(_._4).sorted.toSeq == (1L to n).toSeq, s"$lang rank gap")
+      // tercile sizes from the integer thresholds, within one doc of n/3
+      val sizes = rs.groupBy(_._6).view.mapValues(_.length).toMap
+      assert(sizes.getOrElse("head", 0) == n / 3, s"$lang head size")
+      assert(sizes.getOrElse("middle", 0) == n * 2 / 3 - n / 3, s"$lang middle size")
+      // bucket order follows nll order: max head nll <= min tail nll
+      val byB = rs.groupBy(_._6).view.mapValues(_.map(_._3)).toMap
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.max <= t.min, s"$lang buckets out of order")
+    }
+    // support = lmScore's (multi-token docs only) — the documented contract
+    val lmN = graft.ext.TextAnalysis.lmScore(spark, dir).count()
+    assert(rows.length.toLong == lmN)
+  }
+
+  test("dataset card: totals reconcile with the corpus and the pair frame") {
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.ext.Dedup.datasetCard(spark, dir)
+      .as[(String, Long, Long, Long, Double, Long, Double, Long)].collect()
+    assert(card.nonEmpty)
+    assert(card.map(_._2).sum == 500, "doc counts must cover the corpus")
+    val totTok = Tables.documents(spark, dir)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    assert(card.map(_._3).sum == totTok, "token totals must reconcile")
+    card.foreach { case (src, nDocs, _, nDup, dupShare, nKeep, keepShare, nLangs) =>
+      assert(nDup <= nDocs && nKeep <= nDocs, s"$src counts exceed docs")
+      assert(dupShare == math.rint(nDup.toDouble / nDocs * 1e4) / 1e4, s"$src dup share")
+      assert(keepShare == math.rint(nKeep.toDouble / nDocs * 1e4) / 1e4, s"$src keep share")
+      assert(nLangs >= 1, s"$src no languages")
+    }
+    // dup involvement reconciles with the pair graph's doc membership
+    val dupDocs = graft.ext.Dedup.ngramJaccardPairs(spark, dir)
+      .select(explode(array(col("d1"), col("d2")))).distinct().count()
+    assert(card.map(_._4).sum == dupDocs, "dup-doc mass must reconcile with the pair frame")
+  }
+
   test("13-gram decontam: eval docs self-cover, short docs exempt, shared counts bounded") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Corpus.decontaminate13(spark, dir)
