@@ -825,6 +825,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The standing-LM artifacts a streaming perplexity router needs
+    * (see [[graft.streaming.EventsStream.pplBandFor]]): the joined
+    * (w1, w2, n2, n1, nu) count table as ONE static frame plus the
+    * (vocab, total-token) scalars — the model CCNet would load from a
+    * KenLM artifact, here trained on the standing corpus by the same
+    * aggregates [[lmScoreFor]] runs.
+    */
+  private[graft] def lmTable(docs: DataFrame): (DataFrame, Long, Long) = {
+    val (d2, vocab, tot) = lmBigramFrames(docs)
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val cu = docs.select(explode(split(col("text"), " ")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nu"))
+    (c2.join(c1, Seq("w1")).join(cu, Seq("w2")), vocab, tot)
+  }
+
+  /** Per-language perplexity-band boundaries from [[pplBuckets]]'s
+    * exact terciles — (lang, head_max, middle_max), the bounded
+    * |langs|-row artifact the streaming router inlines (the
+    * stageAssignStream bounds convention).
+    */
+  private[graft] def pplBandBounds(spark: SparkSession, dir: String): Map[String, (Double, Double)] =
+    pplBuckets(spark, dir)
+      .groupBy(col("lang"))
+      .agg(max(when(col("bucket") === "head", col("avg_nll"))).as("head_max"),
+        max(when(col("bucket") =!= "tail", col("avg_nll"))).as("middle_max"))
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).fold(Double.NegativeInfinity)(_.asInstanceOf[Double]),
+        Option(r.get(2)).fold(Double.NegativeInfinity)(_.asInstanceOf[Double])))).toMap
+
   /** C4-style line-level boilerplate removal: split every document into
     * "lines" (here: non-overlapping `width`-token chunks — the corpus has
     * no newlines, so aligned token windows stand in for sentences), count

@@ -856,6 +856,63 @@ object EventsStream {
       window: Int = 64, stride: Int = 48): DataFrame =
     graft.ext.Corpus.chunkQualityFor(docs, window, stride)
 
+  /** Perplexity-band router (round 13) — the online face of
+    * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail
+    * routing applied AT THE DOOR: arriving documents score against a
+    * STANDING language model (the (w1, w2, n2, n1, nu) count table of
+    * [[graft.ext.TextAnalysis]]'s lmTable — the artifact CCNet loads
+    * from KenLM) and band against the batch terciles' nll boundaries
+    * broadcast as literals. Written as a foreachBatch body (a function
+    * over each arriving micro-batch frame): the per-doc NLL aggregate
+    * is then a plain BATCH aggregate over docs that arrived whole — no
+    * streaming aggregation state at all, the strictest reading of the
+    * bounded-state discipline; the LM table joins stream-static and
+    * re-plans per micro-batch.
+    *
+    * Semantics vs batch: identical smoothing arithmetic; bigrams the
+    * standing LM has never seen (impossible on a self-trained corpus
+    * replay, routine for genuinely new text) coalesce to zero counts,
+    * which IS the interpolated model's unseen-mass answer. Banding by
+    * boundary value assigns an nll exactly EQUAL to a boundary to the
+    * lower band, matching the batch rank cut except on cross-doc nll
+    * ties at the boundary itself (spec-asserted off-tie row identity).
+    */
+  def pplBandFor(arrivals: DataFrame, lmTable: DataFrame, vocab: Long, totTok: Long,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val bg = arrivals
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
+            |  i -> struct(element_at(toks, i) AS w1,
+            |              try_element_at(toks, i + 1) AS w2)),
+            |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val p = lit(0.8) * ((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("n1"), lit(0L)) + lit(vocab.toDouble))) +
+      lit(0.2) * ((coalesce(col("nu"), lit(0L)) + lit(1.0)) /
+        lit(totTok.toDouble + vocab.toDouble))
+    val headMax = bounds.map { case (l, (h, _)) => (l, h) }
+    val midMax = bounds.map { case (l, (_, m)) => (l, m) }
+    def lookup(m: Map[String, Double]): org.apache.spark.sql.Column =
+      m.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (l, v)) =>
+        when(col("lang") === lit(l), lit(v)).otherwise(acc)
+      }
+    // distinct-bigram weighting BEFORE the join — the batch d2 frame's
+    // exact arithmetic structure (sum(m·nll)/sum(m)), so the addends
+    // match the batch face term-for-term
+    val d2 = bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    d2.join(lmTable, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))
+      .withColumn("bucket",
+        when(col("avg_nll") <= lookup(headMax), "head")
+          .when(col("avg_nll") <= lookup(midMax), "middle")
+          .otherwise("tail"))
+  }
+
   /** Streaming language router — the online face of the marker
     * language-ID: arriving documents get the [[graft.ext.TextAnalysis]]
     * marker scores + deterministic argmax ROW-LOCALLY (the exact

@@ -1052,6 +1052,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows2("UNKNOWN")._3 && rows2("UNKNOWN")._1 > 0.0, "unknown source must flag")
   }
 
+  test("perplexity-band router: corpus replay reproduces the batch buckets off boundary ties") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val (lm, vocab, tot) = graft.ext.TextAnalysis.lmTable(docs)
+    val bounds = graft.ext.TextAnalysis.pplBandBounds(spark, dir)
+    assert(bounds.nonEmpty)
+    // the foreachBatch body over one "arriving" micro-batch = the corpus
+    val routed = graft.streaming.EventsStream
+      .pplBandFor(docs.select(col("doc_id"), col("lang"), col("text")), lm, vocab, tot, bounds)
+      .select(col("doc_id"), col("avg_nll"), col("bucket"))
+      .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val batch = graft.ext.TextAnalysis.pplBuckets(spark, dir)
+      .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
+      .as[(Long, String, Double, String)].collect()
+    assert(batch.nonEmpty && routed.size == batch.length,
+      "router must score exactly the lmScore support")
+    // nll agreement is exact (same addends, one terminal round); bucket
+    // agreement holds except where several docs TIE exactly on a
+    // boundary nll (the batch rank cut splits ties by doc_id, the
+    // boundary cut cannot — documented)
+    val boundaryVals = bounds.values.flatMap(t => Seq(t._1, t._2)).toSet
+    batch.foreach { case (id, _, nll, bucket) =>
+      val (snll, sbucket) = routed(id)
+      assert(snll == nll, s"doc $id: stream nll $snll vs batch $nll")
+      if (!boundaryVals.contains(nll))
+        assert(sbucket == bucket, s"doc $id: stream bucket $sbucket vs batch $bucket (nll $nll)")
+    }
+    // a genuinely NEW doc (unseen bigrams) still routes — the unseen
+    // mass answer, impossible for the self-trained batch face
+    val fresh = Seq((999999L, "en", "zzz qqq vvv kkk www")).toDF("doc_id", "lang", "text")
+    val freshOut = graft.streaming.EventsStream.pplBandFor(fresh, lm, vocab, tot, bounds)
+      .select(col("bucket")).as[String].collect()
+    assert(freshOut.toSeq == Seq("tail"), s"garble must route to tail, got ${freshOut.toSeq}")
+  }
+
   test("streaming BM25 scorer: row-identical to the batch scores, termless docs score exactly zero") {
     val dir = "/root/testdata/sf0.001"
     val terms = Seq("hash", "merge", "window")
