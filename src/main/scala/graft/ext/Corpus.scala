@@ -318,12 +318,15 @@ object Corpus {
     * eval side broadcasts, and the corpus never shuffles.
     */
   def decontaminate13(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the compiled TokenWindowHashes kernel (repetitionScores' bigram
+    // engine at width 13): one byte-level pass per doc — the
+    // transform/slice HOF formulation re-ran the regex split per
+    // position and measured 9.2 s at sf0.1 vs ~1 s compiled (the
+    // lmScore interpreted-lambda tax, review r13)
     val arr = Tables.documents(spark, dir).select(col("doc_id"),
-      expr(
-        s"""CASE WHEN size(split(text, ' ')) < $n THEN CAST(array() AS ARRAY<BIGINT>)
-            ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-              i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, $n)))))
-            END""").as("ngs"))
+      array_distinct(graft.functions.GraftFunctions
+        .tokenWindowHashes(col("text"), n)).as("ngs"))
     val g = arr.select(col("doc_id"), explode(col("ngs")).as("ng"))
     val evalSet = g.filter(col("doc_id") < 20).select(col("ng")).distinct()
     val overlap = g.join(broadcast(evalSet), "ng")
