@@ -232,12 +232,20 @@ object TextAnalysis {
       terms: Seq[String]): DataFrame = {
     // ONE source of the corpus statistics (review r13: the stats and
     // the scoring path previously computed n/sl/df independently —
-    // a drift hazard for the streaming twin's bit-identity contract)
-    val (n, sl, _) = bm25Stats(spark, dir, terms)
+    // a drift hazard for the streaming twin's bit-identity contract).
+    // The collected df map is inlined as literals below (ADVICE r13:
+    // the old in-plan groupBy+join recomputed df from the same frame
+    // bm25Stats had already aggregated and collected — an extra corpus
+    // scan whose result was discarded; inlining also leaves exactly one
+    // df definition for the streaming twin to agree with).
+    val (n, sl, dfMap) = bm25Stats(spark, dir, terms)
     val d = bm25DocFrame(spark, dir)
     val tf = bm25TfFrame(d, terms)
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = tf.join(broadcast(df), "token")
+    val dfCol = terms.foldLeft(lit(0L)) { case (acc, t) =>
+      when(col("token") === lit(t), lit(dfMap.getOrElse(t, 0L))).otherwise(acc)
+    }
+    val w = tf
+      .withColumn("df", dfCol)
       .withColumn("w",
         log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
           col("tf") * (lit(1.2) + lit(1.0)) /

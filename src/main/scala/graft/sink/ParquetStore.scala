@@ -324,12 +324,18 @@ object ParquetStore {
       val relSegments = p.toUri.getPath.stripPrefix(rootUri).split('/')
       val hidden = relSegments.exists(s => s.startsWith("_") || s.startsWith("."))
       if (!hidden && name.endsWith(".parquet")) {
-        // a file under a bid=N segment belongs iff N <= upToBatchId; a
-        // file with no bid segment (compacted root) always belongs
-        val bid = p.toString.split('/')
-          .find(_.startsWith(s"$BatchCol="))
-          .flatMap(_.stripPrefix(s"$BatchCol=").toLongOption)
-        if (bid.forall(_ <= upToBatchId)) files += p.toString
+        // a file under a bid=N segment belongs iff N parses AND
+        // N <= upToBatchId (an unparseable bid= value is excluded,
+        // matching [[compact]]'s snapshot filter — ADVICE r13: the two
+        // generation-bound paths must judge a malformed layout the same
+        // way); a file with no bid segment (compacted root) always
+        // belongs
+        val bidSeg = p.toString.split('/').find(_.startsWith(s"$BatchCol="))
+        val belongs = bidSeg match {
+          case None      => true
+          case Some(seg) => seg.stripPrefix(s"$BatchCol=").toLongOption.exists(_ <= upToBatchId)
+        }
+        if (belongs) files += p.toString
       }
     }
     require(files.nonEmpty, s"no parquet files with $BatchCol<=$upToBatchId under $path")
