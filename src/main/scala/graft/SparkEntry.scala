@@ -135,9 +135,10 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
+    "x_lm_score_lang"   -> ((s, d) => TextAnalysis.lmLangScores(s, d).orderBy("doc_id")), // per-language-conditioned JM model (round 14); anchors the ppl chain's memo
     "x_text_outliers"   -> (TextAnalysis.textOutliers _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
-    "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13)
+    "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13; round 14: boundary compare via distributed selection, per-lang LM)
     "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
@@ -222,7 +223,12 @@ object SparkEntry {
       // and the simhash family: clusters rides the memoized
       // fingerprint frame x_dedup_simhash_pairs just re-banded, and
       // the detector-agreement matrix consumes the same pair memo
-      "x_dedup_simhash_clusters", "x_detector_overlap")
+      "x_dedup_simhash_clusters", "x_detector_overlap",
+      // round 14: the perplexity family rides the memoized per-language
+      // LM score frame x_lm_score_lang just built — buckets price the
+      // boundary selection + row-local banding, outliers the |langs|-row
+      // moments, not three LM trainings
+      "x_ppl_buckets", "x_text_outliers")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -243,8 +249,9 @@ object SparkEntry {
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     val simhashChain =
       Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters", "x_detector_overlap")
-    require((warmChain ++ chunkChain ++ simhashChain).forall(queries.contains),
-      s"ordered-run contract expects ${(warmChain ++ chunkChain ++ simhashChain).mkString(", ")} in " +
+    val lmChain = Seq("x_lm_score_lang", "x_ppl_buckets", "x_text_outliers")
+    require((warmChain ++ chunkChain ++ simhashChain ++ lmChain).forall(queries.contains),
+      s"ordered-run contract expects ${(warmChain ++ chunkChain ++ simhashChain ++ lmChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -252,6 +259,7 @@ object SparkEntry {
         case "x_dedup_ngram"          => warmChain
         case "x_chunk_neardup"        => chunkChain
         case "x_dedup_simhash_pairs"  => simhashChain
+        case "x_lm_score_lang"        => lmChain
         case n                        => Seq(n)
       }
   }
@@ -2011,14 +2019,15 @@ object SparkEntry {
     "x_lm_score" ->
       s"""WITH $lmScoreCtes
          SELECT doc_id, n_bigrams, avg_nll FROM lm ORDER BY doc_id""",
-    // Per-language perplexity outliers over the bigram-LM scores:
-    // avg_nll quantized to integer 1e-5 units, order-immune per-lang
-    // moments, two-sided |z| >= 2 flag (garbled AND templated tails).
+    // Per-language perplexity outliers over the per-language-CONDITIONED
+    // LM scores (round 14): avg_nll quantized to integer 1e-5 units,
+    // order-immune per-lang moments, two-sided |z| >= 2 flag (garbled
+    // AND templated tails).
     "x_text_outliers" ->
-      s"""WITH $lmScoreCtes,
-         lg AS (SELECT lm.doc_id, documents.lang, lm.avg_nll,
-                  CAST(round(lm.avg_nll * 1e5) AS BIGINT) AS am
-                FROM lm JOIN documents ON lm.doc_id = documents.doc_id),
+      s"""WITH $lmLangScoreCtes,
+         lg AS (SELECT doc_id, lang, avg_nll,
+                  CAST(round(avg_nll * 1e5) AS BIGINT) AS am
+                FROM lml),
          mo AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
                   CAST(sum(am) AS BIGINT) AS sc, CAST(sum(am * am) AS BIGINT) AS sc2
                 FROM lg GROUP BY lang),
@@ -2066,22 +2075,25 @@ object SparkEntry {
     "x_quality_train" -> qualityTrainOracle,
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
+    // Domain cap (round 14: rn left the contract — the Spark side caps
+    // by boundary-tuple compare, which equals the rank rule because
+    // doc_id makes the order total; the oracle keeps the rank form).
     "x_domain_cap" ->
       """SELECT doc_id, source,
-         CAST(row_number() OVER (PARTITION BY source
-                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
          row_number() OVER (PARTITION BY source
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20 AS keep
          FROM documents ORDER BY doc_id""",
     // Stratified split: exact 80/10/10 inside every source via the
-    // deterministic md5 rank and all-integer threshold comparisons.
+    // deterministic md5 order and all-integer threshold comparisons
+    // (round 14: rn left the contract — boundary-tuple compare on the
+    // Spark side, rank form in the oracle; identical by total order).
     "x_split_stratified" ->
       """WITH r AS (SELECT doc_id, source,
              CAST(row_number() OVER (PARTITION BY source
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
            FROM documents)
-         SELECT doc_id, source, rn, n_src,
+         SELECT doc_id, source, n_src,
            CASE WHEN rn * 10 <= n_src * 8 THEN 'train'
                 WHEN rn * 10 <= n_src * 9 THEN 'val'
                 ELSE 'test' END AS split
@@ -2210,22 +2222,33 @@ object SparkEntry {
            md5(coalesce(array_to_string(toks[CAST(p_end + 1 AS INT):CAST(m_end AS INT)], ' '), '')) AS middle_md5,
            md5(coalesce(array_to_string(toks[CAST(m_end + 1 AS INT):CAST(n_tok AS INT)], ' '), '')) AS suffix_md5
          FROM c2 ORDER BY doc_id""",
-    // CCNet head/middle/tail: per-language exact terciles by rank with
-    // all-integer thresholds (rn*3 <= n, rn*3 <= 2n), (avg_nll, doc_id)
-    // total order — no quantile interpolation to drift cross-engine.
+    // Per-language-conditioned JM LM scores (round 14) — the chain
+    // anchor for the perplexity family's shared memo.
+    "x_lm_score_lang" ->
+      s"""WITH $lmLangScoreCtes
+         SELECT doc_id, lang, n_bigrams, avg_nll FROM lml ORDER BY doc_id""",
+    // CCNet head/middle/tail (round 14): per-language BOUNDARY compare
+    // — b1/b2 are the avg_nll values at ranks floor(n/3)/floor(2n/3)
+    // (the oracle derives them by rank; the Spark side by distributed
+    // selection — same value, the rank-k order statistic is
+    // tiebreak-invariant), and every doc buckets by avg_nll <= b.
+    // Boundary TIES all take the lower bucket; <3 docs in a language
+    // leave b NULL and the compare falls through to tail.
     "x_ppl_buckets" ->
-      s"""WITH $lmScoreCtes,
-         lgl AS (SELECT lm.doc_id, lm.avg_nll, d.lang
-                 FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
-         r AS (SELECT doc_id, lang, avg_nll,
-                 CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS rn,
-                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
-               FROM lgl)
-         SELECT doc_id, lang, avg_nll, rn, n_lang,
-           CASE WHEN rn * 3 <= n_lang THEN 'head'
-                WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+      s"""WITH $lmLangScoreCtes,
+         rb AS (SELECT doc_id, lang, avg_nll,
+                  CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+                FROM lml),
+         bb AS (SELECT lang, CAST(max(n_lang) AS BIGINT) AS n_lang,
+                  max(CASE WHEN rn * 3 <= n_lang THEN avg_nll END) AS b1,
+                  max(CASE WHEN rn * 3 <= n_lang * 2 THEN avg_nll END) AS b2
+                FROM rb GROUP BY lang)
+         SELECT rb.doc_id, rb.lang, rb.avg_nll, bb.n_lang,
+           CASE WHEN rb.avg_nll <= bb.b1 THEN 'head'
+                WHEN rb.avg_nll <= bb.b2 THEN 'middle'
                 ELSE 'tail' END AS bucket
-         FROM r ORDER BY doc_id""",
+         FROM rb JOIN bb ON rb.lang = bb.lang ORDER BY rb.doc_id""",
     // Per-source dataset card: doc/token volume, near-dup involvement,
     // quality-gate keep share, language breadth — the ngram pair CTEs
     // + the shared quality score, rolled to sources.
@@ -2806,6 +2829,36 @@ object SparkEntry {
        lm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                 round(sum(m * nll) / sum(m), 6) AS avg_nll
               FROM s GROUP BY doc_id)"""
+
+  /** The per-LANGUAGE-conditioned JM model's shared CTE chain (round
+    * 14; VERDICT r13 task 7) — [[lmScoreCtes]] with `lang` added to
+    * every count key and per-language V/T from the `vv` aggregate,
+    * mirroring TextAnalysis.lmScoreLangFor term-for-term (same a/b
+    * shapes, λ literals, one terminal 6-dp round). Ends in `lml`
+    * (doc_id, lang, n_bigrams, avg_nll).
+    */
+  private val lmLangScoreCtes: String =
+    """tt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       pp AS (SELECT doc_id, lang, unnest(toks[1:-2]) AS w1, unnest(toks[2:-1]) AS w2
+              FROM tt WHERE len(toks) > 1),
+       dd2 AS (SELECT doc_id, lang, w1, w2, count(*) AS m FROM pp GROUP BY doc_id, lang, w1, w2),
+       cc2 AS (SELECT lang, w1, w2, sum(m) AS n2 FROM dd2 GROUP BY lang, w1, w2),
+       cc1 AS (SELECT lang, w1, sum(n2) AS n1 FROM cc2 GROUP BY lang, w1),
+       ccu AS (SELECT lang, tok AS w2, CAST(count(*) AS BIGINT) AS nu
+               FROM (SELECT lang, unnest(toks) AS tok FROM tt) GROUP BY lang, tok),
+       vv AS (SELECT lang, count(DISTINCT tok) AS vocab,
+                     CAST(count(*) AS BIGINT) AS tot
+              FROM (SELECT lang, unnest(toks) AS tok FROM tt) GROUP BY lang),
+       ss AS (SELECT dd2.doc_id, dd2.lang, dd2.m,
+                -ln(0.8 * ((cc2.n2 + 1.0) / (cc1.n1 + vv.vocab))
+                    + 0.2 * ((ccu.nu + 1.0) / CAST(vv.tot + vv.vocab AS DOUBLE))) AS nll
+              FROM dd2 JOIN cc2 ON dd2.lang = cc2.lang AND dd2.w1 = cc2.w1 AND dd2.w2 = cc2.w2
+                       JOIN cc1 ON dd2.lang = cc1.lang AND dd2.w1 = cc1.w1
+                       JOIN ccu ON dd2.lang = ccu.lang AND dd2.w2 = ccu.w2
+                       JOIN vv ON dd2.lang = vv.lang),
+       lml AS (SELECT doc_id, lang, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                 round(sum(m * nll) / sum(m), 6) AS avg_nll
+               FROM ss GROUP BY doc_id, lang)"""
 
   /** DuckDB 4-hex md5 bucket (0..65535) of `arg` — the strpos-digit
     * construction of the mixture-sample oracles (DuckDB has no conv);

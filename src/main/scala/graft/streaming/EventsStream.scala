@@ -869,15 +869,24 @@ object EventsStream {
     * bounded-state discipline; the LM table joins stream-static and
     * re-plans per micro-batch.
     *
-    * Semantics vs batch: identical smoothing arithmetic; bigrams the
-    * standing LM has never seen (impossible on a self-trained corpus
-    * replay, routine for genuinely new text) coalesce to zero counts,
-    * which IS the interpolated model's unseen-mass answer. Banding by
-    * boundary value assigns an nll exactly EQUAL to a boundary to the
-    * lower band, matching the batch rank cut except on cross-doc nll
-    * ties at the boundary itself (spec-asserted off-tie row identity).
+    * Semantics vs batch: identical smoothing arithmetic against the
+    * per-LANGUAGE count tables (round 14 — the conditioned model of
+    * [[graft.ext.TextAnalysis.lmScoreLangFor]]). The three tables
+    * left-join each on its OWN key — bigram on (lang, w1, w2), context
+    * on (lang, w1), unigram on (lang, w2) — so an unseen BIGRAM still
+    * sees its context and word counts and the unigram interpolation
+    * leg keeps separating ordinary words from garble (ADVICE r13: the
+    * old single pre-merged table zeroed all three counts together,
+    * re-introducing the add-one inversion on exactly the novel text a
+    * router exists to band). A document in a language the standing LM
+    * never trained on falls back to the corpus-wide (V, T) scalars for
+    * the smoothing denominators (all its counts miss → pure unseen
+    * mass) and bands tail via the −∞ boundary. Banding by boundary
+    * value assigns an nll exactly EQUAL to a boundary to the lower
+    * band — now bit-identical to the batch face's own boundary-compare
+    * contract (round 14), including on ties.
     */
-  def pplBandFor(arrivals: DataFrame, lmTable: DataFrame, vocab: Long, totTok: Long,
+  def pplBandFor(arrivals: DataFrame, lm: graft.ext.TextAnalysis.LmLangModel,
       bounds: Map[String, (Double, Double)]): DataFrame = {
     val bg = arrivals
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
@@ -888,22 +897,32 @@ object EventsStream {
             |              try_element_at(toks, i + 1) AS w2)),
             |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // per-language V/T inlined as literals (bounded |langs| artifact),
+    // corpus-wide fallback for an unknown language
+    def langLit(f: ((Long, Long)) => Long, fallback: Long): org.apache.spark.sql.Column =
+      lm.stats.foldLeft(lit(fallback)) { case (acc, (l, vt)) =>
+        when(col("lang") === lit(l), lit(f(vt))).otherwise(acc)
+      }
+    val vl = langLit(_._1, lm.vocab)
+    val tl = langLit(_._2, lm.totTok)
     val p = lit(0.8) * ((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("n1"), lit(0L)) + lit(vocab.toDouble))) +
+        (coalesce(col("n1"), lit(0L)) + vl)) +
       lit(0.2) * ((coalesce(col("nu"), lit(0L)) + lit(1.0)) /
-        lit(totTok.toDouble + vocab.toDouble))
+        (tl + vl).cast("double"))
     val headMax = bounds.map { case (l, (h, _)) => (l, h) }
     val midMax = bounds.map { case (l, (_, m)) => (l, m) }
     def lookup(m: Map[String, Double]): org.apache.spark.sql.Column =
       m.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (l, v)) =>
         when(col("lang") === lit(l), lit(v)).otherwise(acc)
       }
-    // distinct-bigram weighting BEFORE the join — the batch d2 frame's
+    // distinct-bigram weighting BEFORE the joins — the batch d2 frame's
     // exact arithmetic structure (sum(m·nll)/sum(m)), so the addends
     // match the batch face term-for-term
     val d2 = bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
-    d2.join(lmTable, Seq("w1", "w2"), "left")
+    d2.join(lm.c2, Seq("lang", "w1", "w2"), "left")
+      .join(lm.c1, Seq("lang", "w1"), "left")
+      .join(lm.cu, Seq("lang", "w2"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("m")).as("n_bigrams"),
         round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))

@@ -314,19 +314,32 @@ class ExtSpec extends SparkSpec {
   test("stratified split: exact 80/10/10 within every source, deterministic") {
     val dir = "/root/testdata/sf0.01"
     val a = graft.ext.Corpus.splitStratified(spark, dir)
-      .as[(Long, String, Long, Long, String)].collect()
+      .as[(Long, String, Long, String)].collect()
     val b = graft.ext.Corpus.splitStratified(spark, dir)
-      .as[(Long, String, Long, Long, String)].collect()
+      .as[(Long, String, Long, String)].collect()
     assert(a.toSeq == b.toSeq, "stratified split must be identical across runs")
     a.groupBy(_._2).foreach { case (src, rows) =>
       val n = rows.length
-      val byKind = rows.groupBy(_._5).view.mapValues(_.length).toMap
-      // the integer thresholds land each source within one doc of 80/10/10
+      val byKind = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // the boundary-tuple compare lands each source within one doc of
+      // 80/10/10 — exactly the integer-rank thresholds (total order)
       assert(byKind.getOrElse("train", 0) == n * 8 / 10, s"$src train")
       assert(byKind.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10, s"$src val")
       assert(byKind.getOrElse("test", 0) == n - n * 9 / 10, s"$src test")
-      assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq, s"$src rank gap")
-      assert(rows.forall(_._4 == n), s"$src n_src mismatch")
+      assert(rows.forall(_._3 == n), s"$src n_src mismatch")
+      // the kept/assigned sets follow the md5 order: every train doc's
+      // (md5, id) tuple precedes every val doc's, which precedes test's
+      def key(id: Long) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+      }
+      val ord = rows.map(r => (key(r._1), r._4)).sortBy(_._1)
+      val labels = ord.map(_._2)
+      val firstVal = labels.indexOf("val"); val firstTest = labels.indexOf("test")
+      assert(labels.takeWhile(_ == "train").length == byKind.getOrElse("train", 0),
+        s"$src train must be an md5-order prefix")
+      if (firstVal >= 0 && firstTest >= 0)
+        assert(firstVal < firstTest, s"$src val must precede test in md5 order")
     }
   }
 
@@ -1109,27 +1122,71 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
-  test("ppl buckets: exact per-language terciles, monotone in nll, full lmScore support covered") {
+  test("ppl buckets: boundary terciles agree with a local rank recompute, off-tie sizes exact") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.TextAnalysis.pplBuckets(spark, dir)
-      .as[(Long, String, Double, Long, Long, String)].collect()
+      .as[(Long, String, Double, Long, String)].collect()
     assert(rows.nonEmpty)
     rows.groupBy(_._2).foreach { case (lang, rs) =>
-      val n = rs.head._5
+      val n = rs.head._4
       assert(rs.length == n, s"$lang n_lang mismatch")
-      assert(rs.map(_._4).sorted.toSeq == (1L to n).toSeq, s"$lang rank gap")
-      // tercile sizes from the integer thresholds, within one doc of n/3
-      val sizes = rs.groupBy(_._6).view.mapValues(_.length).toMap
-      assert(sizes.getOrElse("head", 0) == n / 3, s"$lang head size")
-      assert(sizes.getOrElse("middle", 0) == n * 2 / 3 - n / 3, s"$lang middle size")
+      // boundary contract: b1/b2 = nll at ranks n/3 and 2n/3 of the
+      // (avg_nll, doc_id) order; docs bucket by avg_nll <= b (ties all
+      // take the lower bucket)
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      def bAt(k: Long): Option[Double] =
+        if (k >= 1) Some(sorted((k - 1).toInt)._3) else None
+      val (b1, b2) = (bAt(n / 3), bAt(2 * n / 3))
+      rs.foreach { case (id, _, nll, _, bucket) =>
+        val expect =
+          if (b1.exists(nll <= _)) "head"
+          else if (b2.exists(nll <= _)) "middle"
+          else "tail"
+        assert(bucket == expect, s"$lang doc $id: $bucket vs $expect (nll $nll)")
+      }
+      // off boundary ties the sizes are the exact integer terciles
+      val sizes = rs.groupBy(_._5).view.mapValues(_.length).toMap
+      val headTies = b1.map(b => rs.count(_._3 == b) - 1).getOrElse(0)
+      assert(sizes.getOrElse("head", 0) >= n / 3 &&
+        sizes.getOrElse("head", 0) <= n / 3 + headTies, s"$lang head size")
       // bucket order follows nll order: max head nll <= min tail nll
-      val byB = rs.groupBy(_._6).view.mapValues(_.map(_._3)).toMap
+      val byB = rs.groupBy(_._5).view.mapValues(_.map(_._3)).toMap
       for (h <- byB.get("head"); t <- byB.get("tail"))
         assert(h.max <= t.min, s"$lang buckets out of order")
     }
-    // support = lmScore's (multi-token docs only) — the documented contract
+    // support = the per-lang LM's (multi-token docs only) — the
+    // documented contract, same support as the pooled lmScore
     val lmN = graft.ext.TextAnalysis.lmScore(spark, dir).count()
     assert(rows.length.toLong == lmN)
+  }
+
+  test("per-language LM conditioning: a planted cross-language doc scores against ITS OWN language's model") {
+    import spark.implicits._
+    // two synthetic languages with disjoint vocabularies; 'aa' text is
+    // ordinary within aa, and one doc labeled 'bb' carries aa text —
+    // the cross-language plant
+    val aaDocs = (0L until 20L).map(i =>
+      (i, "aa", s"alpha beta gamma delta w$i alpha beta gamma"))
+    val bbDocs = (100L until 120L).map(i =>
+      (i, "bb", s"zump quor vrek blat q$i zump quor vrek"))
+    val plant = Seq((999L, "bb", "alpha beta gamma delta alpha beta gamma delta"))
+    val docs = (aaDocs ++ bbDocs ++ plant).toDF("doc_id", "lang", "text")
+    val perLang = graft.ext.TextAnalysis.lmScoreLangFor(docs)
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    val pooled = graft.ext.TextAnalysis.lmScoreFor(docs)
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    // under bb's own model the plant's bigrams are alien: it must score
+    // WORSE than every genuine bb doc — the conditioning puts it in the
+    // band tail where a router can drop it
+    val bbNative = bbDocs.map(d => perLang(d._1))
+    assert(bbNative.forall(_ < perLang(999L)),
+      s"plant ${perLang(999L)} must exceed native bb scores ${bbNative.max}")
+    // the pooled model CANNOT separate it: aa text is common
+    // corpus-wide, so pooled scores the plant BETTER (lower nll) than
+    // genuine bb docs — the cross-language artifact VERDICT r13 named
+    val pooledBb = bbDocs.map(d => pooled(d._1))
+    assert(pooled(999L) < pooledBb.max,
+      s"pooled ${pooled(999L)} vs bb ${pooledBb.max}: plant should look ordinary pooled")
   }
 
   test("dataset card: totals reconcile with the corpus and the pair frame") {

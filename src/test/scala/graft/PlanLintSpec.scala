@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.functions._
 
 /** Scale lint: structural invariants over EVERY registered query's plan.
   *
@@ -131,6 +132,73 @@ class PlanLintSpec extends SparkSpec {
         "partition the window (see Corpus.packBins for the distributed prefix-sum shape)")
   }
 
+  /** Round 14 (VERDICT r13): the fourth scale-killer class — a rank
+    * window whose PARTITION BY references ONLY low-cardinality corpus
+    * columns (lang, source). Keyed is not safe: on a real crawl one
+    * language is ~half the corpus, so `Window.partitionBy(lang)` sorts
+    * ~50 TB through one reducer — precisely the defect the r13
+    * `x_ppl_buckets` shipped behind a "keyed, never global" docstring.
+    * A window IS safe when its input was already reduced to a
+    * key-bounded frame: a child subtree containing an Aggregate whose
+    * grouping keys are all low-cardinality columns caps the window's
+    * input at the key-combination count (domainLangMix's ≤|sources|·
+    * |langs| cell frame). Everything else must use boundary selection
+    * ([[graft.ext.Profiling.exactRankRowsByKey]]) + broadcast +
+    * row-local compare, or earn an allowlist entry.
+    */
+  private val lowCardCols = Set("lang", "source")
+
+  private val lowCardWindowAllowed: Map[String, String] = Map(
+    "x_zipf_fit" -> ("per-lang rank window runs AFTER the boundary-selection pre-filter " +
+      "cuts its input to <= topN rows per language (Profiling.zipfFit round 14); the " +
+      "detector cannot see the filter's bound, the window itself orders a bounded frame"))
+
+  private def plansLowCardWindow(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    def keyBounded(p: LogicalPlan): Boolean = p.exists {
+      case a: Aggregate => a.groupingExpressions.nonEmpty &&
+        a.groupingExpressions.forall(_.references.forall(r => lowCardCols.contains(r.name)))
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }.exists { w =>
+      val refs = w.partitionSpec.flatMap(_.references)
+      w.partitionSpec.nonEmpty && refs.nonEmpty &&
+        refs.forall(r => lowCardCols.contains(r.name)) &&
+        !keyBounded(w.child)
+    }
+  }
+
+  test("detector canary: a corpus-scale per-lang rank window trips; a cell-frame window does not") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val bad = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(plansLowCardWindow(bad), "per-lang rank window over the corpus must trip")
+    val cells = docs.groupBy(col("source"), col("lang")).count()
+      .withColumn("tot", sum(col("count")).over(Window.partitionBy(col("source"))))
+    assert(!plansLowCardWindow(cells), "window over a low-card-keyed cell frame must pass")
+    val byDoc = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("lang"))))
+    assert(!plansLowCardWindow(byDoc), "high-cardinality partition key must pass")
+  }
+
+  test("no registered query plans a corpus-scale rank window keyed on a low-cardinality column") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(lowCardWindowAllowed.contains)
+      .filter(name => plansLowCardWindow(SparkEntry.queries(name)(spark, dir)))
+    assert(offenders.isEmpty,
+      s"scale lint: low-cardinality-keyed corpus window planned by: ${offenders.mkString(", ")} — " +
+        "use boundary selection (Profiling.exactRankRowsByKey) + broadcast + row-local compare " +
+        "(see TextAnalysis.pplBuckets / Corpus.splitStratified round 14)")
+  }
+
+  test("every low-card-window allowlist entry actually trips (the list cannot rot into a blanket pass)") {
+    val stale = lowCardWindowAllowed.keys.toSeq.sorted
+      .filterNot(name => plansLowCardWindow(SparkEntry.queries(name)(spark, dir)))
+    assert(stale.isEmpty,
+      s"allowlist entries that no longer plan a low-card window: ${stale.mkString(", ")}")
+  }
+
   test("filter-funnel heavy subtree passes the same lints (its registered face is a LocalRelation)") {
     // x_filter_funnel assembles its ≤6-row result driver-side from one
     // bounded collect, so the registered query's plan is a
@@ -152,7 +220,7 @@ class PlanLintSpec extends SparkSpec {
 
   test("allowlists only name registered queries (no stale entries)") {
     val stale = (nonEquiJoinAllowed.keySet ++ globalWindowAllowed.keySet ++
-      singlePartitionAllowed.keySet) -- SparkEntry.queries.keySet
+      singlePartitionAllowed.keySet ++ lowCardWindowAllowed.keySet) -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist entries for unregistered queries: ${stale.mkString(", ")}")
   }
 

@@ -1052,39 +1052,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows2("UNKNOWN")._3 && rows2("UNKNOWN")._1 > 0.0, "unknown source must flag")
   }
 
-  test("perplexity-band router: corpus replay reproduces the batch buckets off boundary ties") {
+  test("perplexity-band router: corpus replay reproduces the batch buckets bit-for-bit, ties included") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
-    val (lm, vocab, tot) = graft.ext.TextAnalysis.lmTable(docs)
+    val lm = graft.ext.TextAnalysis.lmLangTable(docs)
     val bounds = graft.ext.TextAnalysis.pplBandBounds(spark, dir)
     assert(bounds.nonEmpty)
     // the foreachBatch body over one "arriving" micro-batch = the corpus
     val routed = graft.streaming.EventsStream
-      .pplBandFor(docs.select(col("doc_id"), col("lang"), col("text")), lm, vocab, tot, bounds)
+      .pplBandFor(docs.select(col("doc_id"), col("lang"), col("text")), lm, bounds)
       .select(col("doc_id"), col("avg_nll"), col("bucket"))
       .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     val batch = graft.ext.TextAnalysis.pplBuckets(spark, dir)
       .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
       .as[(Long, String, Double, String)].collect()
     assert(batch.nonEmpty && routed.size == batch.length,
-      "router must score exactly the lmScore support")
-    // nll agreement is exact (same addends, one terminal round); bucket
-    // agreement holds except where several docs TIE exactly on a
-    // boundary nll (the batch rank cut splits ties by doc_id, the
-    // boundary cut cannot — documented)
-    val boundaryVals = bounds.values.flatMap(t => Seq(t._1, t._2)).toSet
+      "router must score exactly the per-lang LM support")
+    // round 14: BOTH faces now band by boundary compare against the
+    // same per-lang model, so agreement is exact INCLUDING boundary
+    // ties — no off-tie carve-out left
     batch.foreach { case (id, _, nll, bucket) =>
       val (snll, sbucket) = routed(id)
       assert(snll == nll, s"doc $id: stream nll $snll vs batch $nll")
-      if (!boundaryVals.contains(nll))
-        assert(sbucket == bucket, s"doc $id: stream bucket $sbucket vs batch $bucket (nll $nll)")
+      assert(sbucket == bucket, s"doc $id: stream bucket $sbucket vs batch $bucket (nll $nll)")
     }
-    // a genuinely NEW doc (unseen bigrams) still routes — the unseen
-    // mass answer, impossible for the self-trained batch face
+    // a genuinely NEW doc (unseen bigrams, known language) still
+    // routes — the unseen-mass answer keeps its context/unigram counts
+    // via the per-key left joins (ADVICE r13)
     val fresh = Seq((999999L, "en", "zzz qqq vvv kkk www")).toDF("doc_id", "lang", "text")
-    val freshOut = graft.streaming.EventsStream.pplBandFor(fresh, lm, vocab, tot, bounds)
+    val freshOut = graft.streaming.EventsStream.pplBandFor(fresh, lm, bounds)
       .select(col("bucket")).as[String].collect()
     assert(freshOut.toSeq == Seq("tail"), s"garble must route to tail, got ${freshOut.toSeq}")
+    // an UNKNOWN language routes on the corpus-wide fallback scalars
+    // and bands tail via the -inf boundary — never a div-by-zero Inf
+    val alien = Seq((999998L, "xx", "alpha beta gamma delta")).toDF("doc_id", "lang", "text")
+    val alienOut = graft.streaming.EventsStream.pplBandFor(alien, lm, bounds)
+      .select(col("avg_nll"), col("bucket")).as[(Double, String)].collect()
+    assert(alienOut.length == 1 && alienOut.head._2 == "tail" &&
+      java.lang.Double.isFinite(alienOut.head._1),
+      s"unknown lang must band tail with a finite nll, got ${alienOut.toSeq}")
+    // ADVICE r13 regression, isolated on a planted model: the arrival's
+    // bigrams are all UNSEEN but both words of each are common. The
+    // per-key left joins must keep the context (n1) and unigram (nu)
+    // counts ALIVE on the bigram miss — the pre-merged-table join
+    // zeroed all three counts together, collapsing the unigram leg to
+    // 1/(T+V) for any novel text.
+    val train = (0L until 10L)
+      .map(i => (i, "en", "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    val lmT = graft.ext.TextAnalysis.lmLangTable(train)
+    // trained bigram counts: (alpha,beta)=20 (beta,gamma)=20
+    // (gamma,delta)=20 (delta,alpha)=10 — so contexts n1(beta)=20,
+    // n1(delta)=10, n1(gamma)=20; every unigram nu = 20; V = 4, T = 80.
+    // Arrival bigrams (beta,delta)(delta,gamma)(gamma,alpha) all have
+    // n2 = 0 but LIVE context/unigram counts.
+    val freshCommon = Seq((1L, "en", "beta delta gamma alpha")).toDF("doc_id", "lang", "text")
+    val noB = Map.empty[String, (Double, Double)]
+    val nllCommon = graft.streaming.EventsStream.pplBandFor(freshCommon, lmT, noB)
+      .select(col("avg_nll")).as[Double].head()
+    val (v, t) = (4.0, 80.0)
+    def jm(n1: Double) =
+      -math.log(0.8 * ((0 + 1.0) / (n1 + v)) + 0.2 * ((20 + 1.0) / (t + v)))
+    val withCounts = (jm(20) + jm(10) + jm(20)) / 3
+    val zeroed = -math.log(0.8 * ((0 + 1.0) / (0 + v)) + 0.2 * ((0 + 1.0) / (t + v)))
+    assert(math.abs(nllCommon - withCounts) < 1e-6,
+      s"unseen-bigram nll $nllCommon must use the surviving n1/nu counts ($withCounts)")
+    assert(math.abs(nllCommon - zeroed) > 1e-3,
+      s"nll $nllCommon must NOT equal the all-counts-zeroed form ($zeroed) — the r13 bug")
   }
 
   test("streaming BM25 scorer: row-identical to the batch scores, termless docs score exactly zero") {
