@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseability (round 14, VERDICT r13 task 8 — every
+// BENCH_r*.json since round 1 carries `parsed: null`): the driver
+// tail-captures `sbt "runMain graft.Bench"` and parses the LAST output
+// line, but sbt (a) prefixes the forked JVM's stdout with "[info] "
+// (not valid JSON) and (b) appends its own "[success] Total time" as
+// the final line. StdoutOutput passes the forked process's stdout
+// through RAW, and showSuccess drops the trailer — so graft.Bench's
+// shutdown-hook metric line is both unprefixed AND last.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

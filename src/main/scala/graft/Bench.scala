@@ -202,7 +202,7 @@ object Bench {
     // two-rep min couldn't absorb a load window covering both reps. The
     // chain pass measures the SAME basis (timeOne applies the identical
     // flush rules in the identical order), so when a standalone steady
-    // exceeds 3× its in-artifact chain witness, the sweep number is
+    // exceeds 2× its in-artifact chain witness, the sweep number is
     // contaminated: run ONE more healing chain pass (so the adoption is
     // itself two-rep-confirmed against a fresh measurement, not just the
     // possibly-lucky chain min) and adopt min(standalone, chain, heal)
@@ -218,12 +218,20 @@ object Bench {
     // the adopted chain value is min(rep-min, heal), recorded in
     // `chain_retimed` — so the artifact's chain numbers carry their
     // own adjudication symmetrically with the standalone ones.
+    //
+    // Round 14 (VERDICT r13 task 3): both triggers tightened 3× → 2×,
+    // matching the grading band. The r13 artifact carried
+    // x_dedup_containment at 2.573 s standalone (2.64× its r12
+    // reference) against a 0.981 s chain_heal witness in the SAME
+    // artifact — the 3× trigger left a 2–3× crack exactly one grading
+    // band wide, so the entry shipped unadjudicated and needed a
+    // BASELINE.md footnote instead of an in-artifact re-time.
     val chainM0 = chain.toMap
     val inflated = chainNames.filter(n =>
-      steady.toMap.apply(n) > 3.0 * chainM0(n) && chainM0(n) > 0.0)
+      steady.toMap.apply(n) > 2.0 * chainM0(n) && chainM0(n) > 0.0)
     val chainContradicted = chainNames.filter { n =>
       val a = chain1m(n); val b = chain2m(n)
-      a > 0.0 && b > 0.0 && math.max(a, b) > 3.0 * math.min(a, b)
+      a > 0.0 && b > 0.0 && math.max(a, b) > 2.0 * math.min(a, b)
     }
     val (heal, healM) =
       if (inflated.isEmpty && chainContradicted.isEmpty)
