@@ -116,7 +116,7 @@ object SparkEntry {
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
-    "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)), // PQ codebooks trained by one deterministic Lloyd's step
+    "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
 
     "x_hard_negatives"  -> ((s, d) => Similarity.hardNegatives(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -1030,12 +1030,15 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rk, neighbor_id, d2 FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
-    // IVF-PQ with TRAINED codebooks: one deterministic Lloyd's step —
-    // per (subspace, code), the element-wise mean of assigned
-    // subvectors in integer micro-units (exact order-immune sums, one
-    // division), seed entry kept for empty codes — then re-encode and
-    // ADC-score inside the query's IVF cell. Same three-dot distance
-    // form as x_sim_pq throughout.
+    // IVF-PQ, round 14: RESIDUAL encoding (codes quantize v - coarse
+    // centroid; ADC scores ||(q - centroid) - recon||^2), TWO unrolled
+    // Lloyd's iterations (the x_quality_train unrolled-CTE convention:
+    // cb0 -> codes0 -> tr1 -> cb1 -> codes1 -> tr2 -> cb2 -> codes2),
+    // and an exact re-rank of the ADC k*4 shortlist (IndexRefineFlat)
+    // — reported d2 is the EXACT distance. Seed books = residual
+    // subvectors of rows [16, 32) (rows < 16 are the centroids; their
+    // residuals are identically 0). Same three-dot distance form and
+    // integer micro-unit training means as before.
     "x_sim_ivf_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1046,48 +1049,78 @@ object SparkEntry {
                  ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
                           cent.cell_id ASC) AS cell_rank
              FROM e, cent) t WHERE cell_rank = 1),
-         sub AS (SELECT e.vec_id, r.j, list_slice(e.v, r.j * 8 + 1, r.j * 8 + 8) AS sv
-                 FROM e, range(8) r(j)),
-         cb AS (SELECT cent.cell_id AS c, r.j, list_slice(cent.cv, r.j * 8 + 1, r.j * 8 + 8) AS cv
-                FROM cent, range(8) r(j)),
-         codes AS (
+         resid AS (
+           SELECT a.vec_id, a.cell_id,
+             list_transform(range(1, len(a.v) + 1), i -> a.v[i] - cent.cv[i]) AS rv
+           FROM assigned a JOIN cent USING (cell_id)),
+         rsub AS (SELECT vec_id, r.j, list_slice(rv, r.j * 8 + 1, r.j * 8 + 8) AS sv
+                  FROM resid, range(8) r(j)),
+         cb0 AS (SELECT CAST(vec_id - 16 AS BIGINT) AS c, j, sv AS cv
+                 FROM rsub WHERE vec_id >= 16 AND vec_id < 32),
+         codes0 AS (
            SELECT vec_id, j, c AS code FROM (
-             SELECT sub.vec_id, sub.j, cb.c,
-               row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb.cv) + list_dot_product(cb.cv, cb.cv), 6) ASC,
-                          cb.c ASC) AS rn
-             FROM sub JOIN cb USING (j)) t WHERE rn = 1),
-         qsub AS (SELECT vec_id, j, unnest(sv) AS x, unnest(range(8)) AS d FROM sub),
-         tr AS (SELECT codes.j, codes.code AS c, qsub.d,
-                  CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
-                FROM qsub JOIN codes ON codes.vec_id = qsub.vec_id AND codes.j = qsub.j
-                GROUP BY 1, 2, 3),
-         cbe AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb),
-         cb1 AS (SELECT cbe.j, cbe.c, list(coalesce(tr.mx, cbe.sx) ORDER BY cbe.d) AS cv
-                 FROM cbe LEFT JOIN tr ON tr.j = cbe.j AND tr.c = cbe.c AND tr.d = cbe.d
-                 GROUP BY cbe.j, cbe.c),
+             SELECT rsub.vec_id, rsub.j, cb0.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb0.cv) + list_dot_product(cb0.cv, cb0.cv), 6) ASC,
+                          cb0.c ASC) AS rn
+             FROM rsub JOIN cb0 USING (j)) t WHERE rn = 1),
+         qsub AS (SELECT vec_id, j, unnest(sv) AS x, unnest(range(8)) AS d FROM rsub),
+         tr1 AS (SELECT codes0.j, codes0.code AS c, qsub.d,
+                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
+                 FROM qsub JOIN codes0 ON codes0.vec_id = qsub.vec_id AND codes0.j = qsub.j
+                 GROUP BY 1, 2, 3),
+         cbe0 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb0),
+         cb1 AS (SELECT cbe0.j, cbe0.c, list(coalesce(tr1.mx, cbe0.sx) ORDER BY cbe0.d) AS cv
+                 FROM cbe0 LEFT JOIN tr1 ON tr1.j = cbe0.j AND tr1.c = cbe0.c AND tr1.d = cbe0.d
+                 GROUP BY cbe0.j, cbe0.c),
          codes1 AS (
            SELECT vec_id, j, c AS code FROM (
-             SELECT sub.vec_id, sub.j, cb1.c,
-               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+             SELECT rsub.vec_id, rsub.j, cb1.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
                  ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb1.cv) + list_dot_product(cb1.cv, cb1.cv), 6) ASC,
                           cb1.c ASC) AS rn
-             FROM sub JOIN cb1 USING (j)) t WHERE rn = 1),
-         recon1 AS (
-           SELECT codes1.vec_id, flatten(list(cb1.cv ORDER BY codes1.j)) AS rv
-           FROM codes1 JOIN cb1 ON cb1.j = codes1.j AND cb1.c = codes1.code
-           GROUP BY codes1.vec_id),
-         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell FROM assigned WHERE vec_id < 10),
+             FROM rsub JOIN cb1 USING (j)) t WHERE rn = 1),
+         tr2 AS (SELECT codes1.j, codes1.code AS c, qsub.d,
+                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
+                 FROM qsub JOIN codes1 ON codes1.vec_id = qsub.vec_id AND codes1.j = qsub.j
+                 GROUP BY 1, 2, 3),
+         cbe1 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb1),
+         cb2 AS (SELECT cbe1.j, cbe1.c, list(coalesce(tr2.mx, cbe1.sx) ORDER BY cbe1.d) AS cv
+                 FROM cbe1 LEFT JOIN tr2 ON tr2.j = cbe1.j AND tr2.c = cbe1.c AND tr2.d = cbe1.d
+                 GROUP BY cbe1.j, cbe1.c),
+         codes2 AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT rsub.vec_id, rsub.j, cb2.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb2.cv) + list_dot_product(cb2.cv, cb2.cv), 6) ASC,
+                          cb2.c ASC) AS rn
+             FROM rsub JOIN cb2 USING (j)) t WHERE rn = 1),
+         recon2 AS (
+           SELECT codes2.vec_id, flatten(list(cb2.cv ORDER BY codes2.j)) AS rv
+           FROM codes2 JOIN cb2 ON cb2.j = codes2.j AND cb2.c = codes2.code
+           GROUP BY codes2.vec_id),
+         q AS (SELECT r.vec_id AS query_id, e.v AS qv, r.rv AS qrv, r.cell_id AS qcell
+               FROM resid r JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10),
          scored AS (
-           SELECT q.query_id, a.vec_id AS neighbor_id,
-             round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, rv) + list_dot_product(rv, rv), 6) AS d2
+           SELECT q.query_id, a.vec_id AS neighbor_id, q.qv,
+             round(list_dot_product(qrv, qrv) - 2 * list_dot_product(qrv, rc.rv) + list_dot_product(rc.rv, rc.rv), 6) AS d2a
            FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
-           JOIN recon1 ON recon1.vec_id = a.vec_id),
+           JOIN recon2 rc ON rc.vec_id = a.vec_id),
+         short AS (
+           SELECT query_id, neighbor_id, qv FROM (
+             SELECT query_id, neighbor_id, qv,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2a ASC, neighbor_id ASC) AS rn
+             FROM scored) t WHERE rn <= 12),
+         rer AS (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, e.v) + list_dot_product(e.v, e.v), 6) AS d2
+           FROM short s JOIN e ON e.vec_id = s.neighbor_id),
          ranked AS (
            SELECT query_id, neighbor_id, d2,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk
-           FROM scored)
+           FROM rer)
          SELECT query_id, rk, neighbor_id, d2 FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors

@@ -456,10 +456,11 @@ object Similarity {
     * seed face, the trained face, and the spec's error metric (review
     * r13: the expression was triplicated).
     */
-  private def pqRecon(cb: Array[Array[Array[Double]]]): Column =
+  private def pqRecon(cb: Array[Array[Array[Double]]],
+      codesCol: String = "codes"): Column =
     concat(cb.indices.map { j =>
       element_at(typedLit(cb(j).map(_.toIndexedSeq).toIndexedSeq),
-        (element_at(col("codes"), j + 1) + 1).cast("int"))
+        (element_at(col(codesCol), j + 1) + 1).cast("int"))
     }: _*)
 
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
@@ -602,6 +603,183 @@ object Similarity {
     encoded
       .select(sq(col("embedding").cast("array<double>"), pqRecon(cb)).as("d2"))
       .agg(coalesce(sum(col("d2")), lit(0.0))).head().getDouble(0)
+  }
+
+  /** Argmin PQ code of subspace `j` of the `resid` column against
+    * literal books — (rounded dist ASC, code ASC), the shared encode
+    * kernel of [[pqResidualTrained]] and [[annEncodeFor]].
+    */
+  private def residCodeFor(bk: Array[Array[Array[Double]]])(j: Int): Column = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val sub = bk(0)(0).length
+    array_min(array(bk(j).indices.map { c =>
+      struct(round(sq(slice(col("resid"), j * sub + 1, sub),
+        typedLit(bk(j)(c).toIndexedSeq)), 6).as("d"),
+        lit(c).as("c"))
+    }: _*)).getField("c")
+  }
+
+  /** Row-local IVF-PQ INDEXING of a vector frame against a standing
+    * index's literal artifacts — the shared face behind
+    * [[graft.streaming.EventsStream.annIndexStream]] and the spec's
+    * batch-agreement assertion: assign the coarse cell (literal
+    * centroid argmax), form the residual, encode the residual against
+    * the literal trained books, and report the per-row ADC
+    * quantization error. Pure projection: no state, no shuffle, no
+    * join — exactly what FAISS `IndexIVFPQ::add` does per vector.
+    */
+  private[graft] def annEncodeFor(vectors: DataFrame,
+      centroids: Array[(Long, Array[Float])],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val m = books.length
+    val centsD: Array[Array[Double]] = centroids.sortBy(_._1).map(_._2.map(_.toDouble))
+    val vd = col("embedding").cast("array<double>")
+    val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
+      col("cell_id").cast("int") + 1)
+    assignCells(vectors, centroids).drop("cos_centroid")
+      .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
+      .withColumn("rcodes", array((0 until m).map(residCodeFor(books)): _*))
+      .withColumn("q_err", round(sq(col("resid"), pqRecon(books, "rcodes")), 6))
+  }
+
+  /** Residual-space reconstruction error for [[pqResidualTrained]]'s
+    * encodings — the quantity each Lloyd's iteration weakly decreases
+    * (ExtSpec asserts the whole seed → iter1 → … → iterN chain).
+    */
+  private[graft] def pqResidReconError(encoded: DataFrame,
+      cb: Array[Array[Array[Double]]]): Double = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    encoded
+      .select(sq(col("resid"), pqRecon(cb, "rcodes")).as("d2"))
+      .agg(coalesce(sum(col("d2")), lit(0.0))).head().getDouble(0)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding, iterated training, and an exact
+    * re-rank tail (x_sim_ivf_pq, round 14 — the three production
+    * refinements VERDICT r13 task 5 named, composing FAISS's
+    * `IndexIVFPQ` + `IndexRefineFlat`):
+    *
+    *   1. RESIDUALS: PQ codes quantize v − centroid(cell) instead of v
+    *      (FAISS `by_residual`, the default) — residuals cluster
+    *      around 0 with far less variance than raw vectors, so the
+    *      same code budget buys lower quantization error. ADC then
+    *      scores ‖(q − centroid) − recon‖², algebraically the full
+    *      ‖q − (centroid + recon)‖².
+    *   2. ITERATED Lloyd's: the bounded m·ksub·sub training aggregate
+    *      of [[pqTrained]] runs `iters` times (assign → means →
+    *      re-assign), each step covered by the monotonicity theorem
+    *      the ExtSpec asserts across ALL steps. Seed books are the
+    *      residual subvectors of rows [ksub, 2·ksub) — the first ksub
+    *      rows ARE the coarse centroids, so their residuals are
+    *      exactly 0 and would seed degenerate books.
+    *   3. REFINE: ADC produces a k·`refine` shortlist per query, and
+    *      only the shortlist is re-scored at full precision (an
+    *      equi-join of ≤ |queries|·k·refine rows against the exact
+    *      vectors) — FAISS `IndexRefineFlat`, which buys back most of
+    *      the quantization recall at a cost independent of corpus
+    *      size. The reported d2 is the EXACT distance.
+    *
+    * Determinism: residual subtraction is exact IEEE on both engines;
+    * training means use the integer micro-unit sums of [[pqTrained]];
+    * each iteration's oracle twin is one more unrolled CTE block (the
+    * x_quality_train 8-step-GD convention). Scale shape: everything
+    * [[ivfPqTrainedTopK]] had, ×iters on the bounded aggregate, plus
+    * one bounded-shortlist equi-join — the corpus still never
+    * shuffles.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String, k: Int = 3,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val (enc, books, _) = pqResidualTrained(spark, dir, m, ksub, iters)
+    val vd = col("embedding").cast("array<double>")
+    val queries = enc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), vd.as("qv"),
+        col("resid").as("qres"), col("cell_id").as("qcell"))
+    val scored = enc.withColumn("rv", pqRecon(books, "rcodes"))
+      .join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("d2a", round(sq(col("qres"), col("rv")), 6))
+    val shortlist = scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(-col("d2a"), col("vec_id"), k * refine).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("s.id").as("neighbor_id"))
+    val exact = shortlist
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), vd.as("nv")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("d2", round(sq(col("qv"), col("nv")), 6))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(-col("d2"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("neighbor_id"), (-col("s.score")).as("d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The residual-PQ training behind [[ivfPqResidualTopK]]: the corpus
+    * frame extended with `resid` (v − coarse centroid) and `rcodes`
+    * (codes against the `iters`-times-trained residual books), plus
+    * the books and the coarse centroids (exposed for the ExtSpec
+    * monotonicity/recall assertions and the streaming router).
+    */
+  private[graft] def pqResidualTrained(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, iters: Int):
+      (DataFrame, Array[Array[Array[Double]]], Array[Array[Double]]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val e = Tables.embeddings(spark, dir)
+    val seeds: Array[(Long, Array[Float])] = seedCentroids(e, ksub)
+    val centsD: Array[Array[Double]] = seeds.sortBy(_._1).map(_._2.map(_.toDouble))
+    val dim = centsD.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val vd = col("embedding").cast("array<double>")
+    val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
+      col("cell_id").cast("int") + 1)
+    val withResid = assignCells(e, seeds).drop("cos_centroid")
+      .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
+    // seed books: residuals of rows [ksub, 2·ksub) — row c's subvectors
+    // become code c of every subspace (rows < ksub ARE the centroids;
+    // their residuals are identically 0)
+    val seedRes: Array[Array[Double]] = withResid
+      .filter(col("vec_id") >= ksub && col("vec_id") < 2L * ksub)
+      .select(col("vec_id"), col("resid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    require(seedRes.length == ksub, s"need rows [${ksub}, ${2 * ksub}) as residual seeds")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => seedRes(c).slice(j * sub, (j + 1) * sub))
+    def codeFor(bk: Array[Array[Array[Double]]])(j: Int): Column =
+      residCodeFor(bk)(j)
+    val elems = withResid
+      .select(col("vec_id"), posexplode(col("resid")).as(Seq("g", "x")))
+      .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
+        expr(s"g % $sub").cast("int").as("d"),
+        floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
+    for (_ <- 1 to iters) {
+      val codesDf = withResid
+        .select(col("vec_id"), array((0 until m).map(codeFor(books)): _*).as("codes"))
+      val sums = elems.join(codesDf, Seq("vec_id"))
+        .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+          col("d"), col("qx"))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+        .collect() // bounded: m·ksub·sub rows per iteration
+      val nb: Array[Array[Array[Double]]] =
+        Array.tabulate(m, ksub, sub)((j, c, d) => books(j)(c)(d))
+      sums.foreach { r =>
+        nb(r.getInt(0))(r.getAs[Number](1).intValue())(r.getInt(2)) =
+          r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
+      }
+      books = nb
+    }
+    val encoded = withResid
+      .withColumn("rcodes", array((0 until m).map(codeFor(books)): _*))
+    (encoded, books, centsD)
   }
 
   /** Hard-negative mining (x_hard_negatives): per query vector, the k

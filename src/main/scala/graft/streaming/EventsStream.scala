@@ -932,6 +932,28 @@ object EventsStream {
           .otherwise("tail"))
   }
 
+  /** Streaming ANN index router (round 14) — the vector-search member
+    * of the at-the-door family (lang router, ppl router, BM25
+    * percolator): arriving vectors are indexed against the STANDING
+    * IVF-PQ artifacts exactly as FAISS `IndexIVFPQ::add` would —
+    * coarse cell via the literal centroid argmax
+    * ([[graft.ext.Similarity.assignCells]] is already stateless),
+    * residual formed against the literal centroid, PQ codes encoded
+    * against the literal TRAINED books
+    * ([[graft.ext.Similarity.pqResidualTrained]]'s artifacts, the
+    * dsirScoreStream bounded-artifact convention), plus the per-row
+    * ADC quantization error `q_err` — the routing diagnostic that
+    * flags vectors the standing books represent poorly (drifted
+    * embedding space → retrain trigger). Pure projection: zero
+    * streaming state, zero shuffle, zero join; batch-agreement is
+    * row-level BY CONSTRUCTION (the same encode kernel), asserted in
+    * StreamingSpec against `x_sim_ivf_pq`'s encoded frame.
+    */
+  def annIndexStream(vectors: DataFrame,
+      centroids: Array[(Long, Array[Float])],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    graft.ext.Similarity.annEncodeFor(vectors, centroids, books)
+
   /** Streaming language router — the online face of the marker
     * language-ID: arriving documents get the [[graft.ext.TextAnalysis]]
     * marker scores + deterministic argmax ROW-LOCALLY (the exact

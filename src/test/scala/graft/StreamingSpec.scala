@@ -1121,6 +1121,41 @@ class StreamingSpec extends SparkSpec {
       s"nll $nllCommon must NOT equal the all-counts-zeroed form ($zeroed) — the r13 bug")
   }
 
+  test("streaming ANN index router: corpus replay reproduces the batch cells/codes row-for-row, fresh vector routes statelessly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val centroids = graft.ext.Similarity.seedCentroids(e, 16)
+    val (encBatch, books, _) = graft.ext.Similarity.pqResidualTrained(spark, dir, 8, 16, 2)
+    val batch = encBatch.select(col("vec_id"), col("cell_id"), col("rcodes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toSeq))).toMap
+    // the foreachBatch body over one "arriving" micro-batch = the corpus
+    val routed = graft.streaming.EventsStream
+      .annIndexStream(e, centroids, books)
+      .select(col("vec_id"), col("cell_id"), col("rcodes"), col("q_err"))
+      .collect()
+    assert(routed.length == batch.size, "router must index every arrival")
+    routed.foreach { r =>
+      val (cell, codes) = batch(r.getLong(0))
+      assert(r.getLong(1) == cell, s"vec ${r.getLong(0)}: cell ${r.getLong(1)} vs batch $cell")
+      assert(r.getSeq[Int](2).toSeq == codes,
+        s"vec ${r.getLong(0)}: codes ${r.getSeq[Int](2)} vs batch $codes")
+      assert(r.getDouble(3) >= 0.0, "quantization error must be non-negative")
+    }
+    // a genuinely NEW vector (not in the corpus) routes row-locally:
+    // valid cell, m codes in range, finite q_err — no state consulted
+    import spark.implicits._
+    val dim = centroids.head._2.length
+    val fresh = Seq((999999L, Array.tabulate(dim)(i => (i % 7 - 3).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.streaming.EventsStream.annIndexStream(fresh, centroids, books)
+      .select(col("cell_id"), col("rcodes"), col("q_err")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) >= 0 && out.head.getLong(0) < 16)
+    val codes = out.head.getSeq[Int](1)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    assert(java.lang.Double.isFinite(out.head.getDouble(2)))
+  }
+
   test("streaming BM25 scorer: row-identical to the batch scores, termless docs score exactly zero") {
     val dir = "/root/testdata/sf0.001"
     val terms = Seq("hash", "merge", "window")
