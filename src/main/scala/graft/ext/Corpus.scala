@@ -188,13 +188,11 @@ object Corpus {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("h", md5(col("doc_id").cast("string")))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val ranks = counts.map { case (s, n) => s -> Seq(math.min(cap.toLong, n)) }.toMap
-    val sel = Profiling.exactRankRowsByKey(
-      docs.select(col("source"), col("h"), col("doc_id")), ranks)
+    val (sel, counts) = Profiling.exactRankRowsByKey(
+      docs.select(col("source"), col("h"), col("doc_id")),
+      n => Seq(math.min(cap.toLong, n)))
     import spark.implicits._
-    val bdf = counts.map { case (s, n) =>
+    val bdf = counts.toSeq.sortBy(_._1).map { case (s, n) =>
       val r = sel((s, math.min(cap.toLong, n)))
       (s, r.getString(1), r.getLong(2))
     }.toDF("source", "hb", "idb")
@@ -243,15 +241,11 @@ object Corpus {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("h", md5(col("doc_id").cast("string")))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val ranks = counts.map { case (s, n) =>
-      s -> Seq(n * 8 / 10, n * 9 / 10).filter(_ >= 1L).distinct
-    }.filter(_._2.nonEmpty).toMap
-    val sel = Profiling.exactRankRowsByKey(
-      docs.select(col("source"), col("h"), col("doc_id")), ranks)
+    val (sel, counts) = Profiling.exactRankRowsByKey(
+      docs.select(col("source"), col("h"), col("doc_id")),
+      n => Seq(n * 8 / 10, n * 9 / 10))
     import spark.implicits._
-    val bdf = counts.map { case (s, n) =>
+    val bdf = counts.toSeq.sortBy(_._1).map { case (s, n) =>
       def b(k: Long): (Option[String], Option[Long]) =
         sel.get((s, k)).map(r => (Option(r.getString(1)), Option(r.getLong(2))))
           .getOrElse((None, None))

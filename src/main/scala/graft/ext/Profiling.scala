@@ -149,11 +149,14 @@ object Profiling {
   /** KEYED exact distributed order statistics (round 14) — the
     * per-group generalization of [[exactQuantilesDistributed]], built
     * for the "per-language tercile boundary" shape VERDICT r13 asked
-    * for: return, for each key, the full row at the requested
-    * 1-indexed ranks under the total order of the non-key columns
+    * for: return, for each key, the full row at the 1-indexed ranks
+    * `ranksFor(n_key)` under the total order of the non-key columns
     * (ties impossible when the last sort column is a unique id;
     * irrelevant when only the sorted value is read back, since the
-    * value at rank k is tiebreak-invariant).
+    * value at rank k is tiebreak-invariant), PLUS the per-key totals —
+    * they fall out of the counts pass, so callers need no counting
+    * scan of their own. Out-of-range ranks are dropped (a key with
+    * n < 3 simply gets no tercile boundary).
     *
     * Why not a `Window.partitionBy(key)` rank: on a real crawl one
     * language is ~half the corpus, so a keyed window funnels ~50 TB
@@ -176,7 +179,8 @@ object Profiling {
     * StringType — so non-ASCII keys locate correctly too.
     */
   private[graft] def exactRankRowsByKey(df: DataFrame,
-      ranks: Map[String, Seq[Long]]): Map[(String, Long), org.apache.spark.sql.Row] = {
+      ranksFor: Long => Seq[Long]):
+      (Map[(String, Long), org.apache.spark.sql.Row], Map[String, Long]) = {
     val spark = df.sparkSession
     val keyCol = df.columns.head
     val parts = spark.sparkContext.defaultParallelism
@@ -204,14 +208,18 @@ object Profiling {
             (k, off + c0, c)
           }.tail.map { case (k, off, _) => (pid, k) -> off }
       }
+      // per-key totals fall out of the same counts pass — returned to
+      // the caller, which previously ran its own groupBy(key).count()
+      // collect over the full frame just to derive the ranks it wanted
+      // (review r14: one redundant corpus scan per adopter)
+      val totals: Map[String, Long] =
+        cnt.groupBy(_._2).map { case (k, rows) => k -> rows.map(_._3).sum }
       // per key: ascending pids hold the key's rows in global sort order
       val wanted = scala.collection.mutable.HashMap
         .empty[Int, scala.collection.mutable.HashMap[Long, (String, Long)]]
-      ranks.foreach { case (k, rs) =>
+      totals.foreach { case (k, total) =>
         val runs = cnt.filter(_._2 == k).sortBy(_._1) // (pid, k, c) ascending pid
-        val total = runs.map(_._3).sum
-        rs.distinct.foreach { r =>
-          require(r >= 1 && r <= total, s"rank $r out of range for key $k (n=$total)")
+        ranksFor(total).distinct.filter(r => r >= 1 && r <= total).foreach { r =>
           var rem = r - 1 // 0-indexed position among the key's rows
           var i = 0
           while (i < runs.length && rem >= runs(i)._3) { rem -= runs(i)._3; i += 1 }
@@ -223,7 +231,7 @@ object Profiling {
       }
       val wantedB = spark.sparkContext.broadcast(
         wanted.map { case (p, m) => p -> m.toMap }.toMap)
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val picked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val want = wantedB.value.getOrElse(pid, Map.empty[Long, (String, Long)])
         if (want.isEmpty) Iterator.empty
         else {
@@ -234,6 +242,7 @@ object Profiling {
           }
         }
       }.collect().toMap
+      (picked, totals)
     } finally { sorted.unpersist(); () }
   }
 
@@ -922,12 +931,11 @@ object Profiling {
     // + row-local compare — and the rank window only orders the
     // ≤ topN·|langs| survivors (PlanLintSpec allowlists it as bounded).
     val nf = freqs.withColumn("nf", -col("freq"))
-    val counts = nf.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val ranks = counts.map { case (l, n) => l -> Seq(math.min(topN.toLong, n)) }.toMap
-    val sel = exactRankRowsByKey(nf.select(col("lang"), col("nf"), col("token")), ranks)
+    val (sel, counts) = exactRankRowsByKey(
+      nf.select(col("lang"), col("nf"), col("token")),
+      n => Seq(math.min(topN.toLong, n)))
     import spark.implicits._
-    val bdf = counts.map { case (l, n) =>
+    val bdf = counts.toSeq.sortBy(_._1).map { case (l, n) =>
       val r = sel((l, math.min(topN.toLong, n)))
       (l, r.getLong(1), r.getString(2))
     }.toDF("lang", "nfb", "tokb")

@@ -753,8 +753,6 @@ object Similarity {
     require(seedRes.length == ksub, s"need rows [${ksub}, ${2 * ksub}) as residual seeds")
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => seedRes(c).slice(j * sub, (j + 1) * sub))
-    def codeFor(bk: Array[Array[Array[Double]]])(j: Int): Column =
-      residCodeFor(bk)(j)
     val elems = withResid
       .select(col("vec_id"), posexplode(col("resid")).as(Seq("g", "x")))
       .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
@@ -762,7 +760,7 @@ object Similarity {
         floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
     for (_ <- 1 to iters) {
       val codesDf = withResid
-        .select(col("vec_id"), array((0 until m).map(codeFor(books)): _*).as("codes"))
+        .select(col("vec_id"), array((0 until m).map(residCodeFor(books)): _*).as("codes"))
       val sums = elems.join(codesDf, Seq("vec_id"))
         .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
           col("d"), col("qx"))
@@ -778,7 +776,7 @@ object Similarity {
       books = nb
     }
     val encoded = withResid
-      .withColumn("rcodes", array((0 until m).map(codeFor(books)): _*))
+      .withColumn("rcodes", array((0 until m).map(residCodeFor(books)): _*))
     (encoded, books, centsD)
   }
 

@@ -819,17 +819,35 @@ object TextAnalysis {
     * 100 TB shape: identical to [[lmScoreFor]] — the keys grew by one
     * low-cardinality column, which only makes every shuffle finer.
     */
-  private[graft] def lmScoreLangFor(docs: DataFrame): DataFrame = {
-    val bg = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
-            |  i -> struct(element_at(toks, i) AS w1,
-            |              try_element_at(toks, i + 1) AS w2)),
-            |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val d2 = bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+  /** Row-local (doc_id, lang, w1, w2) bigram pairs — ONE definition
+    * shared by the batch scorer, the router artifact builder, and the
+    * streaming router's arrival frame (review r14: the 6-line
+    * extraction expr had drifted into four hand-copies — the exact
+    * two-definitions-of-one-statistic hazard the BM25 df fix closed).
+    * try_element_at: ANSI throws on i+1 past the end for one-token
+    * docs; the token array is projected ONCE per row before the
+    * lambda (the interpreted-HOF recompute trap, see lmBigramFrames).
+    */
+  private[graft] def langBigramPairs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), col("lang"),
+      explode(expr(
+        """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              try_element_at(toks, i + 1) AS w2)),
+          |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
+    .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The per-language count tables, built ONCE: per-doc distinct
+    * bigram counts d2, bigram table c2, context table c1, unigram
+    * table cu, and the |langs|-row (vocab, total) stats frame st —
+    * shared by [[lmScoreLangFor]] and [[lmLangTable]] so the batch
+    * face and the router artifact cannot drift apart.
+    */
+  private def lmLangFrames(docs: DataFrame):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d2 = langBigramPairs(docs)
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
     val c2 = d2.groupBy(col("lang"), col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
     val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("n2")).as("n1"))
@@ -837,6 +855,11 @@ object TextAnalysis {
     val cu = toks.groupBy(col("lang"), col("w2")).agg(count(lit(1)).as("nu"))
     val st = toks.groupBy(col("lang"))
       .agg(countDistinct(col("w2")).as("vl"), count(lit(1)).as("tl"))
+    (d2, c2, c1, cu, st)
+  }
+
+  private[graft] def lmScoreLangFor(docs: DataFrame): DataFrame = {
+    val (d2, c2, c1, cu, st) = lmLangFrames(docs)
     val p = lit(0.8) * ((col("n2") + lit(1.0)) / (col("n1") + col("vl"))) +
       lit(0.2) * ((col("nu") + lit(1.0)) / (col("tl") + col("vl")).cast("double"))
     d2.join(c2, Seq("lang", "w1", "w2"))
@@ -855,7 +878,7 @@ object TextAnalysis {
     * training aggregates (the pair-frame chain convention).
     */
   private[graft] def lmLangScores(spark: SparkSession, dir: String): DataFrame =
-    Dedup.Frames.getOrCompute(spark, "lm_lang_scores", dir) {
+    Dedup.Frames.getOrCompute(spark, s"lm_lang_scores:$dir", dir) {
       lmScoreLangFor(Tables.documents(spark, dir))
     }
 
@@ -874,14 +897,10 @@ object TextAnalysis {
   private def pplBoundaries(spark: SparkSession,
       dir: String): Seq[(String, Long, Option[Double], Option[Double])] = {
     val lg = lmLangScores(spark, dir)
-    val counts = lg.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    val ranks = counts
-      .map { case (l, n) => l -> Seq(n / 3, 2 * n / 3).filter(_ >= 1L).distinct }
-      .filter(_._2.nonEmpty).toMap
-    val sel = Profiling.exactRankRowsByKey(
-      lg.select(col("lang"), col("avg_nll"), col("doc_id")), ranks)
-    counts.map { case (l, n) =>
+    val (sel, counts) = Profiling.exactRankRowsByKey(
+      lg.select(col("lang"), col("avg_nll"), col("doc_id")),
+      n => Seq(n / 3, 2 * n / 3))
+    counts.toSeq.sortBy(_._1).map { case (l, n) =>
       (l, n,
         sel.get((l, n / 3)).map(_.getDouble(1)),
         sel.get((l, 2 * n / 3)).map(_.getDouble(1)))
@@ -942,23 +961,11 @@ object TextAnalysis {
       stats: Map[String, (Long, Long)], vocab: Long, totTok: Long)
 
   private[graft] def lmLangTable(docs: DataFrame): LmLangModel = {
-    val bg = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
-            |  i -> struct(element_at(toks, i) AS w1,
-            |              try_element_at(toks, i + 1) AS w2)),
-            |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
-      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bg.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-    val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("n2")).as("n1"))
-    val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("w2"))
-    val cu = toks.groupBy(col("lang"), col("w2")).agg(count(lit(1)).as("nu"))
-    val stats = toks.groupBy(col("lang"))
-      .agg(countDistinct(col("w2")).as("vl"), count(lit(1)).as("tl"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val g = toks.agg(countDistinct(col("w2")), count(lit(1))).head()
+    val (_, c2, c1, cu, st) = lmLangFrames(docs)
+    val stats = st.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val g = docs.select(explode(split(col("text"), " ")).as("w2"))
+      .agg(countDistinct(col("w2")), count(lit(1))).head()
     LmLangModel(c2, c1, cu, stats, g.getLong(0), g.getLong(1))
   }
 

@@ -856,18 +856,19 @@ object EventsStream {
       window: Int = 64, stride: Int = 48): DataFrame =
     graft.ext.Corpus.chunkQualityFor(docs, window, stride)
 
-  /** Perplexity-band router (round 13) — the online face of
+  /** Perplexity-band router (round 13; round 14: per-language model,
+    * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail
-    * routing applied AT THE DOOR: arriving documents score against a
-    * STANDING language model (the (w1, w2, n2, n1, nu) count table of
-    * [[graft.ext.TextAnalysis]]'s lmTable — the artifact CCNet loads
-    * from KenLM) and band against the batch terciles' nll boundaries
-    * broadcast as literals. Written as a foreachBatch body (a function
-    * over each arriving micro-batch frame): the per-doc NLL aggregate
-    * is then a plain BATCH aggregate over docs that arrived whole — no
-    * streaming aggregation state at all, the strictest reading of the
-    * bounded-state discipline; the LM table joins stream-static and
-    * re-plans per micro-batch.
+    * routing applied AT THE DOOR: arriving documents score against the
+    * STANDING per-language count tables of
+    * [[graft.ext.TextAnalysis.lmLangTable]] (the artifact CCNet loads
+    * from its per-language KenLM models) and band against the batch
+    * terciles' nll boundaries broadcast as literals. Written as a
+    * foreachBatch body (a function over each arriving micro-batch
+    * frame): the per-doc NLL aggregate is then a plain BATCH aggregate
+    * over docs that arrived whole — no streaming aggregation state at
+    * all, the strictest reading of the bounded-state discipline; the
+    * LM tables join stream-static and re-plan per micro-batch.
     *
     * Semantics vs batch: identical smoothing arithmetic against the
     * per-LANGUAGE count tables (round 14 — the conditioned model of
@@ -888,15 +889,9 @@ object EventsStream {
     */
   def pplBandFor(arrivals: DataFrame, lm: graft.ext.TextAnalysis.LmLangModel,
       bounds: Map[String, (Double, Double)]): DataFrame = {
-    val bg = arrivals
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """filter(transform(sequence(1, greatest(size(toks) - 1, 1)),
-            |  i -> struct(element_at(toks, i) AS w1,
-            |              try_element_at(toks, i + 1) AS w2)),
-            |  s -> s.w2 IS NOT NULL)""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the batch face's OWN bigram projection — one definition, so the
+    // stream's addends match term-for-term by construction
+    val bg = graft.ext.TextAnalysis.langBigramPairs(arrivals)
     // per-language V/T inlined as literals (bounded |langs| artifact),
     // corpus-wide fallback for an unknown language
     def langLit(f: ((Long, Long)) => Long, fallback: Long): org.apache.spark.sql.Column =

@@ -154,10 +154,20 @@ class PlanLintSpec extends SparkSpec {
       "detector cannot see the filter's bound, the window itself orders a bounded frame"))
 
   private def plansLowCardWindow(df: org.apache.spark.sql.DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-    def keyBounded(p: LogicalPlan): Boolean = p.exists {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+    // the Aggregate must bound the window's DIRECT input cardinality —
+    // walk down only through nodes that cannot re-expand rows (review
+    // r14: `exists` anywhere in the subtree exempted a corpus-scale
+    // window whose lineage merely CONTAINED a |langs|-row stats
+    // aggregate on the build side of a join — the exact r13 defect
+    // shape, shipped undetected)
+    @scala.annotation.tailrec
+    def keyBounded(p: LogicalPlan): Boolean = p match {
       case a: Aggregate => a.groupingExpressions.nonEmpty &&
         a.groupingExpressions.forall(_.references.forall(r => lowCardCols.contains(r.name)))
+      case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias) =>
+        keyBounded(n.children.head)
+      case w: LogicalWindow => keyBounded(w.child)
       case _ => false
     }
     df.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }.exists { w =>
@@ -180,6 +190,14 @@ class PlanLintSpec extends SparkSpec {
     val byDoc = docs.withColumn("rn",
       row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("lang"))))
     assert(!plansLowCardWindow(byDoc), "high-cardinality partition key must pass")
+    // join-laundered: a corpus frame that merely JOINS a |langs|-row
+    // stats aggregate is still corpus-scale — the window after the
+    // join must trip (review r14: the subtree-exists form passed it)
+    val stats = docs.groupBy(col("lang")).count()
+    val laundered = docs.join(stats, "lang").withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(plansLowCardWindow(laundered),
+      "corpus window downstream of a joined low-card aggregate must trip")
   }
 
   test("no registered query plans a corpus-scale rank window keyed on a low-cardinality column") {
