@@ -911,45 +911,39 @@ object Profiling {
     * terminal round. Scale 10⁵ (not 10⁶) keeps `n·Σy²` under 2⁶³ even
     * at freq ≈ 2⁶³ (y ≤ 4.4·10⁶, y² ≤ 2·10¹³, ×topN×topN ≈ 2·10¹⁷).
     *
-    * 100 TB shape: token explode → (lang, token) hash aggregate with
-    * map-side partials (vocab-bounded output), one per-lang window
-    * over the VOCAB frame (not the corpus) for ranks, then a
-    * |langs|-row aggregate. The quantile-of-log risk the heavy-hitter
-    * sketch solves does not arise — rank ≤ topN bounds the window's
-    * output before any math.
+    * 100 TB shape (round 14): token explode → (lang, token) hash
+    * aggregate with map-side partials (vocab-bounded output), then the
+    * bounded [[graft.functions.TopKByScoreStr]] aggregate for the
+    * per-lang top-topN — at most topN pairs per (partition, language)
+    * cross the wire and posexplode's position is the rank, so neither
+    * the corpus NOR the vocabulary ever funnels through a per-language
+    * window (the r13 form sorted each language's whole vocab on one
+    * reducer). Then a |langs|-row aggregate. The quantile-of-log risk
+    * the heavy-hitter sketch solves does not arise — the top-k bound
+    * caps everything before any math.
     */
   def zipfFit(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val freqs = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("freq"))
     // round 14: the per-lang rank window used to run over the FULL
     // vocab frame (billions of types per language at crawl scale, all
-    // sorted on one reducer per language). The top-topN set is now cut
-    // FIRST by the boundary tuple at rank min(topN, |vocab_lang|) under
-    // (freq desc, token asc) — keyed distributed selection + broadcast
-    // + row-local compare — and the rank window only orders the
-    // ≤ topN·|langs| survivors (PlanLintSpec allowlists it as bounded).
-    val nf = freqs.withColumn("nf", -col("freq"))
-    val (sel, counts) = exactRankRowsByKey(
-      nf.select(col("lang"), col("nf"), col("token")),
-      n => Seq(math.min(topN.toLong, n)))
-    import spark.implicits._
-    val bdf = counts.toSeq.sortBy(_._1).map { case (l, n) =>
-      val r = sel((l, math.min(topN.toLong, n)))
-      (l, r.getLong(1), r.getString(2))
-    }.toDF("lang", "nfb", "tokb")
-    val top = nf.join(broadcast(bdf), "lang")
-      .filter(col("nf") < col("nfb") ||
-        (col("nf") === col("nfb") && col("token") <= col("tokb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("freq").desc, col("token").asc)
-    val quant = top
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topN)
+    // sorted on one reducer per language). The top-topN cut is now the
+    // bounded `TopKByScoreStr` aggregate — map-side partials carry at
+    // most topN (freq, token) pairs per (partition, language), the
+    // (freq DESC, token ASC UTF8-binary) order matches the oracle's
+    // row_number exactly, and posexplode's position IS the rank, so no
+    // window exists in the plan at all. freq→double is exact below
+    // 2⁵³ occurrences.
+    val quant = freqs.groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScoreStr(col("freq").cast("double"), col("token"), topN).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("lang"),
-        round(log(col("rk").cast("double")) * 1e5, 0).cast("long").as("xi"),
-        round(log(col("freq").cast("double")) * 1e5, 0).cast("long").as("yi"))
+        round(log((col("pos") + 1).cast("double")) * 1e5, 0).cast("long").as("xi"),
+        round(log(col("s.score")) * 1e5, 0).cast("long").as("yi"))
     quant.groupBy(col("lang")).agg(
         count(lit(1)).as("n_ranks"),
         sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),

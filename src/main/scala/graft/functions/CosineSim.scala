@@ -224,6 +224,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("topk_by_score")))
       reg.createOrReplaceTempFunction(
         "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), intLit(exprs(2))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("topk_by_score_str")))
+      reg.createOrReplaceTempFunction(
+        "topk_by_score_str", exprs => TopKByScoreStr(exprs(0), exprs(1), intLit(exprs(2))), "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("simhash_md5")))
       reg.createOrReplaceTempFunction(
         "simhash_md5", exprs => SimHashAgg(exprs(0), exprs(1)), "scala_udf")
@@ -297,6 +300,12 @@ object GraftFunctions {
   /** Aggregate: k best (score, id) pairs, (score DESC, id ASC). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Aggregate: k best (score, id) pairs with STRING ids, (score DESC,
+    * id ASC in UTF8 binary order).
+    */
+  def topKByScoreStr(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score_str", score, id, org.apache.spark.sql.functions.lit(k))
 
   /** Aggregate: SimHash-64 majority fingerprint (hex string) over
     * packed md5 halves.

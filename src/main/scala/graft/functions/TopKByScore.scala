@@ -151,3 +151,150 @@ object TopKBuffer {
     buf
   }
 }
+
+/** [[TopKByScore]] with STRING ids (round 14): k best (score, id)
+  * pairs per group ordered by (score DESC, id ASC), the tiebreak in
+  * UTF8String binary order — which is both Spark's own string sort
+  * order and DuckDB's default varchar collation, so a `row_number()
+  * OVER (ORDER BY score DESC, id ASC)` oracle replays it exactly.
+  * Built for per-language vocabulary top-N (`x_zipf_fit`): the window
+  * form sorts each language's ENTIRE vocabulary on one reducer; as an
+  * aggregate, map-side partials bound the shuffle to k entries per
+  * (partition, language) whatever the vocabulary size.
+  */
+case class TopKByScoreStr(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_by_score_str"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, string) inputs, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    // clone: an UnsafeRow-backed UTF8String is a view over a reused
+    // buffer — storing it without copying would alias later rows
+    if (s != null && i != null)
+      buf.insert(s.asInstanceOf[Double],
+        i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone())
+    buf
+  }
+
+  override def merge(a: TopKStrBuffer, b: TopKStrBuffer): TopKStrBuffer = { a.mergeIn(b); a }
+
+  override def eval(buf: TopKStrBuffer): Any = {
+    val sorted = buf.sortedEntries
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
+  }
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = TopKStrBuffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScoreStr =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+/** [[TopKBuffer]]'s string-id sibling — same 2k scratch + compact
+  * discipline, tiebreak by UTF8String binary compare.
+  */
+final class TopKStrBuffer(k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val cap = math.max(2 * k, 8)
+  private var scores = new Array[Double](cap)
+  private var ids = new Array[UTF8String](cap)
+  private var size = 0
+  private var hasBound = false
+  private var boundScore = 0.0
+  private var boundId: UTF8String = null
+
+  @inline private def better(s1: Double, i1: UTF8String, s2: Double, i2: UTF8String): Boolean =
+    s1 > s2 || (s1 == s2 && i1.compareTo(i2) < 0)
+
+  def insert(s: Double, i: UTF8String): Unit = {
+    if (hasBound && !better(s, i, boundScore, boundId)) return
+    if (size == cap) compact()
+    scores(size) = s; ids(size) = i; size += 1
+  }
+
+  private def compact(): Unit = {
+    val idx = Array.range(0, size).sortWith((a, b) =>
+      better(scores(a), ids(a), scores(b), ids(b)))
+    val n = math.min(k, size)
+    val ns = new Array[Double](cap); val ni = new Array[UTF8String](cap)
+    var j = 0
+    while (j < n) { ns(j) = scores(idx(j)); ni(j) = ids(idx(j)); j += 1 }
+    scores = ns; ids = ni; size = n
+    if (n == k) { hasBound = true; boundScore = ns(k - 1); boundId = ni(k - 1) }
+  }
+
+  def mergeIn(other: TopKStrBuffer): Unit = {
+    var j = 0
+    while (j < other.size) { insert(other.scores(j), other.ids(j)); j += 1 }
+  }
+
+  def sortedEntries: Array[(Double, UTF8String)] = {
+    compact()
+    Array.tabulate(size)(j => (scores(j), ids(j)))
+  }
+
+  def toBytes: Array[Byte] = {
+    compact()
+    var bytes = 4
+    var j = 0
+    while (j < size) { bytes += 12 + ids(j).numBytes(); j += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(size)
+    j = 0
+    while (j < size) {
+      bb.putDouble(scores(j))
+      val b = ids(j).getBytes
+      bb.putInt(b.length); bb.put(b)
+      j += 1
+    }
+    bb.array()
+  }
+}
+
+object TopKStrBuffer {
+  import org.apache.spark.unsafe.types.UTF8String
+  def fromBytes(k: Int, bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStrBuffer(k)
+    var j = 0
+    while (j < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.insert(s, UTF8String.fromBytes(b))
+      j += 1
+    }
+    buf
+  }
+}

@@ -110,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "topk_by_score"),
       (exprs: Seq[Expression]) => graft.functions.TopKByScore(exprs(0), exprs(1), intLit(exprs(2)))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score_str"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScoreStr].getName, "topk_by_score_str"),
+      (exprs: Seq[Expression]) => graft.functions.TopKByScoreStr(exprs(0), exprs(1), intLit(exprs(2)))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => graft.functions.SimHashAgg(exprs(0), exprs(1))))

@@ -148,10 +148,12 @@ class PlanLintSpec extends SparkSpec {
     */
   private val lowCardCols = Set("lang", "source")
 
-  private val lowCardWindowAllowed: Map[String, String] = Map(
-    "x_zipf_fit" -> ("per-lang rank window runs AFTER the boundary-selection pre-filter " +
-      "cuts its input to <= topN rows per language (Profiling.zipfFit round 14); the " +
-      "detector cannot see the filter's bound, the window itself orders a bounded frame"))
+  /** Empty since round 14's second pass: x_zipf_fit's brief tenure here
+    * (boundary pre-filter + bounded window) ended when its top-N moved
+    * to the bounded TopKByScoreStr aggregate — no registered query
+    * plans a low-cardinality-keyed window at all now.
+    */
+  private val lowCardWindowAllowed: Map[String, String] = Map.empty
 
   private def plansLowCardWindow(df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias}
