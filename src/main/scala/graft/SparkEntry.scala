@@ -105,6 +105,8 @@ object SparkEntry {
     "x_quality_vs_dup"  -> (Dedup.qualityVsDup _),   // per-quality-stage dup rate (rides the warm pair frame)
     "x_source_overlap"  -> (Dedup.sourceOverlap _),  // cross-source syndication matrix (rides the warm pair frame)
     "x_dataset_card"    -> (Dedup.datasetCard _),    // per-source datasheet summary (rides the warm pair frame)
+    "x_lsh_tuning"      -> (Dedup.lshTuning _),      // banding S-curve design table + measured pair mass per Jaccard bucket (round 14; rides the warm pair frame)
+    "x_mixture_dedup_adjusted" -> ((s, d) => Corpus.mixtureDedupAdjusted(s, d)), // temperature mixture on DEDUPLICATED token mass (round 14; rides the warm pair frame)
     "x_novelty"         -> (Dedup.noveltyScores _),  // per-doc share of corpus-unique shingles (df=1) + hottest-shingle df
     "x_dedup_winnow"    -> (Dedup.winnowFingerprints _), // MOSS winnowing: sparse fingerprints with the >=7-token match guarantee
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -216,6 +218,10 @@ object SparkEntry {
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
       "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup", "x_source_overlap",
       "x_filter_funnel", "x_dataset_card",
+      // round 14: the banding design table and the dedup-adjusted
+      // mixture both ride the same memoized pair frame — they price a
+      // bucket aggregate and a |sources|-row aggregate respectively
+      "x_lsh_tuning", "x_mixture_dedup_adjusted",
       // round 12: the chunk family gets the same contract — clusters
       // rides the memoized pair frame x_chunk_neardup just built and
       // prices only its component solve (the production shape)
@@ -245,7 +251,8 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
-        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card")
+        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card",
+        "x_lsh_tuning", "x_mixture_dedup_adjusted")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     val simhashChain =
       Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters", "x_detector_overlap")
@@ -2307,6 +2314,78 @@ object SparkEntry {
            any_value(lg.n_langs) AS n_langs
          FROM base b JOIN lg ON b.source = lg.source
          GROUP BY b.source ORDER BY b.source""",
+    // LSH banding S-curve: every exponent in the (bands, rows) design
+    // space is a power of two, so s^r and (1-p)^b are SQUARING CHAINS
+    // (identical multiplication trees both engines; pow is only
+    // <=1-ulp), DuckDB's lateral column aliases mirroring Spark's
+    // foldLeft chain. Measured pair mass buckets the memoized verified
+    // pairs by floor(jac*20), capped into the top bucket at J = 1.0.
+    "x_lsh_tuning" ->
+      s"""WITH $ngramPairCtes,
+         pj AS (SELECT CAST(least(floor(sh / (n1.n_ng + n2.n_ng - sh) * 20), 19) * 5 AS BIGINT) AS s_x100
+                FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+                WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         pc AS (SELECT s_x100, CAST(count(*) AS BIGINT) AS n_pairs FROM pj GROUP BY s_x100),
+         grid AS (SELECT CAST(b.bands AS BIGINT) AS bands,
+                    CAST(b.rows_per_band AS BIGINT) AS rows_per_band,
+                    CAST(i.i * 5 AS BIGINT) AS s_x100
+                  FROM (VALUES (16, 8), (32, 4), (64, 2)) b(bands, rows_per_band),
+                       (SELECT unnest(range(1, 20)) AS i) i),
+         t AS (SELECT bands, rows_per_band, s_x100,
+                 s_x100 / 100.0 AS sv,
+                 sv * sv AS s2, s2 * s2 AS s4, s4 * s4 AS s8,
+                 CASE rows_per_band WHEN 2 THEN s2 WHEN 4 THEN s4 ELSE s8 END AS pb
+               FROM grid),
+         t2 AS (SELECT bands, rows_per_band, s_x100, pb,
+                  (1.0 - pb) AS q1, q1 * q1 AS q2, q2 * q2 AS q4, q4 * q4 AS q8,
+                  q8 * q8 AS q16, q16 * q16 AS q32, q32 * q32 AS q64,
+                  CASE bands WHEN 16 THEN q16 WHEN 32 THEN q32 ELSE q64 END AS qb
+                FROM t)
+         SELECT t2.bands, t2.rows_per_band, t2.s_x100,
+           round(pb, 6) AS p_band, round(1.0 - qb, 6) AS p_cand,
+           CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs
+         FROM t2 LEFT JOIN pc ON t2.s_x100 = pc.s_x100
+         ORDER BY bands, t2.s_x100""",
+    // Dedup-adjusted temperature mixture: the canonical keep-best
+    // verdict (quality argmax per near-dup cluster) gates each doc's
+    // token mass; weights = floor(sqrt(unrounded KEPT share)*1e6) with
+    // the raw variant's integer conventions.
+    "x_mixture_dedup_adjusted" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         pairs AS (
+           SELECT d1, d2 FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+         clus AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+         q AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
+         kb AS (SELECT c.doc_id,
+                  (row_number() OVER (PARTITION BY c.cluster ORDER BY q.score DESC, c.doc_id ASC) = 1) AS keep_best
+                FROM clus c JOIN q ON c.doc_id = q.doc_id),
+         per AS (SELECT d.source,
+                   CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS src_tok,
+                   CAST(sum(CASE WHEN kb.keep_best THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tok
+                 FROM documents d JOIN kb ON d.doc_id = kb.doc_id
+                 GROUP BY d.source),
+         sh2 AS (SELECT source, src_tok, kept_tok,
+                   CAST(src_tok AS DOUBLE) / (SELECT CAST(sum(src_tok) AS DOUBLE) FROM per) AS share_raw_u,
+                   CAST(kept_tok AS DOUBLE) / (SELECT CAST(sum(kept_tok) AS DOUBLE) FROM per) AS share_kept_u
+                 FROM per),
+         w2 AS (SELECT source, src_tok, kept_tok,
+                  round(share_raw_u, 6) AS share_raw,
+                  round(share_kept_u, 6) AS share_kept,
+                  CAST(floor(sqrt(share_kept_u) * 1e6) AS BIGINT) AS w
+                FROM sh2),
+         p2 AS (SELECT source, src_tok, kept_tok, share_raw, share_kept, w,
+                  round(CAST(w AS DOUBLE) / (SELECT CAST(sum(w) AS DOUBLE) FROM w2), 6) AS p_temp
+                FROM w2)
+         SELECT source, src_tok, kept_tok, share_raw, share_kept, w, p_temp,
+           CASE WHEN share_raw > 0 THEN round(p_temp / share_raw, 4) END AS boost_vs_raw,
+           round(1.0 - CAST(kept_tok AS DOUBLE) / CAST(src_tok AS DOUBLE), 6) AS dup_tok_share
+         FROM p2 ORDER BY source""",
     "x_decontam" ->
       """WITH g0 AS (
            SELECT DISTINCT doc_id,

@@ -329,6 +329,60 @@ object Corpus {
     out
   }
 
+  /** Dedup-adjusted temperature mixture (x_mixture_dedup_adjusted,
+    * round 14) — [[mixtureTemperature]]'s α = 1/2 weighting computed
+    * on each source's DEDUPLICATED token mass instead of its raw
+    * volume: a syndicated/mirrored source inflates its raw share with
+    * copies, so a mixture trained on raw counts over-samples exactly
+    * the content dedup will later collapse. Here every near-dup
+    * cluster contributes only its canonical copy's tokens
+    * ([[Dedup.dedupCanonical]]'s quality-aware keep-best), the
+    * temperature weight is `⌊√(unrounded kept-share)·10⁶⌋` (the
+    * sqrt-not-pow and integer-micro-unit conventions of the raw
+    * variant), and `dup_tok_share` reports how much of each source's
+    * volume was duplicate mass — the number that explains the raw→kept
+    * share movement.
+    *
+    * Rides the keep-warm chain: cluster labels and the keep-best
+    * verdict come from the memoized pair frame, so this query prices
+    * one narrow corpus scan + a |sources|-row aggregate + two bounded
+    * 1-row collects. 100 TB shape: identical to [[mixtureTemperature]]
+    * plus the pair-mass-bounded canonical join.
+    */
+  def mixtureDedupAdjusted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = Dedup.dedupCanonical(spark, dir)
+      .select(col("doc_id"), col("keep_best"))
+    val per = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tok"),
+        sum(when(col("keep_best"), col("n_tok")).otherwise(lit(0L))).as("kept_tok"))
+    val tots = per
+      .agg(coalesce(sum(col("src_tok")), lit(0L)),
+        coalesce(sum(col("kept_tok")), lit(0L))).head()
+    val (totRaw, totKept) = (tots.getLong(0), tots.getLong(1))
+    val shareRaw = col("src_tok").cast("double") / lit(totRaw.toDouble)
+    val shareKept = col("kept_tok").cast("double") / lit(totKept.toDouble)
+    val weighted = per
+      .withColumn("share_raw", round(shareRaw, 6))
+      .withColumn("share_kept", round(shareKept, 6))
+      .withColumn("w", floor(sqrt(shareKept) * 1e6).cast("long"))
+    val totW = weighted.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+    weighted
+      .withColumn("p_temp", round(col("w").cast("double") / lit(totW.toDouble), 6))
+      .withColumn("boost_vs_raw",
+        when(col("share_raw") > 0, round(col("p_temp") / col("share_raw"), 4)))
+      .withColumn("dup_tok_share",
+        round(lit(1.0) - col("kept_tok").cast("double") / col("src_tok").cast("double"), 6))
+      .select(col("source"), col("src_tok"), col("kept_tok"),
+        col("share_raw"), col("share_kept"), col("w"),
+        col("p_temp"), col("boost_vs_raw"), col("dup_tok_share"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥
     * `minShared` distinct 8-char shingles with an evaluation set (here:
     * doc_id < 20 stands in for the benchmark). The industry-standard

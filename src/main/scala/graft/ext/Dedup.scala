@@ -966,6 +966,61 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** LSH banding design-space report (x_lsh_tuning, round 14) — the
+    * tuning table an engineer consults before fixing (bands, rows):
+    * for each candidate banding of the 128-hash budget (64×2, 32×4 —
+    * the corpus's production config — and 16×8) and each Jaccard
+    * similarity s on a 0.05 grid, the S-curve probability that a pair
+    * at similarity s becomes an LSH candidate,
+    *
+    *   P(candidate) = 1 − (1 − s^r)^b
+    *
+    * (Leskovec/Rajaraman/Ullman's banding analysis; [[minhashLshPairs]]'
+    * "<6e-8 miss at J ≥ 0.8" claim is this formula's complement at
+    * (32, 4)). Beside the theory sits the corpus's MEASURED verified
+    * pair mass per 0.05 Jaccard bucket from the memoized [[pairFrame]]
+    * — where the corpus's own near-dup pairs actually sit on the
+    * curve. Pairs below the 0.8 verify threshold don't exist in the
+    * frame, so sub-threshold buckets read 0 by construction; exact
+    * duplicates (J = 1.0) fold into the top [0.95, 1.0] bucket.
+    *
+    * Determinism: s^r and (1−p)^b are evaluated as SQUARING CHAINS
+    * (every exponent in the design space is a power of two), the same
+    * multiplication tree both engines — `pow` is only ≤1-ulp and
+    * could hash-mismatch; one terminal 6-dp round. The bucket index
+    * uses the same unrounded jac double both engines already
+    * hash-agree on, floored identically.
+    *
+    * 100 TB shape: a 57-row literal grid left-joined to a
+    * pair-mass-bounded aggregate riding the keep-warm chain — this
+    * query prices only the bucket aggregate.
+    */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = for { (b, r) <- Seq((16, 8), (32, 4), (64, 2)); i <- 1 to 19 }
+      yield (b.toLong, r.toLong, i.toLong * 5)
+    val gdf = grid.toDF("bands", "rows_per_band", "s_x100")
+    def pow2k(c: Column, k: Int): Column = (1 to k).foldLeft(c)((x, _) => x * x)
+    val s = col("s_x100").cast("double") / lit(100.0)
+    val pb = when(col("rows_per_band") === 2, pow2k(s, 1))
+      .when(col("rows_per_band") === 4, pow2k(s, 2))
+      .otherwise(pow2k(s, 3))
+    val withPb = gdf.withColumn("pb", pb)
+    val qb = when(col("bands") === 16, pow2k(lit(1.0) - col("pb"), 4))
+      .when(col("bands") === 32, pow2k(lit(1.0) - col("pb"), 5))
+      .otherwise(pow2k(lit(1.0) - col("pb"), 6))
+    val buckets = pairFrame(spark, dir)
+      .select((least(floor(col("jac") * 20), lit(19L)) * 5).cast("long").as("s_x100"))
+      .groupBy(col("s_x100")).agg(count(lit(1)).as("n_pairs"))
+    withPb
+      .join(buckets, Seq("s_x100"), "left")
+      .select(col("bands"), col("rows_per_band"), col("s_x100"),
+        round(col("pb"), 6).as("p_band"),
+        round(lit(1.0) - qb, 6).as("p_cand"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("bands"), col("s_x100"))
+  }
+
   /** Size-adaptive connected components over any (d1, d2) pair frame —
     * the solve behind [[dedupClusters]], reusable by any near-dup pair
     * producer (e.g. [[Similarity.semanticClusters]]'s within-cell

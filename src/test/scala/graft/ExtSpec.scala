@@ -1189,6 +1189,73 @@ class ExtSpec extends SparkSpec {
       s"pooled ${pooled(999L)} vs bb ${pooledBb.max}: plant should look ordinary pooled")
   }
 
+  test("lsh tuning: S-curves monotone, corpus config near-certain at threshold, bucket mass reconciles") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.lshTuning(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(rows.length == 3 * 19, "3 configs x 19 grid points")
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((b, r), rs) =>
+      assert(b * r == 128, s"every config must spend the 128-hash budget, got ${b}x$r")
+      val curve = rs.sortBy(_._3).map(_._5)
+      assert(curve.zip(curve.tail).forall { case (a, c) => a <= c },
+        s"p_cand must be monotone in s for ${b}x$r: ${curve.toSeq}")
+      rs.foreach { row =>
+        assert(row._4 >= 0 && row._4 <= 1 && row._5 >= 0 && row._5 <= 1)
+        // theory self-check against a local recompute of the same
+        // squaring chain
+        val s = row._3 / 100.0
+        def p2(x: Double, k: Int) = (1 to k).foldLeft(x)((v, _) => v * v)
+        val pb = p2(s, (math.log(r.toDouble) / math.log(2)).round.toInt)
+        val pc = 1.0 - p2(1.0 - pb, (math.log(b.toDouble) / math.log(2)).round.toInt)
+        assert(math.abs(row._4 - pb) < 1e-6 && math.abs(row._5 - pc) < 1e-6,
+          s"curve value off at ${b}x$r s=$s: ${row._4}/${row._5} vs $pb/$pc")
+      }
+    }
+    // the production 32x4 config is near-certain at the 0.8 verify
+    // threshold (the minhashLshPairs <6e-8 miss claim, on the curve)
+    val at80 = rows.find(r => r._1 == 32 && r._3 == 80).get
+    assert(at80._5 == 1.0, s"32x4 at s=0.8 must round to certainty, got ${at80._5}")
+    // measured pair mass: buckets below the 0.8 verify threshold are
+    // structurally 0; the >=0.8 buckets sum to the verified pair count
+    val perBucket = rows.filter(r => r._1 == 32).map(r => r._3 -> r._6).toMap
+    assert(perBucket.filter(_._1 < 80).values.forall(_ == 0L),
+      "sub-threshold buckets must be empty (the frame is verify-thresholded)")
+    val nPairs = graft.ext.Dedup.ngramJaccardPairs(spark, dir).count()
+    assert(perBucket.filter(_._1 >= 80).values.sum == nPairs,
+      s"bucket mass must reconcile with the pair frame ($nPairs)")
+  }
+
+  test("dedup-adjusted mixture: kept mass bounded by raw, shares and weights normalize, duplicates move share") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Corpus.mixtureDedupAdjusted(spark, dir)
+      .as[(String, Long, Long, Double, Double, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._3 > 0, s"${r._1}: kept ${r._3} vs raw ${r._2}")
+      assert(r._9 >= 0.0 && r._9 < 1.0, s"${r._1}: dup_tok_share ${r._9}")
+      assert(math.abs(r._9 - (1.0 - r._3.toDouble / r._2.toDouble)) < 1e-5)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, "raw shares must sum to ~1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3, "kept shares must sum to ~1")
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-3, "tempered probs must sum to ~1")
+    // weights derive from the KEPT share: recompute from the kept sums
+    val totKept = rows.map(_._3).sum.toDouble
+    rows.foreach { r =>
+      val expect = math.floor(math.sqrt(r._3 / totKept) * 1e6).toLong
+      assert(r._6 == expect, s"${r._1}: w ${r._6} vs $expect")
+    }
+    // the whole point: a source whose token mass is more duplicated
+    // than average loses share going raw -> kept
+    // (1e-3 band keeps the 6-dp share rounding out of the comparison)
+    val avgDup = 1.0 - rows.map(_._3).sum.toDouble / rows.map(_._2).sum.toDouble
+    rows.foreach { r =>
+      if (r._9 > avgDup + 1e-3)
+        assert(r._5 < r._4 + 1e-6, s"${r._1}: over-duplicated source must lose share")
+      else if (r._9 < avgDup - 1e-3)
+        assert(r._5 > r._4 - 1e-6, s"${r._1}: under-duplicated source must gain share")
+    }
+  }
+
   test("dataset card: totals reconcile with the corpus and the pair frame") {
     val dir = "/root/testdata/sf0.001"
     val card = graft.ext.Dedup.datasetCard(spark, dir)
