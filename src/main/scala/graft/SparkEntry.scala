@@ -138,6 +138,7 @@ object SparkEntry {
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_lm_score_lang"   -> ((s, d) => TextAnalysis.lmLangScores(s, d).orderBy("doc_id")), // per-language-conditioned JM model (round 14); anchors the ppl chain's memo
+    "x_lm_merge_incremental" -> ((s, d) => TextAnalysis.lmMergeIncremental(s, d)), // round 14: 2/3-corpus model + merged 1/3 counts scores ALL docs; oracle = the FULL retrain, so the hash compare IS the merge-equals-retrain theorem
     "x_text_outliers"   -> (TextAnalysis.textOutliers _),
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13; round 14: boundary compare via distributed selection, per-lang LM)
@@ -2265,6 +2266,15 @@ object SparkEntry {
     // Per-language-conditioned JM LM scores (round 14) — the chain
     // anchor for the perplexity family's shared memo.
     "x_lm_score_lang" ->
+      s"""WITH $lmLangScoreCtes
+         SELECT doc_id, lang, n_bigrams, avg_nll FROM lml ORDER BY doc_id""",
+    // Incremental merge-equals-retrain (round 14): the Spark side
+    // trains on 2/3 of the corpus and MERGES the last third's counts
+    // in; the oracle is the FULL retrain — identical SQL to
+    // x_lm_score_lang — so a passing hash compare proves count merging
+    // is exact and the left-join scoring kernel reproduces the batch
+    // face on in-model documents.
+    "x_lm_merge_incremental" ->
       s"""WITH $lmLangScoreCtes
          SELECT doc_id, lang, n_bigrams, avg_nll FROM lml ORDER BY doc_id""",
     // CCNet head/middle/tail (round 14): per-language BOUNDARY compare

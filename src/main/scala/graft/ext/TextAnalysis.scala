@@ -969,6 +969,87 @@ object TextAnalysis {
     LmLangModel(c2, c1, cu, stats, g.getLong(0), g.getLong(1))
   }
 
+  /** Score a document frame UNDER a standing [[LmLangModel]] — the
+    * shared scoring kernel of the streaming router
+    * ([[graft.streaming.EventsStream.pplBandFor]]) and the incremental
+    * merge query ([[lmMergeIncremental]]): per-key LEFT joins against
+    * the three count tables (an unseen bigram keeps its live
+    * context/unigram counts — ADVICE r13), per-language V/T inlined as
+    * literals with the corpus-wide fallback for unknown languages.
+    * For documents whose counts are all IN the model (any corpus
+    * replay), the addends equal the batch face's term-for-term.
+    */
+  private[graft] def lmScoreUnder(arrivals: DataFrame, lm: LmLangModel): DataFrame = {
+    val bg = langBigramPairs(arrivals)
+    def langLit(f: ((Long, Long)) => Long, fallback: Long): Column =
+      lm.stats.foldLeft(lit(fallback)) { case (acc, (l, vt)) =>
+        when(col("lang") === lit(l), lit(f(vt))).otherwise(acc)
+      }
+    val vl = langLit(_._1, lm.vocab)
+    val tl = langLit(_._2, lm.totTok)
+    val p = lit(0.8) * ((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("n1"), lit(0L)) + vl)) +
+      lit(0.2) * ((coalesce(col("nu"), lit(0L)) + lit(1.0)) /
+        (tl + vl).cast("double"))
+    val d2 = bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    d2.join(lm.c2, Seq("lang", "w1", "w2"), "left")
+      .join(lm.c1, Seq("lang", "w1"), "left")
+      .join(lm.cu, Seq("lang", "w2"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))
+  }
+
+  /** Merge an arriving batch's counts into a standing [[LmLangModel]]
+    * (round 14) — the reason a Spark-native LM pipeline beats a static
+    * KenLM artifact: every table of the model is a SUM of counts, so
+    * sufficient statistics merge by union + re-aggregate and the
+    * merged model IS the full retrain, exactly — not approximately
+    * (integer sums commute). V/T re-derive from the merged unigram
+    * table (V = the table's per-lang row count — distinct counts are
+    * NOT sum-mergeable across overlapping vocabularies, but the
+    * unigram table already holds one row per (lang, word)).
+    *
+    * 100 TB shape: three unionByName + re-aggregate shuffles keyed by
+    * the same (lang, gram) keys the tables already use, plus the
+    * |langs|-row stats aggregate — the standing corpus is never
+    * re-scanned.
+    */
+  private[graft] def lmLangMerge(standing: LmLangModel, arriving: DataFrame): LmLangModel = {
+    val b = lmLangTable(arriving)
+    def m(x: DataFrame, y: DataFrame, keys: Seq[String], c: String): DataFrame =
+      x.select((keys :+ c).map(col): _*).unionByName(y.select((keys :+ c).map(col): _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(c)).as(c))
+    val c2 = m(standing.c2, b.c2, Seq("lang", "w1", "w2"), "n2")
+    val c1 = m(standing.c1, b.c1, Seq("lang", "w1"), "n1")
+    val cu = m(standing.cu, b.cu, Seq("lang", "w2"), "nu")
+    val stats = cu.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vl"), sum(col("nu")).as("tl"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val g = cu.agg(countDistinct(col("w2")), sum(col("nu"))).head()
+    LmLangModel(c2, c1, cu, stats, g.getLong(0), g.getLong(1))
+  }
+
+  /** Incremental-retrain equivalence query (x_lm_merge_incremental,
+    * round 14): train the standing model on two-thirds of the corpus
+    * (doc_id % 3 ≠ 0), MERGE the remaining third's counts in via
+    * [[lmLangMerge]], and score every document under the merged model
+    * with the streaming kernel. The oracle is the FULL-corpus
+    * per-language retrain ([[lmScoreLangFor]]'s own SQL) — so the
+    * cross-engine hash compare IS the merge-equals-retrain theorem,
+    * asserted end-to-end: count merging is exact, the left-join
+    * scoring kernel reproduces the batch face on in-model documents,
+    * and the re-derived V/T equal the retrain's.
+    */
+  def lmMergeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = lmLangTable(docs.filter(col("doc_id") % 3 =!= 0))
+    val merged = lmLangMerge(standing, docs.filter(col("doc_id") % 3 === 0))
+    lmScoreUnder(docs.select(col("doc_id"), col("lang"), col("text")), merged)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language perplexity-band boundaries — (lang → (head_max,
     * middle_max)), the bounded |langs|-row artifact the streaming
     * router inlines (the stageAssignStream bounds convention). These

@@ -889,38 +889,16 @@ object EventsStream {
     */
   def pplBandFor(arrivals: DataFrame, lm: graft.ext.TextAnalysis.LmLangModel,
       bounds: Map[String, (Double, Double)]): DataFrame = {
-    // the batch face's OWN bigram projection — one definition, so the
-    // stream's addends match term-for-term by construction
-    val bg = graft.ext.TextAnalysis.langBigramPairs(arrivals)
-    // per-language V/T inlined as literals (bounded |langs| artifact),
-    // corpus-wide fallback for an unknown language
-    def langLit(f: ((Long, Long)) => Long, fallback: Long): org.apache.spark.sql.Column =
-      lm.stats.foldLeft(lit(fallback)) { case (acc, (l, vt)) =>
-        when(col("lang") === lit(l), lit(f(vt))).otherwise(acc)
-      }
-    val vl = langLit(_._1, lm.vocab)
-    val tl = langLit(_._2, lm.totTok)
-    val p = lit(0.8) * ((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("n1"), lit(0L)) + vl)) +
-      lit(0.2) * ((coalesce(col("nu"), lit(0L)) + lit(1.0)) /
-        (tl + vl).cast("double"))
     val headMax = bounds.map { case (l, (h, _)) => (l, h) }
     val midMax = bounds.map { case (l, (_, m)) => (l, m) }
     def lookup(m: Map[String, Double]): org.apache.spark.sql.Column =
       m.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (l, v)) =>
         when(col("lang") === lit(l), lit(v)).otherwise(acc)
       }
-    // distinct-bigram weighting BEFORE the joins — the batch d2 frame's
-    // exact arithmetic structure (sum(m·nll)/sum(m)), so the addends
-    // match the batch face term-for-term
-    val d2 = bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("m"))
-    d2.join(lm.c2, Seq("lang", "w1", "w2"), "left")
-      .join(lm.c1, Seq("lang", "w1"), "left")
-      .join(lm.cu, Seq("lang", "w2"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("m")).as("n_bigrams"),
-        round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))
+    // the scoring kernel is TextAnalysis.lmScoreUnder — one definition
+    // shared with the incremental-merge query, so the stream's addends
+    // match the batch face term-for-term by construction
+    graft.ext.TextAnalysis.lmScoreUnder(arrivals, lm)
       .withColumn("bucket",
         when(col("avg_nll") <= lookup(headMax), "head")
           .when(col("avg_nll") <= lookup(midMax), "middle")
@@ -948,6 +926,22 @@ object EventsStream {
       centroids: Array[(Long, Array[Float])],
       books: Array[Array[Array[Double]]]): DataFrame =
     graft.ext.Similarity.annEncodeFor(vectors, centroids, books)
+
+  /** Streaming LM maintenance (round 14) — the model-update face of
+    * the perplexity family: a foreachBatch body merges each
+    * micro-batch's count tables into the standing
+    * [[graft.ext.TextAnalysis.LmLangModel]] by sufficient-statistics
+    * union + re-aggregate, and the merged model IS the full retrain
+    * exactly (integer count sums commute — the theorem
+    * `x_lm_merge_incremental`'s oracle asserts cross-engine). This is
+    * what a static KenLM artifact cannot do: the router's model keeps
+    * up with the crawl without ever re-scanning the standing corpus.
+    * After a merge, recompute [[pplBandFor]]'s boundaries on the
+    * pipeline's own cadence (bands drift as the model absorbs text).
+    */
+  def lmModelMerge(standing: graft.ext.TextAnalysis.LmLangModel,
+      microBatch: DataFrame): graft.ext.TextAnalysis.LmLangModel =
+    graft.ext.TextAnalysis.lmLangMerge(standing, microBatch)
 
   /** Streaming language router — the online face of the marker
     * language-ID: arriving documents get the [[graft.ext.TextAnalysis]]

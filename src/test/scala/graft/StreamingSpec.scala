@@ -1121,6 +1121,38 @@ class StreamingSpec extends SparkSpec {
       s"nll $nllCommon must NOT equal the all-counts-zeroed form ($zeroed) — the r13 bug")
   }
 
+  test("streaming LM merge: merged model scores bit-identically to the full retrain, new languages enter via merge") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val standing = graft.ext.TextAnalysis.lmLangTable(docs.filter(col("doc_id") % 3 =!= 0))
+    val merged = graft.streaming.EventsStream
+      .lmModelMerge(standing, docs.filter(col("doc_id") % 3 === 0))
+    val full = graft.ext.TextAnalysis.lmLangTable(docs)
+    // sufficient statistics: V/T per language identical to the retrain
+    assert(merged.stats == full.stats, s"per-lang stats diverge: ${merged.stats} vs ${full.stats}")
+    assert(merged.vocab == full.vocab && merged.totTok == full.totTok)
+    // scoring under the merged model == scoring under the retrain,
+    // bit-for-bit (integer count sums commute)
+    val sm = graft.ext.TextAnalysis.lmScoreUnder(docs, merged)
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    val sf = graft.ext.TextAnalysis.lmScoreUnder(docs, full)
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    assert(sm.size == sf.size && sm.forall { case (k, v) => sf(k) == v },
+      "merged-model scores must equal full-retrain scores exactly")
+    // a language the standing model never saw enters through the merge
+    // and scores under its OWN stats afterwards
+    val alien = Seq((9001L, "qq", "zork bleem zork bleem zork"),
+      (9002L, "qq", "bleem zork bleem zork bleem")).toDF("doc_id", "lang", "text")
+    val withAlien = graft.streaming.EventsStream.lmModelMerge(merged, alien)
+    assert(withAlien.stats.contains("qq"), "merged model must learn the new language")
+    val alienScore = graft.ext.TextAnalysis
+      .lmScoreUnder(alien, withAlien).select(col("avg_nll")).as[Double].collect()
+    assert(alienScore.length == 2 && alienScore.forall(java.lang.Double.isFinite),
+      s"new-language docs must score finitely under their own merged stats: ${alienScore.toSeq}")
+  }
+
   test("streaming ANN index router: corpus replay reproduces the batch cells/codes row-for-row, fresh vector routes statelessly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
