@@ -350,16 +350,21 @@ object Corpus {
     * plus the pair-mass-bounded canonical join.
     */
   def mixtureDedupAdjusted(spark: SparkSession, dir: String): DataFrame = {
+    // the canonical verdict is fetched BEFORE the memo call (the
+    // nested-frame-under-the-lock rule), and the |sources|-row frame is
+    // memoized because it serves the two total-collects AND the
+    // returned plan (the mixtureTemperature rationale — review r14:
+    // unmemoized, the whole canonical pipeline re-executed 3x)
     val docs = Tables.documents(spark, dir)
     val keep = Dedup.dedupCanonical(spark, dir)
       .select(col("doc_id"), col("keep_best"))
-    val per = docs
+    val per = Dedup.Frames.getOrCompute(spark, s"srctok_dedup:$dir", dir)(docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .join(keep, "doc_id")
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("src_tok"),
-        sum(when(col("keep_best"), col("n_tok")).otherwise(lit(0L))).as("kept_tok"))
+        sum(when(col("keep_best"), col("n_tok")).otherwise(lit(0L))).as("kept_tok")))
     val tots = per
       .agg(coalesce(sum(col("src_tok")), lit(0L)),
         coalesce(sum(col("kept_tok")), lit(0L))).head()

@@ -1016,14 +1016,26 @@ object TextAnalysis {
     * |langs|-row stats aggregate — the standing corpus is never
     * re-scanned.
     */
-  private[graft] def lmLangMerge(standing: LmLangModel, arriving: DataFrame): LmLangModel = {
-    val b = lmLangTable(arriving)
+  private[graft] def lmLangMerge(standing: LmLangModel, arriving: DataFrame): LmLangModel =
+    lmLangMergeCounts(standing.c2, standing.c1, standing.cu, arriving)
+
+  /** The count-table merge itself — takes the standing TABLES rather
+    * than a full model so callers that never materialized standing
+    * stats ([[lmMergeIncremental]]) skip those collects, and the
+    * arriving side comes from the lazy [[lmLangFrames]] (review r14:
+    * routing through lmLangTable eagerly ran the arriving batch's
+    * stats collects only to discard them — two wasted jobs per
+    * streaming micro-batch).
+    */
+  private def lmLangMergeCounts(sc2: DataFrame, sc1: DataFrame, scu: DataFrame,
+      arriving: DataFrame): LmLangModel = {
+    val (_, bc2, bc1, bcu, _) = lmLangFrames(arriving)
     def m(x: DataFrame, y: DataFrame, keys: Seq[String], c: String): DataFrame =
       x.select((keys :+ c).map(col): _*).unionByName(y.select((keys :+ c).map(col): _*))
         .groupBy(keys.map(col): _*).agg(sum(col(c)).as(c))
-    val c2 = m(standing.c2, b.c2, Seq("lang", "w1", "w2"), "n2")
-    val c1 = m(standing.c1, b.c1, Seq("lang", "w1"), "n1")
-    val cu = m(standing.cu, b.cu, Seq("lang", "w2"), "nu")
+    val c2 = m(sc2, bc2, Seq("lang", "w1", "w2"), "n2")
+    val c1 = m(sc1, bc1, Seq("lang", "w1"), "n1")
+    val cu = m(scu, bcu, Seq("lang", "w2"), "nu")
     val stats = cu.groupBy(col("lang"))
       .agg(count(lit(1)).as("vl"), sum(col("nu")).as("tl"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -1044,8 +1056,10 @@ object TextAnalysis {
     */
   def lmMergeIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val standing = lmLangTable(docs.filter(col("doc_id") % 3 =!= 0))
-    val merged = lmLangMerge(standing, docs.filter(col("doc_id") % 3 === 0))
+    // lazy frames for the standing side — its stats are never needed
+    // (the merge re-derives V/T from the merged unigram table)
+    val (_, sc2, sc1, scu, _) = lmLangFrames(docs.filter(col("doc_id") % 3 =!= 0))
+    val merged = lmLangMergeCounts(sc2, sc1, scu, docs.filter(col("doc_id") % 3 === 0))
     lmScoreUnder(docs.select(col("doc_id"), col("lang"), col("text")), merged)
       .orderBy(col("doc_id"))
   }
