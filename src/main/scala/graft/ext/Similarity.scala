@@ -740,6 +740,15 @@ object Similarity {
     val vd = col("embedding").cast("array<double>")
     val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
       col("cell_id").cast("int") + 1)
+    // NOT memoized, deliberately (measured round 14): the residual
+    // frame feeds 4+ passes (seed-book collect, per-iteration encode +
+    // element explode, final encode), but each pass is pure codegen
+    // over the scan — literal-centroid argmax + one zip_with — while
+    // persisting it materializes corpus × dim double arrays through
+    // the block store. Measured at sf0.1: memoized 10.4 s vs
+    // recomputed 5.2 s standalone — recompute wins for wide-array
+    // projections (the opposite call from the banded/pairs memos,
+    // whose build is a shuffle, not a projection).
     val withResid = assignCells(e, seeds).drop("cos_centroid")
       .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
     // seed books: residuals of rows [ksub, 2·ksub) — row c's subvectors
