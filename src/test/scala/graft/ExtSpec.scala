@@ -1924,6 +1924,41 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Profiling.exactQuantilesDistributed(three, Seq(0.5)) == Seq(2.0))
   }
 
+  test("keyed distributed selection: picked rows and totals match a local sort reference under skew and divergent key encodings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // adversarial shape: one key holds ~90% of rows (the skew the
+    // helper exists for), duplicate sort values force the id tiebreak,
+    // a singleton key pins the rank-1=rank-n edge, and the U+FFFD /
+    // U+1F600 pair pins the UTF-8 BYTE ordering claim: in UTF-16
+    // "�" > "😀" but in UTF-8 bytes (EF BF BD < F0 9F 98 80) the
+    // order FLIPS — a helper sorting its per-partition key runs by
+    // Java string order would compute wrong run offsets exactly here
+    val data =
+      (1 to 900).map(i => ("aa", rnd.nextInt(50).toDouble, i.toLong)) ++
+      (1 to 60).map(i => ("�", rnd.nextInt(10).toDouble, 1000L + i)) ++
+      (1 to 40).map(i => ("😀", rnd.nextInt(10).toDouble, 1500L + i)) ++
+      (1 to 3).map(i => ("Z~", i.toDouble, 2000L + i)) ++
+      Seq(("single", 7.0, 3000L))
+    val df = rnd.shuffle(data).toDF("k", "v", "id").repartition(7)
+    val ranksFor = (n: Long) => Seq(1L, n / 3, n / 2, n, n + 5) // n+5 out of range -> dropped
+    val (sel, totals) = graft.ext.Profiling.exactRankRowsByKey(df, ranksFor)
+    val byKey = data.groupBy(_._1)
+    assert(totals == byKey.view.mapValues(_.size.toLong).toMap)
+    byKey.foreach { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sorted
+      ranksFor(rows.size.toLong).distinct
+        .filter(r => r >= 1 && r <= rows.size).foreach { r =>
+          val row = sel((k, r))
+          val expect = sorted((r - 1).toInt)
+          assert((row.getDouble(1), row.getLong(2)) == expect,
+            s"key $k rank $r: (${row.getDouble(1)}, ${row.getLong(2)}) vs $expect")
+        }
+    }
+    // out-of-range ranks were dropped, not fabricated
+    assert(sel.keys.forall { case (k, r) => r >= 1 && r <= byKey(k).size })
+  }
+
   test("round2HalfAway matches DuckDB round(x,2) on boundary ties") {
     // double 2.005 is 2.00499…, but 2.005×100 rounds to EXACTLY 200.5 in
     // IEEE double — DuckDB's std::round(x*100)/100 therefore yields 2.01.
