@@ -369,6 +369,55 @@ object ParquetStore {
     spark.read.option("basePath", path).parquet(files: _*)
   }
 
+  /** Release a generation pin: delete its manifest file. The
+    * compact-then-swap lifecycle's reader-side contract — a reader
+    * that opened [[openGeneration]] releases when done, and
+    * [[dropRootIfUnpinned]] may then tear the superseded root down.
+    */
+  def releaseGeneration(spark: SparkSession, path: String, genId: Long): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifests/gen-$genId.manifest"), false)
+  }
+
+  /** The swap protocol's FINAL leg (round 14), mechanized:
+    * [[writeGenerationManifest]]'s scaladoc promises "drop the old
+    * root only when its last pinned reader closes" — this is that
+    * drop. The old root is deleted IFF no surviving manifest (its own
+    * `_manifests`, plus any roots in `alsoCheck` — the new compacted
+    * root's manifests may pin old-root files if a manifest was taken
+    * mid-swap) references a file under it. Refusal is the safe
+    * default: a pinned reader's scan must never lose files under it.
+    *
+    * Returns true iff the root was dropped. One FS listing + one
+    * manifest read per retained manifest — no Spark job; this is pure
+    * store lifecycle, the same tier as [[expire]].
+    */
+  def dropRootIfUnpinned(spark: SparkSession, path: String,
+      alsoCheck: Seq[String] = Nil): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return false
+    val rootPrefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val pinned = (path +: alsoCheck).exists { p =>
+      val mdir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p), "_manifests")
+      val mfs = mdir.getFileSystem(conf)
+      mfs.exists(mdir) && mfs.listStatus(mdir).exists { st =>
+        val in = mfs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        lines.tail.exists { f =>
+          f.nonEmpty && (fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString
+            .startsWith(rootPrefix))
+        }
+      }
+    }
+    if (pinned) false
+    else { fs.delete(root, true); true }
+  }
+
   /** Register the store as `logs_table` for spark.sql querying (the
     * reference's query surface, README.md:419-424,516-527).
     */

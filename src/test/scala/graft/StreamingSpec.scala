@@ -161,6 +161,24 @@ class StreamingSpec extends SparkSpec {
     // manifests never pollute a plain parquet scan of the root
     assert(spark.read.parquet(out).columns.toSet ==
       spark.read.option("basePath", out).parquet(s"$out/bid=0").columns.toSet)
+
+    // round 14: the swap protocol's FINAL leg — teardown of the
+    // superseded root. While the old root's gen-2 manifest pins it,
+    // the drop REFUSES (a pinned reader's files must never vanish)
+    assert(!ParquetStore.dropRootIfUnpinned(spark, out, alsoCheck = Seq(dest)),
+      "drop must refuse while a manifest pins the old root")
+    assert(rowsOf(ParquetStore.openGeneration(spark, out, 2)) == pinnedBefore,
+      "refused drop must leave the pinned generation intact")
+    // the last reader releases its pin -> the old root drops; the new
+    // generation root keeps serving the identical snapshot
+    assert(ParquetStore.releaseGeneration(spark, out, 2))
+    assert(ParquetStore.dropRootIfUnpinned(spark, out, alsoCheck = Seq(dest)),
+      "drop must proceed once no manifest pins the root")
+    assert(!new java.io.File(out).exists, "old root must be gone")
+    assert(rowsOf(ParquetStore.openGeneration(spark, dest, 2)) == pinnedBefore,
+      "the swapped-in generation must survive the old root's teardown")
+    // idempotent: dropping an already-dropped root is a no-op false
+    assert(!ParquetStore.dropRootIfUnpinned(spark, out))
   }
 
   test("z-order compacted layout prunes row groups on BOTH user and time predicates") {
