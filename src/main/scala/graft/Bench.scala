@@ -177,9 +177,12 @@ object Bench {
     // keep-warm set gained a CHUNK chain (x_chunk_neardup →
     // x_chunk_clusters) — the witness pass covers both families, each
     // chain preceded by its builder in contract order.
+    // EVERY chain anchor runs in the witness pass (round 14 — the
+    // simhash and lm anchors were missing, so their riders' "witness"
+    // values included a full frame rebuild: the r13 artifact's
+    // chain-vs-standalone contradictions were this, not load)
     val chainNames = "x_dedup_minhash" +: SparkEntry.orderedQueryNames
-      .filter(n => n == "x_dedup_ngram" || n == "x_chunk_neardup" ||
-        SparkEntry.keepWarmQueries(n))
+      .filter(n => SparkEntry.chainAnchors(n) || SparkEntry.keepWarmQueries(n))
     def runChain(label: String): Seq[(String, Double)] = {
       graft.ext.Dedup.releaseCaches()
       spark.catalog.clearCache()
