@@ -383,38 +383,44 @@ object ParquetStore {
   /** The swap protocol's FINAL leg (round 14), mechanized:
     * [[writeGenerationManifest]]'s scaladoc promises "drop the old
     * root only when its last pinned reader closes" — this is that
-    * drop. The old root is deleted IFF no surviving manifest (its own
-    * `_manifests`, plus any roots in `alsoCheck` — the new compacted
-    * root's manifests may pin old-root files if a manifest was taken
-    * mid-swap) references a file under it. Refusal is the safe
-    * default: a pinned reader's scan must never lose files under it.
+    * drop. The root is deleted IFF
     *
-    * Returns true iff the root was dropped. One FS listing + one
-    * manifest read per retained manifest — no Spark job; this is pure
-    * store lifecycle, the same tier as [[expire]].
+    *   1. no manifest file exists under its `_manifests` — a manifest
+    *      only ever references files under its OWN root, so PRESENCE
+    *      is the pin check: no parsing, and a zero-byte or
+    *      half-written manifest (a crashed [[writeGenerationManifest]])
+    *      counts as pinned rather than crashing the drop or, worse,
+    *      being judged unpinned (review r14); and
+    *   2. every `bid=` directory parses to a batch id ≤ `migratedUpTo`
+    *      (the bound the surviving root was compacted/migrated up to):
+    *      a committed append that RACED the swap lives only here, and
+    *      deleting it would contradict the K3 "racing batches survive"
+    *      contract — the caller migrates it (another [[compact]] leg)
+    *      and retries. An UNPARSEABLE bid value also refuses (the
+    *      loud-safe polarity: [[writeGenerationManifest]] EXCLUDES
+    *      malformed bids from a pin, but exclusion from deletion means
+    *      refusal).
+    *
+    * Refusal is always the safe default; returns true iff the root was
+    * dropped. Pure FS lifecycle (no Spark job), same tier as
+    * [[expire]]. Concurrency: the check-then-delete is NOT atomic —
+    * run drops from the same coordinator that serves pin requests (a
+    * pin racing the delete on a shared store cannot be detected on a
+    * plain filesystem; the same single-writer assumption
+    * [[appendBatch]]'s bid-overwrite already makes).
     */
   def dropRootIfUnpinned(spark: SparkSession, path: String,
-      alsoCheck: Seq[String] = Nil): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
+      migratedUpTo: Long): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return false
-    val rootPrefix = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-    val pinned = (path +: alsoCheck).exists { p =>
-      val mdir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p), "_manifests")
-      val mfs = mdir.getFileSystem(conf)
-      mfs.exists(mdir) && mfs.listStatus(mdir).exists { st =>
-        val in = mfs.open(st.getPath)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-          finally in.close()
-        lines.tail.exists { f =>
-          f.nonEmpty && (fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString
-            .startsWith(rootPrefix))
-        }
-      }
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val pinned = fs.exists(mdir) && fs.listStatus(mdir).nonEmpty
+    val unmigrated = !pinned && fs.listStatus(root).map(_.getPath.getName).exists { n =>
+      n.startsWith(s"$BatchCol=") &&
+        n.stripPrefix(s"$BatchCol=").toLongOption.forall(_ > migratedUpTo)
     }
-    if (pinned) false
+    if (pinned || unmigrated) false
     else { fs.delete(root, true); true }
   }
 

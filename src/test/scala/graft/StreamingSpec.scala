@@ -165,20 +165,29 @@ class StreamingSpec extends SparkSpec {
     // round 14: the swap protocol's FINAL leg — teardown of the
     // superseded root. While the old root's gen-2 manifest pins it,
     // the drop REFUSES (a pinned reader's files must never vanish)
-    assert(!ParquetStore.dropRootIfUnpinned(spark, out, alsoCheck = Seq(dest)),
+    assert(!ParquetStore.dropRootIfUnpinned(spark, out, migratedUpTo = 2),
       "drop must refuse while a manifest pins the old root")
     assert(rowsOf(ParquetStore.openGeneration(spark, out, 2)) == pinnedBefore,
       "refused drop must leave the pinned generation intact")
-    // the last reader releases its pin -> the old root drops; the new
-    // generation root keeps serving the identical snapshot
+    // the last reader releases its pin — but batch 3 RACED the swap
+    // and was only compacted up to bid 2: the drop still refuses, or
+    // d1/d2 (committed, acked, existing nowhere else) would be lost
     assert(ParquetStore.releaseGeneration(spark, out, 2))
-    assert(ParquetStore.dropRootIfUnpinned(spark, out, alsoCheck = Seq(dest)),
-      "drop must proceed once no manifest pins the root")
+    assert(!ParquetStore.dropRootIfUnpinned(spark, out, migratedUpTo = 2),
+      "drop must refuse while committed batches above the migrated bound remain")
+    // migrate the racing batch (a second compact leg), then the drop
+    // proceeds and the new generation roots keep serving everything
+    val dest2 = tmp("graft-gen-dst2") + "/gen3"
+    ParquetStore.compact(spark, out, dest2, upToBatchId = Some(3L))
+    assert(ParquetStore.dropRootIfUnpinned(spark, out, migratedUpTo = 3),
+      "drop must proceed once unpinned and fully migrated")
     assert(!new java.io.File(out).exists, "old root must be gone")
     assert(rowsOf(ParquetStore.openGeneration(spark, dest, 2)) == pinnedBefore,
       "the swapped-in generation must survive the old root's teardown")
+    assert(rowsOf(spark.read.parquet(dest2)) == pinnedBefore ++ Set("d1", "d2"),
+      "the migrated generation must carry the racing batch")
     // idempotent: dropping an already-dropped root is a no-op false
-    assert(!ParquetStore.dropRootIfUnpinned(spark, out))
+    assert(!ParquetStore.dropRootIfUnpinned(spark, out, migratedUpTo = 3))
   }
 
   test("z-order compacted layout prunes row groups on BOTH user and time predicates") {
