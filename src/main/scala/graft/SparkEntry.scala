@@ -143,6 +143,7 @@ object SparkEntry {
     "x_quality_classify" -> (TextAnalysis.qualityClassify _),
     "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13; round 14: boundary compare via distributed selection, per-lang LM)
     "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
+    "x_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)), // reliability diagram of the trained filter (round 14)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -2139,6 +2140,34 @@ object SparkEntry {
     // Trained quality classifier: the 8-step integer-GD loop replayed
     // as an unrolled CTE chain (see qualityTrainOracle).
     "x_quality_train" -> qualityTrainOracle,
+    // Reliability diagram over the trained classifier: the final
+    // weights' algebraic-sigmoid probability (the training loop's own
+    // integer-micro-unit expression applied to fin.score_q) bins into
+    // ten EQUAL-COUNT buckets via quantile_cont boundaries (the
+    // x_vocab_growth decile-assignment shape — Spark's distributed
+    // selection mirrors the interpolation exactly); bin sums are exact
+    // integers, one terminal 6-dp round per displayed rate.
+    "x_quality_calibration" ->
+      s"""WITH $qualityTrainCtes,
+         pf AS (SELECT doc_id, qy,
+                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
+                FROM fin),
+         bq AS (SELECT quantile_cont(CAST(qp AS DOUBLE),
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM pf),
+         bb AS (SELECT pf.qy, pf.qp,
+                  CAST(list_sum(list_transform(bs,
+                    x -> CASE WHEN CAST(pf.qp AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+                FROM pf, bq),
+         b AS (SELECT bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(qp) AS BIGINT) AS sp,
+                 CAST(sum(qy // 1000000) AS BIGINT) AS n_pos
+               FROM bb GROUP BY 1)
+         SELECT bin, n_docs,
+           round(CAST(sp AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6, 6) AS mean_pred,
+           n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS obs_rate
+         FROM b ORDER BY bin""",
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
     // Domain cap (round 14: rn left the contract — the Spark side caps
@@ -3218,7 +3247,13 @@ object SparkEntry {
     * Spark `div` and Java long `/`). Final scores from the step-8
     * weights.
     */
-  private val qualityTrainOracle: String = {
+  /** The unrolled 8-step integer-GD CTE chain, ending in `fin`
+    * (doc_id, qy, score_q = the final-weights qz6) — shared by the
+    * x_quality_train oracle and (round 14) the calibration oracle,
+    * which re-applies the training loop's own algebraic sigmoid to
+    * score_q.
+    */
+  private val qualityTrainCtes: String = {
     val iters = 8
     val levels = (1 to iters).map { r =>
       s"""s$r AS (SELECT f.doc_id, f.qx0, f.qx1, f.qx2, f.qx3, f.qy,
@@ -3234,7 +3269,7 @@ object SparkEntry {
                    CAST(w.w3 - g.g3 // (2 * g.n * 10000) AS BIGINT) AS w3
                  FROM w${r - 1} w CROSS JOIN g$r g)"""
     }.mkString(",\n         ")
-    s"""WITH $repGateCtes,
+    s"""$repGateCtes,
          feat AS (SELECT t.doc_id,
              CAST(10000 AS BIGINT) AS qx0,
              CAST(len(toks) AS BIGINT) * 100 AS qx1,
@@ -3250,11 +3285,14 @@ object SparkEntry {
          $levels,
          fin AS (SELECT f.doc_id, f.qy,
              (w.w0 * f.qx0 + w.w1 * f.qx1 + w.w2 * f.qx2 + w.w3 * f.qx3) // 10000 AS score_q
-           FROM feat f CROSS JOIN w$iters w)
+           FROM feat f CROSS JOIN w$iters w)"""
+  }
+
+  private val qualityTrainOracle: String =
+    s"""WITH $qualityTrainCtes
          SELECT doc_id, CAST(score_q AS BIGINT) AS score_q, score_q > 0 AS keep,
            qy = 1000000 AS label
          FROM fin ORDER BY doc_id"""
-  }
 
   private val dedupApplyOracle: String =
     s"""WITH RECURSIVE $applyVerdictCtes

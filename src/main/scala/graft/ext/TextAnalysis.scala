@@ -624,6 +624,58 @@ object TextAnalysis {
     (w, scored)
   }
 
+  /** Reliability diagram of the trained quality classifier
+    * (x_quality_calibration, round 14) — the calibration check a
+    * pipeline runs BEFORE trusting the trained filter's probabilities
+    * as sampling weights (Guo et al.'s reliability-diagram reading):
+    * every document's predicted probability under the final weights
+    * (the SAME algebraic sigmoid the training loop used, in integer
+    * micro-units) buckets into ten EQUAL-COUNT bins — adaptive
+    * binning, the standard fix for the classic diagram's empty-bin
+    * problem when a confident model concentrates its probabilities —
+    * and each bin reports its mean predicted probability against the
+    * observed positive rate of the weak labels. A well-calibrated
+    * filter's bins sit on the diagonal; systematic over/under-
+    * confidence is exactly what temperature scaling would then fix.
+    *
+    * Determinism: qp is an all-integer expression (the x_quality_train
+    * contract); the decile boundaries come from
+    * [[Profiling.exactQuantilesDistributed]], whose interpolation
+    * mirrors DuckDB's `quantile_cont` form exactly (the x_vocab_growth
+    * precedent), and assignment is the shared `v > boundary` CASE-sum;
+    * bin sums are exact integer sums with one terminal 6-dp round per
+    * displayed rate. 100 TB shape: the training loop's own shape plus
+    * one distributed selection pass and ONE ≤10-row hash aggregate.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (w, _) = qualityTrainFor(docs, iters)
+    val staged = qualityFeatureFrame(docs)
+      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
+        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+      .withColumn("qz6", expr(fdSql("zs", "10000")))
+      .withColumn("qp", lit(500000L) +
+        expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
+    val bounds = Profiling.exactQuantilesDistributed(
+      staged.select(col("qp").cast("double")), (1 to 9).map(_ / 10.0))
+    val bin = bounds
+      .map(b => when(col("qp").cast("double") > lit(b), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    staged
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("qp")).as("sp"),
+        sum(expr(fdSql("qy", "1000000"))).as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        round(col("sp").cast("double") / col("n_docs").cast("double") / 1e6, 6)
+          .as("mean_pred"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("obs_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** The integer-quantized feature/label frame behind
     * [[qualityTrainFor]]: qx = feature·10⁴ by INTEGER arithmetic
     * (positive operands, so `div` = floor on both engines), label

@@ -1256,6 +1256,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality calibration: equal-count bins cover the corpus, predictions ascend, ranking direction holds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.qualityCalibration(spark, dir)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.map(_._2).sum == 500, "bins must cover the corpus")
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 <= 9)
+      assert(r._3 >= 0.0 && r._3 <= 1.0 && r._5 >= 0.0 && r._5 <= 1.0)
+      assert(r._4 <= r._2, "positives cannot exceed bin size")
+    }
+    // adaptive binning by ascending probability boundaries -> mean
+    // predictions ascend with the bin index by construction
+    val preds = rows.map(_._3)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a <= b },
+      s"mean_pred must ascend: ${preds.toSeq}")
+    // the r13 AUC spec proved the trained scorer ranks better than
+    // chance; the diagram must show the same direction: the top bin's
+    // observed rate is at least the bottom bin's
+    assert(rows.last._5 >= rows.head._5,
+      s"ranking direction lost: top ${rows.last._5} vs bottom ${rows.head._5}")
+  }
+
   test("dataset card: totals reconcile with the corpus and the pair frame") {
     val dir = "/root/testdata/sf0.001"
     val card = graft.ext.Dedup.datasetCard(spark, dir)
