@@ -2336,8 +2336,11 @@ object SparkEntry {
     // (the oracle derives them by rank; the Spark side by distributed
     // selection — same value, the rank-k order statistic is
     // tiebreak-invariant), and every doc buckets by avg_nll <= b.
-    // Boundary TIES all take the lower bucket; <3 docs in a language
-    // leave b NULL and the compare falls through to tail.
+    // Boundary TIES all take the lower bucket. Tiny languages
+    // (ADVICE r14 wording fix): n<3 leaves b1 NULL (no head bucket);
+    // b2 is NULL only when floor(2n/3)=0, i.e. n=1 — an n=2 language
+    // still gets a middle boundary (rank 1), so its docs split
+    // middle/tail, not all-tail.
     "x_ppl_buckets" ->
       s"""WITH $lmLangScoreCtes,
          rb AS (SELECT doc_id, lang, avg_nll,

@@ -177,12 +177,28 @@ object Profiling {
     * smaller keys in that partition. Key comparison uses UTF-8 byte
     * order — the same order Spark's range partitioner applies to
     * StringType — so non-ASCII keys locate correctly too.
+    *
+    * Scale bound (ADVICE r14): the counts pass collects P·|keys| rows
+    * and the driver does O(|keys| + |runs|) hash work over them — fine
+    * for language/source cardinalities (≤10⁴ keys × ≤10³ partitions =
+    * 10⁷ tuples, megabytes), but NOT a substitute for a distributed
+    * algorithm when the key is user-id-grade (10⁸+ keys); at that
+    * cardinality use a plain per-key aggregate instead — a selection
+    * over millions of tiny groups has no skew problem for a window to
+    * cause.
     */
   private[graft] def exactRankRowsByKey(df: DataFrame,
       ranksFor: Long => Seq[Long]):
       (Map[(String, Long), org.apache.spark.sql.Row], Map[String, Long]) = {
     val spark = df.sparkSession
     val keyCol = df.columns.head
+    // fail fast: the run-offset math below reads the key via getString
+    // and orders runs by UTF-8 bytes — both assume a StringType leading
+    // column (ADVICE r14: a non-string key died as a ClassCastException
+    // deep inside a collected job)
+    require(df.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      s"exactRankRowsByKey needs a StringType leading key column, got " +
+        s"'$keyCol': ${df.schema.head.dataType.simpleString}")
     val parts = spark.sparkContext.defaultParallelism
     val orderCols = df.columns.toIndexedSeq.map(col)
     val sorted = df.repartitionByRange(parts, orderCols: _*)
@@ -214,11 +230,16 @@ object Profiling {
       // (review r14: one redundant corpus scan per adopter)
       val totals: Map[String, Long] =
         cnt.groupBy(_._2).map { case (k, rows) => k -> rows.map(_._3).sum }
-      // per key: ascending pids hold the key's rows in global sort order
+      // per key: ascending pids hold the key's rows in global sort order.
+      // Group the counts by key ONCE — the earlier per-key
+      // cnt.filter(...) rescanned all P·|keys| tuples for every key,
+      // O(|keys|²·P) driver work (ADVICE r14)
+      val runsByKey: Map[String, Array[(Int, String, Long)]] =
+        cnt.groupBy(_._2).map { case (k, rows) => k -> rows.sortBy(_._1) }
       val wanted = scala.collection.mutable.HashMap
         .empty[Int, scala.collection.mutable.HashMap[Long, (String, Long)]]
       totals.foreach { case (k, total) =>
-        val runs = cnt.filter(_._2 == k).sortBy(_._1) // (pid, k, c) ascending pid
+        val runs = runsByKey(k) // (pid, k, c) ascending pid
         ranksFor(total).distinct.filter(r => r >= 1 && r <= total).foreach { r =>
           var rem = r - 1 // 0-indexed position among the key's rows
           var i = 0

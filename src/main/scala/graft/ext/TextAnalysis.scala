@@ -936,8 +936,10 @@ object TextAnalysis {
 
   /** Per-language tercile boundaries: (lang, n_lang, b1, b2) where b1
     * is the avg_nll at 1-indexed rank ⌊n/3⌋ and b2 at ⌊2n/3⌋ under
-    * (avg_nll, doc_id) order — None when the rank is 0 (fewer than 3
-    * docs). Computed by KEYED distributed selection
+    * (avg_nll, doc_id) order — None exactly when the rank is 0: b1 for
+    * n<3, b2 only for n=1 (⌊2n/3⌋=0). An n=2 language therefore DOES
+    * get a middle boundary (b2 at rank 1) and splits middle/tail, not
+    * all-tail (ADVICE r14 wording fix). Computed by KEYED distributed selection
     * ([[Profiling.exactRankRowsByKey]]), never a per-language rank
     * window: on a real crawl one language is ~half the corpus and a
     * `Window.partitionBy(lang)` sorts ~50 TB on one reducer — the
@@ -972,9 +974,11 @@ object TextAnalysis {
     * distributed selection), broadcast as a |langs|-row frame, and
     * every document buckets ROW-LOCALLY by `avg_nll ≤ b`. Documents
     * tied exactly ON a boundary value all take the lower bucket (the
-    * deterministic tie rule the streaming router already applies);
-    * fewer than 3 docs in a language → null boundary → the compare is
-    * null → the doc falls through (all-tail), matching the rank rule.
+    * deterministic tie rule the streaming router already applies); a
+    * NULL boundary makes its compare null and the doc falls through —
+    * n<3 has no b1 (no head), and only n=1 also loses b2 (all-tail);
+    * an n=2 language still buckets middle/tail via its rank-1 b2 —
+    * matching the rank rule exactly (ADVICE r14 wording fix).
     * One-token documents have no bigram support and no bucket (the
     * [[lmScore]] support contract).
     *

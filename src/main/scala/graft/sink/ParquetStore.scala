@@ -353,6 +353,15 @@ object ParquetStore {
     * compact-then-swap cycles cannot change what this reader sees —
     * StreamingSpec asserts row identity across a concurrent compact
     * plus a post-pin append.
+    *
+    * Concurrency (ADVICE r14 — the assumption now lives on the PUBLIC
+    * lifecycle API, not only on the drop's internals): pin creation
+    * ([[writeGenerationManifest]]), release ([[releaseGeneration]]),
+    * and teardown ([[dropRootIfUnpinned]]) must be serialized through
+    * ONE coordinator. A plain filesystem has no compare-and-swap, so a
+    * pin racing an in-flight drop on a shared store is undetectable —
+    * the same single-writer assumption [[appendBatch]]'s bid-overwrite
+    * replay contract already makes.
     */
   def openGeneration(spark: SparkSession, path: String, genId: Long): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -373,6 +382,7 @@ object ParquetStore {
     * compact-then-swap lifecycle's reader-side contract — a reader
     * that opened [[openGeneration]] releases when done, and
     * [[dropRootIfUnpinned]] may then tear the superseded root down.
+    * Single-coordinator assumption: see [[openGeneration]].
     */
   def releaseGeneration(spark: SparkSession, path: String, genId: Long): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -421,6 +431,13 @@ object ParquetStore {
         n.stripPrefix(s"$BatchCol=").toLongOption.forall(_ > migratedUpTo)
     }
     if (pinned || unmigrated) false
+    // Re-check the pin listing IMMEDIATELY before the recursive delete
+    // (ADVICE r14): the bid scan above takes a full root listing, so a
+    // same-coordinator pin that slipped in behind the first check (a
+    // misuse of the single-writer contract, but a cheap one to absorb)
+    // still refuses here; the remaining race window is one FS
+    // round-trip wide instead of listing-plus-scan wide.
+    else if (fs.exists(mdir) && fs.listStatus(mdir).nonEmpty) false
     else { fs.delete(root, true); true }
   }
 
