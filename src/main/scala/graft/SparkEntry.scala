@@ -116,6 +116,7 @@ object SparkEntry {
     "x_sim_lsh_multiprobe" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
+    "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1347,6 +1348,58 @@ object SparkEntry {
          FROM (SELECT vec_id AS query_id FROM e WHERE vec_id >= 16 AND vec_id < 26) q0
          LEFT JOIN hits ON q0.query_id = hits.query_id
          ORDER BY q0.query_id""",
+    // nprobe=4 IVF (round 15): probe ranks come from the shared
+    // allrank CTE (rank 1 = the classic assignment, so the single-cell
+    // leg is x_sim_ivf's search by construction); every leg — both
+    // candidate sets, both top-3s, brute truth — is exact portable SQL
+    // and recall_probe >= recall_1 is a THEOREM (a global-top-k member
+    // in a candidate set always survives that set's top-k), so the
+    // whole report hash-gates.
+    "x_sim_ivf_probe" ->
+      s"""WITH $seedAssignCtes,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id >= 16 AND vec_id < 26),
+         pc AS (SELECT vec_id AS query_id, cell_id, cell_rank AS probe_rank
+                FROM allrank WHERE vec_id >= 16 AND vec_id < 26 AND cell_rank <= 4),
+         cand AS (SELECT pc.query_id, pc.probe_rank, a.vec_id AS neighbor_id,
+                    round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+                  FROM assigned a
+                  JOIN pc ON a.cell_id = pc.cell_id
+                  JOIN q ON q.query_id = pc.query_id
+                  WHERE a.vec_id <> pc.query_id),
+         t1 AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM cand WHERE probe_rank = 1) t WHERE rk <= 3),
+         tp AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM cand) t WHERE rk <= 3),
+         brute AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                               e.vec_id ASC) AS rk
+                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3),
+         h1 AS (SELECT t1.query_id, CAST(count(*) AS BIGINT) AS n FROM t1
+                JOIN brute b ON t1.query_id = b.query_id AND t1.neighbor_id = b.neighbor_id
+                GROUP BY 1),
+         hp AS (SELECT tp.query_id, CAST(count(*) AS BIGINT) AS n FROM tp
+                JOIN brute b ON tp.query_id = b.query_id AND tp.neighbor_id = b.neighbor_id
+                GROUP BY 1),
+         c1 AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM cand
+                WHERE probe_rank = 1 GROUP BY 1),
+         cp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(c1.n, 0) AS BIGINT) AS cand_1,
+           CAST(coalesce(cp.n, 0) AS BIGINT) AS cand_probe,
+           CAST((coalesce(h1.n, 0) * 100) // 3 AS BIGINT) AS recall_1_pct,
+           CAST((coalesce(hp.n, 0) * 100) // 3 AS BIGINT) AS recall_probe_pct
+         FROM q LEFT JOIN c1 ON q.query_id = c1.query_id
+         LEFT JOIN cp ON q.query_id = cp.query_id
+         LEFT JOIN h1 ON q.query_id = h1.query_id
+         LEFT JOIN hp ON q.query_id = hp.query_id
+         ORDER BY q.query_id""",
     // SemDeDup: literal seed centroids (vec_id < 16) make assignment +
     // within-cell τ-prune exact SQL — same portability trick as the IVF
     // oracle above. The keep rule is row-level (a vector is pruned iff
@@ -3120,16 +3173,24 @@ object SparkEntry {
     * assignCells, shared by the semantic-clusters / purity / kNN /
     * outlier oracles so the assignment contract lives in ONE place.
     */
-  private val seedAssignCtes: String =
+  /** Round 15 split: `allrank` keeps EVERY (vector, cell) preference
+    * rank so the nprobe oracle can read ranks 1..nprobe; `assigned`
+    * (rank 1) is unchanged for every existing consumer.
+    */
+  private val seedRankCtes: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, v, cell_id FROM (
+         allrank AS (
              SELECT e.vec_id, e.v, cent.cell_id,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS rk
-             FROM e, cent) t WHERE rk = 1)"""
+                          cent.cell_id ASC) AS cell_rank
+             FROM e, cent)"""
+
+  private val seedAssignCtes: String =
+    s"""$seedRankCtes,
+         assigned AS (
+           SELECT vec_id, v, cell_id FROM allrank WHERE cell_rank = 1)"""
 
   private val ngramPairCtes: String =
     """g0 AS (

@@ -331,6 +331,90 @@ object Similarity {
         expr(s"CAST(floor(hits_lit * 100 / $k) AS BIGINT)").as("recall_literal_pct"))
       .orderBy(col("query_id"))
 
+  /** Multi-cell probing for the IVF family (x_sim_ivf_probe, round 15)
+    * — FAISS's standard recall lever, `nprobe`: a query searches its
+    * `nprobe` NEAREST cells instead of only the argmax cell, trading a
+    * bounded candidate-set growth (≈ nprobe/cells of the corpus) for
+    * the recall lost when a true neighbor sits just across a Voronoi
+    * boundary (VERDICT r14 #4; every prior IVF face searched one
+    * cell). Per held-out query (vec_id 16..25, the [[ivfRefinedHits]]
+    * rationale) the report prices the trade against brute-force truth:
+    * candidate counts (the COST) and recall@k (the BENEFIT) for both
+    * the single-cell leg and the nprobe=4 leg.
+    *
+    * Exactness: the probe list is the top-`nprobe` prefix of the same
+    * (−cos, cell_id) struct sort that [[assignCells]] argmax-reduces —
+    * probe rank 1 IS the classic assignment, so the single-cell leg is
+    * [[ivfSearch]] by construction; index vectors live in exactly one
+    * cell and probe cells are distinct, so no candidate duplicates
+    * exist and every leg is exact portable SQL (hash-gated, the
+    * x_sim_ivf_refined convention). Recall@k ≥ single-cell is a
+    * THEOREM, not an empirical claim: a global-top-k member t in a
+    * candidate set always survives that set's top-k (fewer than k
+    * corpus vectors beat t, so fewer than k candidates do), hence
+    * hits(S) = |S ∩ global-top-k| — monotone in the candidate set, and
+    * the probe set is a superset of the argmax cell. ExtSpec asserts
+    * it per query; unlike Lloyd's-refinement recall (ADVICE r8) this
+    * CAN sit in the hash gate, because it holds for every dataset.
+    *
+    * 100 TB shape: queries explode into ≤|Q|·nprobe broadcast rows;
+    * candidates stay an equi-join on cell_id (the shuffle key a real
+    * deployment buckets by); ranking is the bounded top-k aggregate.
+    * The brute truth leg is the documented ≤10-broadcast-query scan
+    * (PlanLint allowlist, x_sim_ivf_refined's reason) — at scale the
+    * truth leg runs on a query sample exactly like the recall-pricing
+    * twins.
+    */
+  def ivfProbeReport(spark: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = seedCentroids(e, cells)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val assigned = assignCells(e, centroids).drop("cos_centroid")
+    val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
+      struct(
+        (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
+        lit(cellId).as("cell_id"))
+    }: _*)
+    val probes = e.filter(isQuery)
+      .withColumn("probes", slice(array_sort(scoredCells), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        posexplode(col("probes")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("qv"),
+        (col("pos") + 1).cast("long").as("probe_rank"),
+        col("p").getField("cell_id").as("qcell"))
+    val cand = assigned.join(broadcast(probes),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val top1 = rankTopK(cand.filter(col("probe_rank") === 1), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val topP = rankTopK(cand, k).select(col("query_id"), col("neighbor_id"))
+    val bq = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = rankTopK(
+        e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(ann: DataFrame, name: String) =
+      ann.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    val cost1 = cand.filter(col("probe_rank") === 1)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("c1"))
+    val costP = cand.groupBy(col("query_id")).agg(count(lit(1)).as("cp"))
+    e.filter(isQuery).select(col("vec_id").as("query_id"))
+      .join(cost1, Seq("query_id"), "left")
+      .join(costP, Seq("query_id"), "left")
+      .join(hits(top1, "h1"), Seq("query_id"), "left")
+      .join(hits(topP, "hp"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("c1"), lit(0L)).as("cand_1"),
+        coalesce(col("cp"), lit(0L)).as("cand_probe"),
+        expr(s"CAST(floor(coalesce(h1, 0) * 100 / $k) AS BIGINT)").as("recall_1_pct"),
+        expr(s"CAST(floor(coalesce(hp, 0) * 100 / $k) AS BIGINT)").as("recall_probe_pct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Scalar-quantized (int8) ANN: a per-dimension symmetric scale
     * s_j = max(|min_j|, |max_j|) over the corpus maps each float
     * dimension onto −127..127 (q = ⌊x/s·127 + ½⌋ — half-up on both
