@@ -619,8 +619,7 @@ object TextAnalysis {
     try {
       for (_ <- 1 to iters) {
         val staged = feat
-          .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
-            lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+          .withColumn("zs", qualityZs(w))
           .withColumn("qz6", expr(fdSql("zs", "10000")))
           .withColumn("qp", lit(500000L) +
             expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
@@ -640,17 +639,29 @@ object TextAnalysis {
     w
   }
 
+  /** The integer logit under literal weights over the qx0..qx3
+    * projection, and the qz6 score read off a named `zs` column — THE
+    * expressions shared by the batch inference face, the probability
+    * frame, and the streaming twin (stream/batch bit-identity by
+    * construction, the review-r12 rule: one definition, never copies).
+    */
+  private[graft] def qualityZs(w: Array[Long]): Column = {
+    require(w.length == 4, s"expected 4 weight micro-units, got ${w.length}")
+    lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
+      lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3")
+  }
+  private[graft] def qualityScoreQ: Column = expr(fdSql("zs", "10000"))
+
   /** Inference under a trained weight vector — re-derives features so
     * the training frame's persist can be released eagerly (review r12:
     * no leaked persists).
     */
   private[graft] def qualityScoredFor(docs: DataFrame, w: Array[Long]): DataFrame =
     qualityFeatureFrame(docs)
-      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
-        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
+      .withColumn("zs", qualityZs(w))
       .select(col("doc_id"),
-        expr(fdSql("zs", "10000")).as("score_q"),
-        (expr(fdSql("zs", "10000")) > 0).as("keep"),
+        qualityScoreQ.as("score_q"),
+        (qualityScoreQ > 0).as("keep"),
         (col("qy") === 1000000L).as("label"))
 
   /** Reliability diagram of the trained quality classifier
@@ -786,9 +797,8 @@ object TextAnalysis {
     */
   private def qualityProbFrame(docs: DataFrame, w: Array[Long]): DataFrame =
     qualityFeatureFrame(docs)
-      .withColumn("zs", lit(w(0)) * col("qx0") + lit(w(1)) * col("qx1") +
-        lit(w(2)) * col("qx2") + lit(w(3)) * col("qx3"))
-      .withColumn("qz6", expr(fdSql("zs", "10000")))
+      .withColumn("zs", qualityZs(w))
+      .withColumn("qz6", qualityScoreQ)
       .withColumn("qp", lit(500000L) +
         expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
 
@@ -806,21 +816,30 @@ object TextAnalysis {
     * qy ∈ {0, 10⁶} from the repetition + length gates (the
     * verdictsFor contract: absent repetition signal defaults to keep).
     */
+  /** The row-local, label-free half of the feature projection — the
+    * token count over `text` and the qx0..qx3 quantized features over
+    * (text, n_tok). ONE definition (round 15) shared by the batch
+    * feature frame and the streaming twin's at-the-door scorer, so
+    * stream/batch score identity is by construction, not by copy.
+    */
+  private[graft] def qualityNTok: Column =
+    size(split(col("text"), " ")).cast("long")
+  private[graft] def qualityFeatureExprs: Seq[Column] = Seq(
+    lit(10000L).as("qx0"),
+    (col("n_tok") * 100).as("qx1"),
+    expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000 div n_tok").as("qx2"),
+    // empty-text guard: ANSI Spark throws on div 0 where DuckDB //
+    // yields NULL — pin the zero-length feature to 0 on BOTH
+    // engines instead (review r13)
+    expr("CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000 div length(text) END").as("qx3"))
+
   private[graft] def qualityFeatureFrame(docs: DataFrame): DataFrame = {
     val rep = repetitionScoresFor(docs).select(col("doc_id"), col("keep").as("keep_rep"))
-    docs.select(col("doc_id"), col("text"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.select(col("doc_id"), col("text"), qualityNTok.as("n_tok"))
       .join(rep, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        lit(10000L).as("qx0"),
-        (col("n_tok") * 100).as("qx1"),
-        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 10000 div n_tok").as("qx2"),
-        // empty-text guard: ANSI Spark throws on div 0 where DuckDB //
-        // yields NULL — pin the zero-length feature to 0 on BOTH
-        // engines instead (review r13)
-        expr("CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) * 10000 div length(text) END").as("qx3"),
+      .select(col("doc_id") +: qualityFeatureExprs :+
         when(coalesce(col("keep_rep"), lit(true)) &&
-          col("n_tok").between(5, 10000), lit(1000000L)).otherwise(lit(0L)).as("qy"))
+          col("n_tok").between(5, 10000), lit(1000000L)).otherwise(lit(0L)).as("qy"): _*)
   }
 
   /** Corpus-trained language-model scoring — the KenLM/CCNet-style

@@ -829,6 +829,38 @@ object EventsStream {
     * corpus grows; re-derive them per batch epoch exactly as the
     * ratio table of [[dsirScoreStream]] is re-trained.
     */
+  /** Streaming TRAINED-filter scorer (round 15, VERDICT r14 #5) — the
+    * at-the-door face of the GD-trained quality classifier:
+    * [[graft.ext.TextAnalysis.qualityTrain]] is now the canonical
+    * scorer (it fits its weights instead of hand-setting them), so the
+    * ingest path needs to apply THOSE weights to arriving documents,
+    * not the hand-set [[graft.ext.TextAnalysis.qualityScore]] heuristic
+    * `stageAssignStream` routes by. The batch-trained weight vector
+    * (4 integer micro-units, via the round-15 value memo —
+    * `TextAnalysis.qualityWeights`) inlines as literals, the
+    * [[dsirScoreStream]] broadcast-artifact convention; features,
+    * logit, and score are THE batch expressions
+    * (`qualityFeatureExprs` / `qualityZs` / `qualityScoreQ` — not
+    * copies), so a streamed doc's (score_q, keep) is bit-identical to
+    * the batch row by construction and the batch-agreement spec
+    * asserts it row-level. PURE row-local: no state, no shuffle, no
+    * join — the strongest streaming shape. The label column stays
+    * batch-only (it needs the corpus-level repetition gate); drift
+    * note: weights age as the corpus grows — re-train per batch epoch
+    * exactly as the DSIR ratio table is.
+    */
+  def qualityClassifyStream(docs: DataFrame, wQ: Array[Long]): DataFrame = {
+    require(wQ.length == 4, s"expected 4 trained weight micro-units, got ${wQ.length}")
+    import graft.ext.TextAnalysis
+    docs
+      .select(col("doc_id"), col("text"), TextAnalysis.qualityNTok.as("n_tok"))
+      .select(col("doc_id") +: TextAnalysis.qualityFeatureExprs: _*)
+      .withColumn("zs", TextAnalysis.qualityZs(wQ))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreQ.as("score_q"),
+        (TextAnalysis.qualityScoreQ > 0).as("keep"))
+  }
+
   def stageAssignStream(docs: DataFrame, bounds: Seq[Double]): DataFrame = {
     require(bounds.length == 3 && bounds == bounds.sorted,
       s"expected 3 ascending quartile bounds, got $bounds")

@@ -1449,6 +1449,36 @@ class StreamingSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("streaming trained-filter scorer: (score_q, keep) bit-identical to the batch trained classifier") {
+    val dir = "/root/testdata/sf0.001"
+    graft.ext.Dedup.releaseCaches()
+    // ONE batch GD run supplies the weights (the round-15 value memo);
+    // the stream inlines them as literals, the dsirScoreStream shape
+    val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.qualityClassifyStream(input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("quality_stream")
+      .select(col("doc_id"), col("score_q"), col("keep"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed.size == docs.length, "every arriving doc must be scored")
+    val batch = graft.ext.TextAnalysis.qualityTrain(spark, dir)
+      .select(col("doc_id"), col("score_q"), col("keep"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(batch.length == streamed.size)
+    batch.foreach { case (id, s, k) =>
+      assert(streamed(id) == ((s, k)),
+        s"doc $id: stream ${streamed(id)} vs batch ($s, $k)")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("streaming embed-outlier gate: z and flags row-identical to the batch audit") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, dir)
