@@ -144,12 +144,15 @@ object Dedup {
       * (session, corpus), share across faces" applies to values the
       * way it does to frames (VERDICT r14 #1: x_quality_calibration
       * re-ran the 8-step GD x_quality_train had just run). `build`
-      * runs EAGERLY under this memo's own lock (build-once; the
-      * seedAssigned precedent already runs bounded collects inside the
-      * frame lock) — a separate lock from the frame memo's, so a
-      * training loop's jobs never block frame access. The artifact
-      * must be bounded (weights, boundaries — never corpus-sized) and
-      * is dropped by [[release]] with everything else, which is what
+      * runs OUTSIDE the lock (review r15 — a training loop's 8 Spark
+      * jobs must not serialize every other session's cheap lookups
+      * behind one global mutex, the same rule the frame memo's round-6
+      * note applies to FS listings): two sessions racing a cold key
+      * both build, and the later put wins — harmless, because every
+      * artifact routed here is DETERMINISTIC (integer-exact training),
+      * so duplicate builds produce equal values. The artifact must be
+      * bounded (weights, boundaries — never corpus-sized) and is
+      * dropped by [[release]] with everything else, which is what
       * keeps per-rep bench pricing honest.
       */
     private val valueMemo =
@@ -158,15 +161,16 @@ object Dedup {
     def getOrComputeValue[T](spark: SparkSession, key: String, dir: String,
         tables: Seq[String] = Seq("documents.parquet"))(build: => T): T = {
       val fp = fingerprint(spark, dir, tables) // FS list outside any lock
-      valueMemo.synchronized {
+      val hit = valueMemo.synchronized {
         valueMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-        valueMemo.get((spark, key)) match {
-          case Some((oldFp, v)) if oldFp == fp => v.asInstanceOf[T]
-          case _ =>
-            val v = build
-            valueMemo.put((spark, key), (fp, v))
-            v
-        }
+        valueMemo.get((spark, key)).collect { case (oldFp, v) if oldFp == fp => v }
+      }
+      hit match {
+        case Some(v) => v.asInstanceOf[T]
+        case None =>
+          val v = build // Spark jobs run lock-free; racing builds are equal
+          valueMemo.synchronized { valueMemo.put((spark, key), (fp, v)) }
+          v
       }
     }
 

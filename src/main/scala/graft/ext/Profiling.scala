@@ -224,18 +224,18 @@ object Profiling {
             (k, off + c0, c)
           }.tail.map { case (k, off, _) => (pid, k) -> off }
       }
+      // Group the counts by key ONCE — the earlier per-key
+      // cnt.filter(...) rescanned all P·|keys| tuples for every key,
+      // O(|keys|²·P) driver work (ADVICE r14); per-key totals and run
+      // lists both derive from this single grouping (review r15)
+      val runsByKey: Map[String, Array[(Int, String, Long)]] =
+        cnt.groupBy(_._2).map { case (k, rows) => k -> rows.sortBy(_._1) }
       // per-key totals fall out of the same counts pass — returned to
       // the caller, which previously ran its own groupBy(key).count()
       // collect over the full frame just to derive the ranks it wanted
       // (review r14: one redundant corpus scan per adopter)
       val totals: Map[String, Long] =
-        cnt.groupBy(_._2).map { case (k, rows) => k -> rows.map(_._3).sum }
-      // per key: ascending pids hold the key's rows in global sort order.
-      // Group the counts by key ONCE — the earlier per-key
-      // cnt.filter(...) rescanned all P·|keys| tuples for every key,
-      // O(|keys|²·P) driver work (ADVICE r14)
-      val runsByKey: Map[String, Array[(Int, String, Long)]] =
-        cnt.groupBy(_._2).map { case (k, rows) => k -> rows.sortBy(_._1) }
+        runsByKey.map { case (k, rows) => k -> rows.map(_._3).sum }
       val wanted = scala.collection.mutable.HashMap
         .empty[Int, scala.collection.mutable.HashMap[Long, (String, Long)]]
       totals.foreach { case (k, total) =>

@@ -244,12 +244,21 @@ object Similarity {
     * reproduces a window's (cos desc, cell_id asc) tie-break exactly).
     * Adds `cell_id` and `cos_centroid` (the winning rounded cosine).
     */
-  private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
-    val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
+  /** The per-row (−cos, cell_id) preference array over literal
+    * centroids — ONE definition (review r15) shared by the argmax
+    * assignment and the nprobe probe-list slice, so "probe rank 1 IS
+    * the classic assignment" holds by construction, not by two copies
+    * staying in sync.
+    */
+  private def cellScoreArray(centroids: Array[(Long, Array[Float])]): Column =
+    array(centroids.toIndexedSeq.map { case (cellId, cv) =>
       struct(
         (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
         lit(cellId).as("cell_id"))
     }: _*)
+
+  private[graft] def assignCells(df: DataFrame, centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val scoredCells = cellScoreArray(centroids)
     df.withColumn("best_cell", array_min(scoredCells))
       .withColumn("cell_id", col("best_cell").getField("cell_id"))
       .withColumn("cos_centroid", -col("best_cell").getField("neg_cos"))
@@ -372,13 +381,8 @@ object Similarity {
     val centroids = seedCentroids(e, cells)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
     val assigned = assignCells(e, centroids).drop("cos_centroid")
-    val scoredCells = array(centroids.toIndexedSeq.map { case (cellId, cv) =>
-      struct(
-        (-round(cosine(col("embedding"), typedLit(cv)), 6)).as("neg_cos"),
-        lit(cellId).as("cell_id"))
-    }: _*)
     val probes = e.filter(isQuery)
-      .withColumn("probes", slice(array_sort(scoredCells), 1, nprobe))
+      .withColumn("probes", slice(array_sort(cellScoreArray(centroids)), 1, nprobe))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         posexplode(col("probes")).as(Seq("pos", "p")))
       .select(col("query_id"), col("qv"),

@@ -8,6 +8,10 @@ package graft.tools
   */
 object TimeBpe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.tools.TimeBpe <nMerges> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val n = args(0).toInt
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
