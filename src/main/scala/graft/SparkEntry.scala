@@ -2242,7 +2242,7 @@ object SparkEntry {
          sp AS (SELECT bin, qy, qp, t,
                   500000 + (1000000 * qzt) // (2 * (1000000 + abs(qzt))) AS qpt
                 FROM sc),
-         bt AS (SELECT t, bin, CAST(count(*) AS BIGINT) AS n,
+         bt AS MATERIALIZED (SELECT t, bin, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(qpt) AS BIGINT) AS spt,
                   CAST(sum(qy // 1000000) AS BIGINT) AS npos,
                   CAST(sum(qp) AS BIGINT) AS spr
@@ -3356,6 +3356,13 @@ object SparkEntry {
     * x_quality_train oracle and (round 14) the calibration oracle,
     * which re-applies the training loop's own algebraic sigmoid to
     * score_q.
+    *
+    * `feat` and every `wN` are MATERIALIZED (a DuckDB planner hint,
+    * semantics unchanged): DuckDB 1.0 inlines a CTE once PER
+    * REFERENCE, and each level references w(N-1) twice (the score
+    * pass sN and the weight update wN) — inlined, the chain expands
+    * the feat subtree 2^8-fold, which round 15 measured as a >20 min
+    * / >78 GB-spill oracle replay at sf0.1 (vs 0.6 s materialized).
     */
   private val qualityTrainCtes: String = {
     val iters = 8
@@ -3367,14 +3374,14 @@ object SparkEntry {
          g$r AS (SELECT sum(qx0 * (qp - qy)) AS g0, sum(qx1 * (qp - qy)) AS g1,
                    sum(qx2 * (qp - qy)) AS g2, sum(qx3 * (qp - qy)) AS g3,
                    CAST(count(*) AS BIGINT) AS n FROM p$r),
-         w$r AS (SELECT CAST(w.w0 - g.g0 // (2 * g.n * 10000) AS BIGINT) AS w0,
+         w$r AS MATERIALIZED (SELECT CAST(w.w0 - g.g0 // (2 * g.n * 10000) AS BIGINT) AS w0,
                    CAST(w.w1 - g.g1 // (2 * g.n * 10000) AS BIGINT) AS w1,
                    CAST(w.w2 - g.g2 // (2 * g.n * 10000) AS BIGINT) AS w2,
                    CAST(w.w3 - g.g3 // (2 * g.n * 10000) AS BIGINT) AS w3
                  FROM w${r - 1} w CROSS JOIN g$r g)"""
     }.mkString(",\n         ")
     s"""$repGateCtes,
-         feat AS (SELECT t.doc_id,
+         feat AS MATERIALIZED (SELECT t.doc_id,
              CAST(10000 AS BIGINT) AS qx0,
              CAST(len(toks) AS BIGINT) * 100 AS qx1,
              (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // CAST(len(toks) AS BIGINT) AS qx2,
@@ -3384,7 +3391,7 @@ object SparkEntry {
                   THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qy
            FROM t JOIN tsx ON t.doc_id = tsx.doc_id
            LEFT JOIN rep ON t.doc_id = rep.doc_id),
-         w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
          $levels,
          fin AS (SELECT f.doc_id, f.qy,
@@ -3402,7 +3409,7 @@ object SparkEntry {
     */
   private val qualityBinCtes: String =
     s"""$qualityTrainCtes,
-         pf AS (SELECT doc_id, qy, score_q,
+         pf AS MATERIALIZED (SELECT doc_id, qy, score_q,
                   500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
                 FROM fin),
          bq AS (SELECT quantile_cont(CAST(qp AS DOUBLE),
