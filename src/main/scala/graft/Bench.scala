@@ -44,6 +44,54 @@ import org.apache.spark.sql.SparkSession
   *     stay apples-to-apples despite the min-over-reps composite.
   */
 object Bench {
+  /** 1-min /proc/loadavg sample (-1.0 when unreadable) — object-level
+    * so [[graft.tools.EpsOnly]] reads load through the SAME definition
+    * the bench artifact embeds (review r15: a copy would let the
+    * adjudication tool silently diverge from what it adjudicates).
+    */
+  def loadavg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** JIT-warm the ingest decode+normalize path on sf0.001 so a
+    * following [[timedIngestEps]] measures steady-state cost, not
+    * first-execution codegen. Shared basis with
+    * [[graft.tools.EpsOnly]].
+    */
+  def warmIngest(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val warm = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(to_json(struct(col("*"))).as("value"))
+    graft.streaming.IngestPipeline.runBatch(warm, graft.streaming.IngestPipeline.Logstash)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+  }
+
+  /** The EPS measurement basis — fresh parquet read with to_json INSIDE
+    * the timed write, pre-timed count, System.gc() immediately before
+    * the timed section (entering the allocation-heavy decode with the
+    * old gen full of sweep-era garbage measures GC history, not ingest
+    * capability — observed 38x on an end-of-run rep). Returns
+    * (events/sec, timed seconds, row count); callers do their own
+    * post-rep cleanup so load sampling stays adjacent to the timing.
+    * Shared verbatim with [[graft.tools.EpsOnly]], whose whole purpose
+    * is re-measuring THIS basis on an idle box.
+    */
+  def timedIngestEps(spark: SparkSession, sfDir: String): (Double, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_json(struct(col("*"))).as("value"))
+    val n = lines.count()
+    System.gc()
+    val t0 = System.nanoTime()
+    graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n / sec, sec, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,11 +111,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def loadavg1(): Double =
-      try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split(" ")(0).toDouble finally src.close()
-      } catch { case _: Throwable => -1.0 }
     val loadSamples = scala.collection.mutable.ArrayBuffer[(String, Double)]()
 
     // JIT + codegen warmup on the smallest sf so steady-state costs are
@@ -84,14 +127,7 @@ object Bench {
     }
     // Warm the ingest decode+normalize path too, so the pre-rep-1 EPS
     // measurement is steady-state JIT rather than first-execution cost.
-    locally {
-      import org.apache.spark.sql.functions._
-      val warm = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(to_json(struct(col("*"))).as("value"))
-      graft.streaming.IngestPipeline.runBatch(warm, graft.streaming.IngestPipeline.Logstash)
-        .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-    }
+    warmIngest(spark)
     // Deterministic order with the clusters-after-ngram keep-warm rule —
     // shared with Verify/TimeMany and name-asserted (SparkEntry).
     val ordered = SparkEntry.orderedQueryNames
@@ -126,21 +162,8 @@ object Bench {
     // JSON lines through decode+normalize at full width. Two reps
     // (before rep 1, after the chain pass), loadavg-bracketed.
     def measureEps(label: String): Double = {
-      import org.apache.spark.sql.functions._
       loadSamples += (s"${label}_start" -> loadavg1())
-      val lines = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(to_json(struct(col("*"))).as("value"))
-      val n = lines.count()
-      // clean heap before the timed section: the JSON decode allocates
-      // heavily on all 32 threads, and entering it with the old gen full
-      // of sweep-era garbage measures GC history, not ingest capability
-      // (observed 38x on an end-of-run rep at loadavg 5 on 32 cores —
-      // not load; the collector). Same treatment for both reps.
-      System.gc()
-      val t0 = System.nanoTime()
-      graft.streaming.IngestPipeline.runBatch(lines, graft.streaming.IngestPipeline.Logstash)
-        .write.format("noop").mode("overwrite").save()
-      val eps = n / ((System.nanoTime() - t0) / 1e9)
+      val (eps, _, _) = timedIngestEps(spark, sfDir)
       loadSamples += (s"${label}_end" -> loadavg1())
       spark.catalog.clearCache()
       System.gc()

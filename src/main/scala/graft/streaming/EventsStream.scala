@@ -811,24 +811,6 @@ object EventsStream {
         (rm.isNull || rs.isNull || rs <= 0.0 || abs(col("z")) > zThresh).as("drifted"))
   }
 
-  /** Streaming curriculum-stage assignment — the online face of
-    * [[graft.ext.Corpus.curriculum]]: tag documents with their training
-    * stage AS THEY ARRIVE, against the batch-computed exact-quartile
-    * boundaries ([[graft.ext.Corpus.curriculumBounds]] — three rounded
-    * doubles, broadcast as literals). An ingesting loader can route a
-    * doc straight into its stage bucket instead of waiting for the
-    * nightly re-quartile. PURE row-local work (score expression +
-    * three literal comparisons + the md5 shuffle key): no state, no
-    * shuffle, no stream-static join — the [[dsirScoreStream]] shape.
-    *
-    * Exactness: the score column IS the batch
-    * [[graft.ext.TextAnalysis.qualityScore]] expression (not a copy)
-    * and the bounds are the batch literals, so a streamed doc's
-    * (score, stage) is bit-identical to the batch row — asserted by
-    * the batch-agreement spec. Drift note: boundaries age as the
-    * corpus grows; re-derive them per batch epoch exactly as the
-    * ratio table of [[dsirScoreStream]] is re-trained.
-    */
   /** Streaming TRAINED-filter scorer (round 15, VERDICT r14 #5) — the
     * at-the-door face of the GD-trained quality classifier:
     * [[graft.ext.TextAnalysis.qualityTrain]] is now the canonical
@@ -861,6 +843,24 @@ object EventsStream {
         (TextAnalysis.qualityScoreQ > 0).as("keep"))
   }
 
+  /** Streaming curriculum-stage assignment — the online face of
+    * [[graft.ext.Corpus.curriculum]]: tag documents with their training
+    * stage AS THEY ARRIVE, against the batch-computed exact-quartile
+    * boundaries ([[graft.ext.Corpus.curriculumBounds]] — three rounded
+    * doubles, broadcast as literals). An ingesting loader can route a
+    * doc straight into its stage bucket instead of waiting for the
+    * nightly re-quartile. PURE row-local work (score expression +
+    * three literal comparisons + the md5 shuffle key): no state, no
+    * shuffle, no stream-static join — the [[dsirScoreStream]] shape.
+    *
+    * Exactness: the score column IS the batch
+    * [[graft.ext.TextAnalysis.qualityScore]] expression (not a copy)
+    * and the bounds are the batch literals, so a streamed doc's
+    * (score, stage) is bit-identical to the batch row — asserted by
+    * the batch-agreement spec. Drift note: boundaries age as the
+    * corpus grows; re-derive them per batch epoch exactly as the
+    * ratio table of [[dsirScoreStream]] is re-trained.
+    */
   def stageAssignStream(docs: DataFrame, bounds: Seq[Double]): DataFrame = {
     require(bounds.length == 3 && bounds == bounds.sorted,
       s"expected 3 ascending quartile bounds, got $bounds")
