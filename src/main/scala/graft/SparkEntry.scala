@@ -120,6 +120,7 @@ object SparkEntry {
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
+    "x_sim_ivf_pq_probe" -> ((s, d) => Similarity.ivfPqResidualProbeTopK(s, d)), // round 15: nprobe=4 on the residual pipeline (per-probe query residuals; FAISS IndexIVFPQ nprobe)
 
     "x_hard_negatives"  -> ((s, d) => Similarity.hardNegatives(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -1087,67 +1088,7 @@ object SparkEntry {
     // residuals are identically 0). Same three-dot distance form and
     // integer micro-unit training means as before.
     "x_sim_ivf_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
-         assigned AS (
-           SELECT vec_id, v, cell_id FROM (
-             SELECT e.vec_id, e.v, cent.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
-                          cent.cell_id ASC) AS cell_rank
-             FROM e, cent) t WHERE cell_rank = 1),
-         resid AS (
-           SELECT a.vec_id, a.cell_id,
-             list_transform(range(1, len(a.v) + 1), i -> a.v[i] - cent.cv[i]) AS rv
-           FROM assigned a JOIN cent USING (cell_id)),
-         rsub AS (SELECT vec_id, r.j, list_slice(rv, r.j * 8 + 1, r.j * 8 + 8) AS sv
-                  FROM resid, range(8) r(j)),
-         cb0 AS (SELECT CAST(vec_id - 16 AS BIGINT) AS c, j, sv AS cv
-                 FROM rsub WHERE vec_id >= 16 AND vec_id < 32),
-         codes0 AS (
-           SELECT vec_id, j, c AS code FROM (
-             SELECT rsub.vec_id, rsub.j, cb0.c,
-               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
-                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb0.cv) + list_dot_product(cb0.cv, cb0.cv), 6) ASC,
-                          cb0.c ASC) AS rn
-             FROM rsub JOIN cb0 USING (j)) t WHERE rn = 1),
-         qsub AS (SELECT vec_id, j, unnest(sv) AS x, unnest(range(8)) AS d FROM rsub),
-         tr1 AS (SELECT codes0.j, codes0.code AS c, qsub.d,
-                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
-                 FROM qsub JOIN codes0 ON codes0.vec_id = qsub.vec_id AND codes0.j = qsub.j
-                 GROUP BY 1, 2, 3),
-         cbe0 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb0),
-         cb1 AS (SELECT cbe0.j, cbe0.c, list(coalesce(tr1.mx, cbe0.sx) ORDER BY cbe0.d) AS cv
-                 FROM cbe0 LEFT JOIN tr1 ON tr1.j = cbe0.j AND tr1.c = cbe0.c AND tr1.d = cbe0.d
-                 GROUP BY cbe0.j, cbe0.c),
-         codes1 AS (
-           SELECT vec_id, j, c AS code FROM (
-             SELECT rsub.vec_id, rsub.j, cb1.c,
-               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
-                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb1.cv) + list_dot_product(cb1.cv, cb1.cv), 6) ASC,
-                          cb1.c ASC) AS rn
-             FROM rsub JOIN cb1 USING (j)) t WHERE rn = 1),
-         tr2 AS (SELECT codes1.j, codes1.code AS c, qsub.d,
-                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
-                 FROM qsub JOIN codes1 ON codes1.vec_id = qsub.vec_id AND codes1.j = qsub.j
-                 GROUP BY 1, 2, 3),
-         cbe1 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb1),
-         cb2 AS (SELECT cbe1.j, cbe1.c, list(coalesce(tr2.mx, cbe1.sx) ORDER BY cbe1.d) AS cv
-                 FROM cbe1 LEFT JOIN tr2 ON tr2.j = cbe1.j AND tr2.c = cbe1.c AND tr2.d = cbe1.d
-                 GROUP BY cbe1.j, cbe1.c),
-         codes2 AS (
-           SELECT vec_id, j, c AS code FROM (
-             SELECT rsub.vec_id, rsub.j, cb2.c,
-               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
-                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb2.cv) + list_dot_product(cb2.cv, cb2.cv), 6) ASC,
-                          cb2.c ASC) AS rn
-             FROM rsub JOIN cb2 USING (j)) t WHERE rn = 1),
-         recon2 AS (
-           SELECT codes2.vec_id, flatten(list(cb2.cv ORDER BY codes2.j)) AS rv
-           FROM codes2 JOIN cb2 ON cb2.j = codes2.j AND cb2.c = codes2.code
-           GROUP BY codes2.vec_id),
+      s"""WITH $pqResidualCtes,
          q AS (SELECT r.vec_id AS query_id, e.v AS qv, r.rv AS qrv, r.cell_id AS qcell
                FROM resid r JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10),
          scored AS (
@@ -1169,6 +1110,42 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk
            FROM rer)
          SELECT query_id, rk, neighbor_id, d2 FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // nprobe=4 on the residual pipeline (round 15): probe cells are
+    // ranks 1..4 of the SAME allrank window the assignment reads; the
+    // query's residual is taken against EACH probed centroid (FAISS
+    // by_residual), then the unchanged ADC-shortlist + exact-re-rank
+    // tail runs over the union of probed cells. A vector lives in one
+    // cell, so probing never duplicates a candidate. Queries are the
+    // held-out range [32, 42) — disjoint from the coarse seeds (<16)
+    // and the book seeds ([16, 32)); centroid-row queries would make
+    // probing a no-op (their own cell IS their neighborhood).
+    "x_sim_ivf_pq_probe" ->
+      s"""WITH $pqResidualCtes,
+         qp AS (SELECT ar.vec_id AS query_id, e.v AS qv, ar.cell_id AS pcell,
+               list_transform(range(1, len(e.v) + 1), i -> e.v[i] - cent.cv[i]) AS qres
+               FROM allrank ar JOIN e ON e.vec_id = ar.vec_id
+               JOIN cent ON cent.cell_id = ar.cell_id
+               WHERE ar.vec_id >= 32 AND ar.vec_id < 42 AND ar.cell_rank <= 4),
+         scoredp AS (
+           SELECT qp.query_id, a.vec_id AS neighbor_id, qp.qv,
+             round(list_dot_product(qres, qres) - 2 * list_dot_product(qres, rc.rv) + list_dot_product(rc.rv, rc.rv), 6) AS d2a
+           FROM assigned a JOIN qp ON a.cell_id = qp.pcell AND a.vec_id <> qp.query_id
+           JOIN recon2 rc ON rc.vec_id = a.vec_id),
+         shortp AS (
+           SELECT query_id, neighbor_id, qv FROM (
+             SELECT query_id, neighbor_id, qv,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2a ASC, neighbor_id ASC) AS rn
+             FROM scoredp) t WHERE rn <= 12),
+         rerp AS (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, e.v) + list_dot_product(e.v, e.v), 6) AS d2
+           FROM shortp s JOIN e ON e.vec_id = s.neighbor_id),
+         rankedp AS (
+           SELECT query_id, neighbor_id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS BIGINT) AS rk
+           FROM rerp)
+         SELECT query_id, rk, neighbor_id, d2 FROM rankedp WHERE rk <= 3
          ORDER BY query_id, rk""",
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
     // from the query's IVF cell (same assignment CTE as x_sim_ivf,
@@ -3191,6 +3168,73 @@ object SparkEntry {
     s"""$seedRankCtes,
          assigned AS (
            SELECT vec_id, v, cell_id FROM allrank WHERE cell_rank = 1)"""
+
+  /** The residual-PQ training chain shared by the x_sim_ivf_pq and
+    * x_sim_ivf_pq_probe oracles (round 15 split — compose, never
+    * copy): coarse assignment (the [[seedAssignCtes]] contract, with
+    * `allrank` kept visible for the probe tail's rank-≤nprobe read) →
+    * residuals → 8-subvector split → seed books from rows [16,32) →
+    * two unrolled Lloyd's iterations (codes → integer micro-unit
+    * means → books) → final codes and per-vector ADC reconstruction.
+    * The multi-referenced CTEs are `AS MATERIALIZED` — the same
+    * DuckDB per-reference-inlining hazard the quality GD chain hit
+    * this round (rsub alone is referenced five times; inlined, the
+    * training tree re-expands per reference).
+    */
+  private val pqResidualCtes: String =
+    s"""$seedAssignCtes,
+         resid AS MATERIALIZED (
+           SELECT a.vec_id, a.cell_id,
+             list_transform(range(1, len(a.v) + 1), i -> a.v[i] - cent.cv[i]) AS rv
+           FROM assigned a JOIN cent USING (cell_id)),
+         rsub AS MATERIALIZED (SELECT vec_id, r.j, list_slice(rv, r.j * 8 + 1, r.j * 8 + 8) AS sv
+                  FROM resid, range(8) r(j)),
+         cb0 AS MATERIALIZED (SELECT CAST(vec_id - 16 AS BIGINT) AS c, j, sv AS cv
+                 FROM rsub WHERE vec_id >= 16 AND vec_id < 32),
+         codes0 AS MATERIALIZED (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT rsub.vec_id, rsub.j, cb0.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb0.cv) + list_dot_product(cb0.cv, cb0.cv), 6) ASC,
+                          cb0.c ASC) AS rn
+             FROM rsub JOIN cb0 USING (j)) t WHERE rn = 1),
+         qsub AS MATERIALIZED (SELECT vec_id, j, unnest(sv) AS x, unnest(range(8)) AS d FROM rsub),
+         tr1 AS (SELECT codes0.j, codes0.code AS c, qsub.d,
+                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
+                 FROM qsub JOIN codes0 ON codes0.vec_id = qsub.vec_id AND codes0.j = qsub.j
+                 GROUP BY 1, 2, 3),
+         cbe0 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb0),
+         cb1 AS MATERIALIZED (SELECT cbe0.j, cbe0.c, list(coalesce(tr1.mx, cbe0.sx) ORDER BY cbe0.d) AS cv
+                 FROM cbe0 LEFT JOIN tr1 ON tr1.j = cbe0.j AND tr1.c = cbe0.c AND tr1.d = cbe0.d
+                 GROUP BY cbe0.j, cbe0.c),
+         codes1 AS MATERIALIZED (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT rsub.vec_id, rsub.j, cb1.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb1.cv) + list_dot_product(cb1.cv, cb1.cv), 6) ASC,
+                          cb1.c ASC) AS rn
+             FROM rsub JOIN cb1 USING (j)) t WHERE rn = 1),
+         tr2 AS (SELECT codes1.j, codes1.code AS c, qsub.d,
+                   CAST(sum(CAST(floor(qsub.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1e6) AS mx
+                 FROM qsub JOIN codes1 ON codes1.vec_id = qsub.vec_id AND codes1.j = qsub.j
+                 GROUP BY 1, 2, 3),
+         cbe1 AS (SELECT j, c, unnest(cv) AS sx, unnest(range(8)) AS d FROM cb1),
+         cb2 AS MATERIALIZED (SELECT cbe1.j, cbe1.c, list(coalesce(tr2.mx, cbe1.sx) ORDER BY cbe1.d) AS cv
+                 FROM cbe1 LEFT JOIN tr2 ON tr2.j = cbe1.j AND tr2.c = cbe1.c AND tr2.d = cbe1.d
+                 GROUP BY cbe1.j, cbe1.c),
+         codes2 AS MATERIALIZED (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT rsub.vec_id, rsub.j, cb2.c,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb2.cv) + list_dot_product(cb2.cv, cb2.cv), 6) ASC,
+                          cb2.c ASC) AS rn
+             FROM rsub JOIN cb2 USING (j)) t WHERE rn = 1),
+         recon2 AS MATERIALIZED (
+           SELECT codes2.vec_id, flatten(list(cb2.cv ORDER BY codes2.j)) AS rv
+           FROM codes2 JOIN cb2 ON cb2.j = codes2.j AND cb2.c = codes2.code
+           GROUP BY codes2.vec_id)"""
 
   private val ngramPairCtes: String =
     """g0 AS (

@@ -808,6 +808,98 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-cell probing for the residual IVF-PQ search
+    * (x_sim_ivf_pq_probe, round 15 — FAISS `IndexIVFPQ` with
+    * `nprobe > 1`, composing the round's two threads: the `nprobe`
+    * lever `ivfProbeReport` priced on IVF-flat, applied to the
+    * trained residual pipeline of [[ivfPqResidualTopK]]):
+    *
+    *   - each query probes its `nprobe` nearest cells — the probe
+    *     list is the top-`nprobe` prefix of the SAME sorted
+    *     (−cos, cell_id) array the argmax assignment reduces, so
+    *     nprobe=1 IS the single-cell search (spec-asserted
+    *     bit-identical to [[ivfPqResidualTopK]]);
+    *   - by-residual semantics per probe (what FAISS does): the
+    *     query's residual is taken against EACH probed cell's
+    *     centroid, q_res(p) = q − centroid_p, because candidate codes
+    *     in cell p quantize residuals w.r.t. centroid_p — ADC compares
+    *     like with like, ‖q_res(p) − recon(n)‖² ≈ ‖q − (centroid_p +
+    *     recon(n))‖²;
+    *   - the ADC shortlist (k·`refine`, bounded aggregate) now draws
+    *     from all probed cells, and the exact re-rank tail is
+    *     unchanged. A vector lives in exactly one cell, so probing
+    *     never duplicates a candidate.
+    *
+    * Unlike the IVF-flat probe report, final-recall dominance in
+    * `nprobe` is NOT a theorem here: the shortlist ranks by
+    * APPROXIMATE (ADC) distance, so a wider candidate set can push a
+    * true neighbor out of the k·refine shortlist before the exact
+    * tail sees it. The registered query therefore exposes only the
+    * deterministic search result (the x_sim_ivf_pq schema, fully
+    * hash-gated); the measured probe-vs-single-cell comparison lives
+    * in the spec (the ADVICE r8 empirical/theorem split).
+    *
+    * Queries are vec_id ∈ [qLo, qHi) = [32, 42) by default — held out
+    * from BOTH training roles (coarse seeds are vec_id < 16, residual
+    * book seeds are [16, 32)). x_sim_ivf_pq's centroid-row queries
+    * (vec_id < 10) would make probing a no-op by construction: a
+    * centroid's own cell IS the set of corpus vectors nearest it, so
+    * its exact top-k already lives there (measured: identical output
+    * at sf0.01 AND sf0.1) — the same held-out reasoning
+    * [[ivfRefinedHits]] documents for its query range. For held-out
+    * queries the probed result genuinely moves (sf0.1: per-query top-3
+    * agreement with the single-cell leg is 0–2 of 3).
+    *
+    * Scale shape: identical to [[ivfPqResidualTopK]] except the
+    * candidate equi-join fans out ×nprobe on the query side (queries ×
+    * nprobe broadcast rows) — corpus-side cost grows only by the
+    * extra cells actually scanned, the exact trade `nprobe` exists to
+    * price.
+    */
+  def ivfPqResidualProbeTopK(spark: SparkSession, dir: String, k: Int = 3,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+      nprobe: Int = 4, qLo: Long = 32, qHi: Long = 42): DataFrame = {
+    val sq = graft.functions.GraftFunctions.sqDistL2 _
+    val (enc, books, centsD) = pqResidualTrained(spark, dir, m, ksub, iters)
+    // centsD is the seed set sorted by cell id with exact float→double
+    // widening, so narrowing back to float is lossless and the probe
+    // ranking below scores the SAME literal centroids the assignment did
+    val seeds: Array[(Long, Array[Float])] =
+      centsD.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val vd = col("embedding").cast("array<double>")
+    val e = Tables.embeddings(spark, dir)
+    val isQuery = col("vec_id") >= qLo && col("vec_id") < qHi
+    val probes = e.filter(isQuery)
+      .withColumn("probes", slice(array_sort(cellScoreArray(seeds)), 1, nprobe))
+      .select(col("vec_id").as("query_id"), vd.as("qv"),
+        posexplode(col("probes")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("qv"), col("p").getField("cell_id").as("pcell"))
+      .withColumn("qres", zip_with(col("qv"),
+        element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
+          col("pcell").cast("int") + 1), (a, b) => a - b))
+    val scored = enc.withColumn("rv", pqRecon(books, "rcodes"))
+      .join(broadcast(probes),
+        col("cell_id") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("d2a", round(sq(col("qres"), col("rv")), 6))
+    val shortlist = scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(-col("d2a"), col("vec_id"), k * refine).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("s.id").as("neighbor_id"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), vd.as("nv")), "neighbor_id")
+      .join(broadcast(e.filter(isQuery)
+        .select(col("vec_id").as("query_id"), vd.as("qv"))), "query_id")
+      .withColumn("d2", round(sq(col("qv"), col("nv")), 6))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(-col("d2"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("neighbor_id"), (-col("s.score")).as("d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** The residual-PQ training behind [[ivfPqResidualTopK]]: the corpus
     * frame extended with `resid` (v − coarse centroid) and `rcodes`
     * (codes against the `iters`-times-trained residual books), plus

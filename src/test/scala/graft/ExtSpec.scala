@@ -2229,6 +2229,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe: nprobe=1 equals the single-cell search; probing moves held-out results") {
+    val dir = "/root/testdata/sf0.001"
+    // THEOREM leg: probe rank 1 is the argmax assignment (same sorted
+    // (−cos, cell_id) array) and the rank-1 probe residual is the
+    // assignment residual, so nprobe=1 over the single-cell query set
+    // must reproduce ivfPqResidualTopK row for row — two independent
+    // formulations of the same search (the probe path explodes a probe
+    // list; the single-cell path joins on the stored assignment)
+    val single = Similarity.ivfPqResidualTopK(spark, dir, k = 3).collect()
+    val probe1 = Similarity.ivfPqResidualProbeTopK(spark, dir, k = 3,
+      nprobe = 1, qLo = 0, qHi = 10).collect()
+    assert(single.length == probe1.length && single.length == 30)
+    single.zip(probe1).foreach { case (a, b) =>
+      assert(a == b, s"nprobe=1 diverged from the single-cell search: $a vs $b")
+    }
+    // EMPIRICAL leg (the ADVICE r8 split — final recall is NOT
+    // monotone in nprobe because the shortlist ranks by approximate
+    // ADC distance): on this fixture, probing 4 cells must actually
+    // change some held-out query's top-3 vs its own nprobe=1 twin;
+    // identical output everywhere means the probe fan-out is wired
+    // wrong (the registered query's first draft used centroid-row
+    // queries and was a measured no-op for exactly that reason)
+    val reg = Similarity.ivfPqResidualProbeTopK(spark, dir, k = 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id")).collect().toSeq
+    val reg1 = Similarity.ivfPqResidualProbeTopK(spark, dir, k = 3, nprobe = 1)
+      .select(col("query_id"), col("rk"), col("neighbor_id")).collect().toSeq
+    assert(reg.size == 30 && reg1.size == 30)
+    assert(reg != reg1,
+      "nprobe=4 returned the nprobe=1 result for every held-out query — probing is a no-op")
+    // held-out contract: queries must not overlap either training role
+    val qids = reg.map(_.getLong(0)).distinct.sorted
+    assert(qids == (32L until 42L).toSeq, s"expected held-out queries [32,42), got $qids")
+  }
+
   test("hard negatives: every mined neighbor sits in the query's cell with a different label") {
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
