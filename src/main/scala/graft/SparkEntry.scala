@@ -130,6 +130,7 @@ object SparkEntry {
     "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
     "x_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(s, d)),
     "x_cluster_purity"  -> ((s, d) => Similarity.clusterPurity(s, d)),
+    "x_cluster_silhouette" -> ((s, d) => Similarity.clusterSilhouette(s, d)), // simplified-silhouette validity index over the seed cells (round 15)
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_lang_scores"     -> (TextAnalysis.langScores _),
@@ -1458,6 +1459,28 @@ object SparkEntry {
                 THEN round(CAST(scd.n_agree AS DOUBLE) / scd.n_scored, 4) END AS accuracy
          FROM tot LEFT JOIN scd ON tot.label = scd.label
          ORDER BY tot.label""",
+    // Simplified silhouette: a/b are the rank-1/rank-2 centroid
+    // distances in integer micro-units off the shared allrank sort;
+    // per-row s = (b−a)·10⁶ // max(a,b) (truncating, nonnegative),
+    // per-cell mean = exact integer sum // count.
+    "x_cluster_silhouette" ->
+      s"""WITH $seedRankCtes,
+         ab AS (
+           SELECT vec_id,
+             max(CASE WHEN cell_rank = 1 THEN cell_id END) AS cell_id,
+             max(CASE WHEN cell_rank = 1 THEN CAST(floor((1 - ccos) * 1e6 + 0.5) AS BIGINT) END) AS a_micro,
+             max(CASE WHEN cell_rank = 2 THEN CAST(floor((1 - ccos) * 1e6 + 0.5) AS BIGINT) END) AS b_micro
+           FROM allrank WHERE cell_rank <= 2 GROUP BY vec_id),
+         sil AS (
+           SELECT cell_id,
+             CASE WHEN greatest(a_micro, b_micro) > 0
+                  THEN ((b_micro - a_micro) * 1000000) // greatest(a_micro, b_micro)
+                  ELSE 0 END AS s
+           FROM ab)
+         SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell,
+           CAST(sum(s) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_sil,
+           CAST(min(s) AS BIGINT) AS min_sil, CAST(max(s) AS BIGINT) AS max_sil
+         FROM sil GROUP BY cell_id ORDER BY cell_id""",
     // Cluster label purity: the semantic-clusters closure joined to
     // labels; per-term integer micro-nat entropy contributions so the
     // per-cluster entropy is an order-immune integer sum; majority by
@@ -3159,6 +3182,7 @@ object SparkEntry {
          cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
          allrank AS (
              SELECT e.vec_id, e.v, cent.cell_id,
+               round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS ccos,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
                           cent.cell_id ASC) AS cell_rank

@@ -1414,6 +1414,65 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Simplified-silhouette cluster-quality audit (x_cluster_silhouette)
+    * — the Hruschka et al. 2004 centroid-based variant of Rousseeuw's
+    * silhouette: per vector, a = distance to its OWN centroid and b =
+    * distance to the nearest OTHER centroid, s = (b − a)/max(a, b).
+    * This is the standard internal validity index a pipeline reads
+    * before trusting a clustering for SemDeDup-style pruning or
+    * mixture construction — well-separated cells score near 1,
+    * boundary-straddling cells near 0. The classic silhouette's
+    * all-pairs a/b (O(n²)) is replaced by centroid distances (O(n·k))
+    * — the ONLY variant that survives 100 TB, and the reason the
+    * simplified form is what production validity checks run.
+    *
+    * Under argmax assignment a ≤ b by construction, so s ∈ [0, 1)
+    * here — the audit separates "tight vs boundary" cells rather than
+    * flagging misassignment (which argmax precludes).
+    *
+    * Determinism: distances are 1 − round(cos, 6) quantized to
+    * integer micro-units (nonnegative, so half-up rounding agrees
+    * with the oracle's floor(x·10⁶ + 0.5)); the per-row silhouette is
+    * one truncating integer division ((b−a)·10⁶ div max(a,b), both
+    * operands nonnegative), and the per-cell mean is an exact integer
+    * sum divided once — the x_embed_outliers micro-unit discipline.
+    * a and b come from ranks 1–2 of the SAME (−cos, cell_id) struct
+    * sort [[assignCells]] argmax-reduces (the cellScoreArray contract)
+    * so "own centroid" here is bit-identical to every other 16-cell
+    * face's assignment.
+    *
+    * 100 TB shape: one narrow scan with a k-literal score array (pure
+    * row-local codegen, zero shuffle) into a k-row hash aggregate with
+    * map-side partials. Nothing vector-scale shuffles.
+    */
+  def clusterSilhouette(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = seedCentroids(e, cells)
+    // ranks 1–2 of the assignment sort: element 1 IS the argmax cell
+    val top2 = slice(array_sort(cellScoreArray(centroids)), 1, 2)
+    def distMicro(s: Column): Column =
+      round((s.getField("neg_cos") + lit(1.0)) * 1e6, 0).cast("long")
+    val rows = e.withColumn("t2", top2)
+      .select(col("vec_id"),
+        element_at(col("t2"), 1).getField("cell_id").as("cell_id"),
+        distMicro(element_at(col("t2"), 1)).as("a_micro"),
+        distMicro(element_at(col("t2"), 2)).as("b_micro"))
+      .withColumn("sil",
+        when(greatest(col("a_micro"), col("b_micro")) > 0,
+          expr("(b_micro - a_micro) * 1000000 div greatest(a_micro, b_micro)"))
+          .otherwise(lit(0L)))
+    rows.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_cell"),
+        sum(col("sil")).as("ssil"),
+        min(col("sil")).as("min_sil"),
+        max(col("sil")).as("max_sil"))
+      .select(col("cell_id"), col("n_cell"),
+        expr("ssil div n_cell").as("mean_sil"),
+        col("min_sil"), col("max_sil"))
+      .orderBy(col("cell_id"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR 2009): fuse a lexical BM25 leg with a vector cosine leg —
     * the standard two-tower retrieval stack (keyword recall + semantic

@@ -638,6 +638,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cluster silhouette: mass conserved, bounds hold, centroids score 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Similarity.clusterSilhouette(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq.sorted == (0L to 15L), "one row per seed cell")
+    assert(rows.map(_._2).sum == 500L, "cell sizes must partition the corpus")
+    rows.foreach { case (c, n, mean, lo, hi) =>
+      assert(n >= 1, s"cell $c empty")
+      // s = (b−a)/max(a,b) with argmax assignment ⇒ a ≤ b ⇒ s ∈ [0, 1]
+      assert(0 <= lo && lo <= mean && mean <= hi && hi <= 1000000L,
+        s"cell $c silhouette bounds violated ($lo, $mean, $hi)")
+      // the seed centroid itself sits in its own cell at a = 0, so its
+      // silhouette is exactly (b·10⁶) div b = 10⁶ (b > 0 on this
+      // fixture — distinct seed vectors)
+      assert(hi == 1000000L, s"cell $c must contain its own centroid at s = 1")
+    }
+  }
+
   test("vocab growth: cumulative totals close over the corpus, curve flattens") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Profiling.vocabGrowth(spark, dir)
