@@ -117,6 +117,7 @@ object SparkEntry {
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
+    "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1334,17 +1335,7 @@ object SparkEntry {
     // in a candidate set always survives that set's top-k), so the
     // whole report hash-gates.
     "x_sim_ivf_probe" ->
-      s"""WITH $seedAssignCtes,
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e
-               WHERE vec_id >= 16 AND vec_id < 26),
-         pc AS (SELECT vec_id AS query_id, cell_id, cell_rank AS probe_rank
-                FROM allrank WHERE vec_id >= 16 AND vec_id < 26 AND cell_rank <= 4),
-         cand AS (SELECT pc.query_id, pc.probe_rank, a.vec_id AS neighbor_id,
-                    round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
-                  FROM assigned a
-                  JOIN pc ON a.cell_id = pc.cell_id
-                  JOIN q ON q.query_id = pc.query_id
-                  WHERE a.vec_id <> pc.query_id),
+      s"""WITH $probeCandCtes,
          t1 AS (SELECT query_id, neighbor_id FROM (
                   SELECT query_id, neighbor_id,
                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
@@ -1353,17 +1344,11 @@ object SparkEntry {
                   SELECT query_id, neighbor_id,
                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
                   FROM cand) t WHERE rk <= 3),
-         brute AS (SELECT query_id, neighbor_id FROM (
-                  SELECT q.query_id, e.vec_id AS neighbor_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
-                               e.vec_id ASC) AS rk
-                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3),
          h1 AS (SELECT t1.query_id, CAST(count(*) AS BIGINT) AS n FROM t1
-                JOIN brute b ON t1.query_id = b.query_id AND t1.neighbor_id = b.neighbor_id
+                JOIN bruterk b ON t1.query_id = b.query_id AND t1.neighbor_id = b.neighbor_id
                 GROUP BY 1),
          hp AS (SELECT tp.query_id, CAST(count(*) AS BIGINT) AS n FROM tp
-                JOIN brute b ON tp.query_id = b.query_id AND tp.neighbor_id = b.neighbor_id
+                JOIN bruterk b ON tp.query_id = b.query_id AND tp.neighbor_id = b.neighbor_id
                 GROUP BY 1),
          c1 AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM cand
                 WHERE probe_rank = 1 GROUP BY 1),
@@ -1377,6 +1362,36 @@ object SparkEntry {
          LEFT JOIN cp ON q.query_id = cp.query_id
          LEFT JOIN h1 ON q.query_id = h1.query_id
          LEFT JOIN hp ON q.query_id = hp.query_id
+         ORDER BY q.query_id""",
+    // nDCG@k over the probe frame: ranked lists keep their rk, truth
+    // ranks come from the shared bruterk; DCG = Σ discount CASE over
+    // hits (integer sum), nDCG = DCG·10⁶ // IDCG. The brute leg's
+    // nDCG is 10⁶ by construction — computed, not a literal, so a
+    // ranking bug fails the hash.
+    "x_rank_ndcg" ->
+      s"""WITH $probeCandCtes,
+         t1 AS (SELECT query_id, neighbor_id, rk FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM cand WHERE probe_rank = 1) t WHERE rk <= 3),
+         tp AS (SELECT query_id, neighbor_id, rk FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM cand) t WHERE rk <= 3),
+         d1 AS (SELECT t1.query_id, sum(${ndcgCaseSql("t1.rk", 3)}) AS dcg FROM t1
+                JOIN bruterk b ON t1.query_id = b.query_id AND t1.neighbor_id = b.neighbor_id
+                GROUP BY 1),
+         dp AS (SELECT tp.query_id, sum(${ndcgCaseSql("tp.rk", 3)}) AS dcg FROM tp
+                JOIN bruterk b ON tp.query_id = b.query_id AND tp.neighbor_id = b.neighbor_id
+                GROUP BY 1),
+         db AS (SELECT query_id, sum(${ndcgCaseSql("rk", 3)}) AS dcg FROM bruterk GROUP BY 1)
+         SELECT q.query_id,
+           CAST((coalesce(d1.dcg, 0) * 1000000) // ${Similarity.ndcgDiscountMicro.take(3).sum} AS BIGINT) AS ndcg_1,
+           CAST((coalesce(dp.dcg, 0) * 1000000) // ${Similarity.ndcgDiscountMicro.take(3).sum} AS BIGINT) AS ndcg_probe,
+           CAST((coalesce(db.dcg, 0) * 1000000) // ${Similarity.ndcgDiscountMicro.take(3).sum} AS BIGINT) AS ndcg_brute
+         FROM q LEFT JOIN d1 ON q.query_id = d1.query_id
+         LEFT JOIN dp ON q.query_id = dp.query_id
+         LEFT JOIN db ON q.query_id = db.query_id
          ORDER BY q.query_id""",
     // SemDeDup: literal seed centroids (vec_id < 16) make assignment +
     // within-cell τ-prune exact SQL — same portability trick as the IVF
@@ -3192,6 +3207,42 @@ object SparkEntry {
     s"""$seedRankCtes,
          assigned AS (
            SELECT vec_id, v, cell_id FROM allrank WHERE cell_rank = 1)"""
+
+  /** The nprobe=4 probe-candidate block shared by the x_sim_ivf_probe
+    * and x_rank_ndcg oracles (compose, never copy): held-out queries
+    * (vec_id 16..25) probe their 4 nearest cells off the shared
+    * allrank sort; `cand` is MATERIALIZED (multi-referenced — the
+    * DuckDB per-reference inlining hazard) and `bruterk` keeps the
+    * brute-force truth RANKS 1..3, serving both the recall read
+    * (membership) and the DCG read (rank positions).
+    */
+  private val probeCandCtes: String =
+    s"""$seedAssignCtes,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id >= 16 AND vec_id < 26),
+         pc AS (SELECT vec_id AS query_id, cell_id, cell_rank AS probe_rank
+                FROM allrank WHERE vec_id >= 16 AND vec_id < 26 AND cell_rank <= 4),
+         cand AS MATERIALIZED (SELECT pc.query_id, pc.probe_rank, a.vec_id AS neighbor_id,
+                    round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+                  FROM assigned a
+                  JOIN pc ON a.cell_id = pc.cell_id
+                  JOIN q ON q.query_id = pc.query_id
+                  WHERE a.vec_id <> pc.query_id),
+         bruterk AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                               e.vec_id ASC) AS rk
+                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3)"""
+
+  /** The binary-gain DCG discount CASE over a rank expression — text
+    * twin of the engine's literal table (ONE source:
+    * [[graft.ext.Similarity.ndcgDiscountMicro]]).
+    */
+  private def ndcgCaseSql(rkExpr: String, k: Int): String =
+    Similarity.ndcgDiscountMicro.take(k).zipWithIndex
+      .map { case (d, i) => s"WHEN $rkExpr = ${i + 1} THEN $d" }
+      .mkString("CASE ", " ", " ELSE 0 END")
 
   /** The residual-PQ training chain shared by the x_sim_ivf_pq and
     * x_sim_ivf_pq_probe oracles (round 15 split — compose, never

@@ -374,12 +374,16 @@ object Similarity {
     * truth leg runs on a query sample exactly like the recall-pricing
     * twins.
     */
-  def ivfProbeReport(spark: SparkSession, dir: String, k: Int = 3,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val centroids = seedCentroids(e, cells)
-    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+  /** The probed candidate frame shared by [[ivfProbeReport]] and
+    * [[annNdcgReport]] (one definition of "what nprobe search sees"):
+    * each query row explodes into its top-`nprobe` probe cells (the
+    * prefix of the same struct sort [[assignCells]] argmax-reduces),
+    * candidates come from ONE equi-join on cell_id, and `cos` is the
+    * rounded scoring cosine. Columns: query_id, qv, probe_rank,
+    * cell_id, vec_id (candidate), cos.
+    */
+  private def probeCandidates(e: DataFrame, centroids: Array[(Long, Array[Float])],
+      isQuery: Column, nprobe: Int): DataFrame = {
     val assigned = assignCells(e, centroids).drop("cos_centroid")
     val probes = e.filter(isQuery)
       .withColumn("probes", slice(array_sort(cellScoreArray(centroids)), 1, nprobe))
@@ -388,9 +392,18 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         (col("pos") + 1).cast("long").as("probe_rank"),
         col("p").getField("cell_id").as("qcell"))
-    val cand = assigned.join(broadcast(probes),
+    assigned.join(broadcast(probes),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+  }
+
+  def ivfProbeReport(spark: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = seedCentroids(e, cells)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val cand = probeCandidates(e, centroids, isQuery, nprobe)
     val top1 = rankTopK(cand.filter(col("probe_rank") === 1), k)
       .select(col("query_id"), col("neighbor_id"))
     val topP = rankTopK(cand, k).select(col("query_id"), col("neighbor_id"))
@@ -416,6 +429,82 @@ object Similarity {
         coalesce(col("cp"), lit(0L)).as("cand_probe"),
         expr(s"CAST(floor(coalesce(h1, 0) * 100 / $k) AS BIGINT)").as("recall_1_pct"),
         expr(s"CAST(floor(coalesce(hp, 0) * 100 / $k) AS BIGINT)").as("recall_probe_pct"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Binary-relevance DCG discounts in integer micro-units,
+    * w(r) = round(10⁶ / log₂(r + 1)) for ranks 1..8 — precomputed
+    * literals (NOT runtime log calls: libm's last bits are
+    * platform-specific, and a literal table is what both engines can
+    * replay bit-identically). Single source for the engine CASE
+    * expression and the oracle's CASE text.
+    */
+  private[graft] val ndcgDiscountMicro: Seq[Long] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L, 315465L)
+
+  /** nDCG@k ranking-quality verdict for the IVF ladder (x_rank_ndcg)
+    * — recall@k (x_sim_ivf_probe) counts how many true neighbors a
+    * method finds; nDCG@k (Järvelin & Kekäläinen, TOIS 2002) also
+    * prices WHERE it puts them, which is what a retrieval consumer
+    * (hard-negative mining, RAG context packing) actually feels.
+    * Relevance is binary membership in the brute-force top-k; the
+    * discount is the standard 1/log₂(r+1) as a literal micro-unit
+    * table ([[ndcgDiscountMicro]]); per method, DCG = Σ w(rank) over
+    * its hits and nDCG = DCG·10⁶ div IDCG with IDCG = Σ_{r≤k} w(r)
+    * (all truth items rankable at the top — binary gains).
+    *
+    * Three legs per held-out query (vec_id 16..25): the single-cell
+    * IVF ranking, the nprobe=4 probed ranking (both off the SAME
+    * [[probeCandidates]] frame the probe verdict prices), and the
+    * brute ranking itself — whose nDCG is 10⁶ by construction (its
+    * ranked list IS the truth set at ranks 1..k), kept as a computed
+    * anchor, not a literal, so a ranking bug fails the hash gate.
+    * Probe-vs-single nDCG dominance is NOT a theorem (a wider
+    * candidate set can demote an already-found truth item below a
+    * newly admitted better one, trading rank for recall), so the
+    * registered output is the deterministic per-query values and the
+    * bound theorems live in ExtSpec (hits·w(k) ≤ DCG ≤ hits·w(1)).
+    *
+    * Determinism: ranks are small integers off pre-rounded cosines
+    * with vec_id tie-break (the rankTopK contract), discounts are
+    * shared literals, DCG is an integer sum, and nDCG is one
+    * truncating division — bit-identical cross-engine. 100 TB shape:
+    * rides probeCandidates' equi-join + bounded top-k aggregates; the
+    * brute truth leg is the documented ≤10-broadcast-query scan of
+    * every recall-pricing twin.
+    */
+  def annNdcgReport(spark: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    require(k <= ndcgDiscountMicro.length, s"discount table covers ranks 1..${ndcgDiscountMicro.length}")
+    val e = Tables.embeddings(spark, dir)
+    val centroids = seedCentroids(e, cells)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val cand = probeCandidates(e, centroids, isQuery, nprobe)
+    val top1 = rankTopK(cand.filter(col("probe_rank") === 1), k)
+    val topP = rankTopK(cand, k)
+    val bq = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val bruteRk = rankTopK(
+      e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+    val truth = bruteRk.select(col("query_id"), col("neighbor_id"))
+    val disc = ndcgDiscountMicro.take(k).zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (w, (d, i)) =>
+        w.when(col("rk") === (i + 1), lit(d))
+      }.otherwise(lit(0L))
+    val idcg = ndcgDiscountMicro.take(k).sum
+    def dcg(ann: DataFrame, name: String) =
+      ann.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(sum(disc).as(name))
+    e.filter(isQuery).select(col("vec_id").as("query_id"))
+      .join(dcg(top1, "d1"), Seq("query_id"), "left")
+      .join(dcg(topP, "dp"), Seq("query_id"), "left")
+      .join(dcg(bruteRk, "db"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        expr(s"coalesce(d1, 0) * 1000000 div $idcg").as("ndcg_1"),
+        expr(s"coalesce(dp, 0) * 1000000 div $idcg").as("ndcg_probe"),
+        expr(s"coalesce(db, 0) * 1000000 div $idcg").as("ndcg_brute"))
       .orderBy(col("query_id"))
   }
 

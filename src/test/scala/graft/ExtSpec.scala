@@ -638,6 +638,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ann ndcg: brute anchor exact, hit-count bounds bracket every leg") {
+    val dir = "/root/testdata/sf0.001"
+    val ndcg = graft.ext.Similarity.annNdcgReport(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(ndcg.map(_._1).toSeq == (16L to 25L), "one row per held-out query")
+    val recall = graft.ext.Similarity.ivfProbeReport(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap // query -> (recall_1_pct, recall_probe_pct)
+    val disc = graft.ext.Similarity.ndcgDiscountMicro
+    val idcg = disc.take(3).sum
+    val hitsOf = Map(0L -> 0L, 33L -> 1L, 66L -> 2L, 100L -> 3L)
+    ndcg.foreach { case (q, n1, np, nb) =>
+      // the brute leg's ranked list IS the truth set at ranks 1..3
+      assert(nb == 1000000L, s"query $q brute anchor $nb")
+      Seq(n1 -> hitsOf(recall(q)._1), np -> hitsOf(recall(q)._2)).foreach {
+        case (n, h) =>
+          // h hits discount at worst all at rank k, at best from rank 1:
+          // h·w(3) ≤ DCG ≤ Σ_{r≤h} w(r); ±1 absorbs the nDCG truncation
+          val lo = h * disc(2) * 1000000L / idcg
+          val hi = disc.take(h.toInt).sum * 1000000L / idcg
+          assert(n >= lo - 1 && n <= hi + 1, s"query $q ndcg $n outside [$lo, $hi] for $h hits")
+          assert((n == 0) == (h == 0), s"query $q zero-ndcg iff zero hits")
+      }
+    }
+  }
+
   test("cluster silhouette: mass conserved, bounds hold, centroids score 1") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Similarity.clusterSilhouette(spark, dir)
