@@ -149,6 +149,7 @@ object SparkEntry {
     "x_quality_train" -> ((s, d) => TextAnalysis.qualityTrain(s, d)), // integer-exact GD-trained filter weights (round 13)
     "x_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)), // reliability diagram of the trained filter (round 14)
     "x_quality_temperature" -> ((s, d) => TextAnalysis.qualityTemperature(s, d)), // grid-fit temperature scaling on the reliability bins (round 15)
+    "x_quality_ablation" -> ((s, d) => TextAnalysis.qualityAblation(s, d)), // mean-substitution feature importance under the memoized weights (round 15)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -253,7 +254,10 @@ object SparkEntry {
       // weight vector x_quality_train just fit (VERDICT r14 #1 — the
       // diagram and the temperature fit price one selection pass + a
       // ≤10-row aggregate each, not an 8-step GD re-run apiece)
-      "x_quality_calibration", "x_quality_temperature")
+      "x_quality_calibration", "x_quality_temperature",
+      // round 15 (cont.): the ablation audit rides the same memoized
+      // weight vector — it prices one mean aggregate + one scan
+      "x_quality_ablation")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -299,7 +303,8 @@ object SparkEntry {
     // once (the memoized value artifact); the diagram and the
     // temperature fit ride it and price only their own passes
     val qualityChain =
-      Seq("x_quality_train", "x_quality_calibration", "x_quality_temperature")
+      Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
+        "x_quality_temperature")
     require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain).forall(queries.contains),
       s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -2276,6 +2281,35 @@ object SparkEntry {
            round(CAST(er.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_raw,
            round(CAST(best.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_cal
          FROM bt, best, er WHERE bt.t = best.t ORDER BY bt.bin""",
+    // Mean-substitution feature ablation under the trained chain's
+    // final weights: means are truncating divisions of exact sums,
+    // the ablated logit is exact integer arithmetic, flips compare
+    // div-quantized score signs. `ab` is MATERIALIZED — referenced by
+    // all three UNION legs (the DuckDB per-reference inlining hazard
+    // would otherwise replay the GD chain three times).
+    "x_quality_ablation" ->
+      s"""WITH $qualityTrainCtes,
+         mm AS (SELECT CAST(sum(qx1) // CAST(count(*) AS BIGINT) AS BIGINT) AS m1,
+                  CAST(sum(qx2) // CAST(count(*) AS BIGINT) AS BIGINT) AS m2,
+                  CAST(sum(qx3) // CAST(count(*) AS BIGINT) AS BIGINT) AS m3
+                FROM feat),
+         ab AS MATERIALIZED (SELECT f.doc_id, f.qx1, f.qx2, f.qx3,
+                  (w.w0 * f.qx0 + w.w1 * f.qx1 + w.w2 * f.qx2 + w.w3 * f.qx3) AS zs,
+                  w.w1 AS w1, w.w2 AS w2, w.w3 AS w3, m.m1, m.m2, m.m3
+                FROM feat f CROSS JOIN w8 w CROSS JOIN mm m),
+         legs AS (
+           SELECT 'qx1' AS feature, m1 AS mean_q, zs // 10000 AS qz6,
+                  (zs - w1 * qx1 + w1 * m1) // 10000 AS qz6a FROM ab
+           UNION ALL
+           SELECT 'qx2' AS feature, m2 AS mean_q, zs // 10000 AS qz6,
+                  (zs - w2 * qx2 + w2 * m2) // 10000 AS qz6a FROM ab
+           UNION ALL
+           SELECT 'qx3' AS feature, m3 AS mean_q, zs // 10000 AS qz6,
+                  (zs - w3 * qx3 + w3 * m3) // 10000 AS qz6a FROM ab)
+         SELECT feature, CAST(max(mean_q) AS BIGINT) AS mean_q,
+           CAST(sum(CASE WHEN (qz6 > 0) <> (qz6a > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+           CAST(sum(abs(qz6a - qz6)) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_abs_dscore
+         FROM legs GROUP BY feature ORDER BY feature""",
     // Per-domain hard cap: rank by (md5(doc_id), doc_id) within source,
     // keep rank <= 20.
     // Domain cap (round 14: rn left the contract — the Spark side caps

@@ -802,6 +802,70 @@ object TextAnalysis {
       .withColumn("qp", lit(500000L) +
         expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
 
+  /** Feature-ablation importance of the trained quality filter
+    * (x_quality_ablation) — the "which signal is this model actually
+    * using?" audit a pipeline runs before trusting a cheap trained
+    * filter at corpus scale: each non-bias feature is replaced by its
+    * corpus MEAN (mean-substitution ablation — the permutation-
+    * importance family with the deterministic substitute instead of a
+    * shuffle, so the result is replayable), the document is re-scored
+    * under the SAME memoized weights, and the report prices the
+    * damage per feature: how many keep/drop decisions flip, and the
+    * mean absolute score shift. A feature whose ablation flips
+    * nothing is dead weight; the one that flips the most carries the
+    * filter.
+    *
+    * Determinism: feature means are truncating integer divisions of
+    * exact sums (positive operands — floor on both engines); the
+    * ablated logit is the exact integer zs − wⱼ·qxⱼ + wⱼ·mⱼ; flips
+    * compare the same `div`-quantized score sign the classifier
+    * gates on; the mean |Δscore| is one terminal integer division.
+    *
+    * 100 TB shape: the memoized weight vector means NO GD re-run
+    * (rides x_quality_train's artifact, the calibration convention);
+    * then one bounded 1-row mean aggregate and ONE corpus scan that
+    * evaluates all three ablations row-locally (a 3-struct explode
+    * into a 3-group hash aggregate with map-side partials) — nothing
+    * corpus-sized shuffles, and the scan count does not grow with
+    * the feature count.
+    */
+  def qualityAblation(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = qualityWeights(spark, dir, iters) // memoized — ONE GD run per (session, corpus)
+    val feat = qualityFeatureFrame(docs)
+    val mrow = feat.agg(
+      sum(col("qx1")).as("s1"), sum(col("qx2")).as("s2"),
+      sum(col("qx3")).as("s3"), count(lit(1)).as("n")).head()
+    val n = mrow.getLong(3)
+    require(n > 0, "empty corpus — nothing to ablate against")
+    // Java long `/` truncates toward zero = Spark div / DuckDB // on
+    // these positive sums (the trainQualityWeights contract)
+    val m = Array(0L, mrow.getLong(0) / n, mrow.getLong(1) / n, mrow.getLong(2) / n)
+    val staged = (1 to 3).foldLeft(
+      feat.withColumn("zs", qualityZs(w)).withColumn("qz6", qualityScoreQ)) {
+      (df, j) =>
+        df.withColumn(s"zs$j",
+            col("zs") - lit(w(j)) * col(s"qx$j") + lit(w(j)) * lit(m(j)))
+          .withColumn(s"qz6_$j", expr(fdSql(s"zs$j", "10000")))
+    }
+    val legs = array((1 to 3).map { j =>
+      struct(lit(s"qx$j").as("feature"), lit(m(j)).as("mean_q"),
+        ((col("qz6") > 0) =!= (col(s"qz6_$j") > 0)).as("flip"),
+        abs(col(s"qz6_$j") - col("qz6")).as("adq"))
+    }: _*)
+    staged.select(explode(legs).as("l"))
+      .select(col("l.feature").as("feature"), col("l.mean_q").as("mean_q"),
+        col("l.flip").as("flip"), col("l.adq").as("adq"))
+      .groupBy(col("feature"))
+      .agg(max(col("mean_q")).as("mean_q"),
+        sum(when(col("flip"), 1L).otherwise(0L)).as("n_flips"),
+        sum(col("adq")).as("sadq"),
+        count(lit(1)).as("nn"))
+      .select(col("feature"), col("mean_q"), col("n_flips"),
+        expr("sadq div nn").as("mean_abs_dscore"))
+      .orderBy(col("feature"))
+  }
+
   /** Decile assignment against broadcast boundary literals — the
     * shared `v > boundary` CASE-sum of the calibration family.
     */

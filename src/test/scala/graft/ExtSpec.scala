@@ -638,6 +638,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality ablation: exact local recompute of means, flips, and score shifts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.qualityAblation(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("qx1", "qx2", "qx3"), "one row per non-bias feature")
+    // recompute the whole report from the raw feature frame (500 rows)
+    // under the same truncating-division contract — the report must be
+    // EXACT, not just plausible
+    val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val feat = graft.ext.TextAnalysis
+      .qualityFeatureFrame(graft.Tables.documents(spark, dir))
+      .select("qx0", "qx1", "qx2", "qx3")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = feat.length.toLong
+    val m = Array(0L, feat.map(_._2).sum / n, feat.map(_._3).sum / n, feat.map(_._4).sum / n)
+    (1 to 3).foreach { j =>
+      var flips = 0L; var sad = 0L
+      feat.foreach { case (x0, x1, x2, x3) =>
+        val xs = Array(x0, x1, x2, x3)
+        val zs = (0 to 3).map(i => w(i) * xs(i)).sum
+        val zsa = zs - w(j) * xs(j) + w(j) * m(j)
+        val q = zs / 10000; val qa = zsa / 10000 // Long / truncates = div
+        if ((q > 0) != (qa > 0)) flips += 1
+        sad += math.abs(qa - q)
+      }
+      val row = rows.find(_._1 == s"qx$j").get
+      assert(row._2 == m(j), s"qx$j mean ${row._2} != ${m(j)}")
+      assert(row._3 == flips, s"qx$j flips ${row._3} != $flips")
+      assert(row._4 == sad / n, s"qx$j mean |Δ| ${row._4} != ${sad / n}")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("ann ndcg: brute anchor exact, hit-count bounds bracket every leg") {
     val dir = "/root/testdata/sf0.001"
     val ndcg = graft.ext.Similarity.annNdcgReport(spark, dir)
