@@ -118,6 +118,7 @@ object SparkEntry {
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
+    "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1398,6 +1399,60 @@ object SparkEntry {
          LEFT JOIN dp ON q.query_id = dp.query_id
          LEFT JOIN db ON q.query_id = db.query_id
          ORDER BY q.query_id""",
+    // k-means|| seeding trajectory: three unrolled oversampling rounds
+    // (hash draw in exact HUGEINT arithmetic, vec_id-capped), the
+    // mass-weighted top-k reduction, and the first-k baseline — every
+    // stage's potential as an exact integer sum of micro-distance².
+    "x_kmeans_scalable" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         he AS MATERIALIZED (SELECT vec_id, v,
+             ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) AS hu
+           FROM e),
+         c0 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         ${kppRoundCtes(0, 8, 32)},
+         ${kppRoundCtes(1, 8, 32)},
+         ${kppRoundCtes(2, 8, 32)},
+         d3 AS MATERIALIZED (
+           SELECT x.vec_id, min($kppDmSql) AS dm
+           FROM he x CROSS JOIN c3 c GROUP BY x.vec_id),
+         phi3 AS (SELECT sum(dm * dm) AS phi FROM d3),
+         pairs AS (SELECT x.vec_id AS pid, c.vec_id AS cid, $kppDmSql AS dm
+                   FROM he x CROSS JOIN c3 c),
+         wa AS (SELECT pid, cid FROM (
+                  SELECT pid, cid,
+                    row_number() OVER (PARTITION BY pid ORDER BY dm ASC, cid ASC) AS rn
+                  FROM pairs) t WHERE rn = 1),
+         wt AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM wa GROUP BY cid),
+         fin AS MATERIALIZED (
+           SELECT c.vec_id, c.v FROM c3 c LEFT JOIN wt ON wt.cid = c.vec_id
+           ORDER BY coalesce(wt.w, 0) DESC, c.vec_id ASC LIMIT 8),
+         dfin AS (SELECT x.vec_id, min($kppDmSql) AS dm
+                  FROM he x CROSS JOIN fin c GROUP BY x.vec_id),
+         base AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+         dbase AS (SELECT x.vec_id, min($kppDmSql) AS dm
+                   FROM he x CROSS JOIN base c GROUP BY x.vec_id)
+         SELECT * FROM (
+           SELECT 'round_0' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM c0) AS n_cand,
+                  (SELECT CAST(phi AS BIGINT) FROM phi0) AS phi
+           UNION ALL
+           SELECT 'round_1', (SELECT CAST(count(*) AS BIGINT) FROM c1),
+                  (SELECT CAST(phi AS BIGINT) FROM phi1)
+           UNION ALL
+           SELECT 'round_2', (SELECT CAST(count(*) AS BIGINT) FROM c2),
+                  (SELECT CAST(phi AS BIGINT) FROM phi2)
+           UNION ALL
+           SELECT 'round_3', (SELECT CAST(count(*) AS BIGINT) FROM c3),
+                  (SELECT CAST(phi AS BIGINT) FROM phi3)
+           UNION ALL
+           SELECT 'final_k', (SELECT CAST(count(*) AS BIGINT) FROM fin),
+                  (SELECT CAST(sum(dm * dm) AS BIGINT) FROM dfin)
+           UNION ALL
+           SELECT 'baseline_first_k', (SELECT CAST(count(*) AS BIGINT) FROM base),
+                  (SELECT CAST(sum(dm * dm) AS BIGINT) FROM dbase)
+         ) s ORDER BY stage""",
     // SemDeDup: literal seed centroids (vec_id < 16) make assignment +
     // within-cell τ-prune exact SQL — same portability trick as the IVF
     // oracle above. The keep rule is row-level (a vector is pruned iff
@@ -3268,6 +3323,38 @@ object SparkEntry {
                       ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
                                e.vec_id ASC) AS rk
                   FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3)"""
+
+  /** Micro-quantized cosine distance between table aliases x and c
+    * (each exposing a DOUBLE[] column v) — the k-means|| oracle's
+    * distance atom.
+    */
+  private val kppDmSql: String =
+    "CAST(floor((1 - round(list_dot_product(x.v, c.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.v, c.v))), 6)) * 1e6 + 0.5) AS BIGINT)"
+
+  /** One k-means|| oversampling round as CTE text: d$t = per-vector
+    * min micro-distance² to candidate set c$t, phi$t = the potential,
+    * sel$t = the hash draw hu·φ < 65536·ℓ·d² in exact HUGEINT
+    * arithmetic capped at `cap` rows by vec_id (the engine's
+    * boundedness guarantee, replayed), c$(t+1) = the union. Every CTE
+    * here is multi-referenced downstream — AS MATERIALIZED throughout
+    * (the DuckDB per-reference inlining hazard; unrolled, the
+    * candidate chain re-expands per reference like the GD chain did).
+    */
+  private def kppRoundCtes(t: Int, ell: Int, cap: Int): String =
+    s"""d$t AS MATERIALIZED (
+           SELECT x.vec_id, min($kppDmSql) AS dm
+           FROM he x CROSS JOIN c$t c GROUP BY x.vec_id),
+         phi$t AS MATERIALIZED (SELECT sum(dm * dm) AS phi FROM d$t),
+         sel$t AS MATERIALIZED (
+           SELECT d.vec_id FROM d$t d
+           JOIN he h ON h.vec_id = d.vec_id
+           CROSS JOIN phi$t p
+           WHERE CAST(h.hu AS HUGEINT) * CAST(p.phi AS HUGEINT)
+                 < ${65536L * ell} * CAST(d.dm AS HUGEINT) * CAST(d.dm AS HUGEINT)
+           ORDER BY d.vec_id LIMIT $cap),
+         c${t + 1} AS MATERIALIZED (
+           SELECT * FROM c$t UNION ALL
+           SELECT e.vec_id, e.v FROM e JOIN sel$t USING (vec_id))"""
 
   /** The binary-gain DCG discount CASE over a rank expression — text
     * twin of the engine's literal table (ONE source:

@@ -1143,6 +1143,94 @@ object Similarity {
     (centroids, objectives.toSeq)
   }
 
+  /** Scalable k-means|| seeding (x_kmeans_scalable; Bahmani, Moseley,
+    * Vattani, Kumar & Vassilvitskii, VLDB 2012) — the distributed
+    * answer to k-means++'s inherently sequential seeding: instead of
+    * one centroid per corpus pass (k passes — unusable at scale),
+    * each of `rounds` passes OVERSAMPLES ~ℓ candidates in parallel
+    * with probability min(1, ℓ·d²(x)/φ), where d(x) is the distance
+    * to the current candidate set and φ = Σ d² the clustering
+    * potential; the bounded candidate set is then weighted by the
+    * corpus mass it attracts and reduced to k final seeds (here: the
+    * top-k by attracted mass, ties by vec_id — the deterministic
+    * member of the "recluster the weighted candidates" family the
+    * paper allows).
+    *
+    * The registered report is the potential TRAJECTORY — (stage,
+    * n_candidates, φ) for the initial seed, each oversampling round,
+    * the reduced final-k set, and the naive first-k baseline — i.e.
+    * exactly the quantity the paper's Theorem 1 bounds. φ is
+    * non-increasing across rounds (a SUPERSET of candidates can only
+    * lower every per-point min — a theorem, asserted in ExtSpec);
+    * final-k vs baseline is the empirical judgment and stays out of
+    * any gate (the ADVICE r8 split), but both values are
+    * deterministic so the report itself is hash-checked.
+    *
+    * Determinism: the "random" draw is the md5 16-bit bucket of
+    * vec_id (the x_sample_split convention) — select iff
+    * hu·φ < 65536·ℓ·d²_micro, compared in DECIMAL(38,0)/HUGEINT so
+    * the product is exact on both engines (hu·φ ≤ 6.5e4 · n·4e12 —
+    * Long would overflow past n ≈ 35k, decimal38 carries ~2e20
+    * vectors); distances are the micro-quantized 1 − round(cos, 6);
+    * each round's draw is capped at `cap` rows by vec_id order, so
+    * the collected candidate set is ≤ 1 + rounds·cap REGARDLESS of
+    * corpus size (the documented boundedness guarantee — expected
+    * draw is ℓ per round; the cap only bites on adversarial hash
+    * pileups and is replayed identically by the oracle).
+    *
+    * 100 TB shape: per round ONE scan against ≤(1 + rounds·cap)
+    * literal candidates (row-local codegen argmin, map-side-partial
+    * sum for φ) + one ≤cap-row collect; the weighting pass is one
+    * more scan into a bounded hash aggregate. No corpus-sized
+    * shuffle anywhere — this is precisely why k-means|| exists.
+    */
+  def kmeansScalableReport(spark: SparkSession, dir: String, k: Int = 8,
+      ell: Int = 8, rounds: Int = 3, cap: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def fetch(pred: Column): Array[(Long, Array[Float])] =
+      e.filter(pred).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dm2For(c: Array[(Long, Array[Float])]): Column = {
+      val dm = round((array_min(cellScoreArray(c)).getField("neg_cos") + lit(1.0)) * 1e6, 0)
+        .cast("long")
+      dm * dm
+    }
+    def phiOf(c: Array[(Long, Array[Float])]): Long =
+      e.agg(sum(dm2For(c))).head().getLong(0)
+    var cand = fetch(col("vec_id") === 0)
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var phi = phiOf(cand)
+    stages += (("round_0", cand.length.toLong, phi))
+    for (t <- 1 to rounds) {
+      // an existing candidate has d² = 0, so it can never re-select —
+      // the union below cannot duplicate
+      val selIds = e
+        .withColumn("dm2", dm2For(cand))
+        .withColumn("hu",
+          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
+        .filter(col("hu").cast("decimal(38,0)") * lit(phi).cast("decimal(38,0)") <
+          lit(65536L * ell).cast("decimal(38,0)") * col("dm2").cast("decimal(38,0)"))
+        .orderBy(col("vec_id")).limit(cap)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      if (selIds.nonEmpty) cand = (cand ++ fetch(col("vec_id").isInCollection(selIds))).sortBy(_._1)
+      phi = phiOf(cand)
+      stages += ((s"round_$t", cand.length.toLong, phi))
+    }
+    // weight candidates by attracted corpus mass (argmin assignment,
+    // ties to the smaller candidate id — the assignCells tie-break)
+    val weights = e
+      .withColumn("cid", array_min(cellScoreArray(cand)).getField("cell_id"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fin = cand.sortBy { case (id, _) => (-weights.getOrElse(id, 0L), id) }.take(k)
+    stages += (("final_k", fin.length.toLong, phiOf(fin)))
+    val base = fetch(col("vec_id") < k)
+    stages += (("baseline_first_k", base.length.toLong, phiOf(base)))
+    spark.createDataFrame(stages.toSeq).toDF("stage", "n_cand", "phi")
+      .orderBy(col("stage"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Quadratic
     * all-pairs at oracle scale; the LSH bucket equality join is the
     * 100 TB variant (same output for thresholds the bucketing recalls).

@@ -638,6 +638,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kmeans||: potential non-increasing over nested rounds, reduction bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Similarity.kmeansScalableReport(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.keySet == Set("round_0", "round_1", "round_2", "round_3",
+      "final_k", "baseline_first_k"))
+    val (n0, p0) = rows("round_0"); val (n3, p3) = rows("round_3")
+    assert(n0 == 1L, "seeding starts from one candidate")
+    // candidate sets are NESTED across rounds, so every per-point min
+    // distance is non-increasing and so is the potential — a theorem
+    (0 until 3).foreach { t =>
+      val (na, pa) = rows(s"round_$t"); val (nb, pb) = rows(s"round_${t + 1}")
+      assert(na <= nb, s"candidate count shrank at round ${t + 1}")
+      assert(pa >= pb, s"potential rose at round ${t + 1}: $pa -> $pb")
+    }
+    assert(n3 <= 1 + 3 * 32, "per-round cap bounds the candidate set")
+    val (nf, pf) = rows("final_k"); val (nb8, _) = rows("baseline_first_k")
+    assert(nf <= 8 && nb8 == 8)
+    // the reduced set is a SUBSET of the full candidate set — its
+    // potential can only be worse-or-equal (also a theorem)
+    assert(pf >= p3, s"subset potential below superset: $pf < $p3")
+    assert(rows.values.forall(_._2 >= 0))
+  }
+
   test("quality ablation: exact local recompute of means, flips, and score shifts") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.TextAnalysis.qualityAblation(spark, dir)
