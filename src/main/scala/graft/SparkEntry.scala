@@ -142,6 +142,7 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_lm_score"        -> (TextAnalysis.lmScore _),
+    "x_lm_score_kn"     -> (TextAnalysis.lmScoreKn _), // interpolated Kneser-Ney — the production smoother (round 15)
     "x_lm_score_lang"   -> ((s, d) => TextAnalysis.lmLangScores(s, d).orderBy("doc_id")), // per-language-conditioned JM model (round 14); anchors the ppl chain's memo
     "x_lm_merge_incremental" -> ((s, d) => TextAnalysis.lmMergeIncremental(s, d)), // round 14: 2/3-corpus model + merged 1/3 counts scores ALL docs; oracle = the FULL retrain, so the hash compare IS the merge-equals-retrain theorem
     "x_text_outliers"   -> (TextAnalysis.textOutliers _),
@@ -2226,6 +2227,27 @@ object SparkEntry {
     "x_lm_score" ->
       s"""WITH $lmScoreCtes
          SELECT doc_id, n_bigrams, avg_nll FROM lm ORDER BY doc_id""",
+    // Interpolated Kneser-Ney (D = 0.75): discounted bigram mass plus
+    // the continuation-count backoff N1+(·w2)/N1+(··). Composes the
+    // JM chain's shared t/p/d2/c2/c1 CTEs (cu/v/s/lm go unreferenced
+    // and unplanned); every term in the identical a/b shape as the
+    // Spark column, B inlined as the engine's literal via one CAST.
+    "x_lm_score_kn" ->
+      s"""WITH $lmScoreCtes,
+         np1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS np1 FROM c2 GROUP BY w1),
+         nc1 AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc1 FROM c2 GROUP BY w2),
+         bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+         sk AS (SELECT d2.doc_id, d2.m,
+                  -ln((c2.n2 - 0.75) / c1.n1
+                      + 0.75 * np1.np1 / c1.n1 * (nc1.nc1 / CAST(bb.b AS DOUBLE))) AS nll
+                FROM d2 JOIN c2 ON d2.w1 = c2.w1 AND d2.w2 = c2.w2
+                        JOIN c1 ON d2.w1 = c1.w1
+                        JOIN np1 ON d2.w1 = np1.w1
+                        JOIN nc1 ON d2.w2 = nc1.w2
+                        CROSS JOIN bb)
+         SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * nll) / sum(m), 6) AS avg_nll
+         FROM sk GROUP BY doc_id ORDER BY doc_id""",
     // Per-language perplexity outliers over the per-language-CONDITIONED
     // LM scores (round 14): avg_nll quantized to integer 1e-5 units,
     // order-immune per-lang moments, two-sided |z| >= 2 flag (garbled

@@ -998,6 +998,61 @@ object TextAnalysis {
     (d2, stats.getLong(0), stats.getLong(1))
   }
 
+  /** Interpolated Kneser-Ney LM scoring (x_lm_score_kn) — the
+    * production member of the smoothing ladder this engine now covers
+    * end-to-end (add-one → Jelinek-Mercer → KN): KN is what KenLM
+    * actually ships, and its backoff leg is the CONTINUATION count
+    * N1+(·w) — "in how many distinct contexts does w appear" — not the
+    * raw unigram count, which is exactly what separates a word that's
+    * frequent-because-versatile from one that's frequent inside a
+    * single boilerplate collocation (the case JM's unigram leg
+    * overscores). Absolute discount D = 0.75 (Chen & Goodman 1998's
+    * canonical value; 3/4 is exact in binary so the literal is
+    * bit-identical cross-engine):
+    *
+    *   P_KN(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *               + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))
+    *
+    * Trained on the scored corpus itself (the lmScore convention), so
+    * every scored bigram has c ≥ 1 > D and no max(·,0)/OOV branch is
+    * needed. P ≤ 1 is a theorem here (c(w1w2) ≤ c(w1·) − (N1+(w1·) −
+    * 1), since every other continuation carries ≥ 1), so avg_nll ≥ 0
+    * — spec-asserted.
+    *
+    * Determinism: every term is the same a/b double shape on both
+    * engines (the lmScoreFor contract), D and the bigram-type total B
+    * are literals (B from ONE bounded 1-row collect, the vocab-scalar
+    * pattern), one terminal 6-dp round.
+    *
+    * 100 TB shape: identical to [[lmScoreFor]] — the shared row-local
+    * bigram frame feeds hash aggregates keyed by bigram/context/word
+    * (map-side partials), joined back on their own keys; the two new
+    * count tables (distinct continuations per context, distinct
+    * contexts per word) are re-aggregations of the bigram-TYPE table,
+    * strictly smaller than the token stream.
+    */
+  def lmScoreKn(spark: SparkSession, dir: String): DataFrame =
+    lmScoreKnFor(Tables.documents(spark, dir))
+
+  private[graft] def lmScoreKnFor(docs: DataFrame): DataFrame = {
+    val (d2, _, _) = lmBigramFrames(docs)
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val np1 = c2.groupBy(col("w1")).agg(count(lit(1)).as("np1")) // N1+(w1·)
+    val nc1 = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc1")) // N1+(·w2)
+    val b = c2.agg(count(lit(1))).head().getLong(0)              // N1+(··), literal
+    val p = (col("n2") - lit(0.75)) / col("n1") +
+      lit(0.75) * col("np1") / col("n1") * (col("nc1") / lit(b.toDouble))
+    d2.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(np1, Seq("w1"))
+      .join(nc1, Seq("w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * -log(p)) / sum(col("m")), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The round-9 add-one pure-bigram scorer — kept ONLY as the spec's
     * regression witness that interpolation separates what add-one
     * cannot (see [[lmScoreFor]]; the learnBpeMergesSinglePass

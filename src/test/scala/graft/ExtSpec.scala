@@ -1573,6 +1573,43 @@ class ExtSpec extends SparkSpec {
       s"interpolation failed to separate: A=${interp(3L)} B=${interp(4L)}")
   }
 
+  test("kneser-ney LM: continuation backoff separates boilerplate from versatile words where JM inverts") {
+    // "francisco" is frequent ONLY inside one collocation (san
+    // francisco x10 -> continuation count N1+(.francisco) stays tiny);
+    // "mat" has a comparable raw frequency spread over 8 distinct
+    // contexts. Probes pair the SAME fresh context zz with each word:
+    // their discount legs are identical (c=1, same n1/np1), so the
+    // ranking is decided purely by the backoff leg — KN's continuation
+    // count prefers the versatile word, while JM's raw-unigram leg
+    // prefers the boilerplate word (francisco is the more frequent
+    // token). That disagreement IS the reason KenLM ships KN.
+    val d = Seq(
+      (0L, Seq.fill(10)("san francisco").mkString(" ")),
+      (1L, "a mat b mat c mat d mat e mat f mat g mat h mat"),
+      (2L, "zz francisco"),
+      (3L, "zz mat")
+    ).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("doc_id"), col("avg_nll")).as[(Long, Double)].collect().toMap
+    val kn = nll(graft.ext.TextAnalysis.lmScoreKnFor(d))
+    val jm = nll(graft.ext.TextAnalysis.lmScoreFor(d))
+    assert(kn(2L) > kn(3L),
+      s"KN must prefer the versatile continuation (francisco=${kn(2L)} mat=${kn(3L)})")
+    assert(jm(2L) <= jm(3L),
+      s"fixture drift: JM no longer inverts (francisco=${jm(2L)} mat=${jm(3L)})")
+    // P <= 1 is a theorem under same-corpus training -> nll >= 0
+    assert(kn.values.forall(_ >= 0), s"negative KN nll: $kn")
+    // hand-check the probe term: n2=1, n1(zz)=2, np1(zz)=2,
+    // nc1(francisco)=2 ({san, zz}), B=19 distinct bigram types
+    val pFr = (1.0 - 0.75) / 2.0 + 0.75 * 2.0 / 2.0 * (2.0 / 19.0)
+    assert(math.abs(kn(2L) - -math.log(pFr)) < 1e-6,
+      s"hand-checked KN term mismatch: ${kn(2L)} vs ${-math.log(pFr)}")
+    // and the theorem holds on the real corpus too
+    val corpus = graft.ext.TextAnalysis.lmScoreKn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(corpus.nonEmpty && corpus.forall(_._3 >= 0))
+  }
+
   test("bigram LM score: formulaic doc scores lower nll than the doc with unique bigrams") {
     // docs 0/1 repeat the same bigrams (high corpus counts -> low nll);
     // doc 2's bigrams occur once each (smoothed toward 1/(n1+V) -> higher nll)
