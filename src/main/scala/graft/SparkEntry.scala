@@ -119,6 +119,7 @@ object SparkEntry {
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
+    "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -259,7 +260,11 @@ object SparkEntry {
       "x_quality_calibration", "x_quality_temperature",
       // round 15 (cont.): the ablation audit rides the same memoized
       // weight vector — it prices one mean aggregate + one scan
-      "x_quality_ablation")
+      "x_quality_ablation",
+      // round 15 (cont.): the kpp-seeded IVF search rides the memoized
+      // k-means|| training run x_kmeans_scalable just priced — it pays
+      // one assignment scan + bounded top-k, not a re-training
+      "x_sim_ivf_kpp")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -273,7 +278,8 @@ object SparkEntry {
     * simhash block became a continuation of the ngram chain.
     */
   val chainAnchors: Set[String] =
-    Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train")
+    Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
+      "x_kmeans_scalable")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -307,8 +313,11 @@ object SparkEntry {
     val qualityChain =
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
         "x_quality_temperature")
-    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain).forall(queries.contains),
-      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain).mkString(", ")} in " +
+    // round 15: the kpp-seeded IVF search rides the memoized k-means||
+    // training run the trajectory report just built
+    val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
+    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain).forall(queries.contains),
+      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -317,6 +326,7 @@ object SparkEntry {
         case "x_chunk_neardup"        => chunkChain
         case "x_lm_score_lang"        => lmChain
         case "x_quality_train"        => qualityChain
+        case "x_kmeans_scalable"      => kppChain
         case n                        => Seq(n)
       }
   }
@@ -1405,31 +1415,7 @@ object SparkEntry {
     // mass-weighted top-k reduction, and the first-k baseline — every
     // stage's potential as an exact integer sum of micro-distance².
     "x_kmeans_scalable" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         he AS MATERIALIZED (SELECT vec_id, v,
-             ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
-            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
-            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) AS hu
-           FROM e),
-         c0 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id = 0),
-         ${kppRoundCtes(0, 8, 32)},
-         ${kppRoundCtes(1, 8, 32)},
-         ${kppRoundCtes(2, 8, 32)},
-         d3 AS MATERIALIZED (
-           SELECT x.vec_id, min($kppDmSql) AS dm
-           FROM he x CROSS JOIN c3 c GROUP BY x.vec_id),
-         phi3 AS (SELECT sum(dm * dm) AS phi FROM d3),
-         pairs AS (SELECT x.vec_id AS pid, c.vec_id AS cid, $kppDmSql AS dm
-                   FROM he x CROSS JOIN c3 c),
-         wa AS (SELECT pid, cid FROM (
-                  SELECT pid, cid,
-                    row_number() OVER (PARTITION BY pid ORDER BY dm ASC, cid ASC) AS rn
-                  FROM pairs) t WHERE rn = 1),
-         wt AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM wa GROUP BY cid),
-         fin AS MATERIALIZED (
-           SELECT c.vec_id, c.v FROM c3 c LEFT JOIN wt ON wt.cid = c.vec_id
-           ORDER BY coalesce(wt.w, 0) DESC, c.vec_id ASC LIMIT 8),
+      s"""WITH $kppChainCtes,
          dfin AS (SELECT x.vec_id, min($kppDmSql) AS dm
                   FROM he x CROSS JOIN fin c GROUP BY x.vec_id),
          base AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
@@ -1454,6 +1440,46 @@ object SparkEntry {
            SELECT 'baseline_first_k', (SELECT CAST(count(*) AS BIGINT) FROM base),
                   (SELECT CAST(sum(dm * dm) AS BIGINT) FROM dbase)
          ) s ORDER BY stage""",
+    // IVF over the k-means|| seeds: the training chain's `fin` becomes
+    // the centroid set, assignment/search/recall mirror the x_sim_ivf
+    // + probe-report shapes. The seeds are deterministic integers all
+    // the way down, so the whole search is exact replayable SQL.
+    "x_sim_ivf_kpp" ->
+      s"""WITH $kppChainCtes,
+         fassign AS MATERIALIZED (
+           SELECT vec_id, v, cell_id FROM (
+             SELECT x.vec_id, x.v, c.vec_id AS cell_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_dot_product(x.v, c.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                          c.vec_id ASC) AS rk
+             FROM e x CROSS JOIN fin c) t WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+               FROM fassign WHERE vec_id >= 16 AND vec_id < 26),
+         sc AS MATERIALIZED (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+           FROM fassign a JOIN q ON a.cell_id = q.qcell
+           WHERE a.vec_id <> q.query_id),
+         tk AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+                  FROM sc) t WHERE rk <= 3),
+         brute AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                               e.vec_id ASC) AS rk
+                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3),
+         h AS (SELECT tk.query_id, CAST(count(*) AS BIGINT) AS n FROM tk
+               JOIN brute b ON tk.query_id = b.query_id AND tk.neighbor_id = b.neighbor_id
+               GROUP BY 1),
+         cst AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(cst.n, 0) AS BIGINT) AS cand_kpp,
+           CAST((coalesce(h.n, 0) * 100) // 3 AS BIGINT) AS recall_kpp_pct
+         FROM q LEFT JOIN cst ON q.query_id = cst.query_id
+         LEFT JOIN h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     // SemDeDup: literal seed centroids (vec_id < 16) make assignment +
     // within-cell τ-prune exact SQL — same portability trick as the IVF
     // oracle above. The keep rule is row-level (a vector is pruned iff
@@ -3377,6 +3403,40 @@ object SparkEntry {
          c${t + 1} AS MATERIALIZED (
            SELECT * FROM c$t UNION ALL
            SELECT e.vec_id, e.v FROM e JOIN sel$t USING (vec_id))"""
+
+  /** The full k-means|| training chain (round 15) shared by the
+    * x_kmeans_scalable and x_sim_ivf_kpp oracles — compose, never
+    * copy: e/he (md5 16-bit draw per vector) → c0 (vec_id 0) → three
+    * unrolled oversampling rounds → d3/phi3 (the closing potential) →
+    * mass weighting (pairs → argmin wa → wt) → `fin`, the top-8
+    * reduced seed set.
+    */
+  private lazy val kppChainCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         he AS MATERIALIZED (SELECT vec_id, v,
+             ((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)) AS hu
+           FROM e),
+         c0 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         ${kppRoundCtes(0, 8, 32)},
+         ${kppRoundCtes(1, 8, 32)},
+         ${kppRoundCtes(2, 8, 32)},
+         d3 AS MATERIALIZED (
+           SELECT x.vec_id, min($kppDmSql) AS dm
+           FROM he x CROSS JOIN c3 c GROUP BY x.vec_id),
+         phi3 AS (SELECT sum(dm * dm) AS phi FROM d3),
+         pairs AS (SELECT x.vec_id AS pid, c.vec_id AS cid, $kppDmSql AS dm
+                   FROM he x CROSS JOIN c3 c),
+         wa AS (SELECT pid, cid FROM (
+                  SELECT pid, cid,
+                    row_number() OVER (PARTITION BY pid ORDER BY dm ASC, cid ASC) AS rn
+                  FROM pairs) t WHERE rn = 1),
+         wt AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM wa GROUP BY cid),
+         fin AS MATERIALIZED (
+           SELECT c.vec_id, c.v FROM c3 c LEFT JOIN wt ON wt.cid = c.vec_id
+           ORDER BY coalesce(wt.w, 0) DESC, c.vec_id ASC LIMIT 8)"""
 
   /** The binary-gain DCG discount CASE over a rank expression — text
     * twin of the engine's literal table (ONE source:

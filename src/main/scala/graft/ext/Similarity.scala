@@ -1186,49 +1186,112 @@ object Similarity {
     */
   def kmeansScalableReport(spark: SparkSession, dir: String, k: Int = 8,
       ell: Int = 8, rounds: Int = 3, cap: Int = 32): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    def fetch(pred: Column): Array[(Long, Array[Float])] =
-      e.filter(pred).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def dm2For(c: Array[(Long, Array[Float])]): Column = {
-      val dm = round((array_min(cellScoreArray(c)).getField("neg_cos") + lit(1.0)) * 1e6, 0)
-        .cast("long")
-      dm * dm
-    }
-    def phiOf(c: Array[(Long, Array[Float])]): Long =
-      e.agg(sum(dm2For(c))).head().getLong(0)
-    var cand = fetch(col("vec_id") === 0)
-    val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    var phi = phiOf(cand)
-    stages += (("round_0", cand.length.toLong, phi))
-    for (t <- 1 to rounds) {
-      // an existing candidate has d² = 0, so it can never re-select —
-      // the union below cannot duplicate
-      val selIds = e
-        .withColumn("dm2", dm2For(cand))
-        .withColumn("hu",
-          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
-        .filter(col("hu").cast("decimal(38,0)") * lit(phi).cast("decimal(38,0)") <
-          lit(65536L * ell).cast("decimal(38,0)") * col("dm2").cast("decimal(38,0)"))
-        .orderBy(col("vec_id")).limit(cap)
-        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-      if (selIds.nonEmpty) cand = (cand ++ fetch(col("vec_id").isInCollection(selIds))).sortBy(_._1)
-      phi = phiOf(cand)
-      stages += ((s"round_$t", cand.length.toLong, phi))
-    }
-    // weight candidates by attracted corpus mass (argmin assignment,
-    // ties to the smaller candidate id — the assignCells tie-break)
-    val weights = e
-      .withColumn("cid", array_min(cellScoreArray(cand)).getField("cell_id"))
-      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val fin = cand.sortBy { case (id, _) => (-weights.getOrElse(id, 0L), id) }.take(k)
-    stages += (("final_k", fin.length.toLong, phiOf(fin)))
-    val base = fetch(col("vec_id") < k)
-    stages += (("baseline_first_k", base.length.toLong, phiOf(base)))
-    spark.createDataFrame(stages.toSeq).toDF("stage", "n_cand", "phi")
+    val (_, stages) = kmeansParallelTrain(spark, dir, k, ell, rounds, cap)
+    spark.createDataFrame(stages).toDF("stage", "n_cand", "phi")
       .orderBy(col("stage"))
+  }
+
+  /** The MEMOIZED k-means|| training run — (final seeds, stage
+    * trajectory) through the sanctioned [[Dedup.Frames]] value memo
+    * (the qualityWeights convention): the trajectory report and the
+    * seeded-IVF search face share ONE oversampling pipeline per
+    * (session, corpus), and Bench prices the rider's increment
+    * honestly via the kpp keep-warm chain.
+    */
+  private[graft] def kmeansParallelTrain(spark: SparkSession, dir: String, k: Int = 8,
+      ell: Int = 8, rounds: Int = 3, cap: Int = 32): (Array[(Long, Array[Float])], Seq[(String, Long, Long)]) =
+    Dedup.Frames.getOrComputeValue(spark, s"kpp:$k:$ell:$rounds:$cap:$dir", dir,
+        tables = Seq("embeddings.parquet")) {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      def fetch(pred: Column): Array[(Long, Array[Float])] =
+        e.filter(pred).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      def dm2For(c: Array[(Long, Array[Float])]): Column = {
+        val dm = round((array_min(cellScoreArray(c)).getField("neg_cos") + lit(1.0)) * 1e6, 0)
+          .cast("long")
+        dm * dm
+      }
+      def phiOf(c: Array[(Long, Array[Float])]): Long =
+        e.agg(sum(dm2For(c))).head().getLong(0)
+      var cand = fetch(col("vec_id") === 0)
+      val stages = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      var phi = phiOf(cand)
+      stages += (("round_0", cand.length.toLong, phi))
+      for (t <- 1 to rounds) {
+        // an existing candidate has d² = 0, so it can never re-select —
+        // the union below cannot duplicate
+        val selIds = e
+          .withColumn("dm2", dm2For(cand))
+          .withColumn("hu",
+            expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
+          .filter(col("hu").cast("decimal(38,0)") * lit(phi).cast("decimal(38,0)") <
+            lit(65536L * ell).cast("decimal(38,0)") * col("dm2").cast("decimal(38,0)"))
+          .orderBy(col("vec_id")).limit(cap)
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        if (selIds.nonEmpty) cand = (cand ++ fetch(col("vec_id").isInCollection(selIds))).sortBy(_._1)
+        phi = phiOf(cand)
+        stages += ((s"round_$t", cand.length.toLong, phi))
+      }
+      // weight candidates by attracted corpus mass (argmin assignment,
+      // ties to the smaller candidate id — the assignCells tie-break)
+      val weights = e
+        .withColumn("cid", array_min(cellScoreArray(cand)).getField("cell_id"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val fin = cand.sortBy { case (id, _) => (-weights.getOrElse(id, 0L), id) }.take(k)
+      stages += (("final_k", fin.length.toLong, phiOf(fin)))
+      val base = fetch(col("vec_id") < k)
+      stages += (("baseline_first_k", base.length.toLong, phiOf(base)))
+      (fin, stages.toSeq)
+    }
+
+  /** IVF search over the k-means||-seeded cells (x_sim_ivf_kpp) — the
+    * seeding wired into the index it exists for: assign every vector
+    * to its nearest k-means|| final seed (the [[assignCells]]
+    * contract), search each held-out query's own cell, and price the
+    * result against brute-force truth (candidate count = cost,
+    * recall@k = benefit — the x_sim_ivf_probe report shape). The
+    * seeds are data-dependent but fully DETERMINISTIC (integer hash
+    * draw + integer mass ranking), so unlike the Lloyd's-refined
+    * float centroids the whole search replays as exact SQL and the
+    * report is hash-gated end to end.
+    *
+    * Queries vec_id 16..25 (the held-out convention); a query that
+    * happens to have been drawn as a seed searches its own
+    * neighborhood-defining cell, the documented no-op case of
+    * x_sim_ivf_pq_probe. Rides the memoized training run
+    * ([[kmeansParallelTrain]]) as the kpp chain's rider — Bench
+    * prices one assignment + bounded top-k, not a re-training.
+    */
+  def ivfKppReport(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val (seeds, _) = kmeansParallelTrain(spark, dir)
+    val isQuery = col("vec_id") >= 16 && col("vec_id") < 26
+    val assigned = assignCells(e, seeds).drop("cos_centroid")
+    val queries = assigned.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell_id").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val ann = rankTopK(scored, k).select(col("query_id"), col("neighbor_id"))
+    val bq = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = rankTopK(
+        e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    val cost = scored.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+    e.filter(isQuery).select(col("vec_id").as("query_id"))
+      .join(cost, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("c"), lit(0L)).as("cand_kpp"),
+        expr(s"CAST(floor(coalesce(h, 0) * 100 / $k) AS BIGINT)").as("recall_kpp_pct"))
+      .orderBy(col("query_id"))
   }
 
   /** Embedding-cosine near-dup pairs above a threshold. Quadratic

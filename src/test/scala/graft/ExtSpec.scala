@@ -662,6 +662,26 @@ class ExtSpec extends SparkSpec {
     assert(rows.values.forall(_._2 >= 0))
   }
 
+  test("kpp-seeded IVF: one shared training run, bounded candidates, recall quantized") {
+    val dir = "/root/testdata/sf0.001"
+    // the value memo hands BOTH faces the same training artifact
+    val t1 = graft.ext.Similarity.kmeansParallelTrain(spark, dir)
+    val t2 = graft.ext.Similarity.kmeansParallelTrain(spark, dir)
+    assert(t1._1 eq t2._1, "training must be memoized, not re-run")
+    assert(t1._1.nonEmpty && t1._1.length <= 8)
+    val rows = graft.ext.Similarity.ivfKppReport(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (16L to 25L), "one row per held-out query")
+    rows.foreach { case (q, cand, recall) =>
+      assert(Set(0L, 33L, 66L, 100L)(recall), s"query $q recall $recall not a /3 quantile")
+      assert(cand >= 0 && cand < 499, s"query $q searched $cand candidates — cell leaked")
+    }
+    // the whole point of the index: far less work than 10 brute scans
+    assert(rows.map(_._2).sum < 10L * 499 / 2,
+      s"cell search cost ${rows.map(_._2).sum} not bounded away from a full scan")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("quality ablation: exact local recompute of means, flips, and score shifts") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.TextAnalysis.qualityAblation(spark, dir)
