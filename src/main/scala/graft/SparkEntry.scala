@@ -153,6 +153,7 @@ object SparkEntry {
     "x_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)), // reliability diagram of the trained filter (round 14)
     "x_quality_temperature" -> ((s, d) => TextAnalysis.qualityTemperature(s, d)), // grid-fit temperature scaling on the reliability bins (round 15)
     "x_quality_ablation" -> ((s, d) => TextAnalysis.qualityAblation(s, d)), // mean-substitution feature importance under the memoized weights (round 15)
+    "x_quality_pr"      -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)), // decile-threshold precision/recall menu over the trained filter (round 15)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -264,7 +265,9 @@ object SparkEntry {
       // round 15 (cont.): the kpp-seeded IVF search rides the memoized
       // k-means|| training run x_kmeans_scalable just priced — it pays
       // one assignment scan + bounded top-k, not a re-training
-      "x_sim_ivf_kpp")
+      "x_sim_ivf_kpp",
+      // and the PR operating-point menu is one more quality-chain rider
+      "x_quality_pr")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -312,7 +315,7 @@ object SparkEntry {
     // temperature fit ride it and price only their own passes
     val qualityChain =
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
-        "x_quality_temperature")
+        "x_quality_temperature", "x_quality_pr")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
     // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
@@ -2384,6 +2387,26 @@ object SparkEntry {
            round(CAST(er.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_raw,
            round(CAST(best.e AS DOUBLE) / (CAST(er.ntot AS DOUBLE) * 1000000.0), 6) AS ece_cal
          FROM bt, best, er WHERE bt.t = best.t ORDER BY bt.bin""",
+    // PR operating-point menu: the calibration family's shared bb
+    // frame aggregated per bin, thresholds enumerated over OBSERVED
+    // bins (duplicate boundaries can merge deciles), cumulative tp /
+    // n_pred via a bin >= thr self-join over <=10 rows, micro-unit
+    // truncating divisions.
+    "x_quality_pr" ->
+      s"""WITH $qualityBinCtes,
+         bstat AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(qy // 1000000) AS BIGINT) AS npos
+                FROM bb GROUP BY bin),
+         tot AS (SELECT CAST(sum(npos) AS BIGINT) AS pos_tot FROM bstat),
+         pr AS (SELECT t.bin AS thr_bin,
+                  CAST(sum(b.n) AS BIGINT) AS n_pred,
+                  CAST(sum(b.npos) AS BIGINT) AS tp
+                FROM bstat t JOIN bstat b ON b.bin >= t.bin
+                GROUP BY t.bin)
+         SELECT thr_bin, n_pred, tp,
+           CAST((tp * 1000000) // n_pred AS BIGINT) AS precision_micro,
+           CAST((tp * 1000000) // pos_tot AS BIGINT) AS recall_micro
+         FROM pr CROSS JOIN tot ORDER BY thr_bin""",
     // Mean-substitution feature ablation under the trained chain's
     // final weights: means are truncating divisions of exact sums,
     // the ablated logit is exact integer arithmetic, flips compare

@@ -789,6 +789,59 @@ object TextAnalysis {
       .orderBy(col("bin"))
   }
 
+  /** Precision/recall curve of the trained quality filter over its
+    * own probability deciles (x_quality_pr) — the operating-point
+    * menu a pipeline reads to pick its keep threshold: for every
+    * observed decile bin t, "keep every document scoring in bin ≥ t"
+    * yields (n_pred, tp, precision, recall) against the weak labels.
+    * Completes the trained-filter audit ladder (train → calibrate →
+    * temperature → ablation → PR): calibration says whether the
+    * probabilities are honest, PR says what each cut actually costs
+    * in kept-volume vs label agreement.
+    *
+    * Determinism: the bins are the calibration diagram's own
+    * equal-count deciles (exactQuantilesDistributed boundaries —
+    * quantile_cont-form interpolation, the x_vocab_growth precedent);
+    * counts are exact integer sums; precision/recall are single
+    * truncating divisions in micro-units. Thresholds iterate over the
+    * OBSERVED bins (duplicate boundaries can merge deciles), so both
+    * engines enumerate identical rows. Recall at the lowest observed
+    * bin is exactly 10⁶ (everything predicted positive) and recall is
+    * non-increasing in the threshold — both theorems, spec-asserted.
+    *
+    * 100 TB shape: rides the memoized weight vector (NO GD re-run —
+    * the quality chain's rider convention), one distributed selection
+    * pass for the boundaries, ONE ≤10-row hash aggregate collected
+    * (the temperature face's bounded fetch), cumulative sums on the
+    * driver over ≤10 rows, output a local relation. Long headroom:
+    * tp·10⁶ overflows past ~9·10¹² positive docs per corpus — drop to
+    * 10³ units past that (the x_zipf_fit convention).
+    */
+  def qualityPrCurve(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = qualityWeights(spark, dir, iters) // memoized — shares the GD run
+    val staged = qualityProbFrame(docs, w)
+    val bounds = Profiling.exactQuantilesDistributed(
+      staged.select(col("qp").cast("double")), (1 to 9).map(_ / 10.0))
+    val bins = staged.withColumn("bin", binByBounds(bounds))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(expr(fdSql("qy", "1000000"))).as("npos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val posTot = bins.map(_._3).sum
+    require(posTot > 0, "no positive weak labels — PR curve undefined")
+    val out = bins.map { case (thr, _, _) =>
+      val kept = bins.filter(_._1 >= thr)
+      val pred = kept.map(_._2).sum
+      val tp = kept.map(_._3).sum
+      // Java long / truncates toward zero = div / // on these
+      // nonnegative operands
+      (thr, pred, tp, tp * 1000000L / pred, tp * 1000000L / posTot)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("thr_bin", "n_pred", "tp", "precision_micro", "recall_micro")
+      .orderBy(col("thr_bin"))
+  }
+
   /** Per-doc predicted probability under trained weights, in integer
     * micro-units — (doc_id, …, qy, score_q as qz6, qp) with the
     * training loop's own algebraic sigmoid. Shared by the calibration

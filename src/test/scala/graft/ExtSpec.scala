@@ -662,6 +662,28 @@ class ExtSpec extends SparkSpec {
     assert(rows.values.forall(_._2 >= 0))
   }
 
+  test("quality PR curve: recall anchored at 1 and monotone, precision recomputes exactly") {
+    val rows = graft.ext.TextAnalysis.qualityPrCurve(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10, "at most one row per observed decile")
+    // the lowest observed threshold keeps everything -> recall is
+    // exactly 10^6 (a theorem, not a rounding accident)
+    assert(rows.head._5 == 1000000L, s"lowest-bin recall ${rows.head._5}")
+    rows.sliding(2).foreach {
+      case Array((t1, p1, tp1, _, r1), (t2, p2, tp2, _, r2)) =>
+        // raising the threshold shrinks the kept set: all monotone
+        assert(t1 < t2 && p1 >= p2 && tp1 >= tp2 && r1 >= r2,
+          s"monotonicity violated between bins $t1 and $t2")
+      case _ =>
+    }
+    rows.foreach { case (t, pred, tp, prec, rec) =>
+      assert(tp <= pred, s"bin $t tp $tp > n_pred $pred")
+      assert(prec == tp * 1000000L / pred, s"bin $t precision $prec inconsistent")
+      assert(prec <= 1000000L && rec <= 1000000L)
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("kpp-seeded IVF: one shared training run, bounded candidates, recall quantized") {
     val dir = "/root/testdata/sf0.001"
     // the value memo hands BOTH faces the same training artifact
