@@ -959,6 +959,22 @@ object EventsStream {
       books: Array[Array[Array[Double]]]): DataFrame =
     graft.ext.Similarity.annEncodeFor(vectors, centroids, books)
 
+  /** Streaming k-means|| cell router (round 15) — the seeding family's
+    * at-the-door face: arriving vectors are assigned to the STANDING
+    * k-means|| seed set (the bounded artifact
+    * [[graft.ext.Similarity.kmeansParallelTrain]] memoizes) with the
+    * SAME [[graft.ext.Similarity.assignCells]] kernel every 16-cell
+    * face shares, so an ingest path can route a vector to its IVF
+    * cell before it ever touches the index — the `IndexIVF::add`
+    * coarse step, isolated. Pure projection over ≤k literal seeds:
+    * zero streaming state, zero shuffle, zero join; batch-agreement
+    * is row-level BY CONSTRUCTION (one kernel, not a copy), asserted
+    * in StreamingSpec against the batch assignment.
+    */
+  def kppRouteStream(vectors: DataFrame,
+      seeds: Array[(Long, Array[Float])]): DataFrame =
+    graft.ext.Similarity.assignCells(vectors, seeds)
+
   /** Streaming LM maintenance (round 14) — the model-update face of
     * the perplexity family: a foreachBatch body merges each
     * micro-batch's count tables into the standing

@@ -1215,6 +1215,35 @@ class StreamingSpec extends SparkSpec {
     assert(java.lang.Double.isFinite(out.head.getDouble(2)))
   }
 
+  test("streaming kpp cell router: corpus replay matches the batch assignment row-for-row, fresh vector routes statelessly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, dir)
+    val (seeds, _) = graft.ext.Similarity.kmeansParallelTrain(spark, dir)
+    val batch = graft.ext.Similarity.assignCells(e, seeds)
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the foreachBatch body over one "arriving" micro-batch = the corpus
+    val routed = graft.streaming.EventsStream.kppRouteStream(e, seeds)
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid")).collect()
+    assert(routed.length == batch.size, "router must place every arrival")
+    routed.foreach { r =>
+      val (cell, cos) = batch(r.getLong(0))
+      assert(r.getLong(1) == cell && r.getDouble(2) == cos,
+        s"vec ${r.getLong(0)}: (${r.getLong(1)}, ${r.getDouble(2)}) vs batch ($cell, $cos)")
+    }
+    val seedIds = seeds.map(_._1).toSet
+    assert(routed.forall(r => seedIds(r.getLong(1))), "cells must be standing seeds")
+    // a genuinely NEW vector routes row-locally — no state consulted
+    import spark.implicits._
+    val dim = seeds.head._2.length
+    val fresh = Seq((999999L, Array.tabulate(dim)(i => (i % 5 - 2).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.streaming.EventsStream.kppRouteStream(fresh, seeds)
+      .select(col("cell_id")).collect()
+    assert(out.length == 1 && seedIds(out.head.getLong(0)))
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("streaming BM25 scorer: row-identical to the batch scores, termless docs score exactly zero") {
     val dir = "/root/testdata/sf0.001"
     val terms = Seq("hash", "merge", "window")
