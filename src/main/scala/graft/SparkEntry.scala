@@ -267,7 +267,12 @@ object SparkEntry {
       // one assignment scan + bounded top-k, not a re-training
       "x_sim_ivf_kpp",
       // and the PR operating-point menu is one more quality-chain rider
-      "x_quality_pr")
+      "x_quality_pr",
+      // round 15 (review): the nDCG verdict rides the memoized probe-
+      // candidate frame x_sim_ivf_probe just built — it prices its DCG
+      // aggregation + the brute truth scan, not a second assignment
+      // scan + probe explode-join
+      "x_rank_ndcg")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -282,7 +287,7 @@ object SparkEntry {
     */
   val chainAnchors: Set[String] =
     Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
-      "x_kmeans_scalable")
+      "x_kmeans_scalable", "x_sim_ivf_probe")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -317,10 +322,12 @@ object SparkEntry {
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
         "x_quality_temperature", "x_quality_pr")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
-    // training run the trajectory report just built
+    // training run the trajectory report just built, and the nDCG
+    // verdict rides the memoized probe-candidate frame
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
-    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain).forall(queries.contains),
-      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain).mkString(", ")} in " +
+    val probeChain = Seq("x_sim_ivf_probe", "x_rank_ndcg")
+    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).forall(queries.contains),
+      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -330,6 +337,7 @@ object SparkEntry {
         case "x_lm_score_lang"        => lmChain
         case "x_quality_train"        => qualityChain
         case "x_kmeans_scalable"      => kppChain
+        case "x_sim_ivf_probe"        => probeChain
         case n                        => Seq(n)
       }
   }

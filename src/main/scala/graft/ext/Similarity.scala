@@ -265,16 +265,22 @@ object Similarity {
       .drop("best_cell")
   }
 
-  private def ivfSearch(e: DataFrame, centroids: Array[(Long, Array[Float])], k: Int,
-      isQuery: Column = col("vec_id") < 10): DataFrame = {
-    val assigned = assignCells(e, centroids).drop("cos_centroid")
+  /** The cell-restricted scoring kernel behind every single-cell
+    * search face (round-15 review: one definition of the search
+    * contract — assignment, query projection, broadcast equi-join,
+    * rounded cosine): each query scores only its own cell's members.
+    */
+  private def cellScored(assigned: DataFrame, isQuery: Column): DataFrame = {
     val queries = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell_id").as("qcell"))
-    val scored = assigned.join(broadcast(queries),
+    assigned.join(broadcast(queries),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-    rankTopK(scored, k)
   }
+
+  private def ivfSearch(e: DataFrame, centroids: Array[(Long, Array[Float])], k: Int,
+      isQuery: Column = col("vec_id") < 10): DataFrame =
+    rankTopK(cellScored(assignCells(e, centroids).drop("cos_centroid"), isQuery), k)
 
   /** [[kmeansRefine]] wired into the registered query surface (round-8;
     * the refinement previously existed only as a spec-checked training
@@ -300,11 +306,7 @@ object Similarity {
     // held-out queries measure what refinement actually changes.
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
     val seeds: Array[(Long, Array[Float])] = seedCentroids(e, cells)
-    val queries = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val bruteScored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-    val brute = rankTopK(bruteScored, k).select(col("query_id"), col("neighbor_id"))
+    val brute = bruteRanked(e, isQuery, k).select(col("query_id"), col("neighbor_id"))
     val literal = ivfSearch(e, seeds, k, isQuery)
       .select(col("query_id"), col("neighbor_id"))
     val (refinedCentroids, _) = kmeansRefine(spark, dir, cells, iters, trackObjectives = false)
@@ -340,6 +342,59 @@ object Similarity {
         expr(s"CAST(floor(hits_lit * 100 / $k) AS BIGINT)").as("recall_literal_pct"))
       .orderBy(col("query_id"))
 
+  /** The probed candidate frame shared by [[ivfProbeReport]] and
+    * [[annNdcgReport]] (one definition of "what nprobe search sees"):
+    * each query row explodes into its top-`nprobe` probe cells (the
+    * prefix of the same struct sort [[assignCells]] argmax-reduces),
+    * candidates come from ONE equi-join on cell_id, and `cos` is the
+    * rounded scoring cosine. Columns: query_id, qv, probe_rank,
+    * cell_id, vec_id (candidate), cos.
+    */
+  private def probeCandidates(e: DataFrame, centroids: Array[(Long, Array[Float])],
+      isQuery: Column, nprobe: Int): DataFrame = {
+    val assigned = assignCells(e, centroids).drop("cos_centroid")
+    val probes = e.filter(isQuery)
+      .withColumn("probes", slice(array_sort(cellScoreArray(centroids)), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        posexplode(col("probes")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("qv"),
+        (col("pos") + 1).cast("long").as("probe_rank"),
+        col("p").getField("cell_id").as("qcell"))
+    assigned.join(broadcast(probes),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+  }
+
+  /** The MEMOIZED [[probeCandidates]] frame over the held-out queries
+    * (round-15 review): `x_sim_ivf_probe` builds it once per
+    * (session, corpus) through the Frames lifecycle and `x_rank_ndcg`
+    * rides it via the probe keep-warm chain, pricing only its DCG
+    * aggregation instead of a second assignment scan + explode-join.
+    */
+  private[graft] def probeCandFrame(spark: SparkSession, dir: String,
+      cells: Int, nprobe: Int): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"probecand:$cells:$nprobe:$dir", dir,
+        tables = Seq("embeddings.parquet")) {
+      val e = Tables.embeddings(spark, dir)
+      val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+      probeCandidates(e, seedCentroids(e, cells), isQuery, nprobe)
+    }
+
+  /** Brute-force truth ranking shared by every recall/nDCG-pricing
+    * face — the documented ≤10-broadcast-query corpus scan (the
+    * PlanLint allowlist reason) into the bounded top-k with ranks.
+    * ONE definition (round-15 review: this leg existed in four
+    * copies). At scale the truth leg runs on a query sample exactly
+    * like the recall-pricing twins.
+    */
+  private def bruteRanked(e: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val bq = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    rankTopK(
+      e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+  }
+
   /** Multi-cell probing for the IVF family (x_sim_ivf_probe, round 15)
     * — FAISS's standard recall lever, `nprobe`: a query searches its
     * `nprobe` NEAREST cells instead of only the argmax cell, trading a
@@ -374,44 +429,16 @@ object Similarity {
     * truth leg runs on a query sample exactly like the recall-pricing
     * twins.
     */
-  /** The probed candidate frame shared by [[ivfProbeReport]] and
-    * [[annNdcgReport]] (one definition of "what nprobe search sees"):
-    * each query row explodes into its top-`nprobe` probe cells (the
-    * prefix of the same struct sort [[assignCells]] argmax-reduces),
-    * candidates come from ONE equi-join on cell_id, and `cos` is the
-    * rounded scoring cosine. Columns: query_id, qv, probe_rank,
-    * cell_id, vec_id (candidate), cos.
-    */
-  private def probeCandidates(e: DataFrame, centroids: Array[(Long, Array[Float])],
-      isQuery: Column, nprobe: Int): DataFrame = {
-    val assigned = assignCells(e, centroids).drop("cos_centroid")
-    val probes = e.filter(isQuery)
-      .withColumn("probes", slice(array_sort(cellScoreArray(centroids)), 1, nprobe))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        posexplode(col("probes")).as(Seq("pos", "p")))
-      .select(col("query_id"), col("qv"),
-        (col("pos") + 1).cast("long").as("probe_rank"),
-        col("p").getField("cell_id").as("qcell"))
-    assigned.join(broadcast(probes),
-        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
-  }
-
   def ivfProbeReport(spark: SparkSession, dir: String, k: Int = 3,
       cells: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val centroids = seedCentroids(e, cells)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    val cand = probeCandidates(e, centroids, isQuery, nprobe)
+    val cand = probeCandFrame(spark, dir, cells, nprobe)
     val top1 = rankTopK(cand.filter(col("probe_rank") === 1), k)
       .select(col("query_id"), col("neighbor_id"))
     val topP = rankTopK(cand, k).select(col("query_id"), col("neighbor_id"))
-    val bq = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val brute = rankTopK(
-        e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+    val brute = bruteRanked(e, isQuery, k)
       .select(col("query_id"), col("neighbor_id"))
     def hits(ann: DataFrame, name: String) =
       ann.join(brute, Seq("query_id", "neighbor_id"))
@@ -478,16 +505,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     require(k <= ndcgDiscountMicro.length, s"discount table covers ranks 1..${ndcgDiscountMicro.length}")
     val e = Tables.embeddings(spark, dir)
-    val centroids = seedCentroids(e, cells)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    val cand = probeCandidates(e, centroids, isQuery, nprobe)
+    val cand = probeCandFrame(spark, dir, cells, nprobe) // memoized — probe-chain rider
     val top1 = rankTopK(cand.filter(col("probe_rank") === 1), k)
     val topP = rankTopK(cand, k)
-    val bq = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val bruteRk = rankTopK(
-      e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
+    val bruteRk = bruteRanked(e, isQuery, k)
     val truth = bruteRk.select(col("query_id"), col("neighbor_id"))
     val disc = ndcgDiscountMicro.take(k).zipWithIndex
       .foldLeft(when(lit(false), lit(0L))) { case (w, (d, i)) =>
@@ -1269,19 +1291,9 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val (seeds, _) = kmeansParallelTrain(spark, dir)
     val isQuery = col("vec_id") >= 16 && col("vec_id") < 26
-    val assigned = assignCells(e, seeds).drop("cos_centroid")
-    val queries = assigned.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell_id").as("qcell"))
-    val scored = assigned.join(broadcast(queries),
-        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val scored = cellScored(assignCells(e, seeds).drop("cos_centroid"), isQuery)
     val ann = rankTopK(scored, k).select(col("query_id"), col("neighbor_id"))
-    val bq = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val brute = rankTopK(
-        e.join(broadcast(bq), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6)), k)
-      .select(col("query_id"), col("neighbor_id"))
+    val brute = bruteRanked(e, isQuery, k).select(col("query_id"), col("neighbor_id"))
     val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
     val cost = scored.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
