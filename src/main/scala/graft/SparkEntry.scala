@@ -170,6 +170,7 @@ object SparkEntry {
     "x_mixture_drift"  -> ((s, d) => Corpus.mixtureDrift(s, d)),
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "x_decontam_neardup" -> ((s, d) => Dedup.decontaminateNearDup(s, d)), // fuzzy Jaccard-level contamination off the memoized pair frame (round 15)
     "x_decontam_13gram" -> ((s, d) => Corpus.decontaminate13(s, d)), // the GPT-3/PaLM word-13-gram published standard (round 13)
     "x_eval_leakage" -> ((s, d) => Corpus.evalLeakage(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
@@ -272,7 +273,10 @@ object SparkEntry {
       // candidate frame x_sim_ivf_probe just built — it prices its DCG
       // aggregation + the brute truth scan, not a second assignment
       // scan + probe explode-join
-      "x_rank_ndcg")
+      "x_rank_ndcg",
+      // round 15 (cont.): fuzzy decontamination is one more ngram-chain
+      // rider — the pair frame restricted to corpus×eval incidence
+      "x_decontam_neardup")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -305,7 +309,7 @@ object SparkEntry {
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
         "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card",
-        "x_lsh_tuning", "x_mixture_dedup_adjusted")
+        "x_lsh_tuning", "x_mixture_dedup_adjusted", "x_decontam_neardup")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     // round 14: the simhash block is a CONTINUATION of the ngram chain
     // (not its own flush-isolated chain) — x_detector_overlap consumes
@@ -816,6 +820,27 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     "x_dedup_ngram" -> ngramJaccardOracle,
     "x_dedup_minhash" -> ngramJaccardOracle,
+    // Fuzzy decontamination: the exact Jaccard>=0.8 pair contract
+    // restricted to corpus×eval incidence (eval = doc_id < 20), one
+    // aggregate per corpus doc. `pj` is MATERIALIZED — both UNION
+    // sides reference it (the per-reference inlining hazard would
+    // replay the pair join twice).
+    "x_decontam_neardup" ->
+      s"""WITH $ngramPairCtes,
+         pj AS MATERIALIZED (
+           SELECT d1, d2, sh / (n1.n_ng + n2.n_ng - sh) AS jac
+           FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+           WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         sides AS (SELECT d1 AS doc_id, d2 AS other, jac FROM pj
+                   UNION ALL SELECT d2 AS doc_id, d1 AS other, jac FROM pj),
+         hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nm, max(jac) AS mj
+                  FROM sides WHERE doc_id >= 20 AND other < 20 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(h.nm, 0) AS BIGINT) AS n_eval_matches,
+           round(coalesce(h.mj, 0), 6) AS max_jac,
+           coalesce(h.nm, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id >= 20 ORDER BY d.doc_id""",
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_canonical" -> dedupCanonicalOracle,
     "x_split_leakage" -> splitLeakageOracle,

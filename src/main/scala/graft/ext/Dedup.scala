@@ -529,6 +529,46 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     pairFrame(spark, dir).orderBy(col("d1"), col("d2"))
 
+  /** Fuzzy (NEAR-DUPLICATE) decontamination (x_decontam_neardup, round
+    * 15) — the Llama-2-class contamination gate the verbatim family
+    * misses by design: `x_decontam` fires on shared shingle MASS and
+    * `x_decontam_13gram` on one verbatim 13-token run, but a lightly
+    * paraphrased eval item (tokens reordered, a few words swapped) can
+    * evade both while whole-document Jaccard similarity remains high.
+    * This face flags every corpus document whose 8-gram Jaccard
+    * against ANY eval document (doc_id < 20, the family's standing
+    * eval slice) reaches the near-dup threshold — i.e. contamination
+    * at the granularity the DEDUP family already detects, pointed
+    * across the train/eval boundary instead of within the corpus.
+    *
+    * Rides the MEMOIZED verified pair frame (the ngram keep-warm
+    * chain): contamination is just the pair set restricted to
+    * corpus×eval incidence, so the query prices ONE pair-scan
+    * aggregate + a left join back to the corpus ids — no new shuffle,
+    * no second shingle pass. Exactness is inherited: the pair frame is
+    * the prefix-filter-theorem exact Jaccard ≥ 0.8 set (no LSH miss
+    * probability), so the oracle replays the same pair contract and
+    * the report is hash-gated end to end. `max_jac` is the row-level
+    * two-long division both engines compute bit-identically, with one
+    * terminal 6-dp round.
+    */
+  def decontaminateNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairFrame(spark, dir)
+    val sides = pairs.select(col("d1").as("doc_id"), col("d2").as("other"), col("jac"))
+      .union(pairs.select(col("d2").as("doc_id"), col("d1").as("other"), col("jac")))
+    val hits = sides.filter(col("doc_id") >= 20 && col("other") < 20)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nm"), max(col("jac")).as("mj"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") >= 20)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_eval_matches"),
+        round(coalesce(col("mj"), lit(0.0)), 6).as("max_jac"),
+        (coalesce(col("nm"), lit(0L)) >= 1).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / |A| ≥ 0.9
     * with A the SMALLER shingle set — the quote/subset detector that
     * symmetric Jaccard structurally misses (a 50-token doc pasted

@@ -662,6 +662,36 @@ class ExtSpec extends SparkSpec {
     assert(rows.values.forall(_._2 >= 0))
   }
 
+  test("neardup decontam: exact local recompute off the public pair set, flags iff matched") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.decontaminateNearDup(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.size == nDocs - 20, "one row per non-eval corpus doc")
+    assert(rows.keys.forall(_ >= 20), "eval docs never appear as subjects")
+    // recompute the whole report from the PUBLIC pair face
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val expected = pairs.flatMap { case (d1, d2, j) => Seq((d1, d2, j), (d2, d1, j)) }
+      .filter { case (d, o, _) => d >= 20 && o < 20 }
+      .groupBy(_._1).map { case (d, xs) =>
+        // Spark round() is HALF_UP on the BigDecimal of the double
+        d -> ((xs.length.toLong, BigDecimal(xs.map(_._3).max)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    rows.foreach { case (d, (_, n, mj, c)) =>
+      expected.get(d) match {
+        case Some((en, emj)) =>
+          assert(n == en && mj == emj && c, s"doc $d: ($n, $mj, $c) vs ($en, $emj)")
+          assert(mj >= 0.8, s"doc $d flagged below the pair threshold: $mj")
+        case None =>
+          assert(n == 0 && mj == 0.0 && !c, s"doc $d: spurious contamination ($n, $mj, $c)")
+      }
+    }
+    assert(rows.values.exists(_._4), "fixture drift: no planted eval near-dup caught")
+    Dedup.releaseCaches()
+  }
+
   test("quality PR curve: recall anchored at 1 and monotone, precision recomputes exactly") {
     val rows = graft.ext.TextAnalysis.qualityPrCurve(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
