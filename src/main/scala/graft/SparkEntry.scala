@@ -326,9 +326,9 @@ object SparkEntry {
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
         "x_quality_temperature", "x_quality_pr")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
-    // training run the trajectory report just built, and the nDCG
-    // verdict rides the memoized probe-candidate frame
+    // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
+    // and the nDCG verdict rides the memoized probe-candidate frame
     val probeChain = Seq("x_sim_ivf_probe", "x_rank_ndcg")
     require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).forall(queries.contains),
       s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).mkString(", ")} in " +

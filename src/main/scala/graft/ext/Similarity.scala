@@ -372,13 +372,19 @@ object Similarity {
     * aggregation instead of a second assignment scan + explode-join.
     */
   private[graft] def probeCandFrame(spark: SparkSession, dir: String,
-      cells: Int, nprobe: Int): DataFrame =
+      cells: Int, nprobe: Int): DataFrame = {
+    // the table read and the bounded centroid collect run BEFORE the
+    // memo call — inside the build they would run their Spark jobs
+    // under the global memo lock (the round-6 contention note
+    // pairFrameBuild documents; review r15)
+    val e = Tables.embeddings(spark, dir)
+    val seeds = seedCentroids(e, cells)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
     Dedup.Frames.getOrCompute(spark, s"probecand:$cells:$nprobe:$dir", dir,
         tables = Seq("embeddings.parquet")) {
-      val e = Tables.embeddings(spark, dir)
-      val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-      probeCandidates(e, seedCentroids(e, cells), isQuery, nprobe)
+      probeCandidates(e, seeds, isQuery, nprobe)
     }
+  }
 
   /** Brute-force truth ranking shared by every recall/nDCG-pricing
     * face — the documented ≤10-broadcast-query corpus scan (the
