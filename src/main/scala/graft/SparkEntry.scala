@@ -120,6 +120,7 @@ object SparkEntry {
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
+    "x_sim_mmr"         -> ((s, d) => Similarity.mmrTopK(s, d)), // MMR-diversified top-k over the bounded candidate list (Carbonell & Goldstein, round 15)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1516,6 +1517,31 @@ object SparkEntry {
          FROM q LEFT JOIN cst ON q.query_id = cst.query_id
          LEFT JOIN h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
+    // MMR diversified top-5: bounded top-20 candidate list, then five
+    // unrolled greedy steps in exact integer arithmetic (score =
+    // (7·rel − 3·maxsim) // 10, ties by vec_id).
+    "x_sim_mmr" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         cand AS MATERIALIZED (
+           SELECT vec_id, v,
+             CAST(floor(round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) * 1e6 + 0.5) AS BIGINT) AS rel
+           FROM e, q WHERE vec_id <> 0
+           ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         sel1 AS MATERIALIZED (
+           SELECT vec_id, v, rel, (7 * rel) // 10 AS score
+           FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+         ${mmrStepCtes(2)},
+         ${mmrStepCtes(3)},
+         ${mmrStepCtes(4)},
+         ${mmrStepCtes(5)}
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_micro, score AS score_micro FROM sel1
+           UNION ALL SELECT 2, vec_id, rel, score FROM sel2
+           UNION ALL SELECT 3, vec_id, rel, score FROM sel3
+           UNION ALL SELECT 4, vec_id, rel, score FROM sel4
+           UNION ALL SELECT 5, vec_id, rel, score FROM sel5
+         ) t ORDER BY rank""",
     // SemDeDup: literal seed centroids (vec_id < 16) make assignment +
     // within-cell τ-prune exact SQL — same portability trick as the IVF
     // oracle above. The keep rule is row-level (a vector is pruned iff
@@ -3493,6 +3519,30 @@ object SparkEntry {
          fin AS MATERIALIZED (
            SELECT c.vec_id, c.v FROM c3 c LEFT JOIN wt ON wt.cid = c.vec_id
            ORDER BY coalesce(wt.w, 0) DESC, c.vec_id ASC LIMIT 8)"""
+
+  /** One unrolled MMR greedy step as CTE text (x_sim_mmr): ms$t = the
+    * not-yet-selected candidates with their max micro-sim to the
+    * selected set sel1..sel$(t-1); sel$t = the argmax of the integer
+    * MMR score (7·rel − 3·msim) // 10 with vec_id tie-break — the
+    * ORDER BY runs on the DIV-10 value because the engine tie-breaks
+    * at that quantization (two raw scores in the same decade ARE a
+    * tie). Every CTE is MATERIALIZED (each sel feeds every later ms —
+    * the DuckDB per-reference inlining hazard).
+    */
+  private def mmrStepCtes(t: Int): String = {
+    def simTo(j: Int): String =
+      s"CAST(floor(round(list_dot_product(c.v, s$j.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s$j.v, s$j.v))), 6) * 1e6 + 0.5) AS BIGINT)"
+    val sims = (1 until t).map(simTo)
+    val msim = if (sims.length == 1) sims.head else s"greatest(${sims.mkString(", ")})"
+    val froms = (1 until t).map(j => s"sel$j s$j").mkString(", ")
+    val excl = (1 until t).map(j => s"c.vec_id <> s$j.vec_id").mkString(" AND ")
+    s"""ms$t AS MATERIALIZED (
+           SELECT c.vec_id, c.v, c.rel, $msim AS msim
+           FROM cand c, $froms WHERE $excl),
+         sel$t AS MATERIALIZED (
+           SELECT vec_id, v, rel, (7 * rel - 3 * msim) // 10 AS score
+           FROM ms$t ORDER BY (7 * rel - 3 * msim) // 10 DESC, vec_id ASC LIMIT 1)"""
+  }
 
   /** The binary-gain DCG discount CASE over a rank expression — text
     * twin of the engine's literal table (ONE source:

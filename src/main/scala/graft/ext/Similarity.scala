@@ -1731,6 +1731,104 @@ object Similarity {
       .orderBy(col("cell_id"))
   }
 
+  /** Driver-side cosine in EXACTLY the engines' arithmetic shape —
+    * sequential index-order dot products in double, d/(√da·√db) —
+    * so a bounded collected candidate set can be re-scored on the
+    * driver bit-identically to the codegen cosine and DuckDB's
+    * list_dot_product loop (the x_sim_mmr greedy needs pairwise
+    * candidate sims after the distributed top-k already ran).
+    */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var da = 0.0; var db = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      da += a(i).toDouble * a(i).toDouble
+      db += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(da) * math.sqrt(db))
+  }
+
+  /** Rounded-6 cosine in integer micro-units, matching the engines'
+    * round(cos, 6)·10⁶ quantization (HALF_UP on a value that is
+    * integer ± ~10⁻¹⁰, so floor(x+0.5) and BigDecimal agree).
+    */
+  private def cosMicroLocal(a: Array[Float], b: Array[Float]): Long =
+    BigDecimal(cosineLocal(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000)).toLongExact
+
+  /** Maximal-Marginal-Relevance diversified retrieval (x_sim_mmr;
+    * Carbonell & Goldstein, SIGIR 1998) — the post-retrieval
+    * diversification every RAG context-packer runs: plain top-k hands
+    * the consumer k near-copies of the best hit when the corpus has
+    * near-duplicates; MMR greedily picks
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), trading relevance
+    * against similarity to what is ALREADY selected. λ = 0.7 as the
+    * integer pair (7, 3): score = (7·rel_micro − 3·maxsim_micro)
+    * div 10 — the whole greedy runs in exact integers, no float
+    * boundary crosses the engine seam, ties to the smaller vec_id.
+    *
+    * Two-stage shape (how MMR deploys at any scale): the DISTRIBUTED
+    * stage is the bounded top-`kCand` cosine scan (broadcast 1-row
+    * query + TopKByScore map-side partials — the rankFusion vector
+    * leg); the greedy then runs on the ≤kCand collected candidates
+    * (kCand = 20 — the funnel-style bounded driver fetch), because
+    * MMR is inherently sequential in k and its input is the ALREADY
+    * REDUCED candidate list, never the corpus. Driver re-scoring uses
+    * [[cosineLocal]] — the engines' exact arithmetic shape — so the
+    * oracle's unrolled greedy (one MATERIALIZED CTE per step) replays
+    * the selection bit-for-bit.
+    *
+    * Output: (rank, vec_id, rel_micro, score_micro) for the k
+    * selected vectors; rank 1 is the plain argmax-relevance hit BY
+    * CONSTRUCTION (its selection ignores the empty selected set), so
+    * the MMR list and the top-k list always agree at rank 1 — a spec
+    * theorem, alongside a planted near-duplicate fixture where MMR
+    * demotes the duplicate that plain top-k keeps.
+    */
+  def mmrTopK(spark: SparkSession, dir: String, k: Int = 5,
+      kCand: Int = 20): DataFrame =
+    mmrFor(spark, Tables.embeddings(spark, dir), k, kCand)
+
+  private[graft] def mmrFor(spark: SparkSession, e: DataFrame, k: Int,
+      kCand: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0).join(broadcast(qv))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val top = scored
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("vec_id"), kCand).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("vec_id"), col("s.score").as("cos"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val ids = top.map(_._1).toSet
+    val vecs = e.filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // greedy over ≤kCand rows, exact integers throughout
+    val rel = top.toMap
+    var remaining = top.map(_._1).toVector
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]() // (vec, rel, score)
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    while (picked.length < k && remaining.nonEmpty) {
+      val best = remaining.map { d =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => cosMicroLocal(vecs(d), vecs(s))).max
+        val score = (7 * rel(d) - 3 * maxSim) / 10 // Long / == div (trunc)
+        (d, score)
+      }.minBy { case (d, sc) => (-sc, d) } // (score DESC, vec_id ASC)
+      picked += ((best._1, rel(best._1), best._2))
+      selected += best._1
+      remaining = remaining.filterNot(_ == best._1)
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((d, r, sc), i) => (i + 1L, d, r, sc) }
+      .toDF("rank", "vec_id", "rel_micro", "score_micro")
+      .orderBy(col("rank"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR 2009): fuse a lexical BM25 leg with a vector cosine leg —
     * the standard two-tower retrieval stack (keyword recall + semantic

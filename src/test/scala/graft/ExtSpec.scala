@@ -714,6 +714,44 @@ class ExtSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("mmr: rank-1 is the plain argmax, scores non-increasing, planted near-dup demoted") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Similarity.mmrTopK(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    // rank 1 ignores the (empty) selected set -> it IS the argmax-rel
+    // hit, and greedy scores are non-increasing in rank: for S ⊆ S'
+    // every candidate's score can only drop and the winner leaves the
+    // pool — both theorems
+    assert(rows.head._3 == rows.map(_._3).max, "rank 1 must be the top-relevance hit")
+    rows.sliding(2).foreach {
+      case Array((r1, _, _, s1), (r2, _, _, s2)) =>
+        assert(s1 >= s2, s"score rose from rank $r1 ($s1) to rank $r2 ($s2)")
+      case _ =>
+    }
+    // planted fixture — the geometry matters: if d1 were ALIGNED with
+    // the query, every candidate's sim-to-d1 would equal its
+    // relevance and MMR would reduce to 0.4·rel = plain top-k. So d1
+    // sits OFF-axis (+y component); d2 is its near-copy (sim ≈ 1 →
+    // score ≈ (7·0.95 − 3·1)/10 = 0.365); d3 mirrors to −y, keeping
+    // rel = 0.90 but sim(d3, d1) ≈ 0.72 → score ≈ 0.414 > 0.365.
+    // Plain top-2 is (d1, d2); MMR promotes the diverse d3 to rank 2.
+    import spark.implicits._
+    val dim = 8
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat).padTo(dim, 0f)
+    val planted = Seq(
+      (0L, v(1.0, 0.0)),            // the query
+      (1L, v(0.95, 0.3122)),        // d1: most relevant, off-axis
+      (2L, v(0.95, 0.3123)),        // d2: near-duplicate of d1
+      (3L, v(0.9, -0.4359))         // d3: diverse, moderately relevant
+    ).toDF("vec_id", "embedding")
+    val m = graft.ext.Similarity.mmrFor(spark, planted, k = 3, kCand = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(m(0) == 1L, s"rank 1 must be d1, got ${m.toSeq}")
+    assert(m(1) == 3L, s"MMR must promote the diverse d3 over the near-copy d2: ${m.toSeq}")
+    assert(m(2) == 2L)
+  }
+
   test("kpp-seeded IVF: one shared training run, bounded candidates, recall quantized") {
     val dir = "/root/testdata/sf0.001"
     // the value memo hands BOTH faces the same training artifact
