@@ -137,6 +137,7 @@ object SparkEntry {
     "x_cluster_silhouette" -> ((s, d) => Similarity.clusterSilhouette(s, d)), // simplified-silhouette validity index over the seed cells (round 15)
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
+    "x_gopher_rules"    -> (TextAnalysis.gopherRules _), // Gopher/C4 rule-battery gate, integer-exact per-source failure report (round 15)
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
@@ -1773,6 +1774,37 @@ object SparkEntry {
          round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS type_token_ratio,
          round((length(text) - length(replace(text, ' ', ''))) / length(text), 4) AS space_ratio
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // Gopher rule battery: every count is integer (cross-multiplied
+    // thresholds, distinct-stopword intersect, regexp token-with-letter
+    // count); keep_rate is the one terminal double division.
+    "x_gopher_rules" ->
+      """WITH d AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+           CAST(len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS n_alpha,
+           CAST(len(list_intersect(string_split(text, ' '),
+                ['the','be','to','of','and','that','have','with','a','in','is','it'])) AS BIGINT) AS n_stop,
+           CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
+         FROM documents),
+         f AS (SELECT source,
+           NOT (n_tok BETWEEN 50 AND 100000) AS f_len,
+           (chars_ns < n_tok * 3 OR chars_ns > n_tok * 10) AS f_wordlen,
+           (n_alpha * 5 < n_tok * 4) AS f_alpha,
+           (n_stop < 2) AS f_stop,
+           (n_sym * 10 > n_tok) AS f_symbol
+         FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+           CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+           CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+           CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+           CAST(sum(CASE WHEN NOT (f_len OR f_wordlen OR f_alpha OR f_stop OR f_symbol)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(CAST(sum(CASE WHEN NOT (f_len OR f_wordlen OR f_alpha OR f_stop OR f_symbol)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+         FROM f GROUP BY source ORDER BY source""",
     "x_lang_scores" ->
       s"""WITH s AS (
            SELECT doc_id, lang AS labelled_lang, lower(text) AS t FROM documents WHERE doc_id < 100)

@@ -101,6 +101,92 @@ object TextAnalysis {
   private def markerHits(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))
 
+  /** Rule-based quality gate (`x_gopher_rules`, round 15): the Gopher
+    * paper's document-level filter heuristics (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", §A.1.1 — also the C4 lineage, Raffel et al.
+    * 2020) replayed as INTEGER-EXACT per-document flags, then
+    * aggregated to a per-source rule-failure report:
+    *
+    *   - `f_len`     word count outside [50, 100 000]
+    *   - `f_wordlen` mean word length outside [3, 10] chars — tested
+    *                 as the cross-multiplication `3·n_tok ≤ chars_ns ≤
+    *                 10·n_tok`, so no float mean ever exists
+    *   - `f_alpha`   < 80 % of words contain an alphabetic character
+    *                 (`5·n_alpha < 4·n_tok`)
+    *   - `f_stop`    fewer than 2 DISTINCT hits from the function-word
+    *                 stop list (Gopher's 8 {the, be, to, of, and, that,
+    *                 have, with} extended with {a, in, is, it} — the
+    *                 synthetic vocabulary carries only 'the'/'a' from
+    *                 English function words, so Gopher's exact 8-word
+    *                 list would zero the corpus; the rule SHAPE — at
+    *                 least two distinct function words — is the
+    *                 contract, the list is a parameter)
+    *   - `f_symbol`  symbol-to-word ratio ('#' + '…' spelled "...")
+    *                 above 0.1 (`10·n_sym > n_tok`)
+    *
+    * Gopher's two remaining rule groups are deliberately out of scope
+    * here: the repetition gates live in [[repetitionScores]]
+    * (`x_repetition`) and the bullet/ellipsis LINE-ratio rules have no
+    * carrier in this corpus (the fixture text is a single
+    * space-separated line — the same reason `x_line_dedup` synthesizes
+    * its 4-token lines).
+    *
+    * Shape: every count is ROW-LOCAL built-in arithmetic on the scan —
+    * word-with-letter counting is one `regexp_count` over the raw text
+    * (`[^ ]*[a-zA-Z][^ ]*` matches each token containing a letter
+    * exactly once; no HOF lambda, which [[repetitionScores]] measured
+    * at 3× interpreted-tax), stop hits are `array_intersect` against
+    * an 8-element literal (distinct-hit semantics on BOTH engines —
+    * DuckDB's `list_intersect` dedups identically), symbol counts are
+    * the [[markerHits]] literal-replace idiom. One narrow scan, one
+    * |sources|-row hash aggregate, fully codegen'd — at 100 TB this is
+    * scan-bound with a few-row shuffle, the cheapest shape a corpus
+    * gate can have. `keep_rate` is the one terminal double division,
+    * rounded to 6 dp on both engines.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFor(Tables.documents(spark, dir))
+
+  private[graft] val gopherStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "a", "in", "is", "it")
+
+  def gopherRulesFor(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val counts = docs.select(
+      col("source"),
+      size(toks).cast("long").as("n_tok"),
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("chars_ns"),
+      regexp_count(col("text"), lit("[^ ]*[a-zA-Z][^ ]*")).cast("long").as("n_alpha"),
+      size(array_intersect(toks, array(gopherStopWords.map(lit): _*)))
+        .cast("long").as("n_stop"),
+      (markerHits(col("text"), "#") + markerHits(col("text"), "..."))
+        .cast("long").as("n_sym"))
+    val flags = counts.select(
+      col("source"),
+      (!col("n_tok").between(50L, 100000L)).as("f_len"),
+      (col("chars_ns") < col("n_tok") * 3 || col("chars_ns") > col("n_tok") * 10).as("f_wordlen"),
+      (col("n_alpha") * 5 < col("n_tok") * 4).as("f_alpha"),
+      (col("n_stop") < 2).as("f_stop"),
+      (col("n_sym") * 10 > col("n_tok")).as("f_symbol"))
+    val keep = !col("f_len") && !col("f_wordlen") && !col("f_alpha") &&
+      !col("f_stop") && !col("f_symbol")
+    flags.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("f_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("n_fail_alpha"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(col("f_symbol"), 1L).otherwise(0L)).as("n_fail_symbol"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_fail_len"), col("n_fail_wordlen"),
+        col("n_fail_alpha"), col("n_fail_stop"), col("n_fail_symbol"), col("n_keep"),
+        round(col("n_keep") / col("n_docs"), 6).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Marker-frequency language scoring: counts of per-language stopword
     * markers (an n-gram-frequency heuristic; for the synthetic corpus
     * the marker *scores* are the contract, plus a deterministic argmax

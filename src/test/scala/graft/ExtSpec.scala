@@ -2918,4 +2918,48 @@ class ExtSpec extends SparkSpec {
     assert(bucketedWaste <= naiveWaste,
       s"length bucketing wasted $bucketedWaste vs naive $naiveWaste")
   }
+
+  test("gopher rules: per-source report equals an exact Scala replay of the rule battery") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.gopherRules(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // independent replay: the five Gopher flags recomputed in plain
+    // Scala from the raw text, integer arithmetic throughout
+    val stop = TextAnalysis.gopherStopWords.toSet
+    val raw = graft.Tables.documents(spark, dir)
+      .select("source", "text").as[(String, String)].collect()
+    val expected = raw.groupBy(_._1).map { case (src, ds) =>
+      val flags = ds.map { case (_, text) =>
+        val toks = text.split(" ", -1)
+        val nTok = toks.length.toLong
+        val charsNs = text.count(_ != ' ').toLong
+        val nAlpha = toks.count(_.exists(c =>
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+        val nStop = toks.toSet.intersect(stop).size.toLong
+        val nSym = text.count(_ == '#').toLong + {
+          var (i, n) = (0, 0L)
+          while ({ i = text.indexOf("...", i); i >= 0 }) { n += 1; i += 3 }
+          n
+        }
+        (!(nTok >= 50 && nTok <= 100000),
+          charsNs < nTok * 3 || charsNs > nTok * 10,
+          nAlpha * 5 < nTok * 4, nStop < 2, nSym * 10 > nTok)
+      }
+      val keep = flags.count(f => !f._1 && !f._2 && !f._3 && !f._4 && !f._5).toLong
+      src -> (src, ds.length.toLong, flags.count(_._1).toLong, flags.count(_._2).toLong,
+        flags.count(_._3).toLong, flags.count(_._4).toLong, flags.count(_._5).toLong,
+        keep,
+        BigDecimal(keep.toDouble / ds.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.keySet == expected.keySet, "source sets differ")
+    expected.foreach { case (src, exp) =>
+      assert(got(src) == exp, s"source $src: ${got(src)} vs $exp")
+    }
+    // fixture-drift guard: the battery must stay discriminative — at
+    // least one rule fails somewhere AND at least one doc survives
+    assert(got.values.exists(r => r._8 < r._2), "no rule ever fires")
+    assert(got.values.exists(_._8 > 0), "no doc survives the battery")
+  }
 }
