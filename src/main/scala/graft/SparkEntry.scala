@@ -173,6 +173,7 @@ object SparkEntry {
     "x_domain_cap"     -> ((s, d) => Corpus.domainCap(s, d)),
     "x_decontam"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "x_decontam_neardup" -> ((s, d) => Dedup.decontaminateNearDup(s, d)), // fuzzy Jaccard-level contamination off the memoized pair frame (round 15)
+    "x_dedup_edit"   -> ((s, d) => Dedup.editNearDup(s, d)), // Levenshtein verbatim/light-edit/paraphrase classifier over the memoized pair frame (round 15)
     "x_decontam_13gram" -> ((s, d) => Corpus.decontaminate13(s, d)), // the GPT-3/PaLM word-13-gram published standard (round 13)
     "x_eval_leakage" -> ((s, d) => Corpus.evalLeakage(s, d)),
     "x_decontam_bloom" -> ((s, d) => Corpus.decontaminateBloom(s, d)),
@@ -278,7 +279,10 @@ object SparkEntry {
       "x_rank_ndcg",
       // round 15 (cont.): fuzzy decontamination is one more ngram-chain
       // rider — the pair frame restricted to corpus×eval incidence
-      "x_decontam_neardup")
+      "x_decontam_neardup",
+      // round 15 (cont.): the edit-distance classifier prices two text
+      // joins + the row-local DP over the same memoized pair frame
+      "x_dedup_edit")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -311,7 +315,8 @@ object SparkEntry {
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
         "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card",
-        "x_lsh_tuning", "x_mixture_dedup_adjusted", "x_decontam_neardup")
+        "x_lsh_tuning", "x_mixture_dedup_adjusted", "x_decontam_neardup",
+        "x_dedup_edit")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     // round 14: the simhash block is a CONTINUATION of the ngram chain
     // (not its own flush-isolated chain) — x_detector_overlap consumes
@@ -843,6 +848,27 @@ object SparkEntry {
            coalesce(h.nm, 0) >= 1 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          WHERE d.doc_id >= 20 ORDER BY d.doc_id""",
+    // Edit-distance classifier over the verified pair set: integer DP
+    // distance, micro-unit edit similarity (integer div), terminal
+    // 6-dp round on jac only. `pj` is referenced once — no
+    // materialization point.
+    "x_dedup_edit" ->
+      s"""WITH $ngramPairCtes,
+         pj AS (SELECT d1, d2, sh / (n1.n_ng + n2.n_ng - sh) AS jac
+                FROM s JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+                WHERE sh / (n1.n_ng + n2.n_ng - sh) >= 0.8),
+         e AS (SELECT d1, d2, round(jac, 6) AS jac,
+                 CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+                 CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+               FROM pj JOIN documents a ON pj.d1 = a.doc_id
+                       JOIN documents b ON pj.d2 = b.doc_id),
+         k AS (SELECT d1, d2, jac, lev, max_len,
+                 (max_len - lev) * 1000000 // max_len AS edit_sim FROM e)
+         SELECT d1, d2, jac, lev, max_len, CAST(edit_sim AS BIGINT) AS edit_sim,
+           CASE WHEN edit_sim >= 900000 THEN 'verbatim'
+                WHEN edit_sim >= 700000 THEN 'light_edit'
+                ELSE 'paraphrase' END AS kind
+         FROM k ORDER BY d1, d2""",
     "x_dedup_clusters" -> dedupClustersOracle,
     "x_dedup_canonical" -> dedupCanonicalOracle,
     "x_split_leakage" -> splitLeakageOracle,

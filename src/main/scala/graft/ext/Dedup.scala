@@ -569,6 +569,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level edit-distance audit of the near-dup pair set
+    * (`x_dedup_edit`, round 15): Levenshtein distance over the FULL
+    * text of every verified Jaccard ≥ 0.8 pair, classified into the
+    * three repair-relevant kinds — `verbatim` (edit-sim ≥ 0.9),
+    * `light_edit` (≥ 0.7), `paraphrase` (below). Token-shingle Jaccard
+    * says how much vocabulary two documents share; it is blind to HOW
+    * the difference is distributed (one swapped token vs a reordered
+    * paragraph can score the same), and the canonical-copy /
+    * human-review pipelines downstream of dedup treat those cases
+    * differently — this face is the classifier between them.
+    *
+    * The candidate universe is deliberately the MEMOIZED pair frame
+    * (one more ngram keep-warm chain rider): Levenshtein is
+    * O(|a|·|b|) per pair — quadratic in document length — so at 100 TB
+    * it can only ever run on a candidate-bounded residue, and the
+    * prefix-filter-theorem pair set IS the exact such bound for the
+    * ≥ 0.8 near-dup definition. A character-level near-dup below token
+    * Jaccard 0.8 is out of this face's scope BY CONTRACT (the
+    * asymmetric quote/subset case is [[containmentPairs]]'s job). The
+    * query prices two hash joins fetching pair texts plus the row-local
+    * DP — no new shuffle beyond the near-linear pair set itself.
+    *
+    * Determinism: `lev` is the classic unit-cost DP — integer on both
+    * engines; `edit_sim` is integer micro-units
+    * ((max_len − lev)·10⁶ div max_len) so the kind thresholds are
+    * integer compares; `jac` takes its one terminal 6-dp round.
+    */
+  def editNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairFrame(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long").as("max_len"))
+      .withColumn("edit_sim", expr("(max_len - lev) * 1000000 DIV max_len"))
+      .withColumn("kind",
+        when(col("edit_sim") >= 900000L, "verbatim")
+          .when(col("edit_sim") >= 700000L, "light_edit")
+          .otherwise("paraphrase"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / |A| ≥ 0.9
     * with A the SMALLER shingle set — the quote/subset detector that
     * symmetric Jaccard structurally misses (a 50-token doc pasted

@@ -2962,4 +2962,45 @@ class ExtSpec extends SparkSpec {
     assert(got.values.exists(r => r._8 < r._2), "no rule ever fires")
     assert(got.values.exists(_._8 > 0), "no doc survives the battery")
   }
+
+  test("edit near-dup: pair set matches the jaccard detector, lev/kind replay exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.editNearDup(spark, dir)
+      .as[(Long, Long, Double, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty, "fixture drift: no near-dup pairs to classify")
+    // same pair universe as the registered jaccard detector
+    val jacPairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == jacPairs, "pair universes differ")
+    // independent plain-Scala Levenshtein replay per pair
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+          diag = prev(j)
+          prev(j) = math.min(math.min(prev(j - 1) + 1, prev(j) + 1), cost)
+        }
+      }
+      prev(b.length).toLong
+    }
+    rows.foreach { case (d1, d2, _, gotLev, maxLen, editSim, kind) =>
+      val (t1, t2) = (texts(d1), texts(d2))
+      val expLev = lev(t1, t2)
+      val expMax = math.max(t1.length, t2.length).toLong
+      assert(gotLev == expLev && maxLen == expMax,
+        s"pair ($d1,$d2): lev $gotLev/$maxLen vs replay $expLev/$expMax")
+      assert(editSim == (expMax - expLev) * 1000000L / expMax, s"pair ($d1,$d2) edit_sim")
+      val expKind = if (editSim >= 900000L) "verbatim"
+        else if (editSim >= 700000L) "light_edit" else "paraphrase"
+      assert(kind == expKind, s"pair ($d1,$d2) kind $kind vs $expKind")
+    }
+    // the planted near-dups are token-level light edits of each other —
+    // the classifier must find at least one pair ABOVE paraphrase grade
+    assert(rows.exists(_._7 != "paraphrase"), "no verbatim/light-edit pair found")
+    Dedup.releaseCaches()
+  }
 }
