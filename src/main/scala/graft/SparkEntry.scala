@@ -138,6 +138,7 @@ object SparkEntry {
     "x_text_stats"      -> (TextAnalysis.corpusStats _),
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_gopher_rules"    -> (TextAnalysis.gopherRules _), // Gopher/C4 rule-battery gate, integer-exact per-source failure report (round 15)
+    "x_textrank"        -> (TextAnalysis.textRank _), // TextRank keywords: 5 integer-exact damped-PageRank iterations over the token co-occurrence graph (round 15)
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
@@ -1831,6 +1832,7 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN NOT (f_len OR f_wordlen OR f_alpha OR f_stop OR f_symbol)
                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
          FROM f GROUP BY source ORDER BY source""",
+    "x_textrank" -> textRankOracle,
     "x_lang_scores" ->
       s"""WITH s AS (
            SELECT doc_id, lang AS labelled_lang, lower(text) AS t FROM documents WHERE doc_id < 100)
@@ -3690,6 +3692,39 @@ object SparkEntry {
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
+
+  /** TextRank oracle: the 5 damped-PageRank iterations unrolled as
+    * single-reference CTEs (generated by the same loop bound as the
+    * Spark side so the two unrollings cannot drift); `ed`/`deg` are
+    * multi-referenced by every round and MATERIALIZED (the DuckDB
+    * per-reference inlining hazard). All-integer micro-unit updates —
+    * both engines lose identical division remainders.
+    */
+  private val textRankOracle: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.w, CAST(150000 + 85 * coalesce(c$i.contrib, 0) // 100 AS BIGINT) AS r
+            FROM deg d LEFT JOIN (
+              SELECT e.w2 AS w, sum(r.r * e.wt // g.wdeg) AS contrib
+              FROM ed e JOIN r${i - 1} r ON e.w1 = r.w JOIN deg g ON e.w1 = g.w
+              GROUP BY e.w2) c$i ON d.w = c$i.w)"""
+    }.mkString(",\n         ")
+    s"""WITH c AS (SELECT string_split(text, ' ') AS toks FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                       unnest(toks[2:len(toks)]) AS w2 FROM c),
+         e0 AS (SELECT w1, w2 FROM bg UNION ALL SELECT w2 AS w1, w1 AS w2 FROM bg),
+         ed AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt
+                             FROM e0 GROUP BY 1, 2),
+         deg AS MATERIALIZED (SELECT w1 AS w, CAST(sum(wt) AS BIGINT) AS wdeg
+                              FROM ed GROUP BY 1),
+         r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM deg),
+         $iterCtes,
+         f AS (SELECT r5.w, d.wdeg, r5.r,
+                 row_number() OVER (ORDER BY r5.r DESC, r5.w) AS rk
+               FROM r5 JOIN deg d ON r5.w = d.w)
+         SELECT CAST(rk AS BIGINT) AS rk, w AS token, wdeg, r AS rank_micro
+         FROM f WHERE rk <= 20 ORDER BY rk"""
+  }
 
   private val ngramJaccardOracle: String =
     s"""WITH $ngramPairCtes

@@ -187,6 +187,69 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** TextRank keyword extraction (`x_textrank`, round 15): weighted
+    * PageRank over the corpus token co-occurrence graph (Mihalcea &
+    * Tarau, EMNLP 2004; the damping/iteration scheme is Brin & Page
+    * 1998). Nodes are tokens, edges are ADJACENT-token co-occurrences
+    * (window 2 — the paper's smallest window) with corpus-wide counts
+    * as weights, symmetrized by emitting both directions; consecutive
+    * repeats keep their self-loop (both engines emit it identically).
+    * Rank runs d = 0.85, 5 fixed iterations (fixed count = a
+    * deterministic artifact, no convergence test), ENTIRELY in integer
+    * micro-units: r₀ = 10⁶, per-edge contribution
+    * (r·wt) div wdeg(u), update r' = 150000 + (85·Σcontrib) div 100 —
+    * integer division remainders are lost identically on both engines,
+    * so the whole trajectory is hash-gateable the way Lloyd's floats
+    * never were (the x_kmeans_scalable lesson). Output: top-20 tokens
+    * by final rank, ties broken by token binary order.
+    *
+    * Shape: the bigram extractor is the shared [[langBigramPairs]]
+    * face (one row-local projected-array pass), edges collapse to a
+    * vocab²-bounded hash aggregate, and each iteration is one
+    * shuffle join keyed on token + one hash aggregate — the Pregel
+    * message-passing step expressed relationally, the standard way to
+    * run PageRank on an engine without a graph runtime. Nothing
+    * collects: the top-20 cut is the bounded [[graft.functions
+    * .TopKByScoreStr]] aggregate (map-side ≤20-row partials, no global
+    * window), with a 20-row broadcast join-back for wdeg. At crawl
+    * scale you would checkpoint the rank frame between iterations and
+    * widen r·wt past int64 (decimal(38,0) or coarser milli-units) once
+    * vocab·10⁶ × max-edge-weight approaches 2⁶³ — the iterated
+    * join-aggregate SHAPE is the scale contract. Tokens appearing only
+    * in single-token documents have no adjacency and are absent by
+    * definition (the estimator's support, as in dsirSample).
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    textRankFor(Tables.documents(spark, dir))
+  }
+
+  private[graft] def textRankFor(docs: DataFrame, iters: Int = 5, k: Int = 20): DataFrame = {
+    val bg = langBigramPairs(docs).select(col("w1"), col("w2"))
+    val ed = bg.union(bg.select(col("w2").as("w1"), col("w1").as("w2")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
+    val deg = ed.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
+    val edges = ed.join(deg, "w1")
+    var rank = deg.select(col("w1").as("w"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(rank, edges("w1") === rank("w"))
+        .groupBy(col("w2")).agg(sum(expr("r * wt DIV wdeg")).as("contrib"))
+      rank = deg.select(col("w1").as("w"))
+        .join(contrib.select(col("w2").as("w"), col("contrib")), Seq("w"), "left")
+        .select(col("w"),
+          (lit(150000L) + expr("85 * coalesce(contrib, 0L) DIV 100")).as("r"))
+    }
+    val sel = rank
+      .agg(graft.functions.GraftFunctions
+        .topKByScoreStr(col("r").cast("double"), col("w"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("token"),
+        col("s.score").cast("long").as("rank_micro"))
+    sel.join(broadcast(deg.select(col("w1").as("token"), col("wdeg"))), "token")
+      .select(col("rk"), col("token"), col("wdeg"), col("rank_micro"))
+      .orderBy(col("rk"))
+  }
+
   /** Marker-frequency language scoring: counts of per-language stopword
     * markers (an n-gram-frequency heuristic; for the synthetic corpus
     * the marker *scores* are the contract, plus a deterministic argmax

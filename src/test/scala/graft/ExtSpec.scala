@@ -3003,4 +3003,41 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._7 != "paraphrase"), "no verbatim/light-edit pair found")
     Dedup.releaseCaches()
   }
+
+  test("textrank: top-20 equals a plain-Scala integer PageRank replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.textRank(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == 20 && got.map(_._1).toSeq == (1L to 20L))
+    // independent replay: bigrams, symmetric weighted graph, 5 damped
+    // iterations in the same integer micro-unit arithmetic
+    val texts = graft.Tables.documents(spark, dir)
+      .select("text").as[String].collect()
+    val edges = scala.collection.mutable.Map[(String, String), Long]()
+    texts.foreach { t =>
+      val toks = t.split(" ", -1)
+      toks.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        edges((a, b)) = edges.getOrElse((a, b), 0L) + 1
+        edges((b, a)) = edges.getOrElse((b, a), 0L) + 1
+      }
+    }
+    val wdeg = edges.groupBy(_._1._1).map { case (w, es) => w -> es.values.sum }
+    var rank: Map[String, Long] = wdeg.map { case (w, _) => w -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+      edges.foreach { case ((u, v), wt) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + rank(u) * wt / wdeg(u)
+      }
+      rank = wdeg.map { case (w, _) =>
+        w -> (150000L + 85L * contrib.getOrElse(w, 0L) / 100L)
+      }.toMap
+    }
+    val expTop = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+    got.zip(expTop).foreach { case ((rk, tok, wd, rm), (ew, er)) =>
+      assert(tok == ew && rm == er && wd == wdeg(ew),
+        s"rank $rk: ($tok, $wd, $rm) vs ($ew, ${wdeg(ew)}, $er)")
+    }
+    // mass sanity: integer-division losses only ever SHRINK total mass
+    assert(rank.values.sum <= wdeg.size * 1000000L, "rank mass grew")
+  }
 }
