@@ -152,10 +152,16 @@ object TextAnalysis {
     Seq("the", "be", "to", "of", "and", "that", "have", "with",
       "a", "in", "is", "it")
 
-  def gopherRulesFor(docs: DataFrame): DataFrame = {
+  /** The per-document rule flags — the row-local projection shared by
+    * the batch report ([[gopherRulesFor]]) and the streaming router
+    * ([[graft.streaming.EventsStream.gopherRouteStream]]), so the two
+    * faces cannot drift (the chunkQualityFor convention). Input needs
+    * (doc_id, source, text); output keeps the ids for routing.
+    */
+  private[graft] def gopherFlagsFor(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val counts = docs.select(
-      col("source"),
+      col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tok"),
       length(replace(col("text"), lit(" "), lit(""))).cast("long").as("chars_ns"),
       regexp_count(col("text"), lit("[^ ]*[a-zA-Z][^ ]*")).cast("long").as("n_alpha"),
@@ -163,15 +169,20 @@ object TextAnalysis {
         .cast("long").as("n_stop"),
       (markerHits(col("text"), "#") + markerHits(col("text"), "..."))
         .cast("long").as("n_sym"))
-    val flags = counts.select(
-      col("source"),
-      (!col("n_tok").between(50L, 100000L)).as("f_len"),
-      (col("chars_ns") < col("n_tok") * 3 || col("chars_ns") > col("n_tok") * 10).as("f_wordlen"),
-      (col("n_alpha") * 5 < col("n_tok") * 4).as("f_alpha"),
-      (col("n_stop") < 2).as("f_stop"),
-      (col("n_sym") * 10 > col("n_tok")).as("f_symbol"))
-    val keep = !col("f_len") && !col("f_wordlen") && !col("f_alpha") &&
-      !col("f_stop") && !col("f_symbol")
+    counts.select(
+        col("doc_id"), col("source"),
+        (!col("n_tok").between(50L, 100000L)).as("f_len"),
+        (col("chars_ns") < col("n_tok") * 3 || col("chars_ns") > col("n_tok") * 10).as("f_wordlen"),
+        (col("n_alpha") * 5 < col("n_tok") * 4).as("f_alpha"),
+        (col("n_stop") < 2).as("f_stop"),
+        (col("n_sym") * 10 > col("n_tok")).as("f_symbol"))
+      .withColumn("keep", !col("f_len") && !col("f_wordlen") && !col("f_alpha") &&
+        !col("f_stop") && !col("f_symbol"))
+  }
+
+  def gopherRulesFor(docs: DataFrame): DataFrame = {
+    val flags = gopherFlagsFor(docs)
+    val keep = col("keep")
     flags.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

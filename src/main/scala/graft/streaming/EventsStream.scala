@@ -888,6 +888,20 @@ object EventsStream {
       window: Int = 64, stride: Int = 48): DataFrame =
     graft.ext.Corpus.chunkQualityFor(docs, window, stride)
 
+  /** Streaming Gopher-gate router (round 15) — the online face of
+    * [[graft.ext.TextAnalysis.gopherRules]]: arriving documents
+    * evaluate the five integer-exact rule flags ROW-LOCALLY with the
+    * exact batch projection ([[graft.ext.TextAnalysis.gopherFlagsFor]]
+    * — the same expression, not a copy), so an ingest path drops
+    * rule-failing documents at the door instead of discovering them in
+    * the nightly per-source report. No state, no shuffle, no join —
+    * the [[chunkQualityStream]] shape; verdicts are bit-identical to
+    * the batch face by construction and the batch-agreement spec
+    * asserts it row-level.
+    */
+  def gopherRouteStream(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.gopherFlagsFor(docs)
+
   /** Perplexity-band router (round 13; round 14: per-language model,
     * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail

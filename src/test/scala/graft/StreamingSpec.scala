@@ -1572,6 +1572,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._5) && batch.exists(!_._5), "gate must not be degenerate")
   }
 
+  test("streaming gopher gate: rule flags row-identical to the batch face") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = EventsStream.gopherRouteStream(
+        input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("gopher_route")
+      .outputMode("append").start()
+    docs.grouped(200).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("gopher_route")
+      .as[(Long, String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(streamed.size == docs.length)
+    // batch flags on the same frame: bit-identical per doc by construction
+    val batch = graft.ext.TextAnalysis.gopherFlagsFor(
+        graft.Tables.documents(spark, dir))
+      .as[(Long, String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    batch.foreach { b =>
+      assert(streamed(b._1) == b, s"doc ${b._1}: ${streamed(b._1)} vs $b")
+    }
+    // and the per-source batch REPORT reconciles with the streamed flags
+    // (the aggregate face is the same projection grouped)
+    val streamKeepBySource = streamed.values.groupBy(_._2)
+      .map { case (s, rows) => s -> rows.count(_._8).toLong }
+    graft.ext.TextAnalysis.gopherRules(spark, dir)
+      .select(col("source"), col("n_keep")).as[(String, Long)].collect()
+      .foreach { case (s, nKeep) =>
+        assert(streamKeepBySource(s) == nKeep, s"source $s keep count mismatch")
+      }
+    // gate must not be degenerate at the door either
+    assert(streamed.values.exists(_._8) && streamed.values.exists(!_._8))
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
