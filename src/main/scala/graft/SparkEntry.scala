@@ -139,6 +139,7 @@ object SparkEntry {
     "x_text_quality"    -> (TextAnalysis.qualityScores _),
     "x_gopher_rules"    -> (TextAnalysis.gopherRules _), // Gopher/C4 rule-battery gate, integer-exact per-source failure report (round 15)
     "x_textrank"        -> (TextAnalysis.textRank _), // TextRank keywords: 5 integer-exact damped-PageRank iterations over the token co-occurrence graph (round 15)
+    "x_collocations"    -> (TextAnalysis.collocations _), // PMI collocation mining over the shared bigram universe, n>=5 guard (round 15)
     "x_lang_scores"     -> (TextAnalysis.langScores _),
     "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
@@ -1833,6 +1834,27 @@ object SparkEntry {
                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
          FROM f GROUP BY source ORDER BY source""",
     "x_textrank" -> textRankOracle,
+    // PMI collocations: exact-integer log inputs (n·B and l·r multiply
+    // as bigints, ONE cast to double), terminal 6-dp round; ranking on
+    // the pre-round value, ties = the pair's binary order.
+    "x_collocations" ->
+      """WITH c AS (SELECT string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                       unnest(toks[2:len(toks)]) AS w2 FROM c),
+         c2 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                             FROM bg GROUP BY 1, 2),
+         l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS nl FROM c2 GROUP BY 1),
+         r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS nr FROM c2 GROUP BY 1),
+         b AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c2),
+         sc AS (SELECT c2.w1, c2.w2, n,
+                  ln(CAST(n * tot AS DOUBLE) / CAST(nl * nr AS DOUBLE)) AS pmi
+                FROM c2 JOIN l ON c2.w1 = l.w1 JOIN r ON c2.w2 = r.w2
+                CROSS JOIN b WHERE n >= 5),
+         f AS (SELECT w1, w2, n, pmi,
+                 row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
+         SELECT CAST(rk AS BIGINT) AS rk, w1, w2, n, round(pmi, 6) AS pmi
+         FROM f WHERE rk <= 20 ORDER BY rk""",
     "x_lang_scores" ->
       s"""WITH s AS (
            SELECT doc_id, lang AS labelled_lang, lower(text) AS t FROM documents WHERE doc_id < 100)

@@ -261,6 +261,62 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** PMI collocation mining (`x_collocations`, round 15): Church &
+    * Hanks 1990's pointwise mutual information over adjacent word
+    * pairs — the association statistic that separates COLLOCATIONS
+    * ("machine learning") from merely-frequent co-occurrences
+    * (frequency ranks "of the" first; PMI ranks pairs that occur far
+    * above chance). The third statistic over the shared
+    * [[langBigramPairs]] universe, completing frequency
+    * ([[textRank]]'s edge weights) and importance (tf-idf):
+    * pmi(w1,w2) = ln( n(w1,w2)·B / (l(w1)·r(w2)) ) with l/r the
+    * positional marginals and B the total bigram mass, n ≥ 5 (the
+    * paper's min-count guard against low-count PMI blowup).
+    *
+    * Determinism: every input to the log is an EXACT integer —
+    * n·B and l·r multiply as bigints and cast to double once, so both
+    * engines take ln of bit-identical doubles (the kl_contrib / avg_nll
+    * convention), with one terminal 6-dp round; ranking happens on the
+    * pre-round value, ties by the pair's binary order (space sorts
+    * below every token char, so the TopKByScoreStr id `"w1 w2"` orders
+    * exactly as (w1, w2)). n·B needs the decimal(38,0) widening once
+    * corpus bigram mass × max pair count approaches 2⁶³ — the textRank
+    * caveat, same fix. Shape: one extractor pass → vocab²-bounded hash
+    * aggregate → two marginal aggregates joined back → bounded top-20
+    * aggregate + 20-row broadcast join-back for n. B is the one
+    * bounded driver touch (a count inlined as a literal the oracle
+    * recomputes exactly — the dsirSample convention).
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    collocationsFor(Tables.documents(spark, dir))
+  }
+
+  private[graft] def collocationsFor(docs: DataFrame,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val bg = langBigramPairs(docs).select(col("w1"), col("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val l = c2.groupBy(col("w1")).agg(sum(col("n")).as("nl"))
+    val r = c2.groupBy(col("w2")).agg(sum(col("n")).as("nr"))
+    val b = bg.count()
+    val scored = c2.filter(col("n") >= minCount)
+      .join(l, "w1").join(r, "w2")
+      .select(col("w1"), col("w2"), col("n"),
+        log((col("n") * lit(b)).cast("double")
+          / (col("nl") * col("nr")).cast("double")).as("pmi"))
+    val sel = scored
+      .agg(graft.functions.GraftFunctions
+        .topKByScoreStr(col("pmi"), concat_ws(" ", col("w1"), col("w2")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        split(col("s.id"), " ").getItem(0).as("w1"),
+        split(col("s.id"), " ").getItem(1).as("w2"),
+        round(col("s.score"), 6).as("pmi"))
+    c2.join(broadcast(sel), Seq("w1", "w2"))
+      .select(col("rk"), col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("rk"))
+  }
+
   /** Marker-frequency language scoring: counts of per-language stopword
     * markers (an n-gram-frequency heuristic; for the synthetic corpus
     * the marker *scores* are the contract, plus a deterministic argmax

@@ -3040,4 +3040,39 @@ class ExtSpec extends SparkSpec {
     // mass sanity: integer-division losses only ever SHRINK total mass
     assert(rank.values.sum <= wdeg.size * 1000000L, "rank mass grew")
   }
+
+  test("collocations: top-20 PMI equals a plain-Scala replay, min-count guard holds") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.collocations(spark, dir)
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1L to got.length))
+    got.foreach { case (_, _, _, n, _) => assert(n >= 5, "min-count guard violated") }
+    // independent replay
+    val texts = graft.Tables.documents(spark, dir)
+      .select("text").as[String].collect()
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    texts.foreach { t =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).foreach {
+        case Array(a, bb) => c2((a, bb)) = c2.getOrElse((a, bb), 0L) + 1
+      }
+    }
+    val nl = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nr = c2.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val b = c2.values.sum
+    val exp = c2.toSeq.filter(_._2 >= 5).map { case ((w1, w2), n) =>
+      (w1, w2, n, math.log((n * b).toDouble / (nl(w1) * nr(w2)).toDouble))
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(20)
+    assert(got.length == math.min(20, exp.length))
+    got.zip(exp).foreach { case ((rk, g1, g2, gn, gp), (e1, e2, en, ep)) =>
+      val epr = BigDecimal(ep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g1 == e1 && g2 == e2 && gn == en && gp == epr,
+        s"rank $rk: ($g1,$g2,$gn,$gp) vs ($e1,$e2,$en,$epr)")
+    }
+    // ranking theorem: PMI non-increasing in rank (ties broken by pair)
+    got.sliding(2).foreach {
+      case Array((r1, _, _, _, p1), (r2, _, _, _, p2)) =>
+        assert(p1 >= p2, s"pmi rose from rank $r1 ($p1) to rank $r2 ($p2)")
+      case _ =>
+    }
+  }
 }
