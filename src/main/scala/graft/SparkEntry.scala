@@ -117,6 +117,7 @@ object SparkEntry {
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
+    "x_sim_ivf_curve"   -> ((s, d) => Similarity.ivfProbeCurve(s, d)), // recall-vs-nprobe {1,2,4,8} operating curve from ONE nprobe=8 scan (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
@@ -1451,6 +1452,7 @@ object SparkEntry {
     // hits (integer sum), nDCG = DCG·10⁶ // IDCG. The brute leg's
     // nDCG is 10⁶ by construction — computed, not a literal, so a
     // ranking bug fails the hash.
+    "x_sim_ivf_curve" -> ivfCurveOracle,
     "x_rank_ndcg" ->
       s"""WITH $probeCandCtes,
          t1 AS (SELECT query_id, neighbor_id, rk FROM (
@@ -3517,12 +3519,16 @@ object SparkEntry {
     * brute-force truth RANKS 1..3, serving both the recall read
     * (membership) and the DCG read (rank positions).
     */
-  private val probeCandCtes: String =
+  /** The probe-candidate CTEs, parameterized on nprobe (round 15: the
+    * curve oracle needs the prefix-taggable nprobe=8 frame; the
+    * standing probe/nDCG oracles keep their nprobe=4 instantiation).
+    */
+  private def probeCandCtesFor(nprobe: Int): String =
     s"""$seedAssignCtes,
          q AS (SELECT vec_id AS query_id, v AS qv FROM e
                WHERE vec_id >= 16 AND vec_id < 26),
          pc AS (SELECT vec_id AS query_id, cell_id, cell_rank AS probe_rank
-                FROM allrank WHERE vec_id >= 16 AND vec_id < 26 AND cell_rank <= 4),
+                FROM allrank WHERE vec_id >= 16 AND vec_id < 26 AND cell_rank <= $nprobe),
          cand AS MATERIALIZED (SELECT pc.query_id, pc.probe_rank, a.vec_id AS neighbor_id,
                     round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
                   FROM assigned a
@@ -3535,6 +3541,33 @@ object SparkEntry {
                       ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
                                e.vec_id ASC) AS rk
                   FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3)"""
+
+  private val probeCandCtes: String = probeCandCtesFor(4)
+
+  /** The recall-vs-nprobe curve oracle: the nprobe=8 candidate frame
+    * with each level p ∈ {1,2,4,8} read as the prefix probe_rank ≤ p —
+    * cand/bruterk are multi-referenced (8×/4×) and MATERIALIZED in
+    * [[probeCandCtesFor]].
+    */
+  private val ivfCurveOracle: String = {
+    val legs = Seq(1, 2, 4, 8).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE probe_rank <= $p) AS n_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+                FROM cand WHERE probe_rank <= $p) t WHERE rk <= 3) tk
+            JOIN bruterk b ON tk.query_id = b.query_id
+                          AND tk.neighbor_id = b.neighbor_id) AS n_hits"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ${probeCandCtesFor(8)}
+         SELECT nprobe, n_cand, n_hits,
+           CAST(n_hits * 100 // 30 AS BIGINT) AS recall_pct
+         FROM ($legs)
+         ORDER BY nprobe"""
+  }
 
   /** Micro-quantized cosine distance between table aliases x and c
     * (each exposing a DOUBLE[] column v) — the k-means|| oracle's

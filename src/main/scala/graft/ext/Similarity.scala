@@ -465,6 +465,47 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Recall-vs-nprobe tuning curve (`x_sim_ivf_curve`, round 15) —
+    * FAISS's standard IVF operating-point sweep (the `nprobe`
+    * parameter of `IndexIVF::search`), computed from ONE assignment
+    * scan: the nprobe=8 candidate frame tags every candidate with its
+    * cell's probe rank, and the level-p candidate set is exactly the
+    * prefix `probe_rank ≤ p` — so the whole {1, 2, 4, 8} curve prices
+    * a single explode-join plus four bounded top-k re-ranks, not four
+    * assignment scans. Per level: total candidates scanned (the cost
+    * axis) and truth hits against the shared [[bruteRanked]] top-k
+    * (the recall axis), recall_pct = hits·100 div (n_queries·k).
+    * Recall is NON-DECREASING in nprobe up to cosine rounding ties: a
+    * candidate displacing a truth item from a level's top-k must
+    * out-rank it under (cos DESC, id ASC), and brute ranks under the
+    * same order, so the displacer is itself truth — asserted in spec,
+    * and the curve's POINT is showing where it saturates. Like every
+    * recall-pricing face, the truth leg is the documented
+    * ≤10-broadcast-query scan (query-sample pricing at scale).
+    */
+  def ivfProbeCurve(spark: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val nq = 10L
+    val cand = probeCandFrame(spark, dir, cells, probes.max)
+    val brute = bruteRanked(e, isQuery, k).select(col("query_id"), col("neighbor_id"))
+    val legs = probes.map { p =>
+      val cp = cand.filter(col("probe_rank") <= p)
+      val hits = rankTopK(cp, k).select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"))
+      val cq = cp.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+      val hq = hits.groupBy(col("query_id")).agg(count(lit(1)).as("nh"))
+      cq.join(hq, Seq("query_id"), "left")
+        .agg(sum(col("nc")).as("n_cand"),
+          sum(coalesce(col("nh"), lit(0L))).as("n_hits"))
+        .select(lit(p.toLong).as("nprobe"), col("n_cand"), col("n_hits"),
+          expr(s"n_hits * 100 DIV ${nq * k}").as("recall_pct"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** Binary-relevance DCG discounts in integer micro-units,
     * w(r) = round(10⁶ / log₂(r + 1)) for ranks 1..8 — precomputed
     * literals (NOT runtime log calls: libm's last bits are

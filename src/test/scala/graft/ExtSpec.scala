@@ -3075,4 +3075,36 @@ class ExtSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("ivf probe curve: prefix levels off one frame, monotone, level-4 matches the probe report") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfProbeCurve(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (p, c, h, r) =>
+      assert(h <= 30 && r == h * 100 / 30, s"level $p: hits $h recall $r inconsistent")
+      assert(c > 0, s"level $p scanned no candidates")
+    }
+    // candidate cost and recall both monotone in the probe prefix
+    // (cost by set nesting; recall because a displacer that out-ranks
+    // a truth item under (cos DESC, id ASC) is itself truth)
+    rows.sliding(2).foreach {
+      case Array((p1, c1, h1, _), (p2, c2, h2, _)) =>
+        assert(c1 <= c2, s"candidates shrank from nprobe $p1 to $p2")
+        assert(h1 <= h2, s"recall fell from nprobe $p1 ($h1) to $p2 ($h2)")
+      case _ =>
+    }
+    // level-4 row must reconcile with the registered probe report
+    // (per-query floor(h*100/3) inverts exactly for h in 0..3)
+    val rep = Similarity.ivfProbeReport(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val cand4 = rep.map(_._3).sum
+    val hits4 = rep.map(r => (r._5 * 3 + 50) / 100).sum
+    val c4 = rows.find(_._1 == 4L).get
+    assert(c4._2 == cand4 && c4._3 == hits4,
+      s"level-4 (${c4._2}, ${c4._3}) vs probe report ($cand4, $hits4)")
+    // the curve's point: probing wider must actually buy recall here
+    assert(rows.last._3 > rows.head._3, "fixture drift: curve is flat")
+    Dedup.releaseCaches()
+  }
 }

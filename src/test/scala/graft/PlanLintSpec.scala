@@ -45,6 +45,7 @@ class PlanLintSpec extends SparkSpec {
     "x_sim_ivf_refined" -> "recall REPORT: the brute-force truth leg is x_sim_topk's <=10 broadcast-query scan; the measured IVF legs are cell-restricted equi-joins",
     "x_sim_ivf_probe" -> "recall REPORT: same brute truth leg as x_sim_ivf_refined; both probe legs are cell equi-joins against <=10*nprobe broadcast query rows",
     "x_rank_ndcg" -> "nDCG REPORT: same brute truth leg as x_sim_ivf_probe (<=10 broadcast query rows scan the corpus once for ground truth); the method legs ride the probeCandidates cell equi-join",
+    "x_sim_ivf_curve" -> "operating-curve REPORT: same brute truth leg (<=10 broadcast query rows, one corpus scan); all four nprobe levels are prefix filters over ONE probeCandidates cell equi-join",
     "x_sim_ivf_kpp" -> "recall REPORT over the k-means|| seeds: same <=10-broadcast-query brute truth leg; the search leg is a cell equi-join",
     "x_knn_classify" -> "votes over x_sim_topk's <=10 broadcast-query scan; swap in the LSH/IVF search legs (same (query_id, neighbor_id) contract) at scale",
     "x_rank_fusion" -> "vector leg streams the corpus past a 1-row broadcast query embedding (x_sim_topk's family); the BM25 leg and the <=20x<=20 fusion join are equi/bounded, and the LSH/IVF search legs swap in at scale (same (doc_id, rank) contract)")
