@@ -118,6 +118,7 @@ object SparkEntry {
     "x_sim_ivf_refined" -> ((s, d) => Similarity.ivfRefinedReport(s, d)), // verdict query: refined recall judged vs literal
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_sim_ivf_curve"   -> ((s, d) => Similarity.ivfProbeCurve(s, d)), // recall-vs-nprobe {1,2,4,8} operating curve from ONE nprobe=8 scan (round 15)
+    "x_lexrank"         -> ((s, d) => Similarity.lexRank(s, d)), // LexRank representative-doc selection: shared integer-PageRank kernel over the cell-bounded similarity graph (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
@@ -1453,6 +1454,7 @@ object SparkEntry {
     // nDCG is 10⁶ by construction — computed, not a literal, so a
     // ranking bug fails the hash.
     "x_sim_ivf_curve" -> ivfCurveOracle,
+    "x_lexrank" -> lexRankOracle,
     "x_rank_ndcg" ->
       s"""WITH $probeCandCtes,
          t1 AS (SELECT query_id, neighbor_id, rk FROM (
@@ -3544,6 +3546,33 @@ object SparkEntry {
 
   private val probeCandCtes: String = probeCandCtesFor(4)
 
+  /** LexRank oracle: within-cell micro-quantized cosine edges off the
+    * shared seed-assignment CTEs, then the SAME loop-generated
+    * PageRank rounds as x_textrank ([[pageRankIterCtes]]).
+    */
+  private val lexRankOracle: String =
+    s"""WITH $seedAssignCtes,
+         half AS (SELECT v1, v2, CAST(floor(cq * 1e6 + 0.5) AS BIGINT) AS wt FROM (
+             SELECT a.vec_id AS v1, b.vec_id AS v2,
+               round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cq
+             FROM assigned a JOIN assigned b
+               ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id) t
+           WHERE cq >= 0.2),
+         ed AS MATERIALIZED (SELECT v1 AS w1, v2 AS w2, wt FROM half
+                             UNION ALL SELECT v2 AS w1, v1 AS w2, wt FROM half),
+         deg AS MATERIALIZED (SELECT w1 AS w, CAST(sum(wt) AS BIGINT) AS wdeg
+                              FROM ed GROUP BY 1),
+         r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM deg),
+         ${pageRankIterCtes()},
+         f AS (SELECT r5.w, d.wdeg, r5.r,
+                 row_number() OVER (ORDER BY r5.r DESC, r5.w) AS rk
+               FROM r5 JOIN deg d ON r5.w = d.w)
+         SELECT CAST(f.rk AS BIGINT) AS rk, f.w AS vec_id, c.cell_id, f.wdeg,
+           f.r AS rank_micro
+         FROM f JOIN assigned c ON f.w = c.vec_id
+         WHERE f.rk <= 10 ORDER BY f.rk"""
+
   /** The recall-vs-nprobe curve oracle: the nprobe=8 candidate frame
     * with each level p ∈ {1,2,4,8} read as the prefix probe_rank ≤ p —
     * cand/bruterk are multi-referenced (8×/4×) and MATERIALIZED in
@@ -3755,14 +3784,25 @@ object SparkEntry {
     * per-reference inlining hazard). All-integer micro-unit updates —
     * both engines lose identical division remainders.
     */
-  private val textRankOracle: String = {
-    val iterCtes = (1 to 5).map { i =>
+  /** The damped-PageRank iteration rounds as loop-generated CTE text —
+    * the oracle twin of [[graft.ext.Graph.pageRank]], shared by the
+    * x_textrank and x_lexrank oracles (one definition of the
+    * arithmetic on each side). Expects CTEs `ed` (w1, w2, wt) and
+    * `deg` (w, wdeg) — both multi-referenced per round, so callers
+    * MATERIALIZE them — plus `r0`; emits r1..r$iters, each
+    * single-reference.
+    */
+  private def pageRankIterCtes(iters: Int = 5): String =
+    (1 to iters).map { i =>
       s"""r$i AS (SELECT d.w, CAST(150000 + 85 * coalesce(c$i.contrib, 0) // 100 AS BIGINT) AS r
             FROM deg d LEFT JOIN (
               SELECT e.w2 AS w, sum(r.r * e.wt // g.wdeg) AS contrib
               FROM ed e JOIN r${i - 1} r ON e.w1 = r.w JOIN deg g ON e.w1 = g.w
               GROUP BY e.w2) c$i ON d.w = c$i.w)"""
     }.mkString(",\n         ")
+
+  private val textRankOracle: String = {
+    val iterCtes = pageRankIterCtes()
     s"""WITH c AS (SELECT string_split(text, ' ') AS toks FROM documents
                    WHERE len(string_split(text, ' ')) >= 2),
          bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,

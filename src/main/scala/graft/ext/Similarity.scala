@@ -1557,6 +1557,56 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** LexRank representative-document selection (`x_lexrank`, round
+    * 15): PageRank centrality over the document similarity graph
+    * (Erkan & Radev, JAIR 2004) — the data-selection dual of dedup.
+    * Near-dup removal prunes redundancy; centrality RANKS what remains
+    * by how representative it is of the corpus mass (coreset-style
+    * selection, the "pick the canonical exemplars" step of a curated
+    * fine-tuning mix). Edges: within-cell pairs with rounded cosine
+    * ≥ tau, weighted by the micro-quantized cosine
+    * (floor(round(cos,6)·10⁶ + 0.5) — the kppDmSql idiom), symmetric;
+    * the quadratic is CELL-BOUNDED (the SemDeDup/IVF discipline every
+    * embedding face shares — the documented recall trade), riding the
+    * memoized [[seedAssigned]] frame. Ranking is the shared
+    * [[Graph.pageRank]] integer kernel (5 iterations, d = 0.85), so
+    * the trajectory hash-gates; top-10 via the bounded TopKByScore
+    * aggregate ((score DESC, id ASC) = the oracle's row_number order),
+    * 10-row broadcast join-backs for wdeg and cell_id. Vectors with no
+    * edge ≥ tau are non-central by definition and absent. Overflow
+    * bound: r ≤ corpus·10⁶, wt ≤ 10⁶ — r·wt needs decimal(38,0) past
+    * ~2⁴³ vectors, the [[Graph]] caveat.
+    */
+  def lexRank(spark: SparkSession, dir: String, cells: Int = 16,
+      tau: Double = 0.2, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val assigned = seedAssigned(spark, dir, cells)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell_id"))
+    val b = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell_id"))
+    val half = a.join(b, Seq("cell_id"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos_q", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos_q") >= tau)
+      .select(col("v1"), col("v2"),
+        floor(col("cos_q") * 1e6 + 0.5).cast("long").as("wt"))
+    val ed = half.select(col("v1").as("w1"), col("v2").as("w2"), col("wt"))
+      .union(half.select(col("v2").as("w1"), col("v1").as("w2"), col("wt")))
+    val ranked = Graph.pageRank(ed)
+    val sel = ranked
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(col("r").cast("double"), col("w"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("vec_id"),
+        col("s.score").cast("long").as("rank_micro"))
+    val picked = assigned.select(col("vec_id"), col("cell_id"))
+      .join(broadcast(sel), "vec_id")
+    ranked.select(col("w").as("vec_id"), col("wdeg"))
+      .join(broadcast(picked), "vec_id")
+      .select(col("rk"), col("vec_id"), col("cell_id"), col("wdeg"), col("rank_micro"))
+      .orderBy(col("rk"))
+  }
+
   /** Leave-one-out kNN label consistency — the embedding-space QA
     * verdict behind "are these embeddings any good for
     * classification?": every vector is classified by the majority

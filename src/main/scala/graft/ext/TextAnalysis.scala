@@ -239,24 +239,15 @@ object TextAnalysis {
     val bg = langBigramPairs(docs).select(col("w1"), col("w2"))
     val ed = bg.union(bg.select(col("w2").as("w1"), col("w1").as("w2")))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("wt"))
-    val deg = ed.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
-    val edges = ed.join(deg, "w1")
-    var rank = deg.select(col("w1").as("w"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = edges.join(rank, edges("w1") === rank("w"))
-        .groupBy(col("w2")).agg(sum(expr("r * wt DIV wdeg")).as("contrib"))
-      rank = deg.select(col("w1").as("w"))
-        .join(contrib.select(col("w2").as("w"), col("contrib")), Seq("w"), "left")
-        .select(col("w"),
-          (lit(150000L) + expr("85 * coalesce(contrib, 0L) DIV 100")).as("r"))
-    }
-    val sel = rank
+    val ranked = Graph.pageRank(ed, iters)
+    val sel = ranked
       .agg(graft.functions.GraftFunctions
         .topKByScoreStr(col("r").cast("double"), col("w"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "s")))
       .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("token"),
         col("s.score").cast("long").as("rank_micro"))
-    sel.join(broadcast(deg.select(col("w1").as("token"), col("wdeg"))), "token")
+    ranked.select(col("w").as("token"), col("wdeg"))
+      .join(broadcast(sel), "token")
       .select(col("rk"), col("token"), col("wdeg"), col("rank_micro"))
       .orderBy(col("rk"))
   }

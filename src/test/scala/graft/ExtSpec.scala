@@ -3107,4 +3107,61 @@ class ExtSpec extends SparkSpec {
     assert(rows.last._3 > rows.head._3, "fixture drift: curve is flat")
     Dedup.releaseCaches()
   }
+
+  test("lexrank: top-10 centrality equals a plain-Scala integer PageRank replay over the cell graph") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.lexRank(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    // replay off the same memoized assignment frame the query consumes
+    val assigned = Similarity.seedAssigned(spark, dir, 16)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val edges = scala.collection.mutable.Map[(Long, Long), Long]()
+    assigned.groupBy(_._3).values.foreach { cell =>
+      for (i <- cell.indices; j <- (i + 1) until cell.length) {
+        val (x, y) = if (cell(i)._1 < cell(j)._1) (cell(i), cell(j)) else (cell(j), cell(i))
+        val cq = cos6(x._2, y._2)
+        if (cq >= 0.2) {
+          val wt = math.floor(cq * 1e6 + 0.5).toLong
+          edges((x._1, y._1)) = wt
+          edges((y._1, x._1)) = wt
+        }
+      }
+    }
+    val wdeg = edges.groupBy(_._1._1).map { case (w, es) => w -> es.values.sum }
+    var rank: Map[Long, Long] = wdeg.map { case (w, _) => w -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case ((u, v), wt) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + rank(u) * wt / wdeg(u)
+      }
+      rank = wdeg.map { case (w, _) =>
+        w -> (150000L + 85L * contrib.getOrElse(w, 0L) / 100L)
+      }.toMap
+    }
+    val cellOf = assigned.map(a => a._1 -> a._3).toMap
+    val expTop = rank.toSeq.sortBy { case (v, r) => (-r, v) }.take(10)
+    got.zip(expTop).foreach { case ((rk, vid, cid, wd, rm), (ev, er)) =>
+      assert(vid == ev && rm == er && wd == wdeg(ev) && cid == cellOf(ev),
+        s"rank $rk: ($vid, $cid, $wd, $rm) vs ($ev, ${cellOf(ev)}, ${wdeg(ev)}, $er)")
+    }
+    // centrality actually discriminates: not all top-10 share one cell,
+    // and ranks are strictly ordered somewhere (non-degenerate graph)
+    assert(got.map(_._3).distinct.length > 1, "top-10 collapsed into one cell")
+    Dedup.releaseCaches()
+  }
 }
