@@ -276,11 +276,13 @@ object SparkEntry {
       "x_sim_ivf_kpp",
       // and the PR operating-point menu is one more quality-chain rider
       "x_quality_pr",
-      // round 15 (review): the nDCG verdict rides the memoized probe-
-      // candidate frame x_sim_ivf_probe just built — it prices its DCG
-      // aggregation + the brute truth scan, not a second assignment
-      // scan + probe explode-join
-      "x_rank_ndcg",
+      // round 15 (review): the probe report and the nDCG verdict ride
+      // the memoized nprobe=8 probe-candidate frame the operating
+      // curve (the chain anchor) just built — each prices its own
+      // aggregation + brute truth scan, not another assignment scan +
+      // probe explode-join; their nprobe=4 sets are prefix filters of
+      // the anchored frame
+      "x_sim_ivf_probe", "x_rank_ndcg",
       // round 15 (cont.): fuzzy decontamination is one more ngram-chain
       // rider — the pair frame restricted to corpus×eval incidence
       "x_decontam_neardup",
@@ -301,7 +303,7 @@ object SparkEntry {
     */
   val chainAnchors: Set[String] =
     Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
-      "x_kmeans_scalable", "x_sim_ivf_probe")
+      "x_kmeans_scalable", "x_sim_ivf_curve")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -339,8 +341,9 @@ object SparkEntry {
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
     // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
-    // and the nDCG verdict rides the memoized probe-candidate frame
-    val probeChain = Seq("x_sim_ivf_probe", "x_rank_ndcg")
+    // and the probe report + nDCG verdict ride the memoized nprobe=8
+    // probe-candidate frame the operating curve anchors
+    val probeChain = Seq("x_sim_ivf_curve", "x_sim_ivf_probe", "x_rank_ndcg")
     require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).forall(queries.contains),
       s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -352,7 +355,7 @@ object SparkEntry {
         case "x_lm_score_lang"        => lmChain
         case "x_quality_train"        => qualityChain
         case "x_kmeans_scalable"      => kppChain
-        case "x_sim_ivf_probe"        => probeChain
+        case "x_sim_ivf_curve"        => probeChain
         case n                        => Seq(n)
       }
   }
@@ -1839,8 +1842,9 @@ object SparkEntry {
          FROM f GROUP BY source ORDER BY source""",
     "x_textrank" -> textRankOracle,
     // PMI collocations: exact-integer log inputs (n·B and l·r multiply
-    // as bigints, ONE cast to double), terminal 6-dp round; ranking on
-    // the pre-round value, ties = the pair's binary order.
+    // as bigints, ONE cast to double), MICRO-QUANTIZED before the
+    // ranking (quantize-before-ranking convention; review r15);
+    // ties = the pair's binary order.
     "x_collocations" ->
       """WITH c AS (SELECT string_split(text, ' ') AS toks FROM documents
                     WHERE len(string_split(text, ' ')) >= 2),
@@ -1852,12 +1856,13 @@ object SparkEntry {
          r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS nr FROM c2 GROUP BY 1),
          b AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c2),
          sc AS (SELECT c2.w1, c2.w2, n,
-                  ln(CAST(n * tot AS DOUBLE) / CAST(nl * nr AS DOUBLE)) AS pmi
+                  CAST(floor(ln(CAST(n * tot AS DOUBLE) / CAST(nl * nr AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT) AS pmi_micro
                 FROM c2 JOIN l ON c2.w1 = l.w1 JOIN r ON c2.w2 = r.w2
                 CROSS JOIN b WHERE n >= 5),
-         f AS (SELECT w1, w2, n, pmi,
-                 row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
-         SELECT CAST(rk AS BIGINT) AS rk, w1, w2, n, round(pmi, 6) AS pmi
+         f AS (SELECT w1, w2, n, pmi_micro,
+                 row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rk FROM sc)
+         SELECT CAST(rk AS BIGINT) AS rk, w1, w2, n, pmi_micro
          FROM f WHERE rk <= 20 ORDER BY rk""",
     "x_lang_scores" ->
       s"""WITH s AS (
@@ -3777,13 +3782,6 @@ object SparkEntry {
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
 
-  /** TextRank oracle: the 5 damped-PageRank iterations unrolled as
-    * single-reference CTEs (generated by the same loop bound as the
-    * Spark side so the two unrollings cannot drift); `ed`/`deg` are
-    * multi-referenced by every round and MATERIALIZED (the DuckDB
-    * per-reference inlining hazard). All-integer micro-unit updates —
-    * both engines lose identical division remainders.
-    */
   /** The damped-PageRank iteration rounds as loop-generated CTE text —
     * the oracle twin of [[graft.ext.Graph.pageRank]], shared by the
     * x_textrank and x_lexrank oracles (one definition of the
@@ -3801,6 +3799,10 @@ object SparkEntry {
               GROUP BY e.w2) c$i ON d.w = c$i.w)"""
     }.mkString(",\n         ")
 
+  /** TextRank oracle: bigram edges off the same zip-slice token walk,
+    * then the shared [[pageRankIterCtes]] rounds; `ed`/`deg` are
+    * multi-referenced by every round and MATERIALIZED.
+    */
   private val textRankOracle: String = {
     val iterCtes = pageRankIterCtes()
     s"""WITH c AS (SELECT string_split(text, ' ') AS toks FROM documents

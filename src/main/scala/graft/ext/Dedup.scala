@@ -595,6 +595,12 @@ object Dedup {
     * engines; `edit_sim` is integer micro-units
     * ((max_len − lev)·10⁶ div max_len) so the kind thresholds are
     * integer compares; `jac` takes its one terminal 6-dp round.
+    * UNIT CAVEAT (review r15): Spark's `levenshtein` edits CODE
+    * POINTS while DuckDB's edits BYTES — identical on this corpus
+    * (ASCII by construction, like every text face here), but a
+    * non-ASCII deployment must byte- or NFC-normalize first
+    * (`x_text_normalize`) or accept that the cross-engine contract
+    * holds only up to the multi-byte edit difference.
     */
   def editNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = pairFrame(spark, dir)

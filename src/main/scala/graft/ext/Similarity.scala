@@ -365,14 +365,22 @@ object Similarity {
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
   }
 
-  /** The MEMOIZED [[probeCandidates]] frame over the held-out queries
-    * (round-15 review): `x_sim_ivf_probe` builds it once per
-    * (session, corpus) through the Frames lifecycle and `x_rank_ndcg`
-    * rides it via the probe keep-warm chain, pricing only its DCG
-    * aggregation instead of a second assignment scan + explode-join.
+  /** Every probe face's candidate frame is the PREFIX of one memoized
+    * nprobe=[[probeFrameNprobe]] frame: a level-p candidate set is
+    * exactly `probe_rank ≤ p` of the widest frame, so the probe
+    * report, the nDCG verdict, and the operating curve all ride ONE
+    * assignment scan + explode-join per (session, corpus) — the curve
+    * (`x_sim_ivf_curve`) is the probe chain's ANCHOR and the nprobe=4
+    * faces are prefix-filter riders (review r15: two overlapping memos
+    * at nprobe 4 and 8 paid a duplicate scan and ~1.5× duplicated
+    * cached candidate rows).
     */
+  private[graft] val probeFrameNprobe = 8
+
   private[graft] def probeCandFrame(spark: SparkSession, dir: String,
       cells: Int, nprobe: Int): DataFrame = {
+    require(nprobe <= probeFrameNprobe,
+      s"probe faces share one nprobe=$probeFrameNprobe frame; got $nprobe")
     // the table read and the bounded centroid collect run BEFORE the
     // memo call — inside the build they would run their Spark jobs
     // under the global memo lock (the round-6 contention note
@@ -380,10 +388,13 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val seeds = seedCentroids(e, cells)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    Dedup.Frames.getOrCompute(spark, s"probecand:$cells:$nprobe:$dir", dir,
+    val full = Dedup.Frames.getOrCompute(spark,
+        s"probecand:$cells:$probeFrameNprobe:$dir", dir,
         tables = Seq("embeddings.parquet")) {
-      probeCandidates(e, seeds, isQuery, nprobe)
+      probeCandidates(e, seeds, isQuery, probeFrameNprobe)
     }
+    if (nprobe >= probeFrameNprobe) full
+    else full.filter(col("probe_rank") <= nprobe)
   }
 
   /** Brute-force truth ranking shared by every recall/nDCG-pricing

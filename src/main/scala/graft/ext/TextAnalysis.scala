@@ -137,7 +137,7 @@ object TextAnalysis {
     * (`[^ ]*[a-zA-Z][^ ]*` matches each token containing a letter
     * exactly once; no HOF lambda, which [[repetitionScores]] measured
     * at 3× interpreted-tax), stop hits are `array_intersect` against
-    * an 8-element literal (distinct-hit semantics on BOTH engines —
+    * a 12-element literal (distinct-hit semantics on BOTH engines —
     * DuckDB's `list_intersect` dedups identically), symbol counts are
     * the [[markerHits]] literal-replace idiom. One narrow scan, one
     * |sources|-row hash aggregate, fully codegen'd — at 100 TB this is
@@ -267,9 +267,12 @@ object TextAnalysis {
     * Determinism: every input to the log is an EXACT integer —
     * n·B and l·r multiply as bigints and cast to double once, so both
     * engines take ln of bit-identical doubles (the kl_contrib / avg_nll
-    * convention), with one terminal 6-dp round; ranking happens on the
-    * pre-round value, ties by the pair's binary order (space sorts
-    * below every token char, so the TopKByScoreStr id `"w1 w2"` orders
+    * convention) — and the statistic is MICRO-QUANTIZED before anything
+    * ranks on it (floor(ln·10⁶ + 0.5), the quantize-before-ranking
+    * convention every ranked face follows; review r15 — ranking on the
+    * raw double exposed the rank boundary to cross-platform log() ULP
+    * divergence), ties by the pair's binary order (space sorts below
+    * every token char, so the TopKByScoreStr id `"w1 w2"` orders
     * exactly as (w1, w2)). n·B needs the decimal(38,0) widening once
     * corpus bigram mass × max pair count approaches 2⁶³ — the textRank
     * caveat, same fix. Shape: one extractor pass → vocab²-bounded hash
@@ -293,18 +296,20 @@ object TextAnalysis {
     val scored = c2.filter(col("n") >= minCount)
       .join(l, "w1").join(r, "w2")
       .select(col("w1"), col("w2"), col("n"),
-        log((col("n") * lit(b)).cast("double")
-          / (col("nl") * col("nr")).cast("double")).as("pmi"))
+        floor(log((col("n") * lit(b)).cast("double")
+          / (col("nl") * col("nr")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("pmi_micro"))
     val sel = scored
       .agg(graft.functions.GraftFunctions
-        .topKByScoreStr(col("pmi"), concat_ws(" ", col("w1"), col("w2")), k).as("top"))
+        .topKByScoreStr(col("pmi_micro").cast("double"),
+          concat_ws(" ", col("w1"), col("w2")), k).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "s")))
       .select((col("pos") + 1).cast("long").as("rk"),
         split(col("s.id"), " ").getItem(0).as("w1"),
         split(col("s.id"), " ").getItem(1).as("w2"),
-        round(col("s.score"), 6).as("pmi"))
+        col("s.score").cast("long").as("pmi_micro"))
     c2.join(broadcast(sel), Seq("w1", "w2"))
-      .select(col("rk"), col("w1"), col("w2"), col("n"), col("pmi"))
+      .select(col("rk"), col("w1"), col("w2"), col("n"), col("pmi_micro"))
       .orderBy(col("rk"))
   }
 

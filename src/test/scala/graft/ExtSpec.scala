@@ -3044,7 +3044,7 @@ class ExtSpec extends SparkSpec {
   test("collocations: top-20 PMI equals a plain-Scala replay, min-count guard holds") {
     val dir = "/root/testdata/sf0.001"
     val got = TextAnalysis.collocations(spark, dir)
-      .as[(Long, String, String, Long, Double)].collect()
+      .as[(Long, String, String, Long, Long)].collect()
     assert(got.nonEmpty && got.map(_._1).toSeq == (1L to got.length))
     got.foreach { case (_, _, _, n, _) => assert(n >= 5, "min-count guard violated") }
     // independent replay
@@ -3060,13 +3060,14 @@ class ExtSpec extends SparkSpec {
     val nr = c2.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
     val b = c2.values.sum
     val exp = c2.toSeq.filter(_._2 >= 5).map { case ((w1, w2), n) =>
-      (w1, w2, n, math.log((n * b).toDouble / (nl(w1) * nr(w2)).toDouble))
+      (w1, w2, n,
+        math.floor(math.log((n * b).toDouble / (nl(w1) * nr(w2)).toDouble)
+          * 1e6 + 0.5).toLong)
     }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(20)
     assert(got.length == math.min(20, exp.length))
     got.zip(exp).foreach { case ((rk, g1, g2, gn, gp), (e1, e2, en, ep)) =>
-      val epr = BigDecimal(ep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(g1 == e1 && g2 == e2 && gn == en && gp == epr,
-        s"rank $rk: ($g1,$g2,$gn,$gp) vs ($e1,$e2,$en,$epr)")
+      assert(g1 == e1 && g2 == e2 && gn == en && gp == ep,
+        s"rank $rk: ($g1,$g2,$gn,$gp) vs ($e1,$e2,$en,$ep)")
     }
     // ranking theorem: PMI non-increasing in rank (ties broken by pair)
     got.sliding(2).foreach {
@@ -3162,6 +3163,7 @@ class ExtSpec extends SparkSpec {
     // centrality actually discriminates: not all top-10 share one cell,
     // and ranks are strictly ordered somewhere (non-degenerate graph)
     assert(got.map(_._3).distinct.length > 1, "top-10 collapsed into one cell")
+    assert(got.map(_._5).distinct.length > 1, "all top-10 rank values identical")
     Dedup.releaseCaches()
   }
 }
