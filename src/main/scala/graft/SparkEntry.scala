@@ -119,6 +119,7 @@ object SparkEntry {
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_sim_ivf_curve"   -> ((s, d) => Similarity.ivfProbeCurve(s, d)), // recall-vs-nprobe {1,2,4,8} operating curve from ONE nprobe=8 scan (round 15)
     "x_lexrank"         -> ((s, d) => Similarity.lexRank(s, d)), // LexRank representative-doc selection: shared integer-PageRank kernel over the cell-bounded similarity graph (round 15)
+    "x_cell_imbalance"  -> ((s, d) => Similarity.cellImbalance(s, d)), // FAISS imbalance_factor index-health audit over the seed cells (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
@@ -1458,6 +1459,21 @@ object SparkEntry {
     // ranking bug fails the hash.
     "x_sim_ivf_curve" -> ivfCurveOracle,
     "x_lexrank" -> lexRankOracle,
+    // IVF index health: per-cell populations + FAISS's imbalance
+    // factor k·Σn²/(Σn)² in integer micro-units.
+    "x_cell_imbalance" ->
+      s"""WITH $seedAssignCtes,
+         cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(n * n) AS BIGINT) AS sq,
+                   CAST(min(n) AS BIGINT) AS n_min,
+                   CAST(max(n) AS BIGINT) AS n_max,
+                   CAST(count(*) AS BIGINT) AS k FROM cnt)
+         SELECT cell_id, n AS n_cell,
+           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(k * sq * 1000000 // (total * total) AS BIGINT) AS imbalance_micro,
+           n_min, n_max
+         FROM cnt CROSS JOIN tot ORDER BY cell_id""",
     "x_rank_ndcg" ->
       s"""WITH $probeCandCtes,
          t1 AS (SELECT query_id, neighbor_id, rk FROM (

@@ -1568,6 +1568,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF index-health audit (`x_cell_imbalance`, round 15): FAISS's
+    * own `InvertedLists::imbalance_factor` — k·Σnᵢ²/(Σnᵢ)², the
+    * relative variance of inverted-list sizes (1.0 = perfectly
+    * balanced; the metric FAISS prints from `IndexIVF` stats) — plus
+    * the per-cell population table. Skewed cells are the IVF failure
+    * mode that silently degrades BOTH latency (one hot cell scans like
+    * brute force) and recall (starved cells mis-route probes), so the
+    * audit belongs next to the search faces it diagnoses. All integer:
+    * per-cell share and the imbalance factor are micro-unit integer
+    * divisions of exact count sums; imbalance ≥ 10⁶ is Cauchy–Schwarz,
+    * asserted in spec. Rides the memoized [[seedAssigned]] frame; the
+    * constants join back over a literal key (a 1-row broadcast — no
+    * cross join). Shape: one |cells|-row aggregate over the assignment
+    * scan — free at any scale.
+    */
+  def cellImbalance(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val counts = seedAssigned(spark, dir, cells)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_cell"))
+    val tot = counts.agg(
+      sum(col("n_cell")).as("total"),
+      sum(col("n_cell") * col("n_cell")).as("sq"),
+      min(col("n_cell")).as("n_min"),
+      max(col("n_cell")).as("n_max"),
+      count(lit(1)).as("k"))
+    counts.withColumn("j", lit(1))
+      .join(broadcast(tot.withColumn("j", lit(1))), "j")
+      .select(col("cell_id"), col("n_cell"),
+        expr("n_cell * 1000000 DIV total").as("share_micro"),
+        expr("k * sq * 1000000 DIV (total * total)").as("imbalance_micro"),
+        col("n_min"), col("n_max"))
+      .orderBy(col("cell_id"))
+  }
+
   /** LexRank representative-document selection (`x_lexrank`, round
     * 15): PageRank centrality over the document similarity graph
     * (Erkan & Radev, JAIR 2004) — the data-selection dual of dedup.

@@ -3166,4 +3166,28 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._5).distinct.length > 1, "all top-10 rank values identical")
     Dedup.releaseCaches()
   }
+
+  test("cell imbalance: exact replay off the assignment frame, Cauchy-Schwarz floor holds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.cellImbalance(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val cells = Similarity.seedAssigned(spark, dir, 16)
+      .groupBy(col("cell_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == cells.keySet)
+    val total = cells.values.sum
+    val sq = cells.values.map(n => n * n).sum
+    val k = cells.size.toLong
+    rows.foreach { case (cid, n, share, imb, nMin, nMax) =>
+      assert(n == cells(cid), s"cell $cid count")
+      assert(share == n * 1000000L / total, s"cell $cid share")
+      assert(imb == k * sq * 1000000L / (total * total), s"cell $cid imbalance")
+      assert(nMin == cells.values.min && nMax == cells.values.max)
+      // FAISS's imbalance_factor >= 1 is Cauchy-Schwarz: k*sq >= total^2
+      assert(imb >= 1000000L, s"imbalance below the Cauchy-Schwarz floor: $imb")
+    }
+    // the random fixture is not pathologically balanced NOR collapsed
+    assert(rows.map(_._2).distinct.length > 1, "all cells identical size")
+    Dedup.releaseCaches()
+  }
 }
