@@ -205,6 +205,7 @@ object SparkEntry {
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
+    "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -1461,6 +1462,39 @@ object SparkEntry {
     "x_lexrank" -> lexRankOracle,
     // IVF index health: per-cell populations + FAISS's imbalance
     // factor k·Σn²/(Σn)² in integer micro-units.
+    // Deterministic HLL: md5-derived bucket/value, rank via unpadded
+    // bin() length (both engines), max registers, exact-integer
+    // estimate with the ln(m/V) linear-counting leg on small range.
+    "x_hll_distinct" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS (SELECT token FROM t WHERE length(token) > 0),
+         hv AS (SELECT ${hexDecodeSql("md5(token)", 1, 4)} % 64 AS bucket,
+                       ${hexDecodeSql("md5(token)", 5, 8)} AS w
+                FROM tok),
+         rr AS (SELECT bucket, CASE WHEN w = 0 THEN 33
+                                    ELSE 33 - length(bin(w)) END AS r FROM hv),
+         regs AS (SELECT bucket, CAST(max(r) AS BIGINT) AS register FROM rr GROUP BY 1),
+         fullr AS (SELECT gs.b AS bucket, CAST(coalesce(register, 0) AS BIGINT) AS register
+                   FROM generate_series(0, 63) gs(b)
+                   LEFT JOIN regs ON gs.b = regs.bucket),
+         c1 AS (SELECT CAST(max(register) AS BIGINT) AS r_max,
+                  CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+                FROM fullr),
+         c2 AS (SELECT CAST(sum(1::BIGINT << CAST(c1.r_max - register AS INT)) AS BIGINT) AS s_sum
+                FROM fullr, c1),
+         ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM tok),
+         est AS (SELECT r_max, n_zero, s_sum,
+                   CAST(709 * 4096 * (1::BIGINT << CAST(r_max AS INT)) // (1000 * s_sum) AS BIGINT) AS raw_est
+                 FROM c1, c2),
+         ch AS (SELECT r_max, n_zero, raw_est,
+                  CAST(CASE WHEN raw_est * 2 <= 320 AND n_zero > 0
+                       THEN floor(64 * ln(CAST(64 AS DOUBLE) / n_zero) + 0.5)
+                       ELSE raw_est END AS BIGINT) AS est
+                FROM est)
+         SELECT f.bucket, f.register, ch.r_max, ch.n_zero, ch.raw_est, ch.est,
+           ex.exact_distinct,
+           CAST(abs(ch.est - ex.exact_distinct) * 100 // ex.exact_distinct AS BIGINT) AS err_pct
+         FROM fullr f, ch, ex ORDER BY f.bucket""",
     "x_cell_imbalance" ->
       s"""WITH $seedAssignCtes,
          cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
@@ -3797,6 +3831,16 @@ object SparkEntry {
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
+
+  /** Decode `nDigits` hex chars of md5-hex column `c` starting at
+    * 1-based `start` into a bigint — DuckDB has no conv(); the strpos
+    * decode idiom, loop-generated so the digit weights cannot typo.
+    */
+  private def hexDecodeSql(c: String, start: Int, nDigits: Int): String =
+    (0 until nDigits).map { i =>
+      // strpos returns BIGINT in DuckDB, so the products stay 64-bit
+      s"(strpos('0123456789abcdef', substring($c, ${start + i}, 1)) - 1) * ${1L << (4 * (nDigits - 1 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** The damped-PageRank iteration rounds as loop-generated CTE text —
     * the oracle twin of [[graft.ext.Graph.pageRank]], shared by the

@@ -321,6 +321,75 @@ object Profiling {
     * precisely what the DuckDB oracle does. Same candidates-then-verify
     * shape as the MinHash dedup path.
     */
+  /** Deterministic HyperLogLog vocabulary estimate (`x_hll_distinct`,
+    * round 15): Flajolet et al. 2007's cardinality sketch, built so
+    * the SKETCH ITSELF hash-gates — the contrast with
+    * `q21_approx_distinct`, whose built-in `approx_count_distinct`
+    * (also HLL) is implementation-defined and can only be rows-checked.
+    * Everything is a pure function of md5: bucket = first 16 hash bits
+    * mod m (the [[graft.ext.Corpus.sampleSplit]] draw idiom), value =
+    * the next 32 bits, rank = leading zeros + 1 via `33 − len(bin(w))`
+    * (both engines print unpadded binary; w = 0 pins rank 33), and the
+    * register is a plain `max` — so duplicate tokens need NO distinct
+    * pass, the sketch absorbs them, which is the whole point of the
+    * algorithm and exactly its 100 TB shape: one token scan collapsing
+    * to an m-row aggregate with map-side partial maxima, mergeable
+    * across any partitioning.
+    *
+    * The estimate stays integer-exact: E_raw = α₆₄·m²·2^rmax div S with
+    * S = Σ 2^(rmax−Mⱼ) (an exact integer sum ≤ m·2³³) and α₆₄ = 0.709
+    * as the literal ratio 709/1000; the small-range regime applies
+    * linear counting (E_lin = ⌊m·ln(m/V) + 0.5⌋ — the one ln, on the
+    * exact small-integer ratio m/V, the cross-engine ln convention)
+    * when `2·E_raw ≤ 5·m` and zero registers exist — all integer
+    * compares. Output: the 64 registers (the sketch, hash-gated) with
+    * the estimate legs and the error vs the EXACT distinct count as
+    * constant columns (the cellImbalance literal-key join-back idiom);
+    * at 100 TB the exact leg is the expensive one — the sketch is why
+    * you would not run it.
+    */
+  def hllDistinct(spark: SparkSession, dir: String, m: Int = 64): DataFrame = {
+    require(m == 64, "the register/alpha literals are instantiated for m = 64")
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val regs = toks
+      .select(
+        expr("CAST(conv(substring(md5(token), 1, 4), 16, 10) AS BIGINT) % 64").as("bucket"),
+        expr("CAST(conv(substring(md5(token), 5, 8), 16, 10) AS BIGINT)").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
+      .groupBy(col("bucket")).agg(max(col("r")).as("register"))
+    val full = spark.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+    val c1 = full.agg(
+      max(col("register")).as("r_max"),
+      sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val s = full.withColumn("j", lit(1))
+      .join(broadcast(c1.withColumn("j", lit(1))), "j")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - register AS INT))")).as("s_sum"),
+        max(col("r_max")).as("r_max"), max(col("n_zero")).as("n_zero"))
+    val exact = toks.agg(countDistinct(col("token")).as("exact_distinct"))
+    val consts = s.withColumn("j", lit(1))
+      .join(broadcast(exact.withColumn("j", lit(1))), "j")
+      .select(col("j"), col("r_max"), col("n_zero"), col("s_sum"), col("exact_distinct"),
+        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+          + " DIV (1000 * s_sum)").as("raw_est"))
+      .withColumn("est",
+        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
+          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
+          + " ELSE raw_est END AS BIGINT)"))
+      .withColumn("err_pct",
+        expr("abs(est - exact_distinct) * 100 DIV exact_distinct"))
+    full.withColumn("j", lit(1))
+      .join(broadcast(consts), "j")
+      .select(col("bucket"), col("register"), col("r_max"), col("n_zero"),
+        col("raw_est"), col("est"), col("exact_distinct"), col("err_pct"))
+      .orderBy(col("bucket"))
+  }
+
   def heavyHitters(spark: SparkSession, dir: String,
       invPhi: Int = 500, capacity: Int = 1024): DataFrame = {
     require(capacity > invPhi,

@@ -3190,4 +3190,41 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length > 1, "all cells identical size")
     Dedup.releaseCaches()
   }
+
+  test("hll distinct: registers and estimate equal an md5 replay, sketch within HLL error") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.hllDistinct(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (0L until 64L))
+    val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val regs = Array.fill(64)(0L)
+    toks.foreach { t =>
+      val h = md5hex(t)
+      val b = (java.lang.Long.parseLong(h.substring(0, 4), 16) % 64).toInt
+      val w = java.lang.Long.parseLong(h.substring(4, 12), 16)
+      val r = if (w == 0) 33L else 33L - java.lang.Long.toBinaryString(w).length
+      if (r > regs(b)) regs(b) = r
+    }
+    val rMax = regs.max
+    val nZero = regs.count(_ == 0L).toLong
+    val sSum = regs.map(r => 1L << (rMax - r).toInt).sum
+    val rawEst = 709L * 4096L * (1L << rMax.toInt) / (1000L * sSum)
+    val est = if (rawEst * 2 <= 320 && nZero > 0)
+      math.floor(64 * math.log(64.0 / nZero) + 0.5).toLong else rawEst
+    val exact = toks.distinct.length.toLong
+    rows.foreach { case (b, reg, rm, nz, re, e, ex, err) =>
+      assert(reg == regs(b.toInt), s"bucket $b register ($reg vs ${regs(b.toInt)})")
+      assert(rm == rMax && nz == nZero && re == rawEst && e == est && ex == exact,
+        s"constants: ($rm,$nz,$re,$e,$ex) vs ($rMax,$nZero,$rawEst,$est,$exact)")
+      assert(err == math.abs(est - exact) * 100 / exact)
+    }
+    // the sketch is actually informative on this corpus: within ~3 HLL
+    // standard errors at m=64 (3 x 1.04/8 = 39%) — generous, but fatal
+    // to a broken hash/rank pipeline that lands orders of magnitude off
+    assert(rows.head._8 <= 40, s"estimate off by ${rows.head._8}% — sketch broken?")
+  }
 }
