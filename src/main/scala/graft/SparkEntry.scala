@@ -206,6 +206,7 @@ object SparkEntry {
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
+    "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -1462,6 +1463,33 @@ object SparkEntry {
     "x_lexrank" -> lexRankOracle,
     // IVF index health: per-cell populations + FAISS's imbalance
     // factor k·Σn²/(Σn)² in integer micro-units.
+    // Deterministic Count-Min: four 8-bit md5 slices as row hashes
+    // (runtime-position strpos decode), >=1024-cell sketch, est = min
+    // over row counters; est >= n_true is the CM one-sided theorem.
+    "x_countmin" -> {
+      def cmCol(tok: String) =
+        s"""((strpos('0123456789abcdef', substring(md5($tok), CAST(r.i * 2 + 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5($tok), CAST(r.i * 2 + 2 AS INT), 1)) - 1)) % 256"""
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS (SELECT token FROM t WHERE length(token) > 0),
+         keyed AS (SELECT token, r.i AS row_i, ${cmCol("token")} AS cm_col
+                   FROM tok, range(4) AS r(i)),
+         cells AS MATERIALIZED (SELECT row_i, cm_col, CAST(count(*) AS BIGINT) AS cell
+                                FROM keyed GROUP BY 1, 2),
+         cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true FROM tok GROUP BY 1),
+         top AS (SELECT token, n_true,
+                   row_number() OVER (ORDER BY n_true DESC, token) AS rk FROM cnt),
+         t10 AS (SELECT rk, token, n_true FROM top WHERE rk <= 10),
+         tk AS (SELECT t10.rk, t10.token, t10.n_true, r.i AS row_i,
+                  ${cmCol("t10.token")} AS cm_col
+                FROM t10, range(4) AS r(i)),
+         est AS (SELECT rk, token, n_true, CAST(min(cell) AS BIGINT) AS est
+                 FROM tk JOIN cells ON tk.row_i = cells.row_i AND tk.cm_col = cells.cm_col
+                 GROUP BY 1, 2, 3)
+         SELECT CAST(rk AS BIGINT) AS rk, token, n_true, est,
+           CAST(est - n_true AS BIGINT) AS overcount
+         FROM est ORDER BY rk"""
+    },
     // Deterministic HLL: md5-derived bucket/value, rank via unpadded
     // bin() length (both engines), max registers, exact-integer
     // estimate with the ln(m/V) linear-counting leg on small range.

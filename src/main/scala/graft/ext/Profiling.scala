@@ -390,6 +390,56 @@ object Profiling {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic Count-Min sketch (`x_countmin`, round 15): Cormode
+    * & Muthukrishnan 2005's frequency sketch, completing the classic
+    * mergeable-sketch triad next to the Misra-Gries heavy hitters
+    * (exact-candidate counts) and [[hllDistinct]] (cardinality) — CM
+    * is the point-FREQUENCY estimator with the one-sided guarantee
+    * est ≥ true (an increment can only land ON a counter, never miss
+    * it), which this face hash-gates per token rather than asserting.
+    * d = 4 rows × w = 256 columns; the row hashes are four disjoint
+    * 8-bit slices of ONE md5(token) (the same portable-draw idiom as
+    * every md5 face — DuckDB decodes them with runtime-position strpos
+    * arithmetic). Build shape: one token scan exploding 4 row-local
+    * (row, col) pairs, collapsing to a ≤1024-cell hash aggregate with
+    * map-side partials — mergeable across any partitioning, the whole
+    * reason stream processors carry CM at scale. The report prices the
+    * sketch against truth on the exact top-10 tokens (by (count DESC,
+    * token) via the bounded TopKByScoreStr cut): true count, CM
+    * estimate (min over the 4 row counters — joined cell-wise against
+    * the tiny broadcast top-10 key set), and the non-negative
+    * overestimate.
+    */
+  def countMin(spark: SparkSession, dir: String,
+      d: Int = 4, w: Int = 256, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val keyed = toks.select(col("token"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .withColumn("cm_col",
+        expr(s"CAST(conv(substring(md5(token), row_i * 2 + 1, 2), 16, 10) AS BIGINT) % $w"))
+    val cells = keyed.groupBy(col("row_i"), col("cm_col"))
+      .agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScoreStr(col("n_true").cast("double"), col("token"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("token"),
+        col("s.score").cast("long").as("n_true"))
+    val topKeys = top.select(col("rk"), col("token"), col("n_true"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .withColumn("cm_col",
+        expr(s"CAST(conv(substring(md5(token), row_i * 2 + 1, 2), 16, 10) AS BIGINT) % $w"))
+    cells.join(broadcast(topKeys), Seq("row_i", "cm_col"))
+      .groupBy(col("rk"), col("token"), col("n_true"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("rk"), col("token"), col("n_true"), col("est"),
+        (col("est") - col("n_true")).as("overcount"))
+      .orderBy(col("rk"))
+  }
+
   def heavyHitters(spark: SparkSession, dir: String,
       invPhi: Int = 500, capacity: Int = 1024): DataFrame = {
     require(capacity > invPhi,

@@ -3227,4 +3227,35 @@ class ExtSpec extends SparkSpec {
     // to a broken hash/rank pipeline that lands orders of magnitude off
     assert(rows.head._8 <= 40, s"estimate off by ${rows.head._8}% — sketch broken?")
   }
+
+  test("countmin: estimates equal an md5 sketch replay and never underestimate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.countMin(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (1L to 10L))
+    val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def cols(t: String): Seq[(Int, Int)] = {
+      val h = md5hex(t)
+      (0 until 4).map(i => i -> Integer.parseInt(h.substring(i * 2, i * 2 + 2), 16))
+    }
+    val cells = scala.collection.mutable.Map[(Int, Int), Long]()
+    toks.foreach(t => cols(t).foreach(k => cells(k) = cells.getOrElse(k, 0L) + 1))
+    val counts = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val expTop = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    rows.zip(expTop).foreach { case ((rk, tok, n, est, over), (et, en)) =>
+      assert(tok == et && n == en, s"rank $rk: ($tok,$n) vs ($et,$en)")
+      val expEst = cols(tok).map(cells).min
+      assert(est == expEst, s"rank $rk est $est vs replay $expEst")
+      assert(over == est - n && over >= 0,
+        s"CM one-sided guarantee violated at rank $rk: est $est < true $n")
+    }
+    // collisions exist at this vocab/width ratio somewhere in the top-10
+    // OR the sketch is exact — either way `over` stays the exact delta;
+    // the guard is only that the sketch isn't degenerate (all zero cells)
+    assert(cells.values.sum == toks.length.toLong * 4, "sketch mass mismatch")
+  }
 }
