@@ -410,18 +410,30 @@ object Profiling {
     * the tiny broadcast top-10 key set), and the non-negative
     * overestimate.
     */
+  /** The sketch-cell aggregation shared by the batch report and the
+    * streaming twin ([[graft.streaming.EventsStream.countMinStream]])
+    * — the same row-local (row, col) projection and the same ≤d·w-cell
+    * aggregate, so the two sketches cannot drift; on a stream the
+    * aggregate is the textbook bounded-state streaming sketch
+    * (complete-mode cells, state capped at d·w by construction).
+    */
+  private[graft] def cmCellsFor(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .withColumn("cm_col",
+        expr(s"CAST(conv(substring(md5(token), row_i * 2 + 1, 2), 16, 10) AS BIGINT) % $w"))
+      .groupBy(col("row_i"), col("cm_col"))
+      .agg(count(lit(1)).as("cell"))
+
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 256, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val toks = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val keyed = toks.select(col("token"),
-        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
-      .withColumn("cm_col",
-        expr(s"CAST(conv(substring(md5(token), row_i * 2 + 1, 2), 16, 10) AS BIGINT) % $w"))
-    val cells = keyed.groupBy(col("row_i"), col("cm_col"))
-      .agg(count(lit(1)).as("cell"))
+    val cells = cmCellsFor(docs, d, w)
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
       .agg(graft.functions.GraftFunctions
         .topKByScoreStr(col("n_true").cast("double"), col("token"), k).as("top"))

@@ -902,6 +902,24 @@ object EventsStream {
   def gopherRouteStream(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.gopherFlagsFor(docs)
 
+  /** Streaming Count-Min sketch (round 15) — the online face of
+    * [[graft.ext.Profiling.countMin]] and the algorithm's NATIVE
+    * habitat: arriving documents explode their (row, col) increments
+    * ROW-LOCALLY with the exact batch projection
+    * ([[graft.ext.Profiling.cmCellsFor]] — the same expression, not a
+    * copy) and a streaming aggregation maintains the sketch cells —
+    * state bounded at d·w = 1024 rows BY CONSTRUCTION, the strictest
+    * bounded-state story any streaming aggregate here has (the sketch
+    * exists precisely so frequency state never grows with the
+    * stream). Run with complete/update output; point queries read
+    * `min` over a token's d cells at any time, with the same
+    * one-sided est ≥ true guarantee the batch face hash-gates. Batch
+    * agreement is exact (count sums are associative): asserted
+    * cell-for-cell in spec after replaying the corpus.
+    */
+  def countMinStream(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
+    graft.ext.Profiling.cmCellsFor(docs, d, w)
+
   /** Perplexity-band router (round 13; round 14: per-language model,
     * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail

@@ -1609,6 +1609,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._8) && streamed.values.exists(!_._8))
   }
 
+  test("streaming count-min sketch: cells equal the batch sketch after the corpus replays") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.countMinStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    docs.grouped(100).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cm_stream")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val batch = graft.ext.Profiling.cmCellsFor(graft.Tables.documents(spark, dir))
+      .as[(Long, Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (r, c, n) =>
+      assert(streamed((r, c)) == n, s"cell ($r,$c): ${streamed((r, c))} vs $n")
+    }
+    // bounded-state contract: the sketch never exceeds d*w cells
+    assert(streamed.size <= 4 * 256, s"sketch grew past d*w: ${streamed.size}")
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
