@@ -161,6 +161,7 @@ object SparkEntry {
     "x_quality_temperature" -> ((s, d) => TextAnalysis.qualityTemperature(s, d)), // grid-fit temperature scaling on the reliability bins (round 15)
     "x_quality_ablation" -> ((s, d) => TextAnalysis.qualityAblation(s, d)), // mean-substitution feature importance under the memoized weights (round 15)
     "x_quality_pr"      -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)), // decile-threshold precision/recall menu over the trained filter (round 15)
+    "x_filter_agreement" -> ((s, d) => TextAnalysis.filterAgreement(s, d)), // Gopher-gate vs trained-filter confusion cube, quality-chain rider (round 15)
     "x_tfidf"           -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x_bm25"            -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
     "x_rank_fusion"     -> ((s, d) => Similarity.rankFusion(s, d)),
@@ -279,6 +280,10 @@ object SparkEntry {
       "x_sim_ivf_kpp",
       // and the PR operating-point menu is one more quality-chain rider
       "x_quality_pr",
+      // round 15 (cont.): the heuristic-vs-trained agreement matrix
+      // rides the same memoized weight vector — two row-local scans +
+      // a 4-cell aggregate, never a GD re-run
+      "x_filter_agreement",
       // round 15 (review): the probe report and the nDCG verdict ride
       // the memoized nprobe=8 probe-candidate frame the operating
       // curve (the chain anchor) just built — each prices its own
@@ -340,7 +345,7 @@ object SparkEntry {
     // temperature fit ride it and price only their own passes
     val qualityChain =
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
-        "x_quality_temperature", "x_quality_pr")
+        "x_quality_temperature", "x_quality_pr", "x_filter_agreement")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
     // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
@@ -1463,6 +1468,28 @@ object SparkEntry {
     "x_lexrank" -> lexRankOracle,
     // IVF index health: per-cell populations + FAISS's imbalance
     // factor k·Σn²/(Σn)² in integer micro-units.
+    // Heuristic-vs-trained agreement cube: the gopher keep flag joined
+    // against the trained chain's fin (score_q > 0), 4-cell counts +
+    // micro shares + the constant agreement rate.
+    "x_filter_agreement" ->
+      s"""WITH $qualityTrainCtes,
+         $gopherCountCtes,
+         gfk AS (SELECT doc_id,
+             (n_tok BETWEEN 50 AND 100000) AND chars_ns >= n_tok * 3
+             AND chars_ns <= n_tok * 10 AND n_alpha * 5 >= n_tok * 4
+             AND n_stop >= 2 AND n_sym * 10 <= n_tok AS keep_gopher
+           FROM gcnt),
+         jn AS (SELECT gfk.keep_gopher, fin.score_q > 0 AS keep_trained
+                FROM gfk JOIN fin ON gfk.doc_id = fin.doc_id),
+         cell AS (SELECT keep_gopher, keep_trained, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM jn GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(sum(CASE WHEN keep_gopher = keep_trained THEN n_docs ELSE 0 END) AS BIGINT) AS agree
+                 FROM cell)
+         SELECT keep_gopher, keep_trained, n_docs,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(agree * 1000000 // total AS BIGINT) AS agree_micro
+         FROM cell CROSS JOIN tot ORDER BY keep_gopher, keep_trained""",
     // Deterministic Count-Min: four 8-bit md5 slices as row hashes
     // (runtime-position strpos decode), >=1024-cell sketch, est = min
     // over row counters; est >= n_true is the CM one-sided theorem.
@@ -1889,24 +1916,18 @@ object SparkEntry {
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     // Gopher rule battery: every count is integer (cross-multiplied
     // thresholds, distinct-stopword intersect, regexp token-with-letter
-    // count); keep_rate is the one terminal double division.
+    // count); keep_rate is the one terminal double division. Counts
+    // come from the shared gopherCountCtes (the agreement matrix
+    // composes the same block — compose, never copy).
     "x_gopher_rules" ->
-      """WITH d AS (SELECT source,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-           CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
-           CAST(len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS n_alpha,
-           CAST(len(list_intersect(string_split(text, ' '),
-                ['the','be','to','of','and','that','have','with','a','in','is','it'])) AS BIGINT) AS n_stop,
-           CAST((length(text) - length(replace(text, '#', '')))
-              + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
-         FROM documents),
+      s"""WITH $gopherCountCtes,
          f AS (SELECT source,
            NOT (n_tok BETWEEN 50 AND 100000) AS f_len,
            (chars_ns < n_tok * 3 OR chars_ns > n_tok * 10) AS f_wordlen,
            (n_alpha * 5 < n_tok * 4) AS f_alpha,
            (n_stop < 2) AS f_stop,
            (n_sym * 10 > n_tok) AS f_symbol
-         FROM d)
+         FROM gcnt)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
            CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
@@ -3859,6 +3880,20 @@ object SparkEntry {
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS sh
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
+
+  /** The per-document Gopher rule counts shared by the x_gopher_rules
+    * report and the x_filter_agreement matrix (compose, never copy).
+    */
+  private val gopherCountCtes: String =
+    """gcnt AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+           CAST(len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS n_alpha,
+           CAST(len(list_intersect(string_split(text, ' '),
+                ['the','be','to','of','and','that','have','with','a','in','is','it'])) AS BIGINT) AS n_stop,
+           CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
+         FROM documents)"""
 
   /** Decode `nDigits` hex chars of md5-hex column `c` starting at
     * 1-based `start` into a bigint — DuckDB has no conv(); the strpos

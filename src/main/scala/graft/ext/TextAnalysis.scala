@@ -313,6 +313,40 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** Heuristic-vs-trained filter agreement matrix
+    * (`x_filter_agreement`, round 15): the rule-based Gopher gate
+    * ([[gopherFlagsFor]]) against the GD-trained filter
+    * ([[qualityScoredFor]] under the MEMOIZED [[qualityWeights]] —
+    * one more quality-chain rider, pricing two row-local scans + a
+    * 4-cell aggregate, never a GD re-run). This is the triage every
+    * pipeline actually debates — ship cheap rules or a trained
+    * classifier — reduced to its confusion cube: per (keep_gopher,
+    * keep_trained) cell the doc count and micro-unit share, plus the
+    * overall agreement rate as a constant column (the cellImbalance
+    * literal-key join-back idiom). The disagreement cells are the
+    * review queue: rules-keep/model-drop = candidate label noise,
+    * rules-drop/model-keep = rules too blunt. All integer.
+    */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = qualityWeights(spark, dir)
+    val trained = qualityScoredFor(docs, w)
+      .select(col("doc_id"), col("keep").as("keep_trained"))
+    val gopher = gopherFlagsFor(docs).select(col("doc_id"), col("keep").as("keep_gopher"))
+    val cells = gopher.join(trained, "doc_id")
+      .groupBy(col("keep_gopher"), col("keep_trained"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("total"),
+      sum(when(col("keep_gopher") === col("keep_trained"), col("n_docs"))
+        .otherwise(0L)).as("agree"))
+    cells.withColumn("j", lit(1))
+      .join(broadcast(tot.withColumn("j", lit(1))), "j")
+      .select(col("keep_gopher"), col("keep_trained"), col("n_docs"),
+        expr("n_docs * 1000000 DIV total").as("share_micro"),
+        expr("agree * 1000000 DIV total").as("agree_micro"))
+      .orderBy(col("keep_gopher"), col("keep_trained"))
+  }
+
   /** Marker-frequency language scoring: counts of per-language stopword
     * markers (an n-gram-frequency heuristic; for the synthetic corpus
     * the marker *scores* are the contract, plus a deterministic argmax

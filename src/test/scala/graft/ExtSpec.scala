@@ -3258,4 +3258,28 @@ class ExtSpec extends SparkSpec {
     // the guard is only that the sketch isn't degenerate (all zero cells)
     assert(cells.values.sum == toks.length.toLong * 4, "sketch mass mismatch")
   }
+
+  test("filter agreement: cube reconciles the gopher and trained faces exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.filterAgreement(spark, dir)
+      .as[(Boolean, Boolean, Long, Long, Long)].collect()
+    val g = TextAnalysis.gopherFlagsFor(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val w = TextAnalysis.qualityWeights(spark, dir)
+    val t = TextAnalysis.qualityScoredFor(graft.Tables.documents(spark, dir), w)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val exp = g.keys.toSeq.groupBy(d => (g(d), t(d)))
+      .map { case (k, ds) => k -> ds.length.toLong }
+    assert(rows.map(r => (r._1, r._2)).toSet == exp.keySet, "cell sets differ")
+    val total = exp.values.sum
+    val agree = exp.filter { case ((a, b), _) => a == b }.values.sum
+    rows.foreach { case (kg, kt, n, share, am) =>
+      assert(n == exp((kg, kt)), s"cell ($kg,$kt): $n vs ${exp((kg, kt))}")
+      assert(share == n * 1000000L / total && am == agree * 1000000L / total)
+    }
+    // the matrix is informative: the filters actually disagree somewhere
+    // (otherwise the audit would be vacuous on this corpus)
+    assert(rows.exists(r => r._1 != r._2), "filters never disagree")
+    Dedup.releaseCaches()
+  }
 }
