@@ -1475,10 +1475,8 @@ object SparkEntry {
       s"""WITH $qualityTrainCtes,
          $gopherCountCtes,
          gfk AS (SELECT doc_id,
-             (n_tok BETWEEN 50 AND 100000) AND chars_ns >= n_tok * 3
-             AND chars_ns <= n_tok * 10 AND n_alpha * 5 >= n_tok * 4
-             AND n_stop >= 2 AND n_sym * 10 <= n_tok AS keep_gopher
-           FROM gcnt),
+             NOT (f_len OR f_wordlen OR f_alpha OR f_stop OR f_symbol) AS keep_gopher
+           FROM gflag),
          jn AS (SELECT gfk.keep_gopher, fin.score_q > 0 AS keep_trained
                 FROM gfk JOIN fin ON gfk.doc_id = fin.doc_id),
          cell AS (SELECT keep_gopher, keep_trained, CAST(count(*) AS BIGINT) AS n_docs
@@ -1553,16 +1551,19 @@ object SparkEntry {
     "x_cell_imbalance" ->
       s"""WITH $seedAssignCtes,
          cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
-                   CAST(sum(n * n) AS BIGINT) AS sq,
-                   CAST(min(n) AS BIGINT) AS n_min,
-                   CAST(max(n) AS BIGINT) AS n_max,
-                   CAST(count(*) AS BIGINT) AS k FROM cnt)
-         SELECT cell_id, n AS n_cell,
-           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
-           CAST(k * sq * 1000000 // (total * total) AS BIGINT) AS imbalance_micro,
+         fullc AS (SELECT gs.b AS cell_id, CAST(coalesce(n, 0) AS BIGINT) AS n_cell
+                   FROM generate_series(0, 15) gs(b)
+                   LEFT JOIN cnt ON gs.b = cnt.cell_id),
+         tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS total,
+                   CAST(sum(n_cell * n_cell) AS BIGINT) AS sq,
+                   CAST(min(n_cell) AS BIGINT) AS n_min,
+                   CAST(max(n_cell) AS BIGINT) AS n_max FROM fullc)
+         SELECT cell_id, n_cell,
+           CAST(n_cell * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(CAST(16 AS HUGEINT) * sq * 1000000
+             // (CAST(total AS HUGEINT) * total) AS BIGINT) AS imbalance_micro,
            n_min, n_max
-         FROM cnt CROSS JOIN tot ORDER BY cell_id""",
+         FROM fullc CROSS JOIN tot ORDER BY cell_id""",
     "x_rank_ndcg" ->
       s"""WITH $probeCandCtes,
          t1 AS (SELECT query_id, neighbor_id, rk FROM (
@@ -1921,13 +1922,7 @@ object SparkEntry {
     // composes the same block — compose, never copy).
     "x_gopher_rules" ->
       s"""WITH $gopherCountCtes,
-         f AS (SELECT source,
-           NOT (n_tok BETWEEN 50 AND 100000) AS f_len,
-           (chars_ns < n_tok * 3 OR chars_ns > n_tok * 10) AS f_wordlen,
-           (n_alpha * 5 < n_tok * 4) AS f_alpha,
-           (n_stop < 2) AS f_stop,
-           (n_sym * 10 > n_tok) AS f_symbol
-         FROM gcnt)
+         f AS (SELECT source, f_len, f_wordlen, f_alpha, f_stop, f_symbol FROM gflag)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
            CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
@@ -3881,8 +3876,10 @@ object SparkEntry {
          FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
          GROUP BY 1, 2)"""
 
-  /** The per-document Gopher rule counts shared by the x_gopher_rules
-    * report and the x_filter_agreement matrix (compose, never copy).
+  /** The per-document Gopher rule counts AND flags shared by the
+    * x_gopher_rules report and the x_filter_agreement matrix (compose,
+    * never copy — review r15: the six thresholds live ONCE here, in
+    * one polarity).
     */
   private val gopherCountCtes: String =
     """gcnt AS (SELECT doc_id, source,
@@ -3893,7 +3890,14 @@ object SparkEntry {
                 ['the','be','to','of','and','that','have','with','a','in','is','it'])) AS BIGINT) AS n_stop,
            CAST((length(text) - length(replace(text, '#', '')))
               + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
-         FROM documents)"""
+         FROM documents),
+       gflag AS (SELECT doc_id, source,
+           NOT (n_tok BETWEEN 50 AND 100000) AS f_len,
+           (chars_ns < n_tok * 3 OR chars_ns > n_tok * 10) AS f_wordlen,
+           (n_alpha * 5 < n_tok * 4) AS f_alpha,
+           (n_stop < 2) AS f_stop,
+           (n_sym * 10 > n_tok) AS f_symbol
+         FROM gcnt)"""
 
   /** Decode `nDigits` hex chars of md5-hex column `c` starting at
     * 1-based `start` into a bigint — DuckDB has no conv(); the strpos

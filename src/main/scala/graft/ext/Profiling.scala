@@ -348,8 +348,13 @@ object Profiling {
     * at 100 TB the exact leg is the expensive one — the sketch is why
     * you would not run it.
     */
-  def hllDistinct(spark: SparkSession, dir: String, m: Int = 64): DataFrame = {
-    require(m == 64, "the register/alpha literals are instantiated for m = 64")
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // fixed m = 64: the bucket modulus, the m² = 4096 factor, AND the
+    // bias constant α₆₄ = 0.709 are all instantiated for this register
+    // count (α is m-specific in Flajolet's analysis), so a tunable m
+    // would be dead generality inviting a silent constant mismatch
+    // (review r15) — change all three together or not at all
+    val m = 64
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)

@@ -1585,19 +1585,29 @@ object Similarity {
     */
   def cellImbalance(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val counts = seedAssigned(spark, dir, cells)
-      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_cell"))
+    // EVERY seed cell reports, including a starved one (review r15: a
+    // duplicate-seed cosine tie can empty a cell, and an index-health
+    // audit that cannot show an empty inverted list is useless exactly
+    // when the index is most skewed); k is nlist, FAISS's definition,
+    // not the observed-cell count.
+    val counts = spark.range(cells).select(col("id").as("cell_id"))
+      .join(seedAssigned(spark, dir, cells)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n")), Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("n"), lit(0L)).as("n_cell"))
     val tot = counts.agg(
       sum(col("n_cell")).as("total"),
       sum(col("n_cell") * col("n_cell")).as("sq"),
       min(col("n_cell")).as("n_min"),
-      max(col("n_cell")).as("n_max"),
-      count(lit(1)).as("k"))
+      max(col("n_cell")).as("n_max"))
     counts.withColumn("j", lit(1))
       .join(broadcast(tot.withColumn("j", lit(1))), "j")
       .select(col("cell_id"), col("n_cell"),
         expr("n_cell * 1000000 DIV total").as("share_micro"),
-        expr("k * sq * 1000000 DIV (total * total)").as("imbalance_micro"),
+        // k·sq·10⁶ overflows int64 past ~3M vectors (review r15) —
+        // the product runs in decimal(38,0), the past-int64 convention
+        expr(s"CAST(CAST($cells AS DECIMAL(38,0)) * sq * 1000000"
+          + " DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
+          .as("imbalance_micro"),
         col("n_min"), col("n_max"))
       .orderBy(col("cell_id"))
   }

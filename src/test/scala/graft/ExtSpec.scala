@@ -3171,18 +3171,21 @@ class ExtSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.cellImbalance(spark, dir)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
-    val cells = Similarity.seedAssigned(spark, dir, 16)
+    val counted = Similarity.seedAssigned(spark, dir, 16)
       .groupBy(col("cell_id")).count()
       .as[(Long, Long)].collect().toMap
-    assert(rows.map(_._1).toSet == cells.keySet)
-    val total = cells.values.sum
-    val sq = cells.values.map(n => n * n).sum
-    val k = cells.size.toLong
+    // EVERY seed cell reports, empty or not (review r15), k = nlist
+    val full = (0L until 16L).map(c => counted.getOrElse(c, 0L))
+    assert(rows.map(_._1).toSeq == (0L until 16L))
+    val total = full.sum
+    val sq = full.map(n => n * n).sum
+    // the decimal(38,0) product mirrored in BigInt
+    val expImb = (BigInt(16) * sq * 1000000 / (BigInt(total) * total)).toLong
     rows.foreach { case (cid, n, share, imb, nMin, nMax) =>
-      assert(n == cells(cid), s"cell $cid count")
+      assert(n == full(cid.toInt), s"cell $cid count")
       assert(share == n * 1000000L / total, s"cell $cid share")
-      assert(imb == k * sq * 1000000L / (total * total), s"cell $cid imbalance")
-      assert(nMin == cells.values.min && nMax == cells.values.max)
+      assert(imb == expImb, s"cell $cid imbalance $imb vs $expImb")
+      assert(nMin == full.min && nMax == full.max)
       // FAISS's imbalance_factor >= 1 is Cauchy-Schwarz: k*sq >= total^2
       assert(imb >= 1000000L, s"imbalance below the Cauchy-Schwarz floor: $imb")
     }
@@ -3253,10 +3256,14 @@ class ExtSpec extends SparkSpec {
       assert(over == est - n && over >= 0,
         s"CM one-sided guarantee violated at rank $rk: est $est < true $n")
     }
-    // collisions exist at this vocab/width ratio somewhere in the top-10
-    // OR the sketch is exact — either way `over` stays the exact delta;
-    // the guard is only that the sketch isn't degenerate (all zero cells)
-    assert(cells.values.sum == toks.length.toLong * 4, "sketch mass mismatch")
+    // mass conservation on the ENGINE's sketch (review r15: checking
+    // the local replay against the local token list was tautological):
+    // every token occurrence lands in exactly d = 4 cells
+    val engineMass = graft.ext.Profiling
+      .cmCellsFor(graft.Tables.documents(spark, dir))
+      .agg(sum(col("cell"))).as[Long].head()
+    assert(engineMass == toks.length.toLong * 4,
+      s"engine sketch mass $engineMass vs ${toks.length * 4}")
   }
 
   test("filter agreement: cube reconciles the gopher and trained faces exactly") {
