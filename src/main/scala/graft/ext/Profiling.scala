@@ -348,17 +348,16 @@ object Profiling {
     * at 100 TB the exact leg is the expensive one — the sketch is why
     * you would not run it.
     */
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // fixed m = 64: the bucket modulus, the m² = 4096 factor, AND the
-    // bias constant α₆₄ = 0.709 are all instantiated for this register
-    // count (α is m-specific in Flajolet's analysis), so a tunable m
-    // would be dead generality inviting a silent constant mismatch
-    // (review r15) — change all three together or not at all
-    val m = 64
-    val toks = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
+  /** The HLL register aggregation shared by the batch report and the
+    * streaming twin ([[graft.streaming.EventsStream.hllRegisterStream]])
+    * — the same md5 bucket/rank projection and the same ≤64-row max
+    * aggregate, so the two sketches cannot drift; on a stream the max
+    * is the textbook bounded-state cardinality sketch (64 register
+    * rows of state, ever).
+    */
+  private[graft] def hllRegistersFor(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val regs = toks
       .select(
         expr("CAST(conv(substring(md5(token), 1, 4), 16, 10) AS BIGINT) % 64").as("bucket"),
         expr("CAST(conv(substring(md5(token), 5, 8), 16, 10) AS BIGINT)").as("w"))
@@ -366,6 +365,19 @@ object Profiling {
         when(col("w") === 0L, lit(33L))
           .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
       .groupBy(col("bucket")).agg(max(col("r")).as("register"))
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // fixed m = 64: the bucket modulus, the m² = 4096 factor, AND the
+    // bias constant α₆₄ = 0.709 are all instantiated for this register
+    // count (α is m-specific in Flajolet's analysis), so a tunable m
+    // would be dead generality inviting a silent constant mismatch
+    // (review r15) — change all three together or not at all
+    val m = 64
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val regs = hllRegistersFor(docs)
     val full = spark.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))

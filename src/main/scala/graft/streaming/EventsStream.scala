@@ -920,6 +920,21 @@ object EventsStream {
   def countMinStream(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame =
     graft.ext.Profiling.cmCellsFor(docs, d, w)
 
+  /** Streaming HyperLogLog registers (round 15) — the cardinality
+    * companion to [[countMinStream]], same contract: arriving
+    * documents project their md5 bucket/rank ROW-LOCALLY with the
+    * exact batch expression ([[graft.ext.Profiling.hllRegistersFor]])
+    * and a streaming `max` aggregation maintains the 64 registers —
+    * 64 rows of state EVER, the reason HLL is the universal
+    * live-cardinality counter. `max` is idempotent and associative, so
+    * re-delivered micro-batches cannot corrupt the sketch (at-least-
+    * once safe for free, unlike a counter). Downstream reads apply the
+    * batch face's estimate formula to the current registers; batch
+    * agreement is asserted register-for-register in spec.
+    */
+  def hllRegisterStream(docs: DataFrame): DataFrame =
+    graft.ext.Profiling.hllRegistersFor(docs)
+
   /** Perplexity-band router (round 13; round 14: per-language model,
     * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail

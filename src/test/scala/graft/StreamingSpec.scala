@@ -1632,6 +1632,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 4 * 256, s"sketch grew past d*w: ${streamed.size}")
   }
 
+  test("streaming hll registers: equal the batch sketch, idempotent under re-delivery") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.hllRegisterStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    docs.grouped(100).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    // re-deliver the first batch: max is idempotent, registers must not move
+    input.addData(docs.take(100).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream")
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ext.Profiling.hllRegistersFor(graft.Tables.documents(spark, dir))
+      .as[(Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (b, r) =>
+      assert(streamed(b) == r, s"register $b: ${streamed(b)} vs $r")
+    }
+    // bounded-state contract: never more than m register rows
+    assert(streamed.size <= 64, s"registers grew past m: ${streamed.size}")
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
