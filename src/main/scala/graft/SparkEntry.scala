@@ -296,7 +296,13 @@ object SparkEntry {
       "x_decontam_neardup",
       // round 15 (cont.): the edit-distance classifier prices two text
       // joins + the row-local DP over the same memoized pair frame
-      "x_dedup_edit")
+      "x_dedup_edit",
+      // round 16: the nprobe face of the residual IVF-PQ search rides
+      // the memoized (seeds, books) training artifact the single-cell
+      // search (the pq chain anchor) just fit — it prices one encode
+      // projection + the probe explode-join, not a duplicate
+      // 2-iteration Lloyd's training run (VERDICT r15 #1)
+      "x_sim_ivf_pq_probe")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -311,7 +317,7 @@ object SparkEntry {
     */
   val chainAnchors: Set[String] =
     Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
-      "x_kmeans_scalable", "x_sim_ivf_curve")
+      "x_kmeans_scalable", "x_sim_ivf_curve", "x_sim_ivf_pq")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -352,8 +358,11 @@ object SparkEntry {
     // and the probe report + nDCG verdict ride the memoized nprobe=8
     // probe-candidate frame the operating curve anchors
     val probeChain = Seq("x_sim_ivf_curve", "x_sim_ivf_probe", "x_rank_ndcg")
-    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).forall(queries.contains),
-      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain).mkString(", ")} in " +
+    // round 16: the residual IVF-PQ pair shares one memoized training
+    // artifact (pqTrainedBooks) — anchor trains, the probe face rides
+    val pqChain = Seq("x_sim_ivf_pq", "x_sim_ivf_pq_probe")
+    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain ++ pqChain).forall(queries.contains),
+      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain ++ pqChain).mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -364,6 +373,7 @@ object SparkEntry {
         case "x_quality_train"        => qualityChain
         case "x_kmeans_scalable"      => kppChain
         case "x_sim_ivf_curve"        => probeChain
+        case "x_sim_ivf_pq"           => pqChain
         case n                        => Seq(n)
       }
   }

@@ -600,7 +600,13 @@ object Dedup {
     * (ASCII by construction, like every text face here), but a
     * non-ASCII deployment must byte- or NFC-normalize first
     * (`x_text_normalize`) or accept that the cross-engine contract
-    * holds only up to the multi-byte edit difference.
+    * holds only up to the multi-byte edit difference. The contract is
+    * ENFORCED, not just documented (ADVICE r15): the `lev` expression
+    * raise_errors on the first pair whose text is not pure ASCII
+    * (octet_length ≠ char length under UTF-8 ⇔ a multi-byte code
+    * point exists), so a fixture change that quietly adds multi-byte
+    * text fails loudly instead of silently shifting the hash gate —
+    * two row-local length calls, zero extra passes.
     */
   def editNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = pairFrame(spark, dir)
@@ -609,7 +615,11 @@ object Dedup {
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        expr("CASE WHEN octet_length(t1) = length(t1) AND octet_length(t2) = length(t2)"
+          + " THEN CAST(levenshtein(t1, t2) AS BIGINT)"
+          + " ELSE CAST(raise_error('x_dedup_edit: non-ASCII pair text — Spark levenshtein"
+          + " counts code points, DuckDB counts bytes; normalize first (see scaladoc)') AS BIGINT)"
+          + " END").as("lev"),
         greatest(length(col("t1")), length(col("t2"))).cast("long").as("max_len"))
       .withColumn("edit_sim", expr("(max_len - lev) * 1000000 DIV max_len"))
       .withColumn("kind",

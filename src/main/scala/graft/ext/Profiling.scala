@@ -398,8 +398,14 @@ object Profiling {
         expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
           + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
           + " ELSE raw_est END AS BIGINT)"))
+      // zero-guarded (ADVICE r15): on an EMPTY corpus exact_distinct
+      // is 0 and ANSI Spark would throw on the integer division where
+      // DuckDB's // quietly yields NULL — the same cross-engine
+      // divergence class the qx3 empty-text guard fixed. NULL is the
+      // honest answer (no truth to price error against).
       .withColumn("err_pct",
-        expr("abs(est - exact_distinct) * 100 DIV exact_distinct"))
+        expr("CASE WHEN exact_distinct = 0 THEN NULL"
+          + " ELSE abs(est - exact_distinct) * 100 DIV exact_distinct END"))
     full.withColumn("j", lit(1))
       .join(broadcast(consts), "j")
       .select(col("bucket"), col("register"), col("r_max"), col("n_zero"),

@@ -499,7 +499,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    val nq = 10L
+    // The recall denominator must track the ACTUAL query population:
+    // the oracle hardcodes the matching literal (nq·k = 30), so a
+    // caller raising `cells` near the corpus size (leaving [cells,
+    // cells+10) underpopulated) would silently misprice recall_pct on
+    // BOTH engines and the hash gate could not catch it (ADVICE r15).
+    // Deriving nq and requiring the full population fails loudly
+    // instead — one bounded count over the pushed-filter scan.
+    val nq = e.filter(isQuery).count()
+    require(nq == 10L,
+      s"recall denominator expects the held-out range [$cells, ${cells + 10}) " +
+        s"fully populated (10 query vectors); found $nq — raise the corpus or lower `cells`")
     val cand = probeCandFrame(spark, dir, cells, probes.max)
     val brute = bruteRanked(e, isQuery, k).select(col("query_id"), col("neighbor_id"))
     val legs = probes.map { p =>
@@ -1069,70 +1079,101 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** The MEMOIZED residual-PQ training artifact — (coarse seeds,
+    * trained books) through the sanctioned [[Dedup.Frames]] value memo
+    * (the kpp/qualityWeights convention, VERDICT r15 task 1): the
+    * artifact is bounded (ksub·dim floats + m·ksub·sub doubles) and
+    * deterministic (integer micro-unit means), so the search face
+    * (`x_sim_ivf_pq`), its nprobe face (`x_sim_ivf_pq_probe`), and
+    * the streaming router (`annIndexStream`'s literal books) share ONE
+    * `iters`-iteration Lloyd's run per (session, corpus) instead of
+    * each paying the 2-iteration join+aggregate+collect loop
+    * (measured r15: 4.74 + 4.58 s for two identical trainings).
+    * The residual FRAME is deliberately NOT part of the artifact —
+    * see the recompute note in [[pqResidualTrained]].
+    */
+  private[graft] def pqTrainedBooks(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, iters: Int):
+      (Array[(Long, Array[Float])], Array[Array[Array[Double]]]) =
+    Dedup.Frames.getOrComputeValue(spark, s"pqbooks:$m:$ksub:$iters:$dir", dir,
+        tables = Seq("embeddings.parquet")) {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Tables.embeddings(spark, dir)
+      val seeds: Array[(Long, Array[Float])] = seedCentroids(e, ksub)
+      val centsD: Array[Array[Double]] = seeds.sortBy(_._1).map(_._2.map(_.toDouble))
+      val dim = centsD.head.length
+      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+      val sub = dim / m
+      val vd = col("embedding").cast("array<double>")
+      val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
+        col("cell_id").cast("int") + 1)
+      val withResid = assignCells(e, seeds).drop("cos_centroid")
+        .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
+      // seed books: residuals of rows [ksub, 2·ksub) — row c's subvectors
+      // become code c of every subspace (rows < ksub ARE the centroids;
+      // their residuals are identically 0)
+      val seedRes: Array[Array[Double]] = withResid
+        .filter(col("vec_id") >= ksub && col("vec_id") < 2L * ksub)
+        .select(col("vec_id"), col("resid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      require(seedRes.length == ksub, s"need rows [${ksub}, ${2 * ksub}) as residual seeds")
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m, ksub)((j, c) => seedRes(c).slice(j * sub, (j + 1) * sub))
+      val elems = withResid
+        .select(col("vec_id"), posexplode(col("resid")).as(Seq("g", "x")))
+        .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
+          expr(s"g % $sub").cast("int").as("d"),
+          floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
+      for (_ <- 1 to iters) {
+        val codesDf = withResid
+          .select(col("vec_id"), array((0 until m).map(residCodeFor(books)): _*).as("codes"))
+        val sums = elems.join(codesDf, Seq("vec_id"))
+          .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+            col("d"), col("qx"))
+          .groupBy(col("j"), col("code"), col("d"))
+          .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+          .collect() // bounded: m·ksub·sub rows per iteration
+        val nb: Array[Array[Array[Double]]] =
+          Array.tabulate(m, ksub, sub)((j, c, d) => books(j)(c)(d))
+        sums.foreach { r =>
+          nb(r.getInt(0))(r.getAs[Number](1).intValue())(r.getInt(2)) =
+            r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
+        }
+        books = nb
+      }
+      (seeds, books)
+    }
+
   /** The residual-PQ training behind [[ivfPqResidualTopK]]: the corpus
     * frame extended with `resid` (v − coarse centroid) and `rcodes`
     * (codes against the `iters`-times-trained residual books), plus
     * the books and the coarse centroids (exposed for the ExtSpec
-    * monotonicity/recall assertions and the streaming router).
+    * monotonicity/recall assertions and the streaming router). The
+    * (seeds, books) artifact comes from the memoized
+    * [[pqTrainedBooks]]; only the encode projection runs per call.
     */
   private[graft] def pqResidualTrained(spark: SparkSession, dir: String,
       m: Int, ksub: Int, iters: Int):
       (DataFrame, Array[Array[Array[Double]]], Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(spark)
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val e = Tables.embeddings(spark, dir)
-    val seeds: Array[(Long, Array[Float])] = seedCentroids(e, ksub)
+    val (seeds, books) = pqTrainedBooks(spark, dir, m, ksub, iters)
     val centsD: Array[Array[Double]] = seeds.sortBy(_._1).map(_._2.map(_.toDouble))
-    val dim = centsD.head.length
-    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
-    val sub = dim / m
     val vd = col("embedding").cast("array<double>")
     val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
       col("cell_id").cast("int") + 1)
-    // NOT memoized, deliberately (measured round 14): the residual
-    // frame feeds 4+ passes (seed-book collect, per-iteration encode +
-    // element explode, final encode), but each pass is pure codegen
-    // over the scan — literal-centroid argmax + one zip_with — while
-    // persisting it materializes corpus × dim double arrays through
-    // the block store. Measured at sf0.1: memoized 10.4 s vs
-    // recomputed 5.2 s standalone — recompute wins for wide-array
-    // projections (the opposite call from the banded/pairs memos,
-    // whose build is a shuffle, not a projection).
+    // The residual FRAME is NOT memoized, deliberately (measured round
+    // 14): each pass over it is pure codegen over the scan —
+    // literal-centroid argmax + one zip_with — while persisting it
+    // materializes corpus × dim double arrays through the block store.
+    // Measured at sf0.1: memoized 10.4 s vs recomputed 5.2 s
+    // standalone — recompute wins for wide-array projections (the
+    // opposite call from the banded/pairs memos, whose build is a
+    // shuffle, not a projection). The TRAINING artifact above is the
+    // part worth sharing.
     val withResid = assignCells(e, seeds).drop("cos_centroid")
       .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
-    // seed books: residuals of rows [ksub, 2·ksub) — row c's subvectors
-    // become code c of every subspace (rows < ksub ARE the centroids;
-    // their residuals are identically 0)
-    val seedRes: Array[Array[Double]] = withResid
-      .filter(col("vec_id") >= ksub && col("vec_id") < 2L * ksub)
-      .select(col("vec_id"), col("resid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
-    require(seedRes.length == ksub, s"need rows [${ksub}, ${2 * ksub}) as residual seeds")
-    var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((j, c) => seedRes(c).slice(j * sub, (j + 1) * sub))
-    val elems = withResid
-      .select(col("vec_id"), posexplode(col("resid")).as(Seq("g", "x")))
-      .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
-        expr(s"g % $sub").cast("int").as("d"),
-        floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
-    for (_ <- 1 to iters) {
-      val codesDf = withResid
-        .select(col("vec_id"), array((0 until m).map(residCodeFor(books)): _*).as("codes"))
-      val sums = elems.join(codesDf, Seq("vec_id"))
-        .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
-          col("d"), col("qx"))
-        .groupBy(col("j"), col("code"), col("d"))
-        .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
-        .collect() // bounded: m·ksub·sub rows per iteration
-      val nb: Array[Array[Array[Double]]] =
-        Array.tabulate(m, ksub, sub)((j, c, d) => books(j)(c)(d))
-      sums.foreach { r =>
-        nb(r.getInt(0))(r.getAs[Number](1).intValue())(r.getInt(2)) =
-          r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
-      }
-      books = nb
-    }
     val encoded = withResid
       .withColumn("rcodes", array((0 until m).map(residCodeFor(books)): _*))
     (encoded, books, centsD)
@@ -1602,11 +1643,17 @@ object Similarity {
     counts.withColumn("j", lit(1))
       .join(broadcast(tot.withColumn("j", lit(1))), "j")
       .select(col("cell_id"), col("n_cell"),
-        expr("n_cell * 1000000 DIV total").as("share_micro"),
+        // zero-guarded (ADVICE r15): an empty corpus makes total = 0,
+        // where ANSI Spark throws on integer division and DuckDB's //
+        // yields NULL — the qx3 empty-corpus convention is NULL on
+        // both engines (no mass to apportion, no imbalance to price)
+        expr("CASE WHEN total = 0 THEN NULL"
+          + " ELSE n_cell * 1000000 DIV total END").as("share_micro"),
         // k·sq·10⁶ overflows int64 past ~3M vectors (review r15) —
         // the product runs in decimal(38,0), the past-int64 convention
-        expr(s"CAST(CAST($cells AS DECIMAL(38,0)) * sq * 1000000"
-          + " DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)")
+        expr(s"CASE WHEN total = 0 THEN NULL"
+          + s" ELSE CAST(CAST($cells AS DECIMAL(38,0)) * sq * 1000000"
+          + " DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT) END")
           .as("imbalance_micro"),
         col("n_min"), col("n_max"))
       .orderBy(col("cell_id"))
