@@ -208,6 +208,7 @@ object SparkEntry {
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
+    "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -1558,6 +1559,40 @@ object SparkEntry {
            ex.exact_distinct,
            CAST(abs(ch.est - ex.exact_distinct) * 100 // ex.exact_distinct AS BIGINT) AS err_pct
          FROM fullr f, ch, ex ORDER BY f.bucket""",
+    // Deterministic quantile sketch: the md5 level draw (leading zeros
+    // of the first 32 hash bits), the <=33-row level histogram, the
+    // j* = min{j : |S_j| <= cap} selection, the ranked 2^-j* sample,
+    // and the exact-rank truth leg — every cross-engine value integer
+    // or a shared IEEE double op (floor(v*100+0.5) cent quantization).
+    "x_quantile_sketch" ->
+      s"""WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+           ${hexDecodeSql("md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))", 1, 8)} AS w
+           FROM lineitem),
+         lv AS (SELECT v, CAST(CASE WHEN w = 0 THEN 32
+                    ELSE 32 - length(bin(w)) END AS BIGINT) AS lvl FROM li),
+         lc AS (SELECT lvl, CAST(count(*) AS BIGINT) AS c FROM lv GROUP BY 1),
+         hist AS (SELECT gs.j AS j, CAST(coalesce(sum(lc.c), 0) AS BIGINT) AS nj
+                  FROM generate_series(0, 12) gs(j)
+                  LEFT JOIN lc ON lc.lvl >= gs.j GROUP BY gs.j),
+         js AS (SELECT CAST(min(j) AS BIGINT) AS j_star FROM hist WHERE nj <= 256),
+         mm AS (SELECT nj AS m FROM hist, js WHERE hist.j = js.j_star),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lv),
+         samp AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn
+                  FROM lv, js WHERE lvl >= j_star),
+         ranked AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS rn FROM lv),
+         sel AS (SELECT CAST(pct AS BIGINT) AS pct, js.j_star, mm.m AS m_sample, nn.n,
+                   CAST(greatest(1, (pct * nn.n + 99) // 100) AS BIGINT) AS target_rank,
+                   CAST(greatest(1, (pct * mm.m + 99) // 100) AS BIGINT) AS sample_rank
+                 FROM (VALUES (25), (50), (75), (90), (99)) p(pct), js, mm, nn)
+         SELECT sel.pct, sel.j_star, sel.m_sample, sel.n, sel.target_rank,
+           sel.sample_rank, s.v AS est_value, r.v AS exact_value,
+           CAST(CASE WHEN CAST(floor(r.v * 100 + 0.5) AS BIGINT) = 0 THEN NULL
+                ELSE abs(CAST(floor(s.v * 100 + 0.5) AS BIGINT)
+                         - CAST(floor(r.v * 100 + 0.5) AS BIGINT)) * 1000000
+                     // CAST(floor(r.v * 100 + 0.5) AS BIGINT) END AS BIGINT) AS err_micro
+         FROM sel JOIN samp s ON s.rn = sel.sample_rank
+         JOIN ranked r ON r.rn = sel.target_rank
+         ORDER BY sel.pct""",
     "x_cell_imbalance" ->
       s"""WITH $seedAssignCtes,
          cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1),

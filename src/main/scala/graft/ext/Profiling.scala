@@ -98,6 +98,48 @@ object Profiling {
     * `quantile_cont` form (lo + frac·(hi − lo)).
     */
   private[graft] def exactQuantilesDistributed(values: DataFrame, qs: Seq[Double]): Seq[Double] = {
+    // each quantile q needs rows floor((n-1)q) and ceil((n-1)q)
+    val (n, picked) = pickAtGlobalIndices(values) { n =>
+      qs.flatMap { q =>
+        val idx = (n - 1) * q
+        Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
+      }.distinct
+    }
+    qs.map { q =>
+      val idx = (n - 1) * q
+      val lo = picked(math.floor(idx).toLong)
+      val hi = picked(math.ceil(idx).toLong)
+      val frac = idx - math.floor(idx)
+      if (frac == 0.0) lo else lo + frac * (hi - lo)
+    }
+  }
+
+  /** Exact values at the given 1-BASED global ranks of `values`'
+    * single numeric column under ascending order — the DISCRETE
+    * (`quantile_disc`-class) sibling of [[exactQuantilesDistributed]],
+    * same two-pass partition-offset selection, no interpolation. The
+    * VALUE at a rank is well-defined regardless of tie order among
+    * equal values, so no tie-break contract is needed. Ranks beyond n
+    * clamp to n (the last element).
+    */
+  private[graft] def exactValuesAtRanks(values: DataFrame,
+      ranks: Seq[Long]): (Long, Map[Long, Double]) = {
+    val (n, picked) = pickAtGlobalIndices(values) { n =>
+      ranks.map(r => math.min(math.max(r, 1L), n) - 1).distinct
+    }
+    (n, ranks.map(r => r -> picked(math.min(math.max(r, 1L), n) - 1)).toMap)
+  }
+
+  /** The selection core behind [[exactQuantilesDistributed]] and
+    * [[exactValuesAtRanks]]: range-sort the single numeric column,
+    * count per partition, then fetch exactly the rows at the requested
+    * 0-based global sort indices (chosen AFTER n is known, via
+    * `indicesFor`) with a per-partition scan. No task ever holds more
+    * than its partition slice; the driver sees P counts and the ≤
+    * |indices| picked values.
+    */
+  private def pickAtGlobalIndices(values: DataFrame)(
+      indicesFor: Long => Seq[Long]): (Long, Map[Long, Double]) = {
     val spark = values.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
@@ -110,18 +152,14 @@ object Profiling {
         .groupBy(col("pid")).agg(count(lit(1)).as("c"))
         .as[(Int, Long)].collect().sortBy(_._1)
       val n = pidCounts.map(_._2).sum
-      require(n > 0, "exactQuantilesDistributed needs a non-empty input")
+      require(n > 0, "global-index selection needs a non-empty input")
       val offsets = pidCounts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
         .init.map(_._2) // global index of each partition's first row
       def locate(globalIdx: Long): (Int, Long) = {
         val slot = offsets.lastIndexWhere(_ <= globalIdx)
         (pidCounts(slot)._1, globalIdx - offsets(slot))
       }
-      // each quantile q needs rows floor((n-1)q) and ceil((n-1)q)
-      val targets: Seq[Long] = qs.flatMap { q =>
-        val idx = (n - 1) * q
-        Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
-      }.distinct
+      val targets: Seq[Long] = indicesFor(n)
       val wanted: Map[Int, Set[Long]] = targets.map(locate)
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val wantedB = spark.sparkContext.broadcast(wanted)
@@ -136,13 +174,7 @@ object Profiling {
       }.collect()
         .map { case (pid, local, v) =>
           (offsets(pidCounts.indexWhere(_._1 == pid)) + local) -> v }.toMap
-      qs.map { q =>
-        val idx = (n - 1) * q
-        val lo = picked(math.floor(idx).toLong)
-        val hi = picked(math.ceil(idx).toLong)
-        val frac = idx - math.floor(idx)
-        if (frac == 0.0) lo else lo + frac * (hi - lo)
-      }
+      (n, picked)
     } finally { sorted.unpersist(); () }
   }
 
@@ -366,6 +398,42 @@ object Profiling {
           .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
       .groupBy(col("bucket")).agg(max(col("r")).as("register"))
 
+  /** The PRODUCTION face of the HLL sketch (round 16, VERDICT r15 #6):
+    * the Flajolet estimate applied to a standing register frame — the
+    * sketch-only read path a 100 TB deployment actually runs, with NO
+    * truth leg. The registered `x_hll_distinct` is the VERDICT face:
+    * it carries the exact distinct count beside the estimate so the
+    * oracle can price the error — correct for correctness gating, but
+    * its exact leg is the corpus-wide distinct aggregate the sketch
+    * exists to avoid. Registers built by [[hllRegistersFor]] (batch)
+    * or maintained by
+    * [[graft.streaming.EventsStream.hllRegisterStream]] (stream) read
+    * identically here: densify to m = 64 (absent bucket = register 0),
+    * then the integer-exact estimate — one ≤ 64-row job. Output: one
+    * row (r_max, n_zero, s_sum, raw_est, est).
+    */
+  def hllEstimateFor(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    val m = 64
+    val full = spark.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+    val c1 = full.agg(
+      max(col("register")).as("r_max"),
+      sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    full.withColumn("j", lit(1))
+      .join(broadcast(c1.withColumn("j", lit(1))), "j")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - register AS INT))")).as("s_sum"),
+        max(col("r_max")).as("r_max"), max(col("n_zero")).as("n_zero"))
+      .select(col("r_max"), col("n_zero"), col("s_sum"),
+        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+          + " DIV (1000 * s_sum)").as("raw_est"))
+      .withColumn("est",
+        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
+          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
+          + " ELSE raw_est END AS BIGINT)"))
+  }
+
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     // fixed m = 64: the bucket modulus, the m² = 4096 factor, AND the
     // bias constant α₆₄ = 0.709 are all instantiated for this register
@@ -381,23 +449,13 @@ object Profiling {
     val full = spark.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
-    val c1 = full.agg(
-      max(col("register")).as("r_max"),
-      sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
-    val s = full.withColumn("j", lit(1))
-      .join(broadcast(c1.withColumn("j", lit(1))), "j")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - register AS INT))")).as("s_sum"),
-        max(col("r_max")).as("r_max"), max(col("n_zero")).as("n_zero"))
+    // estimate legs via the shared production-face estimator — one
+    // expression tree, so the verdict face cannot drift from the path
+    // a deployment reads (VERDICT r15 #6)
+    val estF = hllEstimateFor(regs)
     val exact = toks.agg(countDistinct(col("token")).as("exact_distinct"))
-    val consts = s.withColumn("j", lit(1))
+    val consts = estF.withColumn("j", lit(1))
       .join(broadcast(exact.withColumn("j", lit(1))), "j")
-      .select(col("j"), col("r_max"), col("n_zero"), col("s_sum"), col("exact_distinct"),
-        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
-          + " DIV (1000 * s_sum)").as("raw_est"))
-      .withColumn("est",
-        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
-          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
-          + " ELSE raw_est END AS BIGINT)"))
       // zero-guarded (ADVICE r15): on an EMPTY corpus exact_distinct
       // is 0 and ANSI Spark would throw on the integer division where
       // DuckDB's // quietly yields NULL — the same cross-engine
@@ -449,6 +507,31 @@ object Profiling {
       .groupBy(col("row_i"), col("cm_col"))
       .agg(count(lit(1)).as("cell"))
 
+  /** The PRODUCTION face of the Count-Min sketch (round 16, VERDICT
+    * r15 #6): point-frequency estimates for an arbitrary (small) query
+    * key set against a standing cell frame — the sketch-only read path
+    * a 100 TB deployment actually runs, with NO truth leg. The
+    * registered `x_countmin` is the VERDICT face: it carries the exact
+    * top-10 counts beside the estimates so the oracle can hash-gate
+    * est ≥ true per token — correct for correctness pricing, but its
+    * truth leg is a full token aggregate the sketch exists to avoid.
+    * This face is one broadcast equi-join of |queries|·d rows against
+    * ≤ d·w cells plus a d-way min — corpus never touched. Cells built
+    * by [[cmCellsFor]] (batch) or maintained by
+    * [[graft.streaming.EventsStream.countMinStream]] (stream) read
+    * identically here; a key hitting an absent cell estimates 0 (the
+    * sketch never saw it — CM's one-sided floor).
+    */
+  def cmEstimateFor(cells: DataFrame, queryTokens: DataFrame,
+      d: Int = 4, w: Int = 256): DataFrame =
+    queryTokens.select(col("token"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
+      .withColumn("cm_col",
+        expr(s"CAST(conv(substring(md5(token), row_i * 2 + 1, 2), 16, 10) AS BIGINT) % $w"))
+      .join(cells, Seq("row_i", "cm_col"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cell"), lit(0L))).as("est"))
+
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 256, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -493,6 +576,127 @@ object Profiling {
       // integer form of cnt >= total/invPhi — no float boundary
       .filter(col("cnt") * invPhi >= lit(total))
       .orderBy(col("tok"))
+  }
+
+  /** The md5 level draw shared by the batch quantile sketch and the
+    * streaming twin ([[graft.streaming.EventsStream.quantileLevelStream]])
+    * — one expression, not a copy, so the two sketches cannot drift.
+    * Expects a string `qkey` column (the item's identity);
+    * level = leading zeros of the first 32 hash bits (the
+    * [[hllRegistersFor]] `32 − len(bin(w))` idiom, unpadded binary on
+    * both engines; w = 0 pins the 2⁻³² tail at 32), so
+    * P[level ≥ j] = 2⁻ʲ exactly — every item's whole promotion
+    * trajectory is one deterministic draw.
+    */
+  private[graft] def qLevelCol: Column =
+    expr("CAST(CASE WHEN CAST(conv(substring(md5(qkey), 1, 8), 16, 10) AS BIGINT) = 0"
+      + " THEN 32 ELSE 32 - length(bin(CAST(conv(substring(md5(qkey), 1, 8), 16, 10) AS BIGINT)))"
+      + " END AS BIGINT)")
+
+  /** The level-histogram aggregation shared by the batch sketch and
+    * the streaming twin: items → (lvl, c) with map-side partials —
+    * ≤ 33 rows out of any corpus, mergeable across any partitioning
+    * (count sums are associative), which is what lets the sketch's
+    * level selection run on partial sketches unioned from anywhere.
+    */
+  private[graft] def quantileLevelHist(items: DataFrame): DataFrame =
+    items.withColumn("lvl", qLevelCol)
+      .groupBy(col("lvl")).agg(count(lit(1)).as("c"))
+
+  /** Deterministic mergeable quantile sketch (`x_quantile_sketch`,
+    * round 16) — closes the last rows-only gap in §2B the way round 15
+    * closed q21's (`x_hll_distinct`): `q16b_approx_pct` rests on the
+    * impl-defined built-in `approx_percentile`; this face is the
+    * hash-gated deterministic twin whose SKETCH ITSELF cross-checks.
+    *
+    * Design: the SAMPLING VIEW of a KLL compactor hierarchy (Karnin,
+    * Lang & Liberty, FOCS 2016 §2 — the top compactors of the KLL
+    * cascade are exactly a 2⁻ʲ sampler; Wang et al.'s
+    * "random-sampling view" makes the equivalence explicit). Every
+    * item draws its full promotion trajectory up front from md5: item
+    * x survives to level j iff its 32-bit draw has ≥ j leading zeros
+    * ([[qLevelCol]]) — the "deterministic compaction coin-flips" of
+    * the r15 sketch convention, with the decisive property a
+    * sequential KLL schedule lacks: the level-j sample
+    * S_j = {x : lvl(x) ≥ j} is a pure function of the item SET, so the
+    * sketch is (a) deterministic cross-engine, (b) mergeable across
+    * any partitioning (S_j(A ∪ B) = S_j(A) ∪ S_j(B) — the map-side
+    * partial property, spec-asserted), and (c) bounded: the report
+    * picks j* = min{j ≤ depth : |S_j| ≤ cap} from the ≤ 33-row level
+    * histogram and keeps only S_{j*}, each member weighing 2^{j*}.
+    * Rank estimate: the sample's r-th smallest value estimates the
+    * corpus rank r·2^{j*} with standard error n/√m (m = |S_{j*}|) —
+    * the error-bound spec asserts the realized rank displacement.
+    *
+    * Report: one row per requested percentile — the sketch estimate
+    * (sample value at rank ⌈p·m/100⌉), the exact value at rank
+    * ⌈p·n/100⌉ (the truth leg, via [[exactValuesAtRanks]]'s two-pass
+    * distributed selection — at 100 TB the truth leg is the expensive
+    * one; the sketch is why you would not run it), and the integer
+    * cent-level relative error. All arithmetic that crosses the
+    * engine seam is integer (truncating ⌈⌉-free `(p·m + 99) div 100`
+    * rank formulas, cent quantization via floor(v·100 + 0.5) on the
+    * exact decimal→double cast) — bit-identical cross-engine.
+    *
+    * 100 TB shape: one token-free columnar scan → ≤ 33-row histogram
+    * aggregate (map-side partials); one pushed-filter scan → bounded
+    * top-`cap` aggregate (the [[graft.functions.TopKByScore]]
+    * shuffle-bounded shape, k rows per partition on the wire); the
+    * fixed `depth` bounds |S_depth| ≈ n/2^depth, so depth must grow
+    * log-with-n (depth 12 / cap 256 serves n ≤ ~1 M; a 100 TB corpus
+    * sets depth ≈ ⌈log₂(n/cap)⌉ — the require fails loudly rather
+    * than silently overflowing the cap). Zero windows, zero corpus
+    * shuffle beyond the range-sort the TRUTH leg alone needs.
+    */
+  def quantileSketch(spark: SparkSession, dir: String, depth: Int = 12,
+      cap: Int = 256, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select(
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("qkey"),
+      col("l_extendedprice").cast("double").as("v"),
+      // unique long id for the bounded top-k tie-break (l_linenumber ≤ 7)
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
+    val lv = li.withColumn("lvl", qLevelCol)
+    val histRows = quantileLevelHist(li).collect()
+    val byLvl: Map[Long, Long] =
+      histRows.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = byLvl.values.sum
+    val schema = Seq("pct", "j_star", "m_sample", "n", "target_rank",
+      "sample_rank", "est_value", "exact_value", "err_micro")
+    if (n == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Long, Long, Long, Long, Double, Double, Option[Long])])
+        .toDF(schema: _*)
+    def nAtLeast(j: Int): Long = byLvl.collect { case (l, c) if l >= j => c }.sum
+    val jStar = (0 to depth).find(j => nAtLeast(j) <= cap).getOrElse(
+      throw new IllegalArgumentException(
+        s"quantileSketch: |S_$depth| = ${nAtLeast(depth)} > cap=$cap — " +
+          s"raise depth toward ceil(log2(n/cap)) for this corpus (n=$n)"))
+    val m = nAtLeast(jStar)
+    val arr = lv.filter(col("lvl") >= jStar)
+      .agg(graft.functions.GraftFunctions
+        .topKByScore(-col("v"), col("rid"), cap).as("arr"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    require(arr.length == m,
+      s"sample/histogram disagree: |sample|=${arr.length} vs m=$m")
+    val sampleAsc: IndexedSeq[Double] = arr.map(r => -r.getDouble(0)).toIndexedSeq
+    val targetRanks = pcts.map(p => math.max(1L, (p.toLong * n + 99L) / 100L))
+    val (n2, exactAt) = exactValuesAtRanks(li.select(col("v")), targetRanks)
+    require(n2 == n, s"truth-leg count $n2 disagrees with histogram n=$n")
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    val rows = pcts.map { p =>
+      val t = math.max(1L, (p.toLong * n + 99L) / 100L)
+      val sRank = math.max(1L, (p.toLong * m + 99L) / 100L)
+      val est = sampleAsc((sRank - 1).toInt)
+      val exact = exactAt(t)
+      val err: Option[Long] =
+        if (cents(exact) == 0L) None
+        else Some(math.abs(cents(est) - cents(exact)) * 1000000L / cents(exact))
+      (p.toLong, jStar.toLong, m, n, t, sRank, est, exact, err)
+    }
+    spark.createDataFrame(rows).toDF(schema: _*).orderBy(col("pct"))
   }
 
   /** Per-source (domain) corpus summary: document counts, exact-dup

@@ -935,6 +935,29 @@ object EventsStream {
   def hllRegisterStream(docs: DataFrame): DataFrame =
     graft.ext.Profiling.hllRegistersFor(docs)
 
+  /** Streaming quantile-sketch level histogram (round 16) — the
+    * quantile companion to [[countMinStream]]/[[hllRegisterStream]],
+    * same contract: arriving items (any frame with a string `qkey`
+    * identity column) draw their md5 promotion level ROW-LOCALLY with
+    * the exact batch expression
+    * ([[graft.ext.Profiling.quantileLevelHist]] — one expression, not
+    * a copy) and a streaming count aggregation maintains the ≤ 33-row
+    * level histogram — the part of the sketch whose j* selection and
+    * n estimate a reader needs at any moment. Count sums are
+    * associative, so the histogram merges across micro-batches exactly
+    * as the batch face's map-side partials do (the mergeability the
+    * ProfilingSpec asserts); like [[countMinStream]], counts are
+    * at-least-once sensitive under replay — run with exactly-once
+    * sinks or accept the documented upward drift. The value SAMPLE
+    * S_{j*} is maintained on the pipeline's own cadence by a
+    * foreachBatch body re-filtering `lvl ≥ j*` against the standing
+    * store (the [[lmModelMerge]] maintenance convention) — level
+    * draws never change, so a later j* raise only ever FILTERS the
+    * standing sample, never re-reads the stream.
+    */
+  def quantileLevelStream(items: DataFrame): DataFrame =
+    graft.ext.Profiling.quantileLevelHist(items)
+
   /** Perplexity-band router (round 13; round 14: per-language model,
     * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail

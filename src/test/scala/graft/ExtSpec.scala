@@ -3266,6 +3266,100 @@ class ExtSpec extends SparkSpec {
       s"engine sketch mass $engineMass vs ${toks.length * 4}")
   }
 
+  test("sketch production faces: estimates equal the verdict faces without any truth leg") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    // HLL: the one-row production estimate equals the registered
+    // query's estimate legs (same expression tree by construction;
+    // this pins the contract if either side is ever edited alone)
+    val prod = graft.ext.Profiling
+      .hllEstimateFor(graft.ext.Profiling.hllRegistersFor(docs))
+      .as[(Long, Long, Long, Long, Long)].head()
+    val verdict = graft.ext.Profiling.hllDistinct(spark, dir)
+      .select(col("r_max"), col("n_zero"), col("raw_est"), col("est")).distinct()
+      .as[(Long, Long, Long, Long)].head()
+    assert((prod._1, prod._2, prod._4, prod._5) == verdict,
+      s"hll production face $prod vs verdict face $verdict")
+    // CM: point estimates for the verdict face's top-10 keys equal its
+    // est column — and the production plan touches only the ≤ d·w cell
+    // frame plus the query keys, never the corpus
+    val reg = graft.ext.Profiling.countMin(spark, dir)
+      .select(col("token"), col("est")).as[(String, Long)].collect().toMap
+    val cells = graft.ext.Profiling.cmCellsFor(docs)
+    val est = graft.ext.Profiling.cmEstimateFor(cells,
+        reg.keys.toSeq.toDF("token"))
+      .as[(String, Long)].collect().toMap
+    assert(est == reg, s"cm production face $est vs verdict face $reg")
+    // an unseen key estimates a bounded overcount (never an error):
+    // whatever mass collides into its cells, est >= 0 and well-defined
+    val unseen = graft.ext.Profiling.cmEstimateFor(cells,
+        Seq("zz-never-in-fixture-zz").toDF("token"))
+      .as[(String, Long)].head()
+    assert(unseen._2 >= 0L)
+  }
+
+  test("quantile sketch: full md5 replay, rank error within the sampling bound, mergeable") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.quantileSketch(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 75L, 90L, 99L))
+    // local replay of the whole pipeline: level draws, j*, the 2^-j*
+    // sample, the rank formulas, the exact leg
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double"))
+      .as[(Long, Long, Double)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def lvlOf(ok: Long, ln: Long): Long = {
+      val w = java.lang.Long.parseLong(md5hex(s"$ok:$ln").substring(0, 8), 16)
+      if (w == 0) 32L else 32L - java.lang.Long.toBinaryString(w).length
+    }
+    val lvls = li.map { case (ok, ln, v) => (lvlOf(ok, ln), v) }
+    val n = lvls.length.toLong
+    def nAtLeast(j: Int) = lvls.count(_._1 >= j).toLong
+    val jStar = (0 to 12).find(j => nAtLeast(j) <= 256).get
+    val sample = lvls.filter(_._1 >= jStar).map(_._2).sorted
+    val m = sample.length.toLong
+    val ranked = li.map(_._3).sorted
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    rows.foreach { case (p, js, ms, nn, t, sr, est, exact, err) =>
+      assert(js == jStar && ms == m && nn == n, s"pct $p header ($js,$ms,$nn)")
+      assert(t == math.max(1L, (p * n + 99) / 100) && sr == math.max(1L, (p * m + 99) / 100))
+      assert(est == sample((sr - 1).toInt), s"pct $p est $est vs ${sample((sr - 1).toInt)}")
+      assert(exact == ranked((t - 1).toInt), s"pct $p exact")
+      assert(err == math.abs(cents(est) - cents(exact)) * 1000000L / cents(exact))
+      // realized rank displacement within 4 standard errors of the
+      // 2^-j* sampling estimate (sd = n/sqrt(m)) — generous, but fatal
+      // to a mis-leveled draw or an off-by-one rank formula that lands
+      // the estimate in a different region of the distribution
+      val realizedRank = ranked.count(_ <= est).toLong
+      val bound = (4.0 * n / math.sqrt(m.toDouble)).toLong + 1
+      assert(math.abs(realizedRank - t) <= bound,
+        s"pct $p: realized rank $realizedRank vs target $t (bound $bound)")
+    }
+    // mergeability: the level histogram of the corpus equals the
+    // cell-wise SUM of the histograms of any two disjoint halves (the
+    // map-side-partial property the 100 TB shape rests on), and the
+    // level-j sample of the union is the union of the halves' samples
+    // (level draws are per-item functions)
+    val docsDf = graft.Tables.lineitem(spark, dir).select(
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("qkey"))
+    val h1 = graft.ext.Profiling.quantileLevelHist(docsDf.filter(md5(col("qkey")) < "8"))
+      .as[(Long, Long)].collect().toMap
+    val h2 = graft.ext.Profiling.quantileLevelHist(docsDf.filter(md5(col("qkey")) >= "8"))
+      .as[(Long, Long)].collect().toMap
+    val hAll = graft.ext.Profiling.quantileLevelHist(docsDf)
+      .as[(Long, Long)].collect().toMap
+    assert(hAll.keySet == (h1.keySet ++ h2.keySet))
+    hAll.foreach { case (l, c) =>
+      assert(c == h1.getOrElse(l, 0L) + h2.getOrElse(l, 0L), s"level $l not additive")
+    }
+    assert(hAll.size <= 33, s"histogram grew past 33 rows: ${hAll.size}")
+  }
+
   test("filter agreement: cube reconciles the gopher and trained faces exactly") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextAnalysis.filterAgreement(spark, dir)

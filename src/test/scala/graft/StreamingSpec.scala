@@ -1656,6 +1656,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 64, s"registers grew past m: ${streamed.size}")
   }
 
+  test("streaming quantile levels: histogram equals the batch sketch after the corpus replays") {
+    val dir = "/root/testdata/sf0.001"
+    val keys = graft.Tables.lineitem(spark, dir)
+      .select(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("qkey"))
+      .as[String].collect()
+    val input = MemoryStream[String](spark)
+    val q = EventsStream.quantileLevelStream(input.toDF().toDF("qkey"))
+      .writeStream.format("memory").queryName("qlvl_stream")
+      .outputMode("complete").start()
+    keys.grouped(1000).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("qlvl_stream").as[(Long, Long)].collect().toMap
+    val batch = graft.ext.Profiling.quantileLevelHist(
+      graft.Tables.lineitem(spark, dir)
+        .select(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("qkey")))
+      .as[(Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (l, c) =>
+      assert(streamed(l) == c, s"level $l: ${streamed(l)} vs $c")
+    }
+    // bounded-state contract: the histogram never exceeds 33 level rows
+    assert(streamed.size <= 33, s"histogram grew past 33 rows: ${streamed.size}")
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
