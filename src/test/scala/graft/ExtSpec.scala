@@ -3004,6 +3004,49 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("pagerank kernel: checkpointing bounds the plan without moving ranks; wide weights stay exact") {
+    // local BigInt replay of the exact kernel arithmetic (truncating
+    // division on nonnegative values == DIV on both engines)
+    def replay(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val wdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.map(e => BigInt(e._3)).sum }
+      var r: Map[Long, BigInt] = wdeg.keys.map(_ -> BigInt(1000000)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map[Long, BigInt]().withDefaultValue(BigInt(0))
+        edges.foreach { case (u, v, wt) => contrib(v) += r(u) * wt / wdeg(u) }
+        r = wdeg.keys.map(k => k -> (BigInt(150000) + BigInt(85) * contrib(k) / 100)).toMap
+      }
+      r.map { case (k, v) => k -> v.toLong }
+    }
+    val small = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 3L, 2L), (3L, 1L, 2L))
+    val ed = small.toDF("w1", "w2", "wt")
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("w"), col("r")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val base5 = ranksOf(graft.ext.Graph.pageRank(ed, 5))
+    assert(base5.toMap == replay(small, 5), "kernel disagrees with the BigInt replay")
+    // checkpointing is value-invariant (integer trajectory)
+    assert(ranksOf(graft.ext.Graph.pageRank(ed, 5, checkpointRanks = true)) == base5)
+    assert(ranksOf(graft.ext.Graph.pageRank(ed, 10, checkpointRanks = true)) ==
+      ranksOf(graft.ext.Graph.pageRank(ed, 10)))
+    // and it bounds the analyzed plan: O(1) in iters with lineage
+    // truncation, strictly growing without (the iterative-frame plan
+    // blow-up the scaladoc warns raising `iters` hits)
+    def planSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p => p }.size
+    val ck2 = planSize(graft.ext.Graph.pageRank(ed, 2, checkpointRanks = true))
+    val ck10 = planSize(graft.ext.Graph.pageRank(ed, 10, checkpointRanks = true))
+    val raw2 = planSize(graft.ext.Graph.pageRank(ed, 2))
+    val raw10 = planSize(graft.ext.Graph.pageRank(ed, 10))
+    assert(ck10 == ck2, s"checkpointed plan grew with iters: $ck2 -> $ck10")
+    assert(raw10 > raw2, s"lineage canary broken: $raw2 -> $raw10")
+    // decimal widening: r·wt = 10⁶ · 10¹⁴ = 10²⁰ overflows int64 —
+    // pre-widening the kernel threw under ANSI; now exact to the replay
+    val wide = Seq((1L, 2L, 100000000000000L), (2L, 1L, 100000000000000L),
+      (2L, 3L, 50000000000000L), (3L, 2L, 50000000000000L))
+    val got = ranksOf(graft.ext.Graph.pageRank(wide.toDF("w1", "w2", "wt"), 5))
+    assert(got.toMap == replay(wide, 5), "wide-weight trajectory disagrees with replay")
+  }
+
   test("textrank: top-20 equals a plain-Scala integer PageRank replay") {
     val dir = "/root/testdata/sf0.001"
     val got = TextAnalysis.textRank(spark, dir)
