@@ -124,6 +124,7 @@ object SparkEntry {
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
     "x_sim_mmr"         -> ((s, d) => Similarity.mmrTopK(s, d)), // MMR-diversified top-k over the bounded candidate list (Carbonell & Goldstein, round 15)
+    "x_sim_nsw"         -> ((s, d) => Similarity.nswSearch(s, d)), // graph-ANN (NSW class): bounded-degree neighbor graph + fixed-round greedy beam search, recall-vs-cost vs brute truth (round 16)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1477,6 +1478,10 @@ object SparkEntry {
     // ranking bug fails the hash.
     "x_sim_ivf_curve" -> ivfCurveOracle,
     "x_lexrank" -> lexRankOracle,
+    // Graph-ANN (NSW): deterministic graph + beam trajectory — the
+    // final ranked lists, per-query scored-vector cost, and brute
+    // truth membership all hash-gate (the probe-report convention).
+    "x_sim_nsw" -> nswOracle,
     // IVF index health: per-cell populations + FAISS's imbalance
     // factor k·Σn²/(Σn)² in integer micro-units.
     // Heuristic-vs-trained agreement cube: the gopher keep flag joined
@@ -3669,6 +3674,18 @@ object SparkEntry {
     * curve oracle needs the prefix-taggable nprobe=8 frame; the
     * standing probe/nDCG oracles keep their nprobe=4 instantiation).
     */
+  /** Brute-force truth-rank CTE (rk 1..3 per held-out query) —
+    * expects CTEs `e` and `q`; shared by the probe-family oracles and
+    * the NSW oracle (compose, never copy).
+    */
+  private val bruteRkCte: String =
+    """bruterk AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                               e.vec_id ASC) AS rk
+                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3)"""
+
   private def probeCandCtesFor(nprobe: Int): String =
     s"""$seedAssignCtes,
          q AS (SELECT vec_id AS query_id, v AS qv FROM e
@@ -3681,14 +3698,80 @@ object SparkEntry {
                   JOIN pc ON a.cell_id = pc.cell_id
                   JOIN q ON q.query_id = pc.query_id
                   WHERE a.vec_id <> pc.query_id),
-         bruterk AS MATERIALIZED (SELECT query_id, neighbor_id, rk FROM (
-                  SELECT q.query_id, e.vec_id AS neighbor_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
-                               e.vec_id ASC) AS rk
-                  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rk <= 3)"""
+         $bruteRkCte"""
 
   private val probeCandCtes: String = probeCandCtesFor(4)
+
+  /** Graph-ANN oracle (`x_sim_nsw`): bounded-degree within-cell
+    * neighbor graph (top-4 by rounded cosine with id tiebreak,
+    * symmetrized, distinct) off the shared seed-assignment CTEs, then
+    * the SAME fixed 3-round greedy beam search as the engine,
+    * loop-generated one CTE pair per round (the [[pageRankIterCtes]]
+    * idiom): candidates = beam ∪ graph-neighbors(beam) minus the
+    * query, beam = row_number top-4 by (rounded cos DESC, id ASC).
+    * Every beam/candidate CTE is multi-referenced (the next round +
+    * the n_scored union), so AS MATERIALIZED throughout — the DuckDB
+    * per-reference inlining hazard. Truth membership reads the shared
+    * [[bruteRkCte]].
+    */
+  private val nswRoundCtes: String =
+    (1 to 3).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT DISTINCT query_id, cand FROM (
+             SELECT query_id, cand FROM b${r - 1}
+             UNION ALL
+             SELECT b.query_id, g.dst AS cand FROM b${r - 1} b JOIN g ON b.cand = g.src) u
+           WHERE cand <> query_id),
+         b$r AS MATERIALIZED (SELECT query_id, cand, cos_q FROM (
+             SELECT c.query_id, c.cand,
+               round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_q,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                          c.cand ASC) AS rk
+             FROM c$r c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.cand) t
+           WHERE rk <= 4)"""
+    }.mkString(",\n         ")
+
+  private val nswOracle: String =
+    s"""WITH $seedAssignCtes,
+         pr AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_q
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         oute AS (SELECT v1, v2 FROM (
+             SELECT v1, v2, row_number() OVER (PARTITION BY v1 ORDER BY cos_q DESC, v2 ASC) AS rk
+             FROM pr) t WHERE rk <= 4),
+         g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT v1 AS src, v2 AS dst FROM oute
+             UNION ALL SELECT v2 AS src, v1 AS dst FROM oute) u),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id >= 16 AND vec_id < 26),
+         ent AS (SELECT qc.query_id, min(a.vec_id) AS cand
+           FROM assigned a
+           JOIN (SELECT vec_id AS query_id, cell_id FROM assigned
+                 WHERE vec_id >= 16 AND vec_id < 26) qc ON a.cell_id = qc.cell_id
+           WHERE a.vec_id <> qc.query_id GROUP BY qc.query_id),
+         b0 AS MATERIALIZED (SELECT en.query_id, en.cand,
+             round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_q
+           FROM ent en JOIN q ON q.query_id = en.query_id JOIN e ON e.vec_id = en.cand),
+         $nswRoundCtes,
+         sc AS (SELECT query_id, CAST(count(DISTINCT cand) AS BIGINT) AS n_scored FROM (
+             SELECT query_id, cand FROM b0
+             UNION ALL SELECT query_id, cand FROM c1
+             UNION ALL SELECT query_id, cand FROM c2
+             UNION ALL SELECT query_id, cand FROM c3) u GROUP BY query_id),
+         $bruteRkCte,
+         fin AS (SELECT query_id, cand, cos_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand ASC) AS rk
+           FROM b3)
+         SELECT f.query_id, CAST(f.rk AS BIGINT) AS rk, f.cand AS neighbor_id,
+           CAST(floor(f.cos_q * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+           sc.n_scored,
+           (bt.neighbor_id IS NOT NULL) AS is_truth
+         FROM fin f
+         JOIN sc ON sc.query_id = f.query_id
+         LEFT JOIN bruterk bt ON bt.query_id = f.query_id AND bt.neighbor_id = f.cand
+         WHERE f.rk <= 3
+         ORDER BY f.query_id, f.rk"""
 
   /** LexRank oracle: within-cell micro-quantized cosine edges off the
     * shared seed-assignment CTEs, then the SAME loop-generated

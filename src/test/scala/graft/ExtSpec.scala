@@ -1937,6 +1937,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("nsw graph-ann: plain-Scala replay of graph build + greedy beam search; greedy best never regresses") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = 16; val m = 4; val beamW = 4; val rounds = 3; val k = 3
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // seed-cell assignment: argmax rounded cosine, cell-id tiebreak
+    val cents = (0L until cells).map(c => c -> vecs(c))
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (r6(cos(v, cv)), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+    }
+    val byCell = assign.groupBy(_._2).map { case (c, xs) => c -> xs.keys.toSeq.sorted }
+    // bounded-degree symmetric graph: per-vector top-m within-cell
+    val graph = scala.collection.mutable.Set[(Long, Long)]()
+    vecs.keys.foreach { id =>
+      byCell(assign(id)).filter(_ != id)
+        .map(o => (r6(cos(vecs(id), vecs(o))), o))
+        .sortBy { case (c, o) => (-c, o) }.take(m)
+        .foreach { case (_, o) => graph += ((id, o)); graph += ((o, id)) }
+    }
+    val adj = graph.toSeq.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    // greedy beam search per held-out query, sequential replay
+    val expected = (cells.toLong until cells + 10).flatMap { qid =>
+      val qv = vecs(qid)
+      byCell(assign(qid)).filter(_ != qid).minOption.toSeq.flatMap { entry =>
+        var beam = Seq((r6(cos(qv, vecs(entry))), entry))
+        val scanned = scala.collection.mutable.Set[Long](entry)
+        var prevBest = beam.head._1
+        (1 to rounds).foreach { _ =>
+          val cands = (beam.map(_._2).toSet ++
+            beam.map(_._2).flatMap(c => adj.getOrElse(c, Set.empty[Long]))).filter(_ != qid)
+          scanned ++= cands
+          beam = cands.toSeq.map(c => (r6(cos(qv, vecs(c))), c))
+            .sortBy { case (c, id2) => (-c, id2) }.take(beamW)
+          // greedy monotonicity THEOREM: beam_r is the top of a
+          // superset of beam_{r-1}, so the best score cannot regress
+          assert(beam.head._1 >= prevBest, "greedy best regressed")
+          prevBest = beam.head._1
+        }
+        val brute = vecs.keys.filter(_ != qid).map(c => (r6(cos(qv, vecs(c))), c))
+          .toSeq.sortBy { case (c, id2) => (-c, id2) }.take(k).map(_._2).toSet
+        beam.take(k).zipWithIndex.map { case ((c, nid), i) =>
+          (qid, (i + 1).toLong, nid, math.floor(c * 1e6 + 0.5).toLong,
+            scanned.size.toLong, brute.contains(nid))
+        }
+      }
+    }
+    val got = Similarity.nswSearch(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"engine beam trajectory diverged:\n got=$got\n exp=$expected")
+    // the walk must genuinely search, not enumerate: every query's
+    // scored-vector cost stays under its whole cell's population
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.head._5 <= byCell(assign(qid)).size,
+        s"query $qid scored more vectors than its cell holds")
+    }
+  }
+
   test("z-order key follows the Z-curve and clusters both dimensions better than a 1-D sort") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.LogQueries.eventsZOrderKey(spark, dir)
