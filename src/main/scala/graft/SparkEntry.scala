@@ -209,6 +209,7 @@ object SparkEntry {
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
+    "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
@@ -1534,6 +1535,55 @@ object SparkEntry {
     // Deterministic HLL: md5-derived bucket/value, rank via unpadded
     // bin() length (both engines), max registers, exact-integer
     // estimate with the ln(m/V) linear-counting leg on small range.
+    // KMV bottom-k theta sketch: per-source k smallest md5 values over
+    // the distinct token vocabulary; pair overlap from re-aggregated
+    // union sketches (bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B)));
+    // exact inclusion–exclusion truth leg beside the estimate.
+    "x_kmv_overlap" ->
+      s"""WITH t AS (SELECT d.source, substring(d.text, j, 8) AS sh
+               FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS j)),
+         tok AS MATERIALIZED (SELECT DISTINCT source, ${hexDecodeSql("md5(sh)", 1, 8)} AS h
+                FROM t),
+         sk AS MATERIALIZED (SELECT source, h FROM (
+             SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+             FROM tok) x WHERE rk <= 64),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         pairs AS MATERIALIZED (SELECT a.source AS source_a, b.source AS source_b
+                  FROM srcs a JOIN srcs b ON a.source < b.source),
+         uni AS (SELECT DISTINCT source_a, source_b, h FROM (
+             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_b) u),
+         m AS MATERIALIZED (SELECT source_a, source_b, h FROM (
+             SELECT source_a, source_b, h,
+               row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rk
+             FROM uni) x WHERE rk <= 64),
+         ms AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_size FROM m GROUP BY 1, 2),
+         mb AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS kmv_overlap
+                FROM m JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
+                       JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
+                GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
+                FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+           CAST(coalesce(ms.m_size, 0) AS BIGINT) AS m_size,
+           CAST(coalesce(mb.kmv_overlap, 0) AS BIGINT) AS kmv_overlap,
+           CASE WHEN coalesce(ms.m_size, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(mb.kmv_overlap, 0) * 1000000 // ms.m_size AS BIGINT) END AS kmv_jaccard_micro,
+           CAST(coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_union,
+           CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(iv.exact_inter, 0) * 1000000
+                  // (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0)) AS BIGINT) END AS exact_jaccard_micro
+         FROM pairs p
+         LEFT JOIN ms ON ms.source_a = p.source_a AND ms.source_b = p.source_b
+         LEFT JOIN mb ON mb.source_a = p.source_a AND mb.source_b = p.source_b
+         LEFT JOIN iv ON iv.source_a = p.source_a AND iv.source_b = p.source_b
+         LEFT JOIN ns na ON na.source = p.source_a
+         LEFT JOIN ns nb ON nb.source = p.source_b
+         ORDER BY p.source_a, p.source_b""",
     "x_hll_distinct" ->
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          tok AS (SELECT token FROM t WHERE length(token) > 0),

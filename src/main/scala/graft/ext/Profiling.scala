@@ -593,6 +593,128 @@ object Profiling {
       + " THEN 32 ELSE 32 - length(bin(CAST(conv(substring(md5(qkey), 1, 8), 16, 10) AS BIGINT)))"
       + " END AS BIGINT)")
 
+  /** The per-source KMV (k-minimum-values / bottom-k theta sketch)
+    * frame — the PRODUCTION face a deployment persists: for each
+    * source, the `k` smallest 32-bit md5 values over its DISTINCT
+    * 8-char shingle set (Bar-Yossef et al., RANDOM 2002; the Theta
+    * sketch of the DataSketches line). Shared by the batch overlap
+    * report and the streaming twin so the two cannot drift. One
+    * explode → [[graft.functions.BottomKDistinct]] aggregate — the
+    * duplicate-absorbing KMV insert, so there is NO corpus-wide
+    * distinct shuffle anywhere on the sketch path and ≤ k rows per
+    * (partition, source) cross the wire. State is k rows per source,
+    * EVER — the whole point: set overlap between two
+    * 100 TB-shingle-set sources becomes arithmetic over two k-row
+    * frames instead of a corpus-scale shingle join.
+    */
+  /** The (source, h) shingle-hash projection under the KMV sketch
+    * (duplicates included — the sketch absorbs them): every 8-char
+    * character shingle (the dedup family's shingle width, here kept
+    * as PORTABLE md5 text hashes rather than the engine-private
+    * [[graft.functions.NgramShingles]] packing so the oracle can
+    * replay values), hashed to its first 32 md5 bits. ~3.7k distinct
+    * shingles per source at sf0.01 — well past k, so the registered
+    * sketch exercises the real sampling regime, not the degenerate
+    * exact-small-set one.
+    */
+  private def kmvShingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"), col("text"))
+      .select(col("source"), expr("substring(text, i, 8)").as("sh"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
+
+  private[graft] def kmvSketchFor(docs: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // NO distinct pass: BottomKDistinct absorbs duplicate hashes inside
+    // the aggregate buffer (the HLL argument) — one scan collapses to
+    // ≤ k rows per source with map-side partials; the distinct-set
+    // semantics the sketch needs live in the buffer, not in a
+    // corpus-wide shuffle
+    kmvShingleHashes(docs)
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
+      .select(col("source"), explode(col("mins")).as("h"))
+  }
+
+  /** Pairwise source-vocabulary overlap from KMV sketches
+    * (`x_kmv_overlap`, round 16) — the SKETCH path of the
+    * source-similarity audit family: [[graft.ext.Dedup.sourceOverlap]]
+    * reads exact near-dup pair mass, this estimates SHINGLE-SET
+    * Jaccard for every source pair from k-row sketches. The estimator is the
+    * standard bottom-k one: M = the k smallest hashes of S_a ∪ S_b
+    * (computed by re-aggregating the two sketches — bottomk(A ∪ B) =
+    * bottomk(bottomk(A) ∪ bottomk(B)), the mergeability theorem the
+    * spec asserts), overlap = |M ∩ S_a ∩ S_b|, Ĵ = overlap / |M|;
+    * when the true union is smaller than k the sketch degenerates to
+    * the exact sets and Ĵ IS Jaccard (spec-asserted). All-integer:
+    * jaccard in micro-units by truncating div, zero-size pairs NULL
+    * (the qx3 empty-corpus convention).
+    *
+    * The exact truth leg (one vocabulary self-equi-join on h +
+    * inclusion–exclusion) sits beside the estimate as the verdict
+    * face — at 100 TB the truth leg is the join the sketch exists to
+    * avoid, and would run on a sampled source pair list. The
+    * |sources|² pair matrix is the OUTPUT's own size (a report over
+    * the source list, bounded by construction — the documented
+    * PlanLint exemption), not a corpus-scale cross join.
+    */
+  def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val tok = kmvShingleHashes(docs).distinct() // exact truth leg ONLY
+    val sk = kmvSketchFor(docs, k)
+    val srcs = docs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // union sketch per pair: attach each side's k-row sketch by an
+    // equi-join on its source, re-aggregate bottom-k
+    val uni = pairs.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"))
+      .union(pairs.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")))
+    // the union sketch re-aggregates with the SAME duplicate-absorbing
+    // insert — a hash in both sides' sketches needs no distinct pass
+    val m = uni.groupBy(col("source_a"), col("source_b"))
+      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
+      .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
+    val mStats = m.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("m_size"))
+    val mBoth = m
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("kmv_overlap"))
+    // exact truth leg: vocabulary self-equi-join + inclusion–exclusion
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("source").as("source_a"), col("h"))
+      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .join(mStats, Seq("source_a", "source_b"), "left")
+      .join(mBoth, Seq("source_a", "source_b"), "left")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(nSrc.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"), "left")
+      .join(nSrc.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("m_size"), lit(0L)).as("m_size"),
+        coalesce(col("kmv_overlap"), lit(0L)).as("kmv_overlap"),
+        expr("CASE WHEN coalesce(m_size, 0) = 0 THEN NULL"
+          + " ELSE coalesce(kmv_overlap, 0) * 1000000 DIV m_size END")
+          .as("kmv_jaccard_micro"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+          - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        expr("CASE WHEN coalesce(n_a, 0) + coalesce(n_b, 0) - coalesce(exact_inter, 0) = 0 THEN NULL"
+          + " ELSE coalesce(exact_inter, 0) * 1000000"
+          + " DIV (coalesce(n_a, 0) + coalesce(n_b, 0) - coalesce(exact_inter, 0)) END")
+          .as("exact_jaccard_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** The level-histogram aggregation shared by the batch sketch and
     * the streaming twin: items → (lvl, c) with map-side partials —
     * ≤ 33 rows out of any corpus, mergeable across any partitioning

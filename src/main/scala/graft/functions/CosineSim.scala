@@ -227,6 +227,9 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("topk_by_score_str")))
       reg.createOrReplaceTempFunction(
         "topk_by_score_str", exprs => TopKByScoreStr(exprs(0), exprs(1), intLit(exprs(2))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("bottomk_distinct")))
+      reg.createOrReplaceTempFunction(
+        "bottomk_distinct", exprs => BottomKDistinct(exprs(0), intLit(exprs(1))), "scala_udf")
     if (!reg.functionExists(FunctionIdentifier("simhash_md5")))
       reg.createOrReplaceTempFunction(
         "simhash_md5", exprs => SimHashAgg(exprs(0), exprs(1)), "scala_udf")
@@ -306,6 +309,13 @@ object GraftFunctions {
     */
   def topKByScoreStr(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score_str", score, id, org.apache.spark.sql.functions.lit(k))
+
+  /** Aggregate: the k smallest DISTINCT bigints per group, ascending
+    * (the KMV sketch insert — duplicate-absorbing, so no distinct
+    * pass is needed in front of it).
+    */
+  def bottomKDistinct(v: Column, k: Int): Column =
+    call_function("bottomk_distinct", v, org.apache.spark.sql.functions.lit(k))
 
   /** Aggregate: SimHash-64 majority fingerprint (hex string) over
     * packed md5 halves.

@@ -935,6 +935,24 @@ object EventsStream {
   def hllRegisterStream(docs: DataFrame): DataFrame =
     graft.ext.Profiling.hllRegistersFor(docs)
 
+  /** Streaming KMV bottom-k sketch (round 16) — the set-overlap
+    * companion to [[hllRegisterStream]], same contract: arriving
+    * documents project their 8-char shingle md5 hashes ROW-LOCALLY
+    * with the exact batch expression
+    * ([[graft.ext.Profiling.kmvSketchFor]] — one definition, not a
+    * copy) and a streaming [[graft.functions.BottomKDistinct]]
+    * aggregation maintains the k smallest distinct hashes per source
+    * — k rows of state per source, EVER. The KMV insert is idempotent
+    * (a re-delivered hash is already present or already above the
+    * k-th minimum), so at-least-once replay cannot corrupt the sketch
+    * — the same safety class as HLL's register max, unlike a counter.
+    * Downstream reads estimate pairwise source overlap from the
+    * standing sketches with the batch face's estimator; batch
+    * agreement is asserted hash-for-hash in spec.
+    */
+  def kmvSketchStream(docs: DataFrame, k: Int = 64): DataFrame =
+    graft.ext.Profiling.kmvSketchFor(docs, k)
+
   /** Streaming quantile-sketch level histogram (round 16) — the
     * quantile companion to [[countMinStream]]/[[hllRegisterStream]],
     * same contract: arriving items (any frame with a string `qkey`

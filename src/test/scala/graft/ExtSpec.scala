@@ -3407,6 +3407,53 @@ class ExtSpec extends SparkSpec {
     assert(unseen._2 >= 0L)
   }
 
+  test("kmv overlap: full md5 replay, mergeable, exact past the union, estimator in sampling error") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] =
+      (0 until math.max(t.length - 7, 1)).map(i => t.substring(i, math.min(i + 8, t.length)))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(d => shingles(d._2))
+        .map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 8), 16)).toSet
+    }
+    val sk: Map[String, Seq[Long]] = full.map { case (s, hs) => s -> hs.toSeq.sorted.take(k) }
+    val srcs = full.keys.toSeq.sorted
+    val expected = for { a <- srcs; b <- srcs if a < b } yield {
+      val mFull = (full(a) ++ full(b)).toSeq.sorted.take(k)
+      // mergeability THEOREM: bottom-k of the true union equals the
+      // bottom-k of the two k-row sketches' union — the property that
+      // lets pair estimation run on sketches alone
+      assert(mFull == (sk(a).toSet ++ sk(b).toSet).toSeq.sorted.take(k), "mergeability violated")
+      val ov = mFull.count(h => sk(a).contains(h) && sk(b).contains(h)).toLong
+      val exInter = (full(a) & full(b)).size.toLong
+      val exUnion = (full(a) | full(b)).size.toLong
+      (a, b, mFull.size.toLong, ov, ov * 1000000L / mFull.size,
+        exInter, exUnion, exInter * 1000000L / exUnion)
+    }
+    val got = graft.ext.Profiling.kmvSourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"kmv replay diverged (first got=${got.headOption})")
+    // the md5-fixed estimator behaves like its theory: |Ĵ−J| within
+    // 4 sampling standard errors + 1/k for every pair
+    got.foreach { case (a, b, _, _, jm, _, _, jx) =>
+      val j = jx / 1e6
+      val bound = 4 * math.sqrt(j * (1 - j) / k) + 1.0 / k
+      assert(math.abs(jm - jx) / 1e6 <= bound, s"pair $a/$b: est $jm vs exact $jx")
+    }
+    // degeneracy: k past every union size makes the sketch the exact
+    // set and the estimator IS Jaccard
+    graft.ext.Profiling.kmvSourceOverlap(spark, dir, k = 1 << 20)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, m, ov, jm, ei, eu, jx) =>
+        assert(m == eu && ov == ei && jm == jx, s"pair $a/$b: k > |union| must be exact")
+      }
+  }
+
   test("quantile sketch: full md5 replay, rank error within the sampling bound, mergeable") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Profiling.quantileSketch(spark, dir)

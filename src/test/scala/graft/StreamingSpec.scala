@@ -1682,6 +1682,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 33, s"histogram grew past 33 rows: ${streamed.size}")
   }
 
+  test("streaming kmv sketch: equals the batch sketch, idempotent under re-delivery") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventsStream.kmvSketchStream(input.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    docs.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    // re-deliver the first batch: the KMV insert is idempotent (a
+    // replayed hash is already present or above the k-th minimum) —
+    // the sketch must not move
+    input.addData(docs.take(40).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream")
+      .as[(String, Long)].collect().toSeq.sorted
+    val batch = graft.ext.Profiling
+      .kmvSketchFor(graft.Tables.documents(spark, dir))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed sketch diverged: ${streamed.size} vs ${batch.size} rows")
+    // bounded-state contract: never more than k hashes per source
+    streamed.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.size <= 64, s"source $s sketch grew past k: ${rows.size}")
+    }
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
