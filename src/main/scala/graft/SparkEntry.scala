@@ -125,6 +125,7 @@ object SparkEntry {
     "x_sim_ivf_kpp"     -> ((s, d) => Similarity.ivfKppReport(s, d)), // IVF search over the k-means|| seeds, recall-vs-cost verdict (round 15)
     "x_sim_mmr"         -> ((s, d) => Similarity.mmrTopK(s, d)), // MMR-diversified top-k over the bounded candidate list (Carbonell & Goldstein, round 15)
     "x_sim_nsw"         -> ((s, d) => Similarity.nswSearch(s, d)), // graph-ANN (NSW class): bounded-degree neighbor graph + fixed-round greedy beam search, recall-vs-cost vs brute truth (round 16)
+    "x_sim_dim_curve"   -> ((s, d) => Similarity.dimTruncationCurve(s, d)), // Matryoshka dimension-truncation recall curve: all prefix levels from ONE scan (round 16)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1483,6 +1484,34 @@ object SparkEntry {
     // final ranked lists, per-query scored-vector cost, and brute
     // truth membership all hash-gate (the probe-report convention).
     "x_sim_nsw" -> nswOracle,
+    // Matryoshka truncation curve: every prefix level is a leg of ONE
+    // scored scan; the dims=64 leg IS brute truth (computed anchor).
+    "x_sim_dim_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id >= 16 AND vec_id < 26),
+         lv AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+         sc AS (SELECT l.dims, q.query_id, e.vec_id,
+             round(list_dot_product(list_slice(q.qv, 1, l.dims), list_slice(e.v, 1, l.dims))
+               / (sqrt(list_dot_product(list_slice(q.qv, 1, l.dims), list_slice(q.qv, 1, l.dims)))
+                  * sqrt(list_dot_product(list_slice(e.v, 1, l.dims), list_slice(e.v, 1, l.dims)))), 6) AS cos
+           FROM e, q, lv l WHERE e.vec_id <> q.query_id),
+         top AS MATERIALIZED (SELECT dims, query_id, vec_id, cos, rk FROM (
+             SELECT dims, query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY dims, query_id ORDER BY cos DESC, vec_id ASC) AS rk
+             FROM sc) t WHERE rk <= 3),
+         truth AS (SELECT query_id, vec_id FROM top WHERE dims = 64),
+         hits AS (SELECT t.dims, t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM top t JOIN truth b ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+                  GROUP BY 1, 2)
+         SELECT CAST(t1.dims AS BIGINT) AS dims, t1.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           t1.vec_id AS top1_id,
+           CAST(floor(t1.cos * 1e6 + 0.5) AS BIGINT) AS top1_cos_micro
+         FROM top t1
+         LEFT JOIN hits h ON h.dims = t1.dims AND h.query_id = t1.query_id
+         WHERE t1.rk = 1
+         ORDER BY t1.dims, t1.query_id""",
     // IVF index health: per-cell populations + FAISS's imbalance
     // factor k·Σn²/(Σn)² in integer micro-units.
     // Heuristic-vs-trained agreement cube: the gopher keep flag joined

@@ -1937,6 +1937,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dim truncation curve: plain-Scala replay; the full-width leg is exact brute truth") {
+    val dir = "/root/testdata/sf0.001"
+    val levels = Seq(8, 16, 32, 64); val k = 3
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top3(qid: Long, d: Int): Seq[(Double, Long)] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(v => (r6(cos(vecs(qid).take(d), vecs(v).take(d))), v))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+    val expected = for { d <- levels; qid <- 16L until 26L } yield {
+      val t = top3(qid, d)
+      val truth = top3(qid, 64).map(_._2).toSet
+      (d.toLong, qid, t.count(e => truth(e._2)).toLong,
+        t.head._2, math.floor(t.head._1 * 1e6 + 0.5).toLong)
+    }
+    val got = Similarity.dimTruncationCurve(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"curve diverged (first got=${got.headOption})")
+    // the dims=64 leg IS brute truth: its own hits are k by definition
+    got.filter(_._1 == 64L).foreach { r => assert(r._3 == k.toLong, s"anchor broke: $r") }
+  }
+
   test("nsw graph-ann: plain-Scala replay of graph build + greedy beam search; greedy best never regresses") {
     val dir = "/root/testdata/sf0.001"
     val cells = 16; val m = 4; val beamW = 4; val rounds = 3; val k = 3
