@@ -212,6 +212,7 @@ object SparkEntry {
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
+    "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -1613,6 +1614,41 @@ object SparkEntry {
          LEFT JOIN ns na ON na.source = p.source_a
          LEFT JOIN ns nb ON nb.source = p.source_b
          ORDER BY p.source_a, p.source_b""",
+    // Grouped quantile sketch: per-language md5 level histograms, each
+    // key's own j* from the shared cumulative table, one sample scan
+    // for all keys, exact per-key rank truth beside the estimate.
+    "x_quantile_by_key" ->
+      s"""WITH d AS (SELECT lang, CAST(doc_id AS VARCHAR) AS qkey, CAST(n_chars AS BIGINT) AS v FROM documents),
+         lvls AS MATERIALIZED (SELECT lang, v,
+             CAST(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END AS BIGINT) AS lvl
+           FROM (SELECT lang, v, ${hexDecodeSql("md5(qkey)", 1, 8)} AS w FROM d)),
+         hist AS MATERIALIZED (SELECT lang, lvl, CAST(count(*) AS BIGINT) AS c FROM lvls GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+         cum AS MATERIALIZED (SELECT h.lang, gs.j,
+             CAST(sum(CASE WHEN h.lvl >= gs.j THEN h.c ELSE 0 END) AS BIGINT) AS mj
+           FROM hist h, generate_series(0, 12) gs(j) GROUP BY 1, 2),
+         js AS MATERIALIZED (SELECT lang, CAST(min(j) AS BIGINT) AS j_star FROM cum WHERE mj <= 128 GROUP BY 1),
+         ms AS (SELECT c.lang, c.mj AS m FROM cum c JOIN js ON js.lang = c.lang AND js.j_star = c.j),
+         samp AS MATERIALIZED (SELECT t.lang, t.v,
+             row_number() OVER (PARTITION BY t.lang ORDER BY t.v ASC) AS rk
+           FROM (SELECT l.lang, l.v FROM lvls l
+                 JOIN js ON js.lang = l.lang AND l.lvl >= js.j_star) t),
+         allrk AS MATERIALIZED (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v ASC) AS rk FROM d),
+         pc AS (SELECT unnest([25, 50, 75, 90]) AS pct),
+         res AS (SELECT t.lang, p.pct, js.j_star, ms.m, t.n,
+             greatest(1, (p.pct * t.n + 99) // 100) AS t_rank,
+             greatest(1, (p.pct * ms.m + 99) // 100) AS s_rank
+           FROM tot t JOIN js ON js.lang = t.lang JOIN ms ON ms.lang = t.lang, pc p)
+         SELECT r.lang, CAST(r.pct AS BIGINT) AS pct, r.j_star, r.m AS m_sample, r.n,
+           CAST(r.t_rank AS BIGINT) AS target_rank, CAST(r.s_rank AS BIGINT) AS sample_rank,
+           s.v AS est_value, a.v AS exact_value,
+           CASE WHEN a.v = 0 THEN NULL
+                ELSE CAST(abs(s.v - a.v) * 1000000 // a.v AS BIGINT) END AS err_micro
+         FROM res r
+         JOIN samp s ON s.lang = r.lang AND s.rk = r.s_rank
+         JOIN allrk a ON a.lang = r.lang AND a.rk = r.t_rank
+         ORDER BY r.lang, pct""",
     "x_hll_distinct" ->
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          tok AS (SELECT token FROM t WHERE length(token) > 0),

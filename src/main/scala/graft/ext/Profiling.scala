@@ -725,6 +725,109 @@ object Profiling {
     items.withColumn("lvl", qLevelCol)
       .groupBy(col("lvl")).agg(count(lit(1)).as("c"))
 
+  /** The per-key level histogram — the grouped twin of
+    * [[quantileLevelHist]], shared by the batch grouped sketch and
+    * [[graft.streaming.EventsStream.quantileLevelByKeyStream]]: items
+    * → (key, lvl, c) with map-side partials, ≤ 33 rows per key out of
+    * any corpus. Expects a string `k` key column beside `qkey`.
+    */
+  private[graft] def quantileLevelHistByKey(items: DataFrame): DataFrame =
+    items.withColumn("lvl", qLevelCol)
+      .groupBy(col("k"), col("lvl")).agg(count(lit(1)).as("c"))
+
+  /** Grouped quantile sketch (`x_quantile_by_key`, round 16): the
+    * [[quantileSketch]] md5-level machinery keyed by language — the
+    * "per-domain length percentiles" read every packing/batching
+    * policy wants (sequence-length curricula, per-language truncation
+    * budgets), demonstrating that the KLL sampling view GROUPS: the
+    * level draw is per-item, so S_j(key) = {x ∈ key : lvl(x) ≥ j} and
+    * every key gets its own j* from ONE shared ≤ 33·|keys|-row
+    * histogram — one corpus scan for the histogram, one
+    * pushed-filter scan for ALL keys' samples (each key filters at
+    * its own j* via a |keys|-literal CASE — no per-key jobs).
+    *
+    * Value = `n_chars` (a plain numeric column — doc-length
+    * percentiles), so every cross-engine number is an INTEGER: rank
+    * formulas are the shared `(p·n + 99) div 100` truncating form,
+    * est/exact are bigint values, err in integer micro-units with the
+    * zero-guard NULL convention. Truth leg = the per-key two-pass
+    * distributed selection ([[exactRankRowsByKey]] — at 100 TB the
+    * range-sort truth pass is the expensive one; the sketch is why
+    * you would not run it).
+    *
+    * 100 TB shape: histogram = bounded hash aggregate; samples = one
+    * filtered scan into a per-key bounded [[graft.functions.
+    * TopKByScore]] (≤ cap rows per (partition, key) on the wire);
+    * driver state = |keys|·33 histogram rows + |keys|·cap sample
+    * values, both parameter-bounded. Like the corpus-wide sketch,
+    * `depth` must grow log(n_key/cap) — the require fails loudly per
+    * key.
+    */
+  def quantileByKey(spark: SparkSession, dir: String, depth: Int = 12,
+      cap: Int = 128, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(
+      col("lang").as("k"),
+      col("doc_id").cast("string").as("qkey"),
+      col("n_chars").cast("long").as("v"),
+      col("doc_id").as("rid"))
+    val lv = docs.withColumn("lvl", qLevelCol)
+    val hist = quantileLevelHistByKey(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byKey: Map[String, Map[Long, Long]] =
+      hist.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.map(r => (r._2, r._3)).toMap
+      }
+    val keys = byKey.keys.toSeq.sorted
+    val nOf: Map[String, Long] = byKey.map { case (k, m) => k -> m.values.sum }
+    def nAtLeast(k: String, j: Int): Long =
+      byKey(k).collect { case (l, c) if l >= j => c }.sum
+    val jStar: Map[String, Int] = keys.map { k =>
+      k -> (0 to depth).find(j => nAtLeast(k, j) <= cap).getOrElse(
+        throw new IllegalArgumentException(
+          s"quantileByKey: |S_$depth($k)| = ${nAtLeast(k, depth)} > cap=$cap — " +
+            s"raise depth toward ceil(log2(n/cap)) for key $k (n=${nOf(k)})"))
+    }.toMap
+    val mOf: Map[String, Long] = keys.map(k => k -> nAtLeast(k, jStar(k))).toMap
+    // each key filters at its own j* — one |keys|-literal CASE, one scan
+    val jStarExpr = keys.foldLeft(lit((depth + 1).toLong)) { case (acc, k) =>
+      when(col("k") === lit(k), lit(jStar(k).toLong)).otherwise(acc)
+    }
+    val sampRows = lv.filter(col("lvl") >= jStarExpr)
+      .groupBy(col("k"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore((-col("v")).cast("double"), col("rid"), cap).as("arr"))
+      .collect()
+    val sampleAsc: Map[String, IndexedSeq[Long]] = sampRows.map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (-e.getDouble(0)).toLong).toIndexedSeq
+    }.toMap
+    keys.foreach { k =>
+      require(sampleAsc(k).length == mOf(k),
+        s"sample/histogram disagree for $k: ${sampleAsc(k).length} vs ${mOf(k)}")
+    }
+    def rankFor(p: Int, n: Long): Long = math.max(1L, (p.toLong * n + 99L) / 100L)
+    val (exactRows, totals) = exactRankRowsByKey(
+      docs.select(col("k"), col("v")),
+      n => pcts.map(p => rankFor(p, n)).distinct)
+    keys.foreach(k => require(totals(k) == nOf(k),
+      s"truth-leg count ${totals(k)} disagrees with histogram n=${nOf(k)} for $k"))
+    val rows = for { k <- keys; p <- pcts } yield {
+      val t = rankFor(p, nOf(k))
+      val sRank = rankFor(p, mOf(k))
+      val est = sampleAsc(k)((sRank - 1).toInt)
+      val exact = exactRows((k, t)).getLong(1)
+      val err: Option[Long] =
+        if (exact == 0L) None else Some(math.abs(est - exact) * 1000000L / exact)
+      (k, p.toLong, jStar(k).toLong, mOf(k), nOf(k), t, sRank, est, exact, err)
+    }
+    spark.createDataFrame(rows)
+      .toDF("lang", "pct", "j_star", "m_sample", "n", "target_rank",
+        "sample_rank", "est_value", "exact_value", "err_micro")
+      .orderBy(col("lang"), col("pct"))
+  }
+
   /** Deterministic mergeable quantile sketch (`x_quantile_sketch`,
     * round 16) — closes the last rows-only gap in §2B the way round 15
     * closed q21's (`x_hll_distinct`): `q16b_approx_pct` rests on the
@@ -820,6 +923,10 @@ object Profiling {
     }
     spark.createDataFrame(rows).toDF(schema: _*).orderBy(col("pct"))
   }
+
+  // (the grouped sketch's streaming face lives in
+  // graft.streaming.EventsStream.quantileLevelByKeyStream, riding
+  // quantileLevelHistByKey — one definition, not a copy)
 
   /** Per-source (domain) corpus summary: document counts, exact-dup
     * ratio, average length. Group-by-domain is the unit crawl pipelines

@@ -976,6 +976,20 @@ object EventsStream {
   def quantileLevelStream(items: DataFrame): DataFrame =
     graft.ext.Profiling.quantileLevelHist(items)
 
+  /** Streaming grouped quantile-level histogram (round 16) — the
+    * per-key face of [[quantileLevelStream]]: arriving items (string
+    * `k` key column + string `qkey` identity) draw their md5 level
+    * ROW-LOCALLY with the exact batch expression
+    * ([[graft.ext.Profiling.quantileLevelHistByKey]] — one
+    * definition, not a copy) and a streaming count aggregation
+    * maintains ≤ 33 level rows PER KEY — the state a reader needs to
+    * pick each key's j* and size its sample at any moment. Same
+    * at-least-once caveat as the corpus-wide face: counts drift
+    * upward under replay; run with exactly-once sinks.
+    */
+  def quantileLevelByKeyStream(items: DataFrame): DataFrame =
+    graft.ext.Profiling.quantileLevelHistByKey(items)
+
   /** Perplexity-band router (round 13; round 14: per-language model,
     * per-key joins) — the online face of
     * [[graft.ext.TextAnalysis.pplBuckets]], CCNet's head/middle/tail

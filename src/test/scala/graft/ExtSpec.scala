@@ -3484,6 +3484,49 @@ class ExtSpec extends SparkSpec {
       }
   }
 
+  test("quantile by key: full per-key md5 replay; each key's sketch equals its own-subset sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val depth = 12; val cap = 128; val pcts = Seq(25, 50, 75, 90)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def lvlOf(qkey: String): Long = {
+      val w = java.lang.Long.parseLong(md5hex(qkey).substring(0, 8), 16)
+      if (w == 0) 32L else 32L - java.lang.Long.toBinaryString(w).length
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+      .as[(String, Long, Long)].collect()
+    def rankFor(p: Int, n: Long): Long = math.max(1L, (p.toLong * n + 99L) / 100L)
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (lang, ds) =>
+      // the GROUPING theorem, by construction: the level draw is a
+      // per-item function, so key k's sketch is literally the
+      // corpus-wide sketch run on k's subset — replayed exactly so
+      val lvls = ds.map { case (_, id, v) => (lvlOf(id.toString), v) }
+      val n = lvls.length.toLong
+      def sizeAtLeast(j: Int): Long = lvls.count(_._1 >= j).toLong
+      val jStar = (0 to depth).find(j => sizeAtLeast(j) <= cap).get
+      val sample = lvls.filter(_._1 >= jStar).map(_._2).sorted
+      val m = sample.length.toLong
+      val allAsc = ds.map(_._3).sorted
+      pcts.map { p =>
+        val t = rankFor(p, n)
+        val sRank = rankFor(p, m)
+        val est = sample((sRank - 1).toInt)
+        val exact = allAsc((t - 1).toInt)
+        val err: Long = math.abs(est - exact) * 1000000L / exact
+        (lang, p.toLong, jStar.toLong, m, n, t, sRank, est, exact, err)
+      }
+    }
+    val got = graft.ext.Profiling.quantileByKey(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"grouped sketch diverged (first got=${got.headOption})")
+    // informative, not degenerate: at least one key actually samples
+    // (m < n) at this corpus, or the depth parameter is mis-sized
+    assert(got.exists(r => r._4 < r._5) || got.forall(r => r._5 <= cap),
+      "no key entered the sampling regime and none is small enough to be exact")
+  }
+
   test("quantile sketch: full md5 replay, rank error within the sampling bound, mergeable") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Profiling.quantileSketch(spark, dir)

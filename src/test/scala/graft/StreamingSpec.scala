@@ -1682,6 +1682,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 33, s"histogram grew past 33 rows: ${streamed.size}")
   }
 
+  test("streaming grouped quantile levels: per-key histogram equals the batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val items = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id").cast("string"))
+      .as[(String, String)].collect()
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventsStream.quantileLevelByKeyStream(input.toDF().toDF("k", "qkey"))
+      .writeStream.format("memory").queryName("qlvlk_stream")
+      .outputMode("complete").start()
+    items.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("qlvlk_stream")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, l, c) => ((k, l), c) }.toMap
+    val batch = graft.ext.Profiling.quantileLevelHistByKey(
+      graft.Tables.documents(spark, dir)
+        .select(col("lang").as("k"), col("doc_id").cast("string").as("qkey")))
+      .as[(String, Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (k, l, c) =>
+      assert(streamed((k, l)) == c, s"($k, $l): ${streamed((k, l))} vs $c")
+    }
+    // bounded state: ≤ 33 level rows per key
+    streamed.keys.groupBy(_._1).foreach { case (k, ls) =>
+      assert(ls.size <= 33, s"key $k histogram grew past 33 rows")
+    }
+  }
+
   test("streaming kmv sketch: equals the batch sketch, idempotent under re-delivery") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
