@@ -412,12 +412,21 @@ object Profiling {
     * then the integer-exact estimate — one ≤ 64-row job. Output: one
     * row (r_max, n_zero, s_sum, raw_est, est).
     */
-  def hllEstimateFor(regs: DataFrame): DataFrame = {
-    val spark = regs.sparkSession
-    val m = 64
-    val full = spark.range(m).select(col("id").as("bucket"))
+  /** Densify a (bucket, register) frame to all m = 64 buckets (absent
+    * bucket = register 0) — ONE definition shared by the verdict
+    * face's register rows and the production estimator (review r16:
+    * two copies of the densify were exactly the construction drift
+    * VERDICT r15 #6 set out to close; now only the spec AND the
+    * shared code pin them).
+    */
+  private[graft] def hllDensify(regs: DataFrame): DataFrame =
+    regs.sparkSession.range(64).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+
+  def hllEstimateFor(regs: DataFrame): DataFrame = {
+    val m = 64
+    val full = hllDensify(regs)
     val c1 = full.agg(
       max(col("register")).as("r_max"),
       sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
@@ -446,9 +455,7 @@ object Profiling {
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val regs = hllRegistersFor(docs)
-    val full = spark.range(m).select(col("id").as("bucket"))
-      .join(regs, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+    val full = hllDensify(regs)
     // estimate legs via the shared production-face estimator — one
     // expression tree, so the verdict face cannot drift from the path
     // a deployment reads (VERDICT r15 #6)
@@ -523,7 +530,25 @@ object Profiling {
     * sketch never saw it — CM's one-sided floor).
     */
   def cmEstimateFor(cells: DataFrame, queryTokens: DataFrame,
-      d: Int = 4, w: Int = 256): DataFrame =
+      d: Int = 4, w: Int = 256): DataFrame = {
+    // fail loudly on a builder/reader parameter mismatch (review r16:
+    // a silent one breaks CM's one-sided est ≥ true guarantee — the
+    // exact property the verdict face hash-gates). d IS derivable from
+    // a nonempty frame (the builder populates every row 0..d−1); w is
+    // not, but a frame built wider than the reader's w must contain a
+    // column index ≥ w — the dangerous direction (wrong-cell lookups)
+    // — so both common mismatches trip. A frame built NARROWER only
+    // yields absent-cell zero floors, which the est-vs-true read
+    // exposes; the builder contract is documented here.
+    val dims = cells.agg(max(col("row_i")).as("dmax"), max(col("cm_col")).as("wmax")).head()
+    if (!dims.isNullAt(0)) {
+      require(dims.getLong(0) == (d - 1).toLong,
+        s"cmEstimateFor: cells frame has rows 0..${dims.getLong(0)} but d=$d — " +
+          "the reader's depth must match the builder's")
+      require(dims.getLong(1) < w.toLong,
+        s"cmEstimateFor: cells frame has column index ${dims.getLong(1)} >= w=$w — " +
+          "the reader's width must match the builder's")
+    }
     queryTokens.select(col("token"),
         explode(expr(s"sequence(0, ${d - 1})")).as("row_i"))
       .withColumn("cm_col",
@@ -531,6 +556,7 @@ object Profiling {
       .join(cells, Seq("row_i", "cm_col"), "left")
       .groupBy(col("token"))
       .agg(min(coalesce(col("cell"), lit(0L))).as("est"))
+  }
 
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 256, k: Int = 10): DataFrame = {
@@ -725,6 +751,33 @@ object Profiling {
     items.withColumn("lvl", qLevelCol)
       .groupBy(col("lvl")).agg(count(lit(1)).as("c"))
 
+  /** max(1, ⌈p·n/100⌉) in the truncating integer form both engines
+    * share — ONE definition for the corpus-wide and grouped sketches
+    * (review r16: two copies of the rank formula drift silently).
+    */
+  private[graft] def qRankFor(p: Int, n: Long): Long =
+    math.max(1L, (p.toLong * n + 99L) / 100L)
+
+  /** j* = min{j ≤ depth : |S_j| ≤ cap} off a level histogram, with
+    * the loud grow-depth-with-log(n) failure; returns (j*, m = |S_j*|).
+    * Shared by the corpus-wide and grouped sketch faces.
+    */
+  private[graft] def qSelectLevel(byLvl: Map[Long, Long], depth: Int,
+      cap: Int, label: String): (Int, Long) = {
+    def nAtLeast(j: Int): Long = byLvl.collect { case (l, c) if l >= j => c }.sum
+    val j = (0 to depth).find(j => nAtLeast(j) <= cap).getOrElse(
+      throw new IllegalArgumentException(
+        s"quantile sketch: |S_$depth| = ${nAtLeast(depth)} > cap=$cap — " +
+          s"raise depth toward ceil(log2(n/cap)) for $label (n=${nAtLeast(0)})"))
+    (j, nAtLeast(j))
+  }
+
+  /** Decode a TopKByScore(−v, …) sample array into ascending values —
+    * the shared negated-score convention of both sketch faces.
+    */
+  private[graft] def qSampleAsc(arr: Seq[org.apache.spark.sql.Row]): IndexedSeq[Double] =
+    arr.map(r => -r.getDouble(0)).toIndexedSeq
+
   /** The per-key level histogram — the grouped twin of
     * [[quantileLevelHist]], shared by the batch grouped sketch and
     * [[graft.streaming.EventsStream.quantileLevelByKeyStream]]: items
@@ -781,15 +834,10 @@ object Profiling {
       }
     val keys = byKey.keys.toSeq.sorted
     val nOf: Map[String, Long] = byKey.map { case (k, m) => k -> m.values.sum }
-    def nAtLeast(k: String, j: Int): Long =
-      byKey(k).collect { case (l, c) if l >= j => c }.sum
-    val jStar: Map[String, Int] = keys.map { k =>
-      k -> (0 to depth).find(j => nAtLeast(k, j) <= cap).getOrElse(
-        throw new IllegalArgumentException(
-          s"quantileByKey: |S_$depth($k)| = ${nAtLeast(k, depth)} > cap=$cap — " +
-            s"raise depth toward ceil(log2(n/cap)) for key $k (n=${nOf(k)})"))
-    }.toMap
-    val mOf: Map[String, Long] = keys.map(k => k -> nAtLeast(k, jStar(k))).toMap
+    val selected: Map[String, (Int, Long)] =
+      keys.map(k => k -> qSelectLevel(byKey(k), depth, cap, s"key $k")).toMap
+    val jStar: Map[String, Int] = selected.map { case (k, (j, _)) => k -> j }
+    val mOf: Map[String, Long] = selected.map { case (k, (_, m)) => k -> m }
     // each key filters at its own j* — one |keys|-literal CASE, one scan
     val jStarExpr = keys.foldLeft(lit((depth + 1).toLong)) { case (acc, k) =>
       when(col("k") === lit(k), lit(jStar(k).toLong)).otherwise(acc)
@@ -800,22 +848,21 @@ object Profiling {
         .topKByScore((-col("v")).cast("double"), col("rid"), cap).as("arr"))
       .collect()
     val sampleAsc: Map[String, IndexedSeq[Long]] = sampRows.map { r =>
-      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
-        .map(e => (-e.getDouble(0)).toLong).toIndexedSeq
+      r.getString(0) ->
+        qSampleAsc(r.getSeq[org.apache.spark.sql.Row](1)).map(_.toLong)
     }.toMap
     keys.foreach { k =>
       require(sampleAsc(k).length == mOf(k),
         s"sample/histogram disagree for $k: ${sampleAsc(k).length} vs ${mOf(k)}")
     }
-    def rankFor(p: Int, n: Long): Long = math.max(1L, (p.toLong * n + 99L) / 100L)
     val (exactRows, totals) = exactRankRowsByKey(
       docs.select(col("k"), col("v")),
-      n => pcts.map(p => rankFor(p, n)).distinct)
+      n => pcts.map(p => qRankFor(p, n)).distinct)
     keys.foreach(k => require(totals(k) == nOf(k),
       s"truth-leg count ${totals(k)} disagrees with histogram n=${nOf(k)} for $k"))
     val rows = for { k <- keys; p <- pcts } yield {
-      val t = rankFor(p, nOf(k))
-      val sRank = rankFor(p, mOf(k))
+      val t = qRankFor(p, nOf(k))
+      val sRank = qRankFor(p, mOf(k))
       val est = sampleAsc(k)((sRank - 1).toInt)
       val exact = exactRows((k, t)).getLong(1)
       val err: Option[Long] =
@@ -894,26 +941,21 @@ object Profiling {
       return spark.createDataFrame(
         Seq.empty[(Long, Long, Long, Long, Long, Long, Double, Double, Option[Long])])
         .toDF(schema: _*)
-    def nAtLeast(j: Int): Long = byLvl.collect { case (l, c) if l >= j => c }.sum
-    val jStar = (0 to depth).find(j => nAtLeast(j) <= cap).getOrElse(
-      throw new IllegalArgumentException(
-        s"quantileSketch: |S_$depth| = ${nAtLeast(depth)} > cap=$cap — " +
-          s"raise depth toward ceil(log2(n/cap)) for this corpus (n=$n)"))
-    val m = nAtLeast(jStar)
+    val (jStar, m) = qSelectLevel(byLvl, depth, cap, "this corpus")
     val arr = lv.filter(col("lvl") >= jStar)
       .agg(graft.functions.GraftFunctions
         .topKByScore(-col("v"), col("rid"), cap).as("arr"))
       .head().getSeq[org.apache.spark.sql.Row](0)
     require(arr.length == m,
       s"sample/histogram disagree: |sample|=${arr.length} vs m=$m")
-    val sampleAsc: IndexedSeq[Double] = arr.map(r => -r.getDouble(0)).toIndexedSeq
-    val targetRanks = pcts.map(p => math.max(1L, (p.toLong * n + 99L) / 100L))
+    val sampleAsc: IndexedSeq[Double] = qSampleAsc(arr)
+    val targetRanks = pcts.map(p => qRankFor(p, n))
     val (n2, exactAt) = exactValuesAtRanks(li.select(col("v")), targetRanks)
     require(n2 == n, s"truth-leg count $n2 disagrees with histogram n=$n")
     def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
     val rows = pcts.map { p =>
-      val t = math.max(1L, (p.toLong * n + 99L) / 100L)
-      val sRank = math.max(1L, (p.toLong * m + 99L) / 100L)
+      val t = qRankFor(p, n)
+      val sRank = qRankFor(p, m)
       val est = sampleAsc((sRank - 1).toInt)
       val exact = exactAt(t)
       val err: Option[Long] =

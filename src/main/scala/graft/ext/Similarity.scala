@@ -2096,6 +2096,12 @@ object Similarity {
     */
   def dimTruncationCurve(spark: SparkSession, dir: String, k: Int = 3,
       levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    // the truth leg IS the levels.max ranking — it must be the table's
+    // full 64-dim width, or every n_hits silently relabels a prefix
+    // ranking as brute truth (review r16, the nq-require class)
+    require(levels.nonEmpty && levels.max == 64,
+      s"dimTruncationCurve: levels.max = ${levels.sorted.lastOption.getOrElse(0)} " +
+        "must be the embedding table's full width (64) — the curve's truth anchor is the full-width leg")
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val isQuery = col("vec_id") >= 16 && col("vec_id") < 26
@@ -2181,6 +2187,10 @@ object Similarity {
     */
   def nswSearch(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4,
       beamW: Int = 4, rounds: Int = 3, cells: Int = 16): DataFrame = {
+    // rounds = 0 would die downstream on the missing rk column, and a
+    // beam narrower than k cannot fill the final top-k (review r16)
+    require(rounds >= 1, s"nswSearch needs at least one beam round, got $rounds")
+    require(beamW >= k, s"nswSearch needs beamW >= k to fill the top-$k, got beamW=$beamW")
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
