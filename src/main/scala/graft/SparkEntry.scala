@@ -126,6 +126,7 @@ object SparkEntry {
     "x_sim_mmr"         -> ((s, d) => Similarity.mmrTopK(s, d)), // MMR-diversified top-k over the bounded candidate list (Carbonell & Goldstein, round 15)
     "x_sim_nsw"         -> ((s, d) => Similarity.nswSearch(s, d)), // graph-ANN (NSW class): bounded-degree neighbor graph + fixed-round greedy beam search, recall-vs-cost vs brute truth (round 16)
     "x_sim_dim_curve"   -> ((s, d) => Similarity.dimTruncationCurve(s, d)), // Matryoshka dimension-truncation recall curve: all prefix levels from ONE scan (round 16)
+    "x_sim_nsw_hier"    -> ((s, d) => Similarity.nswHierSearch(s, d)), // 2-layer NSW (the H of HNSW): md5 1/8 upper layer routes the base beam's entry (round 16)
     "x_sim_quantized"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "x_sim_pq"          -> ((s, d) => Similarity.pqTopK(s, d)),
     "x_sim_ivf_pq"      -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)), // round 14: residual encoding, 2 Lloyd's iterations, exact re-rank of the ADC shortlist (FAISS IndexIVFPQ + IndexRefineFlat)
@@ -1485,6 +1486,7 @@ object SparkEntry {
     // final ranked lists, per-query scored-vector cost, and brute
     // truth membership all hash-gate (the probe-report convention).
     "x_sim_nsw" -> nswOracle,
+    "x_sim_nsw_hier" -> nswHierOracle,
     // Matryoshka truncation curve: every prefix level is a leg of ONE
     // scored scan; the dims=64 leg IS brute truth (computed anchor).
     "x_sim_dim_curve" ->
@@ -3829,22 +3831,32 @@ object SparkEntry {
     * per-reference inlining hazard. Truth membership reads the shared
     * [[bruteRkCte]].
     */
-  private val nswRoundCtes: String =
-    (1 to 3).map { r =>
-      s"""c$r AS MATERIALIZED (SELECT DISTINCT query_id, cand FROM (
-             SELECT query_id, cand FROM b${r - 1}
+  /** One beam round pair (candidates + ranked beam) per iteration,
+    * parameterized on CTE name prefix, graph CTE, round count, and
+    * beam width — instantiated by the flat oracle ("", g, 3, 4) and
+    * TWICE by the hierarchical oracle ("u"/gU upper, "h"/g base).
+    * Expects `${'$'}{prefix}b0`, `q`, `e`; emits rk in each beam so a
+    * later stage can read the top-1 winner.
+    */
+  private def nswRoundCtesFor(prefix: String, graph: String,
+      rounds: Int, beamW: Int): String =
+    (1 to rounds).map { r =>
+      s"""${prefix}c$r AS MATERIALIZED (SELECT DISTINCT query_id, cand FROM (
+             SELECT query_id, cand FROM ${prefix}b${r - 1}
              UNION ALL
-             SELECT b.query_id, g.dst AS cand FROM b${r - 1} b JOIN g ON b.cand = g.src) u
+             SELECT b.query_id, $graph.dst AS cand FROM ${prefix}b${r - 1} b JOIN $graph ON b.cand = $graph.src) u
            WHERE cand <> query_id),
-         b$r AS MATERIALIZED (SELECT query_id, cand, cos_q FROM (
+         ${prefix}b$r AS MATERIALIZED (SELECT query_id, cand, cos_q, rk FROM (
              SELECT c.query_id, c.cand,
                round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_q,
                row_number() OVER (PARTITION BY c.query_id
                  ORDER BY round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
                           c.cand ASC) AS rk
-             FROM c$r c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.cand) t
-           WHERE rk <= 4)"""
+             FROM ${prefix}c$r c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.cand) t
+           WHERE rk <= $beamW)"""
     }.mkString(",\n         ")
+
+  private val nswRoundCtes: String = nswRoundCtesFor("", "g", 3, 4)
 
   private val nswOracle: String =
     s"""WITH $seedAssignCtes,
@@ -3878,6 +3890,81 @@ object SparkEntry {
          fin AS (SELECT query_id, cand, cos_q,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand ASC) AS rk
            FROM b3)
+         SELECT f.query_id, CAST(f.rk AS BIGINT) AS rk, f.cand AS neighbor_id,
+           CAST(floor(f.cos_q * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+           sc.n_scored,
+           (bt.neighbor_id IS NOT NULL) AS is_truth
+         FROM fin f
+         JOIN sc ON sc.query_id = f.query_id
+         LEFT JOIN bruterk bt ON bt.query_id = f.query_id AND bt.neighbor_id = f.cand
+         WHERE f.rk <= 3
+         ORDER BY f.query_id, f.rk"""
+
+  /** Hierarchical graph-ANN oracle (`x_sim_nsw_hier`): the flat
+    * oracle's machinery twice over — an upper layer restricted to the
+    * 1/8 md5 draw (own pair/graph CTEs, 2 beam rounds at width 2),
+    * whose per-query winner seeds the base-layer rounds via a
+    * deterministic coalesce against the flat min-id entry; n_scored
+    * unions BOTH layers' candidate sets. Round CTEs come from the
+    * SAME [[nswRoundCtesFor]] generator as the flat oracle.
+    */
+  private val nswHierOracle: String =
+    s"""WITH $seedAssignCtes,
+         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id >= 16 AND vec_id < 26),
+         qc AS MATERIALIZED (SELECT vec_id AS query_id, cell_id FROM assigned
+               WHERE vec_id >= 16 AND vec_id < 26),
+         pr AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_q
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         oute AS (SELECT v1, v2 FROM (
+             SELECT v1, v2, row_number() OVER (PARTITION BY v1 ORDER BY cos_q DESC, v2 ASC) AS rk
+             FROM pr) t WHERE rk <= 4),
+         g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT v1 AS src, v2 AS dst FROM oute
+             UNION ALL SELECT v2 AS src, v1 AS dst FROM oute) u),
+         up AS MATERIALIZED (SELECT a.vec_id, a.v, a.cell_id FROM assigned a
+           WHERE ${hexDecodeSql("md5('g:' || CAST(a.vec_id AS VARCHAR))", 1, 8)} < 536870912),
+         prU AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_q
+           FROM up a JOIN up b
+             ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         outU AS (SELECT v1, v2 FROM (
+             SELECT v1, v2, row_number() OVER (PARTITION BY v1 ORDER BY cos_q DESC, v2 ASC) AS rk
+             FROM prU) t WHERE rk <= 4),
+         gU AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT v1 AS src, v2 AS dst FROM outU
+             UNION ALL SELECT v2 AS src, v1 AS dst FROM outU) u),
+         entU AS (SELECT qc.query_id, min(u2.vec_id) AS cand
+           FROM up u2 JOIN qc ON u2.cell_id = qc.cell_id
+           WHERE u2.vec_id <> qc.query_id GROUP BY qc.query_id),
+         ub0 AS MATERIALIZED (SELECT en.query_id, en.cand,
+             round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_q
+           FROM entU en JOIN q ON q.query_id = en.query_id JOIN e ON e.vec_id = en.cand),
+         ${nswRoundCtesFor("u", "gU", 2, 2)},
+         entB AS (SELECT qc.query_id, min(a.vec_id) AS cand
+           FROM assigned a JOIN qc ON a.cell_id = qc.cell_id
+           WHERE a.vec_id <> qc.query_id GROUP BY qc.query_id),
+         ent2 AS (SELECT b.query_id, coalesce(u1.cand, b.cand) AS cand
+           FROM entB b LEFT JOIN (SELECT query_id, cand FROM ub2 WHERE rk = 1) u1
+             ON u1.query_id = b.query_id),
+         hb0 AS MATERIALIZED (SELECT en.query_id, en.cand,
+             round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_q
+           FROM ent2 en JOIN q ON q.query_id = en.query_id JOIN e ON e.vec_id = en.cand),
+         ${nswRoundCtesFor("h", "g", 3, 4)},
+         sc AS (SELECT query_id, CAST(count(DISTINCT cand) AS BIGINT) AS n_scored FROM (
+             SELECT query_id, cand FROM ub0
+             UNION ALL SELECT query_id, cand FROM uc1
+             UNION ALL SELECT query_id, cand FROM uc2
+             UNION ALL SELECT query_id, cand FROM hb0
+             UNION ALL SELECT query_id, cand FROM hc1
+             UNION ALL SELECT query_id, cand FROM hc2
+             UNION ALL SELECT query_id, cand FROM hc3) u GROUP BY query_id),
+         $bruteRkCte,
+         fin AS (SELECT query_id, cand, cos_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand ASC) AS rk
+           FROM hb3)
          SELECT f.query_id, CAST(f.rk AS BIGINT) AS rk, f.cand AS neighbor_id,
            CAST(floor(f.cos_q * 1e6 + 0.5) AS BIGINT) AS cos_micro,
            sc.n_scored,

@@ -2185,18 +2185,28 @@ object Similarity {
     * iterated-frame lineage question [[Graph.pageRank]] documents;
     * at the registered 3 rounds the plan is bounded.
     */
-  def nswSearch(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4,
-      beamW: Int = 4, rounds: Int = 3, cells: Int = 16): DataFrame = {
-    // rounds = 0 would die downstream on the missing rk column, and a
-    // beam narrower than k cannot fill the final top-k (review r16)
-    require(rounds >= 1, s"nswSearch needs at least one beam round, got $rounds")
-    require(beamW >= k, s"nswSearch needs beamW >= k to fill the top-$k, got beamW=$beamW")
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
-    val graph = Dedup.Frames.getOrCompute(spark, s"nswgraph:$cells:$m:$dir", dir,
+  /** The md5 upper-layer draw of the NSW hierarchy: P[upper] = 1/8
+    * (first 32 hash bits < 2²⁹ ⟺ ≥ 3 leading zeros — the qLevel
+    * idiom without the bin() dance), prefixed 'g:' to decorrelate
+    * from every other draw in the repo. ONE definition shared by the
+    * engine filter and (textually) the oracle.
+    */
+  private def nswUpperMark: Column =
+    expr("CAST(conv(substring(md5(concat('g:', CAST(vec_id AS STRING))), 1, 8), 16, 10)"
+      + " AS BIGINT) < 536870912")
+
+  /** The memoized bounded-degree within-cell neighbor graph (each
+    * member's top-`m` neighbors by (rounded cos DESC, id ASC),
+    * symmetrized, distinct) over the vectors `memberOf` admits — the
+    * whole corpus for the base layer, the 1/8 md5 draw for the
+    * hierarchy's upper layer. Degree ≤ 2m by construction.
+    */
+  private def nswGraphFor(spark: SparkSession, dir: String, cells: Int,
+      m: Int, layer: String, memberOf: Column): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"nswgraph:$layer:$cells:$m:$dir", dir,
         tables = Seq("embeddings.parquet")) {
       val assigned = seedAssigned(spark, dir, cells)
+        .filter(memberOf)
         .select(col("vec_id"), col("embedding"), col("cell_id"))
       val a = assigned.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell_id"))
       val b = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell_id"))
@@ -2209,19 +2219,35 @@ object Similarity {
         .select(col("src"), col("s.id").as("dst"))
       out.union(out.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     }
-    val q = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val assignedCells = seedAssigned(spark, dir, cells)
-      .select(col("vec_id"), col("cell_id"))
-    // per-query entry: the min-id member of the query's rank-1 cell
-    // (excluding the query) — an equi-join on cell_id, no global
-    // constant, so a query whose cell is otherwise empty is absent
-    // from the output on both engines (no search can start)
-    val entry = assignedCells
-      .join(assignedCells.filter(isQuery)
-        .select(col("vec_id").as("query_id"), col("cell_id")), Seq("cell_id"))
+
+  /** Per-query min-id entry point among `members` sharing the query's
+    * argmax cell (excluding the query itself) — an equi-join on
+    * cell_id, no global constant; a query with no such member is
+    * absent (no search can start on that layer).
+    */
+  private def nswEntryFor(members: DataFrame, queryCells: DataFrame): DataFrame =
+    members.join(queryCells, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id")).agg(min(col("vec_id")).as("cand"))
+
+  /** One greedy beam stage over a neighbor graph from a per-query
+    * entry frame — the loop shared by the flat and hierarchical
+    * faces. Returns the final beam (query_id, rk, cand, cos_q) and
+    * every candidate frame scored along the way (entry + per-round
+    * candidate sets) for the caller's n_scored cost accounting.
+    * Per-round lineage truncation: without it each round's plan
+    * embeds every previous round's broadcast join and the task binary
+    * compounds (measured 41 MiB by round 3 at sf0.01 — the
+    * iterated-frame blow-up Graph.pageRank documents). Each candidate
+    * frame is ≤ |Q|·beamW·(1+2m) rows BY CONSTRUCTION, so it is
+    * localized to a driver-side LocalRelation — the centroid-collect
+    * convention (localCheckpoint would also truncate, but loses
+    * attribute identity under AQE; a LocalRelation re-broadcasts for
+    * free).
+    */
+  private def nswBeamStage(spark: SparkSession, e: DataFrame, q: DataFrame,
+      graph: DataFrame, entry: DataFrame, rounds: Int, beamW: Int):
+      (DataFrame, Seq[DataFrame]) = {
     // score a small (query_id, cand) frame: broadcast it (with qv
     // attached) onto the corpus scan — the corpus streams, nothing
     // corpus-sized shuffles
@@ -2236,15 +2262,6 @@ object Similarity {
       val neigh = beam.select(col("query_id"), col("cand"))
         .join(graph, col("cand") === col("src"))
         .select(col("query_id"), col("dst").as("cand"))
-      // per-round lineage truncation: without it each round's plan
-      // embeds every previous round's broadcast join and the task
-      // binary compounds (measured 41 MiB by round 3 at sf0.01 —
-      // exactly the iterated-frame blow-up Graph.pageRank documents).
-      // The frame is ≤ |Q|·beamW·(1+2M) rows BY CONSTRUCTION, so it
-      // is localized to a driver-side LocalRelation — the same
-      // bounded-artifact convention as the centroid collects
-      // (localCheckpoint would also truncate, but loses attribute
-      // identity under AQE; a LocalRelation re-broadcasts for free)
       val candPlan = beam.select(col("query_id"), col("cand"))
         .union(neigh).distinct()
         .filter(col("cand") =!= col("query_id"))
@@ -2258,7 +2275,15 @@ object Similarity {
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
           col("s.id").as("cand"), col("s.score").as("cos_q"))
     }
-    val scanned = roundCands.reduce(_.union(_)).distinct()
+    (beam, roundCands.toSeq)
+  }
+
+  /** Shared verdict tail: final top-k rows + distinct-scored cost +
+    * brute truth membership (the probe-report convention).
+    */
+  private def nswFinalize(beam: DataFrame, candFrames: Seq[DataFrame],
+      e: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val scanned = candFrames.reduce(_.union(_)).distinct()
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_scored"))
     val brute = bruteRanked(e, isQuery, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("truth_mark"))
@@ -2270,5 +2295,72 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_micro"),
         col("n_scored"), col("truth_mark").isNotNull.as("is_truth"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  def nswSearch(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4,
+      beamW: Int = 4, rounds: Int = 3, cells: Int = 16): DataFrame = {
+    // rounds = 0 would die downstream on the missing rk column, and a
+    // beam narrower than k cannot fill the final top-k (review r16)
+    require(rounds >= 1, s"nswSearch needs at least one beam round, got $rounds")
+    require(beamW >= k, s"nswSearch needs beamW >= k to fill the top-$k, got beamW=$beamW")
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val graph = nswGraphFor(spark, dir, cells, m, "base", lit(true))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val assignedCells = seedAssigned(spark, dir, cells)
+      .select(col("vec_id"), col("cell_id"))
+    val queryCells = assignedCells.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("cell_id"))
+    val entry = nswEntryFor(assignedCells, queryCells)
+    val (beam, candFrames) = nswBeamStage(spark, e, q, graph, entry, rounds, beamW)
+    nswFinalize(beam, candFrames, e, isQuery, k)
+  }
+
+  /** Hierarchical graph-ANN (`x_sim_nsw_hier`, round 16): the "H" of
+    * HNSW made honest on the same machinery — a 2-layer navigable
+    * small world. The UPPER layer is the deterministic 1/8 md5 draw
+    * ([[nswUpperMark]] — HNSW's geometric level assignment with the
+    * repo's deterministic coin), carrying its own bounded-degree
+    * within-cell graph over just those vectors; a query first runs a
+    * SHORT cheap beam there (beamW = 2, 2 rounds — few vectors, long
+    * hops), and its upper winner seeds the base-layer beam (the
+    * routing role upper layers play in HNSW: replace the arbitrary
+    * min-id entry with a query-adapted one). A query whose cell has
+    * no upper member falls back to the flat face's min-id entry
+    * (deterministic coalesce on both engines). Verdict face identical
+    * to [[nswSearch]] — final top-k, n_scored now counting BOTH
+    * layers' scored vectors (the hierarchy's honest total cost), and
+    * brute-truth membership — so the two faces' recall-vs-cost rows
+    * are directly comparable side by side.
+    */
+  def nswHierSearch(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4,
+      beamW: Int = 4, rounds: Int = 3, upperBeamW: Int = 2,
+      upperRounds: Int = 2, cells: Int = 16): DataFrame = {
+    require(rounds >= 1 && upperRounds >= 1,
+      s"nswHierSearch needs at least one round per layer, got ($rounds, $upperRounds)")
+    require(beamW >= k, s"nswHierSearch needs beamW >= k, got beamW=$beamW")
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
+    val baseGraph = nswGraphFor(spark, dir, cells, m, "base", lit(true))
+    val upperGraph = nswGraphFor(spark, dir, cells, m, "upper", nswUpperMark)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val assignedCells = seedAssigned(spark, dir, cells)
+      .select(col("vec_id"), col("cell_id"))
+    val queryCells = assignedCells.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("cell_id"))
+    val upperEntry = nswEntryFor(assignedCells.filter(nswUpperMark), queryCells)
+    val (ubeam, uCands) =
+      nswBeamStage(spark, e, q, upperGraph, upperEntry, upperRounds, upperBeamW)
+    val routed = ubeam.filter(col("rk") === 1)
+      .select(col("query_id"), col("cand").as("up_cand"))
+    val baseEntry = nswEntryFor(assignedCells, queryCells)
+    val entry2 = baseEntry.join(routed, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("up_cand"), col("cand")).as("cand"))
+    val (beam, bCands) = nswBeamStage(spark, e, q, baseGraph, entry2, rounds, beamW)
+    nswFinalize(beam, uCands ++ bCands, e, isQuery, k)
   }
 }

@@ -2033,6 +2033,85 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("nsw hierarchy: plain-Scala replay of the 2-layer search; upper layer is the md5 1/8 draw") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = 16; val m = 4; val k = 3
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isUpper(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"g:$id").substring(0, 8), 16) < 536870912L
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until cells).map(c => c -> vecs(c))
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (r6(cos(v, cv)), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+    }
+    val byCell = assign.groupBy(_._2).map { case (c, xs) => c -> xs.keys.toSeq.sorted }
+    def graphOver(ids: Long => Boolean): Map[Long, Set[Long]] = {
+      val edges = scala.collection.mutable.Set[(Long, Long)]()
+      vecs.keys.filter(ids).foreach { id =>
+        byCell(assign(id)).filter(o => o != id && ids(o))
+          .map(o => (r6(cos(vecs(id), vecs(o))), o))
+          .sortBy { case (c, o) => (-c, o) }.take(m)
+          .foreach { case (_, o) => edges += ((id, o)); edges += ((o, id)) }
+      }
+      edges.toSeq.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    }
+    val baseAdj = graphOver(_ => true)
+    val upperAdj = graphOver(isUpper)
+    // one beam stage, returning (final beam, scanned candidate set)
+    def stage(qid: Long, adj: Map[Long, Set[Long]], entry: Long,
+        rounds: Int, beamW: Int): (Seq[(Double, Long)], Set[Long]) = {
+      val qv = vecs(qid)
+      var beam = Seq((r6(cos(qv, vecs(entry))), entry))
+      val scanned = scala.collection.mutable.Set[Long](entry)
+      (1 to rounds).foreach { _ =>
+        val cands = (beam.map(_._2).toSet ++
+          beam.map(_._2).flatMap(c => adj.getOrElse(c, Set.empty[Long]))).filter(_ != qid)
+        scanned ++= cands
+        beam = cands.toSeq.map(c => (r6(cos(qv, vecs(c))), c))
+          .sortBy { case (c, id2) => (-c, id2) }.take(beamW)
+      }
+      (beam, scanned.toSet)
+    }
+    val expected = (cells.toLong until cells + 10).flatMap { qid =>
+      byCell(assign(qid)).filter(_ != qid).minOption.toSeq.flatMap { baseEntry =>
+        val upperEntry = byCell(assign(qid)).filter(o => o != qid && isUpper(o)).minOption
+        val (entry2, upperScanned) = upperEntry match {
+          case Some(ue) =>
+            val (ubeam, uscan) = stage(qid, upperAdj, ue, 2, 2)
+            (ubeam.head._2, uscan)
+          case None => (baseEntry, Set.empty[Long])
+        }
+        val (beam, bscan) = stage(qid, baseAdj, entry2, 3, 4)
+        val scanned = (upperScanned ++ bscan).size.toLong
+        val qv = vecs(qid)
+        val brute = vecs.keys.filter(_ != qid).map(c => (r6(cos(qv, vecs(c))), c))
+          .toSeq.sortBy { case (c, id2) => (-c, id2) }.take(k).map(_._2).toSet
+        beam.take(k).zipWithIndex.map { case ((c, nid), i) =>
+          (qid, (i + 1).toLong, nid, math.floor(c * 1e6 + 0.5).toLong,
+            scanned, brute.contains(nid))
+        }
+      }
+    }
+    val got = Similarity.nswHierSearch(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"hier trajectory diverged:\n got=${got.take(6)}\n exp=${expected.take(6)}")
+    // the draw is a real subsample: strictly between 0 and the corpus
+    val nUpper = vecs.keys.count(isUpper)
+    assert(nUpper > 0 && nUpper < vecs.size, s"upper layer degenerate: $nUpper of ${vecs.size}")
+  }
+
   test("z-order key follows the Z-curve and clusters both dimensions better than a 1-D sort") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.LogQueries.eventsZOrderKey(spark, dir)
