@@ -540,7 +540,8 @@ object Profiling {
     // — so both common mismatches trip. A frame built NARROWER only
     // yields absent-cell zero floors, which the est-vs-true read
     // exposes; the builder contract is documented here.
-    val dims = cells.agg(max(col("row_i")).as("dmax"), max(col("cm_col")).as("wmax")).head()
+    val dims = cells.agg(max(col("row_i")).cast("long").as("dmax"),
+      max(col("cm_col")).cast("long").as("wmax")).head()
     if (!dims.isNullAt(0)) {
       require(dims.getLong(0) == (d - 1).toLong,
         s"cmEstimateFor: cells frame has rows 0..${dims.getLong(0)} but d=$d — " +

@@ -54,7 +54,10 @@ class PlanLintSpec extends SparkSpec {
     "x_filter_agreement" -> "constants attach: the ONE-row (total, agree) aggregate broadcasts onto the <=4-cell cube (same folded lit(1)-key 1-row nested loop)",
     "x_sim_nsw" -> "recall REPORT: same <=10-broadcast-query brute truth leg as x_sim_ivf_probe; the graph index is a cell equi-join and every beam round is equi-joins over <=|Q|*beamW*(1+2M)-row localized frames",
     "x_kmv_overlap" -> "pair-matrix REPORT: the |sources|x|sources| cross is the OUTPUT's own size (a report over the distinct-source list, not a corpus frame); every sketch/truth leg hanging off it is an equi-join",
-    "x_sim_dim_curve" -> "operating-curve REPORT: x_sim_topk's <=10-broadcast-query scan, scored once with all prefix levels as legs; the dims=64 leg IS the brute truth anchor, so no second truth scan exists",
+    // x_sim_dim_curve needs NO entry: its one broadcast-query scan is
+    // collected into the <=|levels|*|Q|*k LocalRelation at build time
+    // (the filter-funnel pattern), so the registered plan has no
+    // non-equi join for the lint to see
     "x_sim_nsw_hier" -> "recall REPORT: same brute truth leg as x_sim_nsw; both layers' graphs are cell equi-joins and every beam round is equi-joins over bounded localized frames")
 
   /** Queries allowed a window with empty partitionSpec (global ordering
