@@ -689,7 +689,15 @@ object Profiling {
   def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val tok = kmvShingleHashes(docs).distinct() // exact truth leg ONLY
+    // exact truth leg ONLY — referenced three times below (per-source
+    // counts + both sides of the intersection self-join), so the
+    // distinct (source, h) frame rides the session frame memo like
+    // pairFrame rather than re-running the explode+md5 per reference
+    // (bench r16: the unshared frame tripled the query's scan cost)
+    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      kmvShingleHashes(docs).distinct()
+    }
     val sk = kmvSketchFor(docs, k)
     val srcs = docs.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
