@@ -210,6 +210,7 @@ object SparkEntry {
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
+    "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
@@ -1651,6 +1652,39 @@ object SparkEntry {
          JOIN samp s ON s.lang = r.lang AND s.rk = r.s_rank
          JOIN allrk a ON a.lang = r.lang AND a.rk = r.t_rank
          ORDER BY r.lang, pct""",
+    // Grouped HLL: identical md5 bucket/rank projection keyed by lang;
+    // absent buckets are the zero registers, so n_zero and their
+    // 2^rmax mass in S come off the sparse frame with no densify.
+    "x_hll_by_key" ->
+      s"""WITH t AS (SELECT lang AS k, unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS MATERIALIZED (SELECT k, token FROM t WHERE length(token) > 0),
+         hv AS (SELECT k, ${hexDecodeSql("md5(token)", 1, 4)} % 64 AS bucket,
+                       ${hexDecodeSql("md5(token)", 5, 8)} AS w FROM tok),
+         rr AS (SELECT k, bucket, CASE WHEN w = 0 THEN 33
+                                       ELSE 33 - length(bin(w)) END AS r FROM hv),
+         regs AS MATERIALIZED (SELECT k, bucket, CAST(max(r) AS BIGINT) AS register
+                FROM rr GROUP BY 1, 2),
+         st AS MATERIALIZED (SELECT k, CAST(max(register) AS BIGINT) AS r_max,
+                CAST(64 - count(*) AS BIGINT) AS n_zero FROM regs GROUP BY 1),
+         sp AS (SELECT r.k, CAST(sum(1::BIGINT << CAST(st.r_max - r.register AS INT)) AS BIGINT) AS s_present
+                FROM regs r JOIN st ON st.k = r.k GROUP BY 1),
+         ex AS (SELECT k, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM tok GROUP BY 1),
+         co AS (SELECT st.k, st.r_max, st.n_zero,
+                CAST(sp.s_present + st.n_zero * (1::BIGINT << CAST(st.r_max AS INT)) AS BIGINT) AS s_sum
+                FROM st JOIN sp ON sp.k = st.k),
+         es AS (SELECT k, r_max, n_zero, s_sum,
+                CAST(709 * 4096 * (1::BIGINT << CAST(r_max AS INT)) // (1000 * s_sum) AS BIGINT) AS raw_est
+                FROM co),
+         fe AS (SELECT k, r_max, n_zero, s_sum, raw_est,
+                CAST(CASE WHEN raw_est * 2 <= 320 AND n_zero > 0
+                     THEN floor(64 * ln(CAST(64 AS DOUBLE) / n_zero) + 0.5)
+                     ELSE raw_est END AS BIGINT) AS est FROM es)
+         SELECT fe.k AS lang, fe.r_max, fe.n_zero, fe.s_sum, fe.raw_est, fe.est,
+           ex.exact_distinct,
+           CASE WHEN ex.exact_distinct = 0 THEN NULL
+                ELSE CAST(abs(fe.est - ex.exact_distinct) * 100 // ex.exact_distinct AS BIGINT) END AS err_pct
+         FROM fe JOIN ex ON ex.k = fe.k
+         ORDER BY lang""",
     "x_hll_distinct" ->
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          tok AS (SELECT token FROM t WHERE length(token) > 0),

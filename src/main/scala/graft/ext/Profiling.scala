@@ -620,6 +620,77 @@ object Profiling {
       + " THEN 32 ELSE 32 - length(bin(CAST(conv(substring(md5(qkey), 1, 8), 16, 10) AS BIGINT)))"
       + " END AS BIGINT)")
 
+  /** The per-key HLL register frame — the grouped twin of
+    * [[hllRegistersFor]], shared by the batch grouped estimate and
+    * [[graft.streaming.EventsStream.hllRegisterByKeyStream]]: tokens
+    * → (k, bucket, register) with the identical md5 bucket/rank
+    * projection and a per-(key, bucket) max — ≤ 64 register rows per
+    * key out of any corpus, idempotent under replay like the
+    * corpus-wide face.
+    */
+  private[graft] def hllRegistersByKeyFor(docs: DataFrame): DataFrame =
+    docs.select(col("lang").as("k"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("k"),
+        expr("CAST(conv(substring(md5(token), 1, 4), 16, 10) AS BIGINT) % 64").as("bucket"),
+        expr("CAST(conv(substring(md5(token), 5, 8), 16, 10) AS BIGINT)").as("w"))
+      .select(col("k"), col("bucket"),
+        when(col("w") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
+      .groupBy(col("k"), col("bucket")).agg(max(col("r")).as("register"))
+
+  /** Grouped HLL cardinality (`x_hll_by_key`, round 16): per-language
+    * distinct-vocabulary estimates — the "sketches GROUP" completion
+    * beside [[quantileByKey]]: the register maintenance is a per-item
+    * projection, so one token scan builds every key's 64-register
+    * sketch at once (map-side partial maxima, mergeable across any
+    * partitioning), and the Flajolet estimate runs per key off the
+    * bounded ≤ 64·|keys| register frame. A present bucket's register
+    * is ≥ 1, so the m − |present| absent buckets ARE the zero
+    * registers: n_zero and the 2^(rmax−0) mass they contribute to S
+    * are plain integer arithmetic off the sparse frame — no per-key
+    * densify join needed. Same integer estimate as the corpus-wide
+    * face (α₆₄ = 709/1000, linear-counting branch on the identical
+    * integer compares); exact per-key distinct beside it (the truth
+    * leg the sketch replaces at scale) with the zero-guard NULL err.
+    */
+  def hllByKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 64
+    val docs = Tables.documents(spark, dir)
+    val regs = hllRegistersByKeyFor(docs)
+    val stats = regs.groupBy(col("k"))
+      .agg(max(col("register")).as("r_max"),
+        (lit(m.toLong) - count(lit(1))).as("n_zero"))
+    val sSum = regs.join(stats.select(col("k"), col("r_max").as("rm")), Seq("k"))
+      .groupBy(col("k"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(rm - register AS INT))")).as("s_present"))
+    val exact = docs
+      .select(col("lang").as("k"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("k")).agg(countDistinct(col("token")).as("exact_distinct"))
+    stats.join(sSum, Seq("k"))
+      .select(col("k").as("lang"), col("r_max"), col("n_zero"),
+        // absent buckets hold register 0: each adds 2^rmax to S
+        (col("s_present")
+          + col("n_zero") * expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"))
+          .as("s_sum"))
+      .withColumn("raw_est",
+        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+          + " DIV (1000 * s_sum)"))
+      .withColumn("est",
+        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
+          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
+          + " ELSE raw_est END AS BIGINT)"))
+      .join(exact.select(col("k").as("lang"), col("exact_distinct")), Seq("lang"))
+      .select(col("lang"), col("r_max"), col("n_zero"), col("s_sum"),
+        col("raw_est"), col("est"), col("exact_distinct"),
+        expr("CASE WHEN exact_distinct = 0 THEN NULL"
+          + " ELSE abs(est - exact_distinct) * 100 DIV exact_distinct END")
+          .as("err_pct"))
+      .orderBy(col("lang"))
+  }
+
   /** The per-source KMV (k-minimum-values / bottom-k theta sketch)
     * frame — the PRODUCTION face a deployment persists: for each
     * source, the `k` smallest 32-bit md5 values over its DISTINCT

@@ -976,6 +976,18 @@ object EventsStream {
   def quantileLevelStream(items: DataFrame): DataFrame =
     graft.ext.Profiling.quantileLevelHist(items)
 
+  /** Streaming grouped HLL registers (round 16) — the per-key face of
+    * [[hllRegisterStream]]: arriving documents project their md5
+    * bucket/rank ROW-LOCALLY with the exact batch expression
+    * ([[graft.ext.Profiling.hllRegistersByKeyFor]] — one definition,
+    * not a copy) and a streaming max maintains ≤ 64 register rows PER
+    * KEY — idempotent and associative, so at-least-once replay cannot
+    * corrupt any key's sketch. Downstream reads apply the grouped
+    * batch estimator to the standing registers.
+    */
+  def hllRegisterByKeyStream(docs: DataFrame): DataFrame =
+    graft.ext.Profiling.hllRegistersByKeyFor(docs)
+
   /** Streaming grouped quantile-level histogram (round 16) — the
     * per-key face of [[quantileLevelStream]]: arriving items (string
     * `k` key column + string `qkey` identity) draw their md5 level

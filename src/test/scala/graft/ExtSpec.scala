@@ -3516,6 +3516,44 @@ class ExtSpec extends SparkSpec {
     assert(unseen._2 >= 0L)
   }
 
+  test("hll by key: per-key md5 replay; each key's estimate equals its own-subset sketch") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      // the grouping theorem by construction: register maintenance is
+      // per-item, so key k's sketch IS the corpus-wide sketch run on
+      // k's subset — replayed exactly so
+      val toks = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      val regs = Array.fill(64)(0L)
+      toks.foreach { t =>
+        val h = md5hex(t)
+        val b = (java.lang.Long.parseLong(h.substring(0, 4), 16) % 64).toInt
+        val w = java.lang.Long.parseLong(h.substring(4, 12), 16)
+        val r = if (w == 0) 33L else 33L - java.lang.Long.toBinaryString(w).length
+        if (r > regs(b)) regs(b) = r
+      }
+      val rMax = regs.max
+      val nZero = regs.count(_ == 0L).toLong
+      val sSum = regs.map(r => 1L << (rMax - r).toInt).sum
+      val rawEst = 709L * 4096L * (1L << rMax.toInt) / (1000L * sSum)
+      val est = if (rawEst * 2 <= 320 && nZero > 0)
+        math.floor(64 * math.log(64.0 / nZero) + 0.5).toLong else rawEst
+      val exact = toks.distinct.length.toLong
+      (lang, rMax, nZero, sSum, rawEst, est, exact,
+        math.abs(est - exact) * 100 / exact)
+    }
+    val got = graft.ext.Profiling.hllByKey(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"grouped hll diverged (first got=${got.headOption})")
+    // informative per key: within the generous 3-SE bracket the
+    // corpus-wide spec uses
+    got.foreach { r => assert(r._8 <= 40, s"lang ${r._1} estimate off by ${r._8}%") }
+  }
+
   test("kmv overlap: full md5 replay, mergeable, exact past the union, estimator in sampling error") {
     val dir = "/root/testdata/sf0.001"
     val k = 64

@@ -1682,6 +1682,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 33, s"histogram grew past 33 rows: ${streamed.size}")
   }
 
+  test("streaming grouped hll registers: per-key registers equal the batch sketch, idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventsStream.hllRegisterByKeyStream(input.toDF().toDF("lang", "text"))
+      .writeStream.format("memory").queryName("hllk_stream")
+      .outputMode("complete").start()
+    docs.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    // re-delivery: max is idempotent per (key, bucket)
+    input.addData(docs.take(40).toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllk_stream")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, b, r) => ((k, b), r) }.toMap
+    val batch = graft.ext.Profiling.hllRegistersByKeyFor(
+      graft.Tables.documents(spark, dir).select(col("lang"), col("text")))
+      .as[(String, Long, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (k, b, r) =>
+      assert(streamed((k, b)) == r, s"($k, $b): ${streamed((k, b))} vs $r")
+    }
+    streamed.keys.groupBy(_._1).foreach { case (k, bs) =>
+      assert(bs.size <= 64, s"key $k registers grew past 64")
+    }
+  }
+
   test("streaming grouped quantile levels: per-key histogram equals the batch sketch") {
     val dir = "/root/testdata/sf0.001"
     val items = graft.Tables.documents(spark, dir)
