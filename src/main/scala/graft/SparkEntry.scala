@@ -215,6 +215,7 @@ object SparkEntry {
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
+    "x_sample_exact_k"  -> ((s, d) => Corpus.sampleExactK(s, d)), // exactly-k uniform sample via bottom-k order statistics: one scan, mergeable, no sort (round 16)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -1617,6 +1618,20 @@ object SparkEntry {
          LEFT JOIN ns na ON na.source = p.source_a
          LEFT JOIN ns nb ON nb.source = p.source_b
          ORDER BY p.source_a, p.source_b""",
+    // Exactly-k uniform sample: the k smallest 's:'-prefixed md5 draws
+    // with doc_id tiebreak (the packed total order the engine's
+    // bottom-k maintains), metadata joined back.
+    "x_sample_exact_k" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+             ${hexDecodeSql("md5('s:' || CAST(doc_id AS VARCHAR))", 1, 8)} AS h
+           FROM documents),
+         sel AS (SELECT doc_id, h, rk FROM (
+             SELECT doc_id, h, row_number() OVER (ORDER BY h ASC, doc_id ASC) AS rk
+             FROM d) t WHERE rk <= 20)
+         SELECT CAST(sel.rk AS BIGINT) AS rk, sel.doc_id, sel.h AS draw,
+           d.lang, d.source, d.n_chars
+         FROM sel JOIN d ON d.doc_id = sel.doc_id
+         ORDER BY rk""",
     // Grouped quantile sketch: per-language md5 level histograms, each
     // key's own j* from the shared cumulative table, one sample scan
     // for all keys, exact per-key rank truth beside the estimate.

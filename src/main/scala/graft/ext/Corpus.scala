@@ -39,6 +39,58 @@ object Corpus {
           .when(col("bucket") < 90, lit("val"))
           .otherwise(lit("test")))
 
+  /** Exactly-k uniform sample (`x_sample_exact_k`, round 16) — the
+    * order-statistics companion to [[sampleSplit]]'s Bernoulli draw:
+    * the k documents with the SMALLEST md5 draws form an exactly-k
+    * uniform-without-replacement sample (bottom-k order statistics of
+    * i.i.d. hashes — the KMV trick pointed at sampling), where the
+    * Bernoulli split can only promise k in expectation. The everyday
+    * uses are eval-subset selection and "give me exactly 20 docs to
+    * eyeball" debugging at any corpus size.
+    *
+    * Deterministic and MERGEABLE: the draw packs (h, doc_id) into one
+    * bigint (h·2³¹ + doc_id — a total order, h major), so
+    * [[graft.functions.BottomKDistinct]] maintains the sample in ONE
+    * scan with map-side partials (k rows per partition on the wire)
+    * and bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) holds —
+    * the union of two shards' samples re-aggregates to the corpus
+    * sample exactly (spec-asserted). No global sort, no window, no
+    * `ORDER BY rand() LIMIT k` single-reducer funnel — the shapes
+    * this op replaces. The 's:' hash prefix decorrelates the draw
+    * from [[sampleSplit]]'s bucket (an unprefixed reuse would make
+    * the sample a deterministic function of the split). doc_id < 2³¹
+    * is required for the pack and loudly checked against the corpus
+    * max inside the same aggregate.
+    */
+  def sampleExactK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val packed = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      expr("CAST(conv(substring(md5(concat('s:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        .as("h"))
+    val row = packed.agg(
+      graft.functions.GraftFunctions
+        .bottomKDistinct(expr("h * 2147483648 + doc_id"), k).as("mins"),
+      max(col("doc_id")).as("max_id")).head()
+    if (!row.isNullAt(1))
+      require(row.getLong(1) < 2147483648L,
+        s"sampleExactK packs doc_id into 31 bits; corpus max ${row.getLong(1)} overflows")
+    val sampled = spark.createDataFrame(
+      java.util.Arrays.asList(
+        row.getSeq[Long](0).zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row((i + 1).toLong, v / 2147483648L, v % 2147483648L)
+        }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("draw", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false))))
+    // ≤ k rows broadcast back onto the table scan for the metadata
+    docs.join(broadcast(sampled), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("draw"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy(col("rk"))
+  }
+
   /** Curriculum assignment: every document gets a training STAGE (1 =
     * cleanest quartile, trained first) from exact quartiles of the
     * deterministic quality score, plus a deterministic within-stage

@@ -3516,6 +3516,33 @@ class ExtSpec extends SparkSpec {
     assert(unseen._2 >= 0L)
   }
 
+  test("exact-k sample: md5 order-statistics replay; shard samples merge to the corpus sample") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 20
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def draw(id: Long): Long = java.lang.Long.parseLong(md5hex(s"s:$id").substring(0, 8), 16)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars").cast("long"))
+      .as[(Long, String, String, Long)].collect()
+    val ordered = docs.map(d => ((draw(d._1), d._1), d)).sortBy(_._1)
+    val expected = ordered.take(k).zipWithIndex.map { case (((h, _), d), i) =>
+      ((i + 1).toLong, d._1, h, d._2, d._3, d._4)
+    }.toSeq
+    val got = graft.ext.Corpus.sampleExactK(spark, dir)
+      .as[(Long, Long, Long, String, String, Long)].collect().toSeq
+    assert(got == expected, s"sample diverged (first got=${got.headOption})")
+    // mergeability: bottom-k of two shards' bottom-k's == corpus bottom-k
+    val (sa, sb) = docs.partition(_._1 % 2 == 0)
+    def bottomK(ds: Array[(Long, String, String, Long)]): Seq[(Long, Long)] =
+      ds.map(d => (draw(d._1), d._1)).sorted.take(k).toSeq
+    val merged = (bottomK(sa) ++ bottomK(sb)).sorted.take(k)
+    assert(merged == ordered.take(k).map(_._1).toSeq, "shard merge diverged from corpus sample")
+    // exactly k, not k-in-expectation (the Bernoulli split's promise)
+    assert(got.length == k)
+  }
+
   test("hll by key: per-key md5 replay; each key's estimate equals its own-subset sketch") {
     val dir = "/root/testdata/sf0.001"
     def md5hex(s: String): String =
