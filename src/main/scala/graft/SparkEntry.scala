@@ -213,6 +213,7 @@ object SparkEntry {
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
+    "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
     "x_sample_exact_k"  -> ((s, d) => Corpus.sampleExactK(s, d)), // exactly-k uniform sample via bottom-k order statistics: one scan, mergeable, no sort (round 16)
@@ -1573,51 +1574,14 @@ object SparkEntry {
     // the distinct token vocabulary; pair overlap from re-aggregated
     // union sketches (bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B)));
     // exact inclusion–exclusion truth leg beside the estimate.
-    "x_kmv_overlap" ->
-      s"""WITH t AS (SELECT d.source, substring(d.text, j, 8) AS sh
-               FROM documents d,
-               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS j)),
-         tok AS MATERIALIZED (SELECT DISTINCT source, ${hexDecodeSql("md5(sh)", 1, 8)} AS h
-                FROM t),
-         sk AS MATERIALIZED (SELECT source, h FROM (
-             SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
-             FROM tok) x WHERE rk <= 64),
-         srcs AS (SELECT DISTINCT source FROM documents),
-         pairs AS MATERIALIZED (SELECT a.source AS source_a, b.source AS source_b
-                  FROM srcs a JOIN srcs b ON a.source < b.source),
-         uni AS (SELECT DISTINCT source_a, source_b, h FROM (
-             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_a
-             UNION ALL
-             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_b) u),
-         m AS MATERIALIZED (SELECT source_a, source_b, h FROM (
-             SELECT source_a, source_b, h,
-               row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rk
-             FROM uni) x WHERE rk <= 64),
-         ms AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_size FROM m GROUP BY 1, 2),
-         mb AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS kmv_overlap
-                FROM m JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
-                       JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
-                GROUP BY 1, 2),
-         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-         iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
-                FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
-         SELECT p.source_a, p.source_b,
-           CAST(coalesce(ms.m_size, 0) AS BIGINT) AS m_size,
-           CAST(coalesce(mb.kmv_overlap, 0) AS BIGINT) AS kmv_overlap,
-           CASE WHEN coalesce(ms.m_size, 0) = 0 THEN NULL
-                ELSE CAST(coalesce(mb.kmv_overlap, 0) * 1000000 // ms.m_size AS BIGINT) END AS kmv_jaccard_micro,
-           CAST(coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
-           CAST(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_union,
-           CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) = 0 THEN NULL
-                ELSE CAST(coalesce(iv.exact_inter, 0) * 1000000
-                  // (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0)) AS BIGINT) END AS exact_jaccard_micro
-         FROM pairs p
-         LEFT JOIN ms ON ms.source_a = p.source_a AND ms.source_b = p.source_b
-         LEFT JOIN mb ON mb.source_a = p.source_a AND mb.source_b = p.source_b
-         LEFT JOIN iv ON iv.source_a = p.source_a AND iv.source_b = p.source_b
-         LEFT JOIN ns na ON na.source = p.source_a
-         LEFT JOIN ns nb ON nb.source = p.source_b
-         ORDER BY p.source_a, p.source_b""",
+    "x_kmv_overlap" -> kmvOracleFor("SELECT source, text FROM documents"),
+    // the same KMV estimator keyed by the x_sample_split draw: the
+    // cross-split contamination monitor at sketch speed
+    "x_kmv_decontam" -> kmvOracleFor(
+      s"""SELECT CASE WHEN ${hexDecodeSql("md5(CAST(doc_id AS VARCHAR))", 1, 4)} % 100 < 80 THEN 'train'
+                 WHEN ${hexDecodeSql("md5(CAST(doc_id AS VARCHAR))", 1, 4)} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS source, text FROM documents"""),
+
     // Exactly-k uniform sample: the k smallest 's:'-prefixed md5 draws
     // with doc_id tiebreak (the packed total order the engine's
     // bottom-k maintains), metadata joined back.
@@ -3840,6 +3804,58 @@ object SparkEntry {
     * curve oracle needs the prefix-taggable nprobe=8 frame; the
     * standing probe/nDCG oracles keep their nprobe=4 instantiation).
     */
+
+  /** The KMV pair-overlap oracle, parameterized on the (source, text)
+    * relation — instantiated by `x_kmv_overlap` (the documents table
+    * as-is) and `x_kmv_decontam` (the same rows keyed by the
+    * x_sample_split md5 draw). Compose, never copy.
+    */
+  private def kmvOracleFor(docsSel: String): String =
+    s"""WITH t AS (SELECT d.source, substring(d.text, j, 8) AS sh
+               FROM ($docsSel) d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS j)),
+         tok AS MATERIALIZED (SELECT DISTINCT source, ${hexDecodeSql("md5(sh)", 1, 8)} AS h
+                FROM t),
+         sk AS MATERIALIZED (SELECT source, h FROM (
+             SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+             FROM tok) x WHERE rk <= 64),
+         srcs AS (SELECT DISTINCT source FROM tok),
+         pairs AS MATERIALIZED (SELECT a.source AS source_a, b.source AS source_b
+                  FROM srcs a JOIN srcs b ON a.source < b.source),
+         uni AS (SELECT DISTINCT source_a, source_b, h FROM (
+             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, s.h FROM pairs p JOIN sk s ON s.source = p.source_b) u),
+         m AS MATERIALIZED (SELECT source_a, source_b, h FROM (
+             SELECT source_a, source_b, h,
+               row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rk
+             FROM uni) x WHERE rk <= 64),
+         ms AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_size FROM m GROUP BY 1, 2),
+         mb AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS kmv_overlap
+                FROM m JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
+                       JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
+                GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
+                FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+           CAST(coalesce(ms.m_size, 0) AS BIGINT) AS m_size,
+           CAST(coalesce(mb.kmv_overlap, 0) AS BIGINT) AS kmv_overlap,
+           CASE WHEN coalesce(ms.m_size, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(mb.kmv_overlap, 0) * 1000000 // ms.m_size AS BIGINT) END AS kmv_jaccard_micro,
+           CAST(coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) AS BIGINT) AS exact_union,
+           CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(iv.exact_inter, 0) * 1000000
+                  // (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(iv.exact_inter, 0)) AS BIGINT) END AS exact_jaccard_micro
+         FROM pairs p
+         LEFT JOIN ms ON ms.source_a = p.source_a AND ms.source_b = p.source_b
+         LEFT JOIN mb ON mb.source_a = p.source_a AND mb.source_b = p.source_b
+         LEFT JOIN iv ON iv.source_a = p.source_a AND iv.source_b = p.source_b
+         LEFT JOIN ns na ON na.source = p.source_a
+         LEFT JOIN ns nb ON nb.source = p.source_b
+         ORDER BY p.source_a, p.source_b"""
+
   /** Brute-force truth-rank CTE (rk 1..3 per held-out query) —
     * expects CTEs `e` and `q`; shared by the probe-family oracles and
     * the NSW oracle (compose, never copy).

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,16 +28,23 @@ object Corpus {
     * (e.g. [[Dedup.splitLeakage]]) where a Sort below the join would be
     * dead weight the optimizer may or may not remove.
     */
+  /** First 4 hex digits of md5(doc_id) → 0..65535, mod 100 — the
+    * split draw, row-local.
+    */
+  private[graft] val splitBucketCol: Column =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+
+  /** The split label as a row-local column — ONE definition shared by
+    * [[splitAssignFor]] and the cross-split KMV contamination face
+    * ([[Profiling.kmvSplitOverlap]]), so the two cannot drift.
+    */
+  private[graft] val splitLabelCol: Column =
+    when(splitBucketCol < 80, lit("train"))
+      .when(splitBucketCol < 90, lit("val"))
+      .otherwise(lit("test"))
+
   private[graft] def splitAssignFor(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        // first 4 hex digits of md5(doc_id) → 0..65535, mod 100
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, lit("train"))
-          .when(col("bucket") < 90, lit("val"))
-          .otherwise(lit("test")))
+    docs.select(col("doc_id"), splitBucketCol.as("bucket"), splitLabelCol.as("split"))
 
   /** Exactly-k uniform sample (`x_sample_exact_k`, round 16) — the
     * order-statistics companion to [[sampleSplit]]'s Bernoulli draw:

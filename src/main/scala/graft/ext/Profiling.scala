@@ -757,20 +757,45 @@ object Profiling {
     * the source list, bounded by construction — the documented
     * PlanLint exemption), not a corpus-scale cross join.
     */
-  def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+  def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvOverlapReport(spark, Tables.documents(spark, dir), k, s"kmvtok:$dir", dir)
+
+  /** Cross-split contamination estimate (`x_kmv_decontam`, round 16):
+    * the KMV overlap machinery pointed at the TRAIN/VAL/TEST splits —
+    * "how much shingle mass do my eval splits share with training?"
+    * answered from three k-row sketches instead of the cross-split
+    * shingle join the exact decontamination family
+    * ([[graft.ext.Corpus.decontaminate]] and friends) runs. The split
+    * label is [[graft.ext.Corpus.splitLabelCol]] — the SAME md5 draw
+    * as `x_sample_split`, one definition — used as the sketch key, so
+    * this face is literally [[kmvSourceOverlap]] over a different
+    * keying (compose, never copy). At 100 TB this is the cheap
+    * always-on contamination MONITOR; a non-trivial estimate routes
+    * to the exact 13-gram/near-dup decontam faces for adjudication.
+    */
+  def kmvSplitOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvOverlapReport(spark,
+      Tables.documents(spark, dir)
+        .select(Corpus.splitLabelCol.as("source"), col("text")),
+      k, s"kmvtoksplit:$dir", dir)
+
+  private def kmvOverlapReport(spark: SparkSession, docs: DataFrame, k: Int,
+      tokMemoKey: String, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
     // exact truth leg ONLY — referenced three times below (per-source
     // counts + both sides of the intersection self-join), so the
     // distinct (source, h) frame rides the session frame memo like
     // pairFrame rather than re-running the explode+md5 per reference
     // (bench r16: the unshared frame tripled the query's scan cost)
-    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
+    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, tokMemoKey, dir,
       tables = Seq("documents.parquet")) {
       kmvShingleHashes(docs).distinct()
     }
     val sk = kmvSketchFor(docs, k)
-    val srcs = docs.select(col("source")).distinct()
+    // the pair matrix covers sources present in the shingle UNIVERSE
+    // (an all-empty-text source has no set to overlap) — read off the
+    // memoized truth frame, matching the oracle's tok-derived list
+    val srcs = tok.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))

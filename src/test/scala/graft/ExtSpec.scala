@@ -3671,6 +3671,42 @@ class ExtSpec extends SparkSpec {
       "no key entered the sampling regime and none is small enough to be exact")
   }
 
+  test("kmv decontam: split-keyed replay off the x_sample_split draw") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def shingles(t: String): Seq[String] =
+      (0 until math.max(t.length - 7, 1)).map(i => t.substring(i, math.min(i + 8, t.length)))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val full: Map[String, Set[Long]] = docs.groupBy(d => splitOf(d._1)).map { case (s2, ds) =>
+      s2 -> ds.flatMap(d => shingles(d._2))
+        .map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 8), 16)).toSet
+    }
+    val sk = full.map { case (s2, hs) => s2 -> hs.toSeq.sorted.take(k) }
+    val splits = full.keys.toSeq.sorted
+    val expected = for { a <- splits; b <- splits if a < b } yield {
+      val mFull = (full(a) ++ full(b)).toSeq.sorted.take(k)
+      val ov = mFull.count(h => sk(a).contains(h) && sk(b).contains(h)).toLong
+      val exInter = (full(a) & full(b)).size.toLong
+      val exUnion = (full(a) | full(b)).size.toLong
+      (a, b, mFull.size.toLong, ov, ov * 1000000L / mFull.size,
+        exInter, exUnion, exInter * 1000000L / exUnion)
+    }
+    val got = graft.ext.Profiling.kmvSplitOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"split-keyed kmv diverged (got=${got.take(2)})")
+    // the three splits all materialize and every pair reports
+    assert(got.map(r => (r._1, r._2)).toSet ==
+      Set(("test", "train"), ("test", "val"), ("train", "val")))
+  }
+
   test("quantile sketch: full md5 replay, rank error within the sampling bound, mergeable") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Profiling.quantileSketch(spark, dir)
