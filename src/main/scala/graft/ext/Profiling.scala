@@ -793,9 +793,13 @@ object Profiling {
     }
     val sk = kmvSketchFor(docs, k)
     // the pair matrix covers sources present in the shingle UNIVERSE
-    // (an all-empty-text source has no set to overlap) — read off the
-    // memoized truth frame, matching the oracle's tok-derived list
-    val srcs = tok.select(col("source")).distinct()
+    // (an all-empty-text source has no set to overlap, matching the
+    // oracle's tok-derived list) — read off the k·|sources|-row SKETCH
+    // frame, which carries exactly that source set and is needed by
+    // the estimator legs anyway; deriving it from the corpus-scale
+    // truth frame put the full shingle build on the pair matrix's
+    // critical path (a measured 1.6× on the bench reading, review r16)
+    val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))
