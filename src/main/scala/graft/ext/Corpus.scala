@@ -72,16 +72,26 @@ object Corpus {
   def sampleExactK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val packed = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+    // only the draw and the id feed the aggregate — metadata arrives
+    // via the ≤k-row join-back below (review r16: dead columns here
+    // implied otherwise)
+    val packed = docs.select(col("doc_id"),
       expr("CAST(conv(substring(md5(concat('s:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
         .as("h"))
     val row = packed.agg(
       graft.functions.GraftFunctions
         .bottomKDistinct(expr("h * 2147483648 + doc_id"), k).as("mins"),
-      max(col("doc_id")).as("max_id")).head()
-    if (!row.isNullAt(1))
+      max(col("doc_id")).as("max_id"),
+      min(col("doc_id")).as("min_id")).head()
+    if (!row.isNullAt(1)) {
       require(row.getLong(1) < 2147483648L,
         s"sampleExactK packs doc_id into 31 bits; corpus max ${row.getLong(1)} overflows")
+      // a negative id would corrupt the pack's truncating unpack
+      // silently (review r16) — the guard covers BOTH halves of the
+      // 0 <= doc_id < 2^31 precondition
+      require(row.getLong(2) >= 0L,
+        s"sampleExactK needs nonnegative doc_id; corpus min ${row.getLong(2)}")
+    }
     val sampled = spark.createDataFrame(
       java.util.Arrays.asList(
         row.getSeq[Long](0).zipWithIndex.map { case (v, i) =>

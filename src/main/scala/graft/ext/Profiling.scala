@@ -388,15 +388,11 @@ object Profiling {
     * rows of state, ever).
     */
   private[graft] def hllRegistersFor(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(
-        expr("CAST(conv(substring(md5(token), 1, 4), 16, 10) AS BIGINT) % 64").as("bucket"),
-        expr("CAST(conv(substring(md5(token), 5, 8), 16, 10) AS BIGINT)").as("w"))
-      .select(col("bucket"),
-        when(col("w") === 0L, lit(33L))
-          .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
-      .groupBy(col("bucket")).agg(max(col("r")).as("register"))
+    // the corpus-wide face IS the grouped face under one constant key
+    // (review r16: two copies of the md5 bucket/rank projection were
+    // the "one definition, not a copy" drift this file forbids)
+    hllRegistersByKeyFor(docs.withColumn("lang", lit("")))
+      .select(col("bucket"), col("register"))
 
   /** The PRODUCTION face of the HLL sketch (round 16, VERDICT r15 #6):
     * the Flajolet estimate applied to a standing register frame — the
@@ -639,6 +635,39 @@ object Profiling {
           .otherwise(lit(33L) - length(bin(col("w")))).as("r"))
       .groupBy(col("k"), col("bucket")).agg(max(col("r")).as("register"))
 
+  /** The grouped Flajolet estimator over a standing (k, bucket,
+    * register) frame — the production read path of
+    * [[graft.streaming.EventsStream.hllRegisterByKeyStream]], so a
+    * deployment maintaining per-key registers has a callable
+    * estimator instead of re-implementing the arithmetic (review r16
+    * — the estimator-duplication drift VERDICT r15 #6 closed for the
+    * corpus-wide face, closed here for the grouped one). A present
+    * bucket's register is ≥ 1, so absent buckets ARE the zero
+    * registers: n_zero and their 2^rmax mass in S come off the
+    * sparse frame with no per-key densify.
+    */
+  def hllEstimateByKeyFor(regs: DataFrame): DataFrame = {
+    val m = 64
+    val stats = regs.groupBy(col("k"))
+      .agg(max(col("register")).as("r_max"),
+        (lit(m.toLong) - count(lit(1))).as("n_zero"))
+    val sSum = regs.join(stats.select(col("k"), col("r_max").as("rm")), Seq("k"))
+      .groupBy(col("k"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(rm - register AS INT))")).as("s_present"))
+    stats.join(sSum, Seq("k"))
+      .select(col("k"), col("r_max"), col("n_zero"),
+        (col("s_present")
+          + col("n_zero") * expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"))
+          .as("s_sum"))
+      .withColumn("raw_est",
+        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+          + " DIV (1000 * s_sum)"))
+      .withColumn("est",
+        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
+          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
+          + " ELSE raw_est END AS BIGINT)"))
+  }
+
   /** Grouped HLL cardinality (`x_hll_by_key`, round 16): per-language
     * distinct-vocabulary estimates — the "sketches GROUP" completion
     * beside [[quantileByKey]]: the register maintenance is a per-item
@@ -656,34 +685,21 @@ object Profiling {
     */
   def hllByKey(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val m = 64
     val docs = Tables.documents(spark, dir)
-    val regs = hllRegistersByKeyFor(docs)
-    val stats = regs.groupBy(col("k"))
-      .agg(max(col("register")).as("r_max"),
-        (lit(m.toLong) - count(lit(1))).as("n_zero"))
-    val sSum = regs.join(stats.select(col("k"), col("r_max").as("rm")), Seq("k"))
-      .groupBy(col("k"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(rm - register AS INT))")).as("s_present"))
+    // the ≤ 64·|keys|-row register frame feeds BOTH estimator legs
+    // (stats + the rmax re-join) — memoized like the kmv truth frame
+    // so the token explode runs once, not per reference (review r16)
+    val regs = graft.ext.Dedup.Frames.getOrCompute(spark, s"hllregsbykey:$dir",
+      dir, tables = Seq("documents.parquet")) {
+      hllRegistersByKeyFor(docs)
+    }
     val exact = docs
       .select(col("lang").as("k"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("k")).agg(countDistinct(col("token")).as("exact_distinct"))
-    stats.join(sSum, Seq("k"))
-      .select(col("k").as("lang"), col("r_max"), col("n_zero"),
-        // absent buckets hold register 0: each adds 2^rmax to S
-        (col("s_present")
-          + col("n_zero") * expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"))
-          .as("s_sum"))
-      .withColumn("raw_est",
-        expr(s"709 * ${m.toLong * m} * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
-          + " DIV (1000 * s_sum)"))
-      .withColumn("est",
-        expr(s"CAST(CASE WHEN raw_est * 2 <= ${5L * m} AND n_zero > 0"
-          + s" THEN floor($m * ln(CAST($m AS DOUBLE) / n_zero) + 0.5)"
-          + " ELSE raw_est END AS BIGINT)"))
-      .join(exact.select(col("k").as("lang"), col("exact_distinct")), Seq("lang"))
-      .select(col("lang"), col("r_max"), col("n_zero"), col("s_sum"),
+    hllEstimateByKeyFor(regs)
+      .join(exact, Seq("k"))
+      .select(col("k").as("lang"), col("r_max"), col("n_zero"), col("s_sum"),
         col("raw_est"), col("est"), col("exact_distinct"),
         expr("CASE WHEN exact_distinct = 0 THEN NULL"
           + " ELSE abs(est - exact_distinct) * 100 DIV exact_distinct END")
