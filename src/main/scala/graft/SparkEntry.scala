@@ -119,6 +119,7 @@ object SparkEntry {
     "x_sim_ivf_probe"   -> ((s, d) => Similarity.ivfProbeReport(s, d)), // nprobe=4 recall-vs-cost verdict (round 15)
     "x_sim_ivf_curve"   -> ((s, d) => Similarity.ivfProbeCurve(s, d)), // recall-vs-nprobe {1,2,4,8} operating curve from ONE nprobe=8 scan (round 15)
     "x_lexrank"         -> ((s, d) => Similarity.lexRank(s, d)), // LexRank representative-doc selection: shared integer-PageRank kernel over the cell-bounded similarity graph (round 15)
+    "x_lexrank_graph"   -> ((s, d) => Similarity.lexRankGraph(s, d)), // kNN-graph LexRank: the same kernel over the bounded-degree NSW neighbor graph — the 100 TB path (round 17)
     "x_cell_imbalance"  -> ((s, d) => Similarity.cellImbalance(s, d)), // FAISS imbalance_factor index-health audit over the seed cells (round 15)
     "x_rank_ndcg"       -> ((s, d) => Similarity.annNdcgReport(s, d)), // nDCG@3 rank-quality verdict over the probe frame (round 15)
     "x_kmeans_scalable" -> ((s, d) => Similarity.kmeansScalableReport(s, d)), // k-means|| oversampled seeding trajectory (Bahmani et al., round 15)
@@ -1485,6 +1486,7 @@ object SparkEntry {
     // ranking bug fails the hash.
     "x_sim_ivf_curve" -> ivfCurveOracle,
     "x_lexrank" -> lexRankOracle,
+    "x_lexrank_graph" -> lexRankGraphOracle,
     // Graph-ANN (NSW): deterministic graph + beam trajectory — the
     // final ranked lists, per-query scored-vector cost, and brute
     // truth membership all hash-gate (the probe-report convention).
@@ -3813,7 +3815,8 @@ object SparkEntry {
   private def kmvOracleFor(docsSel: String): String =
     s"""WITH t AS (SELECT d.source, substring(d.text, j, 8) AS sh
                FROM ($docsSel) d,
-               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 1))) AS j)),
+               LATERAL (SELECT unnest(generate_series(1, length(d.text) - 7)) AS j)
+               WHERE length(d.text) >= 8),
          tok AS MATERIALIZED (SELECT DISTINCT source, ${hexDecodeSql("md5(sh)", 1, 8)} AS h
                 FROM t),
          sk AS MATERIALIZED (SELECT source, h FROM (
@@ -4055,6 +4058,43 @@ object SparkEntry {
            WHERE cq >= 0.2),
          ed AS MATERIALIZED (SELECT v1 AS w1, v2 AS w2, wt FROM half
                              UNION ALL SELECT v2 AS w1, v1 AS w2, wt FROM half),
+         deg AS MATERIALIZED (SELECT w1 AS w, CAST(sum(wt) AS BIGINT) AS wdeg
+                              FROM ed GROUP BY 1),
+         r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM deg),
+         ${pageRankIterCtes()},
+         f AS (SELECT r5.w, d.wdeg, r5.r,
+                 row_number() OVER (ORDER BY r5.r DESC, r5.w) AS rk
+               FROM r5 JOIN deg d ON r5.w = d.w)
+         SELECT CAST(f.rk AS BIGINT) AS rk, f.w AS vec_id, c.cell_id, f.wdeg,
+           f.r AS rank_micro
+         FROM f JOIN assigned c ON f.w = c.vec_id
+         WHERE f.rk <= 10 ORDER BY f.rk"""
+
+  /** kNN-graph LexRank oracle: the NSW oracle's bounded-degree graph
+    * CTEs (within-cell top-4 by (rounded cos DESC, id ASC),
+    * symmetrized, distinct) re-scored against the embedding table for
+    * micro-quantized positive weights, then the SAME loop-generated
+    * PageRank rounds and top-10 tail as [[lexRankOracle]] (compose,
+    * never copy).
+    */
+  private val lexRankGraphOracle: String =
+    s"""WITH $seedAssignCtes,
+         pr AS MATERIALIZED (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_q
+           FROM assigned a JOIN assigned b
+             ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         oute AS (SELECT v1, v2 FROM (
+             SELECT v1, v2, row_number() OVER (PARTITION BY v1 ORDER BY cos_q DESC, v2 ASC) AS rk
+             FROM pr) t WHERE rk <= 4),
+         g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT v1 AS src, v2 AS dst FROM oute
+             UNION ALL SELECT v2 AS src, v1 AS dst FROM oute) u),
+         ed AS MATERIALIZED (SELECT src AS w1, dst AS w2,
+             CAST(floor(cq * 1e6 + 0.5) AS BIGINT) AS wt FROM (
+             SELECT g.src, g.dst,
+               round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cq
+             FROM g JOIN e a ON a.vec_id = g.src JOIN e b ON b.vec_id = g.dst) t
+           WHERE cq > 0),
          deg AS MATERIALIZED (SELECT w1 AS w, CAST(sum(wt) AS BIGINT) AS wdeg
                               FROM ed GROUP BY 1),
          r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM deg),

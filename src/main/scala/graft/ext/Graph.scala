@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   * (spec-asserted); it is OFF by default because at the registered
   * 5-iteration faces the materialization costs more than the lineage
   * saves — flip it on before raising `iters`.
+  *
+  * Durability caveat (ADVICE r16): `localCheckpoint` stores the
+  * truncated blocks on EXECUTORS only — after an executor loss the
+  * severed lineage cannot recompute, so a long checkpointed run FAILS
+  * instead of recovering (Spark's documented localCheckpoint
+  * trade-off). On a fault-prone cluster, prefer reliable
+  * checkpointing: set `sparkContext.setCheckpointDir` to durable
+  * storage and substitute `rank.checkpoint()` at the same seam — same
+  * O(1)-plan effect, recomputable from HDFS/S3 blocks. The kernel
+  * keeps localCheckpoint because the registered faces run few
+  * iterations on a single JVM, where the executor-loss mode does not
+  * exist and the durable write would be pure overhead.
   */
 object Graph {
 

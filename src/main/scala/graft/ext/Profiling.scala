@@ -732,8 +732,16 @@ object Profiling {
     * exact-small-set one.
     */
   private def kmvShingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"), col("text"))
+    // texts shorter than the shingle width have NO 8-char shingle and
+    // are filtered out (ADVICE r16: the old greatest(...,1) floor
+    // emitted the truncated text — and md5('') for empty texts — so an
+    // all-short-text source entered the pair universe and the shared
+    // '' shingle manufactured artificial cross-source overlap); the
+    // oracle applies the same WHERE, keeping the documented "no set,
+    // no overlap" semantics true on both engines
+    docs.filter(length(col("text")) >= 8)
+      .select(col("source"),
+        explode(expr("sequence(1, length(text) - 7)")).as("i"), col("text"))
       .select(col("source"), expr("substring(text, i, 8)").as("sh"))
       .select(col("source"),
         expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
@@ -807,7 +815,15 @@ object Profiling {
       tables = Seq("documents.parquet")) {
       kmvShingleHashes(docs).distinct()
     }
-    val sk = kmvSketchFor(docs, k)
+    // the k·|sources|-row sketch frame is referenced FIVE times below
+    // (srcs, both sides of uni, both sides of mBoth) — without the
+    // memo each reference re-runs the full shingle explode + bottom-k
+    // aggregate, the same repeated-scan cost the tok memo above was
+    // added to avoid (ADVICE r16)
+    val sk = graft.ext.Dedup.Frames.getOrCompute(spark, s"$tokMemoKey:sk:$k", dir,
+      tables = Seq("documents.parquet")) {
+      kmvSketchFor(docs, k)
+    }
     // the pair matrix covers sources present in the shingle UNIVERSE
     // (an all-empty-text source has no set to overlap, matching the
     // oracle's tok-derived list) — read off the k·|sources|-row SKETCH
@@ -894,7 +910,17 @@ object Profiling {
       throw new IllegalArgumentException(
         s"quantile sketch: |S_$depth| = ${nAtLeast(depth)} > cap=$cap — " +
           s"raise depth toward ceil(log2(n/cap)) for $label (n=${nAtLeast(0)})"))
-    (j, nAtLeast(j))
+    val m = nAtLeast(j)
+    // ADVICE r16: per-level counts CAN jump from >cap straight to 0
+    // (every item drew a shallow level), selecting an EMPTY sample that
+    // estimates nothing — downstream that surfaced as a bare
+    // NoSuchElementException on the missing sample row (and the DuckDB
+    // oracle silently DROPS the key — a failure-mode divergence). Fail
+    // loudly here, at the selection, with the fix spelled out.
+    require(m >= 1L,
+      s"quantile sketch: selected level $j has an EMPTY sample for $label " +
+        s"(per-level counts drop from >cap at level ${j - 1} to 0) — raise cap")
+    (j, m)
   }
 
   /** Decode a TopKByScore(−v, …) sample array into ascending values —

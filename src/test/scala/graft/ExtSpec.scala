@@ -3385,6 +3385,109 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("lexrank graph: top-10 equals a plain-Scala replay over the kNN graph; edges within cells, edge mass <= 2mn") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.lexRankGraph(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    val assigned = Similarity.seedAssigned(spark, dir, 16)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val emb = assigned.map(a => a._1 -> a._2).toMap
+    val cellOf = assigned.map(a => a._1 -> a._3).toMap
+    // the NSW graph contract replayed: per-vector top-4 within-cell
+    // neighbors by (cos DESC, id ASC), symmetrized, distinct
+    val gEdges: Set[(Long, Long)] = assigned.groupBy(_._3).values.toSeq.flatMap {
+      cell =>
+        cell.toSeq.flatMap { v =>
+          cell.toSeq.filter(_._1 != v._1)
+            .map(w => (w._1, cos6(v._2, w._2)))
+            .sortBy { case (id, c) => (-c, id) }
+            .take(4)
+            .flatMap { case (w, _) => Seq((v._1, w), (w, v._1)) }
+        }
+    }.toSet
+    // the verdict's containment theorem: every edge stays within a cell
+    gEdges.foreach { case (a, b) =>
+      assert(cellOf(a) == cellOf(b), s"edge ($a, $b) crosses cells")
+    }
+    // bounded edge MASS: each node contributes <= m undirected edges, so
+    // <= 2mn directed rows survive symmetrization. Per-node IN-degree is
+    // NOT bounded (a hub can sit in many nodes' top-m — observed degree
+    // 17 > 2m at sf0.001), so the scale claim is the linear TOTAL.
+    assert(gEdges.size <= 2 * 4 * assigned.length,
+      s"edge mass ${gEdges.size} exceeds 2mn = ${2 * 4 * assigned.length}")
+    // micro-quantized positive weights, then the shared integer kernel
+    val edges: Map[(Long, Long), Long] = gEdges.toSeq
+      .map { case (a, b) => (a, b) -> cos6(emb(a), emb(b)) }
+      .filter(_._2 > 0)
+      .map { case (e, c) => e -> math.floor(c * 1e6 + 0.5).toLong }.toMap
+    val wdeg = edges.groupBy(_._1._1).map { case (w, es) => w -> es.values.sum }
+    var rank: Map[Long, Long] = wdeg.map { case (w, _) => w -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case ((u, v), wt) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + rank(u) * wt / wdeg(u)
+      }
+      rank = wdeg.map { case (w, _) =>
+        w -> (150000L + 85L * contrib.getOrElse(w, 0L) / 100L)
+      }.toMap
+    }
+    val expTop = rank.toSeq.sortBy { case (v, r) => (-r, v) }.take(10)
+    got.zip(expTop).foreach { case ((rk, vid, cid, wd, rm), (ev, er)) =>
+      assert(vid == ev && rm == er && wd == wdeg(ev) && cid == cellOf(ev),
+        s"rank $rk: ($vid, $cid, $wd, $rm) vs ($ev, ${cellOf(ev)}, ${wdeg(ev)}, $er)")
+    }
+    // non-degenerate: ranks discriminate and more than one cell appears
+    assert(got.map(_._3).distinct.length > 1, "top-10 collapsed into one cell")
+    assert(got.map(_._5).distinct.length > 1, "all top-10 rank values identical")
+    Dedup.releaseCaches()
+  }
+
+  test("cellsFor mechanizes the cells-growth discipline: floor 16, monotone, sqrt growth; auto assignment matches at the floor") {
+    // the floor regime covers every test corpus (n <= 256*targetCellSize)
+    assert(Similarity.cellsFor(0L) == 16)
+    assert(Similarity.cellsFor(1000L) == 16)
+    assert(Similarity.cellsFor(256L * 1024L) == 16)
+    assert(Similarity.cellsFor(256L * 1024L + 1L) == 17)
+    // monotone non-decreasing across six decades
+    val sweep = Seq(1L, 1000L, 100000L, 262144L, 1000000L,
+      100000000L, 10000000000L).map(Similarity.cellsFor(_))
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"cellsFor not monotone: $sweep")
+    case _ => }
+    // the 100x scale-up reading the discipline exists for: at n = 10^9
+    // the within-cell quadratic at FIXED 16 cells is (n/16)^2 ~ 4*10^15
+    // pairs per cell; at cellsFor(n) ~ 989 cells it is ~10^12 — the
+    // n^2 -> n^1.5 exponent drop, not a constant-factor shave
+    assert(Similarity.cellsFor(1000000000L) ==
+      math.ceil(math.sqrt(1000000000.0 / 1024.0)).toInt)
+    intercept[IllegalArgumentException](Similarity.cellsFor(-1L))
+    intercept[IllegalArgumentException](Similarity.cellsFor(100L, 0L))
+    // the production face routes through the SAME memoized assignment
+    // as the registered constant at test scale (floor regime)
+    val dir = "/root/testdata/sf0.001"
+    val auto = Similarity.seedAssignedAuto(spark, dir)
+      .select(col("vec_id"), col("cell_id")).as[(Long, Long)].collect().toSet
+    val fixed = Similarity.seedAssigned(spark, dir, 16)
+      .select(col("vec_id"), col("cell_id")).as[(Long, Long)].collect().toSet
+    assert(auto == fixed, "auto assignment diverged from the fixed-16 frame at the floor")
+    Dedup.releaseCaches()
+  }
+
   test("cell imbalance: exact replay off the assignment frame, Cauchy-Schwarz floor holds") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.cellImbalance(spark, dir)
@@ -3587,8 +3690,10 @@ class ExtSpec extends SparkSpec {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+    // texts shorter than the shingle width contribute NOTHING (ADVICE
+    // r16: no truncated or empty shingles — "no set, no overlap")
     def shingles(t: String): Seq[String] =
-      (0 until math.max(t.length - 7, 1)).map(i => t.substring(i, math.min(i + 8, t.length)))
+      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("source"), col("text")).as[(String, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, ds) =>
@@ -3682,7 +3787,7 @@ class ExtSpec extends SparkSpec {
       if (b < 80) "train" else if (b < 90) "val" else "test"
     }
     def shingles(t: String): Seq[String] =
-      (0 until math.max(t.length - 7, 1)).map(i => t.substring(i, math.min(i + 8, t.length)))
+      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(d => splitOf(d._1)).map { case (s2, ds) =>
