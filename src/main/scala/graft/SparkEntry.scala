@@ -215,9 +215,11 @@ object SparkEntry {
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
+    "x_kmv_diff"        -> ((s, d) => Profiling.kmvSourceDiff(s, d)), // KMV a-not-b: per-direction new-shingle-mass estimate from the same two k-row sketches — the incremental-crawl read (round 17)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
     "x_sample_exact_k"  -> ((s, d) => Corpus.sampleExactK(s, d)), // exactly-k uniform sample via bottom-k order statistics: one scan, mergeable, no sort (round 16)
+    "x_sample_weighted" -> ((s, d) => Corpus.sampleWeighted(s, d)), // Efraimidis-Spirakis A-ES weighted sample under the trained filter's probabilities — quality-weighted resampling (round 17)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -312,7 +314,16 @@ object SparkEntry {
       // search (the pq chain anchor) just fit — it prices one encode
       // projection + the probe explode-join, not a duplicate
       // 2-iteration Lloyd's training run (VERDICT r15 #1)
-      "x_sim_ivf_pq_probe")
+      "x_sim_ivf_pq_probe",
+      // round 17: the weighted sample is one more quality-chain rider —
+      // it prices one probability projection + a bounded bottom-k
+      // aggregate over the memoized weight vector, never a GD re-run
+      "x_sample_weighted",
+      // round 17: the a-not-b face rides the memoized tok + sketch
+      // frames x_kmv_overlap (the kmv chain's anchor) just built — it
+      // prices pair-matrix re-aggregation, never a second corpus
+      // shingle build
+      "x_kmv_diff")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -327,7 +338,10 @@ object SparkEntry {
     */
   val chainAnchors: Set[String] =
     Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
-      "x_kmeans_scalable", "x_sim_ivf_curve", "x_sim_ivf_pq")
+      "x_kmeans_scalable", "x_sim_ivf_curve", "x_sim_ivf_pq",
+      // round 17: the kmv chain — the overlap report builds the
+      // memoized tok + sketch frames the a-not-b face rides
+      "x_kmv_overlap")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -361,7 +375,10 @@ object SparkEntry {
     // temperature fit ride it and price only their own passes
     val qualityChain =
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
-        "x_quality_temperature", "x_quality_pr", "x_filter_agreement")
+        "x_quality_temperature", "x_quality_pr", "x_filter_agreement",
+        // round 17: the A-ES weighted sample rides the same memoized
+        // weight vector (qp is its sampling weight)
+        "x_sample_weighted")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
     // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
@@ -371,8 +388,13 @@ object SparkEntry {
     // round 16: the residual IVF-PQ pair shares one memoized training
     // artifact (pqTrainedBooks) — anchor trains, the probe face rides
     val pqChain = Seq("x_sim_ivf_pq", "x_sim_ivf_pq_probe")
-    require((ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain ++ pqChain).forall(queries.contains),
-      s"ordered-run contract expects ${(ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++ kppChain ++ probeChain ++ pqChain).mkString(", ")} in " +
+    // round 17: the kmv chain — the a-not-b face rides the overlap
+    // report's memoized tok + sketch frames
+    val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff")
+    val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
+      kppChain ++ probeChain ++ pqChain ++ kmvChain
+    require(allChains.forall(queries.contains),
+      s"ordered-run contract expects ${allChains.mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
     queries.keys.toSeq.sorted
       .filterNot(keepWarmQueries)
@@ -384,6 +406,7 @@ object SparkEntry {
         case "x_kmeans_scalable"      => kppChain
         case "x_sim_ivf_curve"        => probeChain
         case "x_sim_ivf_pq"           => pqChain
+        case "x_kmv_overlap"          => kmvChain
         case n                        => Seq(n)
       }
   }
@@ -1577,6 +1600,7 @@ object SparkEntry {
     // union sketches (bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B)));
     // exact inclusion–exclusion truth leg beside the estimate.
     "x_kmv_overlap" -> kmvOracleFor("SELECT source, text FROM documents"),
+    "x_kmv_diff" -> kmvDiffOracle,
     // the same KMV estimator keyed by the x_sample_split draw: the
     // cross-split contamination monitor at sketch speed
     "x_kmv_decontam" -> kmvOracleFor(
@@ -1598,6 +1622,25 @@ object SparkEntry {
            d.lang, d.source, d.n_chars
          FROM sel JOIN d ON d.doc_id = sel.doc_id
          ORDER BY rk""",
+    // Efraimidis-Spirakis weighted sample: the trained chain's final
+    // weights (shared qualityTrainCtes, MATERIALIZED — the GD unroll)
+    // -> per-doc sigmoid probability -> the quantized exponential draw
+    // -ln((h+1)/2^32)*10^12/qp under the 'es:' md5 prefix, bottom-20
+    // by (key ASC, doc_id ASC) — the engine's TopKByScore order.
+    "x_sample_weighted" ->
+      s"""WITH $qualityTrainCtes,
+         pw AS (SELECT doc_id,
+                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
+                FROM fin),
+         dr AS (SELECT doc_id, qp,
+                  CAST(floor((-ln((${hexDecodeSql("md5('es:' || CAST(doc_id AS VARCHAR))", 1, 8)} + 1) / 4294967296e0)) * 1000000000000e0 / CAST(qp AS DOUBLE) + 0.5) AS BIGINT) AS key_micro
+                FROM pw),
+         selw AS (SELECT doc_id, qp, key_micro,
+                  row_number() OVER (ORDER BY key_micro ASC, doc_id ASC) AS rk
+                FROM dr)
+         SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(qp AS BIGINT) AS weight_micro,
+           key_micro
+         FROM selw WHERE rk <= 20 ORDER BY rk""",
     // Grouped quantile sketch: per-language md5 level histograms, each
     // key's own j* from the shared cumulative table, one sample scan
     // for all keys, exact per-key rank truth beside the estimate.
@@ -3812,8 +3855,14 @@ object SparkEntry {
     * as-is) and `x_kmv_decontam` (the same rows keyed by the
     * x_sample_split md5 draw). Compose, never copy.
     */
-  private def kmvOracleFor(docsSel: String): String =
-    s"""WITH t AS (SELECT d.source, substring(d.text, j, 8) AS sh
+  /** The KMV sketch/truth CTE prefix shared by the overlap and the
+    * a-not-b oracles (compose, never copy): shingle universe `tok`,
+    * per-source bottom-64 sketch `sk`, the unordered (lo < hi) pair
+    * scaffold, the per-pair union re-aggregation `m` with its size
+    * `ms`, and the exact truth frames `ns`/`iv`.
+    */
+  private def kmvSketchCtesFor(docsSel: String): String =
+    s"""t AS (SELECT d.source, substring(d.text, j, 8) AS sh
                FROM ($docsSel) d,
                LATERAL (SELECT unnest(generate_series(1, length(d.text) - 7)) AS j)
                WHERE length(d.text) >= 8),
@@ -3834,13 +3883,16 @@ object SparkEntry {
                row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rk
              FROM uni) x WHERE rk <= 64),
          ms AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_size FROM m GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
+                FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)"""
+
+  private def kmvOracleFor(docsSel: String): String =
+    s"""WITH ${kmvSketchCtesFor(docsSel)},
          mb AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS kmv_overlap
                 FROM m JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
                        JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
-                GROUP BY 1, 2),
-         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-         iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
-                FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+                GROUP BY 1, 2)
          SELECT p.source_a, p.source_b,
            CAST(coalesce(ms.m_size, 0) AS BIGINT) AS m_size,
            CAST(coalesce(mb.kmv_overlap, 0) AS BIGINT) AS kmv_overlap,
@@ -3858,6 +3910,52 @@ object SparkEntry {
          LEFT JOIN ns na ON na.source = p.source_a
          LEFT JOIN ns nb ON nb.source = p.source_b
          ORDER BY p.source_a, p.source_b"""
+
+  /** KMV a-not-b oracle: the shared sketch CTEs, M's three-way
+    * membership partition (A-only / B-only via anti-join WHERE IS
+    * NULL), then both ordered directions off the one unordered
+    * scaffold; exact truth |A\B| = n_a − |A∩B| from the same frames.
+    */
+  private val kmvDiffOracle: String =
+    s"""WITH ${kmvSketchCtesFor("SELECT source, text FROM documents")},
+         ma AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS only_a
+                FROM m JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
+                LEFT JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
+                WHERE sb.h IS NULL GROUP BY 1, 2),
+         mb2 AS (SELECT m.source_a, m.source_b, CAST(count(*) AS BIGINT) AS only_b
+                FROM m JOIN sk sb ON sb.source = m.source_b AND sb.h = m.h
+                LEFT JOIN sk sa ON sa.source = m.source_a AND sa.h = m.h
+                WHERE sa.h IS NULL GROUP BY 1, 2),
+         base AS MATERIALIZED (SELECT p.source_a, p.source_b,
+                CAST(coalesce(ms.m_size, 0) AS BIGINT) AS m_size,
+                CAST(coalesce(ma.only_a, 0) AS BIGINT) AS only_a,
+                CAST(coalesce(mb2.only_b, 0) AS BIGINT) AS only_b,
+                CAST(coalesce(iv.exact_inter, 0) AS BIGINT) AS xi,
+                CAST(coalesce(na.n, 0) AS BIGINT) AS n_a,
+                CAST(coalesce(nb.n, 0) AS BIGINT) AS n_b
+              FROM pairs p
+              LEFT JOIN ms ON ms.source_a = p.source_a AND ms.source_b = p.source_b
+              LEFT JOIN ma ON ma.source_a = p.source_a AND ma.source_b = p.source_b
+              LEFT JOIN mb2 ON mb2.source_a = p.source_a AND mb2.source_b = p.source_b
+              LEFT JOIN iv ON iv.source_a = p.source_a AND iv.source_b = p.source_b
+              LEFT JOIN ns na ON na.source = p.source_a
+              LEFT JOIN ns nb ON nb.source = p.source_b),
+         ord2 AS (SELECT source_a, source_b, m_size, only_a AS kmv_only_a,
+                n_a - xi AS exact_only_a, n_a + n_b - xi AS exact_union
+              FROM base
+              UNION ALL
+              SELECT source_b AS source_a, source_a AS source_b, m_size,
+                only_b AS kmv_only_a,
+                n_b - xi AS exact_only_a, n_a + n_b - xi AS exact_union
+              FROM base)
+         SELECT source_a, source_b, m_size, kmv_only_a,
+           CASE WHEN m_size = 0 THEN NULL
+                ELSE CAST(kmv_only_a * 1000000 // m_size AS BIGINT) END AS kmv_only_a_micro,
+           CAST(exact_only_a AS BIGINT) AS exact_only_a,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CASE WHEN exact_union = 0 THEN NULL
+                ELSE CAST(exact_only_a * 1000000 // exact_union AS BIGINT) END AS exact_only_a_micro
+         FROM ord2 ORDER BY source_a, source_b"""
 
   /** Brute-force truth-rank CTE (rk 1..3 per held-out query) —
     * expects CTEs `e` and `q`; shared by the probe-family oracles and

@@ -108,6 +108,73 @@ object Corpus {
       .orderBy(col("rk"))
   }
 
+  /** The (doc_id, qp, key_micro) frame behind [[sampleWeighted]] —
+    * exposed for the shard-merge spec. qp is the trained filter's
+    * integer-micro-unit probability ([[TextAnalysis.qualityProbFrame]],
+    * ≥ 1 by construction); the key is the Efraimidis–Spirakis
+    * exponential draw −ln(u)/w quantized to integer micro-units BEFORE
+    * any ranking (the quantize-before-ranking rule): u = (h+1)/2³²
+    * from the first 32 md5 bits under the 'es:' prefix (decorrelated
+    * from the split/sample draws; +1 keeps u > 0, u = 1 gives key 0 —
+    * harmless, both engines agree), and the double shape
+    * (−ln((h+1)/2³²))·10¹²/qp is ONE textual expression replayed
+    * verbatim by the oracle (ln on identical double inputs is libm on
+    * both engines — the x_hll_distinct precedent).
+    */
+  private[graft] def weightedKeyFrame(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = TextAnalysis.qualityWeights(spark, dir, iters) // memoized — NO GD re-run
+    TextAnalysis.qualityProbFrame(docs, w)
+      .select(col("doc_id"), col("qp"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(concat('es:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("key_micro",
+        expr("CAST(floor((-ln((h + 1) / 4294967296e0)) * 1000000000000e0"
+          + " / CAST(qp AS DOUBLE) + 0.5) AS BIGINT)"))
+  }
+
+  /** Weighted sampling without replacement (`x_sample_weighted`, round
+    * 17 — VERDICT r16 #6): the Efraimidis–Spirakis A-ES bottom-k
+    * (Inf. Proc. Lett. 2006) with weights = the trained quality
+    * filter's calibrated probabilities — the DCLM/FineWeb-style
+    * quality-weighted resampling step, completing the sampling family
+    * next to [[sampleSplit]] (Bernoulli) and [[sampleExactK]]
+    * (uniform exactly-k). Item i is sampled iff its exponential draw
+    * −ln(uᵢ)/wᵢ is among the k smallest — A-ES's keys uᵢ^(1/wᵢ)
+    * under the order-reversing log transform, so the selected SET is
+    * exactly theirs and inclusion probability rises with weight
+    * (key strictly decreasing in w at fixed u — spec theorem).
+    *
+    * Deterministic and MERGEABLE: keys are md5-derived and quantized
+    * to integer micro-units, selection is the bounded
+    * [[graft.functions.TopKByScore]] aggregate ((−key DESC, id ASC) =
+    * (key ASC, id ASC), the oracle's row_number order) — one scan,
+    * map-side partials, bottom-k of shard bottom-ks = the corpus
+    * bottom-k (spec-asserted merge theorem), no `ORDER BY rand()
+    * LIMIT k` funnel. Rides the MEMOIZED weight vector (the quality
+    * chain's rider convention — no GD re-run) and prices one feature
+    * projection + one bounded aggregate + a ≤k-row broadcast
+    * join-back. Key range: −ln(u) ≤ 32·ln2 ≈ 22.18, qp ≥ 1 micro →
+    * key_micro ≤ ~2.3·10¹³ — int64-safe and double-exact (< 2⁵³) for
+    * the aggregate's score.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 20,
+      iters: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = weightedKeyFrame(spark, dir, iters)
+    val sel = keyed
+      .agg(graft.functions.GraftFunctions
+        .topKByScore((-col("key_micro")).cast("double"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.id").as("doc_id"),
+        (-col("s.score")).cast("long").as("key_micro"))
+    keyed.select(col("doc_id"), col("qp"))
+      .join(broadcast(sel), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("qp").as("weight_micro"), col("key_micro"))
+      .orderBy(col("rk"))
+  }
+
   /** Curriculum assignment: every document gets a training STAGE (1 =
     * cleanest quartile, trained first) from exact quartiles of the
     * deterministic quality score, plus a deterministic within-stage

@@ -803,6 +803,105 @@ object Profiling {
         .select(Corpus.splitLabelCol.as("source"), col("text")),
       k, s"kmvtoksplit:$dir", dir)
 
+  /** KMV a-not-b (set DIFFERENCE) estimator (`x_kmv_diff`, round 17 —
+    * VERDICT r16 #7): completes the theta-sketch algebra next to
+    * [[kmvSourceOverlap]]'s Jaccard — "how much of source a's shingle
+    * mass is NEW relative to source b?", the incremental-crawl /
+    * standing-corpus read, answered from the SAME two k-row sketches.
+    * Estimator: M = bottomk(skA ∪ skB) partitions into {both, A-only,
+    * B-only} by sketch membership (every h ∈ M came from at least one
+    * sketch), and the A-only fraction |M ∩ skA \ skB| / |M| estimates
+    * |A\B| / |A∪B| — the DataSketches AnotB read in the bottom-k
+    * form, the exact complement of the overlap face's estimator on
+    * the same M, so overlap + onlyA + onlyB = |M| BY PARTITION
+    * (spec-asserted). Exact truth beside it: |A\B| = n_a − |A∩B| off
+    * the SAME tok/inter frames. Output is the ORDERED pair matrix
+    * (the operation is asymmetric — both directions of each unordered
+    * pair read off ONE union re-aggregation). Rides the overlap
+    * report's memoized tok and sketch frames (identical memo keys) —
+    * the kmv chain's rider convention: a warm run prices pair-matrix
+    * arithmetic, never a second corpus shingle build. At 100 TB the
+    * production monitor is sketch-only (drop the truth legs); a
+    * non-trivial "new mass" estimate routes the crawl to the exact
+    * dedup/decontam faces.
+    */
+  def kmvSourceDiff(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      kmvShingleHashes(docs).distinct()
+    }
+    val sk = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir:sk:$k", dir,
+      tables = Seq("documents.parquet")) {
+      kmvSketchFor(docs, k)
+    }
+    val srcs = sk.select(col("source")).distinct()
+    // UNORDERED pair scaffold (lo < hi): one union re-aggregation per
+    // pair serves both ordered directions below
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val uni = pairs.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"))
+      .union(pairs.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")))
+    val m = uni.groupBy(col("source_a"), col("source_b"))
+      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
+      .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
+    val mStats = m.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("m_size"))
+    // the three-way partition of M by sketch membership: A-only rows
+    // are an equi-join on (source_a, h) anti-joined on (source_b, h)
+    val mOnlyA = m
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"), "left_anti")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("only_a"))
+    val mOnlyB = m
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"), "left_anti")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("only_b"))
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("source").as("source_a"), col("h"))
+      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val base = pairs
+      .join(mStats, Seq("source_a", "source_b"), "left")
+      .join(mOnlyA, Seq("source_a", "source_b"), "left")
+      .join(mOnlyB, Seq("source_a", "source_b"), "left")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(nSrc.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"), "left")
+      .join(nSrc.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("m_size"), lit(0L)).as("m_size"),
+        coalesce(col("only_a"), lit(0L)).as("only_a"),
+        coalesce(col("only_b"), lit(0L)).as("only_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("xi"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // both ordered directions off the one unordered scaffold
+    val ordered = base.select(col("source_a"), col("source_b"), col("m_size"),
+        col("only_a").as("kmv_only_a"),
+        (col("n_a") - col("xi")).as("exact_only_a"),
+        (col("n_a") + col("n_b") - col("xi")).as("exact_union"))
+      .union(base.select(col("source_b").as("source_a"), col("source_a").as("source_b"),
+        col("m_size"),
+        col("only_b").as("kmv_only_a"),
+        (col("n_b") - col("xi")).as("exact_only_a"),
+        (col("n_a") + col("n_b") - col("xi")).as("exact_union")))
+    ordered.select(col("source_a"), col("source_b"), col("m_size"), col("kmv_only_a"),
+        expr("CASE WHEN m_size = 0 THEN NULL"
+          + " ELSE kmv_only_a * 1000000 DIV m_size END").as("kmv_only_a_micro"),
+        col("exact_only_a"), col("exact_union"),
+        expr("CASE WHEN exact_union = 0 THEN NULL"
+          + " ELSE exact_only_a * 1000000 DIV exact_union END").as("exact_only_a_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   private def kmvOverlapReport(spark: SparkSession, docs: DataFrame, k: Int,
       tokMemoKey: String, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

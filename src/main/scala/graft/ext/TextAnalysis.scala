@@ -1091,10 +1091,15 @@ object TextAnalysis {
   /** Per-doc predicted probability under trained weights, in integer
     * micro-units — (doc_id, …, qy, score_q as qz6, qp) with the
     * training loop's own algebraic sigmoid. Shared by the calibration
-    * diagram and the temperature fit so both read the SAME staged
-    * expression.
+    * diagram, the temperature fit, and (round 17) the weighted-sample
+    * face [[graft.ext.Corpus.sampleWeighted]] so all read the SAME
+    * staged expression. qp ∈ [1, 10⁶−1] BY CONSTRUCTION: the sigmoid
+    * term (10⁶·qz6) div (2·(10⁶+|qz6|)) has magnitude strictly below
+    * 5·10⁵ (the ratio is < 5·10⁵ in absolute value and `div`
+    * truncates toward zero), so a weight of zero cannot occur — the
+    * A-ES draw's division is safe without a guard.
     */
-  private def qualityProbFrame(docs: DataFrame, w: Array[Long]): DataFrame =
+  private[graft] def qualityProbFrame(docs: DataFrame, w: Array[Long]): DataFrame =
     qualityFeatureFrame(docs)
       .withColumn("zs", qualityZs(w))
       .withColumn("qz6", qualityScoreQ)

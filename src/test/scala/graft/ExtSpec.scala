@@ -3646,6 +3646,62 @@ class ExtSpec extends SparkSpec {
     assert(got.length == k)
   }
 
+  test("weighted sample: A-ES bottom-k replay under the trained weights; shard merge; key monotone in weight") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 20
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // the quantized A-ES key, the engine's double shape verbatim
+    // (JVM Math.log IS Spark's ln — and the libm agreement with DuckDB
+    // is the x_hll_distinct precedent)
+    def keyOf(id: Long, qp: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"es:$id").substring(0, 8), 16)
+      math.floor((-math.log((h + 1).toDouble / 4294967296e0))
+        * 1000000000000e0 / qp.toDouble + 0.5).toLong
+    }
+    // weights from the SAME memoized vector the engine face rides; the
+    // GD run itself is pinned by the x_quality_train oracle + specs
+    val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val qp = graft.ext.TextAnalysis
+      .qualityProbFrame(graft.Tables.documents(spark, dir), w)
+      .select(col("doc_id"), col("qp")).as[(Long, Long)].collect()
+    // the sigmoid's range theorem the division relies on
+    qp.foreach { case (id, p) =>
+      assert(p >= 1L && p < 1000000L, s"doc $id: qp $p outside [1, 10^6)")
+    }
+    val expected = qp.map { case (id, p) => (id, p, keyOf(id, p)) }
+      .sortBy { case (id, _, key) => (key, id) }.take(k)
+      .zipWithIndex.map { case ((id, p, key), i) => ((i + 1).toLong, id, p, key) }.toSeq
+    val got = graft.ext.Corpus.sampleWeighted(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"weighted sample diverged (first got=${got.headOption})")
+    // shard-merge theorem: bottom-k of two shards' bottom-k's equals
+    // the corpus bottom-k (what lets the aggregate run map-side)
+    val keys = qp.map { case (id, p) => (keyOf(id, p), id) }
+    val (sa, sb) = keys.partition(_._2 % 2 == 0)
+    val merged = (sa.sorted.take(k) ++ sb.sorted.take(k)).sorted.take(k).toSeq
+    assert(merged == keys.sorted.take(k).toSeq, "shard merge diverged")
+    // weight monotonicity at fixed draw: doubling the weight never
+    // raises the key, and strictly lowers it off the u = 1 atom —
+    // A-ES's heavier-items-sample-earlier property
+    for (h <- Seq(0L, 12345L, 987654321L, 4294967294L); p <- Seq(1L, 777L, 499999L)) {
+      def f(qpv: Long): Long =
+        math.floor((-math.log((h + 1).toDouble / 4294967296e0))
+          * 1000000000000e0 / qpv.toDouble + 0.5).toLong
+      assert(f(2 * p) <= f(p), s"key rose with weight at (h=$h, qp=$p)")
+      if (h < 4294967295L) assert(f(2 * p) < f(p) || f(p) == 0L,
+        s"key not strictly decreasing at (h=$h, qp=$p)")
+    }
+    // the sample is actually weight-biased on this corpus: mean sampled
+    // weight exceeds the corpus mean (deterministic fixture read)
+    val meanAll = qp.map(_._2).sum.toDouble / qp.length
+    val meanSampled = got.map(_._3).sum.toDouble / got.length
+    assert(meanSampled > meanAll,
+      s"sampled mean weight $meanSampled <= corpus mean $meanAll — the weighting did nothing")
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("hll by key: per-key md5 replay; each key's estimate equals its own-subset sketch") {
     val dir = "/root/testdata/sf0.001"
     def md5hex(s: String): String =
@@ -3731,6 +3787,61 @@ class ExtSpec extends SparkSpec {
       .foreach { case (a, b, m, ov, jm, ei, eu, jx) =>
         assert(m == eu && ov == ei && jm == jx, s"pair $a/$b: k > |union| must be exact")
       }
+  }
+
+  test("kmv a-not-b: full md5 replay; M partitions into both/A-only/B-only; degenerate k is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] =
+      (0 to t.length - 8).map(i => t.substring(i, i + 8))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s2, ds) =>
+      s2 -> ds.flatMap(d => shingles(d._2))
+        .map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 8), 16)).toSet
+    }
+    val sk: Map[String, Seq[Long]] = full.map { case (s2, hs) => s2 -> hs.toSeq.sorted.take(k) }
+    val srcs = full.keys.toSeq.sorted
+    val expected = (for { a <- srcs; b <- srcs if a < b } yield {
+      val mFull = (sk(a).toSet ++ sk(b).toSet).toSeq.sorted.take(k)
+      val both = mFull.count(h => sk(a).contains(h) && sk(b).contains(h)).toLong
+      val onlyA = mFull.count(h => sk(a).contains(h) && !sk(b).contains(h)).toLong
+      val onlyB = mFull.count(h => sk(b).contains(h) && !sk(a).contains(h)).toLong
+      // the PARTITION theorem: every element of M came from a sketch
+      assert(both + onlyA + onlyB == mFull.size.toLong,
+        s"pair $a/$b: membership classes do not partition M")
+      val xi = (full(a) & full(b)).size.toLong
+      val eu = (full(a) | full(b)).size.toLong
+      def row(sa: String, sb: String, oa: Long, na: Long) =
+        (sa, sb, mFull.size.toLong, oa, oa * 1000000L / mFull.size,
+          na - xi, eu, (na - xi) * 1000000L / eu)
+      Seq(row(a, b, onlyA, full(a).size.toLong), row(b, a, onlyB, full(b).size.toLong))
+    }).flatten.sortBy(r => (r._1, r._2))
+    val got = graft.ext.Profiling.kmvSourceDiff(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"a-not-b replay diverged (first got=${got.headOption})")
+    // coherence with the overlap face: same M per pair, and
+    // kmv_overlap + onlyA + onlyB = m_size across the two reports
+    val ov = graft.ext.Profiling.kmvSourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got.filter(r => r._1 < r._2).foreach { r =>
+      val (mSize, both) = ov((r._1, r._2))
+      val onlyB = got.find(x => x._1 == r._2 && x._2 == r._1).get._4
+      assert(r._3 == mSize && both + r._4 + onlyB == mSize,
+        s"pair ${r._1}/${r._2}: diff and overlap reports disagree on M")
+    }
+    // degeneracy: k past every union size → sketch = exact set, the
+    // A-only estimate IS the exact difference
+    graft.ext.Profiling.kmvSourceDiff(spark, dir, k = 1 << 20)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, m, oa, om, xd, eu, xm) =>
+        assert(m == eu && oa == xd && om == xm, s"pair $a/$b: k > |union| must be exact")
+      }
+    graft.ext.Dedup.releaseCaches()
   }
 
   test("quantile by key: full per-key md5 replay; each key's sketch equals its own-subset sketch") {

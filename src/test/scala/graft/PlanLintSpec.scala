@@ -55,6 +55,7 @@ class PlanLintSpec extends SparkSpec {
     "x_sim_nsw" -> "recall REPORT: same <=10-broadcast-query brute truth leg as x_sim_ivf_probe; the graph index is a cell equi-join and every beam round is equi-joins over <=|Q|*beamW*(1+2M)-row localized frames",
     "x_kmv_overlap" -> "pair-matrix REPORT: the |sources|x|sources| cross is the OUTPUT's own size (a report over the distinct-source list, not a corpus frame); every sketch/truth leg hanging off it is an equi-join",
     "x_kmv_decontam" -> "pair-matrix REPORT: the same bounded cross over the THREE split labels (3x3 by construction); every sketch/truth leg is an equi-join",
+    "x_kmv_diff" -> "pair-matrix REPORT: the a-not-b face shares x_kmv_overlap's bounded |sources|x|sources| cross scaffold; membership partition and truth legs are equi/anti joins",
     // x_sim_dim_curve needs NO entry: its one broadcast-query scan is
     // collected into the <=|levels|*|Q|*k LocalRelation at build time
     // (the filter-funnel pattern), so the registered plan has no
