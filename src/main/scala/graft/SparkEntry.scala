@@ -172,6 +172,8 @@ object SparkEntry {
     "x_multimodal_features" -> (Multimodal.featureQuery _),
     "x_multimodal_ppm"      -> (Multimodal.ppmQuery _),
     "x_image_phash"         -> (Multimodal.phashQuery _),
+    "x_image_clusters"      -> (Multimodal.imageClusters _), // connected components over the phash banded-Hamming pairs — the images' dedup-apply decision (round 17)
+    "x_image_stats"         -> (Multimodal.imageChannelStats _), // per-channel pixel stats off the real PPM decodes — the x_embed_stats sibling, the codec/camera drift check (round 17)
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
@@ -2402,9 +2404,60 @@ object SparkEntry {
     // which equals the banded multi-index result exactly (pigeonhole:
     // 4 bands catch every pair under Hamming 4).
     "x_image_phash" ->
-      """WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n
+      s"""WITH $imagePhashCtes
+         SELECT m1, m2, hamming FROM p WHERE hamming <= 3 ORDER BY m1, m2""",
+    // Image near-dup clusters: the shared phash CTEs' Hamming-<=3
+    // pairs solved to connected components by the same min-label
+    // recursive reach as x_semantic_clusters; universe = decoded
+    // thumbnails (the t CTE).
+    "x_image_clusters" ->
+      s"""WITH RECURSIVE $imagePhashCtes,
+         pr AS (SELECT m1, m2 FROM p WHERE hamming <= 3),
+         edges AS (SELECT m1 AS ea, m2 AS eb FROM pr UNION ALL SELECT m2, m1 FROM pr),
+         reach(va, vb) AS (
+           SELECT media_id, media_id FROM t
+           UNION
+           SELECT r.va, e2.eb FROM reach r JOIN edges e2 ON r.vb = e2.ea)
+         SELECT va AS media_id, min(vb) AS cluster, (min(vb) = va) AS keep
+         FROM reach GROUP BY va ORDER BY media_id""",
+    // Per-channel image statistics: pixel byte j of the 9x8 thumbnail
+    // is text byte (j mod n), channel = j mod 3; exact integer
+    // n/s/sq/min/max, micro mean via truncating division, micro std
+    // via the one-shape sqrt of the exact bigint radicand.
+    "x_image_stats" ->
+      s"""WITH $imageTextCte,
+         px AS (SELECT media_id, j % 3 AS ch,
+                  CAST(ascii(substr(text, (j % n) + 1, 1)) AS BIGINT) AS v
+                FROM t, LATERAL (SELECT unnest(generate_series(0, 215)) AS j)),
+         agg AS (SELECT (['r', 'g', 'b'])[CAST(ch AS INT) + 1] AS channel,
+                  CAST(count(*) AS BIGINT) AS n_px,
+                  CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq,
+                  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+                FROM px GROUP BY ch)
+         SELECT channel, n_px, s AS sum_v,
+           CAST(s * 1000000 // n_px AS BIGINT) AS mean_micro,
+           CAST(floor(sqrt(CAST(n_px * sq - s * s AS DOUBLE)) * 1000000e0 / n_px + 0.5) AS BIGINT) AS std_micro,
+           min_v, max_v
+         FROM agg ORDER BY channel""",
+  ) ++ corpusOracles
+
+  /** The synthetic-thumbnail universe CTE (ASCII-only documents under
+    * doc_id < 200, with byte length) — shared by the phash family and
+    * the channel-stats oracle.
+    */
+  private def imageTextCte: String =
+    """t AS (SELECT doc_id AS media_id, text, length(text) AS n
                     FROM documents WHERE doc_id < 200 AND length(text) >= 1
-                      AND regexp_matches(text, '^[\x01-\x7F]*$')),
+                      AND regexp_matches(text, '^[\x01-\x7F]*$'))"""
+
+  /** The dHash pipeline CTEs (thumbnail grays → 64 comparison bits →
+    * all-pairs Hamming `p`) — shared by the pair face and the cluster
+    * face (compose, never copy). A def, not a val: entries above
+    * interpolate it during the oracle map's init (the round-11 "WITH
+    * null" object-initializer hazard).
+    */
+  private def imagePhashCtes: String =
+    s"""$imageTextCte,
          g AS (SELECT media_id,
                  list_transform(range(72), p ->
                    (ascii(substr(text, ((3*p) % n) + 1, 1)) +
@@ -2419,9 +2472,7 @@ object SparkEntry {
          p AS (SELECT a.media_id AS m1, c.media_id AS m2,
                  CAST(list_sum(list_transform(range(64), i ->
                    CASE WHEN a.bits[i+1] <> c.bits[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-               FROM b a JOIN b c ON a.media_id < c.media_id)
-         SELECT m1, m2, hamming FROM p WHERE hamming <= 3 ORDER BY m1, m2""",
-  ) ++ corpusOracles
+               FROM b a JOIN b c ON a.media_id < c.media_id)"""
 
   // a def, not a val: entries interpolate shared CTE vals declared
   // further down the file, and a val here would capture them as null

@@ -111,4 +111,70 @@ class MultimodalSpec extends SparkSpec {
     // the corpus plants exact-duplicate texts -> identical thumbnails
     assert(banded.exists(_._3 == 0L), "expected at least one Hamming-0 planted dup pair")
   }
+
+  test("image clusters: union-find replay over the pair graph; planted dups share a cluster; canonical keeps") {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val hashes = Multimodal.phashes(Multimodal.syntheticPpmMedia(docs))
+    val universe = hashes.select(col("media_id")).as[Long].collect().sorted
+    val pairs = Multimodal.phashNearDupPairs(hashes)
+      .select("m1", "m2").as[(Long, Long)].collect()
+    // plain-Scala union-find replay (component min canonicality)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = universe.map(m => (m, find(m), find(m) == m)).toSeq
+    val got = Multimodal.imageClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == expected, s"cluster replay diverged (first got=${got.headOption})")
+    // the planted exact-dup pair (Hamming 0) lands in ONE cluster with
+    // exactly one canonical keeper
+    val zero = Multimodal.phashNearDupPairs(hashes)
+      .filter(col("hamming") === 0L).select("m1", "m2").as[(Long, Long)].collect()
+    assert(zero.nonEmpty, "fixture drift: no planted Hamming-0 dup under doc_id < 200")
+    val byCluster = got.map(r => r._1 -> r._2).toMap
+    zero.foreach { case (a, b) =>
+      assert(byCluster(a) == byCluster(b), s"planted dup ($a, $b) split across clusters")
+    }
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == c,
+        s"cluster $c: keep is not exactly the min-id canonical")
+    }
+    // non-degenerate: at least one multi-member cluster exists
+    assert(got.groupBy(_._2).exists(_._2.length > 1), "no non-singleton cluster")
+  }
+
+  test("image channel stats: exact replay from the text bytes through the codec seam") {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter { case (_, t) => t.nonEmpty && t.forall(c => c >= 1 && c <= 127) }
+    // pixel byte j of each 9x8 thumbnail is text byte (j mod n); the
+    // engine reads them back through the REAL PPM decode
+    val vals = Array.fill(3)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    docs.foreach { case (_, t) =>
+      val bytes = t.getBytes("UTF-8")
+      for (j <- 0 until 216) vals(j % 3) += (bytes(j % bytes.length) & 0xFF).toLong
+    }
+    val names = Array("r", "g", "b")
+    val expected = (0 until 3).map { c =>
+      val v = vals(c)
+      val n = v.length.toLong
+      val s = v.sum
+      val sq = v.map(x => x * x).sum
+      val std = math.floor(math.sqrt((n * sq - s * s).toDouble) * 1000000e0 / n + 0.5).toLong
+      (names(c), n, s, s * 1000000L / n, std, v.min, v.max)
+    }.sortBy(_._1)
+    val got = Multimodal.imageChannelStats(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"channel stats diverged (got=${got.headOption})")
+    // byte values are genuinely spread (a constant channel would make
+    // the drift check vacuous)
+    got.foreach { r => assert(r._5 > 0 && r._7 > r._6, s"degenerate channel ${r._1}") }
+  }
 }
