@@ -321,11 +321,18 @@ object SparkEntry {
       // it prices one probability projection + a bounded bottom-k
       // aggregate over the memoized weight vector, never a GD re-run
       "x_sample_weighted",
-      // round 17: the a-not-b face rides the memoized tok + sketch
-      // frames x_kmv_overlap (the kmv chain's anchor) just built — it
-      // prices pair-matrix re-aggregation, never a second corpus
-      // shingle build
-      "x_kmv_diff")
+      // round 17: the a-not-b face rides the memoized truth-leg tok
+      // frame x_kmv_overlap (the kmv chain's anchor) just built — it
+      // prices its own sketch re-aggregation and pair-matrix joins,
+      // never a second corpus-scale distinct-shingle build
+      "x_kmv_diff",
+      // round 17: the nsw chain — the hierarchical face and the
+      // kNN-graph LexRank both ride the memoized base neighbor graph
+      // (and seedAssigned) the flat NSW search just built; standalone,
+      // each re-paid the within-cell top-m graph build (measured
+      // 9.9 s for x_lexrank_graph standalone vs the ~2 s incremental
+      // PageRank it actually adds)
+      "x_sim_nsw_hier", "x_lexrank_graph")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -342,8 +349,11 @@ object SparkEntry {
     Set("x_dedup_ngram", "x_chunk_neardup", "x_lm_score_lang", "x_quality_train",
       "x_kmeans_scalable", "x_sim_ivf_curve", "x_sim_ivf_pq",
       // round 17: the kmv chain — the overlap report builds the
-      // memoized tok + sketch frames the a-not-b face rides
-      "x_kmv_overlap")
+      // memoized truth-leg tok frame the a-not-b face rides
+      "x_kmv_overlap",
+      // round 17: the nsw chain — the flat search builds the memoized
+      // base neighbor graph + assignment its two riders consume
+      "x_sim_nsw")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -391,10 +401,13 @@ object SparkEntry {
     // artifact (pqTrainedBooks) — anchor trains, the probe face rides
     val pqChain = Seq("x_sim_ivf_pq", "x_sim_ivf_pq_probe")
     // round 17: the kmv chain — the a-not-b face rides the overlap
-    // report's memoized tok + sketch frames
+    // report's memoized truth-leg tok frame
     val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff")
+    // round 17: the nsw chain — hierarchy and kNN-graph LexRank ride
+    // the flat search's memoized base graph + assignment
+    val nswChain = Seq("x_sim_nsw", "x_sim_nsw_hier", "x_lexrank_graph")
     val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
-      kppChain ++ probeChain ++ pqChain ++ kmvChain
+      kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain
     require(allChains.forall(queries.contains),
       s"ordered-run contract expects ${allChains.mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -409,6 +422,7 @@ object SparkEntry {
         case "x_sim_ivf_curve"        => probeChain
         case "x_sim_ivf_pq"           => pqChain
         case "x_kmv_overlap"          => kmvChain
+        case "x_sim_nsw"              => nswChain
         case n                        => Seq(n)
       }
   }

@@ -832,10 +832,10 @@ object Profiling {
       tables = Seq("documents.parquet")) {
       kmvShingleHashes(docs).distinct()
     }
-    val sk = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir:sk:$k", dir,
-      tables = Seq("documents.parquet")) {
-      kmvSketchFor(docs, k)
-    }
+    // inline like the overlap report's sk — the within-plan references
+    // collapse via ReusedExchange; both the lazy and the eagerly-filled
+    // persisted variants measured SLOWER (kmvOverlapReport's A/B note)
+    val sk = kmvSketchFor(docs, k)
     val srcs = sk.select(col("source")).distinct()
     // UNORDERED pair scaffold (lo < hi): one union re-aggregation per
     // pair serves both ordered directions below
@@ -914,15 +914,17 @@ object Profiling {
       tables = Seq("documents.parquet")) {
       kmvShingleHashes(docs).distinct()
     }
-    // the k·|sources|-row sketch frame is referenced FIVE times below
-    // (srcs, both sides of uni, both sides of mBoth) — without the
-    // memo each reference re-runs the full shingle explode + bottom-k
-    // aggregate, the same repeated-scan cost the tok memo above was
-    // added to avoid (ADVICE r16)
-    val sk = graft.ext.Dedup.Frames.getOrCompute(spark, s"$tokMemoKey:sk:$k", dir,
-      tables = Seq("documents.parquet")) {
-      kmvSketchFor(docs, k)
-    }
+    // DELIBERATELY NOT memoized/persisted (ADVICE r16 suggested it; the
+    // round-17 TimeMany A/B at sf0.1 measured the opposite): inline,
+    // the five references collapse into ONE aggregate via Spark's
+    // ReusedExchange and the report reads 5.6 s steady; a LAZY persist
+    // read 8.6–11.9 s (five concurrent scans race the unfilled cache
+    // and duplicate the aggregate), and even an EAGERLY-filled persist
+    // read 7.9 s (the materialization barrier breaks the pipelining).
+    // The TOK memo above survives because its frame is re-read across
+    // QUERIES (the kmv chain), not just within one plan, and its build
+    // (the corpus-scale distinct) dwarfs its persist cost.
+    val sk = kmvSketchFor(docs, k)
     // the pair matrix covers sources present in the shingle UNIVERSE
     // (an all-empty-text source has no set to overlap, matching the
     // oracle's tok-derived list) — read off the k·|sources|-row SKETCH
