@@ -125,14 +125,21 @@ object Corpus {
       iters: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val w = TextAnalysis.qualityWeights(spark, dir, iters) // memoized — NO GD re-run
-    TextAnalysis.qualityProbFrame(docs, w)
-      .select(col("doc_id"), col("qp"))
-      .withColumn("h",
+    weightedKeyCols(TextAnalysis.qualityProbFrame(docs, w)
+      .select(col("doc_id"), col("qp")))
+  }
+
+  /** The row-local A-ES key columns over any (doc_id, qp) frame — ONE
+    * definition shared by the batch face and the streaming reservoir
+    * twin ([[graft.streaming.EventsStream.weightedSampleStream]]), so
+    * the two draws cannot drift.
+    */
+  private[graft] def weightedKeyCols(df: DataFrame): DataFrame =
+    df.withColumn("h",
         expr("CAST(conv(substring(md5(concat('es:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("key_micro",
         expr("CAST(floor((-ln((h + 1) / 4294967296e0)) * 1000000000000e0"
           + " / CAST(qp AS DOUBLE) + 0.5) AS BIGINT)"))
-  }
 
   /** Weighted sampling without replacement (`x_sample_weighted`, round
     * 17 — VERDICT r16 #6): the Efraimidis–Spirakis A-ES bottom-k

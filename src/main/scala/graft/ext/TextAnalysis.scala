@@ -1103,8 +1103,15 @@ object TextAnalysis {
     qualityFeatureFrame(docs)
       .withColumn("zs", qualityZs(w))
       .withColumn("qz6", qualityScoreQ)
-      .withColumn("qp", lit(500000L) +
-        expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))")))
+      .withColumn("qp", qualityQpCol)
+
+  /** The algebraic-sigmoid probability off a named `qz6` logit column —
+    * ONE definition (round 17) shared by the batch probability frame
+    * and the streaming weighted-reservoir twin, the
+    * qualityZs/qualityScoreQ convention.
+    */
+  private[graft] def qualityQpCol: Column =
+    lit(500000L) + expr(fdSql("1000000 * qz6", "2 * (1000000 + abs(qz6))"))
 
   /** Feature-ablation importance of the trained quality filter
     * (x_quality_ablation) — the "which signal is this model actually

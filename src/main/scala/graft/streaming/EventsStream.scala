@@ -953,6 +953,38 @@ object EventsStream {
   def kmvSketchStream(docs: DataFrame, k: Int = 64): DataFrame =
     graft.ext.Profiling.kmvSketchFor(docs, k)
 
+  /** Streaming A-ES weighted reservoir (round 17) — the at-the-door
+    * face of [[graft.ext.Corpus.sampleWeighted]]: arriving documents
+    * score their trained-filter probability ROW-LOCALLY with the exact
+    * batch expressions ([[qualityClassifyStream]]'s literal-weight
+    * convention + the shared `qualityQpCol` sigmoid), draw their
+    * quantized Efraimidis–Spirakis key with the SHARED
+    * [[graft.ext.Corpus.weightedKeyCols]] projection (one definition,
+    * not a copy), and a streaming [[graft.functions.TopKByScore]]
+    * aggregation maintains the k smallest keys — k rows of state,
+    * EVER: the classic weighted reservoir, maintained online instead
+    * of re-sampled nightly. Batch agreement is asserted row-for-row in
+    * spec. Replay caveat: unlike the KMV/HLL sketches, TopKByScore
+    * keeps duplicate ids, so a re-delivered document can enter the
+    * reservoir twice — at-least-once sensitive like [[countMinStream]];
+    * run with exactly-once sinks or dedup upstream.
+    */
+  def weightedSampleStream(docs: DataFrame, wQ: Array[Long], k: Int = 20): DataFrame = {
+    require(wQ.length == 4, s"expected 4 trained weight micro-units, got ${wQ.length}")
+    import graft.ext.{Corpus, TextAnalysis}
+    val scored = docs
+      .select(col("doc_id"), col("text"), TextAnalysis.qualityNTok.as("n_tok"))
+      .select(col("doc_id") +: TextAnalysis.qualityFeatureExprs: _*)
+      .withColumn("zs", TextAnalysis.qualityZs(wQ))
+      .withColumn("qz6", TextAnalysis.qualityScoreQ)
+      .withColumn("qp", TextAnalysis.qualityQpCol)
+      .select(col("doc_id"), col("qp"))
+    Corpus.weightedKeyCols(scored)
+      .groupBy()
+      .agg(graft.functions.GraftFunctions
+        .topKByScore((-col("key_micro")).cast("double"), col("doc_id"), k).as("top"))
+  }
+
   /** Streaming quantile-sketch level histogram (round 16) — the
     * quantile companion to [[countMinStream]]/[[hllRegisterStream]],
     * same contract: arriving items (any frame with a string `qkey`

@@ -1764,6 +1764,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted reservoir: final top-k equals the batch A-ES sample, k rows of state") {
+    val dir = "/root/testdata/sf0.001"
+    val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.weightedSampleStream(input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("wres_stream")
+      .outputMode("complete").start()
+    docs.grouped(100).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.table("wres_stream").collect()
+    assert(rows.length == 1, s"complete mode should hold ONE reservoir row, got ${rows.length}")
+    val streamed = rows.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(s => (s.getLong(1), (-s.getDouble(0)).toLong))
+    // the standing reservoir IS the batch sample, rank for rank
+    val batch = graft.ext.Corpus.sampleWeighted(spark, dir)
+      .select(col("doc_id"), col("key_micro")).as[(Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      s"reservoir diverged from the batch sample (first ${streamed.headOption} vs ${batch.headOption})")
+    // bounded state: the reservoir never exceeds k entries
+    assert(streamed.size <= 20)
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("streaming language router: predictions row-identical to the batch marker argmax") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
