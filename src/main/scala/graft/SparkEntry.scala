@@ -218,10 +218,12 @@ object SparkEntry {
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
     "x_kmv_diff"        -> ((s, d) => Profiling.kmvSourceDiff(s, d)), // KMV a-not-b: per-direction new-shingle-mass estimate from the same two k-row sketches — the incremental-crawl read (round 17)
+    "x_kmv_card"        -> ((s, d) => Profiling.kmvCardinality(s, d)), // KMV distinct-cardinality estimator (k-1)*2^32 div theta — the absolute-size read of the theta sketch, HLL's independent cross-check (round 17)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
     "x_sample_exact_k"  -> ((s, d) => Corpus.sampleExactK(s, d)), // exactly-k uniform sample via bottom-k order statistics: one scan, mergeable, no sort (round 16)
     "x_sample_weighted" -> ((s, d) => Corpus.sampleWeighted(s, d)), // Efraimidis-Spirakis A-ES weighted sample under the trained filter's probabilities — quality-weighted resampling (round 17)
+    "x_sample_weighted_by_key" -> ((s, d) => Corpus.sampleWeightedByKey(s, d)), // stratified A-ES: per-language top-k by the same keys — domain-balanced quality sampling (round 17)
     "x_equidepth_hist"  -> ((s, d) => Profiling.equiDepthHist(s, d)),
     "x_embed_stats"     -> (Profiling.embeddingStats _),
     "x_embed_outliers"  -> ((s, d) => Similarity.embedOutliers(s, d)),
@@ -317,15 +319,16 @@ object SparkEntry {
       // projection + the probe explode-join, not a duplicate
       // 2-iteration Lloyd's training run (VERDICT r15 #1)
       "x_sim_ivf_pq_probe",
-      // round 17: the weighted sample is one more quality-chain rider —
-      // it prices one probability projection + a bounded bottom-k
-      // aggregate over the memoized weight vector, never a GD re-run
-      "x_sample_weighted",
-      // round 17: the a-not-b face rides the memoized truth-leg tok
-      // frame x_kmv_overlap (the kmv chain's anchor) just built — it
-      // prices its own sketch re-aggregation and pair-matrix joins,
-      // never a second corpus-scale distinct-shingle build
-      "x_kmv_diff",
+      // round 17: the weighted sample and its stratified twin are
+      // quality-chain riders — each prices one probability projection
+      // + a bounded bottom-k aggregate over the memoized weight
+      // vector, never a GD re-run
+      "x_sample_weighted", "x_sample_weighted_by_key",
+      // round 17: the a-not-b and cardinality faces ride the memoized
+      // truth-leg tok frame x_kmv_overlap (the kmv chain's anchor)
+      // just built — each prices its own sketch re-aggregation, never
+      // a second corpus-scale distinct-shingle build
+      "x_kmv_diff", "x_kmv_card",
       // round 17: the nsw chain — the hierarchical face and the
       // kNN-graph LexRank both ride the memoized base neighbor graph
       // (and seedAssigned) the flat NSW search just built; standalone,
@@ -388,9 +391,9 @@ object SparkEntry {
     val qualityChain =
       Seq("x_quality_train", "x_quality_ablation", "x_quality_calibration",
         "x_quality_temperature", "x_quality_pr", "x_filter_agreement",
-        // round 17: the A-ES weighted sample rides the same memoized
-        // weight vector (qp is its sampling weight)
-        "x_sample_weighted")
+        // round 17: the A-ES weighted sample and its stratified twin
+        // ride the same memoized weight vector (qp is the weight)
+        "x_sample_weighted", "x_sample_weighted_by_key")
     // round 15: the kpp-seeded IVF search rides the memoized k-means||
     // training run the trajectory report just built
     val kppChain = Seq("x_kmeans_scalable", "x_sim_ivf_kpp")
@@ -400,9 +403,9 @@ object SparkEntry {
     // round 16: the residual IVF-PQ pair shares one memoized training
     // artifact (pqTrainedBooks) — anchor trains, the probe face rides
     val pqChain = Seq("x_sim_ivf_pq", "x_sim_ivf_pq_probe")
-    // round 17: the kmv chain — the a-not-b face rides the overlap
-    // report's memoized truth-leg tok frame
-    val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff")
+    // round 17: the kmv chain — the a-not-b and cardinality faces ride
+    // the overlap report's memoized truth-leg tok frame
+    val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff", "x_kmv_card")
     // round 17: the nsw chain — hierarchy and kNN-graph LexRank ride
     // the flat search's memoized base graph + assignment
     val nswChain = Seq("x_sim_nsw", "x_sim_nsw_hier", "x_lexrank_graph")
@@ -1617,6 +1620,7 @@ object SparkEntry {
     // exact inclusion–exclusion truth leg beside the estimate.
     "x_kmv_overlap" -> kmvOracleFor("SELECT source, text FROM documents"),
     "x_kmv_diff" -> kmvDiffOracle,
+    "x_kmv_card" -> kmvCardOracle,
     // the same KMV estimator keyed by the x_sample_split draw: the
     // cross-split contamination monitor at sketch speed
     "x_kmv_decontam" -> kmvOracleFor(
@@ -1644,19 +1648,25 @@ object SparkEntry {
     // -ln((h+1)/2^32)*10^12/qp under the 'es:' md5 prefix, bottom-20
     // by (key ASC, doc_id ASC) — the engine's TopKByScore order.
     "x_sample_weighted" ->
-      s"""WITH $qualityTrainCtes,
-         pw AS (SELECT doc_id,
-                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
-                FROM fin),
-         dr AS (SELECT doc_id, qp,
-                  CAST(floor((-ln((${hexDecodeSql("md5('es:' || CAST(doc_id AS VARCHAR))", 1, 8)} + 1) / 4294967296e0)) * 1000000000000e0 / CAST(qp AS DOUBLE) + 0.5) AS BIGINT) AS key_micro
-                FROM pw),
+      s"""WITH $aesKeyCtes,
          selw AS (SELECT doc_id, qp, key_micro,
                   row_number() OVER (ORDER BY key_micro ASC, doc_id ASC) AS rk
                 FROM dr)
          SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(qp AS BIGINT) AS weight_micro,
            key_micro
          FROM selw WHERE rk <= 20 ORDER BY rk""",
+    // Stratified A-ES: the SAME key CTEs partitioned by language — the
+    // grouping theorem (per-item draws) replayed as PARTITION BY.
+    "x_sample_weighted_by_key" ->
+      s"""WITH $aesKeyCtes,
+         dl AS (SELECT dr.doc_id, dr.qp, dr.key_micro, d.lang
+                FROM dr JOIN documents d ON d.doc_id = dr.doc_id),
+         selw AS (SELECT lang, doc_id, qp, key_micro,
+                  row_number() OVER (PARTITION BY lang ORDER BY key_micro ASC, doc_id ASC) AS rk
+                FROM dl)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(qp AS BIGINT) AS weight_micro, key_micro
+         FROM selw WHERE rk <= 5 ORDER BY lang, rk""",
     // Grouped quantile sketch: per-language md5 level histograms, each
     // key's own j* from the shared cumulative table, one sample scan
     // for all keys, exact per-key rank truth beside the estimate.
@@ -3926,7 +3936,11 @@ object SparkEntry {
     * scaffold, the per-pair union re-aggregation `m` with its size
     * `ms`, and the exact truth frames `ns`/`iv`.
     */
-  private def kmvSketchCtesFor(docsSel: String): String =
+  /** The sketch-only KMV prefix (shingles → distinct hashes → per-
+    * source bottom-64 + per-source exact counts) — the part the
+    * cardinality oracle needs without the pair scaffold.
+    */
+  private def kmvBaseCtesFor(docsSel: String): String =
     s"""t AS (SELECT d.source, substring(d.text, j, 8) AS sh
                FROM ($docsSel) d,
                LATERAL (SELECT unnest(generate_series(1, length(d.text) - 7)) AS j)
@@ -3936,6 +3950,10 @@ object SparkEntry {
          sk AS MATERIALIZED (SELECT source, h FROM (
              SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
              FROM tok) x WHERE rk <= 64),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)"""
+
+  private def kmvSketchCtesFor(docsSel: String): String =
+    s"""${kmvBaseCtesFor(docsSel)},
          srcs AS (SELECT DISTINCT source FROM tok),
          pairs AS MATERIALIZED (SELECT a.source AS source_a, b.source AS source_b
                   FROM srcs a JOIN srcs b ON a.source < b.source),
@@ -3948,9 +3966,26 @@ object SparkEntry {
                row_number() OVER (PARTITION BY source_a, source_b ORDER BY h ASC) AS rk
              FROM uni) x WHERE rk <= 64),
          ms AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_size FROM m GROUP BY 1, 2),
-         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
          iv AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS exact_inter
                 FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)"""
+
+  /** KMV cardinality oracle: per-source (m_size, θ = max sketch hash)
+    * → the (k−1)·2³² // θ bottom-k estimator, degenerate-exact below
+    * k, truth off the shared `ns` counts.
+    */
+  private def kmvCardOracle: String =
+    s"""WITH ${kmvBaseCtesFor("SELECT source, text FROM documents")},
+         ss AS (SELECT source, CAST(count(*) AS BIGINT) AS m_size,
+                  CAST(max(h) AS BIGINT) AS theta FROM sk GROUP BY 1),
+         est AS (SELECT ss.source, ss.m_size, ss.theta,
+                  CAST(CASE WHEN ss.m_size < 64 THEN ss.m_size
+                       ELSE 63 * 4294967296 // ss.theta END AS BIGINT) AS est_distinct,
+                  ns.n AS exact_distinct
+                FROM ss JOIN ns ON ns.source = ss.source)
+         SELECT source, m_size, theta, est_distinct, exact_distinct,
+           CASE WHEN exact_distinct = 0 THEN NULL
+                ELSE CAST(abs(est_distinct - exact_distinct) * 1000000 // exact_distinct AS BIGINT) END AS err_micro
+         FROM est ORDER BY source"""
 
   private def kmvOracleFor(docsSel: String): String =
     s"""WITH ${kmvSketchCtesFor(docsSel)},
@@ -4761,6 +4796,20 @@ object SparkEntry {
                   CAST(list_sum(list_transform(bs,
                     x -> CASE WHEN CAST(pf.qp AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin
                 FROM pf, bq)"""
+
+  /** The A-ES draw CTEs shared by the corpus-wide and stratified
+    * weighted-sample oracles: the trained chain's final weights →
+    * per-doc sigmoid probability `pw` → the quantized exponential key
+    * `dr` (compose, never copy).
+    */
+  private def aesKeyCtes: String =
+    s"""$qualityTrainCtes,
+         pw AS (SELECT doc_id,
+                  500000 + (1000000 * score_q) // (2 * (1000000 + abs(score_q))) AS qp
+                FROM fin),
+         dr AS (SELECT doc_id, qp,
+                  CAST(floor((-ln((${hexDecodeSql("md5('es:' || CAST(doc_id AS VARCHAR))", 1, 8)} + 1) / 4294967296e0)) * 1000000000000e0 / CAST(qp AS DOUBLE) + 0.5) AS BIGINT) AS key_micro
+                FROM pw)"""
 
   private val qualityTrainOracle: String =
     s"""WITH $qualityTrainCtes

@@ -182,6 +182,39 @@ object Corpus {
       .orderBy(col("rk"))
   }
 
+  /** Stratified weighted sampling (`x_sample_weighted_by_key`, round
+    * 17): [[sampleWeighted]] GROUPED by language — "the k
+    * highest-quality-weighted docs PER domain", the domain-balanced
+    * eval-set / per-language curation read (a corpus-wide weighted
+    * sample follows the corpus mix; a stratified one guarantees every
+    * language its quota). The A-ES theory grants grouping for free:
+    * keys are per-item draws, so each key's bottom-k IS the
+    * corpus-wide key order filtered to that key (the x_hll_by_key /
+    * x_quantile_by_key grouping-theorem pattern, spec-asserted) — ONE
+    * key projection, one per-key bounded TopKByScore aggregate (≤ k
+    * rows per (partition, key) on the wire), a ≤ k·|keys|-row
+    * broadcast join-back. Rides the memoized weight vector like every
+    * quality-chain member.
+    */
+  def sampleWeightedByKey(spark: SparkSession, dir: String, k: Int = 5,
+      iters: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = weightedKeyFrame(spark, dir, iters)
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val sel = keyed.join(lang, "doc_id")
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScore((-col("key_micro")).cast("double"), col("doc_id"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.id").as("doc_id"), (-col("s.score")).cast("long").as("key_micro"))
+    keyed.select(col("doc_id"), col("qp"))
+      .join(broadcast(sel), Seq("doc_id"))
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("qp").as("weight_micro"), col("key_micro"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Curriculum assignment: every document gets a training STAGE (1 =
     * cleanest quartile, trained first) from exact quartiles of the
     * deterministic quality score, plus a deterministic within-stage

@@ -902,6 +902,50 @@ object Profiling {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** KMV distinct-cardinality estimator (`x_kmv_card`, round 17):
+    * the third read of the theta-sketch algebra — overlap gives
+    * Jaccard, a-not-b gives new-mass FRACTIONS, this gives the
+    * absolute SIZE: per source, |S| ≈ (k−1)·2³² div θ_k where θ_k is
+    * the sketch's k-th smallest hash (Bar-Yossef et al.'s bottom-k
+    * estimator — the k-th order statistic of k uniform draws sits at
+    * ≈ k/|S| of the hash space, inverted). When the source's shingle
+    * set is smaller than k the sketch IS the set and the estimate is
+    * exact BY DEFINITION (m_size < k branch — spec-asserted
+    * degeneracy; θ = 0 is unreachable outside it: k distinct
+    * nonnegative hashes force θ ≥ k−1). Beside HLL (`x_hll_distinct`)
+    * this is the second, independent sketch answering the same
+    * cardinality question — the cross-validation a monitoring stack
+    * wants — and unlike HLL the SAME k-row sketch also serves
+    * overlap/difference. Exact truth from the shared memoized tok
+    * frame (the kmv chain's rider convention); integer-exact:
+    * (k−1)·2³² ≈ 2.7·10¹¹ and the error is the guarded micro
+    * division. 100 TB shape: the sketch aggregate + a |sources|-row
+    * report; the truth leg is the corpus-wide distinct the sketch
+    * replaces.
+    */
+  def kmvCardinality(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      kmvShingleHashes(docs).distinct()
+    }
+    val sk = kmvSketchFor(docs, k) // inline — the sk A/B note in kmvOverlapReport
+    val skStats = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("m_size"), max(col("h")).as("theta"))
+    val exact = tok.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    skStats.join(exact, Seq("source"))
+      .select(col("source"), col("m_size"), col("theta"),
+        expr(s"CASE WHEN m_size < $k THEN m_size"
+          + s" ELSE CAST(${k - 1} AS BIGINT) * 4294967296 DIV theta END")
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_micro",
+        expr("CASE WHEN exact_distinct = 0 THEN NULL"
+          + " ELSE abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct END"))
+      .orderBy(col("source"))
+  }
+
   private def kmvOverlapReport(spark: SparkSession, docs: DataFrame, k: Int,
       tokMemoKey: String, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -3702,6 +3702,88 @@ class ExtSpec extends SparkSpec {
     graft.ext.Dedup.releaseCaches()
   }
 
+  test("stratified weighted sample: each key's reservoir is the corpus key order filtered to that key") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def keyOf(id: Long, qp: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"es:$id").substring(0, 8), 16)
+      math.floor((-math.log((h + 1).toDouble / 4294967296e0))
+        * 1000000000000e0 / qp.toDouble + 0.5).toLong
+    }
+    val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
+    val qp = graft.ext.TextAnalysis
+      .qualityProbFrame(graft.Tables.documents(spark, dir), w)
+      .select(col("doc_id"), col("qp")).as[(Long, Long)].collect().toMap
+    val langOf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    // the GROUPING theorem by construction: keys are per-item draws, so
+    // key L's reservoir is the corpus-wide (key, id) order restricted
+    // to L — replayed exactly so
+    val expected = qp.toSeq
+      .map { case (id, p) => (langOf(id), id, p, keyOf(id, p)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (lang, rows) =>
+        rows.sortBy { case (_, id, _, key) => (key, id) }.take(k)
+          .zipWithIndex.map { case ((_, id, p, key), i) =>
+            (lang, (i + 1).toLong, id, p, key)
+          }
+      }
+    val got = graft.ext.Corpus.sampleWeightedByKey(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"stratified sample diverged (first got=${got.headOption})")
+    // every language is represented with its full quota (the face's
+    // point: a corpus-wide sample follows the mix; this one does not)
+    val perKey = got.groupBy(_._1)
+    langOf.values.toSet.foreach { (l: String) =>
+      assert(perKey(l).length == math.min(k, langOf.values.count(_ == l)),
+        s"lang $l under quota")
+    }
+    graft.ext.Dedup.releaseCaches()
+  }
+
+  test("kmv cardinality: per-source replay; degenerate below k is exact; estimator within the sampling bracket") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] =
+      (0 to t.length - 8).map(i => t.substring(i, i + 8))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s2, ds) =>
+      s2 -> ds.flatMap(d => shingles(d._2))
+        .map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 8), 16)).toSet
+    }
+    val expected = full.toSeq.sortBy(_._1).map { case (src, hs) =>
+      val sk = hs.toSeq.sorted.take(k)
+      val theta = sk.max
+      val est = if (sk.length < k) sk.length.toLong else 63L * 4294967296L / theta
+      val n = hs.size.toLong
+      (src, sk.length.toLong, theta, est, n, math.abs(est - n) * 1000000L / n)
+    }
+    val got = graft.ext.Profiling.kmvCardinality(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"cardinality replay diverged (first got=${got.headOption})")
+    // the estimator behaves like its theory: relative error within
+    // ~4 sampling standard errors (SE ~ 1/sqrt(k-2)) for sources in
+    // the sampling regime
+    got.foreach { case (src, m, _, est, n, err) =>
+      if (m == k) assert(err <= (4000000L / math.sqrt(k - 2).toLong),
+        s"source $src: est $est vs $n (err $err micro) outside the 4-SE bracket")
+    }
+    // degeneracy: k past every set size -> the sketch IS the set
+    graft.ext.Profiling.kmvCardinality(spark, dir, k = 1 << 20)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .foreach { case (src, m, _, est, n, err) =>
+        assert(m == n && est == n && err == 0L, s"source $src: k > |S| must be exact")
+      }
+    graft.ext.Dedup.releaseCaches()
+  }
+
   test("hll by key: per-key md5 replay; each key's estimate equals its own-subset sketch") {
     val dir = "/root/testdata/sf0.001"
     def md5hex(s: String): String =
