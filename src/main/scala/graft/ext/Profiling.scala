@@ -836,21 +836,7 @@ object Profiling {
     // collapse via ReusedExchange; both the lazy and the eagerly-filled
     // persisted variants measured SLOWER (kmvOverlapReport's A/B note)
     val sk = kmvSketchFor(docs, k)
-    val srcs = sk.select(col("source")).distinct()
-    // UNORDERED pair scaffold (lo < hi): one union re-aggregation per
-    // pair serves both ordered directions below
-    val pairs = srcs.select(col("source").as("source_a"))
-      .crossJoin(srcs.select(col("source").as("source_b")))
-      .filter(col("source_a") < col("source_b"))
-    val uni = pairs.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
-      .select(col("source_a"), col("source_b"), col("h"))
-      .union(pairs.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
-        .select(col("source_a"), col("source_b"), col("h")))
-    val m = uni.groupBy(col("source_a"), col("source_b"))
-      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
-      .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
-    val mStats = m.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("m_size"))
+    val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
     // the three-way partition of M by sketch membership: A-only rows
     // are an equi-join on (source_a, h) anti-joined on (source_b, h)
     val mOnlyA = m
@@ -863,12 +849,6 @@ object Profiling {
       .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"), "left_anti")
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("only_b"))
-    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("source").as("source_a"), col("h"))
-      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("exact_inter"))
     val base = pairs
       .join(mStats, Seq("source_a", "source_b"), "left")
       .join(mOnlyA, Seq("source_a", "source_b"), "left")
@@ -946,6 +926,43 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  /** The ONE pair scaffold both pair-matrix reports build on (review
+    * r17: the a-not-b face had copy-pasted these seven frames):
+    * unordered (lo < hi) source pairs read off the k·|sources|-row
+    * SKETCH frame (an all-empty-text source has no set to overlap,
+    * matching the oracle's tok-derived list; deriving the list from
+    * the corpus-scale truth frame put the full shingle build on the
+    * pair matrix's critical path — a measured 1.6× on the bench,
+    * review r16), the per-pair union re-aggregated with the SAME
+    * duplicate-absorbing bottom-k insert (no distinct pass), its size,
+    * and the two exact truth frames off `tok` (per-source counts + the
+    * inclusion–exclusion intersection self-join). Returns (pairs, m,
+    * mStats, nSrc, inter).
+    */
+  private def kmvPairScaffold(sk: DataFrame, tok: DataFrame, k: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val uni = pairs.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"))
+      .union(pairs.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")))
+    val m = uni.groupBy(col("source_a"), col("source_b"))
+      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
+      .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
+    val mStats = m.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("m_size"))
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("source").as("source_a"), col("h"))
+      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    (pairs, m, mStats, nSrc, inter)
+  }
+
   private def kmvOverlapReport(spark: SparkSession, docs: DataFrame, k: Int,
       tokMemoKey: String, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -969,42 +986,12 @@ object Profiling {
     // QUERIES (the kmv chain), not just within one plan, and its build
     // (the corpus-scale distinct) dwarfs its persist cost.
     val sk = kmvSketchFor(docs, k)
-    // the pair matrix covers sources present in the shingle UNIVERSE
-    // (an all-empty-text source has no set to overlap, matching the
-    // oracle's tok-derived list) — read off the k·|sources|-row SKETCH
-    // frame, which carries exactly that source set and is needed by
-    // the estimator legs anyway; deriving it from the corpus-scale
-    // truth frame put the full shingle build on the pair matrix's
-    // critical path (a measured 1.6× on the bench reading, review r16)
-    val srcs = sk.select(col("source")).distinct()
-    val pairs = srcs.select(col("source").as("source_a"))
-      .crossJoin(srcs.select(col("source").as("source_b")))
-      .filter(col("source_a") < col("source_b"))
-    // union sketch per pair: attach each side's k-row sketch by an
-    // equi-join on its source, re-aggregate bottom-k
-    val uni = pairs.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
-      .select(col("source_a"), col("source_b"), col("h"))
-      .union(pairs.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
-        .select(col("source_a"), col("source_b"), col("h")))
-    // the union sketch re-aggregates with the SAME duplicate-absorbing
-    // insert — a hash in both sides' sketches needs no distinct pass
-    val m = uni.groupBy(col("source_a"), col("source_b"))
-      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
-      .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
-    val mStats = m.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("m_size"))
+    val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
     val mBoth = m
       .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
       .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("kmv_overlap"))
-    // exact truth leg: vocabulary self-equi-join + inclusion–exclusion
-    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("source").as("source_a"), col("h"))
-      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("exact_inter"))
     pairs
       .join(mStats, Seq("source_a", "source_b"), "left")
       .join(mBoth, Seq("source_a", "source_b"), "left")

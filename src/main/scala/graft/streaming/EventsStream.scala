@@ -971,6 +971,9 @@ object EventsStream {
     */
   def weightedSampleStream(docs: DataFrame, wQ: Array[Long], k: Int = 20): DataFrame = {
     require(wQ.length == 4, s"expected 4 trained weight micro-units, got ${wQ.length}")
+    // the sibling-face fallback (review r17): a session built without
+    // GraftExtensions still resolves topk_by_score
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     import graft.ext.{Corpus, TextAnalysis}
     val scored = docs
       .select(col("doc_id"), col("text"), TextAnalysis.qualityNTok.as("n_tok"))

@@ -10,6 +10,27 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- shared replay atoms (review r17: md5hex was re-defined per
+  // test 20 times, shingles 4, keyOf 2 — and this round's short-shingle
+  // semantics fix had to hand-edit two stale shingles copies; ONE
+  // definition each, the engine-side compose-never-copy rule applied
+  // to the replays) ----
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  /** 8-char KMV shingles; texts shorter than the width contribute NOTHING. */
+  private def shingles(t: String): Seq[String] =
+    (0 to t.length - 8).map(i => t.substring(i, i + 8))
+  /** The quantized A-ES key — the engine's double shape verbatim
+    * (JVM Math.log IS Spark's ln; the DuckDB libm agreement is the
+    * x_hll_distinct precedent).
+    */
+  private def keyOf(id: Long, qp: Long): Long = {
+    val h = java.lang.Long.parseLong(md5hex(s"es:$id").substring(0, 8), 16)
+    math.floor((-math.log((h + 1).toDouble / 4294967296e0))
+      * 1000000000000e0 / qp.toDouble + 0.5).toLong
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
   private val nearDup = base.replace("lazy", "hazy") // one token differs
   private val unrelated = "completely different content about spark catalyst optimizer rules and physical plans " * 4
@@ -1590,9 +1611,6 @@ class ExtSpec extends SparkSpec {
     val rows = graft.ext.Corpus.fimSplit(spark, dir)
       .as[(Long, Long, Long, Long, String, String, String)].collect()
     assert(rows.length == 500)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     rows.foreach { case (id, n, a, b, pm, mm, sm) =>
       assert(0 <= a && a <= b && b <= n, s"doc $id cuts out of order: $a $b $n")
       val toks = text(id).split(' ')
@@ -2038,9 +2056,6 @@ class ExtSpec extends SparkSpec {
     val cells = 16; val m = 4; val k = 3
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def isUpper(id: Long): Boolean =
       java.lang.Long.parseLong(md5hex(s"g:$id").substring(0, 8), 16) < 536870912L
     val vecs = Tables.embeddings(spark, dir)
@@ -3522,9 +3537,6 @@ class ExtSpec extends SparkSpec {
     assert(rows.length == 64 && rows.map(_._1).toSeq == (0L until 64L))
     val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
       .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val regs = Array.fill(64)(0L)
     toks.foreach { t =>
       val h = md5hex(t)
@@ -3559,9 +3571,6 @@ class ExtSpec extends SparkSpec {
     assert(rows.length == 10 && rows.map(_._1).toSeq == (1L to 10L))
     val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
       .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def cols(t: String): Seq[(Int, Int)] = {
       val h = md5hex(t)
       (0 until 4).map(i => i -> Integer.parseInt(h.substring(i * 2, i * 2 + 2), 16))
@@ -3622,9 +3631,6 @@ class ExtSpec extends SparkSpec {
   test("exact-k sample: md5 order-statistics replay; shard samples merge to the corpus sample") {
     val dir = "/root/testdata/sf0.001"
     val k = 20
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def draw(id: Long): Long = java.lang.Long.parseLong(md5hex(s"s:$id").substring(0, 8), 16)
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars").cast("long"))
@@ -3649,17 +3655,6 @@ class ExtSpec extends SparkSpec {
   test("weighted sample: A-ES bottom-k replay under the trained weights; shard merge; key monotone in weight") {
     val dir = "/root/testdata/sf0.001"
     val k = 20
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    // the quantized A-ES key, the engine's double shape verbatim
-    // (JVM Math.log IS Spark's ln — and the libm agreement with DuckDB
-    // is the x_hll_distinct precedent)
-    def keyOf(id: Long, qp: Long): Long = {
-      val h = java.lang.Long.parseLong(md5hex(s"es:$id").substring(0, 8), 16)
-      math.floor((-math.log((h + 1).toDouble / 4294967296e0))
-        * 1000000000000e0 / qp.toDouble + 0.5).toLong
-    }
     // weights from the SAME memoized vector the engine face rides; the
     // GD run itself is pinned by the x_quality_train oracle + specs
     val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
@@ -3705,14 +3700,6 @@ class ExtSpec extends SparkSpec {
   test("stratified weighted sample: each key's reservoir is the corpus key order filtered to that key") {
     val dir = "/root/testdata/sf0.001"
     val k = 5
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    def keyOf(id: Long, qp: Long): Long = {
-      val h = java.lang.Long.parseLong(md5hex(s"es:$id").substring(0, 8), 16)
-      math.floor((-math.log((h + 1).toDouble / 4294967296e0))
-        * 1000000000000e0 / qp.toDouble + 0.5).toLong
-    }
     val w = graft.ext.TextAnalysis.qualityWeights(spark, dir)
     val qp = graft.ext.TextAnalysis
       .qualityProbFrame(graft.Tables.documents(spark, dir), w)
@@ -3747,11 +3734,6 @@ class ExtSpec extends SparkSpec {
   test("kmv cardinality: per-source replay; degenerate below k is exact; estimator within the sampling bracket") {
     val dir = "/root/testdata/sf0.001"
     val k = 64
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    def shingles(t: String): Seq[String] =
-      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("source"), col("text")).as[(String, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s2, ds) =>
@@ -3772,7 +3754,9 @@ class ExtSpec extends SparkSpec {
     // ~4 sampling standard errors (SE ~ 1/sqrt(k-2)) for sources in
     // the sampling regime
     got.foreach { case (src, m, _, est, n, err) =>
-      if (m == k) assert(err <= (4000000L / math.sqrt(k - 2).toLong),
+      // divide by the REAL sqrt before truncating (review r17: the
+      // truncated-sqrt form loosened the bound by ~12%)
+      if (m == k) assert(err <= (4000000L / math.sqrt(k - 2)).toLong,
         s"source $src: est $est vs $n (err $err micro) outside the 4-SE bracket")
     }
     // degeneracy: k past every set size -> the sketch IS the set
@@ -3786,9 +3770,6 @@ class ExtSpec extends SparkSpec {
 
   test("hll by key: per-key md5 replay; each key's estimate equals its own-subset sketch") {
     val dir = "/root/testdata/sf0.001"
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = graft.Tables.documents(spark, dir)
       .select(col("lang"), col("text")).as[(String, String)].collect()
     val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
@@ -3825,13 +3806,6 @@ class ExtSpec extends SparkSpec {
   test("kmv overlap: full md5 replay, mergeable, exact past the union, estimator in sampling error") {
     val dir = "/root/testdata/sf0.001"
     val k = 64
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    // texts shorter than the shingle width contribute NOTHING (ADVICE
-    // r16: no truncated or empty shingles — "no set, no overlap")
-    def shingles(t: String): Seq[String] =
-      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("source"), col("text")).as[(String, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, ds) =>
@@ -3874,11 +3848,6 @@ class ExtSpec extends SparkSpec {
   test("kmv a-not-b: full md5 replay; M partitions into both/A-only/B-only; degenerate k is exact") {
     val dir = "/root/testdata/sf0.001"
     val k = 64
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    def shingles(t: String): Seq[String] =
-      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("source"), col("text")).as[(String, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s2, ds) =>
@@ -3929,9 +3898,6 @@ class ExtSpec extends SparkSpec {
   test("quantile by key: full per-key md5 replay; each key's sketch equals its own-subset sketch") {
     val dir = "/root/testdata/sf0.001"
     val depth = 12; val cap = 128; val pcts = Seq(25, 50, 75, 90)
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def lvlOf(qkey: String): Long = {
       val w = java.lang.Long.parseLong(md5hex(qkey).substring(0, 8), 16)
       if (w == 0) 32L else 32L - java.lang.Long.toBinaryString(w).length
@@ -3972,15 +3938,10 @@ class ExtSpec extends SparkSpec {
   test("kmv decontam: split-keyed replay off the x_sample_split draw") {
     val dir = "/root/testdata/sf0.001"
     val k = 64
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def splitOf(id: Long): String = {
       val b = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % 100
       if (b < 80) "train" else if (b < 90) "val" else "test"
     }
-    def shingles(t: String): Seq[String] =
-      (0 to t.length - 8).map(i => t.substring(i, i + 8))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val full: Map[String, Set[Long]] = docs.groupBy(d => splitOf(d._1)).map { case (s2, ds) =>
@@ -4016,9 +3977,6 @@ class ExtSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("double"))
       .as[(Long, Long, Double)].collect()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     def lvlOf(ok: Long, ln: Long): Long = {
       val w = java.lang.Long.parseLong(md5hex(s"$ok:$ln").substring(0, 8), 16)
       if (w == 0) 32L else 32L - java.lang.Long.toBinaryString(w).length
