@@ -153,6 +153,7 @@ object SparkEntry {
     "x_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)), // chars/token by language over the 64-merge table (round 13)
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    "x_template_lines"  -> ((s, d) => TextAnalysis.templateLines(s, d)), // per-source doc-frequency boilerplate mass: the RefinedWeb domain-template read beside x_line_dedup's corpus-wide C4 rule (round 17)
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_lm_score_kn"     -> (TextAnalysis.lmScoreKn _), // interpolated Kneser-Ney — the production smoother (round 15)
     "x_lm_score_lang"   -> ((s, d) => TextAnalysis.lmLangScores(s, d).orderBy("doc_id")), // per-language-conditioned JM model (round 14); anchors the ppl chain's memo
@@ -215,6 +216,7 @@ object SparkEntry {
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
+    "x_f2_skew"         -> ((s, d) => Profiling.f2Skew(s, d)), // AMS second-moment sketch: token self-join size / skew from 16 md5 sign sums, hash-gated vs exact F2 (round 17)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
     "x_kmv_diff"        -> ((s, d) => Profiling.kmvSourceDiff(s, d)), // KMV a-not-b: per-direction new-shingle-mass estimate from the same two k-row sketches — the incremental-crawl read (round 17)
@@ -1611,6 +1613,24 @@ object SparkEntry {
            CAST(est - n_true AS BIGINT) AS overcount
          FROM est ORDER BY rk"""
     },
+    // AMS F2: 16 sign sums, sign = parity of one md5 hex digit
+    // (strpos decode), estimate = mean of Z^2 — integer-exact, so the
+    // sketch values themselves hash-gate; exact F2 truth leg beside.
+    "x_f2_skew" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS (SELECT token FROM t WHERE length(token) > 0),
+         reg AS (SELECT r.i AS est_i,
+                   CAST(sum(CASE WHEN (strpos('0123456789abcdef',
+                       substring(md5(token), CAST(r.i + 1 AS INT), 1)) - 1) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS z
+                 FROM tok, range(16) AS r(i) GROUP BY 1),
+         est AS (SELECT CAST(sum(z * z) // 16 AS BIGINT) AS f2_est FROM reg),
+         ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+                FROM (SELECT count(*) AS cnt FROM tok GROUP BY token))
+         SELECT est_i, z, CAST(z * z AS BIGINT) AS z_sq, f2_est, f2_exact,
+           CASE WHEN f2_exact IS NULL OR f2_exact = 0 THEN NULL
+                ELSE CAST(abs(f2_est - f2_exact) * 100 // f2_exact AS BIGINT) END AS err_pct
+         FROM reg CROSS JOIN est CROSS JOIN ex ORDER BY est_i""",
     // Deterministic HLL: md5-derived bucket/value, rank via unpadded
     // bin() length (both engines), max registers, exact-integer
     // estimate with the ln(m/V) linear-counting leg on small range.
@@ -2864,6 +2884,40 @@ object SparkEntry {
            coalesce(agg.cleaned, '') AS cleaned
          FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
          ORDER BY tot.doc_id""",
+    // Per-source template mass: same aligned 4-token lines as
+    // x_line_dedup, counted by within-source DOC frequency (dedup-first
+    // distinct (source, doc, line)); template = df >= 2; share is one
+    // zero-guarded truncating micro-division.
+    "x_template_lines" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+                 list_transform(range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                                i -> array_to_string(toks[i*4+1 : i*4+4], ' ')) AS lines
+               FROM t),
+         l AS (SELECT doc_id, source, unnest(lines) AS line FROM c),
+         dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+         tm AS (SELECT source, line FROM dfq WHERE df >= 2),
+         inst AS (SELECT source, CAST(count(*) AS BIGINT) AS n_line_instances FROM l GROUP BY 1),
+         dst AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_template_lines
+                 FROM dfq GROUP BY 1),
+         mass AS (SELECT l.source, CAST(count(*) AS BIGINT) AS template_mass
+                  FROM l JOIN tm ON l.source = tm.source AND l.line = tm.line GROUP BY 1),
+         nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1)
+         SELECT nd.source, nd.n_docs,
+           CAST(coalesce(inst.n_line_instances, 0) AS BIGINT) AS n_line_instances,
+           CAST(coalesce(dst.n_distinct_lines, 0) AS BIGINT) AS n_distinct_lines,
+           CAST(coalesce(dst.n_template_lines, 0) AS BIGINT) AS n_template_lines,
+           CAST(coalesce(mass.template_mass, 0) AS BIGINT) AS template_mass,
+           CASE WHEN coalesce(inst.n_line_instances, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(mass.template_mass, 0) * 1000000 // inst.n_line_instances AS BIGINT)
+           END AS mass_pct_micro
+         FROM nd
+         LEFT JOIN inst ON nd.source = inst.source
+         LEFT JOIN dst ON nd.source = dst.source
+         LEFT JOIN mass ON nd.source = mass.source
+         ORDER BY nd.source""",
     // Linear quality classifier: fixed literal weights over features
     // rounded to 4 decimals BEFORE weighting (bit-identical doubles on
     // both engines); gate = sign of the score.

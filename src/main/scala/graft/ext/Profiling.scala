@@ -601,6 +601,89 @@ object Profiling {
       .orderBy(col("tok"))
   }
 
+  /** The AMS sign-register aggregation shared by the batch F2 report
+    * and the streaming twin
+    * ([[graft.streaming.EventsStream.f2RegisterStream]]) — one
+    * definition, not a copy, so the two sketches cannot drift. Each of
+    * the `s` estimators draws its ±1 sign for a token from one hex
+    * digit of md5(token) (digit i even → +1, odd → −1 — the same
+    * disjoint-slices-of-ONE-digest idiom as [[cmCellsFor]]'s row
+    * hashes, portable to the oracle via strpos arithmetic) and sums
+    * signs over token OCCURRENCES: Z_i = Σ sign_i(t). The register
+    * frame is s rows EVER — plain integer sums, so map-side partials
+    * collapse each partition to ≤ s rows before the one tiny shuffle,
+    * and shard registers merge by addition (the property that makes
+    * AMS the distributed-sketch textbook example alongside CM/HLL).
+    */
+  private[graft] def f2RegistersFor(docs: DataFrame, s: Int = 16): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), explode(expr(s"sequence(0, ${s - 1})")).as("est_i"))
+      .select(col("est_i"),
+        expr("CASE WHEN CAST(conv(substring(md5(token), CAST(est_i + 1 AS INT), 1)"
+          + ", 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END").as("sgn"))
+      .groupBy(col("est_i"))
+      .agg(sum(col("sgn")).as("z"))
+
+  /** The PRODUCTION face of the AMS F2 sketch: the
+    * Alon–Matias–Szegedy second-moment estimate off a standing
+    * register frame — the sketch-only read path with NO truth leg
+    * (same contract as [[hllEstimateFor]]/[[cmEstimateFor]]). One
+    * ≤ s-row job: F̂2 = mean of Z_i² (each Z_i² is an unbiased F2
+    * estimator; averaging s of them divides the variance by s). `s`
+    * is derived from the frame — the register count IS the estimator
+    * population, so a builder/reader mismatch cannot exist.
+    */
+  def f2EstimateFor(regs: DataFrame): DataFrame =
+    regs.agg(count(lit(1)).as("s_est"),
+        sum(col("z") * col("z")).as("zsq_sum"))
+      .select(col("s_est"), expr("zsq_sum DIV s_est").as("f2_est"))
+
+  /** AMS second frequency moment (`x_f2_skew`): F2 = Σ count(token)²
+    * — the SELF-JOIN SIZE of the token column and the standard skew
+    * statistic (F2/F1² is the collision probability a join planner
+    * prices; a heavy-hitter-dominated corpus has F2 near F1²). The
+    * fourth classic mergeable sketch beside [[hllDistinct]]
+    * (cardinality), [[countMin]] (point frequency), and
+    * [[heavyHitters]] (top mass): s = 16 deterministic ±1 sign sums
+    * built by [[f2RegistersFor]] in one token scan, estimate = mean
+    * of Z² — integer-exact end to end (Z is an integer sum; Z² ≤
+    * F1² fits bigint comfortably), so the ORACLE HASH-GATES THE
+    * SKETCH VALUES themselves, not just the rows. The report carries
+    * the exact F2 beside the estimate (the truth leg is the token
+    * self-join aggregate the sketch replaces at 100 TB — the verdict
+    * face prices the error; production reads [[f2EstimateFor]] off
+    * the standing registers alone) with the qx3 zero-guard on the
+    * terminal division (empty corpus → 0 rows on both engines).
+    * Output: s rows (est_i, z, z_sq) + the broadcast constants
+    * (f2_est, f2_exact, err_pct) — the [[hllDistinct]] shape.
+    */
+  def f2Skew(spark: SparkSession, dir: String, s: Int = 16): DataFrame = {
+    require(s >= 1 && s <= 32, "sign digits come from one 32-hex-digit md5")
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val regs = f2RegistersFor(docs, s)
+    val est = f2EstimateFor(regs)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    val consts = est.withColumn("j", lit(1))
+      .join(broadcast(exact.withColumn("j", lit(1))), "j")
+      // zero-guarded (the qx3/hllDistinct convention): an all-empty
+      // corpus has f2_exact NULL-or-0 where ANSI Spark would throw on
+      // the integer division and DuckDB would quietly yield NULL
+      .withColumn("err_pct",
+        expr("CASE WHEN f2_exact IS NULL OR f2_exact = 0 THEN NULL"
+          + " ELSE abs(f2_est - f2_exact) * 100 DIV f2_exact END"))
+    regs.withColumn("j", lit(1))
+      .join(broadcast(consts), "j")
+      .select(col("est_i").cast("long").as("est_i"), col("z"),
+        (col("z") * col("z")).as("z_sq"),
+        col("f2_est"), col("f2_exact"), col("err_pct"))
+      .orderBy(col("est_i"))
+  }
+
   /** The md5 level draw shared by the batch quantile sketch and the
     * streaming twin ([[graft.streaming.EventsStream.quantileLevelStream]])
     * — one expression, not a copy, so the two sketches cannot drift.

@@ -1731,17 +1731,25 @@ object TextAnalysis {
   def lineDedup(spark: SparkSession, dir: String, width: Int = 4, maxOcc: Int = 3): DataFrame =
     lineDedupFor(Tables.documents(spark, dir), width, maxOcc)
 
-  def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
-    // toks projected once per row — slice(split(text, ' '), …) inside
-    // the lambda re-ran the regex split per CHUNK (the interpreted-HOF
-    // recompute trap; same fix as lmScoreFor)
-    val lines = docs
+  /** The aligned width-token "line" projection — (doc_id, pos, line) —
+    * shared by [[lineDedupFor]] (corpus-wide C4 occurrence capping) and
+    * [[templateLines]] (per-source doc-frequency template mass): one
+    * definition, so the two faces' line universes cannot drift. toks
+    * is projected once per row — slice(split(text, ' '), …) inside the
+    * lambda re-ran the regex split per CHUNK (the interpreted-HOF
+    * recompute trap; same fix as lmScoreFor).
+    */
+  private[graft] def docLinesFor(docs: DataFrame, width: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
              |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin))
           .as(Seq("pos", "line")))
+
+  def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
+    val lines = docLinesFor(docs, width)
     val hashed = lines.withColumn("lh", xxhash64(col("line")))
     // only the boilerplate lines (seen maxOcc+ times) survive the HAVING
     // — the anti-join's build side stays small enough to broadcast
@@ -1761,6 +1769,69 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source template/boilerplate mass (`x_template_lines`): the
+    * DOMAIN-keyed boilerplate read beside [[lineDedup]]'s corpus-wide
+    * C4 rule — RefinedWeb/trafilatura detect nav bars, cookie banners,
+    * and footer templates as lines repeated across the SAME domain's
+    * pages (a line shared by 2+ docs of one source is template; the
+    * same line appearing once per domain across many domains is just
+    * common prose). Per source: doc count, line-instance count,
+    * distinct lines, template lines (within-source doc-frequency ≥
+    * `minDf` — doc frequency, not occurrence count: a line repeated
+    * inside ONE doc is repetition, [[lineDedup]]'s business, not
+    * template), the instance mass those template lines cover, and the
+    * micro share — the "how much of this domain is chrome" number a
+    * crawler review reads before keeping a source.
+    *
+    * Shape: the shared [[docLinesFor]] projection → xxhash64 line keys
+    * (8 bytes on the wire, the lineDedup convention) → dedup-first
+    * (source, doc, lh) distinct → one (source, lh) doc-frequency
+    * aggregate; instance mass via a semi-join against the template
+    * set, which is the repetitive minority by definition — at scale it
+    * broadcasts, and the line text never crosses an exchange. All
+    * counts exact integers; the share is one zero-guarded truncating
+    * micro-division. |sources|-row output.
+    */
+  def templateLines(spark: SparkSession, dir: String,
+      width: Int = 4, minDf: Int = 2): DataFrame =
+    templateLinesFor(Tables.documents(spark, dir), width, minDf)
+
+  /** Core over any (doc_id, text, source) frame — split out so specs
+    * can plant shared-template and within-doc-repetition fixtures.
+    */
+  def templateLinesFor(docs: DataFrame, width: Int = 4, minDf: Int = 2): DataFrame = {
+    val inst = docLinesFor(docs, width)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), xxhash64(col("line")).as("lh"))
+    // doc-frequency, dedup-first: distinct (source, doc, line) then count
+    val dfFreq = inst.distinct()
+      .groupBy(col("source"), col("lh")).agg(count(lit(1)).as("df"))
+    val tmpl = dfFreq.filter(col("df") >= minDf).select(col("source"), col("lh"))
+    val perInst = inst.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_line_instances"))
+    val perDist = dfFreq.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_template_lines"))
+    val mass = inst.join(tmpl, Seq("source", "lh"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("template_mass"))
+    val nd = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    nd.join(perInst, Seq("source"), "left")
+      .join(perDist, Seq("source"), "left")
+      .join(mass, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_line_instances"), lit(0L)).as("n_line_instances"),
+        coalesce(col("n_distinct_lines"), lit(0L)).as("n_distinct_lines"),
+        coalesce(col("n_template_lines"), lit(0L)).as("n_template_lines"),
+        coalesce(col("template_mass"), lit(0L)).as("template_mass"),
+        // zero-guarded (the qx3 convention): a source with no lines
+        // yields NULL share on both engines instead of an ANSI throw
+        expr("CASE WHEN coalesce(n_line_instances, 0) = 0 THEN NULL"
+          + " ELSE coalesce(template_mass, 0) * 1000000 DIV n_line_instances END")
+          .as("mass_pct_micro"))
+      .orderBy(col("source"))
   }
 
   /** Email-address pattern, restricted to the regex subset that behaves

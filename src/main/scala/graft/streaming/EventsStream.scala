@@ -935,6 +935,24 @@ object EventsStream {
   def hllRegisterStream(docs: DataFrame): DataFrame =
     graft.ext.Profiling.hllRegistersFor(docs)
 
+  /** Streaming AMS F2 sign registers (round 17) — the skew/self-join-
+    * size companion to [[countMinStream]], same contract: arriving
+    * documents project their s = 16 ±1 md5-digit signs ROW-LOCALLY
+    * with the exact batch expression
+    * ([[graft.ext.Profiling.f2RegistersFor]] — one definition, not a
+    * copy) and a streaming `sum` aggregation maintains the sign sums
+    * — s rows of state EVER, the tightest bound of any sketch here.
+    * Sums are associative so shard/micro-batch merges are exact
+    * (batch agreement asserted register-for-register in spec), with
+    * the same at-least-once caveat as any counter ([[countMinStream]]
+    * included): a REPLAYED batch adds again — run behind the
+    * exactly-once file/Kafka source commit log, not a raw socket.
+    * Downstream reads apply [[graft.ext.Profiling.f2EstimateFor]] to
+    * the current registers.
+    */
+  def f2RegisterStream(docs: DataFrame, s: Int = 16): DataFrame =
+    graft.ext.Profiling.f2RegistersFor(docs, s)
+
   /** Streaming KMV bottom-k sketch (round 16) — the set-overlap
     * companion to [[hllRegisterStream]], same contract: arriving
     * documents project their 8-char shingle md5 hashes ROW-LOCALLY

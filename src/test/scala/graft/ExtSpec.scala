@@ -1283,6 +1283,55 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, ""))) // survives with empty text, not dropped
   }
 
+  test("template lines: within-source doc frequency — shared lines template, within-doc repetition is not") {
+    // width=2 lines. Source s0: docs 0/1 share "a b" (df=2 → template);
+    // doc 2 repeats "c d" within ONE doc (df=1 → NOT template — that is
+    // lineDedup's business, not the domain-template contract). Source
+    // s1 carries the SAME "a b" once: template status is PER-SOURCE.
+    val d = Seq(
+      (0L, "a b u1 u2", "s0"),
+      (1L, "a b x1 x2", "s0"),
+      (2L, "c d c d", "s0"),
+      (3L, "a b y1 y2", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextAnalysis.templateLinesFor(d, width = 2, minDf = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s0: 3 docs, 6 instances, 4 distinct ("a b","u1 u2","x1 x2","c d"),
+    // 1 template line covering 2 instances → share 2e6 div 6 = 333333
+    assert(out("s0") == (("s0", 3L, 6L, 4L, 1L, 2L, 333333L)), s"s0: ${out("s0")}")
+    // s1: "a b" has df=1 here → no template despite being template in s0
+    assert(out("s1") == (("s1", 1L, 2L, 2L, 0L, 0L, 0L)), s"s1: ${out("s1")}")
+    // corpus replay: recompute the registered face's whole report in
+    // plain Scala at sf0.001 and assert exact per-source equality
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.templateLines(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    def linesOf(t: String): Seq[String] =
+      t.split(" ", -1).grouped(4).map(_.mkString(" ")).toSeq
+    val inst = corpus.flatMap { case (id, t, s) => linesOf(t).map(l => (s, id, l)) }
+    val dfq = inst.distinct.groupBy { case (s, _, l) => (s, l) }
+      .map { case (k, g) => k -> g.map(_._2).distinct.length }
+    rows.foreach { case (s, nDocs, nInst, nDist, nTmpl, massV, pct) =>
+      val si = inst.filter(_._1 == s)
+      val sd = dfq.filter(_._1._1 == s)
+      val tmplSet = sd.filter(_._2 >= 2).keySet.map(_._2)
+      val expMass = si.count(i => tmplSet.contains(i._3)).toLong
+      assert(nDocs == corpus.count(_._3 == s).toLong && nInst == si.length.toLong
+        && nDist == sd.size.toLong && nTmpl == tmplSet.size.toLong && massV == expMass,
+        s"source $s: ($nDocs,$nInst,$nDist,$nTmpl,$massV)")
+      // every doc yields >= 1 line, so a listed source's share is never
+      // the zero-guard NULL branch here
+      assert(si.nonEmpty && pct == expMass * 1000000L / si.length,
+        s"source $s share $pct")
+    }
+    assert(rows.nonEmpty && rows.exists(_._5 > 0),
+      "fixture corpus should carry at least one template line (planted dups)")
+  }
+
   test("CDC boundaries are content-defined: a prefix insertion shifts later boundaries, never rewrites them") {
     val s = ("spark catalyst optimizer rules physical plans shuffle partitions broadcast " * 8).trim
     val ins = "XY! " // 4-char prefix insertion
@@ -3594,6 +3643,46 @@ class ExtSpec extends SparkSpec {
       .agg(sum(col("cell"))).as[Long].head()
     assert(engineMass == toks.length.toLong * 4,
       s"engine sketch mass $engineMass vs ${toks.length * 4}")
+  }
+
+  test("ams f2: registers equal an md5 sign replay and shards merge by addition") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.f2Skew(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 16 && rows.map(_._1).toSeq == (0L to 15L))
+    val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    def sign(t: String, i: Int): Long =
+      if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
+    val z = (0 until 16).map(i => toks.iterator.map(sign(_, i)).sum)
+    val f2Exact = toks.groupBy(identity).valuesIterator
+      .map(g => g.length.toLong * g.length).sum
+    val f2Est = z.map(v => v * v).sum / 16
+    rows.foreach { case (i, zi, zsq, est, ex, err) =>
+      assert(zi == z(i.toInt), s"estimator $i: z $zi vs replay ${z(i.toInt)}")
+      assert(zsq == zi * zi && est == f2Est && ex == f2Exact,
+        s"estimator $i: ($zsq,$est,$ex) vs (${zi * zi},$f2Est,$f2Exact)")
+      assert(err == math.abs(f2Est - f2Exact) * 100 / f2Exact)
+    }
+    // shard-merge theorem: sign sums built on the two doc_id halves add
+    // to the full-corpus registers — the mergeable contract that lets
+    // shards sketch independently and combine driver-free
+    val docs = graft.Tables.documents(spark, dir)
+    val half = (m: Int) => graft.ext.Profiling
+      .f2RegistersFor(docs.filter(col("doc_id") % 2 === m))
+      .as[(Int, Long)].collect().toMap
+    val (evens, odds) = (half(0), half(1))
+    val full = graft.ext.Profiling.f2RegistersFor(docs)
+      .as[(Int, Long)].collect().toMap
+    (0 until 16).foreach(i => assert(
+      evens.getOrElse(i, 0L) + odds.getOrElse(i, 0L) == full(i),
+      s"estimator $i: shard sums don't merge to the corpus register"))
+    // production face reads the standing registers alone and equals the
+    // verdict face's estimate leg (same contract as hll/cm)
+    val prod = graft.ext.Profiling
+      .f2EstimateFor(graft.ext.Profiling.f2RegistersFor(docs))
+      .as[(Long, Long)].head()
+    assert(prod == ((16L, f2Est)), s"production face $prod vs (16,$f2Est)")
   }
 
   test("sketch production faces: estimates equal the verdict faces without any truth leg") {

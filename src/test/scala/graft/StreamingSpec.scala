@@ -1632,6 +1632,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 4 * 256, s"sketch grew past d*w: ${streamed.size}")
   }
 
+  test("streaming ams f2 registers: equal the batch sketch after the corpus replays") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventsStream.f2RegisterStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("f2_stream")
+      .outputMode("complete").start()
+    docs.grouped(100).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("f2_stream")
+      .as[(Int, Long)].collect().toMap
+    val batch = graft.ext.Profiling.f2RegistersFor(graft.Tables.documents(spark, dir))
+      .as[(Int, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (i, z) =>
+      assert(streamed(i) == z, s"estimator $i: ${streamed(i)} vs $z")
+    }
+    // bounded-state contract: the sketch never exceeds s registers
+    assert(streamed.size <= 16, s"sketch grew past s: ${streamed.size}")
+  }
+
   test("streaming hll registers: equal the batch sketch, idempotent under re-delivery") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
