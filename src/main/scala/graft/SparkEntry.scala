@@ -175,6 +175,7 @@ object SparkEntry {
     "x_image_phash"         -> (Multimodal.phashQuery _),
     "x_image_clusters"      -> (Multimodal.imageClusters _), // connected components over the phash banded-Hamming pairs — the images' dedup-apply decision (round 17)
     "x_image_stats"         -> (Multimodal.imageChannelStats _), // per-channel pixel stats off the real PPM decodes — the x_embed_stats sibling, the codec/camera drift check (round 17)
+    "x_frame_sample"        -> (Multimodal.frameSampleQuery _), // video frame slicing + stride sampling + resize, oracle-proven via byte-sum checksums (round 17)
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
@@ -2483,6 +2484,23 @@ object SparkEntry {
            CAST(floor(sqrt(CAST(n_px * sq - s * s AS DOUBLE)) * 1000000e0 / n_px + 0.5) AS BIGINT) AS std_micro,
            min_v, max_v
          FROM agg ORDER BY channel""",
+    // Video frame sampling: payload bytes = text chars under the ASCII
+    // guard; frames = 32-char slices (floor(len/32) full frames), keep
+    // idx % 4 = 0, resize = 16-char prefix, checksum = ascii byte sum.
+    "x_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+                    WHERE doc_id < 200 AND doc_id % 3 = 2
+                      AND regexp_matches(text, '^[\x01-\x7F]*$')
+                      AND length(text) >= 32),
+         f AS (SELECT media_id, r.i AS frame_idx,
+                 substr(text, CAST(r.i * 32 + 1 AS INT), 16) AS rs
+               FROM m, LATERAL (SELECT unnest(range(0, CAST(length(text) // 32 AS INT))) AS i) AS r
+               WHERE r.i % 4 = 0)
+         SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(length(rs) AS BIGINT) AS resized_len,
+           CAST(list_sum(list_transform(range(1, length(rs) + 1),
+             i -> ascii(substr(rs, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+         FROM f ORDER BY media_id, frame_idx""",
   ) ++ corpusOracles
 
   /** The synthetic-thumbnail universe CTE (ASCII-only documents under

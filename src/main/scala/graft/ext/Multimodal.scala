@@ -71,6 +71,10 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
     media.filter(col("kind") === "video")
+      // a payload shorter than one frame has ZERO frames — without this
+      // guard `sequence(0, n-1)` with n = 0 DESCENDS in Spark
+      // (sequence(0,-1) = [0,-1]) and fabricates frame indices
+      .filter(length(col("payload")) >= frameBytes)
       .select(col("media_id"),
         posexplode(expr(
           s"""filter(
@@ -385,6 +389,37 @@ object Multimodal {
           + " + 0.5) AS BIGINT)").as("std_micro"),
         col("min_v"), col("max_v"))
       .orderBy(col("channel"))
+  }
+
+  /** Registered video frame-sampling face (`x_frame_sample`, round 17):
+    * the [[sampleFrames]] → [[resizeFrames]] plumbing promoted from
+    * spec-only to oracle-proven — video payloads slice into 32-byte
+    * frames, every 4th frame is kept (the stride sampler a video
+    * pipeline runs before feature extraction; a real deployment swaps
+    * the byte slicer for a keyframe decoder at the same seam), each
+    * kept frame resizes to its 16-byte prefix, and the row carries a
+    * deterministic byte-sum checksum so the DuckDB oracle replays the
+    * whole slice/stride/resize arithmetic from the text bytes (the
+    * [[syntheticPpmMedia]] ASCII-guard convention: UTF-8 bytes == char
+    * codes, so `substr` on both engines reads the same payload). Pure
+    * row-local array ops — zero shuffle except the presentation sort;
+    * at 100 TB this is a free rider on the media scan.
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(spark, dir)
+      .filter(col("media_id") < 200)
+      // ASCII-only payloads: the oracle reconstructs bytes via substr
+      // on CHARACTERS (see syntheticPpmMedia's scaladoc for the trap)
+      .filter(decode(col("payload"), "UTF-8").rlike("^[\\x01-\\x7F]*$"))
+    val frames = resizeFrames(sampleFrames(media))
+      .withColumn("rs", decode(col("resized"), "UTF-8"))
+    frames.select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("rs")).cast("long").as("resized_len"),
+        expr("aggregate(transform(sequence(1, length(rs)), i ->"
+          + " ascii(substring(rs, i, 1))), 0L, (acc, x) -> acc + x)")
+          .as("byte_sum"))
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** End-to-end demo: media → features → cosine-nearest media pairs

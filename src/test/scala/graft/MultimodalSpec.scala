@@ -47,6 +47,15 @@ class MultimodalSpec extends SparkSpec {
     assert(lens.forall(_ <= 32))
   }
 
+  test("frame sampling: a payload shorter than one frame yields zero frames, never bogus indices") {
+    import spark.implicits._
+    // sequence(0, -1) DESCENDS in Spark — without the length guard this
+    // payload fabricated frame indices 0 and -1 (the bug this pins)
+    val media = Seq((1L, "video", "tiny".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.sampleFrames(media, frameBytes = 32, stride = 4).count() == 0L)
+  }
+
   test("resize: every frame exactly target size, truncation or zero-pad") {
     val media = Multimodal.syntheticMedia(spark, dir).filter(col("kind") === "video").limit(3)
     val resized = Multimodal.resizeFrames(Multimodal.sampleFrames(media), targetBytes = 16)
