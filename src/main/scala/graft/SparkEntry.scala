@@ -154,6 +154,7 @@ object SparkEntry {
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_template_lines"  -> ((s, d) => TextAnalysis.templateLines(s, d)), // per-source doc-frequency boilerplate mass: the RefinedWeb domain-template read beside x_line_dedup's corpus-wide C4 rule (round 17)
+    "x_template_apply"  -> ((s, d) => TextAnalysis.templateApply(s, d)), // the template CLEANER: strip df>=2 domain lines, reassemble docs — rides the memoized frequency frame the report anchors (round 17)
     "x_lm_score"        -> (TextAnalysis.lmScore _),
     "x_lm_score_kn"     -> (TextAnalysis.lmScoreKn _), // interpolated Kneser-Ney — the production smoother (round 15)
     "x_lm_score_lang"   -> ((s, d) => TextAnalysis.lmLangScores(s, d).orderBy("doc_id")), // per-language-conditioned JM model (round 14); anchors the ppl chain's memo
@@ -338,7 +339,12 @@ object SparkEntry {
       // each re-paid the within-cell top-m graph build (measured
       // 9.9 s for x_lexrank_graph standalone vs the ~2 s incremental
       // PageRank it actually adds)
-      "x_sim_nsw_hier", "x_lexrank_graph")
+      "x_sim_nsw_hier", "x_lexrank_graph",
+      // round 17: the template cleaner rides the memoized (source, lh,
+      // df) frequency frame the report just built — it prices one
+      // anti-join + the per-doc reassembly, never a second frequency
+      // aggregate
+      "x_template_apply")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -359,7 +365,10 @@ object SparkEntry {
       "x_kmv_overlap",
       // round 17: the nsw chain — the flat search builds the memoized
       // base neighbor graph + assignment its two riders consume
-      "x_sim_nsw")
+      "x_sim_nsw",
+      // round 17: the template report builds the memoized (source, lh,
+      // df) frequency frame the cleaner rides
+      "x_template_lines")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -412,8 +421,11 @@ object SparkEntry {
     // round 17: the nsw chain — hierarchy and kNN-graph LexRank ride
     // the flat search's memoized base graph + assignment
     val nswChain = Seq("x_sim_nsw", "x_sim_nsw_hier", "x_lexrank_graph")
+    // round 17: the template chain — the cleaner rides the report's
+    // memoized (source, lh, df) frequency frame
+    val templateChain = Seq("x_template_lines", "x_template_apply")
     val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
-      kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain
+      kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain ++ templateChain
     require(allChains.forall(queries.contains),
       s"ordered-run contract expects ${allChains.mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -429,6 +441,7 @@ object SparkEntry {
         case "x_sim_ivf_pq"           => pqChain
         case "x_kmv_overlap"          => kmvChain
         case "x_sim_nsw"              => nswChain
+        case "x_template_lines"       => templateChain
         case n                        => Seq(n)
       }
   }
@@ -2936,6 +2949,31 @@ object SparkEntry {
          LEFT JOIN dst ON nd.source = dst.source
          LEFT JOIN mass ON nd.source = mass.source
          ORDER BY nd.source""",
+    // Template cleaner: drop every line whose within-source doc
+    // frequency >= 2, reassemble docs from surviving lines in order
+    // (x_line_dedup's rebuild keyed by the domain-template rule).
+    "x_template_apply" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+                 list_transform(range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                                i -> array_to_string(toks[i*4+1 : i*4+4], ' ')) AS lines
+               FROM t),
+         l AS (SELECT doc_id, source, unnest(lines) AS line,
+                 unnest(range(1, len(lines) + 1)) AS pos FROM c),
+         dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+         tm AS (SELECT source, line FROM dfq WHERE df >= 2),
+         k AS (SELECT l.doc_id, l.pos, l.line FROM l
+               LEFT JOIN tm ON l.source = tm.source AND l.line = tm.line
+               WHERE tm.line IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, ' ' ORDER BY pos) AS cleaned
+                 FROM k GROUP BY doc_id),
+         tot AS (SELECT doc_id, source, count(*) AS n_lines FROM l GROUP BY 1, 2)
+         SELECT tot.doc_id, tot.source, CAST(tot.n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(agg.cleaned, '') AS cleaned
+         FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+         ORDER BY tot.doc_id""",
     // Linear quality classifier: fixed literal weights over features
     // rounded to 4 decimals BEFORE weighting (bit-identical doubles on
     // both engines); gate = sign of the score.

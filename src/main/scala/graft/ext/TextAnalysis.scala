@@ -1748,6 +1748,27 @@ object TextAnalysis {
              |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin))
           .as(Seq("pos", "line")))
 
+  /** Per-doc reassembly of surviving lines — (doc_id, n_lines, n_kept,
+    * cleaned) from the full line frame and its kept subset; shared by
+    * [[lineDedupFor]] and [[templateApplyFor]] (one definition, so the
+    * two cleaners' rebuild semantics cannot drift). Docs whose every
+    * line was removed survive with empty text, not dropped.
+    */
+  private[graft] def reassembleKept(lines: DataFrame, kept: DataFrame): DataFrame = {
+    val k = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // sort_array on struct(pos, line) orders by pos; rebuild the doc
+        // from surviving lines in original order
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("cleaned"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
     val lines = docLinesFor(docs, width)
     val hashed = lines.withColumn("lh", xxhash64(col("line")))
@@ -1757,18 +1778,7 @@ object TextAnalysis {
       .filter(col("cnt") >= maxOcc)
       .select(col("lh"))
     val kept = hashed.join(frequent, Seq("lh"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        // sort_array on struct(pos, line) orders by pos; rebuild the doc
-        // from surviving lines in original order
-        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, line))), x -> x.line)"))
-          .as("cleaned"))
-    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left") // docs whose every line was boilerplate survive with empty text
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
-      .orderBy(col("doc_id"))
+    reassembleKept(lines, kept).orderBy(col("doc_id"))
   }
 
   /** Per-source template/boilerplate mass (`x_template_lines`): the
@@ -1794,20 +1804,51 @@ object TextAnalysis {
     * counts exact integers; the share is one zero-guarded truncating
     * micro-division. |sources|-row output.
     */
+  /** The per-source line-instance frame — (source, doc_id, pos, line,
+    * lh) — shared by both template faces: the [[docLinesFor]] explode
+    * with source and the 8-byte xxhash64 key attached.
+    */
+  private[graft] def templateLineInst(docs: DataFrame, width: Int): DataFrame =
+    docLinesFor(docs, width)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("pos"), col("line"),
+        xxhash64(col("line")).as("lh"))
+
+  /** Per-(source, line) DOC frequency — dedup-first: distinct (source,
+    * doc, lh), then count. The one aggregate both template faces read;
+    * the registered pair shares it through the session frame memo
+    * (keyed by dir+width), so the apply face prices its anti-join +
+    * reassembly, never a second frequency build — the memoize-only-
+    * frames-re-read-ACROSS-queries rule this round's A/B recorded.
+    */
+  private[graft] def templateFreqOf(inst: DataFrame): DataFrame =
+    inst.select(col("source"), col("doc_id"), col("lh")).distinct()
+      .groupBy(col("source"), col("lh")).agg(count(lit(1)).as("df"))
+
+  private def templateFreqMemo(spark: SparkSession, dir: String, width: Int): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"tmplfreq:$dir:$width", dir,
+      tables = Seq("documents.parquet")) {
+      templateFreqOf(templateLineInst(Tables.documents(spark, dir), width))
+    }
+
   def templateLines(spark: SparkSession, dir: String,
-      width: Int = 4, minDf: Int = 2): DataFrame =
-    templateLinesFor(Tables.documents(spark, dir), width, minDf)
+      width: Int = 4, minDf: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    templateLinesReport(docs, templateLineInst(docs, width),
+      templateFreqMemo(spark, dir, width), minDf)
+  }
 
   /** Core over any (doc_id, text, source) frame — split out so specs
     * can plant shared-template and within-doc-repetition fixtures.
     */
   def templateLinesFor(docs: DataFrame, width: Int = 4, minDf: Int = 2): DataFrame = {
-    val inst = docLinesFor(docs, width)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("doc_id"), xxhash64(col("line")).as("lh"))
-    // doc-frequency, dedup-first: distinct (source, doc, line) then count
-    val dfFreq = inst.distinct()
-      .groupBy(col("source"), col("lh")).agg(count(lit(1)).as("df"))
+    val inst = templateLineInst(docs, width)
+    templateLinesReport(docs, inst, templateFreqOf(inst), minDf)
+  }
+
+  private def templateLinesReport(docs: DataFrame, instFull: DataFrame,
+      dfFreq: DataFrame, minDf: Int): DataFrame = {
+    val inst = instFull.select(col("source"), col("doc_id"), col("lh"))
     val tmpl = dfFreq.filter(col("df") >= minDf).select(col("source"), col("lh"))
     val perInst = inst.groupBy(col("source"))
       .agg(count(lit(1)).as("n_line_instances"))
@@ -1832,6 +1873,44 @@ object TextAnalysis {
           + " ELSE coalesce(template_mass, 0) * 1000000 DIV n_line_instances END")
           .as("mass_pct_micro"))
       .orderBy(col("source"))
+  }
+
+  /** Per-doc template REMOVAL (`x_template_apply`): the cleaning
+    * operator [[templateLines]]'s report prices — every line whose
+    * within-source doc frequency reaches `minDf` is dropped from every
+    * doc of that source, and the doc is reassembled from its surviving
+    * lines in order (the [[reassembleKept]] tail shared with
+    * [[lineDedupFor]], so the two cleaners' rebuild semantics cannot
+    * drift). Closes the template family the way `x_dedup_apply` closes
+    * `x_dedup_ngram`: the report says how much chrome a domain
+    * carries, this face strips it. Rides the chain: the registered
+    * query consumes the (source, lh, df) frequency frame
+    * `x_template_lines` just memoized, pricing one anti-join + the
+    * per-doc reassembly — never a second frequency build.
+    */
+  def templateApply(spark: SparkSession, dir: String,
+      width: Int = 4, minDf: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    templateApplyCore(docs, templateLineInst(docs, width),
+      templateFreqMemo(spark, dir, width), minDf)
+  }
+
+  /** Core over any (doc_id, text, source) frame — fixture seam. */
+  def templateApplyFor(docs: DataFrame, width: Int = 4, minDf: Int = 2): DataFrame = {
+    val inst = templateLineInst(docs, width)
+    templateApplyCore(docs, inst, templateFreqOf(inst), minDf)
+  }
+
+  private def templateApplyCore(docs: DataFrame, inst: DataFrame,
+      dfFreq: DataFrame, minDf: Int): DataFrame = {
+    val tmpl = dfFreq.filter(col("df") >= minDf).select(col("source"), col("lh"))
+    // the template set is the repetitive minority — broadcasts at scale
+    val kept = inst.join(tmpl, Seq("source", "lh"), "left_anti")
+    reassembleKept(inst.select(col("doc_id"), col("pos"), col("line")), kept)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        col("cleaned"))
+      .orderBy(col("doc_id"))
   }
 
   /** Email-address pattern, restricted to the regex subset that behaves

@@ -1332,6 +1332,31 @@ class ExtSpec extends SparkSpec {
       "fixture corpus should carry at least one template line (planted dups)")
   }
 
+  test("template apply: domain lines stripped in order, report mass reconciles") {
+    val d = Seq(
+      (0L, "a b u1 u2", "s0"),
+      (1L, "a b x1 x2", "s0"),
+      (2L, "c d c d", "s0"),
+      (3L, "a b y1 y2", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextAnalysis.templateApplyFor(d, width = 2, minDf = 2)
+      .as[(Long, String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, "s0", 2L, 1L, "u1 u2")))
+    assert(out(1L) == ((1L, "s0", 2L, 1L, "x1 x2")))
+    // within-doc repetition is NOT template — doc 2 keeps both copies
+    assert(out(2L) == ((2L, "s0", 2L, 2L, "c d c d")))
+    // "a b" is template only in s0 — s1's copy survives untouched
+    assert(out(3L) == ((3L, "s1", 2L, 2L, "a b y1 y2")))
+    // the stripped mass per source is exactly the report's template_mass
+    // (the apply face removes what the report priced, nothing else)
+    val mass = graft.ext.TextAnalysis.templateLinesFor(d, width = 2, minDf = 2)
+      .select(col("source"), col("template_mass")).as[(String, Long)].collect().toMap
+    val stripped = out.values.groupBy(_._2)
+      .map { case (s, rs) => s -> rs.map(r => r._3 - r._4).sum }
+    assert(stripped("s0") == mass("s0") && stripped("s1") == mass("s1"),
+      s"stripped $stripped vs report mass $mass")
+  }
+
   test("CDC boundaries are content-defined: a prefix insertion shifts later boundaries, never rewrites them") {
     val s = ("spark catalyst optimizer rules physical plans shuffle partitions broadcast " * 8).trim
     val ins = "XY! " // 4-char prefix insertion
