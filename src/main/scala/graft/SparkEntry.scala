@@ -219,6 +219,8 @@ object SparkEntry {
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
     "x_countmin"        -> ((s, d) => Profiling.countMin(s, d)), // deterministic Count-Min sketch: est >= true hash-gated on the exact top-10 (round 15)
     "x_f2_skew"         -> ((s, d) => Profiling.f2Skew(s, d)), // AMS second-moment sketch: token self-join size / skew from 16 md5 sign sums, hash-gated vs exact F2 (round 17)
+    "x_f2_by_key"       -> ((s, d) => Profiling.f2ByKey(s, d)), // GROUPED AMS F2: per-source self-join size, every key's sign registers from one token scan — anchors the f2 chain (round 17)
+    "x_f2_join_size"    -> ((s, d) => Profiling.f2JoinSize(s, d)), // AMS inner product: pairwise equi-join cardinality from independently-built sign registers (AGMS PODS'99) — f2-chain rider (round 17)
     "x_kmv_overlap"     -> ((s, d) => Profiling.kmvSourceOverlap(s, d)), // KMV bottom-k theta sketch: pairwise source-vocabulary Jaccard from k-row sketches vs the exact join (round 16)
     "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
     "x_kmv_diff"        -> ((s, d) => Profiling.kmvSourceDiff(s, d)), // KMV a-not-b: per-direction new-shingle-mass estimate from the same two k-row sketches — the incremental-crawl read (round 17)
@@ -344,7 +346,12 @@ object SparkEntry {
       // df) frequency frame the report just built — it prices one
       // anti-join + the per-doc reassembly, never a second frequency
       // aggregate
-      "x_template_apply")
+      "x_template_apply",
+      // round 17: the AGMS join-size face rides the memoized grouped
+      // sign registers x_f2_by_key just built — pair-matrix arithmetic
+      // over <= s·|sources| rows plus its truth join, never a second
+      // token scan for registers
+      "x_f2_join_size")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -368,7 +375,10 @@ object SparkEntry {
       "x_sim_nsw",
       // round 17: the template report builds the memoized (source, lh,
       // df) frequency frame the cleaner rides
-      "x_template_lines")
+      "x_template_lines",
+      // round 17: the grouped-F2 face builds the memoized per-source
+      // sign registers the join-size estimator rides
+      "x_f2_by_key")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -424,8 +434,12 @@ object SparkEntry {
     // round 17: the template chain — the cleaner rides the report's
     // memoized (source, lh, df) frequency frame
     val templateChain = Seq("x_template_lines", "x_template_apply")
+    // round 17: the f2 chain — the join-size estimator rides the
+    // grouped face's memoized per-source sign registers
+    val f2Chain = Seq("x_f2_by_key", "x_f2_join_size")
     val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
-      kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain ++ templateChain
+      kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain ++
+      templateChain ++ f2Chain
     require(allChains.forall(queries.contains),
       s"ordered-run contract expects ${allChains.mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -442,6 +456,7 @@ object SparkEntry {
         case "x_kmv_overlap"          => kmvChain
         case "x_sim_nsw"              => nswChain
         case "x_template_lines"       => templateChain
+        case "x_f2_by_key"            => f2Chain
         case n                        => Seq(n)
       }
   }
@@ -1627,6 +1642,34 @@ object SparkEntry {
            CAST(est - n_true AS BIGINT) AS overcount
          FROM est ORDER BY rk"""
     },
+    // Grouped AMS F2 + AGMS join size: the shared per-source sign
+    // register CTE (f2KeyRegCtes); per-key estimate = mean of Z², pair
+    // estimate = mean of Za·Zb (both DIV 16, truncation toward zero on
+    // both engines — verified on negatives); exact truth legs beside.
+    "x_f2_by_key" ->
+      s"""WITH $f2KeyRegCtes,
+         est AS (SELECT k, CAST(sum(z * z) // 16 AS BIGINT) AS f2_est FROM reg GROUP BY 1),
+         ex AS (SELECT k, CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+                FROM (SELECT k, token, count(*) AS cnt FROM tok GROUP BY 1, 2) GROUP BY 1)
+         SELECT est.k AS source, est.f2_est, ex.f2_exact,
+           CASE WHEN ex.f2_exact IS NULL OR ex.f2_exact = 0 THEN NULL
+                ELSE CAST(abs(est.f2_est - ex.f2_exact) * 100 // ex.f2_exact AS BIGINT)
+           END AS err_pct
+         FROM est LEFT JOIN ex ON est.k = ex.k ORDER BY source""",
+    "x_f2_join_size" ->
+      s"""WITH $f2KeyRegCtes,
+         prod AS (SELECT a.k AS s1, b.k AS s2, CAST(sum(a.z * b.z) // 16 AS BIGINT) AS join_est
+                  FROM reg a JOIN reg b ON a.est_i = b.est_i AND a.k < b.k GROUP BY 1, 2),
+         cnt AS (SELECT k, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+         tr AS (SELECT a.k AS s1, b.k AS s2, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS join_true
+                FROM cnt a JOIN cnt b ON a.token = b.token AND a.k < b.k GROUP BY 1, 2)
+         SELECT prod.s1, prod.s2, prod.join_est,
+           CAST(coalesce(tr.join_true, 0) AS BIGINT) AS join_true,
+           CASE WHEN coalesce(tr.join_true, 0) = 0 THEN NULL
+                ELSE CAST(abs(prod.join_est - tr.join_true) * 100 // tr.join_true AS BIGINT)
+           END AS err_pct
+         FROM prod LEFT JOIN tr ON prod.s1 = tr.s1 AND prod.s2 = tr.s2
+         ORDER BY prod.s1, prod.s2""",
     // AMS F2: 16 sign sums, sign = parity of one md5 hex digit
     // (strpos decode), estimate = mean of Z^2 — integer-exact, so the
     // sketch values themselves hash-gate; exact F2 truth leg beside.
@@ -2515,6 +2558,20 @@ object SparkEntry {
              i -> ascii(substr(rs, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
          FROM f ORDER BY media_id, frame_idx""",
   ) ++ corpusOracles
+
+  /** The per-source AMS sign-register CTEs (tok → 16 md5 hex-digit
+    * sign sums per source) — shared by the grouped-F2 and join-size
+    * oracles (compose, never copy). A def, not a val (the round-11
+    * object-initializer hazard).
+    */
+  private def f2KeyRegCtes: String =
+    """t AS (SELECT source AS k, unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS (SELECT k, token FROM t WHERE length(token) > 0),
+         reg AS (SELECT k, r.i AS est_i,
+                   CAST(sum(CASE WHEN (strpos('0123456789abcdef',
+                       substring(md5(token), CAST(r.i + 1 AS INT), 1)) - 1) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS z
+                 FROM tok, range(16) AS r(i) GROUP BY 1, 2)"""
 
   /** The synthetic-thumbnail universe CTE (ASCII-only documents under
     * doc_id < 200, with byte length) — shared by the phash family and

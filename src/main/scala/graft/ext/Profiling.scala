@@ -639,6 +639,100 @@ object Profiling {
         sum(col("z") * col("z")).as("zsq_sum"))
       .select(col("s_est"), expr("zsq_sum DIV s_est").as("f2_est"))
 
+  /** The per-key AMS sign-register frame — the grouped twin of
+    * [[f2RegistersFor]] (the [[hllRegistersByKeyFor]] relationship):
+    * (k, est_i, z) from ONE token scan, ≤ s rows per key, the same md5
+    * hex-digit sign expression so the grouped and corpus-wide sketches
+    * cannot drift. Registers are plain integer sums → map-side
+    * partials, shard-merge by addition per key.
+    */
+  private[graft] def f2RegistersByKeyFor(docs: DataFrame, s: Int = 16): DataFrame =
+    docs.select(col("source").as("k"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("k"), col("token"), explode(expr(s"sequence(0, ${s - 1})")).as("est_i"))
+      .select(col("k"), col("est_i"),
+        expr("CASE WHEN CAST(conv(substring(md5(token), CAST(est_i + 1 AS INT), 1)"
+          + ", 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END").as("sgn"))
+      .groupBy(col("k"), col("est_i"))
+      .agg(sum(col("sgn")).as("z"))
+
+  private def f2RegsByKeyMemo(spark: SparkSession, dir: String): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"f2regsbykey:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      f2RegistersByKeyFor(Tables.documents(spark, dir))
+    }
+
+  /** Grouped AMS F2 (`x_f2_by_key`): per-source second frequency
+    * moment — each source's token self-join size from its own s = 16
+    * sign sums, the "sketches GROUP" completion for the AMS family
+    * beside [[hllByKey]]/`quantileByKey` (the register maintenance is
+    * a per-item projection, so ONE token scan builds every key's
+    * sketch at once). Estimate per key = mean of Z², integer-exact;
+    * exact per-key F2 truth leg beside it with the zero-guard NULL
+    * err. Anchors the f2 chain: the grouped register frame is
+    * memoized, and [[f2JoinSize]] rides it.
+    */
+  def f2ByKey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val regs = f2RegsByKeyMemo(spark, dir)
+    val est = regs.groupBy(col("k"))
+      .agg(count(lit(1)).as("s_est"), sum(col("z") * col("z")).as("zsq_sum"))
+      .select(col("k"), expr("zsq_sum DIV s_est").as("f2_est"))
+    val exact = docs
+      .select(col("source").as("k"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("k"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("k")).agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    est.join(exact, Seq("k"), "left")
+      .select(col("k").as("source"), col("f2_est"), col("f2_exact"),
+        expr("CASE WHEN f2_exact IS NULL OR f2_exact = 0 THEN NULL"
+          + " ELSE abs(f2_est - f2_exact) * 100 DIV f2_exact END").as("err_pct"))
+      .orderBy(col("source"))
+  }
+
+  /** AMS equi-join cardinality (`x_f2_join_size`): for every ordered
+    * source pair, |A ⋈ B on token| = Σ_t cntA(t)·cntB(t) estimated
+    * from the two sources' INDEPENDENTLY-built sign registers as the
+    * mean of Za_i·Zb_i — Alon, Gibbons, Matias & Szegedy's join-size
+    * estimator (PODS'99), THE textbook application of the F2 sketch
+    * and the quantity an equi-join planner prices before choosing a
+    * strategy. E[Za·Zb] = Σ cntA·cntB exactly (sign independence
+    * across tokens), and everything is integer products of integer
+    * sums, so the oracle hash-gates the estimates themselves. The
+    * registered face carries the exact join size beside it — the
+    * token-keyed join the sketch replaces at 100 TB (here the truth
+    * join runs on per-source COUNT frames, never row pairs). Rides
+    * the f2 chain's memoized grouped registers: prices pair-matrix
+    * arithmetic over ≤ s·|sources| rows, never a token scan. |pairs|
+    * = |sources|²/2 IS the output size (the kmvOverlapReport
+    * exemption class).
+    */
+  def f2JoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val regs = f2RegsByKeyMemo(spark, dir)
+    val prod = regs.as("a").join(regs.as("b"),
+        col("a.est_i") === col("b.est_i") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("s1"), col("b.k").as("s2"),
+        (col("a.z") * col("b.z")).as("zz"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("s_est"), sum(col("zz")).as("zz_sum"))
+      .select(col("s1"), col("s2"), expr("zz_sum DIV s_est").as("join_est"))
+    val cnts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val truth = cnts.as("a").join(cnts.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("join_true"))
+    prod.join(truth, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("join_est"),
+        coalesce(col("join_true"), lit(0L)).as("join_true"),
+        expr("CASE WHEN coalesce(join_true, 0) = 0 THEN NULL"
+          + " ELSE abs(join_est - join_true) * 100 DIV join_true END").as("err_pct"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** AMS second frequency moment (`x_f2_skew`): F2 = Σ count(token)²
     * — the SELF-JOIN SIZE of the token column and the standard skew
     * statistic (F2/F1² is the collision probability a join planner

@@ -3710,6 +3710,53 @@ class ExtSpec extends SparkSpec {
     assert(prod == ((16L, f2Est)), s"production face $prod vs (16,$f2Est)")
   }
 
+  test("grouped ams f2 + agms join size: per-key sign replay, inner-product estimator exact") {
+    val dir = "/root/testdata/sf0.001"
+    val bySrc: Map[String, Seq[String]] = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (s, g) =>
+        s -> g.toSeq.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      }
+    def sign(t: String, i: Int): Long =
+      if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
+    val z: Map[String, IndexedSeq[Long]] = bySrc.map { case (s, ts) =>
+      s -> (0 until 16).map(i => ts.iterator.map(sign(_, i)).sum)
+    }
+    def f2Of(ts: Seq[String]): Long =
+      ts.groupBy(identity).valuesIterator.map(g => g.length.toLong * g.length).sum
+    // grouped face: every key's estimate is the mean of ITS OWN z² —
+    // the grouping theorem holds by construction, the replay IS each
+    // key's own-subset sketch
+    graft.ext.Profiling.f2ByKey(spark, dir)
+      .as[(String, Long, Long, Long)].collect().foreach { case (s, est, ex, err) =>
+        val expEst = z(s).map(v => v * v).sum / 16
+        val expEx = f2Of(bySrc(s))
+        assert(est == expEst && ex == expEx,
+          s"source $s: ($est,$ex) vs ($expEst,$expEx)")
+        assert(err == math.abs(expEst - expEx) * 100 / expEx)
+      }
+    // join-size face: pair estimate = mean of Za·Zb off the SAME
+    // registers; truth = the token-keyed count join
+    val pairs = graft.ext.Profiling.f2JoinSize(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val srcs = bySrc.keySet.toSeq.sorted
+    assert(pairs.length == srcs.combinations(2).length, "one row per unordered pair")
+    pairs.foreach { case (s1, s2, est, tru, err) =>
+      assert(s1 < s2, "ordered-pair convention")
+      val expEst = (0 until 16).map(i => z(s1)(i) * z(s2)(i)).sum / 16
+      val ca = bySrc(s1).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      val cb = bySrc(s2).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      val expTru = ca.keysIterator.map(t => ca(t) * cb.getOrElse(t, 0L)).sum
+      assert(est == expEst && tru == expTru,
+        s"pair ($s1,$s2): ($est,$tru) vs ($expEst,$expTru)")
+      // every source pair here shares vocabulary, so the zero-guard
+      // NULL branch is unreachable and err decodes as a plain Long
+      assert(expTru > 0 && err == math.abs(expEst - expTru) * 100 / expTru)
+    }
+  }
+
   test("sketch production faces: estimates equal the verdict faces without any truth leg") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
