@@ -1041,6 +1041,46 @@ object EventsStream {
   def hllRegisterByKeyStream(docs: DataFrame): DataFrame =
     graft.ext.Profiling.hllRegistersByKeyFor(docs)
 
+  /** Streaming grouped AMS F2 registers (round 17) — the per-key face
+    * of [[f2RegisterStream]]: arriving documents project their 16
+    * md5-digit signs ROW-LOCALLY with the exact batch expression
+    * ([[graft.ext.Profiling.f2RegistersByKeyFor]] — one definition,
+    * not a copy) and a streaming sum maintains ≤ s sign rows PER
+    * SOURCE. Same counter-class at-least-once caveat as the
+    * corpus-wide face; downstream reads price per-source skew (mean
+    * of Z²) or pairwise join size (mean of Za·Zb — the AGMS
+    * estimator) off the standing registers at any moment, which is
+    * the point: live equi-join cardinality between any two sources
+    * without either ever being re-scanned.
+    */
+  def f2RegisterByKeyStream(docs: DataFrame): DataFrame =
+    graft.ext.Profiling.f2RegistersByKeyFor(docs)
+
+  /** Template-boilerplate router (round 17) — the at-the-door face of
+    * the template family: arriving documents explode their lines with
+    * the exact batch projection
+    * ([[graft.ext.TextAnalysis.templateLineInst]] — one definition,
+    * not a copy), join the STANDING per-source template set (the
+    * (source, lh) frame `x_template_lines` maintains — the
+    * repetitive minority, broadcastable), and report per doc its line
+    * count, template-line count, micro boilerplate share, and the
+    * keep verdict (strictly less than half template mass) — the
+    * chrome-heavy-page gate a crawler runs before a page enters the
+    * corpus. A `foreachBatch` body (the [[pplBandFor]] convention):
+    * per-doc aggregation is plain batch work inside the micro-batch,
+    * ZERO streaming state.
+    */
+  def templateRouteFor(docs: DataFrame, tmpl: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.templateLineInst(docs, width = 4)
+      .join(broadcast(tmpl.select(col("source"), col("lh"))
+        .withColumn("is_t", lit(1L))), Seq("source", "lh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_t"), lit(0L))).as("n_template"))
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_template"),
+        expr("n_template * 1000000 DIV n_lines").as("boilerplate_pct_micro"),
+        (col("n_template") * 2 < col("n_lines")).as("keep"))
+
   /** Streaming grouped quantile-level histogram (round 16) — the
     * per-key face of [[quantileLevelStream]]: arriving items (string
     * `k` key column + string `qkey` identity) draw their md5 level

@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "x_cell_imbalance" -> "constants attach: the ONE-row global-aggregate summary broadcasts onto the |cells|-row frame (Catalyst folds the lit(1) equi-key, degenerating to a 1-row nested loop — bounded by construction)",
     "x_hll_distinct" -> "constants attach: the ONE-row estimate summary broadcasts onto the 64-register frame (same folded lit(1)-key 1-row nested loop as x_cell_imbalance)",
     "x_filter_agreement" -> "constants attach: the ONE-row (total, agree) aggregate broadcasts onto the <=4-cell cube (same folded lit(1)-key 1-row nested loop)",
+    "x_f2_skew" -> "constants attach: the ONE-row (f2_est, f2_exact, err) summary broadcasts onto the 16-register frame (same folded lit(1)-key 1-row nested loop as x_hll_distinct)",
     "x_sim_nsw" -> "recall REPORT: same <=10-broadcast-query brute truth leg as x_sim_ivf_probe; the graph index is a cell equi-join and every beam round is equi-joins over <=|Q|*beamW*(1+2M)-row localized frames",
     "x_kmv_overlap" -> "pair-matrix REPORT: the |sources|x|sources| cross is the OUTPUT's own size (a report over the distinct-source list, not a corpus frame); every sketch/truth leg hanging off it is an equi-join",
     "x_kmv_decontam" -> "pair-matrix REPORT: the same bounded cross over the THREE split labels (3x3 by construction); every sketch/truth leg is an equi-join",

@@ -1654,6 +1654,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 16, s"sketch grew past s: ${streamed.size}")
   }
 
+  test("streaming grouped f2 registers: equal the batch sketch per source after the corpus replays") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val input = MemoryStream[(String, String)](spark)
+    val q = EventsStream.f2RegisterByKeyStream(input.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("f2k_stream")
+      .outputMode("complete").start()
+    docs.grouped(20).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("f2k_stream")
+      .as[(String, Int, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val batch = graft.ext.Profiling
+      .f2RegistersByKeyFor(graft.Tables.documents(spark, dir))
+      .as[(String, Int, Long)].collect()
+    assert(batch.nonEmpty && streamed.size == batch.length)
+    batch.foreach { case (k, i, z) =>
+      assert(streamed((k, i)) == z, s"($k,$i): ${streamed((k, i))} vs $z")
+    }
+    // bounded-state contract: <= s rows per source
+    val perKey = streamed.keys.groupBy(_._1).map(_._2.size)
+    assert(perKey.forall(_ <= 16), s"a source grew past s registers: $perKey")
+  }
+
+  test("template router: arrivals route against the standing template set, batch-size independent") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val tmpl = graft.ext.TextAnalysis
+      .templateFreqOf(graft.ext.TextAnalysis.templateLineInst(docs, 4))
+      .filter(col("df") >= 2).select(col("source"), col("lh"))
+    // the foreachBatch body over one "arriving" micro-batch = the corpus
+    val routed = graft.streaming.EventsStream.templateRouteFor(docs, tmpl)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // stateless: two disjoint half-batches route identically to the whole
+    val halves = Seq(0, 1).flatMap { m =>
+      graft.streaming.EventsStream
+        .templateRouteFor(docs.filter(col("doc_id") % 2 === m), tmpl)
+        .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    }.map(r => r._1 -> r).toMap
+    assert(halves == routed, "per-batch routing must not depend on batch composition")
+    // reconciliation with the apply face: template lines are exactly the
+    // lines the cleaner strips (n_template = n_lines - n_kept)
+    val applied = graft.ext.TextAnalysis.templateApplyFor(docs)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"))
+      .as[(Long, Long, Long)].collect()
+    assert(applied.nonEmpty && routed.size == applied.length)
+    applied.foreach { case (id, nl, nk) =>
+      val (_, _, rl, rt, pct, keep) = routed(id)
+      assert(rl == nl && rt == nl - nk, s"doc $id: ($rl,$rt) vs ($nl,${nl - nk})")
+      assert(pct == rt * 1000000L / rl && keep == (rt * 2 < rl), s"doc $id verdict")
+    }
+    // the gate is non-degenerate on the fixture corpus (planted dups
+    // make some docs template-heavy)
+    assert(routed.values.exists(_._6) && routed.values.exists(!_._6))
+  }
+
   test("streaming hll registers: equal the batch sketch, idempotent under re-delivery") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
