@@ -1739,14 +1739,16 @@ object TextAnalysis {
     * lambda re-ran the regex split per CHUNK (the interpreted-HOF
     * recompute trap; same fix as lmScoreFor).
     */
-  private[graft] def docLinesFor(docs: DataFrame, width: Int): DataFrame =
+  private[graft] def docLinesFor(docs: DataFrame, width: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: passthrough.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        posexplode(expr(
+      .select(keys :+ split(col("text"), " ").as("toks"): _*)
+      .select(keys :+ posexplode(expr(
           s"""transform(sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
              |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin))
-          .as(Seq("pos", "line")))
+          .as(Seq("pos", "line")): _*)
+  }
 
   /** Per-doc reassembly of surviving lines — (doc_id, n_lines, n_kept,
     * cleaned) from the full line frame and its kept subset; shared by
@@ -1754,19 +1756,21 @@ object TextAnalysis {
     * two cleaners' rebuild semantics cannot drift). Docs whose every
     * line was removed survive with empty text, not dropped.
     */
-  private[graft] def reassembleKept(lines: DataFrame, kept: DataFrame): DataFrame = {
+  private[graft] def reassembleKept(lines: DataFrame, kept: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = "doc_id" +: extraKeys
     val k = kept
-      .groupBy(col("doc_id"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_kept"),
         // sort_array on struct(pos, line) orders by pos; rebuild the doc
         // from surviving lines in original order
         concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, line))), x -> x.line)"))
           .as("cleaned"))
-    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-      .join(k, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
+    lines.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_lines"))
+      .join(k, keys, "left")
+      .select(keys.map(col) ++ Seq(col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+        coalesce(col("cleaned"), lit("")).as("cleaned")): _*)
   }
 
   def lineDedupFor(docs: DataFrame, width: Int = 4, maxOcc: Int = 3): DataFrame = {
@@ -1809,8 +1813,10 @@ object TextAnalysis {
     * with source and the 8-byte xxhash64 key attached.
     */
   private[graft] def templateLineInst(docs: DataFrame, width: Int): DataFrame =
-    docLinesFor(docs, width)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // source rides the explode as a passthrough column — ONE scan, no
+    // doc_id self-join to re-attach it (a needless co-partitioned
+    // shuffle at corpus scale)
+    docLinesFor(docs, width, passthrough = Seq("source"))
       .select(col("source"), col("doc_id"), col("pos"), col("line"),
         xxhash64(col("line")).as("lh"))
 
@@ -1889,25 +1895,23 @@ object TextAnalysis {
     * per-doc reassembly — never a second frequency build.
     */
   def templateApply(spark: SparkSession, dir: String,
-      width: Int = 4, minDf: Int = 2): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    templateApplyCore(docs, templateLineInst(docs, width),
+      width: Int = 4, minDf: Int = 2): DataFrame =
+    templateApplyCore(templateLineInst(Tables.documents(spark, dir), width),
       templateFreqMemo(spark, dir, width), minDf)
-  }
 
   /** Core over any (doc_id, text, source) frame — fixture seam. */
   def templateApplyFor(docs: DataFrame, width: Int = 4, minDf: Int = 2): DataFrame = {
     val inst = templateLineInst(docs, width)
-    templateApplyCore(docs, inst, templateFreqOf(inst), minDf)
+    templateApplyCore(inst, templateFreqOf(inst), minDf)
   }
 
-  private def templateApplyCore(docs: DataFrame, inst: DataFrame,
+  private def templateApplyCore(inst: DataFrame,
       dfFreq: DataFrame, minDf: Int): DataFrame = {
     val tmpl = dfFreq.filter(col("df") >= minDf).select(col("source"), col("lh"))
-    // the template set is the repetitive minority — broadcasts at scale
+    // the template set is the repetitive minority — broadcasts at scale;
+    // source rides the reassembly group key, so no docs join-back
     val kept = inst.join(tmpl, Seq("source", "lh"), "left_anti")
-    reassembleKept(inst.select(col("doc_id"), col("pos"), col("line")), kept)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    reassembleKept(inst, kept, extraKeys = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
         col("cleaned"))
       .orderBy(col("doc_id"))
