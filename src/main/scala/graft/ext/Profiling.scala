@@ -615,13 +615,19 @@ object Profiling {
     * and shard registers merge by addition (the property that makes
     * AMS the distributed-sketch textbook example alongside CM/HLL).
     */
+  /** The ±1 sign draw shared by BOTH AMS register builders — expects
+    * `token` and `est_i` columns; one expression (the qLevelCol
+    * precedent), so the corpus-wide and grouped sketches cannot drift.
+    */
+  private[graft] def f2SignCol: Column =
+    expr("CASE WHEN CAST(conv(substring(md5(token), CAST(est_i + 1 AS INT), 1)"
+      + ", 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END")
+
   private[graft] def f2RegistersFor(docs: DataFrame, s: Int = 16): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .select(col("token"), explode(expr(s"sequence(0, ${s - 1})")).as("est_i"))
-      .select(col("est_i"),
-        expr("CASE WHEN CAST(conv(substring(md5(token), CAST(est_i + 1 AS INT), 1)"
-          + ", 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END").as("sgn"))
+      .select(col("est_i"), f2SignCol.as("sgn"))
       .groupBy(col("est_i"))
       .agg(sum(col("sgn")).as("z"))
 
@@ -650,9 +656,7 @@ object Profiling {
     docs.select(col("source").as("k"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .select(col("k"), col("token"), explode(expr(s"sequence(0, ${s - 1})")).as("est_i"))
-      .select(col("k"), col("est_i"),
-        expr("CASE WHEN CAST(conv(substring(md5(token), CAST(est_i + 1 AS INT), 1)"
-          + ", 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END").as("sgn"))
+      .select(col("k"), col("est_i"), f2SignCol.as("sgn"))
       .groupBy(col("k"), col("est_i"))
       .agg(sum(col("sgn")).as("z"))
 
@@ -661,6 +665,16 @@ object Profiling {
       tables = Seq("documents.parquet")) {
       f2RegistersByKeyFor(Tables.documents(spark, dir))
     }
+
+  /** Per-(source, token) occurrence counts — the ONE truth-leg
+    * tokenization both f2 chain faces read (review: two verbatim
+    * copies let a tokenization-rule edit desynchronize the chain's
+    * truth legs about the same corpus).
+    */
+  private def tokenCountsBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source").as("k"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("k"), col("token")).agg(count(lit(1)).as("cnt"))
 
   /** Grouped AMS F2 (`x_f2_by_key`): per-source second frequency
     * moment — each source's token self-join size from its own s = 16
@@ -678,10 +692,7 @@ object Profiling {
     val est = regs.groupBy(col("k"))
       .agg(count(lit(1)).as("s_est"), sum(col("z") * col("z")).as("zsq_sum"))
       .select(col("k"), expr("zsq_sum DIV s_est").as("f2_est"))
-    val exact = docs
-      .select(col("source").as("k"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("k"), col("token")).agg(count(lit(1)).as("cnt"))
+    val exact = tokenCountsBySource(docs)
       .groupBy(col("k")).agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
     est.join(exact, Seq("k"), "left")
       .select(col("k").as("source"), col("f2_est"), col("f2_exact"),
@@ -717,13 +728,10 @@ object Profiling {
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("s_est"), sum(col("zz")).as("zz_sum"))
       .select(col("s1"), col("s2"), expr("zz_sum DIV s_est").as("join_est"))
-    val cnts = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val cnts = tokenCountsBySource(docs)
     val truth = cnts.as("a").join(cnts.as("b"),
-        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        col("a.token") === col("b.token") && col("a.k") < col("b.k"))
+      .groupBy(col("a.k").as("s1"), col("b.k").as("s2"))
       .agg(sum(col("a.cnt") * col("b.cnt")).as("join_true"))
     prod.join(truth, Seq("s1", "s2"), "left")
       .select(col("s1"), col("s2"), col("join_est"),

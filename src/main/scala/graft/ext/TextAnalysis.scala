@@ -1856,18 +1856,22 @@ object TextAnalysis {
       dfFreq: DataFrame, minDf: Int): DataFrame = {
     val inst = instFull.select(col("source"), col("doc_id"), col("lh"))
     val tmpl = dfFreq.filter(col("df") >= minDf).select(col("source"), col("lh"))
-    val perInst = inst.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_line_instances"))
+    // ONE pass over the corpus-scale instance frame yields both the
+    // instance count and the template mass (review: the semi-join +
+    // separate count paid the line-explode scan twice; this is the
+    // templateRouteFor marker-join shape)
+    val perInst = inst
+      .join(tmpl.withColumn("is_t", lit(1L)), Seq("source", "lh"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_line_instances"),
+        sum(coalesce(col("is_t"), lit(0L))).as("template_mass"))
     val perDist = dfFreq.groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct_lines"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_template_lines"))
-    val mass = inst.join(tmpl, Seq("source", "lh"), "left_semi")
-      .groupBy(col("source")).agg(count(lit(1)).as("template_mass"))
     val nd = docs.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     nd.join(perInst, Seq("source"), "left")
       .join(perDist, Seq("source"), "left")
-      .join(mass, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_line_instances"), lit(0L)).as("n_line_instances"),
         coalesce(col("n_distinct_lines"), lit(0L)).as("n_distinct_lines"),

@@ -21,6 +21,11 @@ class ExtSpec extends SparkSpec {
   /** 8-char KMV shingles; texts shorter than the width contribute NOTHING. */
   private def shingles(t: String): Seq[String] =
     (0 to t.length - 8).map(i => t.substring(i, i + 8))
+  /** The AMS ±1 sign replay (engine: Profiling.f2SignCol) — ONE copy
+    * for both f2 tests (the compose-never-copy rule on replays).
+    */
+  private def f2Sign(t: String, i: Int): Long =
+    if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
   /** The quantized A-ES key — the engine's double shape verbatim
     * (JVM Math.log IS Spark's ln; the DuckDB libm agreement is the
     * x_hll_distinct precedent).
@@ -3677,9 +3682,7 @@ class ExtSpec extends SparkSpec {
     assert(rows.length == 16 && rows.map(_._1).toSeq == (0L to 15L))
     val toks = graft.Tables.documents(spark, dir).select("text").as[String].collect()
       .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
-    def sign(t: String, i: Int): Long =
-      if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
-    val z = (0 until 16).map(i => toks.iterator.map(sign(_, i)).sum)
+    val z = (0 until 16).map(i => toks.iterator.map(f2Sign(_, i)).sum)
     val f2Exact = toks.groupBy(identity).valuesIterator
       .map(g => g.length.toLong * g.length).sum
     val f2Est = z.map(v => v * v).sum / 16
@@ -3718,10 +3721,8 @@ class ExtSpec extends SparkSpec {
       .map { case (s, g) =>
         s -> g.toSeq.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
       }
-    def sign(t: String, i: Int): Long =
-      if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
     val z: Map[String, IndexedSeq[Long]] = bySrc.map { case (s, ts) =>
-      s -> (0 until 16).map(i => ts.iterator.map(sign(_, i)).sum)
+      s -> (0 until 16).map(i => ts.iterator.map(f2Sign(_, i)).sum)
     }
     def f2Of(ts: Seq[String]): Long =
       ts.groupBy(identity).valuesIterator.map(g => g.length.toLong * g.length).sum
