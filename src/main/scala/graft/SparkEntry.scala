@@ -214,6 +214,7 @@ object SparkEntry {
     "x_token_hist"      -> (Profiling.tokenHistogram _),
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
+    "x_char_entropy"    -> (Profiling.charEntropy _), // per-doc character Shannon entropy, micro-nat quantized terms — the CCNet-class garble/binary-junk detector (round 17)
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
@@ -2327,6 +2328,21 @@ object SparkEntry {
          SELECT source, lang, n, n_src, share,
            round(CAST(sum(ent_q) OVER (PARTITION BY source) AS DOUBLE) / 1e6, 6) AS lang_entropy
          FROM q ORDER BY source, lang""",
+    // Per-doc character entropy: (doc, char) cell counts, per-term
+    // integer micro-nat quantization (the x_domain_lang_mix recipe),
+    // order-immune integer sum per doc; length >= 1 on both engines.
+    "x_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+                    FROM documents WHERE length(text) >= 1),
+         ch AS (SELECT doc_id, n, unnest(string_split(text, '')) AS c FROM d),
+         cell AS (SELECT doc_id, n, c, CAST(count(*) AS BIGINT) AS cnt
+                  FROM ch GROUP BY 1, 2, 3),
+         q AS (SELECT doc_id, n, cnt,
+                 CAST(round(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n) * 1e6) AS BIGINT) AS ent_q
+               FROM cell)
+         SELECT doc_id, n AS n_chars, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(CAST(sum(ent_q) AS DOUBLE) / 1e6, 6) AS char_entropy
+         FROM q GROUP BY doc_id, n ORDER BY doc_id""",
     // Distinct-n diversity: three row-local gram streams (1/2/3-grams),
     // totals and dedup-first distinct counts per (source, n).
     "x_ngram_diversity" ->

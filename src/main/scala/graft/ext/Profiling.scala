@@ -2015,6 +2015,47 @@ object Profiling {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Per-document CHARACTER entropy (`x_char_entropy`): Shannon
+    * entropy of each doc's character distribution in nats — the
+    * garble/binary-junk detector of the CCNet-class quality stacks
+    * (mojibake, base64 blobs, and key-mash read far from prose's
+    * ~2.5–3.2 nats; a repeated-character run reads near 0) and the
+    * third member of the entropy family beside
+    * [[graft.ext.Similarity]]'s cluster-purity entropy and
+    * [[domainLangMix]]'s per-source language entropy — the SAME
+    * per-term integer micro-nat quantization, so cross-engine floats
+    * never sum in engine order (each −p·ln p term is quantized to a
+    * long FIRST; the per-doc sum is order-immune integer addition).
+    *
+    * Shape: one narrow scan → row-local char explode (the
+    * [[graft.ext.Multimodal.decodeToFeatures]] codes idiom —
+    * substring over a sequence, no regex-split edge semantics) → one
+    * (doc, char)-keyed hash aggregate with map-side partials → one
+    * doc-keyed aggregate. Scales exactly like the token faces. Docs
+    * are length-≥1 filtered on BOTH engines (Spark's sequence(1, 0)
+    * DESCENDS — the sampleFrames guard class).
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyFor(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  def charEntropyFor(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+      .groupBy(col("doc_id"), col("n"), col("c")).agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") / col("n")
+    cells
+      .withColumn("ent_q", round(-p * log(p) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct_chars"), sum(col("ent_q")).as("ent_sum"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct_chars"),
+        round(col("ent_sum").cast("double") / 1e6, 6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-law fit per language: least-squares slope and r² of
     * ln(freq) vs ln(rank) over the top-`topN` token ranks — the
     * classic "is this natural language or generated junk" sanity

@@ -1337,6 +1337,45 @@ class ExtSpec extends SparkSpec {
       "fixture corpus should carry at least one template line (planted dups)")
   }
 
+  test("char entropy: planted extremes exact, corpus replay matches to the micro-nat") {
+    // entropy 0 for a one-character-type doc; ln 2 for a uniform pair;
+    // the empty doc is excluded by the length guard on both engines
+    val d = Seq((0L, "aaaa"), (1L, "abab"), (2L, "")).toDF("doc_id", "text")
+    val out = graft.ext.Profiling.charEntropyFor(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 2 && !out.contains(2L), "empty doc must drop, not crash")
+    assert(out(0L) == ((0L, 4L, 1L, 0.0)))
+    // per-TERM quantization: each -0.5*ln(0.5)*1e6 = 346573.59 term
+    // rounds to 346574 BEFORE summing, so the pair doc reads 0.693148
+    // (not ln 2 = 0.693147) — the order-immunity trade, priced at
+    // half a micro-nat per distinct char
+    assert(out(1L) == ((1L, 4L, 2L, 0.693148)), s"uniform pair: ${out(1L)}")
+    // corpus replay: per-term micro-nat quantization in plain Scala
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Profiling.charEntropy(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty && rows.length == corpus.count(_._2.nonEmpty))
+    rows.foreach { case (id, n, nd, ent) =>
+      val t = corpus(id)
+      val cnts = t.groupBy(identity).view.mapValues(_.length.toLong)
+      val entQ = cnts.values.map { c =>
+        val pv = c.toDouble / t.length
+        math.round(-pv * math.log(pv) * 1e6)
+      }.sum
+      assert(n == t.length.toLong && nd == cnts.size.toLong,
+        s"doc $id: ($n,$nd) vs (${t.length},${cnts.size})")
+      // the per-term quantization makes the replay exact to the
+      // micro-nat; the terminal /1e6 + round(…,6) leaves only double
+      // representation noise below 1e-9
+      assert(math.abs(ent - entQ / 1.0e6) < 1e-9,
+        s"doc $id entropy $ent vs replay ${entQ / 1.0e6}")
+    }
+    // prose-band sanity: the synthetic corpus reads in the 2-4 nat band
+    assert(rows.forall(r => r._4 > 2.0 && r._4 < 4.0))
+  }
+
   test("template apply: domain lines stripped in order, report mass reconciles") {
     val d = Seq(
       (0L, "a b u1 u2", "s0"),
