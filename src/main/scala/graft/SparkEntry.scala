@@ -215,6 +215,7 @@ object SparkEntry {
     "x_domain_stats"    -> (Profiling.domainStats _),
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_char_entropy"    -> (Profiling.charEntropy _), // per-doc character Shannon entropy, micro-nat quantized terms — the CCNet-class garble/binary-junk detector (round 17)
+    "x_lang_segments"   -> ((s, d) => TextAnalysis.langSegments(s, d)), // within-doc code-switching detector: per-line marker argmax, dominant lang + minority share (round 17)
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
@@ -2297,6 +2298,30 @@ object SparkEntry {
            (length(t) - length(replace(t, ' le ', ''))) / 4 AS s_fr,
            $langArgmaxCase AS predicted
          FROM s ORDER BY doc_id""",
+    // Within-doc language segmentation: the shared aligned-line CTE,
+    // each line space-padded + lowered through the SAME marker-argmax
+    // CASE, dominant = row_number over (cnt DESC, pred ASC).
+    "x_lang_segments" ->
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                                i -> array_to_string(toks[i*4+1 : i*4+4], ' ')) AS lines
+               FROM dt),
+         l AS (SELECT doc_id, ' ' || lower(unnest(lines)) || ' ' AS t FROM c),
+         p AS (SELECT doc_id, $langArgmaxCase AS pred FROM l),
+         cell AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS cnt
+                  FROM p GROUP BY 1, 2),
+         dom AS (SELECT doc_id, pred AS dominant_lang, cnt AS n_dominant,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pred ASC) AS rk
+                 FROM cell),
+         tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_langs
+                 FROM cell GROUP BY 1)
+         SELECT tot.doc_id, tot.n_lines, tot.n_langs,
+           dom.dominant_lang, dom.n_dominant,
+           CAST((tot.n_lines - dom.n_dominant) * 1000000 // tot.n_lines AS BIGINT) AS minority_pct_micro
+         FROM tot JOIN dom ON tot.doc_id = dom.doc_id AND dom.rk = 1
+         ORDER BY tot.doc_id""",
     // Language-ID confusion matrix: the langScores marker argmax over
     // the WHOLE corpus, aggregated to (labelled, predicted) cells with
     // each cell's share of its labelled language (diagonal = recall).

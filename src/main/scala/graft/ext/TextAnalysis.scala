@@ -361,20 +361,74 @@ object TextAnalysis {
     * and the streaming router
     * ([[graft.streaming.EventsStream.langRouteStream]]).
     */
-  private[graft] def langPredFor(docs: DataFrame): DataFrame = {
-    val t = lower(col("text"))
+  /** The four marker scores over a lowered text column — ONE
+    * definition for the doc-level faces and the line-level
+    * [[langSegments]] (compose, never copy).
+    */
+  private[graft] def langScoreCols(t: Column): Seq[Column] = Seq(
+    markerHits(t, " the ").as("s_en"),
+    markerHits(t, " der ").as("s_de"),
+    markerHits(t, " el ").as("s_es"),
+    markerHits(t, " le ").as("s_fr"))
+
+  /** The deterministic argmax priority chain over the four score
+    * columns — the Column twin of the oracle's langArgmaxCase.
+    */
+  private[graft] def langArgmaxCol: Column =
+    when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
+
+  private[graft] def langPredFor(docs: DataFrame): DataFrame =
     docs
-      .select(
-        col("doc_id"), col("lang").as("labelled_lang"),
-        markerHits(t, " the ").as("s_en"),
-        markerHits(t, " der ").as("s_de"),
-        markerHits(t, " el ").as("s_es"),
-        markerHits(t, " le ").as("s_fr"))
-      .withColumn("predicted",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-          .when(col("s_es") >= col("s_fr"), "es")
-          .otherwise("fr"))
+      .select(col("doc_id") +: col("lang").as("labelled_lang") +:
+        langScoreCols(lower(col("text"))): _*)
+      .withColumn("predicted", langArgmaxCol)
+
+  /** Within-document language segmentation (`x_lang_segments`): the
+    * code-switching detector — each aligned line (the SHARED
+    * [[docLinesFor]] universe) language-IDs independently with the
+    * SHARED marker scores + argmax ([[langScoreCols]] /
+    * [[langArgmaxCol]] — the doc-level faces' expressions, not a
+    * copy), and the per-doc report reads dominant language, how many
+    * distinct languages the lines claim, and the minority-line share —
+    * the filter a monolingual training mix runs to drop code-switched
+    * or boilerplate-injected pages that a DOC-level language ID
+    * averages away. Lines are space-padded before matching so a
+    * line-initial marker still hits (the doc face sees interior
+    * spaces by construction; a 4-token line often starts with one).
+    *
+    * Shape: row-local line explode + row-local scores → one
+    * (doc, pred) hash aggregate → a doc_id-keyed row_number (HIGH-
+    * cardinality partition key — the corpus-scale window PlanLint
+    * permits) + one doc aggregate. Fixture read is honestly
+    * near-degenerate (synthetic docs are monolingual, and 4-token
+    * lines rarely carry an interior marker, so ties default en) — the
+    * SPEC plants a genuinely code-switched doc to prove the detector;
+    * the registered face pins the arithmetic cross-engine.
+    */
+  def langSegments(spark: SparkSession, dir: String, width: Int = 4): DataFrame =
+    langSegmentsFor(Tables.documents(spark, dir), width)
+
+  /** Core over any (doc_id, text) frame — fixture seam. */
+  def langSegmentsFor(docs: DataFrame, width: Int = 4): DataFrame = {
+    val lines = docLinesFor(docs, width)
+      .select(col("doc_id"), concat(lit(" "), lower(col("line")), lit(" ")).as("t"))
+    val scored = lines.select(col("doc_id") +: langScoreCols(col("t")): _*)
+      .withColumn("pred", langArgmaxCol)
+    val cells = scored.groupBy(col("doc_id"), col("pred")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("pred").asc)
+    val dom = cells.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("pred").as("dominant_lang"), col("cnt").as("n_dominant"))
+    cells.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_lines"), count(lit(1)).as("n_langs"))
+      .join(dom, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        col("dominant_lang"), col("n_dominant"),
+        expr("(n_lines - n_dominant) * 1000000 DIV n_lines").as("minority_pct_micro"))
+      .orderBy(col("doc_id"))
   }
 
   /** Language-ID confusion matrix — the accuracy audit of

@@ -1376,6 +1376,50 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => r._4 > 2.0 && r._4 < 4.0))
   }
 
+  test("lang segments: planted code-switched doc detected, corpus replay exact") {
+    // doc 0 alternates en/de marker lines (4-token lines: "a the b c"
+    // hits ' the ' once after padding); tie 2-2 resolves to 'de' by
+    // (cnt DESC, pred ASC). doc 1 is monolingual; doc 2 has no markers
+    // anywhere, so every line ties to the 'en' default — n_langs 1.
+    val d = Seq(
+      (0L, "a the b c x der y z a the b c x der y z"),
+      (1L, "a the b c a the b c"),
+      (2L, "q w e r t y u i")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.langSegmentsFor(d)
+      .as[(Long, Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 4L, 2L, "de", 2L, 500000L)), s"switched: ${out(0L)}")
+    assert(out(1L) == ((1L, 2L, 1L, "en", 2L, 0L)), s"mono: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 1L, "en", 2L, 0L)), s"markerless: ${out(2L)}")
+    // full corpus replay at sf0.001: lines, padded marker scores,
+    // priority argmax, dominance — all in plain Scala
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.TextAnalysis.langSegments(spark, dir)
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(rows.length == corpus.size)
+    def hits(t: String, m: String): Int =
+      (t.length - t.replace(m, "").length) / m.length
+    def predOf(line: String): String = {
+      val t = " " + line.toLowerCase + " "
+      val (en, de, es, fr) =
+        (hits(t, " the "), hits(t, " der "), hits(t, " el "), hits(t, " le "))
+      if (en >= de && en >= es && en >= fr) "en"
+      else if (de >= es && de >= fr) "de"
+      else if (es >= fr) "es" else "fr"
+    }
+    rows.foreach { case (id, nl, nlang, domL, nDom, pct) =>
+      val preds = corpus(id).split(" ", -1).grouped(4).map(g => predOf(g.mkString(" "))).toSeq
+      val cnts = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (expDom, expN) = cnts.toSeq.minBy { case (p, c) => (-c, p) }
+      assert(nl == preds.length.toLong && nlang == cnts.size.toLong
+        && domL == expDom && nDom == expN,
+        s"doc $id: ($nl,$nlang,$domL,$nDom) vs (${preds.length},${cnts.size},$expDom,$expN)")
+      assert(pct == (preds.length - expN) * 1000000L / preds.length)
+    }
+  }
+
   test("template apply: domain lines stripped in order, report mass reconciles") {
     val d = Seq(
       (0L, "a b u1 u2", "s0"),
