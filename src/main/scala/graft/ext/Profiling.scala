@@ -2038,13 +2038,24 @@ object Profiling {
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyFor(Tables.documents(spark, dir))
 
-  /** Core over any (doc_id, text) frame — fixture seam. */
+  /** Core over any (doc_id, text) frame — fixture seam.
+    *
+    * Char extraction is ONE `split(text, '')` regex pass per row
+    * (codegen'd; Java semantics keep a trailing "" element under
+    * Spark's limit=-1, filtered out below). The first form transformed
+    * `substring(text, i, 1)` per position — each call re-scans the
+    * UTF8 bytes to find offset i, an O(len²)-per-row trap measured at
+    * 5.4 s steady at sf0.1; a row-local replace-per-distinct-char
+    * variant was WORSE (6.6 s — interpreted HOF lambdas recompute,
+    * the lineDedup trap). This shape measured ~1 s: split + codegen'd
+    * explode + integer-keyed hash aggregates.
+    */
   def charEntropyFor(docs: DataFrame): DataFrame = {
     val cells = docs
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
-        explode(expr(
-          "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+        explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) === 1)
       .groupBy(col("doc_id"), col("n"), col("c")).agg(count(lit(1)).as("cnt"))
     val p = col("cnt").cast("double") / col("n")
     cells
