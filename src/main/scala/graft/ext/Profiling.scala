@@ -2027,13 +2027,13 @@ object Profiling {
     * never sum in engine order (each −p·ln p term is quantized to a
     * long FIRST; the per-doc sum is order-immune integer addition).
     *
-    * Shape: one narrow scan → row-local char explode (the
-    * [[graft.ext.Multimodal.decodeToFeatures]] codes idiom —
-    * substring over a sequence, no regex-split edge semantics) → one
-    * (doc, char)-keyed hash aggregate with map-side partials → one
+    * Shape: one narrow scan → one `split(text, '')` pass per row
+    * (codegen'd; the Java-semantics trailing "" element is filtered) →
+    * a (doc, char)-keyed hash aggregate with map-side partials → one
     * doc-keyed aggregate. Scales exactly like the token faces. Docs
-    * are length-≥1 filtered on BOTH engines (Spark's sequence(1, 0)
-    * DESCENDS — the sampleFrames guard class).
+    * are length-≥1 filtered on BOTH engines: an empty doc has no
+    * distribution to score, and excluding it identically on both
+    * sides keeps the p = cnt/n division away from n = 0.
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyFor(Tables.documents(spark, dir))

@@ -356,11 +356,6 @@ object TextAnalysis {
     langPredFor(Tables.documents(spark, dir).filter(col("doc_id") < 100))
       .orderBy(col("doc_id"))
 
-  /** The marker scores + deterministic argmax shared by [[langScores]]
-    * (the per-doc face), [[langConfusion]] (the corpus-level verdict),
-    * and the streaming router
-    * ([[graft.streaming.EventsStream.langRouteStream]]).
-    */
   /** The four marker scores over a lowered text column — ONE
     * definition for the doc-level faces and the line-level
     * [[langSegments]] (compose, never copy).
@@ -380,6 +375,13 @@ object TextAnalysis {
       .when(col("s_es") >= col("s_fr"), "es")
       .otherwise("fr")
 
+  /** The per-DOC marker scores + argmax shared by [[langScores]] (the
+    * per-doc face), [[langConfusion]] (the corpus-level verdict), and
+    * the streaming router
+    * ([[graft.streaming.EventsStream.langRouteStream]]) — composed
+    * from [[langScoreCols]]/[[langArgmaxCol]], the same expressions
+    * the line-level [[langSegments]] applies per line.
+    */
   private[graft] def langPredFor(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id") +: col("lang").as("labelled_lang") +:
