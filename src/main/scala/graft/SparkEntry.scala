@@ -177,6 +177,7 @@ object SparkEntry {
     "x_image_clusters"      -> (Multimodal.imageClusters _), // connected components over the phash banded-Hamming pairs — the images' dedup-apply decision (round 17)
     "x_image_stats"         -> (Multimodal.imageChannelStats _), // per-channel pixel stats off the real PPM decodes — the x_embed_stats sibling, the codec/camera drift check (round 17)
     "x_frame_sample"        -> (Multimodal.frameSampleQuery _), // video frame slicing + stride sampling + resize, oracle-proven via byte-sum checksums (round 17)
+    "x_audio_energy"        -> ((s, d) => Multimodal.audioEnergyQuery(s, d)), // per-window PCM mean-square energy + silence verdict — the VAD primitive, completing the media triple (round 17)
     "x_skew_salted_join" -> ((s, d) => Skew.saltedJoinQuery(s, d)),
     // corpus assembly: splits / decontamination / packing
     "x_sample_split" -> (Corpus.sampleSplit _),
@@ -2598,6 +2599,26 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(1, length(rs) + 1),
              i -> ascii(substr(rs, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
          FROM f ORDER BY media_id, frame_idx""",
+    // Audio window energy: 32-char windows of the audio payloads,
+    // sq_sum = exact integer sum of (byte-128)^2, mean-square by
+    // truncating division, silence verdict against the 1800 threshold (calibrated so both verdicts occur on the synthetic byte distribution — space bytes read (32-128)^2 = 9216).
+    "x_audio_energy" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+                    WHERE doc_id < 200 AND doc_id % 3 = 1
+                      AND regexp_matches(text, '^[\x01-\x7F]*$')
+                      AND length(text) >= 32),
+         f AS (SELECT media_id, r.i AS win_idx,
+                 substr(text, CAST(r.i * 32 + 1 AS INT), 32) AS w
+               FROM m, LATERAL (SELECT unnest(range(0, CAST(length(text) // 32 AS INT))) AS i) AS r),
+         e AS (SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+                 CAST(list_sum(list_transform(range(1, length(w) + 1),
+                   i -> (ascii(substr(w, CAST(i AS INT), 1)) - 128)
+                      * (ascii(substr(w, CAST(i AS INT), 1)) - 128))) AS BIGINT) AS sq_sum
+               FROM f)
+         SELECT media_id, win_idx, sq_sum,
+           CAST(sq_sum // 32 AS BIGINT) AS mean_sq,
+           (sq_sum // 32) < 1800 AS is_silence
+         FROM e ORDER BY media_id, win_idx""",
   ) ++ corpusOracles
 
   /** The per-source AMS sign-register CTEs (tok → 16 md5 hex-digit

@@ -65,15 +65,15 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("meta"), col("features"))
   }
 
-  /** Frame sampling for video payloads: slice the byte stream into
-    * fixed-size frames and keep every `stride`-th — pure array ops, one
-    * narrow pass, no shuffle.
+  /** Fixed-size payload slicing shared by the video frame sampler and
+    * the audio window energy face — full `frameBytes` slices, every
+    * `stride`-th kept. The length guard is load-bearing: a payload
+    * shorter than one frame has ZERO frames, and without it
+    * `sequence(0, n-1)` with n = 0 DESCENDS in Spark
+    * (sequence(0,-1) = [0,-1]) and fabricates frame indices.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
-    media.filter(col("kind") === "video")
-      // a payload shorter than one frame has ZERO frames — without this
-      // guard `sequence(0, n-1)` with n = 0 DESCENDS in Spark
-      // (sequence(0,-1) = [0,-1]) and fabricates frame indices
+  private[graft] def frameSlices(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
       .filter(length(col("payload")) >= frameBytes)
       .select(col("media_id"),
         posexplode(expr(
@@ -82,6 +82,13 @@ object Multimodal {
                           i -> named_struct('idx', i, 'frame', substring(payload, i * $frameBytes + 1, $frameBytes))),
                 f -> f.idx % $stride = 0)""")).as(Seq("pos", "f")))
       .select(col("media_id"), col("f.idx").as("frame_idx"), col("f.frame").as("frame"))
+
+  /** Frame sampling for video payloads: slice the byte stream into
+    * fixed-size frames and keep every `stride`-th — pure array ops, one
+    * narrow pass, no shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    frameSlices(media.filter(col("kind") === "video"), frameBytes, stride)
 
   /** STUB — resize boundary: truncate/zero-pad frames to a target size
     * (a real impl resamples pixels/samples; the batch shape is what
@@ -420,6 +427,42 @@ object Multimodal {
           + " ascii(substring(rs, i, 1))), 0L, (acc, x) -> acc + x)")
           .as("byte_sum"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Audio window energy (`x_audio_energy`, round 17): per-window
+    * mean-square signal energy over PCM-interpreted payload bytes —
+    * the voice-activity/silence-detection primitive an audio pipeline
+    * runs before transcription or segment sampling (silent windows
+    * are dropped, energetic ones batch to the model), completing the
+    * media triple: images have phash/stats, video has frame sampling,
+    * audio now has energy windowing. Samples are the bytes centered
+    * at 128 (unsigned-8-bit PCM convention); per non-overlapping
+    * 32-byte window: Σ(b−128)² as an exact integer, mean-square by
+    * truncating division, and the silence verdict against an integer
+    * threshold. Row-local slicing through the SHARED [[frameSlices]]
+    * (stride 1 — energy wants every window), exact integer arithmetic
+    * end to end — the oracle replays it from the text bytes under the
+    * ASCII guard. Zero shuffle except the presentation sort.
+    */
+  def audioEnergyQuery(spark: SparkSession, dir: String,
+      windowBytes: Int = 32, silenceThreshold: Long = 1800L): DataFrame = {
+    val media = syntheticMedia(spark, dir)
+      .filter(col("media_id") < 200)
+      .filter(col("kind") === "audio")
+      // ASCII-only payloads: the oracle reconstructs bytes via substr
+      // on CHARACTERS (the syntheticPpmMedia trap)
+      .filter(decode(col("payload"), "UTF-8").rlike("^[\\x01-\\x7F]*$"))
+    frameSlices(media, windowBytes, stride = 1)
+      .withColumn("w", decode(col("frame"), "UTF-8"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("win_idx"),
+        expr("aggregate(transform(sequence(1, length(w)), i ->"
+          + " CAST((ascii(substring(w, i, 1)) - 128) *"
+          + " (ascii(substring(w, i, 1)) - 128) AS BIGINT)),"
+          + " CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sq_sum"))
+      .select(col("media_id"), col("win_idx"), col("sq_sum"),
+        expr(s"sq_sum DIV $windowBytes").as("mean_sq"),
+        (expr(s"sq_sum DIV $windowBytes") < silenceThreshold).as("is_silence"))
+      .orderBy(col("media_id"), col("win_idx"))
   }
 
   /** End-to-end demo: media → features → cosine-nearest media pairs

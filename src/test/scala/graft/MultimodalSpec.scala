@@ -56,6 +56,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media, frameBytes = 32, stride = 4).count() == 0L)
   }
 
+  test("audio energy: windows replay from text bytes, silence verdict splits the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.audioEnergyQuery(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter { case (id, t) =>
+        id < 200 && id % 3 == 1 && t.length >= 32 && t.forall(c => c >= 1 && c <= 127)
+      }
+    val expected = docs.flatMap { case (id, t) =>
+      (0 until t.length / 32).map { i =>
+        val w = t.substring(i * 32, i * 32 + 32)
+        (id, i.toLong) -> w.map(c => { val d = c.toInt - 128; (d * d).toLong }).sum
+      }
+    }.toMap
+    assert(rows.length == expected.size, s"${rows.length} vs ${expected.size}")
+    rows.foreach { case (id, wi, sq, ms, sil) =>
+      assert(sq == expected((id, wi)), s"window ($id,$wi): $sq vs ${expected((id, wi))}")
+      assert(ms == sq / 32 && sil == (ms < 1800L), s"window ($id,$wi) verdict")
+    }
+    // the calibrated threshold must actually discriminate on this corpus
+    assert(rows.exists(_._5) && rows.exists(!_._5), "degenerate silence verdict")
+  }
+
   test("resize: every frame exactly target size, truncation or zero-pad") {
     val media = Multimodal.syntheticMedia(spark, dir).filter(col("kind") === "video").limit(3)
     val resized = Multimodal.resizeFrames(Multimodal.sampleFrames(media), targetBytes = 16)
