@@ -136,6 +136,7 @@ object SparkEntry {
     "x_hard_negatives"  -> ((s, d) => Similarity.hardNegatives(s, d)),
     "x_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "x_embed_neardup_lsh" -> ((s, d) => Similarity.lshNearDupPairs(s, d)),
+    "x_sim_range"       -> ((s, d) => Similarity.rangeSearch(s, d)), // radius search: exact in-range counts + LSH bucket cost/recall from ONE scan — the range_search query type beside top-k (round 17)
     "x_embed_neardup_recall" -> ((s, d) => Similarity.nearDupRecallReport(s, d)), // verdict query: candidate-generator recall judged vs exact
     "x_semantic_dedup"  -> ((s, d) => Similarity.semanticDedupQuery(s, d)),
     "x_semantic_dedup_refined" -> ((s, d) => Similarity.semanticDedupRefinedVerdict(s, d)),
@@ -1367,6 +1368,34 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
+    // Range search: one scored CTE feeds the exact in-range count and
+    // the sign-bucket candidate/hit counts; zero-guarded recall.
+    "x_sim_range" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id,
+             round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) >= 0.2 AS in_range,
+             e.bucket = q.qb AS same_bucket
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         agg AS (SELECT query_id,
+             CAST(sum(CASE WHEN in_range THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+             CAST(sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_lsh,
+             CAST(sum(CASE WHEN in_range AND same_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_lsh
+           FROM scored GROUP BY query_id)
+         SELECT query_id, n_in_range, n_cand_lsh, n_hit_lsh,
+           CASE WHEN n_in_range = 0 THEN NULL
+                ELSE CAST(n_hit_lsh * 1000000 // n_in_range AS BIGINT) END AS recall_micro
+         FROM agg ORDER BY query_id""",
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

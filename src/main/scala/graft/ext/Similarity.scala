@@ -182,6 +182,46 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Range (radius) search report (`x_sim_range`, round 17): all
+    * neighbors within cosine ≥ τ per query — the OTHER query type a
+    * vector index serves beside top-k (FAISS `range_search`; the
+    * dedup-threshold and near-duplicate-audit read, where "how many
+    * are this close" matters and k is unknowable a priori). ONE
+    * corpus scan against the ≤10 broadcast queries scores every
+    * (query, vector) pair once and feeds BOTH legs (the probe-curve
+    * one-scan discipline): the exact in-range count (the truth a
+    * production index must approximate) and the sign-bit LSH bucket
+    * leg ([[signBucket]] — the same single table [[lshTopK]] probes)
+    * with its candidate count (cost axis) and in-range hits (recall
+    * axis). recall_micro = hits·10⁶ div in-range, zero-guarded: a
+    * query with an empty range has no recall to price. The scan×
+    * broadcast-queries shape is the documented x_sim_topk allowlist
+    * class — at 100 TB the truth leg runs on a sample while the
+    * bucket leg's candidate generation is the production equi-join.
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+      tau: Double = 0.2, bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qb"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (round(cosine(col("qv"), col("embedding")), 6) >= tau).as("in_range"),
+        (col("bucket") === col("qb")).as("same_bucket"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("in_range"), 1L).otherwise(0L)).as("n_in_range"),
+        sum(when(col("same_bucket"), 1L).otherwise(0L)).as("n_cand_lsh"),
+        sum(when(col("in_range") && col("same_bucket"), 1L).otherwise(0L))
+          .as("n_hit_lsh"))
+      .select(col("query_id"), col("n_in_range"), col("n_cand_lsh"), col("n_hit_lsh"),
+        expr("CASE WHEN n_in_range = 0 THEN NULL"
+          + " ELSE n_hit_lsh * 1000000 DIV n_in_range END").as("recall_micro"))
+      .orderBy(col("query_id"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into K cells by
     * nearest centroid, search a query only within its own cell. Here
     * centroids are the first K vectors (deterministic — engine-portable

@@ -26,6 +26,21 @@ class ExtSpec extends SparkSpec {
     */
   private def f2Sign(t: String, i: Int): Long =
     if (Integer.parseInt(md5hex(t).substring(i, i + 1), 16) % 2 == 0) 1L else -1L
+  /** Engine-shape rounded cosine (sequential dot, d/(√na·√nb), HALF_UP
+    * to 6 dp) — ONE copy for every similarity replay.
+    */
+  private def cos6(a: Array[Float], b: Array[Float]): Double = {
+    var (d, na, nb) = (0.0, 0.0, 0.0)
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
   /** The quantized A-ES key — the engine's double shape verbatim
     * (JVM Math.log IS Spark's ln; the DuckDB libm agreement is the
     * x_hll_distinct precedent).
@@ -3514,18 +3529,6 @@ class ExtSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), col("cell_id"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var (d, na, nb) = (0.0, 0.0, 0.0)
-      var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val edges = scala.collection.mutable.Map[(Long, Long), Long]()
     assigned.groupBy(_._3).values.foreach { cell =>
       for (i <- cell.indices; j <- (i + 1) until cell.length) {
@@ -3571,18 +3574,6 @@ class ExtSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), col("cell_id"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var (d, na, nb) = (0.0, 0.0, 0.0)
-      var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val emb = assigned.map(a => a._1 -> a._2).toMap
     val cellOf = assigned.map(a => a._1 -> a._3).toMap
     // the NSW graph contract replayed: per-vector top-4 within-cell
@@ -3839,6 +3830,37 @@ class ExtSpec extends SparkSpec {
       // NULL branch is unreachable and err decodes as a plain Long
       assert(expTru > 0 && err == math.abs(expEst - expTru) * 100 / expTru)
     }
+  }
+
+  test("range search: one-scan report replays exactly, lsh hits nest in both legs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Similarity.rangeSearch(spark, dir).collect()
+    assert(rows.length == 10)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def bucket(v: Array[Float]): Long =
+      (0 until 8).map(j => if (v(j) >= 0f) 1L << j else 0L).sum
+    val byId = e.toMap
+    rows.foreach { r =>
+      val (q, nIn, nCand, nHit) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (qv, qb) = (byId(q), bucket(byId(q)))
+      val others = e.filter(_._1 != q)
+      val expIn = others.count(o => cos6(qv, o._2) >= 0.2).toLong
+      val expCand = others.count(o => bucket(o._2) == qb).toLong
+      val expHit = others.count(o => bucket(o._2) == qb && cos6(qv, o._2) >= 0.2).toLong
+      assert(nIn == expIn && nCand == expCand && nHit == expHit,
+        s"query $q: ($nIn,$nCand,$nHit) vs ($expIn,$expCand,$expHit)")
+      // nesting theorem: a bucket hit is both a candidate and in range
+      assert(nHit <= math.min(nIn, nCand))
+      if (expIn == 0) assert(r.isNullAt(4), s"query $q: recall must be NULL on empty range")
+      else assert(r.getLong(4) == expHit * 1000000L / expIn, s"query $q recall")
+    }
+    // the fixture corpus must exercise the report (some query has a
+    // non-empty range and the bucket leg misses something somewhere)
+    assert(rows.exists(_.getLong(1) > 0))
+    assert(rows.exists(r => r.getLong(3) < r.getLong(1)), "lsh leg never misses — degenerate")
   }
 
   test("sketch production faces: estimates equal the verdict faces without any truth leg") {

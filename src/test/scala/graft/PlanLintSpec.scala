@@ -40,6 +40,7 @@ class PlanLintSpec extends SparkSpec {
     "q13_range_join" -> "theta join against a 4-row literal band table (broadcast by construction)",
     "x_sim_topk" -> "brute-force cosine twin: <=10 broadcast query rows stream past the corpus; x_sim_lsh/_ivf are the scale paths",
     "x_sim_quantized" -> "same <=10 broadcast-query scan as x_sim_topk, scored on int8 codes; the LSH/IVF cell restriction composes with quantization at scale",
+    "x_sim_range" -> "range-search REPORT: the exact in-range truth leg is x_sim_topk's <=10 broadcast-query scan (one scan feeds truth AND the LSH bucket leg's counts); the production candidate generator is the bucket equi-join",
     "x_embed_neardup" -> "exact all-pairs oracle twin, documented; x_embed_neardup_lsh is the scale path",
     "x_embed_neardup_recall" -> "recall REPORT: the exact truth leg is x_embed_neardup's documented all-pairs sweep; at scale the truth leg runs on a sample while candidate counts come from the generators' own equi-join output",
     "x_sim_ivf_refined" -> "recall REPORT: the brute-force truth leg is x_sim_topk's <=10 broadcast-query scan; the measured IVF legs are cell-restricted equi-joins",
