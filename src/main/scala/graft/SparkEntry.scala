@@ -1371,15 +1371,8 @@ object SparkEntry {
     // Range search: one scored CTE feeds the exact in-range count and
     // the sign-bucket candidate/hit counts; zero-guarded recall.
     "x_sim_range" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             $signBucketSql AS bucket
            FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
          scored AS (
@@ -1433,16 +1426,9 @@ object SparkEntry {
          FROM p JOIN embeddings eq ON eq.vec_id = p.query_id
          WHERE p.pr = 1 ORDER BY p.query_id""",
     "x_sim_lsh" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
          scored AS (
@@ -1458,16 +1444,9 @@ object SparkEntry {
     // Multi-probe: each query probes its own bucket XOR {0, 1, 2, ...,
     // 128} — the Hamming-1 neighborhood of its sign-bit bucket.
     "x_sim_lsh_multiprobe" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 10),
          probes AS (
@@ -2215,16 +2194,9 @@ object SparkEntry {
          WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
          ORDER BY v1, v2""",
     "x_embed_neardup_lsh" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings)
          SELECT a.vec_id AS v1, b.vec_id AS v2,
            round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
@@ -2236,16 +2208,9 @@ object SparkEntry {
     // is the multi-probe remedy). Counts cast BIGINT on both sides;
     // recall pcts are double on both sides (nullif guards empty truth).
     "x_embed_neardup_recall" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings),
          p AS (
            SELECT a.bucket AS b1, b.bucket AS b2
@@ -2615,10 +2580,7 @@ object SparkEntry {
     // guard; frames = 32-char slices (floor(len/32) full frames), keep
     // idx % 4 = 0, resize = 16-char prefix, checksum = ascii byte sum.
     "x_frame_sample" ->
-      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
-                    WHERE doc_id < 200 AND doc_id % 3 = 2
-                      AND regexp_matches(text, '^[\x01-\x7F]*$')
-                      AND length(text) >= 32),
+      s"""WITH ${mediaTextCte(2)},
          f AS (SELECT media_id, r.i AS frame_idx,
                  substr(text, CAST(r.i * 32 + 1 AS INT), 16) AS rs
                FROM m, LATERAL (SELECT unnest(range(0, CAST(length(text) // 32 AS INT))) AS i) AS r
@@ -2632,10 +2594,7 @@ object SparkEntry {
     // sq_sum = exact integer sum of (byte-128)^2, mean-square by
     // truncating division, silence verdict against the 1800 threshold (calibrated so both verdicts occur on the synthetic byte distribution — space bytes read (32-128)^2 = 9216).
     "x_audio_energy" ->
-      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
-                    WHERE doc_id < 200 AND doc_id % 3 = 1
-                      AND regexp_matches(text, '^[\x01-\x7F]*$')
-                      AND length(text) >= 32),
+      s"""WITH ${mediaTextCte(1)},
          f AS (SELECT media_id, r.i AS win_idx,
                  substr(text, CAST(r.i * 32 + 1 AS INT), 32) AS w
                FROM m, LATERAL (SELECT unnest(range(0, CAST(length(text) // 32 AS INT))) AS i) AS r),
@@ -3556,16 +3515,9 @@ object SparkEntry {
     // has 6-dp-rounded cosine ≥ 0.4 (same bucket + cosine contract as
     // x_embed_neardup_lsh; eval members self-flag, as in x_decontam).
     "x_decontam_semantic" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings),
          hits AS (
            SELECT c.vec_id, count(*) AS n_close
@@ -3582,16 +3534,9 @@ object SparkEntry {
     // eval) pair matches at most once — counts exact with no dedup.
     // mask=0 recovers the single-bucket n_close inside the same join.
     "x_decontam_semantic_probe" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+             $signBucketSql AS bucket
            FROM embeddings),
          m AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask),
          q AS (
@@ -4128,6 +4073,33 @@ object SparkEntry {
     */
   private val qualityScoreSql: String =
     "round(-3.0 + 0.02 * len(string_split(text, ' ')) + 3.0 * round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) + 4.0 * round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4), 6)"
+
+  /** The ASCII-guarded synthetic-media universe CTE for kind
+    * `doc_id % 3 = kindMod` (1 = audio, 2 = video) — shared by the
+    * frame-sample and audio-energy oracles (the imageTextCte
+    * precedent; review: the block was copy-pasted with only the kind
+    * modulus differing).
+    */
+  private def mediaTextCte(kindMod: Int): String =
+    s"""m AS (SELECT doc_id AS media_id, text FROM documents
+                    WHERE doc_id < 200 AND doc_id % 3 = $kindMod
+                      AND regexp_matches(text, '^[\\x01-\\x7F]*$$')
+                      AND length(text) >= 32)"""
+
+  /** The 8-bit sign-bucket CASE chain over `embedding` — the SQL twin
+    * of Similarity.signBucket, shared by every LSH-bucket oracle
+    * (review: 7 verbatim copies; the cos6-hoist rule applied to the
+    * oracle side).
+    */
+  private val signBucketSql: String =
+    """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+            + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)"""
 
   /** The marker-argmax CASE over `t` = lower(text) — the SQL twin of
     * TextAnalysis.langPredFor's priority chain, shared by the scores

@@ -72,16 +72,31 @@ object Multimodal {
     * `sequence(0, n-1)` with n = 0 DESCENDS in Spark
     * (sequence(0,-1) = [0,-1]) and fabricates frame indices.
     */
-  private[graft] def frameSlices(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+  private[graft] def frameSlices(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val slices =
+      s"""transform(sequence(0, CAST(length(payload) / $frameBytes AS INT) - 1),
+         |          i -> named_struct('idx', i, 'frame', substring(payload, i * $frameBytes + 1, $frameBytes)))""".stripMargin
+    // stride 1 keeps everything — skip the tautological per-element
+    // lambda pass (review: 'f.idx % 1 = 0' evaluated per window on the
+    // audio path)
+    val kept = if (stride == 1) slices
+      else s"filter($slices, f -> f.idx % $stride = 0)"
     media
       .filter(length(col("payload")) >= frameBytes)
-      .select(col("media_id"),
-        posexplode(expr(
-          s"""filter(
-                transform(sequence(0, CAST(length(payload) / $frameBytes AS INT) - 1),
-                          i -> named_struct('idx', i, 'frame', substring(payload, i * $frameBytes + 1, $frameBytes))),
-                f -> f.idx % $stride = 0)""")).as(Seq("pos", "f")))
+      .select(col("media_id"), posexplode(expr(kept)).as(Seq("pos", "f")))
       .select(col("media_id"), col("f.idx").as("frame_idx"), col("f.frame").as("frame"))
+  }
+
+  /** The ASCII-guarded registered-media universe shared by the
+    * frame-sample and audio-energy faces (review: the guard block was
+    * duplicated; the oracle reconstructs bytes via substr on
+    * CHARACTERS — see syntheticPpmMedia's scaladoc for the trap).
+    */
+  private def asciiMedia(spark: SparkSession, dir: String, kind: String): DataFrame =
+    syntheticMedia(spark, dir)
+      .filter(col("media_id") < 200)
+      .filter(col("kind") === kind)
+      .filter(decode(col("payload"), "UTF-8").rlike("^[\\x01-\\x7F]*$"))
 
   /** Frame sampling for video payloads: slice the byte stream into
     * fixed-size frames and keep every `stride`-th — pure array ops, one
@@ -413,12 +428,7 @@ object Multimodal {
     * at 100 TB this is a free rider on the media scan.
     */
   def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
-    val media = syntheticMedia(spark, dir)
-      .filter(col("media_id") < 200)
-      // ASCII-only payloads: the oracle reconstructs bytes via substr
-      // on CHARACTERS (see syntheticPpmMedia's scaladoc for the trap)
-      .filter(decode(col("payload"), "UTF-8").rlike("^[\\x01-\\x7F]*$"))
-    val frames = resizeFrames(sampleFrames(media))
+    val frames = resizeFrames(sampleFrames(asciiMedia(spark, dir, "video")))
       .withColumn("rs", decode(col("resized"), "UTF-8"))
     frames.select(col("media_id"),
         col("frame_idx").cast("long").as("frame_idx"),
@@ -446,13 +456,7 @@ object Multimodal {
     */
   def audioEnergyQuery(spark: SparkSession, dir: String,
       windowBytes: Int = 32, silenceThreshold: Long = 1800L): DataFrame = {
-    val media = syntheticMedia(spark, dir)
-      .filter(col("media_id") < 200)
-      .filter(col("kind") === "audio")
-      // ASCII-only payloads: the oracle reconstructs bytes via substr
-      // on CHARACTERS (the syntheticPpmMedia trap)
-      .filter(decode(col("payload"), "UTF-8").rlike("^[\\x01-\\x7F]*$"))
-    frameSlices(media, windowBytes, stride = 1)
+    frameSlices(asciiMedia(spark, dir, "audio"), windowBytes, stride = 1)
       .withColumn("w", decode(col("frame"), "UTF-8"))
       .select(col("media_id"), col("frame_idx").cast("long").as("win_idx"),
         expr("aggregate(transform(sequence(1, length(w)), i ->"
