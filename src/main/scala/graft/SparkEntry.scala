@@ -218,6 +218,8 @@ object SparkEntry {
     "x_domain_lang_mix" -> (Profiling.domainLangMix _),
     "x_char_entropy"    -> (Profiling.charEntropy _), // per-doc character Shannon entropy, micro-nat quantized terms — the CCNet-class garble/binary-junk detector (round 17)
     "x_lang_segments"   -> ((s, d) => TextAnalysis.langSegments(s, d)), // within-doc code-switching detector: per-line marker argmax, dominant lang + minority share (round 17)
+    "x_lang_trained"    -> ((s, d) => TextAnalysis.langTrained(s, d)), // fastText-shape trained language ID: hashed char-bigram + byte-class features, one-vs-rest integer GD (round 18)
+    "x_lang_trained_eval" -> ((s, d) => TextAnalysis.langTrainedEval(s, d)), // confusion-matrix verdict of the trained classifier — same report as x_lang_confusion, diffable improvement (round 18)
     "x_heavy_hitters"   -> ((s, d) => Profiling.heavyHitters(s, d)),
     "x_hll_distinct"    -> ((s, d) => Profiling.hllDistinct(s, d)), // deterministic md5 HyperLogLog — the sketch itself hash-gates (round 15)
     "x_hll_by_key"      -> ((s, d) => Profiling.hllByKey(s, d)), // GROUPED HLL: per-language vocabulary estimates, every key's 64-register sketch from one token scan (round 16)
@@ -2333,6 +2335,11 @@ object SparkEntry {
          SELECT labelled_lang, predicted, n, n_label,
            round(CAST(n AS DOUBLE) / n_label, 6) AS share
          FROM t ORDER BY labelled_lang, predicted""",
+    // Trained language ID (round 18): the one-vs-rest integer-GD loop
+    // replayed as an unrolled CTE chain (the x_quality_train
+    // discipline) over hashed char-bigram + byte-class features.
+    "x_lang_trained" -> langTrainedOracle,
+    "x_lang_trained_eval" -> langTrainedEvalOracle,
     // Source x language composition: cell counts, within-source share,
     // per-source language entropy from window-summed integer micro-nat
     // terms (order-immune).
@@ -5046,6 +5053,108 @@ object SparkEntry {
          SELECT doc_id, CAST(score_q AS BIGINT) AS score_q, score_q > 0 AS keep,
            qy = 1000000 AS label
          FROM fin ORDER BY doc_id"""
+
+  /** x_lang_trained oracle machinery (round 18): the one-vs-rest
+    * integer-GD loop of [[graft.ext.TextAnalysis.trainLangWeights]]
+    * replayed as an unrolled CTE chain — the [[qualityTrainCtes]]
+    * discipline (MATERIALIZED feat and weight levels; DuckDB inlines
+    * CTEs per reference) widened to 5 classes × 8 features. The
+    * hashed-bigram bucket is the engine-portable md5 16-bit trick
+    * (the Corpus sampler convention); `strlen` is DuckDB's byte
+    * length (Spark twin: `octet_length`); DuckDB `regexp_replace`
+    * needs the explicit 'g' flag Spark applies implicitly. Ends in
+    * `lfin` (doc_id, lang, z_de..z_zh).
+    */
+  private val langTrainCtes: String = {
+    val cs = Seq("de", "en", "es", "fr", "zh")
+    val D = 11
+    val B = 4
+    val iters = 6
+    val w0Cols = cs.flatMap(c => (0 until D).map(j => s"CAST(0 AS BIGINT) AS w_${c}_$j")).mkString(", ")
+    val levels = (1 to iters).map { r =>
+      val zs = cs.map(c =>
+        s"(${(0 until D).map(j => s"w.w_${c}_$j * f.qx$j").mkString(" + ")}) // 10000 AS qz6_$c")
+        .mkString(",\n             ")
+      val qps = cs.map(c =>
+        s"500000 + (1000000 * qz6_$c) // (2 * (1000000 + abs(qz6_$c))) AS qp_$c")
+        .mkString(",\n             ")
+      val gs = cs.flatMap(c => (0 until D).map(j =>
+        s"sum(qx$j * (qp_$c - qy_$c)) AS g_${c}_$j")).mkString(",\n             ")
+      val ws = cs.flatMap(c => (0 until D).map(j =>
+        s"CAST(w.w_${c}_$j - g.g_${c}_$j // (2 * g.n * 10000) AS BIGINT) AS w_${c}_$j"))
+        .mkString(",\n             ")
+      s"""ls$r AS (SELECT f.*, $zs FROM lfeat f CROSS JOIN lw${r - 1} w),
+         lp$r AS (SELECT *, $qps FROM ls$r),
+         lg$r AS (SELECT $gs, CAST(count(*) AS BIGINT) AS n FROM lp$r),
+         lw$r AS MATERIALIZED (SELECT $ws FROM lw${r - 1} w CROSS JOIN lg$r g)"""
+    }.mkString(",\n         ")
+    val bCnts = (0 until B).map(k =>
+      s"CAST(sum(CASE WHEN bucket = $k THEN 1 ELSE 0 END) AS BIGINT) AS b$k").mkString(", ")
+    val markers = Seq(" the ", " der ", " el ", " le ")
+    val markerFeats = markers.zipWithIndex.map { case (m, k) =>
+      s"((CAST(length(lower(d.text)) - length(replace(lower(d.text), '$m', '')) AS BIGINT) // ${m.length}) * 10000) // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS qx${3 + k}"
+    }.mkString(",\n             ")
+    val bShares = (0 until B).map(k =>
+      s"(CAST(ba.b$k AS BIGINT) * 10000) // ba.n_bi AS qx${3 + markers.length + k}").mkString(",\n             ")
+    val qys = cs.map(c =>
+      s"CASE WHEN d.lang = '$c' THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qy_$c")
+      .mkString(",\n             ")
+    val zFin = cs.map(c =>
+      s"CAST((${(0 until D).map(j => s"w.w_${c}_$j * f.qx$j").mkString(" + ")}) // 10000 AS BIGINT) AS z_$c")
+      .mkString(",\n             ")
+    s"""lpos AS (SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 1, 1))) AS i
+           FROM documents),
+         lbb AS (SELECT doc_id,
+             ${hexDecodeSql("md5(substr(t, i, 2))", 1, 4)} % $B AS bucket
+           FROM lpos),
+         lba AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi, $bCnts
+           FROM lbb GROUP BY doc_id),
+         lfeat AS MATERIALIZED (SELECT d.doc_id, d.lang,
+             CAST(10000 AS BIGINT) AS qx0,
+             (CAST(strlen(d.text) - length(d.text) AS BIGINT) * 10000) // greatest(CAST(strlen(d.text) AS BIGINT), 1) AS qx1,
+             (CAST(length(regexp_replace(lower(d.text), '[^aeiou]', '', 'g')) AS BIGINT) * 10000) // greatest(CAST(length(d.text) AS BIGINT), 1) AS qx2,
+             $markerFeats,
+             $bShares,
+             $qys
+           FROM documents d JOIN lba ba ON d.doc_id = ba.doc_id),
+         lw0 AS MATERIALIZED (SELECT $w0Cols),
+         $levels,
+         lfin AS (SELECT f.doc_id, f.lang, $zFin
+           FROM lfeat f CROSS JOIN lw$iters w)"""
+  }
+
+  /** The trained argmax with the fixed alphabetical-priority tie-break
+    * chain — the SQL twin of langScoredFor's argmax column.
+    */
+  private val langTrainedArgmaxCase: String = {
+    val cs = Seq("de", "en", "es", "fr", "zh")
+    val whens = cs.indices.init.map { i =>
+      val c = cs(i)
+      val cond = cs.drop(i + 1).map(o => s"z_$c >= z_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${cs.last}' END"
+  }
+
+  private val langTrainedOracle: String =
+    s"""WITH $langTrainCtes
+       SELECT doc_id, lang AS labelled_lang, z_de, z_en, z_es, z_fr, z_zh,
+         $langTrainedArgmaxCase AS predicted,
+         ($langTrainedArgmaxCase) = lang AS correct
+       FROM lfin ORDER BY doc_id"""
+
+  private val langTrainedEvalOracle: String =
+    s"""WITH $langTrainCtes,
+         lpr AS (SELECT lang AS labelled_lang, $langTrainedArgmaxCase AS predicted FROM lfin),
+         lc AS (SELECT labelled_lang, predicted, CAST(count(*) AS BIGINT) AS n
+                FROM lpr GROUP BY 1, 2),
+         lt AS (SELECT labelled_lang, predicted, n,
+                  CAST(sum(n) OVER (PARTITION BY labelled_lang) AS BIGINT) AS n_label
+                FROM lc)
+       SELECT labelled_lang, predicted, n, n_label,
+         round(CAST(n AS DOUBLE) / n_label, 6) AS share
+       FROM lt ORDER BY labelled_lang, predicted"""
 
   private val dedupApplyOracle: String =
     s"""WITH RECURSIVE $applyVerdictCtes

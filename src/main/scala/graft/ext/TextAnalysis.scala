@@ -462,6 +462,213 @@ object TextAnalysis {
       .orderBy(col("labelled_lang"), col("predicted"))
   }
 
+  // ─── Trained language-ID (x_lang_trained, round 18 — VERDICT r17 #2) ───
+
+  /** The one-vs-rest class list, in the FIXED priority order the
+    * argmax tie-break chain uses (alphabetical). Shared by the
+    * trainer, the scorer, the eval face, and the oracle generator.
+    */
+  private[graft] val LangClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** The four marker words, in (en, de, es, fr) order — the SAME
+    * markers [[langScoreCols]] counts, re-used as trained FEATURES so
+    * the linear model provably subsumes the heuristic (fastText's
+    * word-level n-gram features include exactly these).
+    */
+  private[graft] val LangMarkers = Seq(" the ", " der ", " el ", " le ")
+
+  /** Feature dimensionality: bias + non-ASCII byte share + vowel share
+    * + 4 marker densities + 4 hashed char-bigram buckets.
+    */
+  private[graft] val LangFeatDim = 11
+  private[graft] val LangBigramBuckets = 4
+  private[graft] val LangTrainIters = 6
+
+  /** TRAINED language-ID classifier (`x_lang_trained`) — the fastText
+    * shape (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification"): hashed character-n-gram features into a linear
+    * one-vs-rest multiclass model, fit by full-batch gradient descent
+    * on the corpus's own `lang` labels. This is the classifier the
+    * marker heuristic ([[langScores]]) cannot be: [[langConfusion]]
+    * shows zh is structurally off-diagonal for the marker argmax (no
+    * marker word exists), while byte-class features (non-ASCII byte
+    * share) separate CJK text trivially — the spec proves recovery on
+    * a genuinely multilingual fixture; the registered face pins the
+    * training arithmetic cross-engine on the synthetic corpus.
+    *
+    * Features (integer-quantized at the source, the x_quality_train
+    * contract — every quantity is an exact integer in 10⁻⁴ units):
+    * qx0 bias; qx1 non-ASCII byte share (UTF-8 continuation mass —
+    * the CJK detector); qx2 vowel share of characters; qx3..qx6 the
+    * four [[LangMarkers]] densities per token (the heuristic's own
+    * signal, handed to the model as features so the trained argmax
+    * provably subsumes the marker argmax); qx7..qx10 hashed
+    * char-bigram bucket shares (md5 of each 2-char window, first 16
+    * bits mod 4 — the
+    * engine-portable hashing-trick bucket, the [[graft.ext.Corpus]]
+    * md5 convention). BMP caveat: Spark `length` counts UTF-16 code
+    * units, DuckDB counts code points — identical for ASCII + BMP
+    * CJK, divergent only for astral-plane text, which neither the
+    * fixture nor the spec plants.
+    *
+    * Training: `iters` full-batch GD steps, all five one-vs-rest
+    * gradients in ONE hash aggregate per step (55 integer sums +
+    * count, map-side partials) over the persisted feature frame; the
+    * algebraic sigmoid σ̃(z) = 1/2 + z/(2(1+|z|)) and truncating
+    * integer division keep every iterate bit-identical cross-engine
+    * (see [[qualityTrain]]'s determinism contract); the oracle
+    * replays all steps as an unrolled CTE chain. Headroom:
+    * |Σ qx·(qp−qy)| < n·10¹⁰, so int64 carries ~10⁸ docs per
+    * gradient sum.
+    *
+    * 100 TB shape: the feature build is one row-local bigram explode
+    * into one doc-keyed hash aggregate (map-side partials) plus one
+    * doc-keyed equi-join — built ONCE, persisted for the `iters`
+    * bounded aggregates; weights ride as literals (broadcast-
+    * equivalent); inference is codegen'd row-local arithmetic.
+    */
+  def langTrained(spark: SparkSession, dir: String, iters: Int = LangTrainIters): DataFrame =
+    langScoredFor(Tables.documents(spark, dir), langWeights(spark, dir, iters))
+      .orderBy(col("doc_id"))
+
+  /** Confusion-matrix verdict of the TRAINED classifier
+    * (`x_lang_trained_eval`) — the [[langConfusion]] audit re-run
+    * over [[langTrained]]'s predictions (same memoized weights, same
+    * ≤|langs|²-cell aggregate + window shape), so the marker
+    * heuristic and the trained model are priced against ground truth
+    * by the SAME report and the improvement is a diffable artifact.
+    */
+  def langTrainedEval(spark: SparkSession, dir: String, iters: Int = LangTrainIters): DataFrame = {
+    val cells = langScoredFor(Tables.documents(spark, dir), langWeights(spark, dir, iters))
+      .groupBy(col("labelled_lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labelled_lang"))
+    cells.withColumn("n_label", sum(col("n")).over(w))
+      .withColumn("share", round(col("n").cast("double") / col("n_label"), 6))
+      .select(col("labelled_lang"), col("predicted"), col("n"), col("n_label"), col("share"))
+      .orderBy(col("labelled_lang"), col("predicted"))
+  }
+
+  /** The MEMOIZED trained one-vs-rest weight vectors — one GD run per
+    * (session, corpus), shared by the scoring face, the eval face,
+    * and any router twin (the [[qualityWeights]] convention).
+    */
+  private[graft] def langWeights(spark: SparkSession, dir: String,
+      iters: Int = LangTrainIters): Map[String, Array[Long]] =
+    Dedup.Frames.getOrComputeValue(spark, s"lang_w:$iters:$dir", dir) {
+      trainLangWeights(Tables.documents(spark, dir), iters)
+    }
+
+  /** Spec seam: train + score over any (doc_id, text, lang) frame,
+    * bypassing the memo (fixture corpora must not pollute it).
+    */
+  private[graft] def langTrainedFor(docs: DataFrame, iters: Int = LangTrainIters): DataFrame =
+    langScoredFor(docs, trainLangWeights(docs, iters))
+
+  /** Integer micro-feature frame: (doc_id, lang, qx0..qx7), all exact
+    * BIGINTs in 10⁻⁴ units — see [[langTrained]] for the feature
+    * inventory. Denominators are `greatest(·, 1)`-guarded so an empty
+    * document yields zero features, never a null.
+    */
+  private[graft] def langFeatureFrame(docs: DataFrame): DataFrame = {
+    val b = LangBigramBuckets
+    val bi = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("t")) - 1, lit(1)))).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(substring(t, i, 2)), 1, 4), 16, 10) AS BIGINT) % $b")
+          .as("bucket"))
+    val bSums = (0 until b).map(k =>
+      sum(when(col("bucket") === k, 1L).otherwise(0L)).as(s"b$k"))
+    val ba = bi.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"), bSums: _*)
+    val markerFeats = LangMarkers.zipWithIndex.map { case (m, k) =>
+      expr(s"(CAST(length(lower(text)) - length(replace(lower(text), '$m', '')) AS BIGINT) div ${m.length}) * 10000 div CAST(size(split(text, ' ')) AS BIGINT)")
+        .as(s"qx${3 + k}")
+    }
+    val scal = docs.select(Seq(col("doc_id"), col("lang"),
+      lit(10000L).as("qx0"),
+      expr("CAST(octet_length(text) - length(text) AS BIGINT) * 10000 div greatest(CAST(octet_length(text) AS BIGINT), 1)").as("qx1"),
+      expr("CAST(length(regexp_replace(lower(text), '[^aeiou]', '')) AS BIGINT) * 10000 div greatest(CAST(length(text) AS BIGINT), 1)").as("qx2")) ++
+      markerFeats: _*)
+    val nScalar = 3 + LangMarkers.length
+    val bucketShares = (0 until b).map(k =>
+      expr(s"CAST(b$k AS BIGINT) * 10000 div n_bi").as(s"qx${nScalar + k}"))
+    scal.join(ba, Seq("doc_id"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        (0 until nScalar).map(j => col(s"qx$j")) ++ bucketShares: _*)
+  }
+
+  /** The `iters`-step one-vs-rest integer-GD loop — all five class
+    * gradients in one aggregate per step (see [[langTrained]]).
+    */
+  private[graft] def trainLangWeights(docs: DataFrame, iters: Int): Map[String, Array[Long]] = {
+    val feat = langFeatureFrame(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w: Map[String, Array[Long]] =
+      LangClasses.map(_ -> Array.fill(LangFeatDim)(0L)).toMap
+    try {
+      for (_ <- 1 to iters) {
+        val staged = LangClasses.foldLeft(feat) { (d, c) =>
+          d.withColumn(s"zs_$c", langZs(w(c)))
+            .withColumn(s"qz6_$c", expr(fdSql(s"zs_$c", "10000")))
+            .withColumn(s"qp_$c", lit(500000L) +
+              expr(fdSql(s"1000000 * qz6_$c", s"2 * (1000000 + abs(qz6_$c))")))
+            .withColumn(s"qy_$c", when(col("lang") === c, 1000000L).otherwise(0L))
+        }
+        val aggs = LangClasses.flatMap(c => (0 until LangFeatDim).map(j =>
+          sum(col(s"qx$j") * (col(s"qp_$c") - col(s"qy_$c"))).as(s"g_${c}_$j"))) :+
+          count(lit(1)).as("n")
+        val r = staged.agg(aggs.head, aggs.tail: _*).head()
+        val n = r.getLong(aggs.size - 1)
+        require(n > 0, "empty corpus — nothing to train on")
+        // Java long `/` truncates toward zero — the same contract as
+        // Spark `div` and DuckDB `//` (NOT Math.floorDiv)
+        w = LangClasses.zipWithIndex.map { case (c, ci) =>
+          c -> Array.tabulate(LangFeatDim)(j =>
+            w(c)(j) - r.getLong(ci * LangFeatDim + j) / (2 * n * 10000L))
+        }.toMap
+      }
+    } finally feat.unpersist(blocking = false)
+    w
+  }
+
+  /** The integer logit under literal one-vs-rest weights. */
+  private def langZs(w: Array[Long]): Column = {
+    require(w.length == LangFeatDim, s"expected $LangFeatDim weights, got ${w.length}")
+    (0 until LangFeatDim).map(j => lit(w(j)) * col(s"qx$j")).reduce(_ + _)
+  }
+
+  /** Inference under trained weight vectors: per-class score
+    * z_c = (Σ w·qx) div 10⁴ and the argmax with the FIXED
+    * alphabetical-priority tie-break chain (the [[langArgmaxCol]]
+    * discipline — earliest class wins ties, provably the max).
+    */
+  private[graft] def langScoredFor(docs: DataFrame,
+      w: Map[String, Array[Long]]): DataFrame = {
+    val withZ = LangClasses.foldLeft(langFeatureFrame(docs)) { (d, c) =>
+      val zsExpr = (0 until LangFeatDim).map(j => s"${w(c)(j)} * qx$j").mkString(" + ")
+      d.withColumn(s"z_$c", expr(s"($zsExpr) div 10000"))
+    }
+    val chain = LangClasses.indices.init.map { i =>
+      val c = LangClasses(i)
+      val cond = LangClasses.drop(i + 1)
+        .map(o => col(s"z_$c") >= col(s"z_$o")).reduce(_ && _)
+      (cond, c)
+    }
+    val argmax = chain.foldRight(lit(LangClasses.last)) {
+      case ((cond, c), els) => when(cond, c).otherwise(els)
+    }
+    withZ
+      .withColumn("predicted", argmax)
+      .withColumn("correct", col("predicted") === col("lang"))
+      .select(Seq(col("doc_id"), col("lang").as("labelled_lang")) ++
+        LangClasses.map(c => col(s"z_$c")) ++
+        Seq(col("predicted"), col("correct")): _*)
+  }
+
   /** TF-IDF over a bounded document sample (doc_id < 100): token
     * explode → term frequency per doc → document frequency per token →
     * tfidf = tf·ln(N/df), top-3 terms per doc. Two hash aggregates and
