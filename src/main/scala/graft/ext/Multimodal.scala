@@ -453,6 +453,15 @@ object Multimodal {
     * (stride 1 — energy wants every window), exact integer arithmetic
     * end to end — the oracle replays it from the text bytes under the
     * ASCII guard. Zero shuffle except the presentation sort.
+    *
+    * `silenceThreshold`'s default 1800 is FIXTURE-SPECIFIC (ADVICE
+    * r17): the [[asciiMedia]] guard restricts payload bytes to
+    * 0x01–0x7F, so every (b−128) offset is negative and mean_sq lands
+    * in [1, 127²] — 1800 splits THAT synthetic distribution. Genuine
+    * u8 PCM centers near 128 (quiet windows → mean_sq near 0), so a
+    * real deployment MUST pass its own threshold (e.g. 25–400 for
+    * 8-bit speech VAD); the default exists only so the registered
+    * oracle face has a pinned verdict column.
     */
   def audioEnergyQuery(spark: SparkSession, dir: String,
       windowBytes: Int = 32, silenceThreshold: Long = 1800L): DataFrame = {

@@ -759,6 +759,12 @@ object Profiling {
     * terminal division (empty corpus → 0 rows on both engines).
     * Output: s rows (est_i, z, z_sq) + the broadcast constants
     * (f2_est, f2_exact, err_pct) — the [[hllDistinct]] shape.
+    *
+    * Oracle contract (ADVICE r17): ONLY the default s = 16 face is
+    * oracle-checked — the registered `x_f2_skew` SQL hardcodes 16
+    * registers, so a caller tuning `s` gets a correct Spark answer
+    * with no DuckDB witness (the convention for every parameterized
+    * face here).
     */
   def f2Skew(spark: SparkSession, dir: String, s: Int = 16): DataFrame = {
     require(s >= 1 && s <= 32, "sign digits come from one 32-hex-digit md5")

@@ -198,6 +198,13 @@ object Similarity {
     * broadcast-queries shape is the documented x_sim_topk allowlist
     * class — at 100 TB the truth leg runs on a sample while the
     * bucket leg's candidate generation is the production equi-join.
+    *
+    * Oracle contract (ADVICE r17): ONLY the default-parameter face
+    * (τ = 0.2, bits = 8) is oracle-checked — the registered
+    * `x_sim_range` SQL hardcodes those constants, so a caller tuning
+    * `tau`/`bits` gets a correct Spark answer that simply has no
+    * DuckDB witness (the convention for every parameterized face
+    * here).
     */
   def rangeSearch(spark: SparkSession, dir: String,
       tau: Double = 0.2, bits: Int = 8): DataFrame = {

@@ -1069,9 +1069,16 @@ object EventsStream {
     * corpus. A `foreachBatch` body (the [[pplBandFor]] convention):
     * per-doc aggregation is plain batch work inside the micro-batch,
     * ZERO streaming state.
+    *
+    * `width` pins the router's line universe to the SAME alignment
+    * the standing template frame was built at (ADVICE r17: a
+    * width-mismatched frame would silently match nothing and wave
+    * every doc through as n_template = 0 / keep = true) — pass the
+    * width `tmpl` was built with; the default matches
+    * [[graft.ext.TextAnalysis.templateLines]]'s default.
     */
-  def templateRouteFor(docs: DataFrame, tmpl: DataFrame): DataFrame =
-    graft.ext.TextAnalysis.templateLineInst(docs, width = 4)
+  def templateRouteFor(docs: DataFrame, tmpl: DataFrame, width: Int = 4): DataFrame =
+    graft.ext.TextAnalysis.templateLineInst(docs, width)
       .join(broadcast(tmpl.select(col("source"), col("lh"))
         .withColumn("is_t", lit(1L))), Seq("source", "lh"), "left")
       .groupBy(col("doc_id"), col("source"))
