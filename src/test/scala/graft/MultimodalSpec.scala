@@ -108,6 +108,37 @@ class MultimodalSpec extends SparkSpec {
       (2L, 3, 1, 127.6667, 127.6667, 127.6667)))
   }
 
+  test("PNG codec: golden decode through the sniffing seam, lossless PPM parity, junk fails closed") {
+    import Multimodal.{ImageCodec, PpmCodec}
+    // golden 2x2: encode known RGB via the JDK writer, decode via the
+    // sniffing seam, recover the exact pixels
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 10, 20, 30)
+    val png = ImageCodec.encodePng(2, 2, rgb)
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte, "PNG signature")
+    val img = ImageCodec.decode(png)
+    assert(img.exists(i => i.width == 2 && i.height == 2 && i.pixels.sameElements(rgb)),
+      "PNG decode must recover the exact RGB bytes (lossless)")
+    // the sniffer still routes PPM and fails closed on junk
+    assert(ImageCodec.decode(PpmCodec.encode(2, 2, rgb)).exists(_.pixels.sameElements(rgb)))
+    assert(ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(ImageCodec.decode(png.take(8)).isEmpty, "truncated PNG fails closed")
+    // mixed-column parity: PNG-encoded thumbnails hash identically to
+    // their PPM twins, so the pixel-replay oracles hold over the mixed
+    // media column the registered faces now read
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 60)
+    val ppmHashes = Multimodal.phashes(Multimodal.syntheticPpmMedia(docs))
+      .as[(Long, Long)].collect().toMap
+    val mixed = Multimodal.syntheticImageMedia(docs).cache()
+    try {
+      // odd ids really are PNG payloads (the PNG leg is exercised)
+      val oddPayload = mixed.filter(col("media_id") % 2 === 1)
+        .select("payload").as[Array[Byte]].head()
+      assert((oddPayload(0) & 0xFF) == 0x89, "odd media_ids must be PNG-encoded")
+      val mixedHashes = Multimodal.phashes(mixed).as[(Long, Long)].collect().toMap
+      assert(mixedHashes == ppmHashes, "mixed PPM/PNG hashes must equal the all-PPM hashes")
+    } finally mixed.unpersist(blocking = false)
+  }
+
   test("dHash: identical images hash equal, one-pixel edits flip few bits, unrelated images are far") {
     import Multimodal.PpmCodec
     def thumb(f: Int => Int): PpmCodec.Image = {
