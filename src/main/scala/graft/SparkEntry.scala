@@ -253,6 +253,10 @@ object SparkEntry {
     "x_dedup_apply"     -> (Dedup.applyVerdicts _),
     // and the funnel over the WHOLE battery (rides the warm pair frame)
     "x_filter_funnel"   -> (Dedup.filterFunnel _),
+    // gate-ORDER sensitivity: the same five verdicts under three
+    // battery orders, drop attribution per order, invariant final
+    // survivors (round 18 — rides the funnel's warm verdict subtree)
+    "x_funnel_orders"   -> (Dedup.funnelOrders _),
   )
 
   /** Queries that run WITHOUT the runners' pre-query cache flush so they
@@ -269,7 +273,7 @@ object SparkEntry {
   val keepWarmQueries: Set[String] =
     Set("x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply", "x_dedup_incremental",
       "x_dedup_containment", "x_split_leakage", "x_quality_vs_dup", "x_source_overlap",
-      "x_filter_funnel", "x_dataset_card",
+      "x_filter_funnel", "x_funnel_orders", "x_dataset_card",
       // round 14: the banding design table and the dedup-adjusted
       // mixture both ride the same memoized pair frame — they price a
       // bucket aggregate and a |sources|-row aggregate respectively
@@ -401,9 +405,9 @@ object SparkEntry {
     val warmChain =
       Seq("x_dedup_ngram", "x_dedup_clusters", "x_dedup_canonical", "x_dedup_apply",
         "x_dedup_incremental", "x_dedup_containment", "x_split_leakage",
-        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_dataset_card",
-        "x_lsh_tuning", "x_mixture_dedup_adjusted", "x_decontam_neardup",
-        "x_dedup_edit")
+        "x_quality_vs_dup", "x_source_overlap", "x_filter_funnel", "x_funnel_orders",
+        "x_dataset_card", "x_lsh_tuning", "x_mixture_dedup_adjusted",
+        "x_decontam_neardup", "x_dedup_edit")
     val chunkChain = Seq("x_chunk_neardup", "x_chunk_clusters")
     // round 14: the simhash block is a CONTINUATION of the ngram chain
     // (not its own flush-isolated chain) — x_detector_overlap consumes
@@ -1102,6 +1106,7 @@ object SparkEntry {
          ORDER BY d_small, d_big""",
     "x_dedup_apply" -> dedupApplyOracle,
     "x_filter_funnel" -> filterFunnelOracle,
+    "x_funnel_orders" -> funnelOrdersOracle,
     "x_dedup_incremental" -> dedupIncrementalOracle,
     // Cross-doc duplicated 8-token windows: per doc, window counts and
     // the distinct token positions those windows cover.
@@ -5203,4 +5208,54 @@ object SparkEntry {
                / (SELECT CAST(n_surviving AS DOUBLE) FROM sv WHERE stage_idx = 0), 6) AS survival_rate
        FROM sv cur LEFT JOIN sv prev ON cur.stage_idx = prev.stage_idx + 1
        ORDER BY stage"""
+
+  /** x_funnel_orders oracle (round 18): the funnel's shared verdict
+    * CTEs (av + q + dc — composed, never spliced) joined into one
+    * five-boolean frame, then PER ORDER the first-fail CASE, the
+    * prefix fan-out survivors, and the shifted self-join — generated
+    * from the SAME [[graft.ext.Dedup.FunnelOrders]] list the Spark
+    * face reads, so adding an order extends both engines at once.
+    */
+  private val funnelOrdersOracle: String = {
+    val blocks = graft.ext.Dedup.FunnelOrders.map { case (ord, gates) =>
+      val ffi = gates.zipWithIndex
+        .map { case ((_, c), i) => s"WHEN NOT $c THEN ${i + 1}" }.mkString(" ")
+      val labels = ("'0_raw'" +: gates.zipWithIndex.map { case ((name, _), i) =>
+        s"'${i + 1}_$name'"
+      }).mkString(", ")
+      s"""ffo_$ord AS (SELECT CASE $ffi ELSE 99 END AS ffi FROM gall),
+       svo0_$ord AS (SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+                CAST(count(*) AS BIGINT) AS n_surviving
+              FROM (SELECT unnest(generate_series(0, least(ffi - 1, 5))) AS stage_idx FROM ffo_$ord)
+              GROUP BY 1),
+       svo_$ord AS (SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx,
+                CAST(coalesce(v.n_surviving, 0) AS BIGINT) AS n_surviving
+              FROM (SELECT unnest(generate_series(0, 5)) AS stage_idx) s
+              LEFT JOIN svo0_$ord v ON s.stage_idx = v.stage_idx),
+       blk_$ord AS (SELECT '$ord' AS ord,
+           ([$labels])[CAST(cur.stage_idx + 1 AS INT)] AS stage,
+           cur.n_surviving,
+           CAST(coalesce(prev.n_surviving - cur.n_surviving, 0) AS BIGINT) AS n_dropped,
+           round(CAST(cur.n_surviving AS DOUBLE)
+                 / (SELECT CAST(n_surviving AS DOUBLE) FROM svo_$ord WHERE stage_idx = 0), 6) AS survival_rate
+         FROM svo_$ord cur LEFT JOIN svo_$ord prev ON cur.stage_idx = prev.stage_idx + 1)"""
+    }
+    val union = graft.ext.Dedup.FunnelOrders
+      .map { case (ord, _) => s"SELECT * FROM blk_$ord" }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $applyVerdictCtes,
+       q AS (SELECT doc_id,
+             ($qualityScoreSql > 0) AS keep_quality
+           FROM documents),
+       ev AS (SELECT DISTINCT ng FROM g0 WHERE doc_id < 20),
+       ol AS (SELECT g0.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM g0 JOIN ev ON g0.ng = ev.ng GROUP BY g0.doc_id),
+       dc AS (SELECT d.doc_id, coalesce(ol.n_shared, 0) < 10 AS keep_decontam
+              FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id),
+       gall AS MATERIALIZED (SELECT av.doc_id, av.keep_dedup, av.keep_rep, av.keep_len,
+                q.keep_quality, dc.keep_decontam
+              FROM av JOIN q ON av.doc_id = q.doc_id
+                      JOIN dc ON av.doc_id = dc.doc_id),
+       ${blocks.mkString(",\n       ")}
+       $union ORDER BY ord, stage"""
+  }
 }

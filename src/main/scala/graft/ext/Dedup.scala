@@ -1374,13 +1374,7 @@ object Dedup {
     * registered surface (ADVICE r13).
     */
   private[graft] def filterFunnelHeavyFrame(spark: SparkSession, dir: String): DataFrame = {
-    val verd = verdictsFor(spark, dir)
-      .select(col("doc_id"), col("keep_dedup"), col("keep_rep"), col("keep_len"))
-    val qual = Tables.documents(spark, dir)
-      .select(col("doc_id"), (TextAnalysis.qualityScore > 0).as("keep_quality"))
-    val dec = graft.ext.Corpus.decontaminateFor(spark, dir)
-      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
-    val ffi = verd.join(qual, "doc_id").join(dec, "doc_id")
+    val ffi = funnelGateFrame(spark, dir)
       .select(
         when(!col("keep_len"), 1L)
           .when(!col("keep_rep"), 2L)
@@ -1391,6 +1385,98 @@ object Dedup {
     ffi
       .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
       .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
+  }
+
+  /** The five per-doc gate verdicts in ONE frame — the shared subtree
+    * behind the funnel and (round 18) the gate-ORDER sensitivity
+    * report: dedup/repetition/length from [[verdictsFor]] (rides the
+    * memoized pair frame), quality row-local, decontam via the
+    * broadcast eval probe.
+    */
+  private[graft] def funnelGateFrame(spark: SparkSession, dir: String): DataFrame = {
+    val verd = verdictsFor(spark, dir)
+      .select(col("doc_id"), col("keep_dedup"), col("keep_rep"), col("keep_len"))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), (TextAnalysis.qualityScore > 0).as("keep_quality"))
+    val dec = graft.ext.Corpus.decontaminateFor(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
+    verd.join(qual, "doc_id").join(dec, "doc_id")
+  }
+
+  /** The three gate orders the sensitivity report prices, each gate as
+    * (display name, verdict column) — FIXED order names sort the
+    * report deterministically. `a_standard` is the standing funnel's
+    * C4/Gopher battery; `b_dedup_first` is dedup-before-filters (the
+    * debate `x_quality_vs_dup` measures one side of); `c_decontam_first`
+    * decontaminates at the door.
+    */
+  private[graft] val FunnelOrders: Seq[(String, Seq[(String, String)])] = Seq(
+    ("a_standard", Seq("length" -> "keep_len", "repetition" -> "keep_rep",
+      "quality" -> "keep_quality", "dedup" -> "keep_dedup", "decontam" -> "keep_decontam")),
+    ("b_dedup_first", Seq("dedup" -> "keep_dedup", "length" -> "keep_len",
+      "repetition" -> "keep_rep", "quality" -> "keep_quality", "decontam" -> "keep_decontam")),
+    ("c_decontam_first", Seq("decontam" -> "keep_decontam", "dedup" -> "keep_dedup",
+      "length" -> "keep_len", "repetition" -> "keep_rep", "quality" -> "keep_quality")))
+
+  /** Gate-ORDER sensitivity report (`x_funnel_orders`, round 18 —
+    * VERDICT r17 #8): the standing funnel fixes the battery order;
+    * this sibling prices the standard alternatives a pipeline review
+    * debates. The per-doc gate verdicts are order-INVARIANT (each
+    * gate is an independent per-doc boolean), so the FINAL survivor
+    * count is identical across orders — the report's built-in
+    * invariance witness (spec-asserted) — while the per-stage drop
+    * attribution (a doc is charged to its FIRST failing gate) moves,
+    * which is what the order debate is about: which stage gets blamed
+    * for the loss, and how much work each downstream stage sees
+    * (dedup-first spends its join mass on docs quality would have
+    * dropped for free — `x_quality_vs_dup`'s question, now priced on
+    * all five gates under three orders from one verdict pass).
+    *
+    * Shape: the five booleans compute ONCE ([[funnelGateFrame]] —
+    * rides the memoized pair frame as an `x_filter_funnel` chain
+    * rider), all three orders' first-fail attributions aggregate in
+    * ONE ≤1-row conditional-sum pass, and the 18-row table assembles
+    * driver-side (the [[filterFunnel]] bounded-collect convention;
+    * the heavy subtree is linted explicitly like the funnel's).
+    */
+  def funnelOrders(spark: SparkSession, dir: String): DataFrame = {
+    val r = funnelOrdersHeavyFrame(spark, dir).head()
+    val total = r.getLong(0)
+    val rows = FunnelOrders.zipWithIndex.flatMap { case ((ord, gates), oi) =>
+      val drops = (1 to 5).map(p => r.getLong(1 + oi * 5 + (p - 1)))
+      val survivors = drops.scanLeft(total)(_ - _) // survivors after stage 0..5
+      val names = "raw" +: gates.map(_._1)
+      (0 to 5).map { s =>
+        val rate = BigDecimal(survivors(s).toDouble / total * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+        (ord, s"${s}_${names(s)}", survivors(s),
+          if (s == 0) 0L else drops(s - 1), rate)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("ord", "stage", "n_surviving", "n_dropped", "survival_rate")
+      .orderBy(col("ord"), col("stage"))
+  }
+
+  /** The corpus-scale subtree behind [[funnelOrders]]'s bounded
+    * collect: ONE row of (total, 15 per-(order, position) first-fail
+    * drop counts) — exposed for the explicit PlanLint pass, the
+    * [[filterFunnelHeavyFrame]] convention.
+    */
+  private[graft] def funnelOrdersHeavyFrame(spark: SparkSession, dir: String): DataFrame = {
+    val g = funnelGateFrame(spark, dir)
+    val staged = FunnelOrders.foldLeft(g) { case (d, (ord, gates)) =>
+      val ffi = gates.zipWithIndex.tail
+        .foldLeft(when(!col(gates.head._2), 1L)) { case (acc, ((_, c), i)) =>
+          acc.when(!col(c), (i + 1).toLong)
+        }.otherwise(99L)
+      d.withColumn(s"ffi_$ord", ffi)
+    }
+    val dropSums = FunnelOrders.flatMap { case (ord, _) =>
+      (1 to 5).map(p =>
+        sum(when(col(s"ffi_$ord") === p.toLong, 1L).otherwise(0L)).as(s"d_${ord}_$p"))
+    }
+    staged.agg(count(lit(1)).as("total"), dropSums: _*)
   }
 
   /** Content fingerprints (md5 — same hex output in DuckDB, so fully

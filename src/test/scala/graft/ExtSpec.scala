@@ -699,6 +699,37 @@ class ExtSpec extends SparkSpec {
     assert(surv(4) <= expect4, "dedup-stage survivors cannot exceed the verdict battery")
   }
 
+  test("funnel orders: final survivors order-invariant, a_standard matches the funnel, drops reconcile") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ext.Dedup.funnelOrders(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.length == 18, "3 orders x 6 stages")
+    val byOrd = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byOrd.keySet == Set("a_standard", "b_dedup_first", "c_decontam_first"))
+    // per-doc gates are independent booleans, so the FINAL survivor
+    // count must be identical under every order — the invariance witness
+    val finals = byOrd.values.map(_.last._3).toSet
+    assert(finals.size == 1, s"final survivors must be order-invariant: $finals")
+    byOrd.foreach { case (ord, st) =>
+      assert(st.head._3 == 500 && st.head._4 == 0, s"$ord raw row")
+      st.sliding(2).foreach { case Array(prev, cur) =>
+        assert(cur._4 == prev._3 - cur._3, s"$ord/${cur._2} drop must reconcile")
+      }
+    }
+    // the a_standard block IS the standing funnel (same gates, same order)
+    val funnel = graft.ext.Dedup.filterFunnel(spark, dir)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    graft.ext.Dedup.releaseCaches()
+    val std = byOrd("a_standard")
+    assert(std.map(_._3).toSeq == funnel.map(_._2).toSeq,
+      "a_standard survivors must equal x_filter_funnel's")
+    // attribution must actually MOVE between orders on this fixture
+    // (decontam-first charges the whole loss to the door gate)
+    val dropsByOrd = byOrd.view.mapValues(_.map(_._4).toSeq).toMap
+    assert(dropsByOrd.values.toSet.size > 1,
+      "orders must attribute drops differently on the leaky fixture")
+  }
+
   test("source overlap: pair mass conserved, cells canonical") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.Dedup.sourceOverlap(spark, dir)

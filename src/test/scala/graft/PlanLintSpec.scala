@@ -243,17 +243,24 @@ class PlanLintSpec extends SparkSpec {
     // LocalRelation and the corpus-scale battery behind it would dodge
     // every detector above — lint the pre-collect frame explicitly
     // (ADVICE r13)
-    val qe = graft.ext.Dedup.filterFunnelHeavyFrame(spark, dir).queryExecution
-    val physical = qe.executedPlan.toString
-    assert(!physical.contains("CartesianProduct") &&
-      !physical.contains("BroadcastNestedLoopJoin"),
-      "filter-funnel heavy subtree plans a cartesian/nested-loop join")
-    assert(!physical.contains("Exchange SinglePartition, REPARTITION") &&
-      "Coalesce 1\\b".r.findFirstIn(physical).isEmpty,
-      "filter-funnel heavy subtree forces a single-partition exchange")
-    assert(!qe.optimizedPlan.collect { case w: LogicalWindow => w }
-      .exists(_.partitionSpec.isEmpty),
-      "filter-funnel heavy subtree plans a global window")
+    // round 18: the gate-order report shares the convention — its
+    // registered face is the same driver-side assembly, so lint its
+    // pre-collect frame too
+    for ((label, frame) <- Seq(
+        "filter-funnel" -> graft.ext.Dedup.filterFunnelHeavyFrame(spark, dir),
+        "funnel-orders" -> graft.ext.Dedup.funnelOrdersHeavyFrame(spark, dir))) {
+      val qe = frame.queryExecution
+      val physical = qe.executedPlan.toString
+      assert(!physical.contains("CartesianProduct") &&
+        !physical.contains("BroadcastNestedLoopJoin"),
+        s"$label heavy subtree plans a cartesian/nested-loop join")
+      assert(!physical.contains("Exchange SinglePartition, REPARTITION") &&
+        "Coalesce 1\\b".r.findFirstIn(physical).isEmpty,
+        s"$label heavy subtree forces a single-partition exchange")
+      assert(!qe.optimizedPlan.collect { case w: LogicalWindow => w }
+        .exists(_.partitionSpec.isEmpty),
+        s"$label heavy subtree plans a global window")
+    }
   }
 
   test("allowlists only name registered queries (no stale entries)") {
