@@ -231,6 +231,8 @@ object SparkEntry {
     "x_kmv_decontam"    -> ((s, d) => Profiling.kmvSplitOverlap(s, d)), // the KMV estimator keyed by the train/val/test draw: cross-split contamination monitor at sketch speed (round 16)
     "x_kmv_diff"        -> ((s, d) => Profiling.kmvSourceDiff(s, d)), // KMV a-not-b: per-direction new-shingle-mass estimate from the same two k-row sketches — the incremental-crawl read (round 17)
     "x_kmv_card"        -> ((s, d) => Profiling.kmvCardinality(s, d)), // KMV distinct-cardinality estimator (k-1)*2^32 div theta — the absolute-size read of the theta sketch, HLL's independent cross-check (round 17)
+    "x_kmv_card_prod"   -> ((s, d) => Profiling.kmvCardinalityProd(s, d)), // the PRODUCTION sketch-only cardinality read, no truth leg — separates monitor cost from audit cost in the bench (round 18)
+    "x_f2_prod"         -> ((s, d) => Profiling.f2Prod(s, d)), // the PRODUCTION corpus-wide F2 read: standing per-source registers merged by addition, no truth leg (round 18)
     "x_quantile_sketch" -> ((s, d) => Profiling.quantileSketch(s, d)), // deterministic md5-leveled quantile sketch (KLL sampling view) — closes q16b's rows-only gap (round 16)
     "x_quantile_by_key" -> ((s, d) => Profiling.quantileByKey(s, d)), // GROUPED quantile sketch: per-language length percentiles, every key its own j* off one shared histogram scan (round 16)
     "x_sample_exact_k"  -> ((s, d) => Corpus.sampleExactK(s, d)), // exactly-k uniform sample via bottom-k order statistics: one scan, mergeable, no sort (round 16)
@@ -345,6 +347,10 @@ object SparkEntry {
       // just built — each prices its own sketch re-aggregation, never
       // a second corpus-scale distinct-shingle build
       "x_kmv_diff", "x_kmv_card",
+      // round 18: the production cardinality read rides the same
+      // standing tok frame — a bottom-k re-aggregate + k-row
+      // arithmetic, the monitor priced without its audit
+      "x_kmv_card_prod",
       // round 17: the nsw chain — the hierarchical face and the
       // kNN-graph LexRank both ride the memoized base neighbor graph
       // (and seedAssigned) the flat NSW search just built; standalone,
@@ -361,7 +367,11 @@ object SparkEntry {
       // sign registers x_f2_by_key just built — pair-matrix arithmetic
       // over <= s·|sources| rows plus its truth join, never a second
       // token scan for registers
-      "x_f2_join_size")
+      "x_f2_join_size",
+      // round 18: the corpus-wide production F2 read merges the same
+      // standing registers by addition — s rows of arithmetic, no
+      // token scan, no truth leg
+      "x_f2_prod")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -437,7 +447,9 @@ object SparkEntry {
     val pqChain = Seq("x_sim_ivf_pq", "x_sim_ivf_pq_probe")
     // round 17: the kmv chain — the a-not-b and cardinality faces ride
     // the overlap report's memoized truth-leg tok frame
-    val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff", "x_kmv_card")
+    val kmvChain = Seq("x_kmv_overlap", "x_kmv_diff", "x_kmv_card",
+      // round 18: the production sketch-only read closes the chain
+      "x_kmv_card_prod")
     // round 17: the nsw chain — hierarchy and kNN-graph LexRank ride
     // the flat search's memoized base graph + assignment
     val nswChain = Seq("x_sim_nsw", "x_sim_nsw_hier", "x_lexrank_graph")
@@ -446,7 +458,7 @@ object SparkEntry {
     val templateChain = Seq("x_template_lines", "x_template_apply")
     // round 17: the f2 chain — the join-size estimator rides the
     // grouped face's memoized per-source sign registers
-    val f2Chain = Seq("x_f2_by_key", "x_f2_join_size")
+    val f2Chain = Seq("x_f2_by_key", "x_f2_join_size", "x_f2_prod")
     val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
       kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain ++
       templateChain ++ f2Chain
@@ -1706,6 +1718,20 @@ object SparkEntry {
            CASE WHEN f2_exact IS NULL OR f2_exact = 0 THEN NULL
                 ELSE CAST(abs(f2_est - f2_exact) * 100 // f2_exact AS BIGINT) END AS err_pct
          FROM reg CROSS JOIN est CROSS JOIN ex ORDER BY est_i""",
+    // the production corpus-wide F2 read: the same registers, sketch
+    // estimate only — per-key registers merged by addition equal the
+    // corpus-wide build exactly (round 18)
+    "x_f2_prod" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tok AS (SELECT token FROM t WHERE length(token) > 0),
+         reg AS (SELECT r.i AS est_i,
+                   CAST(sum(CASE WHEN (strpos('0123456789abcdef',
+                       substring(md5(token), CAST(r.i + 1 AS INT), 1)) - 1) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS z
+                 FROM tok, range(16) AS r(i) GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS s_est,
+           CAST(sum(z * z) // count(*) AS BIGINT) AS f2_est
+         FROM reg""",
     // Deterministic HLL: md5-derived bucket/value, rank via unpadded
     // bin() length (both engines), max registers, exact-integer
     // estimate with the ln(m/V) linear-counting leg on small range.
@@ -1716,6 +1742,16 @@ object SparkEntry {
     "x_kmv_overlap" -> kmvOracleFor("SELECT source, text FROM documents"),
     "x_kmv_diff" -> kmvDiffOracle,
     "x_kmv_card" -> kmvCardOracle,
+    // the production sketch-only cardinality read: the same bottom-64
+    // CTEs WITHOUT the exact truth leg (round 18)
+    "x_kmv_card_prod" ->
+      s"""WITH ${kmvBaseCtesFor("SELECT source, text FROM documents")},
+         ss AS (SELECT source, CAST(count(*) AS BIGINT) AS m_size,
+                  CAST(max(h) AS BIGINT) AS theta FROM sk GROUP BY 1)
+         SELECT source, m_size, theta,
+           CAST(CASE WHEN m_size < 64 THEN m_size
+                ELSE 63 * 4294967296 // theta END AS BIGINT) AS est_distinct
+         FROM ss ORDER BY source""",
     // the same KMV estimator keyed by the x_sample_split draw: the
     // cross-split contamination monitor at sketch speed
     "x_kmv_decontam" -> kmvOracleFor(

@@ -1117,6 +1117,57 @@ object Profiling {
       .orderBy(col("source"))
   }
 
+  /** The production KMV cardinality read (the [[f2EstimateFor]] /
+    * hllEstimateFor convention): per-source (m_size, θ = max sketch
+    * hash) → the (k−1)·2³² div θ bottom-k estimator, degenerate-exact
+    * below k — k·|sources| standing rows in, |sources| rows out, NO
+    * truth leg. `k` is a parameter because a sketch at capacity
+    * carries no k of its own (m_size < k IS the degenerate signal).
+    */
+  def kmvEstimateFor(sk: DataFrame, k: Int = 64): DataFrame =
+    sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("m_size"), max(col("h")).as("theta"))
+      .select(col("source"), col("m_size"), col("theta"),
+        expr(s"CASE WHEN m_size < $k THEN m_size"
+          + s" ELSE CAST(${k - 1} AS BIGINT) * 4294967296 DIV theta END")
+          .as("est_distinct"))
+
+  /** `x_kmv_card_prod` (round 18 — VERDICT r17 #4): the PRODUCTION
+    * face of the KMV cardinality monitor — [[kmvEstimateFor]] with NO
+    * exact truth leg. The verdict face (`x_kmv_card`) deliberately
+    * prices "proving the monitor right" (the corpus-wide distinct the
+    * sketch replaces); this chain rider prices the monitor itself: a
+    * bottom-k re-aggregate over the chain's STANDING distinct-hash
+    * frame (bottomk(distinct S) ≡ bottomk(S) — the duplicate-absorbing
+    * insert; by mergeability the standing frame stands in for the
+    * shard sketches a deployment would merge) plus k·|sources|-row
+    * arithmetic. The bench now separates monitor cost from audit cost.
+    */
+  def kmvCardinalityProd(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      kmvShingleHashes(Tables.documents(spark, dir)).distinct()
+    }
+    val sk = tok.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
+      .select(col("source"), explode(col("mins")).as("h"))
+    kmvEstimateFor(sk, k).orderBy(col("source"))
+  }
+
+  /** `x_f2_prod` (round 18 — VERDICT r17 #4): the PRODUCTION corpus-
+    * wide F2 read — the per-source sign registers the f2 chain anchor
+    * memoized MERGE BY ADDITION into corpus-wide registers (the AMS
+    * mergeability property: Z_i = Σ_k Z_{k,i}; the exact shard-merge
+    * a deployment runs over per-executor or per-day register frames),
+    * then [[f2EstimateFor]]. ≤ s·|sources| standing rows in, ONE row
+    * out, NO truth leg — the f2 chain rider pricing the monitor alone.
+    */
+  def f2Prod(spark: SparkSession, dir: String): DataFrame =
+    f2EstimateFor(
+      f2RegsByKeyMemo(spark, dir)
+        .groupBy(col("est_i")).agg(sum(col("z")).as("z")))
+
   /** The ONE pair scaffold both pair-matrix reports build on (review
     * r17: the a-not-b face had copy-pasted these seven frames):
     * unordered (lo < hi) source pairs read off the k·|sources|-row

@@ -4151,6 +4151,30 @@ class ExtSpec extends SparkSpec {
     got.foreach { r => assert(r._8 <= 40, s"lang ${r._1} estimate off by ${r._8}%") }
   }
 
+  test("production sketch reads: kmv/f2 prod faces equal the verdict faces' sketch legs, no truth columns") {
+    val dir = "/root/testdata/sf0.001"
+    // kmv: the production read's estimate columns must be exactly the
+    // verdict face's sketch leg (same sketch, minus the audit)
+    val verdict = graft.ext.Profiling.kmvCardinality(spark, dir)
+      .select(col("source"), col("m_size"), col("theta"), col("est_distinct"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val prod = graft.ext.Profiling.kmvCardinalityProd(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(prod == verdict, "prod cardinality must equal the verdict face's sketch leg")
+    assert(!graft.ext.Profiling.kmvCardinalityProd(spark, dir).columns.exists(_.contains("exact")),
+      "the production face must carry NO truth column")
+    // f2: merging the standing per-key registers by addition equals
+    // the corpus-wide register build (AMS mergeability), so the prod
+    // read's estimate is the verdict face's f2_est
+    val f2Verdict = graft.ext.Profiling.f2Skew(spark, dir)
+      .select(col("f2_est")).as[Long].head()
+    val (sEst, f2Prod) = graft.ext.Profiling.f2Prod(spark, dir)
+      .as[(Long, Long)].head()
+    graft.ext.Dedup.releaseCaches()
+    assert(sEst == 16L)
+    assert(f2Prod == f2Verdict, s"merged-register F2 $f2Prod must equal corpus-wide $f2Verdict")
+  }
+
   test("kmv overlap: full md5 replay, mergeable, exact past the union, estimator in sampling error") {
     val dir = "/root/testdata/sf0.001"
     val k = 64
