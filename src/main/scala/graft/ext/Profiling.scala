@@ -1028,18 +1028,10 @@ object Profiling {
     // persisted variants measured SLOWER (kmvOverlapReport's A/B note)
     val sk = kmvSketchFor(docs, k)
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
-    // the three-way partition of M by sketch membership: A-only rows
-    // are an equi-join on (source_a, h) anti-joined on (source_b, h)
-    val mOnlyA = m
-      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
-      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"), "left_anti")
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("only_a"))
-    val mOnlyB = m
-      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
-      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"), "left_anti")
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("only_b"))
+    // the three-way partition of M by sketch membership — the shared
+    // kmvMPartition legs (A-only: equi-join on (source_a, h),
+    // anti-join on (source_b, h))
+    val (_, mOnlyA, mOnlyB) = kmvMPartition(sk, m)
     val base = pairs
       .join(mStats, Seq("source_a", "source_b"), "left")
       .join(mOnlyA, Seq("source_a", "source_b"), "left")
@@ -1183,6 +1175,21 @@ object Profiling {
     */
   private def kmvPairScaffold(sk: DataFrame, tok: DataFrame, k: Int):
       (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (pairs, m, mStats) = kmvPairSketch(sk, k)
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("source").as("source_a"), col("h"))
+      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    (pairs, m, mStats, nSrc, inter)
+  }
+
+  /** The SKETCH-ONLY half of the pair scaffold (round 18 — factored so
+    * the standing-state report composes it instead of copying):
+    * unordered pairs, the re-aggregated union sketch M, its size.
+    */
+  private def kmvPairSketch(sk: DataFrame, k: Int): (DataFrame, DataFrame, DataFrame) = {
     val srcs = sk.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -1196,13 +1203,64 @@ object Profiling {
       .select(col("source_a"), col("source_b"), explode(col("mins")).as("h"))
     val mStats = m.groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("m_size"))
-    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = tok.select(col("source").as("source_a"), col("h"))
-      .join(tok.select(col("source").as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
+    (pairs, m, mStats)
+  }
+
+  /** M's three-way partition by sketch membership — (both, A-only,
+    * B-only) counts per pair, the arithmetic core shared by the
+    * overlap report, the a-not-b report, and the standing-state read
+    * (one definition, never copies).
+    */
+  private def kmvMPartition(sk: DataFrame, m: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
+    val both = m
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("exact_inter"))
-    (pairs, m, mStats, nSrc, inter)
+      .agg(count(lit(1)).as("kmv_overlap"))
+    val onlyA = m
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"), "left_anti")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("only_a"))
+    val onlyB = m
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
+      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"), "left_anti")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("only_b"))
+    (both, onlyA, onlyB)
+  }
+
+  /** The standing-state KMV report (round 18 — VERDICT r17 #6, the
+    * [[f2EstimateFor]] read-path convention): every pairwise read the
+    * verdict faces carry — union-sketch size, overlap, Jaccard micro,
+    * and the two a-not-b partitions — off a STANDING (source, h)
+    * sketch frame ALONE: no corpus access, no truth leg. The online
+    * face: a deployment maintaining sketches via
+    * [[graft.streaming.EventsStream.kmvSketchStream]] reads this per
+    * micro-batch (or on demand) for live cross-source overlap/diff;
+    * cost is |sources|²·k rows by construction. Spec asserts the
+    * stream-maintained report equals the batch verdict faces' sketch
+    * columns after corpus replay.
+    */
+  def kmvReportFor(sk: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(sk.sparkSession)
+    val (pairs, m, mStats) = kmvPairSketch(sk, k)
+    val (both, onlyA, onlyB) = kmvMPartition(sk, m)
+    pairs
+      .join(mStats, Seq("source_a", "source_b"), "left")
+      .join(both, Seq("source_a", "source_b"), "left")
+      .join(onlyA, Seq("source_a", "source_b"), "left")
+      .join(onlyB, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("m_size"), lit(0L)).as("m_size"),
+        coalesce(col("kmv_overlap"), lit(0L)).as("kmv_overlap"),
+        expr("CASE WHEN coalesce(m_size, 0) = 0 THEN NULL"
+          + " ELSE coalesce(kmv_overlap, 0) * 1000000 DIV m_size END")
+          .as("kmv_jaccard_micro"),
+        coalesce(col("only_a"), lit(0L)).as("kmv_only_a"),
+        coalesce(col("only_b"), lit(0L)).as("kmv_only_b"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   private def kmvOverlapReport(spark: SparkSession, docs: DataFrame, k: Int,
@@ -1229,11 +1287,7 @@ object Profiling {
     // (the corpus-scale distinct) dwarfs its persist cost.
     val sk = kmvSketchFor(docs, k)
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
-    val mBoth = m
-      .join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"))
-      .join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("kmv_overlap"))
+    val (mBoth, _, _) = kmvMPartition(sk, m)
     pairs
       .join(mStats, Seq("source_a", "source_b"), "left")
       .join(mBoth, Seq("source_a", "source_b"), "left")

@@ -1842,6 +1842,34 @@ class StreamingSpec extends SparkSpec {
     streamed.groupBy(_._1).foreach { case (s, rows) =>
       assert(rows.size <= 64, s"source $s sketch grew past k: ${rows.size}")
     }
+    // round 18 (VERDICT r17 #6): the READ off the standing state — the
+    // online report's sketch columns must equal the batch verdict
+    // faces' sketch legs after full corpus replay
+    val report = EventsStream.kmvReportStream(spark.table("kmv_stream"))
+      .as[(String, String, Long, Long, Option[Long], Long, Long)].collect().toSeq
+    val batchOverlap = graft.ext.Profiling.kmvSourceOverlap(spark, dir)
+      .select(col("source_a"), col("source_b"), col("m_size"),
+        col("kmv_overlap"), col("kmv_jaccard_micro"))
+      .as[(String, String, Long, Long, Option[Long])].collect().toSeq
+    assert(report.map(r => (r._1, r._2, r._3, r._4, r._5)) == batchOverlap,
+      "standing-state overlap read diverged from the batch verdict face")
+    val batchDiff = graft.ext.Profiling.kmvSourceDiff(spark, dir)
+      .select(col("source_a"), col("source_b"), col("kmv_only_a"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    report.foreach { case (a, b, _, _, _, onlyA, onlyB) =>
+      assert(batchDiff((a, b)) == onlyA, s"($a,$b) only_a")
+      assert(batchDiff((b, a)) == onlyB, s"($a,$b) only_b")
+    }
+    // and the cardinality read off the same standing rows
+    val prodEst = graft.ext.Profiling.kmvEstimateFor(spark.table("kmv_stream"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val batchEst = graft.ext.Profiling.kmvCardinality(spark, dir)
+      .select(col("source"), col("m_size"), col("theta"), col("est_distinct"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    graft.ext.Dedup.releaseCaches()
+    assert(prodEst == batchEst,
+      "standing-state cardinality read diverged from the batch verdict face")
   }
 
   test("streaming weighted reservoir: final top-k equals the batch A-ES sample, k rows of state") {
