@@ -1413,12 +1413,22 @@ object Profiling {
       }
     val keys = byKey.keys.toSeq.sorted
     val nOf: Map[String, Long] = byKey.map { case (k, m) => k -> m.values.sum }
+    // per-key corpus-adaptive search depth (round 18 — the
+    // quantileSketch fix applied to the grouped face: a key whose
+    // n_k/2^depth exceeds the cap searches deeper instead of failing;
+    // at every oracle-tested scale the adaptive depth equals the old
+    // fixed floor, so each key's j* is unchanged)
+    def effDepth(nk: Long): Int = math.max(depth,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(nk / cap, 1L)) + 1)
     val selected: Map[String, (Int, Long)] =
-      keys.map(k => k -> qSelectLevel(byKey(k), depth, cap, s"key $k")).toMap
+      keys.map(k => k -> qSelectLevel(byKey(k), effDepth(nOf(k)), cap, s"key $k")).toMap
     val jStar: Map[String, Int] = selected.map { case (k, (j, _)) => k -> j }
     val mOf: Map[String, Long] = selected.map { case (k, (_, m)) => k -> m }
-    // each key filters at its own j* — one |keys|-literal CASE, one scan
-    val jStarExpr = keys.foldLeft(lit((depth + 1).toLong)) { case (acc, k) =>
+    // each key filters at its own j* — one |keys|-literal CASE, one
+    // scan; the fallback (an unlisted key) must exceed every selected
+    // level, so it sits above the deepest ADAPTIVE search
+    val maxDepth = (depth +: keys.map(k => effDepth(nOf(k)))).max
+    val jStarExpr = keys.foldLeft(lit((maxDepth + 1).toLong)) { case (acc, k) =>
       when(col("k") === lit(k), lit(jStar(k).toLong)).otherwise(acc)
     }
     val sampRows = lv.filter(col("lvl") >= jStarExpr)
@@ -1493,11 +1503,14 @@ object Profiling {
     * aggregate (map-side partials); one pushed-filter scan → bounded
     * top-`cap` aggregate (the [[graft.functions.TopKByScore]]
     * shuffle-bounded shape, k rows per partition on the wire); the
-    * fixed `depth` bounds |S_depth| ≈ n/2^depth, so depth must grow
-    * log-with-n (depth 12 / cap 256 serves n ≤ ~1 M; a 100 TB corpus
-    * sets depth ≈ ⌈log₂(n/cap)⌉ — the require fails loudly rather
-    * than silently overflowing the cap). Zero windows, zero corpus
-    * shuffle beyond the range-sort the TRUTH leg alone needs.
+    * search depth is CORPUS-ADAPTIVE (round 18): |S_depth| ≈ n/2^depth
+    * must reach the cap, so the level search extends to
+    * max(depth, ⌈log₂(n/cap)⌉) — the cellsFor discipline, adopted
+    * after the 3x-replica scale probe tripped the old fixed-12 loud
+    * failure at n = 1.8 M; at every oracle-tested scale the adaptive
+    * depth equals the old floor, so j* and the oracle contract are
+    * unchanged. Zero windows, zero corpus shuffle beyond the
+    * range-sort the TRUTH leg alone needs.
     */
   def quantileSketch(spark: SparkSession, dir: String, depth: Int = 12,
       cap: Int = 256, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
@@ -1520,7 +1533,17 @@ object Profiling {
       return spark.createDataFrame(
         Seq.empty[(Long, Long, Long, Long, Long, Long, Double, Double, Option[Long])])
         .toDF(schema: _*)
-    val (jStar, m) = qSelectLevel(byLvl, depth, cap, "this corpus")
+    // corpus-adaptive search depth (round 18 — the cellsFor discipline
+    // applied here after the 3x-replica scale probe tripped the loud
+    // depth-12 failure at n = 1.8M): |S_depth| ≈ n/2^depth must reach
+    // the cap, so the search floor grows ⌈log₂(n/cap)⌉ with the
+    // corpus. At every oracle-tested scale (n ≤ 600k) the adaptive
+    // depth equals the old fixed 12, so j* — and the oracle contract —
+    // are unchanged; bigger corpora now select a level instead of
+    // failing. `depth` stays as the caller's floor.
+    val effDepth = math.max(depth,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(n / cap, 1L)) + 1)
+    val (jStar, m) = qSelectLevel(byLvl, effDepth, cap, "this corpus")
     val arr = lv.filter(col("lvl") >= jStar)
       .agg(graft.functions.GraftFunctions
         .topKByScore(-col("v"), col("rid"), cap).as("arr"))
