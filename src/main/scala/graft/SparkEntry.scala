@@ -371,7 +371,12 @@ object SparkEntry {
       // round 18: the corpus-wide production F2 read merges the same
       // standing registers by addition — s rows of arithmetic, no
       // token scan, no truth leg
-      "x_f2_prod")
+      "x_f2_prod",
+      // round 18: the trained-language-ID confusion verdict rides the
+      // anchor's memoized feature frame + weight vectors — one
+      // 5000-row scoring pass + a 25-cell aggregate, never a second
+      // bigram explode or GD run
+      "x_lang_trained_eval")
 
   /** The chain ANCHORS — the entries that build each keep-warm chain's
     * memoized frame (pairs / chunk pairs / simhash fingerprints / the
@@ -398,7 +403,10 @@ object SparkEntry {
       "x_template_lines",
       // round 17: the grouped-F2 face builds the memoized per-source
       // sign registers the join-size estimator rides
-      "x_f2_by_key")
+      "x_f2_by_key",
+      // round 18: the trained language-ID anchor builds the memoized
+      // per-doc feature frame (one bigram explode) + the OVR weights
+      "x_lang_trained")
 
   /** Execution order shared by Bench, Verify, and TimeMany: sorted, with
     * one deliberate exception — `x_dedup_clusters` runs immediately after
@@ -459,9 +467,13 @@ object SparkEntry {
     // round 17: the f2 chain — the join-size estimator rides the
     // grouped face's memoized per-source sign registers
     val f2Chain = Seq("x_f2_by_key", "x_f2_join_size", "x_f2_prod")
+    // round 18: the trained language-ID pair — the anchor builds the
+    // memoized feature frame + weight vectors; the confusion verdict
+    // rides both
+    val langChain = Seq("x_lang_trained", "x_lang_trained_eval")
     val allChains = ngramChain ++ chunkChain ++ lmChain ++ qualityChain ++
       kppChain ++ probeChain ++ pqChain ++ kmvChain ++ nswChain ++
-      templateChain ++ f2Chain
+      templateChain ++ f2Chain ++ langChain
     require(allChains.forall(queries.contains),
       s"ordered-run contract expects ${allChains.mkString(", ")} in " +
         "SparkEntry.queries (rename them here and in keepWarmQueries together)")
@@ -479,6 +491,7 @@ object SparkEntry {
         case "x_sim_nsw"              => nswChain
         case "x_template_lines"       => templateChain
         case "x_f2_by_key"            => f2Chain
+        case "x_lang_trained"         => langChain
         case n                        => Seq(n)
       }
   }

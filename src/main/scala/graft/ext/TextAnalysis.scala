@@ -528,7 +528,7 @@ object TextAnalysis {
     * equivalent); inference is codegen'd row-local arithmetic.
     */
   def langTrained(spark: SparkSession, dir: String, iters: Int = LangTrainIters): DataFrame =
-    langScoredFor(Tables.documents(spark, dir), langWeights(spark, dir, iters))
+    langScoredOnFeat(langFeatMemo(spark, dir), langWeights(spark, dir, iters))
       .orderBy(col("doc_id"))
 
   /** Confusion-matrix verdict of the TRAINED classifier
@@ -539,7 +539,7 @@ object TextAnalysis {
     * by the SAME report and the improvement is a diffable artifact.
     */
   def langTrainedEval(spark: SparkSession, dir: String, iters: Int = LangTrainIters): DataFrame = {
-    val cells = langScoredFor(Tables.documents(spark, dir), langWeights(spark, dir, iters))
+    val cells = langScoredOnFeat(langFeatMemo(spark, dir), langWeights(spark, dir, iters))
       .groupBy(col("labelled_lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labelled_lang"))
@@ -556,7 +556,22 @@ object TextAnalysis {
   private[graft] def langWeights(spark: SparkSession, dir: String,
       iters: Int = LangTrainIters): Map[String, Array[Long]] =
     Dedup.Frames.getOrComputeValue(spark, s"lang_w:$iters:$dir", dir) {
-      trainLangWeights(Tables.documents(spark, dir), iters)
+      trainLangWeightsOnFeat(langFeatMemo(spark, dir), iters)
+    }
+
+  /** The MEMOIZED per-doc feature frame (round 18 — the bench read
+    * x_lang_trained at 8.6 s because the bigram explode ran once for
+    * training and AGAIN for scoring, and the eval face re-ran it a
+    * third time): one row per document, 11 integer columns — tiny —
+    * built from ONE explode pass per (session, corpus) through the
+    * sanctioned frame memo; the scoring face, the eval face, and the
+    * GD loop all read it (the faces chain: eval rides the anchor's
+    * memo).
+    */
+  private def langFeatMemo(spark: SparkSession, dir: String): DataFrame =
+    Dedup.Frames.getOrCompute(spark, s"langfeat:$dir", dir,
+      tables = Seq("documents.parquet")) {
+      langFeatureFrame(Tables.documents(spark, dir))
     }
 
   /** Spec seam: train + score over any (doc_id, text, lang) frame,
@@ -602,36 +617,44 @@ object TextAnalysis {
   }
 
   /** The `iters`-step one-vs-rest integer-GD loop — all five class
-    * gradients in one aggregate per step (see [[langTrained]]).
+    * gradients in one aggregate per step (see [[langTrained]]). The
+    * spec seam over an arbitrary docs frame; the registered faces go
+    * through [[trainLangWeightsOnFeat]] with the memoized frame.
     */
   private[graft] def trainLangWeights(docs: DataFrame, iters: Int): Map[String, Array[Long]] = {
     val feat = langFeatureFrame(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainLangWeightsOnFeat(feat, iters)
+    finally feat.unpersist(blocking = false)
+  }
+
+  /** The GD loop over an already-built (and ideally persisted)
+    * feature frame.
+    */
+  private[graft] def trainLangWeightsOnFeat(feat: DataFrame, iters: Int): Map[String, Array[Long]] = {
     var w: Map[String, Array[Long]] =
-      LangClasses.map(_ -> Array.fill(LangFeatDim)(0L)).toMap
-    try {
-      for (_ <- 1 to iters) {
-        val staged = LangClasses.foldLeft(feat) { (d, c) =>
-          d.withColumn(s"zs_$c", langZs(w(c)))
-            .withColumn(s"qz6_$c", expr(fdSql(s"zs_$c", "10000")))
-            .withColumn(s"qp_$c", lit(500000L) +
-              expr(fdSql(s"1000000 * qz6_$c", s"2 * (1000000 + abs(qz6_$c))")))
-            .withColumn(s"qy_$c", when(col("lang") === c, 1000000L).otherwise(0L))
-        }
-        val aggs = LangClasses.flatMap(c => (0 until LangFeatDim).map(j =>
-          sum(col(s"qx$j") * (col(s"qp_$c") - col(s"qy_$c"))).as(s"g_${c}_$j"))) :+
-          count(lit(1)).as("n")
-        val r = staged.agg(aggs.head, aggs.tail: _*).head()
-        val n = r.getLong(aggs.size - 1)
-        require(n > 0, "empty corpus — nothing to train on")
-        // Java long `/` truncates toward zero — the same contract as
-        // Spark `div` and DuckDB `//` (NOT Math.floorDiv)
-        w = LangClasses.zipWithIndex.map { case (c, ci) =>
-          c -> Array.tabulate(LangFeatDim)(j =>
-            w(c)(j) - r.getLong(ci * LangFeatDim + j) / (2 * n * 10000L))
-        }.toMap
+      LangClasses.map(c => (c, Array.fill(LangFeatDim)(0L))).toMap
+    for (_ <- 1 to iters) {
+      val staged = LangClasses.foldLeft(feat) { (d, c) =>
+        d.withColumn(s"zs_$c", langZs(w(c)))
+          .withColumn(s"qz6_$c", expr(fdSql(s"zs_$c", "10000")))
+          .withColumn(s"qp_$c", lit(500000L) +
+            expr(fdSql(s"1000000 * qz6_$c", s"2 * (1000000 + abs(qz6_$c))")))
+          .withColumn(s"qy_$c", when(col("lang") === c, 1000000L).otherwise(0L))
       }
-    } finally feat.unpersist(blocking = false)
+      val aggs = LangClasses.flatMap(c => (0 until LangFeatDim).map(j =>
+        sum(col(s"qx$j") * (col(s"qp_$c") - col(s"qy_$c"))).as(s"g_${c}_$j"))) :+
+        count(lit(1)).as("n")
+      val r = staged.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(aggs.size - 1)
+      require(n > 0, "empty corpus — nothing to train on")
+      // Java long `/` truncates toward zero — the same contract as
+      // Spark `div` and DuckDB `//` (NOT Math.floorDiv)
+      w = LangClasses.zipWithIndex.map { case (c, ci) =>
+        c -> Array.tabulate(LangFeatDim)(j =>
+          w(c)(j) - r.getLong(ci * LangFeatDim + j) / (2 * n * 10000L))
+      }.toMap
+    }
     w
   }
 
@@ -647,8 +670,13 @@ object TextAnalysis {
     * discipline — earliest class wins ties, provably the max).
     */
   private[graft] def langScoredFor(docs: DataFrame,
+      w: Map[String, Array[Long]]): DataFrame =
+    langScoredOnFeat(langFeatureFrame(docs), w)
+
+  /** Scoring over an already-built feature frame (the memo path). */
+  private def langScoredOnFeat(feat: DataFrame,
       w: Map[String, Array[Long]]): DataFrame = {
-    val withZ = LangClasses.foldLeft(langFeatureFrame(docs)) { (d, c) =>
+    val withZ = LangClasses.foldLeft(feat) { (d, c) =>
       val zsExpr = (0 until LangFeatDim).map(j => s"${w(c)(j)} * qx$j").mkString(" + ")
       d.withColumn(s"z_$c", expr(s"($zsExpr) div 10000"))
     }
