@@ -585,7 +585,14 @@ object TextAnalysis {
     * inventory. Denominators are `greatest(·, 1)`-guarded so an empty
     * document yields zero features, never a null.
     */
-  private[graft] def langFeatureFrame(docs: DataFrame): DataFrame = {
+  private[graft] def langFeatureFrame(docs: DataFrame): DataFrame =
+    langFeaturesOf(docs, carry = Seq("lang"))
+
+  /** The feature build over (doc_id, text) plus any carried-through
+    * columns — label-free for the streaming router (round 18), with
+    * the training faces carrying `lang`.
+    */
+  private[graft] def langFeaturesOf(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val b = LangBigramBuckets
     val bi = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
@@ -603,7 +610,7 @@ object TextAnalysis {
       expr(s"(CAST(length(lower(text)) - length(replace(lower(text), '$m', '')) AS BIGINT) div ${m.length}) * 10000 div CAST(size(split(text, ' ')) AS BIGINT)")
         .as(s"qx${3 + k}")
     }
-    val scal = docs.select(Seq(col("doc_id"), col("lang"),
+    val scal = docs.select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
       lit(10000L).as("qx0"),
       expr("CAST(octet_length(text) - length(text) AS BIGINT) * 10000 div greatest(CAST(octet_length(text) AS BIGINT), 1)").as("qx1"),
       expr("CAST(length(regexp_replace(lower(text), '[^aeiou]', '')) AS BIGINT) * 10000 div greatest(CAST(length(text) AS BIGINT), 1)").as("qx2")) ++
@@ -612,7 +619,7 @@ object TextAnalysis {
     val bucketShares = (0 until b).map(k =>
       expr(s"CAST(b$k AS BIGINT) * 10000 div n_bi").as(s"qx${nScalar + k}"))
     scal.join(ba, Seq("doc_id"))
-      .select(Seq(col("doc_id"), col("lang")) ++
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++
         (0 until nScalar).map(j => col(s"qx$j")) ++ bucketShares: _*)
   }
 
@@ -675,6 +682,18 @@ object TextAnalysis {
 
   /** Scoring over an already-built feature frame (the memo path). */
   private def langScoredOnFeat(feat: DataFrame,
+      w: Map[String, Array[Long]]): DataFrame =
+    langZArgmax(feat, w)
+      .withColumn("correct", col("predicted") === col("lang"))
+      .select(Seq(col("doc_id"), col("lang").as("labelled_lang")) ++
+        LangClasses.map(c => col(s"z_$c")) ++
+        Seq(col("predicted"), col("correct")): _*)
+
+  /** The per-class integer scores + priority-argmax block over any
+    * feature frame — shared by the labeled verdict faces and the
+    * label-free router (one definition, never copies).
+    */
+  private def langZArgmax(feat: DataFrame,
       w: Map[String, Array[Long]]): DataFrame = {
     val withZ = LangClasses.foldLeft(feat) { (d, c) =>
       val zsExpr = (0 until LangFeatDim).map(j => s"${w(c)(j)} * qx$j").mkString(" + ")
@@ -689,13 +708,21 @@ object TextAnalysis {
     val argmax = chain.foldRight(lit(LangClasses.last)) {
       case ((cond, c), els) => when(cond, c).otherwise(els)
     }
-    withZ
-      .withColumn("predicted", argmax)
-      .withColumn("correct", col("predicted") === col("lang"))
-      .select(Seq(col("doc_id"), col("lang").as("labelled_lang")) ++
-        LangClasses.map(c => col(s"z_$c")) ++
-        Seq(col("predicted"), col("correct")): _*)
+    withZ.withColumn("predicted", argmax)
   }
+
+  /** LABEL-FREE trained routing over raw (doc_id, text) — the
+    * streaming router's core ([[graft.streaming.EventsStream
+    * .langRouteTrainedFor]]): features, scores, and argmax are the
+    * trained faces' own expressions under literal weights; no `lang`
+    * column is required or read, so it runs at the ingest door before
+    * any labeling exists.
+    */
+  private[graft] def langRouteFor(docs: DataFrame,
+      w: Map[String, Array[Long]]): DataFrame =
+    langZArgmax(langFeaturesOf(docs, carry = Seq.empty), w)
+      .select(Seq(col("doc_id")) ++ LangClasses.map(c => col(s"z_$c")) :+
+        col("predicted"): _*)
 
   /** TF-IDF over a bounded document sample (doc_id < 100): token
     * explode → term frequency per doc → document frequency per token →

@@ -1234,6 +1234,27 @@ object EventsStream {
   def langRouteStream(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.langPredFor(docs)
 
+  /** Streaming TRAINED language router (round 18) — the trained twin
+    * of [[langRouteStream]], routing by the `x_lang_trained` model
+    * instead of the marker heuristic (which `x_lang_confusion` shows
+    * is structurally zh-blind). The batch-trained one-vs-rest weight
+    * vectors (5 x 11 integer micro-units via the value memo —
+    * `TextAnalysis.langWeights`) inline as literals, and the
+    * features/scores/argmax are THE batch expressions
+    * ([[graft.ext.TextAnalysis.langRouteFor]] — one definition, not a
+    * copy), so a routed doc's (z_*, predicted) is bit-identical to
+    * the batch face's row. LABEL-FREE: only (doc_id, text) is read —
+    * the router runs at the ingest door before any labeling exists.
+    * A `foreachBatch` body (the [[templateRouteFor]] convention): the
+    * hashed-bigram features need one per-doc aggregate, which is
+    * plain batch work inside the micro-batch — ZERO streaming state.
+    * Drift note: weights age as the corpus grows; re-train per batch
+    * epoch exactly as the DSIR ratio table is.
+    */
+  def langRouteTrainedFor(docs: DataFrame,
+      w: Map[String, Array[Long]]): DataFrame =
+    graft.ext.TextAnalysis.langRouteFor(docs, w)
+
   /** Streaming eval-burn monitor — the online face of
     * [[graft.ext.Corpus.evalLeakage]]: watch benchmark items burn AS
     * THE CRAWL INGESTS. Arriving corpus docs shingle row-locally with

@@ -1712,6 +1712,28 @@ class StreamingSpec extends SparkSpec {
     assert(routed.values.exists(_._6) && routed.values.exists(!_._6))
   }
 
+  test("trained language router: label-free routing equals the batch face, batch-size independent") {
+    val dir = "/root/testdata/sf0.001"
+    val w = graft.ext.TextAnalysis.langWeights(spark, dir)
+    // LABEL-FREE: the router reads only (doc_id, text) — no lang column
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val routed = graft.streaming.EventsStream.langRouteTrainedFor(docs, w)
+      .select(col("doc_id"), col("predicted")).as[(Long, String)].collect().toMap
+    // the router's predictions ARE the batch verdict face's (same
+    // features, same literal weights, same argmax — one definition)
+    val batch = graft.ext.TextAnalysis.langTrained(spark, dir)
+      .select(col("doc_id"), col("predicted")).as[(Long, String)].collect().toMap
+    assert(routed == batch, "router predictions must equal the batch trained face")
+    // stateless: two disjoint half-batches route identically to the whole
+    val halves = Seq(0, 1).flatMap { m =>
+      graft.streaming.EventsStream
+        .langRouteTrainedFor(docs.filter(col("doc_id") % 2 === m), w)
+        .select(col("doc_id"), col("predicted")).as[(Long, String)].collect()
+    }.toMap
+    graft.ext.Dedup.releaseCaches()
+    assert(halves == routed, "per-batch routing must not depend on batch composition")
+  }
+
   test("streaming hll registers: equal the batch sketch, idempotent under re-delivery") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
