@@ -5112,7 +5112,7 @@ object SparkEntry {
     * integer-GD loop of [[graft.ext.TextAnalysis.trainLangWeights]]
     * replayed as an unrolled CTE chain — the [[qualityTrainCtes]]
     * discipline (MATERIALIZED feat and weight levels; DuckDB inlines
-    * CTEs per reference) widened to 5 classes × 8 features. The
+    * CTEs per reference) widened to 5 classes × 11 features. The
     * hashed-bigram bucket is the engine-portable md5 16-bit trick
     * (the Corpus sampler convention); `strlen` is DuckDB's byte
     * length (Spark twin: `octet_length`); DuckDB `regexp_replace`

@@ -580,7 +580,7 @@ object TextAnalysis {
   private[graft] def langTrainedFor(docs: DataFrame, iters: Int = LangTrainIters): DataFrame =
     langScoredFor(docs, trainLangWeights(docs, iters))
 
-  /** Integer micro-feature frame: (doc_id, lang, qx0..qx7), all exact
+  /** Integer micro-feature frame: (doc_id, lang, qx0..qx10), all exact
     * BIGINTs in 10⁻⁴ units — see [[langTrained]] for the feature
     * inventory. Denominators are `greatest(·, 1)`-guarded so an empty
     * document yields zero features, never a null.
