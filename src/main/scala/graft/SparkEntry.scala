@@ -5157,7 +5157,7 @@ object SparkEntry {
       s"CAST((${(0 until D).map(j => s"w.w_${c}_$j * f.qx$j").mkString(" + ")}) // 10000 AS BIGINT) AS z_$c")
       .mkString(",\n             ")
     s"""lpos AS (SELECT doc_id, lower(text) AS t,
-             unnest(generate_series(1, greatest(length(text) - 1, 1))) AS i
+             unnest(generate_series(1, greatest(length(lower(text)) - 1, 1))) AS i
            FROM documents),
          lbb AS (SELECT doc_id,
              ${hexDecodeSql("md5(substr(t, i, 2))", 1, 4)} % $B AS bucket

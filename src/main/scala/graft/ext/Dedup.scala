@@ -1356,7 +1356,9 @@ object Dedup {
     val total = survivors.head
     val funnel = stageNames.zipWithIndex.map { case (name, i) =>
       val dropped = if (i == 0) 0L else survivors(i - 1) - survivors(i)
-      val rate = BigDecimal(survivors(i).toDouble / total * 1e6)
+      // same empty-corpus guard as funnelOrders: 0/0 would be NaN and
+      // BigDecimal(NaN) throws (ADVICE r18)
+      val rate = BigDecimal(survivors(i).toDouble / math.max(total, 1L) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
       (name, survivors(i), dropped, rate)
     }
@@ -1447,7 +1449,10 @@ object Dedup {
       val survivors = drops.scanLeft(total)(_ - _) // survivors after stage 0..5
       val names = "raw" +: gates.map(_._1)
       (0 to 5).map { s =>
-        val rate = BigDecimal(survivors(s).toDouble / total * 1e6)
+        // total=0 (empty corpus) would make this 0/0 = NaN and
+        // BigDecimal(NaN) throws — an empty corpus reports the 18
+        // zero rows with survival_rate 0.0 instead (ADVICE r18)
+        val rate = BigDecimal(survivors(s).toDouble / math.max(total, 1L) * 1e6)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
         (ord, s"${s}_${names(s)}", survivors(s),
           if (s == 0) 0L else drops(s - 1), rate)

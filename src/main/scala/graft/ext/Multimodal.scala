@@ -187,22 +187,26 @@ object Multimodal {
       try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
           val w = img.getWidth; val h = img.getHeight
+          // one bulk pixel read (getRGB array form) — the per-pixel
+          // getRGB(x, y) call is a method dispatch per pixel, the wrong
+          // shape if real photos ever hit this seam
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
           val rgb = new Array[Byte](w * h * 3)
-          var p = 0; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val argb = img.getRGB(x, y)
-              rgb(p) = ((argb >> 16) & 0xFF).toByte
-              rgb(p + 1) = ((argb >> 8) & 0xFF).toByte
-              rgb(p + 2) = (argb & 0xFF).toByte
-              p += 3; x += 1
-            }
-            y += 1
+          var i = 0; var p = 0
+          while (i < argb.length) {
+            val v = argb(i)
+            rgb(p) = ((v >> 16) & 0xFF).toByte
+            rgb(p + 1) = ((v >> 8) & 0xFF).toByte
+            rgb(p + 2) = (v & 0xFF).toByte
+            p += 3; i += 1
           }
           PpmCodec.Image(w, h, rgb)
         }
-      } catch { case _: java.io.IOException => None }
+        // NonFatal, not just IOException: ImageIO's PNG reader throws
+        // RuntimeExceptions (IllegalArgument/IndexOutOfBounds) on
+        // crafted or truncated payloads — a bad PNG must drop like a
+        // codec error, never fail the Spark task
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** RGB bytes → PNG via the same JDK path (TYPE_INT_RGB, no
       * alpha) — the synthetic seam's second encoder and the spec's

@@ -1242,9 +1242,28 @@ object Profiling {
     * cost is |sources|²·k rows by construction. Spec asserts the
     * stream-maintained report equals the batch verdict faces' sketch
     * columns after corpus replay.
+    *
+    * CONTRACT (the templateRouteFor width-note convention, ADVICE
+    * r18): `k` must equal the k the standing sketch was MAINTAINED
+    * with — a smaller read-k silently truncates the union
+    * re-aggregate (minima beyond k vanish), a larger one under-caps
+    * it (the union "bottom-k" can never fill), both skewing
+    * m_size/overlap/Jaccard with no error. The truncation direction
+    * is guarded eagerly: any per-source sketch holding MORE than k
+    * rows is a loud failure (the frame is |sources|·k rows by
+    * construction, so the check is a bounded aggregate, not a corpus
+    * scan). The under-cap direction is unguardable from the frame
+    * alone (a source with fewer than k distinct shingles is
+    * legitimate), hence the documented contract.
     */
   def kmvReportFor(sk: DataFrame, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(sk.sparkSession)
+    val maxPerSource = sk.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    require(maxPerSource.isNullAt(0) || maxPerSource.getLong(0) <= k,
+      s"kmvReportFor(k=$k) read a standing sketch maintained with a larger k " +
+        s"(max per-source rows ${maxPerSource.getLong(0)}): the union re-aggregate " +
+        "would silently truncate — pass the sketch's own maintenance k")
     val (pairs, m, mStats) = kmvPairSketch(sk, k)
     val (both, onlyA, onlyB) = kmvMPartition(sk, m)
     pairs

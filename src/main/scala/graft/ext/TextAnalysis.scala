@@ -509,7 +509,12 @@ object TextAnalysis {
     * md5 convention). BMP caveat: Spark `length` counts UTF-16 code
     * units, DuckDB counts code points — identical for ASCII + BMP
     * CJK, divergent only for astral-plane text, which neither the
-    * fixture nor the spec plants.
+    * fixture nor the spec plants. Both engines now bound the bigram
+    * window by the length of the LOWERED string (ADVICE r18:
+    * lowercasing can change code-point length, e.g. U+0130 → i +
+    * combining dot, so a bound taken from the raw string would
+    * enumerate a different window count than the string actually
+    * scanned).
     *
     * Training: `iters` full-batch GD steps, all five one-vs-rest
     * gradients in ONE hash aggregate per step (55 integer sums +
