@@ -1375,8 +1375,20 @@ object Dedup {
     * this frame is exposed and linted explicitly alongside the
     * registered surface (ADVICE r13).
     */
-  private[graft] def filterFunnelHeavyFrame(spark: SparkSession, dir: String): DataFrame = {
-    val ffi = funnelGateFrame(spark, dir)
+  private[graft] def filterFunnelHeavyFrame(spark: SparkSession, dir: String): DataFrame =
+    funnelStageCounts(funnelGateFrame(spark, dir))
+
+  /** The first-fail → survivors-per-stage core over ANY five-gate
+    * verdict frame — ONE definition shared by the batch funnel's
+    * heavy frame and (round 19 — VERDICT r18 #6) the streaming twin
+    * [[graft.streaming.EventsStream.funnelStream]], so the online
+    * survivor counter can never drift from the published funnel's
+    * arithmetic. Row-local CASE + bounded sequence explode + one
+    * count aggregate — streaming-legal in complete mode (stateless
+    * until the single aggregation).
+    */
+  private[graft] def funnelStageCounts(gates: DataFrame): DataFrame =
+    gates
       .select(
         when(!col("keep_len"), 1L)
           .when(!col("keep_rep"), 2L)
@@ -1384,10 +1396,8 @@ object Dedup {
           .when(!col("keep_dedup"), 4L)
           .when(!col("keep_decontam"), 5L)
           .otherwise(99L).as("ffi"))
-    ffi
       .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
       .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
-  }
 
   /** The five per-doc gate verdicts in ONE frame — the shared subtree
     * behind the funnel and (round 18) the gate-ORDER sensitivity

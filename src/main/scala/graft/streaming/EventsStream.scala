@@ -987,6 +987,30 @@ object EventsStream {
   def kmvReportStream(sk: DataFrame, k: Int = 64): DataFrame =
     graft.ext.Profiling.kmvReportFor(sk, k)
 
+  /** Streaming FUNNEL (round 19 — VERDICT r18 #6): the online face of
+    * [[graft.ext.Dedup.filterFunnel]], the one big verdict family that
+    * had no twin. Arriving doc ids join the STANDING per-doc gate
+    * verdict frame (the nightly [[graft.ext.Dedup.funnelGateFrame]]
+    * output, published as a table — the [[langRouteTrainedFor]]
+    * frozen-artifact pattern: the batch job trains/derives, the stream
+    * reads), then the EXACT batch first-fail arithmetic
+    * ([[graft.ext.Dedup.funnelStageCounts]] — one definition, not a
+    * copy) counts survivors per gate across everything ingested so
+    * far: a stream–static inner join (stateless) into the single
+    * complete-mode aggregation, ≤6 rows of state EVER. The ingest
+    * path reports survivors-per-gate online instead of waiting for
+    * the nightly funnel; spec asserts the streamed counts equal the
+    * batch funnel's `n_surviving` column after full corpus replay.
+    *
+    * At-least-once caveat: a re-delivered doc_id double-counts its
+    * surviving stages (the join+count is not idempotent, unlike the
+    * KMV insert) — run behind exactly-once sinks or a streaming
+    * dropDuplicates on doc_id upstream.
+    */
+  def funnelStream(docs: DataFrame, gates: DataFrame): DataFrame =
+    graft.ext.Dedup.funnelStageCounts(
+      docs.select(col("doc_id")).join(gates, "doc_id"))
+
   /** Streaming A-ES weighted reservoir (round 17) — the at-the-door
     * face of [[graft.ext.Corpus.sampleWeighted]]: arriving documents
     * score their trained-filter probability ROW-LOCALLY with the exact

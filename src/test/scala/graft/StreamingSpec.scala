@@ -2008,6 +2008,39 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches > 0, "dropping a batch must break the merge verdict")
   }
 
+  test("streaming funnel: survivors-per-gate over the standing verdicts equals the batch funnel after replay") {
+    val dir = "/root/testdata/sf0.001"
+    // the STANDING gate-verdict table a nightly batch job publishes —
+    // materialized once here (collect + re-create) so the stream-side
+    // join reads a static local frame, not the live memoized plan
+    val gates = graft.ext.Dedup.funnelGateFrame(spark, dir)
+      .select("doc_id", "keep_dedup", "keep_rep", "keep_len",
+        "keep_quality", "keep_decontam")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    val gatesDf = gates.toDF("doc_id", "keep_dedup", "keep_rep", "keep_len",
+      "keep_quality", "keep_decontam")
+    val input = MemoryStream[Long](spark)
+    val q = EventsStream.funnelStream(input.toDF().toDF("doc_id"), gatesDf)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("complete").start()
+    val ids = gates.map(_._1)
+    ids.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("funnel_stream")
+      .as[(Long, Long)].collect().toMap
+    // the online counter IS the published funnel's n_surviving column
+    val batch = graft.ext.Dedup.filterFunnel(spark, dir)
+      .select(col("stage"), col("n_surviving")).as[(String, Long)].collect().toSeq
+    assert(batch.length == 6)
+    batch.zipWithIndex.foreach { case ((stage, n), i) =>
+      assert(streamed.getOrElse(i.toLong, 0L) == n,
+        s"stage $stage: streamed ${streamed.getOrElse(i.toLong, 0L)} vs batch $n")
+    }
+    // bounded state: one count row per stage, never more than 6
+    assert(streamed.size <= 6)
+    graft.ext.Dedup.releaseCaches()
+  }
+
   private implicit class TupleMap[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
