@@ -291,6 +291,48 @@ object Similarity {
       math.ceil(math.sqrt(n.toDouble / targetCellSize.toDouble)).toLong).toInt
   }
 
+  /** The GRAPH-BUILD cell schedule (round 19 — VERDICT r18 #4): the
+    * within-cell graph builds (the NSW base/upper graphs, the LexRank
+    * kNN graph) pay the per-cell QUADRATIC at build time, unlike the
+    * search faces whose per-query cost is n/K + K (minimized by the
+    * classic √(n/1024)). The r19 cells A/B at the 10× point (n =
+    * 20,000) measured the build-side headroom the search schedule
+    * leaves: x_sim_nsw 38.6 s at the floor's 16 cells vs 22.0 s at 64,
+    * x_lexrank_graph 62.4 vs 34.6 s. The ideal build schedule is
+    * LINEAR in n (fixed cell size ⇒ pair mass n·cellSize, linear) —
+    * but cell count is bounded by the literal-inline seeding mechanism
+    * ([[cellScoreArray]] materializes cells×dim literals per
+    * assignment expression; past ~1k cells codegen degrades), so
+    * linear growth is off the table at one seeding level. The adopted
+    * schedule is the same √ law at a 16×-DENSER target (64 instead of
+    * 1024): 4× smaller asymptotic pair-mass constant
+    * (n^1.5·√64 vs n^1.5·√1024), floor crossover at n = 16,384
+    * instead of 262,144 — already past it at the 10× probe point —
+    * while the seed count stays √-bounded (4× the search schedule's:
+    * ~3.9k seeds at n = 10⁹, the literal mechanism's edge; beyond
+    * that the recorded path is two-level seeding, not a bigger
+    * single-level K). Registered faces keep the oracle-pinned
+    * literal 16; production graph builds route through this.
+    */
+  private[graft] def graphCellsFor(n: Long): Int = cellsFor(n, targetCellSize = 64L)
+
+  /** [[nswSearch]] under the corpus-adapted GRAPH schedule — the
+    * production entry point a deployment calls (the
+    * [[seedAssignedAuto]] convention: registered faces pin cells=16
+    * for their oracles; this face is what grows with the corpus).
+    */
+  def nswSearchAuto(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4,
+      beamW: Int = 4, rounds: Int = 3): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    nswSearch(spark, dir, k, m, beamW, rounds, cells = graphCellsFor(n))
+  }
+
+  /** [[lexRankGraph]] under the corpus-adapted GRAPH schedule. */
+  def lexRankGraphAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    lexRankGraph(spark, dir, cells = graphCellsFor(n))
+  }
+
   /** The PRODUCTION seed assignment: [[seedAssigned]] at the
     * corpus-adapted [[cellsFor]] cell count (one bounded count against
     * the pushed-down scan prices the sizing). Registered faces keep

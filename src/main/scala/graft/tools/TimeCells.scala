@@ -29,6 +29,11 @@ object TimeCells {
       time(s"knn_consistency cells=$c")(
         graft.ext.Similarity.knnLabelConsistency(spark, dir, cells = c))
       time(s"lexrank_graph cells=$c")(graft.ext.Similarity.lexRankGraph(spark, dir, cells = c))
+      // round 19 (VERDICT r18 #4): the steepest measured production
+      // slope — NSW's within-cell graph build (~n²/c pair mass until
+      // the cellsFor floor crossover at n = 262k) — timed under the
+      // floor schedule vs a raised cell count
+      time(s"nsw cells=$c")(graft.ext.Similarity.nswSearch(spark, dir, cells = c))
     }
     spark.stop()
   }

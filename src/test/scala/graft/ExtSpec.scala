@@ -3737,6 +3737,34 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("graphCellsFor: denser sqrt schedule for the build-side quadratic; auto graph faces match the floor at test scale") {
+    // same sqrt law, 16x denser target: floor leaves at n = 16^2*64
+    assert(Similarity.graphCellsFor(0L) == 16)
+    assert(Similarity.graphCellsFor(16384L) == 16)
+    assert(Similarity.graphCellsFor(16385L) == 17)
+    // at the 10x probe point (n = 20,000) the graph schedule is off
+    // the floor while the search schedule still sits on it
+    assert(Similarity.graphCellsFor(20000L) == 18)
+    assert(Similarity.cellsFor(20000L) == 16)
+    // 4x the search schedule asymptotically (sqrt of the 16x target
+    // ratio) — the pair-mass constant drops by the same 4x
+    assert(Similarity.graphCellsFor(1000000000L) ==
+      math.ceil(math.sqrt(1000000000.0 / 64.0)).toInt)
+    assert(Similarity.graphCellsFor(1000000000L) <
+      4 * Similarity.cellsFor(1000000000L) + 4)
+    // production graph faces reduce to the registered constant in the
+    // floor regime — the oracle-pinned results ARE the auto results
+    // at every test corpus size
+    val dir = "/root/testdata/sf0.001"
+    val auto = Similarity.nswSearchAuto(spark, dir).collect().toSeq
+    val fixed = Similarity.nswSearch(spark, dir).collect().toSeq
+    assert(auto == fixed, "nswSearchAuto diverged from the pinned face at the floor")
+    val autoLex = Similarity.lexRankGraphAuto(spark, dir).collect().toSeq
+    val fixedLex = Similarity.lexRankGraph(spark, dir).collect().toSeq
+    assert(autoLex == fixedLex, "lexRankGraphAuto diverged from the pinned face at the floor")
+    Dedup.releaseCaches()
+  }
+
   test("cell imbalance: exact replay off the assignment frame, Cauchy-Schwarz floor holds") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.cellImbalance(spark, dir)
