@@ -254,4 +254,44 @@ class PropertySpec extends SparkSpec {
         splits.reverse.takeWhile(_ == "test").length == test) :| s"n=$n ($train, $vl, $test)"
     })
   }
+
+  test("bench floor-retime helpers: floors gate on sf, brackets resolve, trigger needs BOTH conditions") {
+    import java.nio.file.{Files, Paths}
+    // readFloors: applies only when the recorded sf matches the run's
+    val p = Files.createTempFile("floors", ".json")
+    Files.writeString(p,
+      """{"sf":"/root/testdata/sf0.1","floors":{"q1":0.5,"x_a":1.25}}""")
+    assert(Bench.readFloors(p, "/root/testdata/sf0.1") ==
+      Map("q1" -> 0.5, "x_a" -> 1.25))
+    assert(Bench.readFloors(p, "/root/testdata/sf0.01").isEmpty,
+      "sf0.01 run must not adjudicate against sf0.1 floors")
+    assert(Bench.readFloors(Paths.get("/nonexistent/floors.json"), "x").isEmpty)
+    Files.writeString(p, "{not json")
+    assert(Bench.readFloors(p, "/root/testdata/sf0.1").isEmpty,
+      "unparseable floors must disable the trigger, not crash the bench")
+    Files.delete(p)
+    // bracketMax: queries lo..lo+15 bracket between q{lo} and q{lo+16};
+    // the first block starts at rep_start, the last ends at rep_end
+    val samples = Map("rep1_start" -> 1.0, "rep1_q16" -> 8.0,
+      "rep1_q32" -> 2.0, "rep1_end" -> 9.0)
+    assert(Bench.bracketMax(samples, "rep1", 0, 40) == 8.0)  // start..q16
+    assert(Bench.bracketMax(samples, "rep1", 15, 40) == 8.0)
+    assert(Bench.bracketMax(samples, "rep1", 16, 40) == 8.0) // q16..q32
+    assert(Bench.bracketMax(samples, "rep1", 33, 40) == 9.0) // q32..end
+    assert(Bench.bracketMax(Map.empty, "rep1", 0, 40) == -1.0,
+      "missing samples must never gate (read as -1)")
+    // loadSuspect: BOTH the floor excess and the load bracket must hold
+    assert(Bench.loadSuspect(steady = 5.0, floor = 1.0, bracket = 6.0,
+      factor = 2.5, loadGate = 4.0))
+    assert(!Bench.loadSuspect(5.0, 1.0, 3.9, 2.5, 4.0), "idle bracket: no retime")
+    assert(!Bench.loadSuspect(2.4, 1.0, 8.0, 2.5, 4.0), "within-floor: no retime")
+    assert(!Bench.loadSuspect(2.5, 1.0, 8.0, 2.5, 4.0), "threshold is strict")
+    assert(!Bench.loadSuspect(5.0, 0.0, 8.0, 2.5, 4.0), "no floor: never suspect")
+    // the r18 contamination pattern fires; the r19 measured uniform-load
+    // worst case (2.50x at loadavg 32) deliberately does not
+    assert(Bench.loadSuspect(14.96, 1.289, 8.72, 2.5, 4.0),
+      "the r18 x_filter_funnel artifact reading must trigger")
+    assert(!Bench.loadSuspect(0.505, 0.202, 18.0, 2.5, 4.0),
+      "uniform-load 2.50x worst case stays below the strict threshold")
+  }
 }
