@@ -152,6 +152,7 @@ object SparkEntry {
     "x_lang_confusion"  -> (TextAnalysis.langConfusion _),
     "x_token_bpe"       -> ((s, d) => TextAnalysis.bpeTokenCounts(s, d)),
     "x_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)), // chars/token by language over the 64-merge table (round 13)
+    "x_token_unigram"   -> ((s, d) => TextAnalysis.unigramTokenCounts(s, d)), // SentencePiece-class unigram-LM twin (round 20)
     "x_repetition"      -> (TextAnalysis.repetitionScores _),
     "x_line_dedup"      -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     "x_template_lines"  -> ((s, d) => TextAnalysis.templateLines(s, d)), // per-source doc-frequency boilerplate mass: the RefinedWeb domain-template read beside x_line_dedup's corpus-wide C4 rule (round 17)
@@ -2515,6 +2516,7 @@ object SparkEntry {
     // slot to a chr(1)chr(1) sentinel that can never match, mirroring
     // the Spark learner's early stop.
     "x_token_bpe" -> bpeIterativeOracle,
+    "x_token_unigram" -> unigramOracle,
     // per-language fertility over the SAME 64-level BPE chain
     "x_token_fertility" ->
       s"""WITH $bpeOracleCtes
@@ -3868,6 +3870,85 @@ object SparkEntry {
     s"""WITH $bpeOracleCtes
        SELECT doc_id, n_subword, n_num, n_punct, n_bpe
        FROM bpec WHERE doc_id < 50 ORDER BY doc_id"""
+
+  /** Unigram-LM tokenizer oracle (x_token_unigram, round 20 — VERDICT
+    * r19 #3): the 2-round hard-EM unrolled as a MATERIALIZED CTE chain
+    * (the bpeIterativeOracle convention, generated per round, not
+    * hand-copied). Each round's greedy leftmost-longest segmentation
+    * of the type table is replayed as a precomputed per-position step
+    * table (the step at (tok, pos) is path-independent, so it can be
+    * computed BEFORE the walk) plus a plain recursive walk over it —
+    * the standard recursive-CTE shape, no aggregates or correlated
+    * vocab lookups in the recursive term. Budgets and tie-breaks
+    * ((count DESC, piece ASC)) mirror TextAnalysis.learnUnigramPieces
+    * exactly; all counts are exact BIGINTs.
+    */
+  private val unigramOracle: String = {
+    val lMax = 4                  // TextAnalysis.UnigramPieceLenMax
+    val budgets = Seq(48, 40, 32) // TextAnalysis.UnigramBudgets
+    def stepsCte(r: Int, vocab: String): String = {
+      val arms = (lMax to 2 by -1).map(l =>
+        s"WHEN substr(tok, pos, $l) IN (SELECT p FROM $vocab) THEN $l")
+        .mkString("\n             ")
+      s"""steps$r AS MATERIALIZED (
+           SELECT tok, cnt, pos, CASE
+             $arms
+             ELSE 1 END AS step
+           FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok))) AS pos FROM toks))"""
+    }
+    def walkCte(r: Int): String =
+      s"""walk$r AS (
+           SELECT tok, cnt, 1 AS pos FROM toks
+           UNION ALL
+           SELECT w.tok, w.cnt, w.pos + s.step
+           FROM walk$r w JOIN steps$r s ON s.tok = w.tok AND s.pos = w.pos
+           WHERE w.pos <= length(w.tok))"""
+    val rounds = (1 until budgets.size).map { r =>
+      s"""${stepsCte(r, s"v$r")},
+         ${walkCte(r)},
+         usage$r AS (
+           SELECT substr(w.tok, w.pos, s.step) AS p, CAST(sum(w.cnt) AS BIGINT) AS u
+           FROM walk$r w JOIN steps$r s ON s.tok = w.tok AND s.pos = w.pos
+           WHERE s.step >= 2
+           GROUP BY p),
+         v${r + 1} AS MATERIALIZED (
+           SELECT p FROM usage$r ORDER BY u DESC, p ASC LIMIT ${budgets(r)})"""
+    }.mkString(",\n         ")
+    val fin = budgets.size
+    s"""WITH RECURSIVE
+         toks AS MATERIALIZED (
+           SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents)
+           GROUP BY tok),
+         cand AS (
+           SELECT substr(tok, pos, L) AS p, CAST(sum(cnt) AS BIGINT) AS w
+           FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok))) AS pos FROM toks),
+                (SELECT unnest(generate_series(2, $lMax)) AS L)
+           WHERE pos + L - 1 <= length(tok)
+           GROUP BY p),
+         v1 AS MATERIALIZED (SELECT p FROM cand ORDER BY w DESC, p ASC LIMIT ${budgets.head}),
+         $rounds,
+         ${stepsCte(fin, s"v$fin")},
+         ${walkCte(fin)},
+         npieces AS (
+           SELECT w.tok, CAST(count(*) AS BIGINT) AS np
+           FROM walk$fin w WHERE w.pos <= length(w.tok)
+           GROUP BY w.tok),
+         doct AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS tok FROM documents),
+         uagg AS (
+           SELECT d.doc_id, CAST(sum(n.np) AS BIGINT) AS n_sub
+           FROM doct d JOIN npieces n ON d.tok = n.tok GROUP BY d.doc_id)
+       SELECT doc_id,
+         CAST(coalesce(a.n_sub, 0) AS BIGINT) AS n_subword,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+         CAST(coalesce(a.n_sub, 0)
+              + len(regexp_extract_all(text, '[0-9]+'))
+              + len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_uni
+       FROM documents LEFT JOIN uagg a USING (doc_id)
+       WHERE doc_id < 50 ORDER BY doc_id"""
+  }
 
 
   /** As-of semantics shared by the join+aggregate and sort-merge

@@ -1047,6 +1047,147 @@ object TextAnalysis {
       .withColumn("n_bpe", col("n_subword") + col("n_num") + col("n_punct"))
   }
 
+  // ──────────────── Unigram-LM (SentencePiece-class) tokenizer ────────────────
+
+  /** Longest candidate piece length and the per-round vocabulary
+    * budgets of the unigram trainer: 48 initial candidates by weighted
+    * substring count, pruned to the top 40 then 32 by EM usage. Sized
+    * so pruning BITES on the gate corpus (204 distinct multi-char
+    * substrings): a budget above the candidate count would make the EM
+    * rounds no-ops.
+    */
+  private[graft] val UnigramPieceLenMax = 4
+  private[graft] val UnigramBudgets = Seq(48, 40, 32)
+
+  /** Greedy leftmost-LONGEST step length at position `pos` of `tok`
+    * under the multi-char piece vocabulary (pre-grouped by length,
+    * inlined as bounded literal arrays — the IVF literal-centroid
+    * idiom): the longest matching piece wins; a single character
+    * always matches (every corpus character is a vocabulary member by
+    * construction, the unigram-LM base-vocabulary guarantee).
+    * `substr` past the end yields a SHORTER string that cannot equal a
+    * length-l piece, so no end-of-token guard is needed — identical on
+    * both engines.
+    */
+  private def unigramStepAt(byLen: Map[Int, Seq[String]], tok: Column, pos: Column): Column =
+    (2 to UnigramPieceLenMax).foldLeft(lit(1)) { (shorter, l) =>
+      byLen.get(l) match {
+        case Some(ps) if ps.nonEmpty =>
+          when(array_contains(typedLit(ps), tok.substr(pos, lit(l))), lit(l))
+            .otherwise(shorter)
+        case _ => shorter
+      }
+    }
+
+  /** One greedy segmentation of `tok` as an `aggregate` HOF over its
+    * character positions — ROW-LOCAL, zero shuffle (the
+    * [[bpeTokenCountsFor]] replace-chain idiom, generalized to a
+    * walk): the accumulator (pos, n, ps) advances only when the loop
+    * index reaches `pos`, consuming the longest vocabulary piece
+    * there. Returns struct(pos, n, ps) where `n` counts ALL pieces
+    * (the token-count statistic) and `ps` collects the multi-char
+    * pieces consumed (the EM usage statistic). Exactly the oracle's
+    * precomputed-steps + recursive-walk semantics, fused into one
+    * expression.
+    */
+  private def unigramWalk(byLen: Map[Int, Seq[String]], tok: Column): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      struct(lit(1).as("pos"), lit(0L).as("n"),
+        typedLit(Array.empty[String]).as("ps")),
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        val step = unigramStepAt(byLen, tok, pos)
+        when(i === pos,
+          struct((pos + step).as("pos"),
+            (acc.getField("n") + lit(1L)).as("n"),
+            when(step >= 2,
+                concat(acc.getField("ps"), array(tok.substr(pos, step))))
+              .otherwise(acc.getField("ps")).as("ps")))
+          .otherwise(acc)
+      })
+
+  /** Learn the multi-char piece vocabulary — deterministic integer
+    * hard-EM over the bounded distinct-type table (Kudo, ACL 2018,
+    * under this engine's integer reformulation discipline: greedy
+    * Viterbi-free decoding, frequency scores instead of log-probs,
+    * (count DESC, piece ASC) tie-breaks — the x_token_bpe
+    * distinct-type precedent, VERDICT r19 #3):
+    *
+    *   1. Candidates: every substring of length 2..[[UnigramPieceLenMax]]
+    *      of every distinct alpha-run type, scored by occurrence count
+    *      weighted by type frequency; keep the top `budgets.head`.
+    *   2. EM round r (one per remaining budget): E-step segments the
+    *      TYPE table greedily leftmost-longest under the current
+    *      vocabulary and re-counts piece usage weighted by type
+    *      frequency; M-step keeps the top `budgets(r)` pieces by
+    *      (usage DESC, piece ASC) — unused pieces prune away, exactly
+    *      the unigram-LM estimate-then-shrink loop with hard counts.
+    *
+    * 100 TB shape: the corpus is scanned ONCE for the (tok, cnt) type
+    * aggregate; every EM round is one codegen'd walk over the
+    * persisted VOCAB-BOUNDED type table plus a piece-bounded hash
+    * aggregate and a ≤budget-row collect — cost per round independent
+    * of corpus size, the same scaling argument as
+    * [[bpeLearnDistributed]] (and unlike it, the walk needs no
+    * per-merge re-render: one pass per round).
+    */
+  def learnUnigramPieces(docs: DataFrame): Seq[String] = {
+    val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+    val types = docs.select(explode(alphaRuns).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = types
+        .select(col("tok"), col("cnt"),
+          explode(sequence(lit(1), length(col("tok")))).as("pos"))
+        .select(col("tok"), col("cnt"), col("pos"),
+          explode(sequence(lit(2), lit(UnigramPieceLenMax))).as("l"))
+        .filter(col("pos") + col("l") - 1 <= length(col("tok")))
+        .select(col("tok").substr(col("pos"), col("l")).as("p"), col("cnt"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("p").asc).limit(UnigramBudgets.head)
+        .collect().map(_.getString(0)).toSeq
+      UnigramBudgets.tail.foldLeft(cand) { (vocab, budget) =>
+        types
+          .select(explode(unigramWalk(vocab.groupBy(_.length), col("tok"))
+            .getField("ps")).as("p"), col("cnt"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("u"))
+          .orderBy(col("u").desc, col("p").asc).limit(budget)
+          .collect().map(_.getString(0)).toSeq
+      }
+    } finally { types.unpersist(); () }
+  }
+
+  /** Corpus-parameterized unigram token counting (the
+    * [[bpeTokenCountsFor]] shape with the learned piece vocabulary):
+    * training sees ALL of `docs`; application is one narrow scan with
+    * the final vocabulary inlined as bounded literals — a nested
+    * `aggregate` (outer over the doc's alpha runs, inner the per-token
+    * walk), zero shuffle until the face's presentation sort. Columns
+    * mirror the BPE face so the fertility comparison is a rename away.
+    */
+  def unigramTokenCountsFor(docs: DataFrame): DataFrame = {
+    val byLen = learnUnigramPieces(docs).groupBy(_.length)
+    val alphaRuns = expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+    val nSub = aggregate(alphaRuns, lit(0L),
+      (acc, t) => acc + unigramWalk(byLen, t).getField("n"))
+    docs.select(col("doc_id"),
+        nSub.as("n_subword"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_punct"))
+      .withColumn("n_uni", col("n_subword") + col("n_num") + col("n_punct"))
+  }
+
+  /** The registered x_token_unigram face: per-doc unigram token counts
+    * for doc_id < 50, trained corpus-wide — the SentencePiece-class
+    * twin of [[bpeTokenCounts]] (VERDICT r19 #3).
+    */
+  def unigramTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    unigramTokenCountsFor(Tables.documents(spark, dir))
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"))
+
   /** Tokenizer fertility audit (x_token_fertility, round 13) — chars
     * per BPE token by language over the corpus-trained 64-merge table:
     * THE standard tokenizer-selection measurement (a language whose

@@ -1612,6 +1612,43 @@ class ExtSpec extends SparkSpec {
       s"learner divergence:\n local=$local\n dist =$distributed")
   }
 
+  test("unigram tokenizer: hard-EM prunes unused candidates; greedy leftmost-longest segments") {
+    // types: abcd(2), ab(1), bc(3). Candidate substrings include abc,
+    // bcd, cd (weighted counts 2 each), but greedy leftmost-longest
+    // consumes abcd whole (length 4 beats every shorter prefix) and
+    // ab/bc whole, so the EM round assigns abc/bcd/cd ZERO usage and
+    // they prune away — the estimate-then-shrink loop doing real work.
+    // Survivors rank (usage DESC, piece ASC): bc=3, abcd=2, ab=1.
+    val d = Seq((0L, "abcd abcd ab"), (1L, "bc bc bc")).toDF("doc_id", "text")
+    val learned = graft.ext.TextAnalysis.learnUnigramPieces(d)
+    assert(learned == Seq("bc", "abcd", "ab"), s"got $learned")
+    // each run is exactly one learned piece → 3 pieces per doc
+    val counts = graft.ext.TextAnalysis.unigramTokenCountsFor(d)
+      .select(col("doc_id"), col("n_subword"), col("n_uni"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(counts == Map(0L -> ((3L, 3L)), 1L -> ((3L, 3L))), s"got $counts")
+
+    // corpus-scale bounds: every alpha run yields between 1 and
+    // length(run) pieces, and the trained tokenizer compresses (fewer
+    // tokens than characters) on the real fixture
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val uni = graft.ext.TextAnalysis.unigramTokenCountsFor(docs)
+    val viol = uni
+      .join(docs.select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(text, '[a-zA-Z]+', 0)) as long)").as("n_runs"),
+        expr("aggregate(regexp_extract_all(text, '[a-zA-Z]+', 0), 0L, (a, t) -> a + length(t))").as("n_alpha")),
+        "doc_id")
+      .filter(col("n_subword") < col("n_runs") || col("n_subword") > col("n_alpha"))
+      .count()
+    assert(viol == 0, "pieces per run must lie in [1, len(run)]")
+    val (totSub, totAlpha) = uni
+      .join(docs.select(col("doc_id"),
+        expr("aggregate(regexp_extract_all(text, '[a-zA-Z]+', 0), 0L, (a, t) -> a + length(t))").as("n_alpha")),
+        "doc_id")
+      .agg(sum(col("n_subword")), sum(col("n_alpha"))).as[(Long, Long)].head()
+    assert(totSub < totAlpha, s"trained tokenizer must compress: $totSub vs $totAlpha chars")
+  }
+
   test("ppl buckets: boundary terciles agree with a local rank recompute, off-tie sizes exact") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ext.TextAnalysis.pplBuckets(spark, dir)
