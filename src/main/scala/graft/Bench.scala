@@ -90,18 +90,41 @@ object Bench {
     math.max(loadM.getOrElse(loL, -1.0), loadM.getOrElse(hiL, -1.0))
   }
 
+  /** The rep's own TYPICAL loadavg — the median of its recorded
+    * samples (round 20, ADVICE r19: raw bracket samples include the
+    * bench's own local[32] threads, which exceed the 4.0 gate
+    * routinely on an idle box — BENCH_r19e peaks at 8.16 — so gating
+    * on the raw bracket degraded the load arm to the floor check
+    * alone). External load is estimated as bracket − median: a
+    * contamination WINDOW lifts its bracket above the run's own
+    * typical level, while the bench's self-load moves the median and
+    * the brackets together. Calibration on both committed artifacts:
+    * the r18 contamination reading (bracket 8.72 over median 3.63 →
+    * external 5.09 > 4.0) still trips; the idle r19e worst bracket
+    * (8.16 over median 4.37 → 3.79) no longer can.
+    */
+  private[graft] def selfBaseline(loadM: Map[String, Double], rep: String): Double = {
+    val vs = loadM.collect { case (k, v) if k.startsWith(s"${rep}_") && v >= 0.0 => v }
+      .toIndexedSeq.sorted
+    if (vs.isEmpty) 0.0
+    else if (vs.size % 2 == 1) vs(vs.size / 2)
+    else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0
+  }
+
   /** The floor-retime trigger (round 19 — VERDICT r18 #1): a query is
     * load-suspect when its steady exceeds `factor`x its recorded floor
-    * AND a bracketing loadavg sample exceeded `loadGate`. Pure so the
-    * spec can drive it; the r19 loaded-box validation measured the
-    * default calibration: uniform CPU load (12-28 spinners, loadavg
-    * 14-37) never trips 2.5x — min-over-reps alone held the headline
-    * within 1.3x of idle — while the r18 contamination pattern
-    * (9x single-query windows) sits far above it.
+    * AND the bracketing EXTERNAL-load estimate (bracket loadavg minus
+    * the rep's [[selfBaseline]] — ADVICE r19) exceeded `loadGate`.
+    * Pure so the spec can drive it; the r19 loaded-box validation
+    * measured the default calibration: uniform CPU load (12-28
+    * spinners, loadavg 14-37) never trips 2.5x — min-over-reps alone
+    * held the headline within 1.3x of idle — while the r18
+    * contamination pattern (9x single-query windows) sits far above
+    * it.
     */
-  private[graft] def loadSuspect(steady: Double, floor: Double, bracket: Double,
+  private[graft] def loadSuspect(steady: Double, floor: Double, externalLoad: Double,
       factor: Double, loadGate: Double): Boolean =
-    floor > 0.0 && steady > factor * floor && bracket > loadGate
+    floor > 0.0 && steady > factor * floor && externalLoad > loadGate
 
   /** JIT-warm the ingest decode+normalize path on sf0.001 so a
     * following [[timedIngestEps]] measures steady-state cost, not
@@ -355,11 +378,15 @@ object Bench {
     val retimeLoad = sys.env.getOrElse("SPARK_GRAFT_RETIME_LOAD", "4.0").toDouble
     val loadM = loadSamples.toMap
     val healedSteadyM = healedSteady.toMap
+    // external-load estimate per rep: bracket minus the rep's own
+    // median loadavg (ADVICE r19 — see selfBaseline)
+    val base1 = selfBaseline(loadM, "rep1")
+    val base2 = selfBaseline(loadM, "rep2")
     val floorSuspects: Seq[Int] = ordered.zipWithIndex.collect {
       case (n, i) if floorM.get(n).exists { f =>
         loadSuspect(healedSteadyM(n), f,
-          math.max(bracketMax(loadM, "rep1", i, ordered.size),
-            bracketMax(loadM, "rep2", i, ordered.size)),
+          math.max(bracketMax(loadM, "rep1", i, ordered.size) - base1,
+            bracketMax(loadM, "rep2", i, ordered.size) - base2),
           retimeFactor, retimeLoad)
       } => i
     }

@@ -1390,13 +1390,22 @@ object Dedup {
   private[graft] def funnelStageCounts(gates: DataFrame): DataFrame =
     gates
       .select(
-        when(!col("keep_len"), 1L)
+        // NULL verdicts = an UNGATED row (the streaming twin's left
+        // join against a stale standing gate table — ADVICE r19): the
+        // batch frames' inner joins never produce one, and without the
+        // explicit arm a null row would fall through every !keep_* test
+        // into otherwise(99) and count as a FULL SURVIVOR. The five
+        // verdicts are null together (one missing join row), so
+        // keep_len stands for all five.
+        when(col("keep_len").isNull, -1L)
+          .when(!col("keep_len"), 1L)
           .when(!col("keep_rep"), 2L)
           .when(!col("keep_quality"), 3L)
           .when(!col("keep_dedup"), 4L)
           .when(!col("keep_decontam"), 5L)
           .otherwise(99L).as("ffi"))
-      .select(explode(expr("sequence(0L, least(ffi - 1, 5L))")).as("stage_idx"))
+      .select(explode(when(col("ffi") === -1L, array(lit(-1L)))
+        .otherwise(expr("sequence(0L, least(ffi - 1, 5L))"))).as("stage_idx"))
       .groupBy(col("stage_idx")).agg(count(lit(1)).as("n_surviving"))
 
   /** The five per-doc gate verdicts in ONE frame — the shared subtree

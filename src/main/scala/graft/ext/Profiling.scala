@@ -1258,12 +1258,21 @@ object Profiling {
     */
   def kmvReportFor(sk: DataFrame, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(sk.sparkSession)
-    val maxPerSource = sk.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    require(maxPerSource.isNullAt(0) || maxPerSource.getLong(0) <= k,
-      s"kmvReportFor(k=$k) read a standing sketch maintained with a larger k " +
-        s"(max per-source rows ${maxPerSource.getLong(0)}): the union re-aggregate " +
-        "would silently truncate — pass the sketch's own maintenance k")
+    // the truncation guard is an EAGER bounded aggregate (groupBy +
+    // head), legal only on a standing batch frame; a STREAMING frame —
+    // which kmvReportStream's signature invites — would throw
+    // AnalysisException at construction, so the guard applies only
+    // off-stream and the documented k-contract carries alone there
+    // (ADVICE r19). Batch callers (the verdict faces, the foreachBatch
+    // read over the standing sink) keep the loud check.
+    if (!sk.isStreaming) {
+      val maxPerSource = sk.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      require(maxPerSource.isNullAt(0) || maxPerSource.getLong(0) <= k,
+        s"kmvReportFor(k=$k) read a standing sketch maintained with a larger k " +
+          s"(max per-source rows ${maxPerSource.getLong(0)}): the union re-aggregate " +
+          "would silently truncate — pass the sketch's own maintenance k")
+    }
     val (pairs, m, mStats) = kmvPairSketch(sk, k)
     val (both, onlyA, onlyB) = kmvMPartition(sk, m)
     pairs

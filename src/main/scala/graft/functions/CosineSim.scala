@@ -254,6 +254,11 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("sq_dist_l2")))
       reg.createOrReplaceTempFunction(
         "sq_dist_l2", exprs => SqDistL2(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("nearest_seed")))
+      reg.createOrReplaceTempFunction(
+        "nearest_seed",
+        exprs => NearestSeed(exprs(0), longArrayLit(exprs(1)), floatArrayLit(exprs(2))),
+        "scala_udf")
     // Spark's own runtime-row-filter machinery, surfaced for explicit
     // use: BloomFilterAggregate builds a serialized filter over a LONG
     // key column; BloomFilterMightContain probes it. The same pair the
@@ -284,6 +289,26 @@ object GraftFunctions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"expected an integer literal argument, got $other")
+    }
+
+  private def longArrayLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Long] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        v.toLongArray().toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"expected an array<bigint> literal argument, got $other")
+    }
+
+  private def floatArrayLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Float] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(FloatType, _)) =>
+        v.toFloatArray().toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"expected an array<float> literal argument, got $other")
     }
 
   /** Requires [[register]] to have been called on the owning session. */
@@ -340,6 +365,18 @@ object GraftFunctions {
 
   /** Fused squared-L2 distance of two double arrays (oracle-bit-exact). */
   def sqDistL2(a: Column, b: Column): Column = call_function("sq_dist_l2", a, b)
+
+  /** Compiled nearest-seed argmax over a flattened centroid matrix —
+    * struct(neg_cos, cell_id), bit-equal to
+    * `array_min(cellScoreArray(...))` (see [[NearestSeed]]). The
+    * matrix/ids travel as array literals only to cross the
+    * FunctionRegistry boundary; the expression folds them into
+    * reference objects, so generated code stays O(1) in K.
+    */
+  def nearestSeed(emb: Column, cellIds: Array[Long], matrix: Array[Float]): Column =
+    call_function("nearest_seed", emb,
+      org.apache.spark.sql.functions.typedLit(cellIds),
+      org.apache.spark.sql.functions.typedLit(matrix))
 
   /** All w-token window hashes of a string, in window order. */
   def tokenWindowHashes(s: Column, w: Int): Column =

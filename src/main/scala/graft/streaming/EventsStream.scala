@@ -996,11 +996,17 @@ object EventsStream {
     * reads), then the EXACT batch first-fail arithmetic
     * ([[graft.ext.Dedup.funnelStageCounts]] — one definition, not a
     * copy) counts survivors per gate across everything ingested so
-    * far: a stream–static inner join (stateless) into the single
-    * complete-mode aggregation, ≤6 rows of state EVER. The ingest
+    * far: a stream–static LEFT join (stateless) into the single
+    * complete-mode aggregation, ≤7 rows of state EVER. The ingest
     * path reports survivors-per-gate online instead of waiting for
     * the nightly funnel; spec asserts the streamed counts equal the
     * batch funnel's `n_surviving` column after full corpus replay.
+    *
+    * Stale-gate surfacing (ADVICE r19): an arriving doc_id ABSENT
+    * from the standing gate table (the nightly publish lagging
+    * ingest) lands in the loud `stage_idx = -1` bucket instead of
+    * being silently dropped by an inner join — a stale gate table
+    * shows up as a growing ungated count, never as a deflated funnel.
     *
     * At-least-once caveat: a re-delivered doc_id double-counts its
     * surviving stages (the join+count is not idempotent, unlike the
@@ -1009,7 +1015,7 @@ object EventsStream {
     */
   def funnelStream(docs: DataFrame, gates: DataFrame): DataFrame =
     graft.ext.Dedup.funnelStageCounts(
-      docs.select(col("doc_id")).join(gates, "doc_id"))
+      docs.select(col("doc_id")).join(gates, Seq("doc_id"), "left"))
 
   /** Streaming A-ES weighted reservoir (round 17) — the at-the-door
     * face of [[graft.ext.Corpus.sampleWeighted]]: arriving documents

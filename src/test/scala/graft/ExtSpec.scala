@@ -3637,6 +3637,30 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("two-level seed assignment equals single-level at every probed cell count (associativity)") {
+    // min over K candidates = min over blocks of per-block mins under
+    // the (−cos asc, cell_id asc) struct order — probe square,
+    // non-square, and cells == n shapes so uneven trailing blocks and
+    // single-member blocks are all exercised
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (cells <- Seq(1, 16, 37, 100, 500)) {
+      val cents = Similarity.seedCentroids(e, cells)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cell_id"), col("cos_centroid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val one = rows(Similarity.assignCells(e, cents))
+      val two = rows(Similarity.assignCells2L(e, cents))
+      assert(one == two, s"cells=$cells: 2L diverged from 1L at " +
+        one.zip(two).collectFirst { case (a, b) if a != b => s"$a vs $b" }.getOrElse("?"))
+      // the compiled kernel (the adopted big-K path) must ALSO be
+      // bit-equal: CosineSim accumulation + Spark round-6 + SQL double
+      // total order + smaller-id ties, per NearestSeed's contract
+      val kern = rows(Similarity.assignCellsKernel(e, cents))
+      assert(one == kern, s"cells=$cells: kernel diverged from 1L at " +
+        one.zip(kern).collectFirst { case (a, b) if a != b => s"$a vs $b" }.getOrElse("?"))
+    }
+  }
+
   test("lexrank: top-10 centrality equals a plain-Scala integer PageRank replay over the cell graph") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.lexRank(spark, dir)

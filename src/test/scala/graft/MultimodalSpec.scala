@@ -139,6 +139,63 @@ class MultimodalSpec extends SparkSpec {
     } finally mixed.unpersist(blocking = false)
   }
 
+  test("JPEG codec: golden decode within quantified bounds; 3-codec mixed column decodes fully") {
+    import Multimodal.{ImageCodec, PpmCodec}
+    // golden flat-color 8x8: a single DCT block with DC-only energy,
+    // so baseline JPEG round-trips it nearly exactly — a TIGHT bound
+    // (lossy decode has no exact-byte contract; see ImageCodec's
+    // scaladoc on why JPEG stays out of the pixel-replay oracles)
+    val rgb = new Array[Byte](8 * 8 * 3)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = 100.toByte; rgb(i + 1) = 150.toByte; rgb(i + 2) = 200.toByte; i += 3
+    }
+    val jpg = ImageCodec.encodeJpeg(8, 8, rgb)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JPEG SOI marker")
+    val img = ImageCodec.decode(jpg)
+    assert(img.exists(d => d.width == 8 && d.height == 8), "dims must survive the round trip")
+    val maxErr = img.get.pixels.zip(rgb)
+      .map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)) }.max
+    assert(maxErr <= 8, s"flat-color JPEG round trip must stay within 8/255/channel, got $maxErr")
+    assert(ImageCodec.decode(jpg.take(6)).isEmpty, "truncated JPEG fails closed")
+
+    // the full mixed PPM/PNG/JPEG column through the phash feature
+    // plumbing: every codec decodes (count parity — an undecodable
+    // payload would drop), the lossless legs stay bit-identical to
+    // their PPM twins, and each JPEG row's per-channel means stay
+    // within the DC-quantization bound of its lossless twin
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 60)
+    val lossy = Multimodal.syntheticImageMediaLossy(docs).cache()
+    try {
+      val jpgPayload = lossy.filter(col("media_id") % 3 === 2)
+        .select("payload").as[Array[Byte]].head()
+      assert((jpgPayload(0) & 0xFF) == 0xFF && (jpgPayload(1) & 0xFF) == 0xD8,
+        "media_id % 3 == 2 must be JPEG-encoded")
+      val n = lossy.count()
+      val hashes = Multimodal.phashes(lossy).as[(Long, Long)].collect().toMap
+      assert(hashes.size.toLong == n, s"all three codecs must decode: ${hashes.size} of $n")
+      val ppmById = Multimodal.syntheticPpmMedia(docs)
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])].collect().toMap
+      val ppmHashes = Multimodal.phashes(Multimodal.syntheticPpmMedia(docs))
+        .as[(Long, Long)].collect().toMap
+      assert(hashes.keysIterator.filter(_ % 3 != 2).forall(id => hashes(id) == ppmHashes(id)),
+        "lossless legs must bit-match the all-PPM hashes")
+      val worstMeanErr = lossy.filter(col("media_id") % 3 === 2)
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])].collect()
+        .map { case (id, payload) =>
+          val a = ImageCodec.decode(payload).get.pixels
+          val b = PpmCodec.decode(ppmById(id)).get.pixels
+          (0 until 3).map { c =>
+            def mean(px: Array[Byte]) =
+              px.indices.collect { case j if j % 3 == c => px(j) & 0xFF }.sum.toDouble / (px.length / 3)
+            math.abs(mean(a) - mean(b))
+          }.max
+        }.max
+      assert(worstMeanErr <= 8.0,
+        s"JPEG per-channel means must stay within 8/255 of the lossless twin, got $worstMeanErr")
+    } finally lossy.unpersist(blocking = false)
+  }
+
   test("dHash: identical images hash equal, one-pixel edits flip few bits, unrelated images are far") {
     import Multimodal.PpmCodec
     def thumb(f: Int => Int): PpmCodec.Image = {

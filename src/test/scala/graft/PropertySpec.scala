@@ -280,17 +280,27 @@ class PropertySpec extends SparkSpec {
     assert(Bench.bracketMax(samples, "rep1", 33, 40) == 9.0) // q32..end
     assert(Bench.bracketMax(Map.empty, "rep1", 0, 40) == -1.0,
       "missing samples must never gate (read as -1)")
-    // loadSuspect: BOTH the floor excess and the load bracket must hold
-    assert(Bench.loadSuspect(steady = 5.0, floor = 1.0, bracket = 6.0,
+    // loadSuspect: BOTH the floor excess and the external-load estimate
+    // (bracket minus the rep's own median loadavg — ADVICE r19) must hold
+    assert(Bench.loadSuspect(steady = 5.0, floor = 1.0, externalLoad = 6.0,
       factor = 2.5, loadGate = 4.0))
-    assert(!Bench.loadSuspect(5.0, 1.0, 3.9, 2.5, 4.0), "idle bracket: no retime")
+    assert(!Bench.loadSuspect(5.0, 1.0, 3.9, 2.5, 4.0), "idle estimate: no retime")
     assert(!Bench.loadSuspect(2.4, 1.0, 8.0, 2.5, 4.0), "within-floor: no retime")
     assert(!Bench.loadSuspect(2.5, 1.0, 8.0, 2.5, 4.0), "threshold is strict")
     assert(!Bench.loadSuspect(5.0, 0.0, 8.0, 2.5, 4.0), "no floor: never suspect")
-    // the r18 contamination pattern fires; the r19 measured uniform-load
-    // worst case (2.50x at loadavg 32) deliberately does not
-    assert(Bench.loadSuspect(14.96, 1.289, 8.72, 2.5, 4.0),
+    // selfBaseline: median of the rep's samples; -1 (unreadable) excluded
+    assert(Bench.selfBaseline(Map("rep1_start" -> 2.0, "rep1_q16" -> 6.0,
+      "rep1_end" -> 4.0, "rep2_start" -> 9.0, "rep1_q32" -> -1.0), "rep1") == 4.0)
+    assert(Bench.selfBaseline(Map("rep1_start" -> 2.0, "rep1_end" -> 4.0), "rep1") == 3.0)
+    assert(Bench.selfBaseline(Map.empty, "rep1") == 0.0, "no samples: zero baseline")
+    // the r18 contamination pattern fires under its run's measured
+    // median (BENCH_r18_local rep1: 3.63); the idle-close worst bracket
+    // (BENCH_r19e rep1: 8.16 over median 4.37) and the r19 uniform-load
+    // 2.50x worst case deliberately do not
+    assert(Bench.loadSuspect(14.96, 1.289, 8.72 - 3.63, 2.5, 4.0),
       "the r18 x_filter_funnel artifact reading must trigger")
+    assert(!Bench.loadSuspect(14.96, 1.289, 8.16 - 4.37, 2.5, 4.0),
+      "the bench's own idle-box load peak must NOT satisfy the load arm")
     assert(!Bench.loadSuspect(0.505, 0.202, 18.0, 2.5, 4.0),
       "uniform-load 2.50x worst case stays below the strict threshold")
   }

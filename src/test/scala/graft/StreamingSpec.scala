@@ -2024,7 +2024,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("funnel_stream")
       .outputMode("complete").start()
     val ids = gates.map(_._1)
-    ids.grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    // two UNGATED arrivals — doc_ids the nightly gate publish hasn't
+    // seen (ADVICE r19: these must SURFACE in the stage −1 bucket, not
+    // silently deflate every gated stage through an inner join)
+    val ungated = Seq(ids.max + 1, ids.max + 2)
+    (ids ++ ungated).grouped(40).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
     q.stop()
     val streamed = spark.table("funnel_stream")
       .as[(Long, Long)].collect().toMap
@@ -2036,8 +2040,10 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.getOrElse(i.toLong, 0L) == n,
         s"stage $stage: streamed ${streamed.getOrElse(i.toLong, 0L)} vs batch $n")
     }
-    // bounded state: one count row per stage, never more than 6
-    assert(streamed.size <= 6)
+    assert(streamed.getOrElse(-1L, 0L) == ungated.size.toLong,
+      s"ungated arrivals must land in the stage -1 bucket: $streamed")
+    // bounded state: one count row per stage plus the ungated bucket
+    assert(streamed.size <= 7)
     graft.ext.Dedup.releaseCaches()
   }
 

@@ -9,12 +9,26 @@ over history is a true floor; a query whose plan legitimately slowed
 later merely over-triggers a (cheap, harmless) in-JVM re-measure.
 
 Run from the repo root after each round close:
-    python3 tools/gen_floors.py
-"""
-import json, glob
+    python3 tools/gen_floors.py [round ...]
 
-SOURCES = sorted(glob.glob("BENCH_r17*.json") + glob.glob("BENCH_r18*.json") +
-                 glob.glob("BENCH_r19*.json"))
+With no arguments, every BENCH_r{N}*.json with N >= MIN_ROUND joins the
+floor pool (ADVICE r19: the former hardcoded r17/r18/r19 glob list went
+stale every round); passing explicit round numbers restricts to those.
+MIN_ROUND marks the start of the current plan era — bump it when a
+round deliberately re-plans queries so pre-era floors stop applying.
+"""
+import json, glob, re, sys
+
+MIN_ROUND = 17  # first round whose plans match the current code era
+only = {int(a) for a in sys.argv[1:]} or None
+SOURCES = []
+for p in sorted(glob.glob("BENCH_r*.json")):
+    m = re.match(r"BENCH_r(\d+)", p)
+    if not m:
+        continue
+    r = int(m.group(1))
+    if (r in only) if only else (r >= MIN_ROUND):
+        SOURCES.append(p)
 floors = {}
 used = []
 for p in SOURCES:
