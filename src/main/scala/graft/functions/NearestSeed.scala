@@ -140,7 +140,15 @@ object NearestSeed {
     * (RoundBase, HALF_UP over `BigDecimal.valueOf`) — shared by eval
     * and the generated code so the kernel's per-candidate rounding is
     * bit-identical to the literal form's `round(cosine_sim(...), 6)`.
+    * NaN/Infinity pass through exactly as Spark's round does (its
+    * codegen guards before `BigDecimal.valueOf`, which THROWS on
+    * non-finite input) — a zero-norm or empty embedding yields cosine
+    * 0/0 = NaN, and the literal form carries that NaN into the struct
+    * order (NaN sorts greatest, so such a candidate never wins the
+    * argmin unless every candidate is NaN); the kernel must not crash
+    * where the literal form ranks.
     */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }

@@ -3661,6 +3661,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("seed kernel survives degenerate embeddings exactly like the literal form (NaN passthrough)") {
+    // a zero-norm or empty embedding makes every candidate cosine
+    // 0/0 = NaN; Spark's round() passes NaN through (its codegen
+    // guards before BigDecimal.valueOf, which THROWS on non-finite
+    // input), so the literal form ranks such candidates (NaN sorts
+    // greatest; an all-NaN row falls to the smallest cell_id). The
+    // kernel must not crash where the literal form ranks, and must
+    // pick the identical cell.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val data = Seq(
+      Row(1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      Row(2L, Seq(-4.0f, 3.0f, -2.0f, 1.0f)),
+      Row(3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero norm -> NaN cosine
+      Row(4L, Seq.empty[Float]))            // empty -> NaN cosine
+    val df = spark.createDataFrame(data.asJava, schema)
+    val cents = Array(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    def got(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("vec_id"), col("cell_id"), col("cos_centroid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val lit = got(Similarity.assignCells(df, cents))
+    val kern = got(Similarity.assignCellsKernel(df, cents))
+    assert(lit.length == 4 && kern.length == 4)
+    lit.zip(kern).foreach { case ((i1, c1, s1), (i2, c2, s2)) =>
+      assert(i1 == i2 && c1 == c2, s"row $i1: literal cell $c1 vs kernel cell $c2")
+      assert(s1 == s2 || (s1.isNaN && s2.isNaN), s"row $i1: literal cos $s1 vs kernel $s2")
+    }
+    // the degenerate rows carry NaN in BOTH paths and fall to cell 0
+    lit.filter(_._1 >= 3L).foreach { case (id, cell, cos) =>
+      assert(cos.isNaN && cell == 0L, s"degenerate row $id: ($cell, $cos)")
+    }
+  }
+
   test("lexrank: top-10 centrality equals a plain-Scala integer PageRank replay over the cell graph") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.lexRank(spark, dir)
