@@ -400,12 +400,14 @@ object Similarity {
     * the round-20 TimeSeed2L A/B (BASELINE.md) measured the
     * block-decomposed form at-or-below the single-level form at every
     * probed count (512: 18.5 vs 21.1 s cold; 1024: 37.6 vs 56.9;
-    * 2048: 105.3 vs 186.8 — the 10× corpus), with identical checksums,
-    * so [[seedAssigned]] routes through [[assignCells2L]] beyond the
-    * lowest measured point. Both forms leave whole-stage codegen on
-    * this corpus (the 64 KB method limit) — the compiled-kernel
-    * [[graft.functions.NearestSeed]] path below is what removes the
-    * literal mechanism's cost altogether at large K.
+    * 2048: 105.3 vs 186.8 — the 10× corpus), with identical checksums.
+    * Both literal forms leave whole-stage codegen on this corpus (the
+    * 64 KB method limit), so [[seedAssigned]] routes through the
+    * compiled-kernel [[graft.functions.NearestSeed]] path beyond this
+    * edge — linear in K where the literal forms degrade superlinearly
+    * (the ADOPTED path; the idle A/B table in BASELINE.md) — with
+    * [[assignCells2L]] retained as the exact literal-mechanism
+    * fallback.
     */
   private[graft] val SingleLevelCellEdge = 512
 
