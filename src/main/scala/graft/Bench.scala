@@ -152,7 +152,17 @@ object Bench {
     */
   def timedIngestEps(spark: SparkSession, sfDir: String): (Double, Double, Long) = {
     import org.apache.spark.sql.functions._
+    // Round 21: the events parquet is ONE file with ONE row group
+    // (graft.tools.ScanLayout), so without the repartition the whole
+    // decode+normalize pipeline ran on a single core — the same scan-
+    // parallelism hole Tables.widen closes for the query surface. The
+    // exchange sits INSIDE the timed region (the scan, the render and
+    // the shuffle are part of the measured wall), so this is a real
+    // pipeline-layout optimization, not a measurement change: the
+    // basis (fresh scan, to_json inside the timed write, pre-timed
+    // count, System.gc) is untouched.
     val lines = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(to_json(struct(col("*"))).as("value"))
     val n = lines.count()
     System.gc()
@@ -170,7 +180,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE coalescing stays at parallelism-first (the Spark default):
       // measured A/B at sf0.1 showed size-based coalescing
       // (parallelismFirst=false, 64MB advisory) serializing mid-size

@@ -31,6 +31,74 @@ object Tables {
     else df
   }
 
+  /** Scan-parallelism floor for CPU-HEAVY consumers only (round 21,
+    * guide §2.5 "input skew: repartition immediately after the read" +
+    * §6): every sf* table is ONE parquet file with ONE row group
+    * (graft.tools.ScanLayout), so Spark's split machinery — correctly —
+    * gives the scan a single non-empty partition whatever
+    * `maxPartitionBytes` / `openCostInBytes` say, and every CPU-heavy
+    * per-row projection (shingle md5, token-sketch explodes, percentile
+    * buffers, ingest decode) serialized on ONE of the session's cores
+    * (profiled: x_lang_trained's feature build 6.1 s / 1 task,
+    * x_kmv_overlap 2×3.5 s / 1 task).
+    *
+    * NOT applied inside [[load]] (round-21 full-bench A/Bs r21b/r21d):
+    * a blanket widen taxed every LIGHT consumer ~+0.5-1 s — the extra
+    * exchange adds an AQE stage boundary + replanning round per
+    * reference, and AQE's stage-local exchange reuse re-materializes it
+    * per broadcast subquery — summing to far more than the heavy faces
+    * saved. Only the builders whose per-row work dominates call
+    * [[documentsWide]]/[[lineitemWide]] explicitly.
+    *
+    * The exchange hashes on the table's unique id (skew-free WITHOUT
+    * the local sort a keyless round-robin pays — sortBeforeRepartition,
+    * SPARK-23207 — and retry-deterministic). Guards are scale-adaptive,
+    * not local[32] constants: on a production layout (many files /
+    * row groups) `scanParts >= defaultParallelism` and this is the
+    * identity; a table past 1 GiB never enters the branch.
+    */
+  private val widenKeys: Map[String, String] = Map(
+    "documents"  -> "doc_id",
+    "lineitem"   -> "l_orderkey",
+    "embeddings" -> "vec_id")
+
+  private val widenCache =
+    new scala.collection.concurrent.TrieMap[(String, String, Int), Boolean]()
+  private def widen(spark: SparkSession, sfDir: String,
+      table: String, df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_WIDEN").contains("false")) return df
+    val p = spark.sparkContext.defaultParallelism
+    val doWiden = widenKeys.contains(table) && widenCache.getOrElseUpdate((sfDir, table, p), {
+      val f = new java.io.File(s"$sfDir/$table.parquet")
+      // a directory-shaped table (multi-file production layout) or a
+      // large file never widens; tiny dimension tables (broadcast
+      // sides) aren't worth an exchange
+      f.isFile && f.length >= 262144 && f.length < (1L << 30) &&
+        df.rdd.getNumPartitions < p
+    })
+    if (doWiden) df.repartition(p, col(widenKeys(table))) else df
+  }
+
+  /** The documents table widened for a CPU-heavy per-row consumer —
+    * see [[widen]]; identical rows, scan-parallelism floored.
+    */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    widen(s, d, "documents", documents(s, d))
+
+  /** The lineitem table widened for a CPU-heavy per-row consumer. */
+  def lineitemWide(s: SparkSession, d: String): DataFrame =
+    widen(s, d, "lineitem", lineitem(s, d))
+
+  /** The embeddings table widened for a CPU-heavy per-row consumer
+    * (round 21: ONLY the PQ residual-encode path — the one embedding
+    * face whose per-row work, m·ksub argmin encodes, profiled at
+    * seconds per 1-task reference; the cosine pair faces get their
+    * parallelism from their join exchanges and measured a net TAX from
+    * a widened scan, BENCH_r21d).
+    */
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
+    widen(s, d, "embeddings", embeddings(s, d))
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

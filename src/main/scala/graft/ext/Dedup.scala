@@ -77,7 +77,8 @@ object Dedup {
       }.mkString("||")
 
     def getOrCompute(spark: SparkSession, key: String, dir: String,
-        tables: Seq[String] = Seq("documents.parquet"))(build: => DataFrame): DataFrame = {
+        tables: Seq[String] = Seq("documents.parquet"),
+        eager: Boolean = false)(build: => DataFrame): DataFrame = {
       // the filesystem LIST happens OUTSIDE the lock (round 6 — it
       // previously serialized every dedup-frame access across sessions
       // and corpora behind one global mutex + FS round-trip); the lock
@@ -86,20 +87,35 @@ object Dedup {
       // NEXT access sees the changed fingerprint and rebuilds, which is
       // the same guarantee the locked version gave.
       val fp = fingerprint(spark, dir, tables)
-      memo.synchronized {
+      val (df, fill) = memo.synchronized {
         // a stopped context holds no cached blocks — just drop the entry
         memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
         memo.get((spark, key)) match {
           case Some((oldFp, df)) if oldFp == fp =>
-            if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-            df
+            val rearm = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+            if (rearm) df.persist()
+            (df, rearm)
           case stale =>
             stale.foreach(_._2.unpersist(blocking = false)) // corpus changed under the memo
             val df = build.persist()
             memo.put((spark, key), (fp, df))
-            df
+            (df, true)
         }
       }
+      // OPT-IN eager fill (round 21), outside the lock (the round-6
+      // rule): a lazily-armed persist lets a consumer plan's
+      // concurrent broadcast-subquery jobs race the unfilled cache and
+      // each re-execute the build — exchange reuse does not cross AQE
+      // subquery plan boundaries (profiled: the kmv tok frame built 3x
+      // inside one x_kmv_overlap execution). One count() materializes
+      // the frame before any consumer sees it. Opt-in per call site
+      // because for a SINGLE-consumer memo the eager pass costs the
+      // build/consume pipelining for nothing (bench r21b measured the
+      // blanket-eager variant taxing the big one-consumer frames —
+      // x_lm_merge_incremental +3.0 s, x_filter_funnel +2.2 s): eager
+      // is for frames referenced several times within one plan.
+      if (eager && fill) df.count()
+      df
     }
 
     /** Fresh-entry peek: the memoized frame iff present under the

@@ -58,6 +58,19 @@ object Graph {
     */
   def pageRank(ed: DataFrame, iters: Int = 5,
       checkpointRanks: Boolean = false): DataFrame = {
+    // Round-21 finding, measured and deliberately NOT adopted: the edge
+    // frame is referenced by every iteration's contrib join and each
+    // reference lands in its own broadcast/AQE-subquery plan, so the
+    // (possibly quadratic) edge build re-executes once per iteration
+    // (profiled at sf0.1: x_lexrank ran its 3M-pair cosine join ~10x).
+    // An eager persist of edges/deg/ranked computes it once — the
+    // 100 TB-correct shape — but the same-day full-bench A/B (r21d vs
+    // r21e) read the PERSISTED variant 2-5 s SLOWER per graph face at
+    // sf0.1: on one box the duplicated single-task builds run as
+    // CONCURRENT jobs on otherwise-idle cores (guide §2.6), while the
+    // eager persist serializes them behind a materialization barrier.
+    // On a real cluster (where the edge build holds every core) flip
+    // this trade: persist ed before calling, or checkpointRanks=true.
     val deg = ed.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
     val edges = ed.join(deg, "w1")
     var rank = deg.select(col("w1").as("w"), lit(1000000L).as("r"))

@@ -558,7 +558,7 @@ object Profiling {
   def countMin(spark: SparkSession, dir: String,
       d: Int = 4, w: Int = 256, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir) // token-sketch explode is CPU-heavy (Tables.widen)
     val toks = docs
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -663,7 +663,7 @@ object Profiling {
   private def f2RegsByKeyMemo(spark: SparkSession, dir: String): DataFrame =
     Dedup.Frames.getOrCompute(spark, s"f2regsbykey:$dir", dir,
       tables = Seq("documents.parquet")) {
-      f2RegistersByKeyFor(Tables.documents(spark, dir))
+      f2RegistersByKeyFor(Tables.documentsWide(spark, dir))
     }
 
   /** Per-(source, token) occurrence counts — the ONE truth-leg
@@ -687,7 +687,7 @@ object Profiling {
     * memoized, and [[f2JoinSize]] rides it.
     */
   def f2ByKey(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir) // truth-leg token counts are CPU-heavy
     val regs = f2RegsByKeyMemo(spark, dir)
     val est = regs.groupBy(col("k"))
       .agg(count(lit(1)).as("s_est"), sum(col("z") * col("z")).as("zsq_sum"))
@@ -719,7 +719,7 @@ object Profiling {
     * exemption class).
     */
   def f2JoinSize(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     val regs = f2RegsByKeyMemo(spark, dir)
     val prod = regs.as("a").join(regs.as("b"),
         col("a.est_i") === col("b.est_i") && col("a.k") < col("b.k"))
@@ -768,7 +768,7 @@ object Profiling {
     */
   def f2Skew(spark: SparkSession, dir: String, s: Int = 16): DataFrame = {
     require(s >= 1 && s <= 32, "sign digits come from one 32-hex-digit md5")
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir) // token-sketch explode is CPU-heavy (Tables.widen)
     val toks = docs
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -922,20 +922,24 @@ object Profiling {
     * sketch exercises the real sampling regime, not the degenerate
     * exact-small-set one.
     */
-  private def kmvShingleHashes(docs: DataFrame): DataFrame =
+  private def kmvShingleHashes(docs: DataFrame): DataFrame = {
     // texts shorter than the shingle width have NO 8-char shingle and
     // are filtered out (ADVICE r16: the old greatest(...,1) floor
     // emitted the truncated text — and md5('') for empty texts — so an
     // all-short-text source entered the pair universe and the shared
     // '' shingle manufactured artificial cross-source overlap); the
     // oracle applies the same WHERE, keeping the documented "no set,
-    // no overlap" semantics true on both engines
+    // no overlap" semantics true on both engines.
+    // Round 21: the explode(sequence)+substring+md5+conv chain is one
+    // compiled window kernel — identical hash VALUES (the md5 runs
+    // over each window's UTF-8 byte span; the oracle SQL is
+    // unchanged), four fewer allocations per corpus-scale window
+    // (guide §1.2 step 2: per-task work on the dominant scan).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(length(col("text")) >= 8)
       .select(col("source"),
-        explode(expr("sequence(1, length(text) - 7)")).as("i"), col("text"))
-      .select(col("source"), expr("substring(text, i, 8)").as("sh"))
-      .select(col("source"),
-        expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("h"))
+        explode(graft.functions.GraftFunctions.charWindowMd5(col("text"), 8)).as("h"))
+  }
 
   private[graft] def kmvSketchFor(docs: DataFrame, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -973,7 +977,7 @@ object Profiling {
     * PlanLint exemption), not a corpus-scale cross join.
     */
   def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
-    kmvOverlapReport(spark, Tables.documents(spark, dir), k, s"kmvtok:$dir", dir)
+    kmvOverlapReport(spark, Tables.documentsWide(spark, dir), k, s"kmvtok:$dir", dir)
 
   /** Cross-split contamination estimate (`x_kmv_decontam`, round 16):
     * the KMV overlap machinery pointed at the TRAIN/VAL/TEST splits —
@@ -990,7 +994,7 @@ object Profiling {
     */
   def kmvSplitOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
     kmvOverlapReport(spark,
-      Tables.documents(spark, dir)
+      Tables.documentsWide(spark, dir)
         .select(Corpus.splitLabelCol.as("source"), col("text")),
       k, s"kmvtoksplit:$dir", dir)
 
@@ -1018,15 +1022,17 @@ object Profiling {
     */
   def kmvSourceDiff(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir) // shingle explode is CPU-heavy (Tables.widen)
     val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
-      tables = Seq("documents.parquet")) {
+      tables = Seq("documents.parquet"), eager = true) {
       kmvShingleHashes(docs).distinct()
     }
-    // inline like the overlap report's sk — the within-plan references
-    // collapse via ReusedExchange; both the lazy and the eagerly-filled
-    // persisted variants measured SLOWER (kmvOverlapReport's A/B note)
-    val sk = kmvSketchFor(docs, k)
+    // eager one-shot materialization like the overlap report's sk —
+    // see the round-21 reversal note there (the a-not-b face
+    // references the sketch in even more broadcast-child legs: the
+    // scaffold, all three M-partition legs)
+    val sk = kmvSketchFor(docs, k).persist()
+    sk.count()
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
     // the three-way partition of M by sketch membership — the shared
     // kmvMPartition legs (A-only: equi-join on (source_a, h),
@@ -1088,9 +1094,9 @@ object Profiling {
     */
   def kmvCardinality(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
-      tables = Seq("documents.parquet")) {
+      tables = Seq("documents.parquet"), eager = true) {
       kmvShingleHashes(docs).distinct()
     }
     val sk = kmvSketchFor(docs, k) // inline — the sk A/B note in kmvOverlapReport
@@ -1138,8 +1144,8 @@ object Profiling {
   def kmvCardinalityProd(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val tok = graft.ext.Dedup.Frames.getOrCompute(spark, s"kmvtok:$dir", dir,
-      tables = Seq("documents.parquet")) {
-      kmvShingleHashes(Tables.documents(spark, dir)).distinct()
+      tables = Seq("documents.parquet"), eager = true) {
+      kmvShingleHashes(Tables.documentsWide(spark, dir)).distinct()
     }
     val sk = tok.groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.bottomKDistinct(col("h"), k).as("mins"))
@@ -1300,20 +1306,21 @@ object Profiling {
     // pairFrame rather than re-running the explode+md5 per reference
     // (bench r16: the unshared frame tripled the query's scan cost)
     val tok = graft.ext.Dedup.Frames.getOrCompute(spark, tokMemoKey, dir,
-      tables = Seq("documents.parquet")) {
+      tables = Seq("documents.parquet"), eager = true) {
       kmvShingleHashes(docs).distinct()
     }
-    // DELIBERATELY NOT memoized/persisted (ADVICE r16 suggested it; the
-    // round-17 TimeMany A/B at sf0.1 measured the opposite): inline,
-    // the five references collapse into ONE aggregate via Spark's
-    // ReusedExchange and the report reads 5.6 s steady; a LAZY persist
-    // read 8.6–11.9 s (five concurrent scans race the unfilled cache
-    // and duplicate the aggregate), and even an EAGERLY-filled persist
-    // read 7.9 s (the materialization barrier breaks the pipelining).
-    // The TOK memo above survives because its frame is re-read across
-    // QUERIES (the kmv chain), not just within one plan, and its build
-    // (the corpus-scale distinct) dwarfs its persist cost.
-    val sk = kmvSketchFor(docs, k)
+    // Round 21 REVERSAL of the round-17 "inline beats persist" A/B:
+    // that measurement was taken in the 1-task-scan world, where the
+    // duplicated sketch builds ran as overlapping single-core
+    // broadcast-child jobs on an otherwise idle box (lazy persist
+    // 8.6–11.9 s, eager 7.9 s, inline 5.6 s). With the scan-
+    // parallelism floor (Tables.widen) each duplicated build now
+    // grabs every core, the builds SERIALIZE, and exchange reuse
+    // still cannot cross broadcast/AQE subquery plan boundaries — so
+    // the |sources|·k-row sketch is built once, eagerly, and the five
+    // references read the cache (guide §2.4/§5).
+    val sk = kmvSketchFor(docs, k).persist()
+    sk.count()
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
     val (mBoth, _, _) = kmvMPartition(sk, m)
     pairs
@@ -1544,7 +1551,7 @@ object Profiling {
       cap: Int = 256, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select(
+    val li = Tables.lineitemWide(spark, dir).select(
       concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string")).as("qkey"),
       col("l_extendedprice").cast("double").as("v"),
@@ -2062,7 +2069,7 @@ object Profiling {
     * ≤ 3·|sources| rows.
     */
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.documentsWide(spark, dir) // 3-level gram inline explode is CPU-heavy
       .select(col("source"), split(col("text"), " ").as("toks"))
       .selectExpr("source",
         """inline(concat(

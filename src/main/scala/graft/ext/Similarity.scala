@@ -894,7 +894,6 @@ object Similarity {
   private[graft] def pqEncoded(spark: SparkSession, dir: String,
       m: Int, ksub: Int): (DataFrame, Array[Array[Array[Double]]]) = {
     graft.functions.GraftFunctions.register(spark)
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val e = Tables.embeddings(spark, dir)
     val seeds: Array[Array[Float]] = e.filter(col("vec_id") < ksub)
       .select(col("vec_id"), col("embedding")).collect()
@@ -906,22 +905,34 @@ object Similarity {
     val codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub).map(_.toDouble)))
     val vd = col("embedding").cast("array<double>")
-    // struct min over (rounded dist, code) reproduces (dist ASC, code ASC)
-    def codeFor(j: Int): Column =
-      array_min(array(codebooks(j).zipWithIndex.map { case (cv, c) =>
-        struct(round(sq(slice(vd, j * sub + 1, sub), typedLit(cv.toIndexedSeq)), 6).as("d"),
-          lit(c).as("c"))
-      }.toIndexedSeq: _*)).getField("c")
+    // compiled per-row argmin (round 21): bit-equal to the m·ksub
+    // literal `array_min(struct(round(sq_dist_l2(slice…)), code))` form
+    // it replaces ([[graft.functions.PqEncode]]'s contract, spec-
+    // asserted) — (dist ASC, code ASC), SqDistL2 accumulation order,
+    // round-6 before compare. The literal form generated fresh janino
+    // source per book set and hits the 64 KB codegen wall at
+    // production m·ksub — the exact cliff NearestSeed retired for
+    // coarse assignment at K>512 (VERDICT r20 #1).
     val encoded = assignCells(e, seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) })
       .drop("cos_centroid")
-      .withColumn("codes", array((0 until m).map(codeFor): _*))
+      .withColumn("codes",
+        graft.functions.GraftFunctions.pqEncode(vd, m, ksub, flatBooks(codebooks)))
     (encoded, codebooks)
   }
 
+  /** Row-major [j][c][d] flattening of a PQ codebook array — the
+    * layout [[graft.functions.PqEncode]]/[[graft.functions.AdcScore]]
+    * index as (j·ksub + c)·sub + d.
+    */
+  private def flatBooks(cb: Array[Array[Array[Double]]]): Array[Double] =
+    cb.flatMap(_.flatMap(_.toSeq))
+
   /** ADC reconstruction of the `codes` column against literal
-    * codebooks — per-row, zero shuffle. ONE definition shared by the
-    * seed face, the trained face, and the spec's error metric (review
-    * r13: the expression was triplicated).
+    * codebooks — per-row, zero shuffle. Since round 21 the search
+    * faces score through the compiled [[graft.functions.AdcScore]]
+    * kernel (no reconstruction array allocated); this literal form
+    * remains the spec's independent reference (bit-equality assertion)
+    * and the error-metric helper's basis.
     */
   private def pqRecon(cb: Array[Array[Array[Double]]],
       codesCol: String = "codes"): Column =
@@ -932,18 +943,21 @@ object Similarity {
 
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val (encoded, codebooks) = pqEncoded(spark, dir, m, ksub)
-    // ADC: reconstruct each candidate from its codes and score the
-    // full-precision query against the reconstruction
-    val recon = pqRecon(codebooks)
+    // ADC via the compiled kernel (round 21): scores the full-precision
+    // query against the candidate's codebook reconstruction straight
+    // from the codes — bit-equal to the
+    // `round(sq_dist_l2(qv, concat(element_at…)), 6)` form it replaces
+    // ([[graft.functions.AdcScore]]'s contract, spec-asserted), without
+    // allocating a dim-element reconstruction array per joined row
     val vd = col("embedding").cast("array<double>")
     val queries = encoded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
-    val scored = encoded.withColumn("rv", recon)
+    val scored = encoded
       .join(broadcast(queries),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("d2", round(sq(col("qv"), col("rv")), 6))
+      .withColumn("d2", graft.functions.GraftFunctions
+        .adcScore(col("qv"), col("codes"), m, ksub, flatBooks(codebooks)))
     // TopKByScore ranks (score DESC, id ASC); negating gives (d2 ASC, id ASC)
     scored.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topKByScore(-col("d2"), col("vec_id"), k).as("top"))
@@ -991,16 +1005,15 @@ object Similarity {
     */
   def ivfPqTrainedTopK(spark: SparkSession, dir: String, k: Int = 3,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val (enc1, trained) = pqTrained(spark, dir, m, ksub)
     val vd = col("embedding").cast("array<double>")
-    val recon = pqRecon(trained)
     val queries = enc1.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), vd.as("qv"), col("cell_id").as("qcell"))
-    val scored = enc1.withColumn("rv", recon)
+    val scored = enc1
       .join(broadcast(queries),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("d2", round(sq(col("qv"), col("rv")), 6))
+      .withColumn("d2", graft.functions.GraftFunctions
+        .adcScore(col("qv"), col("codes"), m, ksub, flatBooks(trained)))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions.topKByScore(-col("d2"), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -1016,26 +1029,22 @@ object Similarity {
     */
   private[graft] def pqTrained(spark: SparkSession, dir: String,
       m: Int, ksub: Int): (DataFrame, Array[Array[Array[Double]]]) = {
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val (encoded, codebooks) = pqEncoded(spark, dir, m, ksub)
     val sub = codebooks(0)(0).length
     // one Lloyd's step: integer micro-unit sums per (subspace, code,
-    // dim) — the 1024-row bounded aggregate described above
-    val elems = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
+    // dim) — the 1024-row bounded aggregate described above. With the
+    // compiled PqEncode kernel the codes column and the element
+    // explode live in ONE stage (round 21): the r13-era elems⋈codes
+    // vec_id join — introduced only because the 128-SqDistL2 literal
+    // encode overflowed janino's 64 KB limit inside a Generate stage —
+    // is gone, removing both of its exchanges. Integer sums are
+    // order-free, so the trained books are bit-identical.
+    val sums = encoded
+      .select(col("codes"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("g", "x")))
-      .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
+      .select(expr(s"g div $sub").cast("int").as("j"),
         expr(s"g % $sub").cast("int").as("d"),
-        floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
-    // join the codes ARRAY and pick the subspace's code with
-    // element_at AFTER the exchange — posexplode(codes) put the whole
-    // 128-SqDistL2 encode expression inside one Generate stage, whose
-    // generated processNext() grew past janino's 64 KB method limit
-    // and dropped the stage to interpreted execution (review r13; the
-    // projection-only stage compiles, as x_sim_pq's scoring plan
-    // proves)
-    val codesByVec = encoded.select(col("vec_id"), col("codes"))
-    val sums = elems.join(codesByVec, Seq("vec_id"))
+        floor(col("x") * 1e6 + 0.5).cast("long").as("qx"), col("codes"))
       .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
         col("d"), col("qx"))
       .groupBy(col("j"), col("code"), col("d"))
@@ -1048,14 +1057,9 @@ object Similarity {
         r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
     }
     val vd = col("embedding").cast("array<double>")
-    def codeFor(j: Int): Column =
-      array_min(array((0 until ksub).map { c =>
-        struct(round(sq(slice(vd, j * sub + 1, sub),
-          typedLit(trained(j)(c).toIndexedSeq)), 6).as("d"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
     val enc1 = encoded.drop("codes")
-      .withColumn("codes", array((0 until m).map(codeFor): _*))
+      .withColumn("codes",
+        graft.functions.GraftFunctions.pqEncode(vd, m, ksub, flatBooks(trained)))
     (enc1, trained)
   }
 
@@ -1073,10 +1077,14 @@ object Similarity {
   }
 
   /** Argmin PQ code of subspace `j` of the `resid` column against
-    * literal books — (rounded dist ASC, code ASC), the shared encode
-    * kernel of [[pqResidualTrained]] and [[annEncodeFor]].
+    * literal books — (rounded dist ASC, code ASC). Since round 21 the
+    * hot paths encode through the compiled
+    * [[graft.functions.PqEncode]] kernel; this literal-expression form
+    * is retained as the independent REFERENCE the spec's
+    * bit-equality assertion compares the kernel against (the
+    * NearestSeed-vs-cellScoreArray convention).
     */
-  private def residCodeFor(bk: Array[Array[Array[Double]]])(j: Int): Column = {
+  private[graft] def residCodeFor(bk: Array[Array[Array[Double]]])(j: Int): Column = {
     val sq = graft.functions.GraftFunctions.sqDistL2 _
     val sub = bk(0)(0).length
     array_min(array(bk(j).indices.map { c =>
@@ -1099,16 +1107,18 @@ object Similarity {
       centroids: Array[(Long, Array[Float])],
       books: Array[Array[Array[Double]]]): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val sq = graft.functions.GraftFunctions.sqDistL2 _
     val m = books.length
     val centsD: Array[Array[Double]] = centroids.sortBy(_._1).map(_._2.map(_.toDouble))
     val vd = col("embedding").cast("array<double>")
     val cv = element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
       col("cell_id").cast("int") + 1)
+    val ksub = books(0).length
     assignCells(vectors, centroids).drop("cos_centroid")
       .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
-      .withColumn("rcodes", array((0 until m).map(residCodeFor(books)): _*))
-      .withColumn("q_err", round(sq(col("resid"), pqRecon(books, "rcodes")), 6))
+      .withColumn("rcodes", graft.functions.GraftFunctions
+        .pqEncode(col("resid"), m, ksub, flatBooks(books)))
+      .withColumn("q_err", graft.functions.GraftFunctions
+        .adcScore(col("resid"), col("rcodes"), m, ksub, flatBooks(books)))
   }
 
   /** Residual-space reconstruction error for [[pqResidualTrained]]'s
@@ -1164,10 +1174,14 @@ object Similarity {
     val queries = enc.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), vd.as("qv"),
         col("resid").as("qres"), col("cell_id").as("qcell"))
-    val scored = enc.withColumn("rv", pqRecon(books, "rcodes"))
+    // ADC via the compiled kernel (round 21) — bit-equal to the
+    // pqRecon + round(sq_dist_l2) form ([[graft.functions.AdcScore]]),
+    // no per-row reconstruction array
+    val scored = enc
       .join(broadcast(queries),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("d2a", round(sq(col("qres"), col("rv")), 6))
+      .withColumn("d2a", graft.functions.GraftFunctions
+        .adcScore(col("qres"), col("rcodes"), m, ksub, flatBooks(books)))
     val shortlist = scored.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions
         .topKByScore(-col("d2a"), col("vec_id"), k * refine).as("top"))
@@ -1256,10 +1270,11 @@ object Similarity {
       .withColumn("qres", zip_with(col("qv"),
         element_at(typedLit(centsD.map(_.toIndexedSeq).toIndexedSeq),
           col("pcell").cast("int") + 1), (a, b) => a - b))
-    val scored = enc.withColumn("rv", pqRecon(books, "rcodes"))
+    val scored = enc
       .join(broadcast(probes),
         col("cell_id") === col("pcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("d2a", round(sq(col("qres"), col("rv")), 6))
+      .withColumn("d2a", graft.functions.GraftFunctions
+        .adcScore(col("qres"), col("rcodes"), m, ksub, flatBooks(books)))
     val shortlist = scored.groupBy(col("query_id"))
       .agg(graft.functions.GraftFunctions
         .topKByScore(-col("d2a"), col("vec_id"), k * refine).as("top"))
@@ -1298,7 +1313,7 @@ object Similarity {
     Dedup.Frames.getOrComputeValue(spark, s"pqbooks:$m:$ksub:$iters:$dir", dir,
         tables = Seq("embeddings.parquet")) {
       graft.functions.GraftFunctions.register(spark)
-      val e = Tables.embeddings(spark, dir)
+      val e = Tables.embeddingsWide(spark, dir) // see pqResidualTrained
       val seeds: Array[(Long, Array[Float])] = seedCentroids(e, ksub)
       val centsD: Array[Array[Double]] = seeds.sortBy(_._1).map(_._2.map(_.toDouble))
       val dim = centsD.head.length
@@ -1320,15 +1335,21 @@ object Similarity {
       require(seedRes.length == ksub, s"need rows [${ksub}, ${2 * ksub}) as residual seeds")
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m, ksub)((j, c) => seedRes(c).slice(j * sub, (j + 1) * sub))
-      val elems = withResid
-        .select(col("vec_id"), posexplode(col("resid")).as(Seq("g", "x")))
-        .select(col("vec_id"), expr(s"g div $sub").cast("int").as("j"),
-          expr(s"g % $sub").cast("int").as("d"),
-          floor(col("x") * 1e6 + 0.5).cast("long").as("qx"))
       for (_ <- 1 to iters) {
-        val codesDf = withResid
-          .select(col("vec_id"), array((0 until m).map(residCodeFor(books)): _*).as("codes"))
-        val sums = elems.join(codesDf, Seq("vec_id"))
+        // compiled-kernel encode + explode in ONE stage (round 21):
+        // the elems⋈codes vec_id join — needed only while the literal
+        // 128-SqDistL2 encode could not live inside a Generate stage
+        // without overflowing janino's 64 KB method limit (review
+        // r13) — is gone, and with it both of its exchanges per
+        // iteration. Integer micro-unit sums are order-free, so the
+        // trained books are bit-identical to the join form's.
+        val sums = withResid
+          .select(graft.functions.GraftFunctions
+              .pqEncode(col("resid"), m, ksub, flatBooks(books)).as("codes"),
+            posexplode(col("resid")).as(Seq("g", "x")))
+          .select(expr(s"g div $sub").cast("int").as("j"),
+            expr(s"g % $sub").cast("int").as("d"),
+            floor(col("x") * 1e6 + 0.5).cast("long").as("qx"), col("codes"))
           .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
             col("d"), col("qx"))
           .groupBy(col("j"), col("code"), col("d"))
@@ -1357,7 +1378,11 @@ object Similarity {
       m: Int, ksub: Int, iters: Int):
       (DataFrame, Array[Array[Array[Double]]], Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    // widened scan (Tables.embeddingsWide): the m-subspace argmin
+    // encode is the one embedding projection heavy enough that its
+    // per-broadcast-child re-executions dominated the face on a
+    // 1-task scan (StageProfile r21: 2 stages of 7-8 s, 1 task each)
+    val e = Tables.embeddingsWide(spark, dir)
     val (seeds, books) = pqTrainedBooks(spark, dir, m, ksub, iters)
     val centsD: Array[Array[Double]] = seeds.sortBy(_._1).map(_._2.map(_.toDouble))
     val vd = col("embedding").cast("array<double>")
@@ -1375,7 +1400,8 @@ object Similarity {
     val withResid = assignCells(e, seeds).drop("cos_centroid")
       .withColumn("resid", zip_with(vd, cv, (a, b) => a - b))
     val encoded = withResid
-      .withColumn("rcodes", array((0 until m).map(residCodeFor(books)): _*))
+      .withColumn("rcodes", graft.functions.GraftFunctions
+        .pqEncode(col("resid"), m, ksub, flatBooks(books)))
     (encoded, books, centsD)
   }
 

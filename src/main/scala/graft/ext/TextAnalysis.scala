@@ -576,7 +576,7 @@ object TextAnalysis {
   private def langFeatMemo(spark: SparkSession, dir: String): DataFrame =
     Dedup.Frames.getOrCompute(spark, s"langfeat:$dir", dir,
       tables = Seq("documents.parquet")) {
-      langFeatureFrame(Tables.documents(spark, dir))
+      langFeatureFrame(Tables.documentsWide(spark, dir))
     }
 
   /** Spec seam: train + score over any (doc_id, text, lang) frame,
@@ -599,33 +599,30 @@ object TextAnalysis {
     */
   private[graft] def langFeaturesOf(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val b = LangBigramBuckets
-    val bi = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("t")) - 1, lit(1)))).as("i"),
-        col("t"))
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(md5(substring(t, i, 2)), 1, 4), 16, 10) AS BIGINT) % $b")
-          .as("bucket"))
-    val bSums = (0 until b).map(k =>
-      sum(when(col("bucket") === k, 1L).otherwise(0L)).as(s"b$k"))
-    val ba = bi.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bi"), bSums: _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val markerFeats = LangMarkers.zipWithIndex.map { case (m, k) =>
       expr(s"(CAST(length(lower(text)) - length(replace(lower(text), '$m', '')) AS BIGINT) div ${m.length}) * 10000 div CAST(size(split(text, ' ')) AS BIGINT)")
         .as(s"qx${3 + k}")
     }
+    // Round 21: the bigram bucket counts come from ONE row-local
+    // compiled kernel ([[graft.functions.CharBigramBucketCounts]] —
+    // identical md5-bucket values, the SQL chain is its documented
+    // contract), collapsing the corpus-window explode, the 5-column
+    // conditional-sum hash aggregate, and the doc-keyed join back
+    // into this single projection — two exchanges removed from the
+    // feature build (guide §2.4) on top of the per-window allocation
+    // savings (guide §1.2 step 2).
     val scal = docs.select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
       lit(10000L).as("qx0"),
       expr("CAST(octet_length(text) - length(text) AS BIGINT) * 10000 div greatest(CAST(octet_length(text) AS BIGINT), 1)").as("qx1"),
       expr("CAST(length(regexp_replace(lower(text), '[^aeiou]', '')) AS BIGINT) * 10000 div greatest(CAST(length(text) AS BIGINT), 1)").as("qx2")) ++
-      markerFeats: _*)
+      markerFeats ++ Seq(
+      graft.functions.GraftFunctions.charBigramBuckets(lower(col("text")), b).as("bc")): _*)
     val nScalar = 3 + LangMarkers.length
     val bucketShares = (0 until b).map(k =>
-      expr(s"CAST(b$k AS BIGINT) * 10000 div n_bi").as(s"qx${nScalar + k}"))
-    scal.join(ba, Seq("doc_id"))
-      .select(Seq(col("doc_id")) ++ carry.map(col) ++
-        (0 until nScalar).map(j => col(s"qx$j")) ++ bucketShares: _*)
+      expr(s"element_at(bc, ${k + 2}) * 10000 div element_at(bc, 1)").as(s"qx${nScalar + k}"))
+    scal.select(Seq(col("doc_id")) ++ carry.map(col) ++
+      (0 until nScalar).map(j => col(s"qx$j")) ++ bucketShares: _*)
   }
 
   /** The `iters`-step one-vs-rest integer-GD loop — all five class

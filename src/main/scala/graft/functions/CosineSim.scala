@@ -259,6 +259,24 @@ object GraftFunctions {
         "nearest_seed",
         exprs => NearestSeed(exprs(0), longArrayLit(exprs(1)), floatArrayLit(exprs(2))),
         "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("char_window_md5")))
+      reg.createOrReplaceTempFunction(
+        "char_window_md5",
+        exprs => CharWindowMd5Hashes(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("char_bigram_buckets")))
+      reg.createOrReplaceTempFunction(
+        "char_bigram_buckets",
+        exprs => CharBigramBucketCounts(exprs(0), intLit(exprs(1))), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("pq_encode")))
+      reg.createOrReplaceTempFunction(
+        "pq_encode",
+        exprs => PqEncode(exprs(0), intLit(exprs(1)), intLit(exprs(2)), doubleArrayLit(exprs(3))),
+        "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("adc_score")))
+      reg.createOrReplaceTempFunction(
+        "adc_score",
+        exprs => AdcScore(exprs(0), exprs(1), intLit(exprs(2)), intLit(exprs(3)), doubleArrayLit(exprs(4))),
+        "scala_udf")
     // Spark's own runtime-row-filter machinery, surfaced for explicit
     // use: BloomFilterAggregate builds a serialized filter over a LONG
     // key column; BloomFilterMightContain probes it. The same pair the
@@ -309,6 +327,16 @@ object GraftFunctions {
         v.toFloatArray().toIndexedSeq
       case other => throw new IllegalArgumentException(
         s"expected an array<float> literal argument, got $other")
+    }
+
+  private def doubleArrayLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        v.toDoubleArray().toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"expected an array<double> literal argument, got $other")
     }
 
   /** Requires [[register]] to have been called on the owning session. */
@@ -410,4 +438,38 @@ object GraftFunctions {
   /** Probe: might `key` be in the serialized filter? (no false negatives) */
   def bloomMightContain(bloom: Column, key: Column): Column =
     call_function("bloom_might_contain", bloom, key)
+
+  /** All n-char-window md5 prefix-32 hashes of a string, in window
+    * order — `conv(substring(md5(substring(s,i,n)),1,8),16,10)` per
+    * window, empty array below n chars (see [[CharWindowMd5Hashes]]).
+    */
+  def charWindowMd5(s: Column, n: Int): Column =
+    call_function("char_window_md5", s, org.apache.spark.sql.functions.lit(n))
+
+  /** Row-local hashed char-bigram bucket counts
+    * [n_windows, count_0, …] (see [[CharBigramBucketCounts]]). */
+  def charBigramBuckets(s: Column, buckets: Int): Column =
+    call_function("char_bigram_buckets", s, org.apache.spark.sql.functions.lit(buckets))
+
+  /** Compiled PQ encode: array<int> of m per-subspace argmin codes
+    * against a row-major flattened [j][c][d] codebook array — bit-equal
+    * to the m·ksub literal `round(sq_dist_l2(slice…))` struct-min form
+    * (see [[PqEncode]]). Books cross the FunctionRegistry boundary as
+    * an array literal, then fold into a reference object.
+    */
+  def pqEncode(v: Column, m: Int, ksub: Int, flatBooks: Array[Double]): Column =
+    call_function("pq_encode", v,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ksub),
+      org.apache.spark.sql.functions.typedLit(flatBooks))
+
+  /** Compiled ADC score: rounded ‖q − reconstruction(codes)‖² against
+    * the same flattened codebooks — bit-equal to
+    * `round(sq_dist_l2(q, concat(element_at…)), 6)` (see [[AdcScore]]).
+    */
+  def adcScore(q: Column, codes: Column, m: Int, ksub: Int, flatBooks: Array[Double]): Column =
+    call_function("adc_score", q, codes,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ksub),
+      org.apache.spark.sql.functions.typedLit(flatBooks))
 }

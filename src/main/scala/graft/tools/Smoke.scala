@@ -12,7 +12,8 @@ object Smoke {
       .master(s"local[$cpus]")
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARFIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
