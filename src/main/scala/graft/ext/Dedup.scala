@@ -213,11 +213,39 @@ object Dedup {
     }
   }
 
-  /** Unpersist and forget every memoized dedup frame (see [[Frames]]).
-    * Long-lived sessions call this when done with a corpus; Bench and
-    * Verify call it at the end of a run.
+  /** Ad-hoc persisted frames that cannot be unpersisted before their
+    * returned DataFrame is consumed (the kmv sketch/union-M frames,
+    * PageRank's loop-invariant edge frames) — ADVICE r21: bare
+    * `persist()` calls in report builders leaked block-manager entries
+    * until the ContextCleaner happened to GC the plan. Registering the
+    * frame here bounds the leak to one release cycle: [[releaseCaches]]
+    * (called by Bench/Verify per rep, and by long-lived sessions per
+    * corpus) drops them with the memoized frames. Entries whose context
+    * has stopped are skipped, mirroring [[Frames.release]].
     */
-  def releaseCaches(): Unit = Frames.release()
+  private val adHocPersists =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+  private[graft] def trackPersist(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    adHocPersists.synchronized { adHocPersists += df }
+    df
+  }
+
+  /** Unpersist and forget every memoized dedup frame (see [[Frames]])
+    * plus the tracked ad-hoc report persists. Long-lived sessions call
+    * this when done with a corpus; Bench and Verify call it at the end
+    * of a run.
+    */
+  def releaseCaches(): Unit = {
+    Frames.release()
+    adHocPersists.synchronized {
+      adHocPersists.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+      adHocPersists.clear()
+    }
+  }
 
   /** Test hook — see [[Frames.residentKeys]]. */
   private[graft] def residentFrameKeys(spark: SparkSession): Set[String] =

@@ -58,21 +58,42 @@ object Graph {
     */
   def pageRank(ed: DataFrame, iters: Int = 5,
       checkpointRanks: Boolean = false): DataFrame = {
-    // Round-21 finding, measured and deliberately NOT adopted: the edge
-    // frame is referenced by every iteration's contrib join and each
-    // reference lands in its own broadcast/AQE-subquery plan, so the
-    // (possibly quadratic) edge build re-executes once per iteration
-    // (profiled at sf0.1: x_lexrank ran its 3M-pair cosine join ~10x).
-    // An eager persist of edges/deg/ranked computes it once — the
-    // 100 TB-correct shape — but the same-day full-bench A/B (r21d vs
-    // r21e) read the PERSISTED variant 2-5 s SLOWER per graph face at
-    // sf0.1: on one box the duplicated single-task builds run as
-    // CONCURRENT jobs on otherwise-idle cores (guide §2.6), while the
-    // eager persist serializes them behind a materialization barrier.
-    // On a real cluster (where the edge build holds every core) flip
-    // this trade: persist ed before calling, or checkpointRanks=true.
-    val deg = ed.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg"))
-    val edges = ed.join(deg, "w1")
+    // Round 22 (VERDICT r21 #1 — the top bench cost two rounds
+    // running). Round 21 profiled the hole: every iteration's contrib
+    // join and rank update referenced `edges`/`deg` afresh, and since
+    // exchange reuse does not cross broadcast/AQE subquery plan
+    // boundaries, the (possibly quadratic) edge build re-executed once
+    // per reference — x_lexrank ran its 3M-pair cosine join ~10×. The
+    // round-21 EAGER persist A/B lost 2-5 s/face because its count()
+    // barrier serialized builds the scheduler had been overlapping on
+    // idle cores. This round reshapes the loop so the barrier never
+    // exists and the loop body carries NO Exchange (guide §2.4/§3.1):
+    //  - `ed` is persisted LAZILY and tracked for release
+    //    (Dedup.trackPersist): the rank/contrib sides are broadcast, so
+    //    the loop executes sequentially anyway (iteration i+1's
+    //    broadcast waits on iteration i) — the first iteration fills
+    //    the cache as a side effect of work it had to do, every later
+    //    reference reads blocks, and nothing is serialized that used
+    //    to overlap.
+    //  - the joined edge frame is hash-partitioned by w2 BEFORE its
+    //    persist, so each iteration's groupBy(w2) aggregate reuses the
+    //    cached partitioning: the per-iteration plan is
+    //    InMemoryScan → BroadcastHashJoin(rank) → HashAggregate —
+    //    zero Exchange, zero edge rebuild.
+    //  - rank and contrib are |V|-row frames (far under the broadcast
+    //    threshold at every registered face), so both per-iteration
+    //    joins are broadcast hash joins.
+    // At crawl scale |V| outgrows the 8 GB / 512M-row broadcast cap:
+    // drop the two broadcast() hints (the joins fall back to exchanges
+    // over |V|-row frames — still never the edge payload) and flip
+    // checkpointRanks=true; the integer trajectory is join-strategy-
+    // and partitioning-independent (decimal sums are exact), so the
+    // numbers cannot move.
+    val edC = Dedup.trackPersist(ed.persist())
+    val deg = Dedup.trackPersist(
+      edC.groupBy(col("w1")).agg(sum(col("wt")).as("wdeg")).persist())
+    val edges = Dedup.trackPersist(
+      edC.join(broadcast(deg), "w1").repartition(col("w2")).persist())
     var rank = deg.select(col("w1").as("w"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       // r·wt widened to decimal(38,0) BEFORE the product (a bigint
@@ -80,12 +101,12 @@ object Graph {
       // applies); DIV truncates identically on both engines and
       // returns bigint, so in-int64 graphs rank bit-identically to
       // the narrow form while wt up to ~10³² stays exact
-      val contrib = edges.join(rank, edges("w1") === rank("w"))
+      val contrib = edges.join(broadcast(rank), edges("w1") === rank("w"))
         .groupBy(col("w2"))
         .agg(sum(expr("CAST(CAST(r AS DECIMAL(38,0)) * wt DIV wdeg AS DECIMAL(38,0))"))
           .as("contrib"))
       rank = deg.select(col("w1").as("w"))
-        .join(contrib.select(col("w2").as("w"), col("contrib")), Seq("w"), "left")
+        .join(broadcast(contrib.select(col("w2").as("w"), col("contrib"))), Seq("w"), "left")
         .select(col("w"),
           (lit(150000L) +
             expr("85 * CAST(coalesce(contrib, 0) AS DECIMAL(38,0)) DIV 100")).as("r"))

@@ -719,7 +719,14 @@ object Profiling {
     * exemption class).
     */
   def f2JoinSize(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsWide(spark, dir)
+    // Round 22 (VERDICT r21 #2 — this face regressed 2× when round 21
+    // widened it): 4-rep TimeMany A/B, widened truth leg 2.8-3.6 s vs
+    // UNWIDENED 1.8-2.0 s. The truth leg's token-counts aggregate gets
+    // its parallelism from its own groupBy(k, token) exchange after
+    // map-side partials, so the upstream widen exchange is pure tax
+    // here (the memo build keeps its widen inside f2RegsByKeyMemo,
+    // where the r21 A/B measured it a win for x_f2_by_key).
+    val docs = Tables.documents(spark, dir)
     val regs = f2RegsByKeyMemo(spark, dir)
     val prod = regs.as("a").join(regs.as("b"),
         col("a.est_i") === col("b.est_i") && col("a.k") < col("b.k"))
@@ -1031,9 +1038,16 @@ object Profiling {
     // see the round-21 reversal note there (the a-not-b face
     // references the sketch in even more broadcast-child legs: the
     // scaffold, all three M-partition legs)
-    val sk = kmvSketchFor(docs, k).persist()
+    val sk = graft.ext.Dedup.trackPersist(kmvSketchFor(docs, k).persist())
     sk.count()
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
+    // Round 22 (VERDICT r21 #3): the union-sketch M is referenced by
+    // FOUR legs here (mStats + all three kmvMPartition joins), each in
+    // its own broadcast-child plan, so M's pair⋈sk re-aggregation ran
+    // once per leg even with sk cached. |pairs|·k rows — eager persist
+    // like sk, build once, legs read blocks.
+    graft.ext.Dedup.trackPersist(m.persist())
+    m.count()
     // the three-way partition of M by sketch membership — the shared
     // kmvMPartition legs (A-only: equi-join on (source_a, h),
     // anti-join on (source_b, h))
@@ -1319,9 +1333,15 @@ object Profiling {
     // still cannot cross broadcast/AQE subquery plan boundaries — so
     // the |sources|·k-row sketch is built once, eagerly, and the five
     // references read the cache (guide §2.4/§5).
-    val sk = kmvSketchFor(docs, k).persist()
+    val sk = graft.ext.Dedup.trackPersist(kmvSketchFor(docs, k).persist())
     sk.count()
     val (pairs, m, mStats, nSrc, inter) = kmvPairScaffold(sk, tok, k)
+    // Round 22 (VERDICT r21 #3): M is referenced by mStats AND the
+    // kmvMPartition overlap leg, each in its own broadcast-child plan —
+    // the pair⋈sk union re-aggregation ran once per leg even with sk
+    // cached. |pairs|·k rows — eager persist like sk.
+    graft.ext.Dedup.trackPersist(m.persist())
+    m.count()
     val (mBoth, _, _) = kmvMPartition(sk, m)
     pairs
       .join(mStats, Seq("source_a", "source_b"), "left")
@@ -1557,7 +1577,17 @@ object Profiling {
       col("l_extendedprice").cast("double").as("v"),
       // unique long id for the bounded top-k tie-break (l_linenumber ≤ 7)
       (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("rid"))
-    val lv = li.withColumn("lvl", qLevelCol)
+    // Round 22: this report runs THREE sequential actions over the
+    // widened scan — the level-histogram collect, the top-cap sample,
+    // and the truth leg's two-pass selection — and each re-executed
+    // the scan + widen exchange + md5 level column. A LAZY persist of
+    // the leveled frame fills at the first collect (the histogram plan
+    // contains this exact subplan, so the cache manager substitutes
+    // it) and the later actions read blocks: one scan total, no eager
+    // barrier. At 100 TB the cached projection is 3 narrow columns +
+    // lvl (MEMORY_AND_DISK), traded against two full corpus re-scans.
+    val lv = graft.ext.Dedup.trackPersist(
+      li.withColumn("lvl", qLevelCol).persist())
     val histRows = quantileLevelHist(li).collect()
     val byLvl: Map[Long, Long] =
       histRows.map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -1587,7 +1617,9 @@ object Profiling {
       s"sample/histogram disagree: |sample|=${arr.length} vs m=$m")
     val sampleAsc: IndexedSeq[Double] = qSampleAsc(arr)
     val targetRanks = pcts.map(p => qRankFor(p, n))
-    val (n2, exactAt) = exactValuesAtRanks(li.select(col("v")), targetRanks)
+    // projected off the CACHED leveled frame (li.select(v) would not
+    // plan-match the persisted lv subtree and would rescan)
+    val (n2, exactAt) = exactValuesAtRanks(lv.select(col("v")), targetRanks)
     require(n2 == n, s"truth-leg count $n2 disagrees with histogram n=$n")
     def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
     val rows = pcts.map { p =>

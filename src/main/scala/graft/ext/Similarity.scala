@@ -1453,6 +1453,11 @@ object Similarity {
   def kmeansRefine(spark: SparkSession, dir: String, k: Int = 16,
       iters: Int = 3, trackObjectives: Boolean = true): (Array[(Long, Array[Double])], Seq[Double]) = {
     graft.functions.GraftFunctions.register(spark)
+    // Round 22: a widened scan for the refine loop was A/B'd and LOST
+    // (sdr steady ~7.7 s widened vs ~4.9 s unwidened, 3-rep TimeMany):
+    // repartitioning the corpus×dim arrays 3× costs more than the
+    // 1-task assignment stages save — the same verdict BENCH_r21d
+    // reached for every cosine-pair face. The scan stays narrow.
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     var centroids: Array[(Long, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -1468,21 +1473,30 @@ object Similarity {
           col("best.cell_id").as("cell_id"), (col("best.neg_cos") + 1.0).as("dist")) // 1 − cos
     }
     // objective tracking costs one extra driver action per iteration —
-    // the convergence spec needs it, the production refine path doesn't
+    // the convergence spec needs it, the production refine path doesn't.
+    // Round 22 (VERDICT r21 #4): the persist existed for the two-action
+    // tracking mode; with trackObjectives=false the sums job is the
+    // iteration's ONLY action, so the persist materialized corpus×dim
+    // double arrays through the block store for a single consumer (the
+    // same trade the residual-frame note above measures). Persist only
+    // when two actions share the frame. The per-dim means are likewise
+    // assembled on the driver from the k·dim (cell_id, j, s, c) rows —
+    // one bounded collect instead of a second groupBy+collect_list
+    // exchange per iteration; s/c divides exactly as the old
+    // (s/c)-column did, so the centroid trajectory is bit-identical.
     val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to iters).foreach { _ =>
-      val a = assigned.persist()
+      val a = if (trackObjectives) assigned.persist() else assigned
       if (trackObjectives) objectives += a.agg(avg(col("dist"))).head().getDouble(0)
-      val sums = a
+      val rows = a
         .select(col("cell_id"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy(col("cell_id"), col("j"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-        .groupBy(col("cell_id"))
-        .agg(sort_array(collect_list(struct(col("j"), (col("s") / col("c")).as("m"))))
-          .as("dims"))
-        .select(col("cell_id"), col("dims.m").as("mean"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
-      a.unpersist()
+        .collect() // ≤ k·dim rows — the bounded per-iteration verdict
+      if (trackObjectives) a.unpersist()
+      val sums = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+      }
       centroids = centroids.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
     }
     // final objective under the refined centroids
@@ -1932,7 +1946,7 @@ object Similarity {
     * for cell_id and wdeg.
     */
   private def lexRankTop(assigned: DataFrame, ed: DataFrame, k: Int): DataFrame = {
-    val ranked = Graph.pageRank(ed)
+    val ranked = Graph.pageRank(ed, checkpointRanks = true)
     val sel = ranked
       .agg(graft.functions.GraftFunctions
         .topKByScore(col("r").cast("double"), col("w"), k).as("top"))
@@ -2602,6 +2616,12 @@ object Similarity {
     require(rounds >= 1, s"nswSearch needs at least one beam round, got $rounds")
     require(beamW >= k, s"nswSearch needs beamW >= k to fill the top-$k, got beamW=$beamW")
     graft.functions.GraftFunctions.register(spark)
+    // Round 22 (VERDICT r21 #9): the widened-scan A/B ran and LOST —
+    // x_sim_nsw 3.3-4.7 s narrow vs 8.0-8.2 s widened (3-rep TimeMany,
+    // same battery): every beam round's candidate collect re-executes
+    // the corpus scan, so the widen exchange is paid per round. The
+    // beam loop's parallelism comes from its broadcast joins; the scan
+    // stays narrow.
     val e = Tables.embeddings(spark, dir)
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
     val graph = nswGraphFor(spark, dir, cells, m, "base", lit(true))
@@ -2640,7 +2660,7 @@ object Similarity {
       s"nswHierSearch needs at least one round per layer, got ($rounds, $upperRounds)")
     require(beamW >= k, s"nswHierSearch needs beamW >= k, got beamW=$beamW")
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir) // narrow — see nswSearch's A/B note
     val isQuery = col("vec_id") >= cells && col("vec_id") < cells + 10
     val baseGraph = nswGraphFor(spark, dir, cells, m, "base", lit(true))
     val upperGraph = nswGraphFor(spark, dir, cells, m, "upper", nswUpperMark)
