@@ -81,7 +81,11 @@ object Tables {
     val p = spark.sparkContext.defaultParallelism
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val st = try {
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      // the context's base conf, NOT sessionState.newHadoopConf(): the
+      // latter copies every SQL conf entry per call, and this probe
+      // runs on every table load (the FileSystem instance itself is
+      // cached by scheme, the stat is one syscall)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       Some(fs.getFileStatus(path))
     } catch { case _: java.io.IOException => None }
     val doWiden = st.exists { s =>

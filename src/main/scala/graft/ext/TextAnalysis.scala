@@ -1811,17 +1811,19 @@ object TextAnalysis {
     lmScoreKnFor(Tables.documents(spark, dir))
 
   private[graft] def lmScoreKnFor(docs: DataFrame): DataFrame = {
-    val (d2r, _, _) = lmBigramFrames(docs)
-    // Round 22 (VERDICT r21 #8): d2 is referenced by the c2 subtree AND
-    // the final join probe, and c2 by FOUR re-aggregation legs (c1,
-    // np1, nc1, the join) — each leg's broadcast/AQE-subquery plan
-    // re-ran the bigram explode (exchange reuse does not cross those
-    // boundaries, the round-21 finding). The `b` collect below already
-    // executes the c2 subtree BEFORE the main action, so LAZY persists
-    // fill race-free there — no eager barrier, one bigram explode total.
-    val d2 = Dedup.trackPersist(d2r.persist())
-    val c2 = Dedup.trackPersist(
-      d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2")).persist())
+    // Round 22 (VERDICT r21 #8): profiled — d2 is referenced by the c2
+    // subtree AND the final join probe, and c2 by four re-aggregation
+    // legs, each leg's broadcast/AQE-subquery plan re-running the
+    // bigram explode. LAZY persists of d2/c2 were implemented and
+    // MEASURED AS A LOSS in two full idle benches (x_lm_score_kn
+    // 2.74 → 3.81/3.97 s): on one box the duplicated legs run as
+    // concurrent jobs on idle cores, while a persist serializes them
+    // behind the first leg's cache fill (block-lock waits) — the same
+    // trade the r21 graph-face A/B measured. Reverted; on a cluster at
+    // full utilization (where duplicated legs cost real capacity)
+    // persist d2/c2 before fan-out.
+    val (d2, _, _) = lmBigramFrames(docs)
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val np1 = c2.groupBy(col("w1")).agg(count(lit(1)).as("np1")) // N1+(w1·)
     val nc1 = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc1")) // N1+(·w2)
@@ -2131,27 +2133,24 @@ object TextAnalysis {
     * streaming micro-batch).
     */
   private def lmLangMergeCounts(sc2: DataFrame, sc1: DataFrame, scu: DataFrame,
-      arriving: DataFrame, persistTables: Boolean = false): LmLangModel = {
-    val (_, bc2r, bc1, bcu, _) = lmLangFrames(arriving)
-    // Round 22 (VERDICT r21 #8, x_lm_merge_incremental): opt-in
-    // compute-once for the BATCH merge face — the arriving bigram
-    // table feeds both the merged-c2 and (via bc1) merged-c1 legs,
-    // each in its own broadcast-subquery plan, and the merged unigram
-    // table is referenced THREE times (stats, the V/T scalars, the
-    // scoring join), so the arriving batch's explode re-ran per leg.
-    // cu's lazy persist fills race-free at the stats collect below;
-    // bc2's fills inside the scoring action (worst case one raced
-    // duplicate — never more than the unpersisted plan paid). OFF for
-    // the streaming micro-batch path, whose per-batch frames are
-    // consumed once and gone.
-    val bc2 = if (persistTables) Dedup.trackPersist(bc2r.persist()) else bc2r
+      arriving: DataFrame): LmLangModel = {
+    // Round 22 (VERDICT r21 #8, x_lm_merge_incremental): profiled — the
+    // arriving/standing bigram tables each feed two merged legs and the
+    // merged unigram table three consumers, every leg re-running its
+    // explode in its own broadcast-subquery plan. LAZY persists of the
+    // bigram/unigram tables were implemented and MEASURED AS A LOSS in
+    // two full idle benches (x_lm_merge_incremental 3.53 → 5.41/5.45 s):
+    // the duplicated ~1-task explodes overlap on idle cores, while the
+    // persist serializes every consumer behind the first cache fill —
+    // the r21 graph-face trade again. Reverted; at cluster utilization
+    // persist the three tables before fan-out.
+    val (_, bc2, bc1, bcu, _) = lmLangFrames(arriving)
     def m(x: DataFrame, y: DataFrame, keys: Seq[String], c: String): DataFrame =
       x.select((keys :+ c).map(col): _*).unionByName(y.select((keys :+ c).map(col): _*))
         .groupBy(keys.map(col): _*).agg(sum(col(c)).as(c))
     val c2 = m(sc2, bc2, Seq("lang", "w1", "w2"), "n2")
     val c1 = m(sc1, bc1, Seq("lang", "w1"), "n1")
-    val cur = m(scu, bcu, Seq("lang", "w2"), "nu")
-    val cu = if (persistTables) Dedup.trackPersist(cur.persist()) else cur
+    val cu = m(scu, bcu, Seq("lang", "w2"), "nu")
     val stats = cu.groupBy(col("lang"))
       .agg(count(lit(1)).as("vl"), sum(col("nu")).as("tl"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -2173,15 +2172,10 @@ object TextAnalysis {
   def lmMergeIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // lazy frames for the standing side — its stats are never needed
-    // (the merge re-derives V/T from the merged unigram table).
-    // Round 22: the standing bigram table is persisted like the
-    // arriving one (see lmLangMergeCounts) — it feeds the merged-c2
-    // AND merged-c1 legs, each of which re-ran the standing 2/3-corpus
-    // explode in its own subquery plan.
-    val (_, sc2r, sc1, scu, _) = lmLangFrames(docs.filter(col("doc_id") % 3 =!= 0))
-    val sc2 = Dedup.trackPersist(sc2r.persist())
-    val merged = lmLangMergeCounts(sc2, sc1, scu,
-      docs.filter(col("doc_id") % 3 === 0), persistTables = true)
+    // (the merge re-derives V/T from the merged unigram table); the
+    // round-22 persist A/B and its reversal live in lmLangMergeCounts
+    val (_, sc2, sc1, scu, _) = lmLangFrames(docs.filter(col("doc_id") % 3 =!= 0))
+    val merged = lmLangMergeCounts(sc2, sc1, scu, docs.filter(col("doc_id") % 3 === 0))
     lmScoreUnder(docs.select(col("doc_id"), col("lang"), col("text")), merged)
       .orderBy(col("doc_id"))
   }
