@@ -1581,14 +1581,20 @@ object Profiling {
     // widened scan — the level-histogram collect, the top-cap sample,
     // and the truth leg's two-pass selection — and each re-executed
     // the scan + widen exchange + md5 level column. A LAZY persist of
-    // the leveled frame fills at the first collect (the histogram plan
-    // contains this exact subplan, so the cache manager substitutes
-    // it) and the later actions read blocks: one scan total, no eager
-    // barrier. At 100 TB the cached projection is 3 narrow columns +
-    // lvl (MEMORY_AND_DISK), traded against two full corpus re-scans.
+    // the leveled frame fills at the first collect and the later
+    // actions read blocks: one scan total, no eager barrier. The
+    // persisted projection drops qkey — the string exists only to
+    // derive lvl, and keeping it cached tripled the 30x-scale probe's
+    // rep walls at 32 cores (cache-fill memory pressure; (v, rid, lvl)
+    // is ~40% of the bytes). sf0.1 A/B: 3.3 s persisted vs 5.2 s not.
+    // The histogram aggregates the persisted frame directly (same
+    // per-level counts by construction — groupBy(lvl) row counts are
+    // projection-independent; quantileLevelHist(li) would not
+    // plan-match the narrower cached subtree).
     val lv = graft.ext.Dedup.trackPersist(
-      li.withColumn("lvl", qLevelCol).persist())
-    val histRows = quantileLevelHist(li).collect()
+      li.withColumn("lvl", qLevelCol)
+        .select(col("v"), col("rid"), col("lvl")).persist())
+    val histRows = lv.groupBy(col("lvl")).agg(count(lit(1)).as("c")).collect()
     val byLvl: Map[Long, Long] =
       histRows.map(r => (r.getLong(0), r.getLong(1))).toMap
     val n = byLvl.values.sum

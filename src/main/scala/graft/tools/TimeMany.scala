@@ -8,7 +8,9 @@ object TimeMany {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = Smoke.session("32")
+    // honors the bench's core-count knob so scale probes can compare
+    // low/high-core walls (round 22); default matches the bench's 32
+    val spark = Smoke.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // same warmup as Bench
     graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
