@@ -1449,7 +1449,10 @@ object Corpus {
         END"""
 
   private def dsirFeats(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
-    Tables.documents(spark, dir)
+    // widened scan (round 22): the md5-bigram explode is the CPU cost
+    // and ran on the 1-task narrow scan (the kmv/f2/lang r21 pattern);
+    // 3-rep TimeMany A/B: narrow 2.01/2.01 s steady vs WIDE 1.49/1.63 s
+    Tables.documentsWide(spark, dir)
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
           .as("sbucket"),
